@@ -1,0 +1,164 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators.Timeseries
+
+/** The engine's service facade — the reference's `TimeSeries` protocol
+  * (`api.clj:1-47`) re-expressed Spark-first.
+  *
+  * Storage stance (SURVEY §4): compute-on-read. The write path appends
+  * raw events (one row per event — atomic, idempotent-friendly, no
+  * write-time fan-out); every query aggregates from raw events with a
+  * single hash aggregation. Materialized rollups are an optional
+  * optimization layered on top (see [[graft.operators.Rollups]] /
+  * [[graft.streaming.StreamingIngest]]), not the source of truth —
+  * the reference's table-per-(fact × dimension × path) mechanics
+  * (`postgres/schema.clj:220-241`) are deliberately not reproduced.
+  *
+  * Canonical event schema: `(fact STRING, ts TIMESTAMP, value LONG,
+  * categories MAP<STRING,STRING>)`.
+  */
+final class TimeSeriesService(
+    val spark: SparkSession,
+    val catalog: Catalog = new Catalog) {
+  import spark.implicits._
+
+  private val buffer = ArrayBuffer.empty[Event]
+  private var bulk: Option[DataFrame] = None
+
+  // ---- DDL (O1–O6) ----------------------------------------------------
+
+  def defineFact(id: String, ftype: FactType, slice: Int = 15,
+      name: Option[String] = None, filler: Long = 0L,
+      units: String = "counter", start: Option[Long] = None,
+      end: Option[Long] = None, step: Option[Long] = None): FactDef =
+    catalog.defineFact(FactDef(id, ftype, slice, name, filler, units,
+      start, end, step))
+
+  def defineDimension(id: String, name: Option[String] = None,
+      slice: Option[Int] = None, size: Int = 40, groupOnly: Boolean = false,
+      groupedBy: Seq[Seq[String]] = Seq(Seq.empty),
+      facts: Set[String] = Set.empty): DimensionDef =
+    catalog.defineDimension(DimensionDef(id, name, slice, size, groupOnly,
+      groupedBy, facts))
+
+  def updateDimension(dimId: String, factId: String): DimensionDef =
+    catalog.updateDimension(dimId, factId)
+
+  def dropSchema(): Unit = { catalog.drop(); buffer.clear(); bulk = None }
+
+  // ---- Write path (O11/O12) -------------------------------------------
+
+  /** `new-fact!` (api.clj:23-26; validation postgres.clj:65-81). Appends
+    * one raw event; queries aggregate on read. */
+  def newFact(factId: String, ts: Timestamp, value: Long,
+      categories: Map[String, String]): Unit = {
+    if (categories.valuesIterator.contains(null))
+      throw new IllegalArgumentException("Some categories have nil values")
+    val fact = catalog.fact(factId).getOrElse(
+      throw new IllegalArgumentException(s"Fact $factId is not defined"))
+    val dims = categories.keys.toSeq.map(catalog.dimension)
+    val tracking =
+      if (dims.exists(_.isEmpty)) Seq.empty // any undefined key → reject
+      else dims.flatten.filter(_.facts.contains(factId))
+    if (tracking.isEmpty)
+      throw new IllegalArgumentException(
+        "None of the dimensions specified track the supplied fact")
+    buffer += Event(fact.id, ts, value, categories)
+  }
+
+  def newFact(factId: String, value: Long, categories: Map[String, String]): Unit =
+    newFact(factId, new Timestamp(System.currentTimeMillis()), value, categories)
+
+  /** `inc!` (api.clj:28-31) — newFact with value 1. */
+  def inc(factId: String, ts: Timestamp, categories: Map[String, String]): Unit =
+    newFact(factId, ts, 1L, categories)
+
+  /** Bulk ingestion: a DataFrame in the canonical event schema (the
+    * 100 TB path — buffer-per-event is for API-parity workloads only). */
+  def ingest(events: DataFrame): Unit =
+    bulk = Some(bulk.map(_.unionByName(events)).getOrElse(events))
+
+  /** All events visible to queries. */
+  def eventsDF: DataFrame = {
+    val buffered = spark.createDataset(buffer.toSeq).toDF()
+    bulk.map(buffered.unionByName(_)).getOrElse(buffered)
+  }
+
+  // ---- Read path (O13–O20) --------------------------------------------
+
+  /** `get-timeseries` (api.clj:33-36, postgres.clj:103-118).
+    *
+    * @param filters query-data: key → Some(value) for equality, key →
+    *   None participates in rollup routing only (nil filter).
+    * @return columns: routed grouping dims… (STRING), `bucket`
+    *   (TIMESTAMP, NULL ⇔ the reference's `:all`), then `value` LONG
+    *   (counter) or `counter`,`total` LONG (average).
+    */
+  def getTimeseries(factId: String, dimId: String,
+      filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp,
+      step: Step = Step.NoStep, offsetHours: Int = 0): DataFrame = {
+    val (fact, dim, grouping) = route(factId, dimId, filters)
+    val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
+    Timeseries.run(prepare(fact.id, grouping), fact, slice, grouping,
+      filters, start, finish, step, offsetHours)
+  }
+
+  /** `get-histogram` (api.clj:38-41) — unimplemented in every reference
+    * backend (postgres.clj:126-128); completed here. Returns one count
+    * per (series × hist_bucket lower bound); `mergeBuckets` collapses the
+    * series' time axis entirely (the "single row histogram"). */
+  def getHistogram(factId: String, dimId: String,
+      filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp): DataFrame = {
+    val (fact, dim, grouping) = route(factId, dimId, filters)
+    require(fact.ftype == FactType.Histogram,
+      s"Fact $factId is not a histogram")
+    val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
+    val scanned = Timeseries.scan(prepare(fact.id, grouping), slice,
+      grouping, filters, start, finish)
+    Timeseries.collapse(scanned, fact, grouping, Step.NoStep, 0)
+      .groupBy((grouping.map(col) :+ col("hist_bucket")): _*)
+      .agg(sum("value").as("value"))
+  }
+
+  /** Finest-granularity (slice-bucket) series, the engine's equivalent of
+    * scanning one rollup table directly. */
+  def getSliceSeries(factId: String, dimId: String,
+      filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp): DataFrame = {
+    val (fact, dim, grouping) = route(factId, dimId, filters)
+    val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
+    val scanned = Timeseries.scan(prepare(fact.id, grouping), slice,
+      grouping, filters, start, finish)
+    Timeseries.sliceBuckets(scanned, fact, slice, grouping)
+  }
+
+  // ---- internals -------------------------------------------------------
+
+  private def route(factId: String, dimId: String,
+      filters: Map[String, Option[String]]): (FactDef, DimensionDef, Seq[String]) = {
+    val fact = catalog.fact(factId).getOrElse(throw new IllegalArgumentException(
+      s"Non existent fact $factId specified. Please check your schema."))
+    val dim = catalog.dimension(dimId).getOrElse(throw new IllegalArgumentException(
+      s"Non existent dimension $dimId specified. Please check your schema"))
+    (fact, dim, Timeseries.bestGrouping(dim.groupedBy, dim.id, filters.keySet))
+  }
+
+  /** Project canonical events into the prepared shape for one (fact,
+    * grouping): dim columns pulled out of the categories map. */
+  private def prepare(factId: String, grouping: Seq[String]): DataFrame = {
+    val dimCols = grouping.map(d => col("categories").getItem(d).as(d))
+    eventsDF
+      .where(col("fact") === lit(factId))
+      .select(dimCols :+ col("ts") :+ col("value"): _*)
+  }
+}

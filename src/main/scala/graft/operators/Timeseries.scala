@@ -1,0 +1,172 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+import graft.functions.TimeKernel
+import graft.model.{FactDef, FactType, Step}
+
+/** The read-path pipeline: route → scan → collapse → fill.
+  *
+  * Reference chain (`get-timeseries`, postgres.clj:103-118):
+  * `best-grouping` (postgres/query.clj:19-28) → range scan
+  * (postgres/query.clj:30-47) → `collapse` (query.clj:41-73) →
+  * `fill-range` (query.clj:99-111).
+  *
+  * Scale design (100 TB posture):
+  *  - the scan is expressed as raw-column predicates (`ts >= … AND ts < …`,
+  *    equality on dimension columns) so Catalyst pushes them into the
+  *    Parquet scan (row-group min/max + partition pruning when the events
+  *    table is partitioned by `date(ts)`);
+  *  - collapse is ONE `groupBy` → partial (map-side) + final hash
+  *    aggregation, shuffling only the aggregated keys;
+  *  - gap fill is join-free: per-series bucket maps built by a second
+  *    aggregation over the ALREADY-AGGREGATED (small) data, then the
+  *    calendar grid — a driver-side literal array bounded by the query
+  *    range, independent of data volume — is exploded per series. No
+  *    cross join, no shuffle of a dense grid.
+  */
+object Timeseries {
+
+  /** Rollup routing (`best-grouping`, postgres/query.clj:19-28): the first
+    * grouping path whose keys (plus the dimension itself) cover ALL query
+    * filter keys — including nil-valued ones, which participate in routing
+    * but not in the WHERE. Falls back to just the dimension. The routed
+    * grouping is the set of output series columns. */
+  def bestGrouping(groupedBy: Seq[Seq[String]], dim: String,
+      filterKeys: Set[String]): Seq[String] =
+    groupedBy.find(g => filterKeys.subsetOf(g.toSet + dim))
+      .map(_ :+ dim)
+      .getOrElse(Seq(dim))
+
+  /** Range scan + equality filter (O14, postgres/query.clj:30-47) over a
+    * PREPARED frame: columns = grouping dims (string) + `ts` timestamp +
+    * `value` long.
+    *
+    * Bounds follow `range-where` (postgres/query.clj:10-17): both
+    * endpoints are slice-bucketed and INCLUSIVE — expressed on the raw
+    * `ts` as `ts >= slice(start) AND ts < slice(finish) + slice` for
+    * pushdown. Events missing any grouping value are skipped (`event-key`,
+    * postgres/update.clj:11-26). Nil-valued filters are dropped from the
+    * predicate (postgres/query.clj:39-41); filter keys outside the routed
+    * grouping are ignored (postgres/query.clj:37-41). */
+  def scan(prepared: DataFrame, sliceMinutes: Int, grouping: Seq[String],
+      filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp): DataFrame = {
+    val lo = TimeKernel.sliceFloorLocal(start, sliceMinutes)
+    val hiExcl = Timestamp.from(
+      TimeKernel.sliceFloorLocal(finish, sliceMinutes).toInstant
+        .plusSeconds(sliceMinutes * 60L))
+    val nonNull = grouping.map(col(_).isNotNull).reduce(_ && _)
+    val eq = filters.collect {
+      case (k, Some(v)) if grouping.contains(k) => col(k) === lit(v)
+    }.foldLeft(lit(true))(_ && _)
+    prepared
+      .where(col("ts") >= lit(lo) && col("ts") < lit(hiExcl))
+      .where(nonNull && eq)
+  }
+
+  /** Client-side re-aggregation (`collapse`, query.clj:41-73) as one
+    * hash aggregation. Dispatch comes from the catalog's fact type, not
+    * from sniffing result columns (fixes the reference's empty-result
+    * misdispatch, query.clj:41-46 / SURVEY §7.5.6).
+    *
+    * Truncating the raw `ts` is equivalent to truncating the slice bucket
+    * for every calendar step (slice flooring only zeroes minutes within
+    * the hour; calendar truncation + whole-hour offsets preserve that),
+    * so the slice bucket is never materialized on this path. */
+  def collapse(scanned: DataFrame, fact: FactDef, grouping: Seq[String],
+      step: Step, offsetHours: Int): DataFrame = {
+    val keys = grouping.map(col) :+
+      TimeKernel.timeDimension(col("ts"), step, offsetHours).as("bucket")
+    fact.ftype match {
+      case FactType.Counter =>
+        scanned.groupBy(keys: _*).agg(sum("value").as("value"))
+      case FactType.Average =>
+        scanned.groupBy(keys: _*)
+          .agg(count(lit(1)).as("counter"), sum("value").as("total"))
+      case FactType.Histogram =>
+        // Beyond-reference completion (collapse :histogram throws at
+        // query.clj:75-77): bucket index clamped to [start, end).
+        val n = fact.histogramBuckets.size
+        val lo = fact.start.get
+        val st = fact.step.get
+        val idx = least(greatest(
+          floor((col("value") - lit(lo)) / lit(st)).cast(LongType),
+          lit(0L)), lit(n - 1L))
+        val hb = (idx * lit(st) + lit(lo)).as("hist_bucket")
+        scanned.groupBy(keys :+ hb: _*).agg(count(lit(1)).as("value"))
+    }
+  }
+
+  /** Dense gap fill (`fill-range`, query.clj:99-111): one row per
+    * (series × calendar grid point), missing buckets filled with the
+    * fact's `filler` (the reference hard-codes 0 and leaves a TODO at
+    * query.clj:110 to honor the definition — we honor it; default is 0).
+    * Grid points: raw `start` inclusive to `finish` exclusive
+    * (`time-range`, query.clj:84-97) — NOT truncated, so a mid-hour start
+    * yields grid points that match no collapsed bucket, exactly like the
+    * reference. Series absent from the scan stay absent. */
+  def fillRange(collapsed: DataFrame, fact: FactDef, grouping: Seq[String],
+      start: Timestamp, finish: Timestamp, step: Step): DataFrame = {
+    if (step == Step.NoStep) return collapsed
+    val grid = TimeKernel.timeRange(start, finish, step)
+    val dims = grouping.map(col)
+    if (grid.isEmpty) {
+      // time-range yields nothing when start >= finish: every series maps
+      // to an empty grid → zero rows, same schema.
+      return collapsed.limit(0)
+    }
+    val entry = fact.ftype match {
+      case FactType.Average => struct(col("counter"), col("total"))
+      case _ => struct(col("value"))
+    }
+    val gridLit = typedlit(grid)
+    val withMap = collapsed
+      .groupBy(dims: _*)
+      .agg(map_from_entries(collect_list(struct(col("bucket"), entry))).as("__m"))
+    val exploded = withMap.select(dims :+ col("__m") :+
+      explode(gridLit).as("bucket"): _*)
+    val lookup = element_at(col("__m"), col("bucket"))
+    val out = fact.ftype match {
+      case FactType.Average =>
+        exploded.select(dims :+ col("bucket") :+
+          coalesce(lookup.getField("counter"), lit(0L)).as("counter") :+
+          coalesce(lookup.getField("total"), lit(0L)).as("total"): _*)
+      case _ =>
+        exploded.select(dims :+ col("bucket") :+
+          coalesce(lookup.getField("value"), lit(fact.filler)).as("value"): _*)
+    }
+    out
+  }
+
+  /** Full pipeline over a prepared frame (dims + ts + value). */
+  def run(prepared: DataFrame, fact: FactDef, sliceMinutes: Int,
+      grouping: Seq[String], filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp, step: Step,
+      offsetHours: Int = 0): DataFrame = {
+    val scanned = scan(prepared, sliceMinutes, grouping, filters, start, finish)
+    val coll = collapse(scanned, fact, grouping, step, offsetHours)
+    if (fact.ftype == FactType.Histogram) coll
+    else fillRange(coll, fact, grouping, start, finish, step)
+  }
+
+  /** Slice-bucket view (O7 at query granularity): the scan with its
+    * slice bucket materialized, for callers that want the finest
+    * pre-aggregated granularity rather than a calendar collapse. */
+  def sliceBuckets(scanned: DataFrame, fact: FactDef, sliceMinutes: Int,
+      grouping: Seq[String]): DataFrame = {
+    val keys = grouping.map(col) :+
+      TimeKernel.sliceFloor(col("ts"), sliceMinutes).as("bucket")
+    fact.ftype match {
+      case FactType.Average =>
+        scanned.groupBy(keys: _*)
+          .agg(count(lit(1)).as("counter"), sum("value").as("total"))
+      case _ =>
+        scanned.groupBy(keys: _*).agg(sum("value").as("value"))
+    }
+  }
+}

@@ -1,0 +1,237 @@
+package graft
+
+import graft.functions.TimeKernel.ts
+import graft.model.{FactType, Step}
+import graft.operators.Timeseries
+
+/** Golden end-to-end scenarios ported 1:1 from the reference test suites
+  * (`test/time_series_storage/mem_test.clj:81-133`,
+  * `postgres_test.clj:93-161`, `query_test.clj:1-74`) — see FIXTURES.md. */
+class TimeSeriesServiceSpec extends SparkTestBase {
+
+  private def freshService(): TimeSeriesService = {
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("signups", FactType.Counter, slice = 10,
+      name = Some("Cantidad de registros"))
+    svc.defineDimension("dependency", name = Some("Dependencia de Correo"),
+      facts = Set("signups"))
+    svc.defineDimension("dependency_user", name = Some("Usuario"),
+      groupedBy = Seq(Seq("dependency")), facts = Set("signups"))
+    svc.newFact("signups", ts("2014-03-21T09:09"), 1,
+      Map("dependency" -> "32", "dependency_user" -> "pepe"))
+    svc.newFact("signups", ts("2014-03-21T10:23"), 1,
+      Map("dependency" -> "31", "dependency_user" -> "juanele"))
+    svc
+  }
+
+  test("golden 1: filtered single series, step none (postgres_test.clj:106-114)") {
+    val svc = freshService()
+    val df = svc.getTimeseries("signups", "dependency_user",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T13:00"))
+    assert(pivot(df, Seq("dependency", "dependency_user")) === Map(
+      Map("dependency" -> "31", "dependency_user" -> "juanele") -> Map(None -> 1L)))
+  }
+
+  test("golden 2: nil filter matches all series (postgres_test.clj:116-125)") {
+    val svc = freshService()
+    val df = svc.getTimeseries("signups", "dependency_user",
+      Map("dependency" -> None),
+      ts("2014-03-21T09:00"), ts("2014-03-21T13:00"))
+    assert(pivot(df, Seq("dependency", "dependency_user")) === Map(
+      Map("dependency" -> "32", "dependency_user" -> "pepe") -> Map(None -> 1L),
+      Map("dependency" -> "31", "dependency_user" -> "juanele") -> Map(None -> 1L)))
+  }
+
+  test("golden 3: hourly step, zero fill, finish-exclusive grid (postgres_test.clj:127-144)") {
+    val svc = freshService()
+    val df = svc.getTimeseries("signups", "dependency_user",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T13:00"), Step.Hour)
+    assert(pivot(df, Seq("dependency", "dependency_user")) === Map(
+      Map("dependency" -> "31", "dependency_user" -> "juanele") -> Map(
+        Some(ts("2014-03-21T09:00")) -> 0L,
+        Some(ts("2014-03-21T10:00")) -> 1L,
+        Some(ts("2014-03-21T11:00")) -> 0L,
+        Some(ts("2014-03-21T12:00")) -> 0L)))
+  }
+
+  test("golden 4: counter with value 3 (postgres_test.clj:147-161)") {
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("signups", FactType.Counter, slice = 10)
+    svc.defineDimension("dependency", facts = Set("signups"))
+    svc.newFact("signups", ts("2014-03-21T00:00"), 3, Map("dependency" -> "32"))
+    val df = svc.getTimeseries("signups", "dependency", Map.empty,
+      ts("2014-03-20T00:00"), ts("2014-03-22T00:00"))
+    assert(pivot(df, Seq("dependency")) === Map(
+      Map("dependency" -> "32") -> Map(None -> 3L)))
+  }
+
+  test("golden 5: hourly collapse re-buckets 10-min slices (query_test.clj:26-38)") {
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("visits", FactType.Counter, slice = 10)
+    svc.defineDimension("key", facts = Set("visits"))
+    // rows at 09:00 +0/40/80/130 minutes with counters 2/1/8/4
+    Seq(("2014-03-21T09:00", 2L), ("2014-03-21T09:40", 1L),
+      ("2014-03-21T10:20", 8L), ("2014-03-21T11:10", 4L)).foreach {
+      case (t, v) => svc.newFact("visits", ts(t), v, Map("key" -> "some-key"))
+    }
+    val df = svc.getTimeseries("visits", "key", Map.empty,
+      ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+    assert(pivot(df, Seq("key")) === Map(
+      Map("key" -> "some-key") -> Map(
+        Some(ts("2014-03-21T09:00")) -> 3L,
+        Some(ts("2014-03-21T10:00")) -> 8L,
+        Some(ts("2014-03-21T11:00")) -> 4L)))
+  }
+
+  test("golden 6: average keeps (counter,total) pairs per hour (query_test.clj:61-74)") {
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("took", FactType.Average, slice = 10)
+    svc.defineDimension("key", facts = Set("took"))
+    // hour 09: 3 events totaling 50; hour 10: 8 totaling 34; hour 11: 4 totaling 42
+    val events = Seq(
+      ("2014-03-21T09:00", Seq(5L, 15L)), ("2014-03-21T09:40", Seq(30L)),
+      ("2014-03-21T10:20", Seq(4L, 4L, 4L, 4L, 4L, 4L, 4L, 6L)),
+      ("2014-03-21T11:10", Seq(10L, 10L, 10L, 12L)))
+    events.foreach { case (t, vs) =>
+      vs.foreach(v => svc.newFact("took", ts(t), v, Map("key" -> "some-key")))
+    }
+    val df = svc.getTimeseries("took", "key", Map.empty,
+      ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+    assert(pivotAvg(df, Seq("key")) === Map(
+      Map("key" -> "some-key") -> Map(
+        Some(ts("2014-03-21T09:00")) -> ((3L, 50L)),
+        Some(ts("2014-03-21T10:00")) -> ((8L, 34L)),
+        Some(ts("2014-03-21T11:00")) -> ((4L, 42L)))))
+  }
+
+  test("routing: best-grouping picks first covering path, appends dim, falls back") {
+    val gb = Seq(Seq("company"), Seq("company", "campaign"))
+    assert(Timeseries.bestGrouping(gb, "channel", Set("company")) ===
+      Seq("company", "channel"))
+    assert(Timeseries.bestGrouping(gb, "channel", Set("company", "campaign")) ===
+      Seq("company", "campaign", "channel"))
+    assert(Timeseries.bestGrouping(gb, "channel", Set.empty) ===
+      Seq("company", "channel"))
+    assert(Timeseries.bestGrouping(gb, "channel", Set("channel")) ===
+      Seq("company", "channel"))
+    // no covering path -> just the dimension
+    assert(Timeseries.bestGrouping(gb, "channel", Set("other")) === Seq("channel"))
+  }
+
+  test("incomplete grouping paths are skipped (event-key, postgres/update.clj:11-26)") {
+    val svc = freshService()
+    // event carrying only dependency_user: counted in the flat [dim] path
+    // — but dependency_user has no flat path (groupedBy [[dependency]]),
+    // so a query routed to [dependency, dependency_user] must not see it.
+    svc.newFact("signups", ts("2014-03-21T10:25"), 1,
+      Map("dependency_user" -> "solo"))
+    val df = svc.getTimeseries("signups", "dependency_user",
+      Map("dependency" -> None),
+      ts("2014-03-21T09:00"), ts("2014-03-21T13:00"))
+    val got = pivot(df, Seq("dependency", "dependency_user"))
+    assert(!got.keySet.exists(_.get("dependency_user").contains("solo")))
+    assert(got.size === 2)
+  }
+
+  test("boundary: scan includes the bucketed finish endpoint (range-where inclusive)") {
+    val svc = freshService()
+    // 12:59 is inside slice bucket 12:50 <= slice(13:00)=13:00? No:
+    // slice(13:00)=13:00, event at 13:05 -> bucket 13:00 == included;
+    // event at 13:10+slice -> excluded.
+    svc.newFact("signups", ts("2014-03-21T13:05"), 1,
+      Map("dependency" -> "31", "dependency_user" -> "juanele"))
+    svc.newFact("signups", ts("2014-03-21T13:11"), 1,
+      Map("dependency" -> "31", "dependency_user" -> "juanele"))
+    val df = svc.getTimeseries("signups", "dependency_user",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T13:00"))
+    // 10:23 event + 13:05 event (bucket 13:00, inclusive); 13:11 excluded
+    assert(pivot(df, Seq("dependency", "dependency_user")) === Map(
+      Map("dependency" -> "31", "dependency_user" -> "juanele") -> Map(None -> 2L)))
+  }
+
+  test("validation errors match the reference messages (FIXTURES §4)") {
+    val svc = freshService()
+    val e1 = intercept[IllegalArgumentException] {
+      svc.newFact("signups", ts("2014-03-21T09:00"), 1, Map("dependency" -> null))
+    }
+    assert(e1.getMessage.contains("Some categories have nil values"))
+    val e2 = intercept[IllegalArgumentException] {
+      svc.newFact("nope", ts("2014-03-21T09:00"), 1, Map("dependency" -> "1"))
+    }
+    assert(e2.getMessage.contains("Fact nope is not defined"))
+    val e3 = intercept[IllegalArgumentException] {
+      svc.defineFact("orphan", FactType.Counter)
+      svc.newFact("orphan", ts("2014-03-21T09:00"), 1, Map("dependency" -> "1"))
+    }
+    assert(e3.getMessage.contains("None of the dimensions specified track the supplied fact"))
+    val e4 = intercept[IllegalArgumentException] {
+      svc.defineDimension("child", groupedBy = Seq(Seq("ghost")))
+    }
+    assert(e4.getMessage.contains("Some specified dimensions to group-by do not exist"))
+    val e5 = intercept[IllegalArgumentException] {
+      svc.getTimeseries("ghost_fact", "dependency", Map.empty,
+        ts("2014-03-21T09:00"), ts("2014-03-21T13:00"))
+    }
+    assert(e5.getMessage.contains("Non existent fact"))
+    val e6 = intercept[IllegalArgumentException] {
+      svc.getTimeseries("signups", "ghost_dim", Map.empty,
+        ts("2014-03-21T09:00"), ts("2014-03-21T13:00"))
+    }
+    assert(e6.getMessage.contains("Non existent dimension"))
+  }
+
+  test("histogram: write + getHistogram (beyond-reference completion)") {
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("time-distr", FactType.Histogram, slice = 15,
+      start = Some(0L), end = Some(1000L), step = Some(100L))
+    svc.defineDimension("host", facts = Set("time-distr"))
+    Seq(50L, 150L, 160L, 999L, 1500L, -5L).foreach { v =>
+      svc.newFact("time-distr", ts("2014-03-21T09:05"), v, Map("host" -> "h1"))
+    }
+    val df = svc.getHistogram("time-distr", "host", Map.empty,
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00"))
+    val got = df.collect().map(r => (r.getAs[String]("host"),
+      r.getAs[Long]("hist_bucket"), r.getAs[Long]("value"))).toSet
+    // 50 -> b0; 150,160 -> b100; 999 -> b900; 1500 clamps to b900; -5 clamps to b0
+    assert(got === Set(("h1", 0L, 2L), ("h1", 100L, 2L), ("h1", 900L, 2L)))
+  }
+
+  test("update-dimension! associates a later fact (postgres.clj:42-47)") {
+    val svc = freshService()
+    svc.defineFact("conversions", FactType.Counter, slice = 10)
+    intercept[IllegalArgumentException] {
+      svc.newFact("conversions", ts("2014-03-21T09:00"), 1, Map("dependency" -> "32"))
+    }
+    svc.updateDimension("dependency", "conversions")
+    svc.newFact("conversions", ts("2014-03-21T09:00"), 1, Map("dependency" -> "32"))
+    val df = svc.getTimeseries("conversions", "dependency", Map.empty,
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00"))
+    assert(pivot(df, Seq("dependency")) === Map(
+      Map("dependency" -> "32") -> Map(None -> 1L)))
+  }
+
+  test("group_only dimensions route but carry no own rollup (postgres_test.clj:78-80)") {
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("avg_time", FactType.Average, slice = 15)
+    svc.defineDimension("company", groupOnly = true, facts = Set("avg_time"))
+    svc.defineDimension("campaign", groupedBy = Seq(Seq("company")), facts = Set("avg_time"))
+    svc.newFact("avg_time", ts("2014-03-21T09:00"), 15,
+      Map("company" -> "bbva", "campaign" -> "ventas"))
+    val df = svc.getTimeseries("avg_time", "campaign", Map("company" -> Some("bbva")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00"))
+    assert(pivotAvg(df, Seq("company", "campaign")) === Map(
+      Map("company" -> "bbva", "campaign" -> "ventas") -> Map(None -> ((1L, 15L)))))
+  }
+
+  test("catalog round-trip through parquet (O1/O6)") {
+    val svc = freshService()
+    val dir = java.nio.file.Files.createTempDirectory("graft-catalog").toString
+    svc.catalog.save(spark, dir)
+    val loaded = graft.model.Catalog.load(spark, dir)
+    assert(loaded.facts === svc.catalog.facts)
+    assert(loaded.dimensions === svc.catalog.dimensions)
+  }
+}
