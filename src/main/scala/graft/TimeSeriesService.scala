@@ -25,6 +25,11 @@ import graft.operators.Timeseries
   * Canonical event schema: `(fact STRING, ts TIMESTAMP, value LONG,
   * categories MAP<STRING,STRING>)`.
   */
+object TimeSeriesService {
+  def apply(spark: SparkSession): TimeSeriesService =
+    new TimeSeriesService(spark)
+}
+
 final class TimeSeriesService(
     val spark: SparkSession,
     val catalog: Catalog = new Catalog) {

@@ -154,6 +154,17 @@ object Timeseries {
     else fillRange(coll, fact, grouping, start, finish, step)
   }
 
+  /** Histogram pipeline (O21, completed beyond the reference): counts per
+    * (series × hist_bucket lower bound) over the scan range. */
+  def runHistogram(prepared: DataFrame, fact: FactDef, sliceMinutes: Int,
+      grouping: Seq[String], filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp): DataFrame = {
+    val scanned = scan(prepared, sliceMinutes, grouping, filters, start, finish)
+    collapse(scanned, fact, grouping, Step.NoStep, 0)
+      .groupBy(grouping.map(col) :+ col("hist_bucket"): _*)
+      .agg(sum("value").as("value"))
+  }
+
   /** Slice-bucket view (O7 at query granularity): the scan with its
     * slice bucket materialized, for callers that want the finest
     * pre-aggregated granularity rather than a calendar collapse. */

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.functions.TimeKernel
+import graft.functions.TimeKernel.ts
+import graft.model.{FactDef, FactType, Step}
+import graft.operators.Timeseries
+
+/** Driver-checkable timeseries queries over the synthetic `events` table
+  * (`event_id, ts, user_id, event_type, value, props`), exercising the
+  * engine's operator pipeline (SURVEY §2: O7, O13–O21) with DuckDB-SQL
+  * oracles over the same parquet.
+  *
+  * Adapter mapping: `event_type` is a flat dimension; `user_bucket`
+  * (= user_id mod 10, stringified — dimension values are strings, SURVEY
+  * §1.2) is a dimension grouped under `event_type`. Monetary `value`
+  * becomes integral cents so sums stay exact longs (FP-sum order would
+  * otherwise make the DuckDB hash-compare flaky).
+  */
+object EventQueries {
+
+  // Facts: the catalog definitions these queries run under.
+  val countFact = FactDef("events_count", FactType.Counter, sliceMinutes = 15)
+  val avgFact = FactDef("value_avg", FactType.Average, sliceMinutes = 15)
+  val histFact = FactDef("value_hist", FactType.Histogram, sliceMinutes = 15,
+    start = Some(0L), end = Some(200L), step = Some(20L))
+  val userDimGroupedBy: Seq[Seq[String]] = Seq(Seq("event_type"))
+
+  /** The synthetic events.parquet stores `ts` as TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects outright. Read it as a nanos long
+    * (legacy conf) and convert to a microsecond timestamp; whole-minute
+    * query bounds are unaffected by the sub-µs truncation. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private val userBucket: Column =
+    (col("user_id") % 10).cast(StringType).as("user_bucket")
+
+  /** Prepared frame for the Timeseries pipeline: grouping dims + ts + value. */
+  private def prep(spark: SparkSession, dir: String, withUser: Boolean,
+      value: Column): DataFrame = {
+    val dims: Seq[Column] =
+      if (withUser) Seq(col("event_type"), userBucket) else Seq(col("event_type"))
+    events(spark, dir).select(dims :+ col("ts") :+ value.as("value"): _*)
+  }
+
+  private val one = lit(1L)
+  private val cents = round(col("value") * 100).cast(LongType)
+
+  /** The scan's inclusive-bucket upper bound, for oracle parity:
+    * ts < slice(finish) + slice. */
+  private def hi(finish: String, slice: Int = 15): String =
+    TimeKernel.sliceFloorLocal(ts(finish), slice).toInstant
+      .plusSeconds(slice * 60L).toString.replace("T", " ").replace("Z", "")
+
+  private def lo(start: String, slice: Int = 15): String =
+    TimeKernel.sliceFloorLocal(ts(start), slice).toInstant
+      .toString.replace("T", " ").replace("Z", "")
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O20 full pipeline: hourly collapse + finish-exclusive zero-filled grid
+    "ts_counter_hour_fill" -> ((s, dir) =>
+      Timeseries.run(prep(s, dir, withUser = false, one), countFact, 15,
+        Seq("event_type"), Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)),
+
+    // O16 + :all sentinel: step none -> NULL bucket, routed hierarchy
+    "ts_counter_none" -> ((s, dir) =>
+      Timeseries.run(prep(s, dir, withUser = true, one), countFact, 15,
+        Seq("event_type", "user_bucket"), Map("user_bucket" -> Some("3")),
+        ts("2024-01-10T00:00"), ts("2024-01-20T00:00"), Step.NoStep)),
+
+    // O10/O16 average: (counter,total) pairs per day, zero-filled
+    "ts_avg_day_fill" -> ((s, dir) =>
+      Timeseries.run(prep(s, dir, withUser = false, cents), avgFact, 15,
+        Seq("event_type"), Map.empty,
+        ts("2024-01-03T00:00"), ts("2024-01-10T00:00"), Step.Day)),
+
+    // O21 histogram (completed beyond reference): clamped bucket counts
+    "ts_hist" -> ((s, dir) =>
+      Timeseries.runHistogram(prep(s, dir, withUser = false, col("value")),
+        histFact, 15, Seq("event_type"), Map.empty,
+        ts("2024-01-01T00:00"), ts("2024-01-31T00:00"))),
+
+    // O15 non-ISO week truncation (previous Sunday), week grid
+    "ts_week_fill" -> ((s, dir) =>
+      Timeseries.run(prep(s, dir, withUser = false, one), countFact, 15,
+        Seq("event_type"), Map("event_type" -> Some("signup")),
+        ts("2023-12-31T00:00"), ts("2024-02-04T00:00"), Step.Week)),
+
+    // O15 offset-hours timezone shift before day truncation
+    "ts_offset_day" -> ((s, dir) =>
+      Timeseries.run(prep(s, dir, withUser = false, one), countFact, 15,
+        Seq("event_type"), Map("event_type" -> Some("purchase")),
+        ts("2024-01-05T00:00"), ts("2024-01-10T00:00"), Step.Day,
+        offsetHours = -5)),
+
+    // O7 slice bucketing at query granularity (15-minute buckets)
+    "ts_slice_15m" -> ((s, dir) => {
+      val scanned = Timeseries.scan(prep(s, dir, withUser = false, one), 15,
+        Seq("event_type"), Map("event_type" -> Some("purchase")),
+        ts("2024-01-10T00:00"), ts("2024-01-11T00:00"))
+      Timeseries.sliceBuckets(scanned, countFact, 15, Seq("event_type"))
+    }),
+
+    // O13 routing: filter on the parent dim routes to the hierarchy path
+    "ts_routing_hier" -> ((s, dir) => {
+      val filters: Map[String, Option[String]] = Map("event_type" -> Some("view"))
+      val grouping = Timeseries.bestGrouping(userDimGroupedBy, "user_bucket",
+        filters.keySet) // -> [event_type, user_bucket]
+      Timeseries.run(prep(s, dir, withUser = true, one), countFact, 15,
+        grouping, filters,
+        ts("2024-01-08T00:00"), ts("2024-01-11T00:00"), Step.Day)
+    }),
+
+    // distinct aggregation breadth (not in reference; built-in)
+    "events_distinct_users" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("users"))))
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Zero-fill oracle template: scan → collapse → series × grid left join.
+    * `dimExprs` are the projection expressions (may alias), `dimNames` the
+    * resulting column names used downstream. */
+  private def fillOracle(where: String, bucketExpr: String, gridStart: String,
+      gridStop: String, gridStep: String, loTs: String, hiTs: String,
+      dimExprs: String = "event_type", dimNames: String = "event_type"): String = {
+    s"""WITH scanned AS (
+       |  SELECT $dimExprs, CAST($bucketExpr AS TIMESTAMP) AS bucket, count(*) AS cnt
+       |  FROM events
+       |  WHERE $where AND ts >= TIMESTAMP '$loTs' AND ts < TIMESTAMP '$hiTs'
+       |  GROUP BY ALL),
+       |grid AS (
+       |  SELECT unnest(generate_series(TIMESTAMP '$gridStart',
+       |    TIMESTAMP '$gridStop', INTERVAL $gridStep)) AS bucket),
+       |series AS (SELECT DISTINCT $dimNames FROM scanned)
+       |SELECT s.*, g.bucket AS bucket, coalesce(c.cnt, 0) AS value
+       |FROM series s CROSS JOIN grid g
+       |LEFT JOIN scanned c USING ($dimNames, bucket)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "ts_counter_hour_fill" -> fillOracle(
+      where = "event_type = 'click'",
+      bucketExpr = "date_trunc('hour', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
+      gridStep = "1 HOUR",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
+
+    "ts_counter_none" ->
+      s"""SELECT event_type, CAST(user_id % 10 AS VARCHAR) AS user_bucket,
+         |  CAST(NULL AS TIMESTAMP) AS bucket, count(*) AS value
+         |FROM events
+         |WHERE CAST(user_id % 10 AS VARCHAR) = '3'
+         |  AND ts >= TIMESTAMP '${lo("2024-01-10T00:00")}'
+         |  AND ts < TIMESTAMP '${hi("2024-01-20T00:00")}'
+         |GROUP BY ALL""".stripMargin,
+
+    "ts_avg_day_fill" ->
+      s"""WITH scanned AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         |    count(*) AS counter,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '${lo("2024-01-03T00:00")}'
+         |    AND ts < TIMESTAMP '${hi("2024-01-10T00:00")}'
+         |  GROUP BY ALL),
+         |grid AS (
+         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-03 00:00:00',
+         |    TIMESTAMP '2024-01-09 00:00:00', INTERVAL 1 DAY)) AS bucket),
+         |series AS (SELECT DISTINCT event_type FROM scanned)
+         |SELECT s.event_type, g.bucket AS bucket,
+         |  coalesce(c.counter, 0) AS counter, coalesce(c.total, 0) AS total
+         |FROM series s CROSS JOIN grid g
+         |LEFT JOIN scanned c USING (event_type, bucket)""".stripMargin,
+
+    "ts_hist" ->
+      s"""SELECT event_type,
+         |  CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) * 20 AS hist_bucket,
+         |  count(*) AS value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '${lo("2024-01-01T00:00")}'
+         |  AND ts < TIMESTAMP '${hi("2024-01-31T00:00")}'
+         |GROUP BY ALL""".stripMargin,
+
+    "ts_week_fill" -> fillOracle(
+      where = "event_type = 'signup'",
+      bucketExpr = "CAST(ts AS DATE) - CAST(isodow(ts) AS INTEGER)",
+      gridStart = "2023-12-31 00:00:00", gridStop = "2024-01-28 00:00:00",
+      gridStep = "7 DAY",
+      loTs = lo("2023-12-31T00:00"), hiTs = hi("2024-02-04T00:00")),
+
+    "ts_offset_day" -> fillOracle(
+      where = "event_type = 'purchase'",
+      bucketExpr = "date_trunc('day', ts - INTERVAL 5 HOUR)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-09 00:00:00",
+      gridStep = "1 DAY",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-10T00:00")),
+
+    "ts_slice_15m" ->
+      s"""SELECT event_type,
+         |  make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS bucket,
+         |  count(*) AS value
+         |FROM events
+         |WHERE event_type = 'purchase'
+         |  AND ts >= TIMESTAMP '${lo("2024-01-10T00:00")}'
+         |  AND ts < TIMESTAMP '${hi("2024-01-11T00:00")}'
+         |GROUP BY ALL""".stripMargin,
+
+    "ts_routing_hier" -> fillOracle(
+      where = "event_type = 'view'",
+      bucketExpr = "date_trunc('day', ts)",
+      gridStart = "2024-01-08 00:00:00", gridStop = "2024-01-10 00:00:00",
+      gridStep = "1 DAY",
+      loTs = lo("2024-01-08T00:00"), hiTs = hi("2024-01-11T00:00"),
+      dimExprs = "event_type, CAST(user_id % 10 AS VARCHAR) AS user_bucket",
+      dimNames = "event_type, user_bucket"),
+
+    "events_distinct_users" ->
+      "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY 1")
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Relational breadth over the TPC-H-ish star schema — scans, filters,
+  * joins (broadcast for small dims), aggregations, windows, top-k.
+  *
+  * Scale posture: joins put the small side in a `broadcast()` hint
+  * (region/nation/supplier/customer are orders of magnitude smaller than
+  * lineitem at every SF — at 100 TB, lineitem shuffles ONCE on its join
+  * key and every dimension table ships to executors); money stays in
+  * integral cents (`round(x*100/ x*10000)` per row, then LONG sums) so
+  * aggregates are exact and insensitive to partial-aggregation order.
+  */
+object RelationalQueries {
+
+  private def read(spark: SparkSession, dir: String, t: String): DataFrame =
+    spark.read.parquet(s"$dir/$t.parquet")
+
+  /** revenue scaled ×10⁴: extendedprice(2dp) × (1−discount)(2dp) is exact
+    * at 4 decimals; per-row rounding then LONG sum is order-independent. */
+  private val revE4: Column =
+    round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+      .cast(LongType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: single-pass grouped scan aggregation
+    "q1_pricing_summary" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast(LongType).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast(LongType)).as("sum_base_cents"),
+          sum(revE4).as("sum_disc_e4"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3 shape: 3-way join, filtered, grouped, deterministic top-k
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = read(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val ord = read(s, dir, "orders")
+        .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      val li = read(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(revE4).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-way star join with broadcast dimensions
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      val region = read(s, dir, "region").where(col("r_name") === "ASIA")
+      val nation = read(s, dir, "nation")
+      val supplier = read(s, dir, "supplier")
+      val customer = read(s, dir, "customer")
+      val orders = read(s, dir, "orders")
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      val li = read(s, dir, "lineitem")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(customer.withColumnRenamed("c_nationkey", "cn")),
+          col("o_custkey") === col("c_custkey") && col("cn") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revE4).as("revenue_e4"))
+    }),
+
+    // window function: top-3 orders per customer, deterministic tie-break
+    "topk_orders_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      read(s, dir, "orders")
+        .where(col("o_custkey") < 100)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast(LongType).as("total_cents"),
+          col("rn"))
+    }),
+
+    // semi/anti-join breadth: customers with no orders in the window
+    "customers_without_orders" -> ((s, dir) => {
+      val ord = read(s, dir, "orders")
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))
+      read(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY ALL""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT o.o_orderkey, o.o_orderdate,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY ALL
+        |ORDER BY revenue_e4 DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY ALL""".stripMargin,
+
+    "topk_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders WHERE o_custkey < 100)
+        |WHERE rn <= 3""".stripMargin,
+
+    "customers_without_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY ALL""".stripMargin)
+}
