@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Driver-checkable dedup + text-analysis queries over the synthetic
+  * `documents` table (`doc_id, text, lang, source, n_chars`), each with
+  * a DuckDB oracle that mirrors the operator's deterministic md5-based
+  * hashing exactly (SQL hex-cast `'0x'||substr(md5(…),1,15)` ≡ Spark
+  * `conv(substring(md5(…),1,15),16,10)`).
+  */
+object DocumentQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: canonical (min) doc_id per identical text
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "text", "doc_id")),
+
+    // n-gram Jaccard near-dup pairs (3-gram shingles, j >= 0.5)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "text", "doc_id", k = 3,
+        thresholdE4 = 5000)),
+
+    // MinHash + LSH (16 hashes, 4 bands) verified at j >= 0.5
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id")),
+
+    // SimHash fingerprints per doc (32-bit, md5-vote)
+    "text_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Dedup.simhash(col("text")).as("simhash"))),
+
+    // language-ID + token counting + quality scoring per doc
+    "text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishCount(col("text")).as("n_bpeish"),
+        TextAnalysis.qualityScoreE4(col("text")).as("quality_e4"))),
+
+    // document fingerprints: md5 content key + rolling polynomial hash
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.md5Fingerprint(col("text")).as("fp_md5"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fp_roll"))),
+
+    // corpus roll-up: per (source, predicted lang) counts + mean quality
+    "text_source_profile" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScoreE4(col("text")).as("q"))
+        .groupBy(col("source"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("q")).as("sum_quality_e4"))))
+
+  // ---------------------------------------------------------------- oracles
+
+  /** 60-bit md5 hash (DuckDB side) of an expression under a seed. */
+  private def h60(expr: String, seed: String): String =
+    s"CAST('0x' || substr(md5($seed || ':' || $expr), 1, 15) AS BIGINT)"
+
+  /** Shingle CTE fragment: doc_id + distinct 3-gram shingle list
+    * (whole-doc shingle for docs shorter than 3 tokens). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [array_to_string(toks, ' ')] END) AS shset
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents))""".stripMargin
+
+  private val stopLists: Map[String, String] = TextAnalysis.stopwords.toMap
+    .map { case (l, ws) => l -> ws.map(w => s"'$w'").mkString("(", ",", ")") }
+
+  private def hits(lang: String): String =
+    s"len(list_filter(toks, t -> t IN ${stopLists(lang)}))"
+
+  private val allStops: String = TextAnalysis.stopwords.flatMap(_._2).distinct
+    .map(w => s"'$w'").mkString("(", ",", ")")
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT d.doc_id, c.canonical_id
+        |FROM documents d
+        |JOIN (SELECT text, min(doc_id) AS canonical_id
+        |      FROM documents GROUP BY text) c USING (text)""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+         |sizes AS (SELECT doc_id, len(shset) AS sz FROM sh),
+         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM ex a JOIN keep USING (s) JOIN ex b USING (s)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b, p.common, sa.sz AS sz_a, sb.sz AS sz_b
+         |FROM pairs p
+         |JOIN sizes sa ON sa.doc_id = p.id_a
+         |JOIN sizes sb ON sb.doc_id = p.id_b
+         |WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val sigs = (0 until 16).map(i =>
+        s"list_min(list_transform(shset, s -> ${h60("s", i.toString)})) AS mh_$i")
+        .mkString(",\n    ")
+      val bandKeys = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
+        s"{band: $b, key: md5(${cols.mkString(" || ',' || ")})}"
+      }.mkString(", ")
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, shset,
+         |    $sigs
+         |  FROM sh),
+         |banded0 AS (SELECT doc_id, unnest([$bandKeys]) AS bk FROM sig),
+         |banded AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM banded0),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |withsets AS (
+         |  SELECT c.id_a, c.id_b, sa.shset AS sh_a, sb.shset AS sh_b
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS common,
+         |  CAST(len(sh_a) AS BIGINT) AS sz_a,
+         |  CAST(len(sh_b) AS BIGINT) AS sz_b
+         |FROM withsets
+         |WHERE 10000 * len(list_intersect(sh_a, sh_b)) >=
+         |  5000 * (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))""".stripMargin
+    },
+
+    "text_simhash" -> {
+      val votes = (0 until 32).map(j =>
+        s"""CASE WHEN list_sum(list_transform(hs,
+           |    h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           |  THEN ${1L << j} ELSE 0 END""".stripMargin).mkString(" +\n  ")
+      s"""SELECT doc_id, CAST($votes AS BIGINT) AS simhash
+         |FROM (
+         |  SELECT doc_id,
+         |    list_transform(string_split_regex(trim(text), '\\s+'),
+         |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hs
+         |  FROM documents)""".stripMargin
+    },
+
+    "text_stats" -> {
+      val langCase = TextAnalysis.stopwords.map(_._1)
+        .map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      val scores = TextAnalysis.stopwords.map(_._1)
+        .map(l => s"${hits(l)} AS s_$l").mkString(",\n    ")
+      s"""SELECT doc_id, $langCase AS lang_pred,
+         |  CAST(nt AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+         |  CAST(floor(
+         |    2500.0 * least(nc / 500.0, 1.0) +
+         |    2500.0 * (nstop / CAST(nt AS DOUBLE)) +
+         |    2500.0 * (1.0 - npunct / CAST(nc AS DOUBLE)) +
+         |    2500.0 * least(((nc - npunct) / CAST(nt AS DOUBLE)) / 10.0, 1.0)
+         |  ) AS BIGINT) AS quality_e4
+         |FROM (
+         |  SELECT doc_id, text, toks,
+         |    greatest(s_de, s_en, s_es, s_fr, s_zh) AS best,
+         |    s_de, s_en, s_es, s_fr, s_zh,
+         |    len(toks) AS nt,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(len(list_filter(toks, t -> t IN $allStops)) AS DOUBLE) AS nstop,
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |      AS npunct
+         |  FROM (
+         |    SELECT doc_id, text, toks,
+         |      $scores
+         |    FROM (SELECT doc_id, text,
+         |            string_split_regex(trim(text), '\\s+') AS toks
+         |          FROM documents)))""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(toks, ' ')) AS fp_md5,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks,
+        |        t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)),
+        |    (h, x) -> (h * 31 + x) % 1000000007) AS fp_roll
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents)""".stripMargin,
+
+    "text_source_profile" -> {
+      val langCase = TextAnalysis.stopwords.map(_._1)
+        .map(l => s"WHEN ${hits(l)} = best AND best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      val bestExpr = TextAnalysis.stopwords.map(_._1).map(hits)
+        .mkString("greatest(", ", ", ")")
+      s"""SELECT source, lang_pred, count(*) AS n_docs,
+         |  CAST(sum(quality_e4) AS BIGINT) AS sum_quality_e4
+         |FROM (
+         |  SELECT source, $langCase AS lang_pred,
+         |    CAST(floor(
+         |      2500.0 * least(nc / 500.0, 1.0) +
+         |      2500.0 * (nstop / CAST(nt AS DOUBLE)) +
+         |      2500.0 * (1.0 - npunct / CAST(nc AS DOUBLE)) +
+         |      2500.0 * least(((nc - npunct) / CAST(nt AS DOUBLE)) / 10.0, 1.0)
+         |    ) AS BIGINT) AS quality_e4
+         |  FROM (
+         |    SELECT source, toks, $bestExpr AS best,
+         |      len(toks) AS nt,
+         |      CAST(length(text) AS DOUBLE) AS nc,
+         |      CAST(len(list_filter(toks, t -> t IN $allStops)) AS DOUBLE) AS nstop,
+         |      CAST(length(text) -
+         |        length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |        AS npunct
+         |    FROM (SELECT source, text,
+         |            string_split_regex(trim(text), '\\s+') AS toks
+         |          FROM documents)))
+         |GROUP BY 1, 2""".stripMargin
+    })
+}

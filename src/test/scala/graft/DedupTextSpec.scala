@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Unit coverage for the training-data-pipeline operators (dedup +
+  * text analysis) on tiny hand-built corpora with known answers. */
+class DedupTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup of 1
+    (4L, "completely different words appear here today friends"),
+    (5L, "ab")) // shorter than shingle k
+    .toDF("doc_id", "text")
+
+  test("exact dedup maps identical texts to the minimum id") {
+    val got = Dedup.exact(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("shingles: 3-grams, distinct, whole-doc fallback for short texts") {
+    val sh = corpus.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).head == "the quick brown")
+    assert(sh(1L).size == 7)
+    assert(sh(5L) == Seq("ab"))
+  }
+
+  test("ngram jaccard finds exact and near dup pairs, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(corpus, "text", "doc_id", k = 3,
+        thresholdE4 = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical: j = 1
+    // 1 vs 3: one word changed → 3 of 7 shingles survive; j = 3/11 < 0.5
+    assert(!pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH recovers the exact-dup pair and verifies jaccard") {
+    val pairs = Dedup.minhashLshPairs(corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical texts identical prints; near dups close in hamming") {
+    val sh = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // hamming 0
+  }
+
+  test("token counting: whitespace and bpe-ish") {
+    val df = Seq("hello world", "don't stop-me now2", " padded  spaces ")
+      .toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.bpeishCount(col("text")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(df(0) == ((2L, 2L)))
+    // don't → don,',t ; stop-me → stop,-,me ; now2 → now,2 → 8 pieces
+    assert(df(1) == ((3L, 8L)))
+    assert(df(2) == ((2L, 2L)))
+  }
+
+  test("langId picks the dominant stopword language, und when none") {
+    val got = Seq(
+      ("the cat is in the house and it sleeps", "en"),
+      ("el gato que duerme en la casa y una siesta", "es"),
+      ("der hund und die katze das ist gut", "de"),
+      ("xyzzy plugh frobozz", "und"))
+      .toDF("text", "expect")
+      .select(TextAnalysis.langId(col("text")).as("got"), col("expect"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("quality score is bounded and monotone in stopword density") {
+    val rows = Seq(
+      "the a of to and in is it the a of to and in is it",
+      "zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz")
+      .toDF("text")
+      .select(TextAnalysis.qualityScoreE4(col("text")).as("q"))
+      .collect().map(_.getLong(0))
+    assert(rows.forall(q => q >= 0 && q <= 10000))
+    assert(rows(0) > rows(1)) // stopword-rich scores higher
+  }
+
+  test("fingerprints: md5 normalizes whitespace; rolling is order-sensitive") {
+    val fp = Seq((1L, "a b c"), (2L, " a  b   c "), (3L, "c b a"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.md5Fingerprint(col("text")).as("m"),
+        TextAnalysis.rollingFingerprint(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(fp(1L)._1 == fp(2L)._1) // whitespace-insensitive
+    assert(fp(1L)._2 == fp(2L)._2)
+    assert(fp(1L)._1 != fp(3L)._1) // order-sensitive
+    assert(fp(1L)._2 != fp(3L)._2)
+  }
+}
