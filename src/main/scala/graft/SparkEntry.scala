@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DocumentQueries, EventQueries, RelationalQueries}
+import graft.queries.{DocumentQueries, EmbeddingQueries, EventQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +22,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.queries ++ RelationalQueries.queries ++
-      DocumentQueries.queries
+      DocumentQueries.queries ++ EmbeddingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EventQueries.oracleSql ++ RelationalQueries.oracleSql ++
-      DocumentQueries.oracleSql
+      DocumentQueries.oracleSql ++ EmbeddingQueries.oracleSql
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`) —
+  * beyond-reference operators for the training-data-pipeline surface.
+  *
+  * Scale design (100 TB posture):
+  *  - the dot product is a row-local array fold over doubles
+  *    (codegen'd higher-order functions — no UDF, no row conversion);
+  *  - brute-force top-k broadcasts the (small) query set against the
+  *    corpus — one pass, no corpus shuffle, per-query k-selection via
+  *    a window partitioned by query id (parallel across queries);
+  *  - the IVF variant prunes the corpus to the partitions whose
+  *    centroids are closest to each query: the corpus is bucketed once
+  *    by partition key, candidate generation touches only
+  *    `nProbe/nPartitions` of the data, and the centroid table is tiny
+  *    (breadth × dim) so probe assignment is a broadcast join. With
+  *    `nProbe = nPartitions` it degrades to exact brute force — which
+  *    is the equivalence contract the tests pin.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two array<float/double> columns —
+    * a sequential left fold, so the summation order is deterministic
+    * (and matches DuckDB's list_dot_product over DOUBLE[]). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
+      lit(0.0), _ + _)
+
+  /** Exact cosine top-k (embeddings are unit-norm ⇒ cosine = dot).
+    *
+    * @param corpus  (idCol, vecCol) rows to search
+    * @param queries (idCol, vecCol) rows to search FOR — must be small
+    *                (broadcast against the corpus)
+    * @return (query_id, neighbor_id, rank) with rank 1..k by descending
+    *         similarity, id-ascending tie-break, self excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Near-duplicate pairs: all (a < b) with cosine ≥ threshold.
+    * Quadratic candidate generation — correct baseline at test scale;
+    * the LSH-banded prefilter (see [[Dedup.simhashPairs]] pattern /
+    * IVF bucketing below) is the scale path. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .where(dot(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Per-partition centroids: mean of vectors grouped by `partCol`,
+    * via posexplode → (part, pos) partial-aggregated means → re-packed
+    * arrays. The dim-fan-out rows aggregate map-side, so the shuffle
+    * carries one row per (partition × dim). */
+  def centroids(corpus: DataFrame, partCol: String, vecCol: String): DataFrame =
+    corpus.select(col(partCol).as("part"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("part"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("part"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("part"), transform(col("pm"), _.getField("m")).as("centroid"))
+
+  /** IVF top-k: probe the `nProbe` partitions with the most-similar
+    * centroids per query, exact-rank within the probed subset.
+    * Output schema matches [[bruteForceTopK]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, partCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cent = centroids(corpus, partCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("part"))
+    val probes = q.join(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("part"),
+        dot(col("qv"), col("centroid")).as("csim"))
+      .withColumn("prank", row_number().over(probeW))
+      .where(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("part"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(partCol).as("part"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(probes), Seq("part"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}

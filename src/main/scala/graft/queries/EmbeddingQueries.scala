@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Driver-checkable similarity-search queries over the synthetic
+  * `embeddings` table (`vec_id, embedding: array<float> (unit-norm,
+  * dim 64), label`). Both engines compute dot products as sequential
+  * folds over DOUBLE — results are deterministic and hash-comparable;
+  * float columns themselves never appear in outputs (only ids/ranks). */
+object EmbeddingQueries {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact cosine top-5 for the first 10 vectors (the ANN baseline)
+    "ann_bruteforce_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // embedding near-dup pairs at cosine >= 0.4
+    "emb_near_pairs" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4)),
+
+    // IVF (label-partitioned) with all partitions probed == brute force;
+    // at nProbe < nPartitions this is the pruned 100 TB search path
+    "ann_ivf_full_probe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5, nProbe = 10)
+    }),
+
+    // corpus profile: per-label counts (exact ints)
+    "emb_label_counts" -> ((s, dir) =>
+      emb(s, dir).groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"))))
+
+  private val topkOracle: String =
+    """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 10),
+      |     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings)
+      |SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id)
+      |      AS INTEGER) AS rank
+      |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id)
+      |WHERE rank <= 5""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_bruteforce_topk" -> topkOracle,
+
+    "emb_near_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
+        |CROSS JOIN
+        |     (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v) >= 0.4""".stripMargin,
+
+    // full-probe IVF is exactly brute force — same oracle
+    "ann_ivf_full_probe" -> topkOracle,
+
+    "emb_label_counts" ->
+      "SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs FROM embeddings GROUP BY 1")
+}

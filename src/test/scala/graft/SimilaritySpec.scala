@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // tiny 3-d corpus with known geometry (unit vectors)
+  private val s2 = math.sqrt(0.5).toFloat
+  private val corpus = Seq(
+    (0L, Array(1f, 0f, 0f), 0),
+    (1L, Array(0f, 1f, 0f), 0),
+    (2L, Array(s2, s2, 0f), 1),  // between 0 and 1
+    (3L, Array(-1f, 0f, 0f), 1), // opposite of 0
+    (4L, Array(0.999f, 0.0447f, 0f), 2)) // almost 0
+    .toDF("vec_id", "embedding", "label")
+
+  test("dot: double fold matches known cosines") {
+    val d = corpus.as("a").join(corpus.as("b"),
+        col("a.vec_id") === 0 && col("b.vec_id") === 2)
+      .select(Similarity.dot(col("a.embedding"), col("b.embedding")))
+      .head().getDouble(0)
+    assert(math.abs(d - math.sqrt(0.5)) < 1e-6)
+  }
+
+  test("bruteForceTopK: correct ranks, self excluded, id tie-break") {
+    val got = Similarity.bruteForceTopK(corpus,
+        corpus.where(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toSeq
+    // nearest to e_x: 4 (cos .999) then 2 (cos .707)
+    assert(got == Seq((4L, 1), (2L, 2)))
+  }
+
+  test("nearDupPairs finds only the high-cosine pair") {
+    val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 4L)))
+  }
+
+  test("centroids: per-partition means, dims in order") {
+    val c = Similarity.centroids(corpus, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(c(0).zip(Seq(0.5, 0.5, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(c(1).zip(Seq((s2 - 1) / 2.0, s2 / 2.0, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+  }
+
+  test("IVF with all partitions probed equals brute force exactly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", "label", 5, nProbe = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(bf == ivf)
+    assert(bf.size == 25)
+  }
+
+  test("IVF with fewer probes returns k ranked results from probed subset") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3)
+    val got = Similarity.ivfTopK(e, q, "vec_id", "embedding", "label", 5, nProbe = 3)
+    val rows = got.collect()
+    assert(rows.length == 15) // 3 queries × k=5
+    assert(rows.map(r => r.getInt(2)).toSet == Set(1, 2, 3, 4, 5) ||
+      rows.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+  }
+}
