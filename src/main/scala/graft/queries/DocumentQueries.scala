@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
 
 /** Driver-checkable dedup + text-analysis queries over the synthetic
   * `documents` table (`doc_id, text, lang, source, n_chars`), each with
@@ -50,6 +50,17 @@ object DocumentQueries {
         col("doc_id"),
         TextAnalysis.md5Fingerprint(col("text")).as("fp_md5"),
         TextAnalysis.rollingFingerprint(col("text")).as("fp_roll"))),
+
+    // multimodal plumbing (rows-only check — the stub codec is not
+    // SQL-expressible): documents as fake image payloads → partition-
+    // mapped decode → per-source feature roll-up
+    "multimodal_image_features" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(
+        docs(s, dir).withColumn("meta", map(lit("source"), col("source"))),
+        "doc_id", "text", "image")
+      Multimodal.decodeImages(s, media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"))
+    }),
 
     // corpus roll-up: per (source, predicted lang) counts + mean quality
     "text_source_profile" -> ((s, dir) =>
