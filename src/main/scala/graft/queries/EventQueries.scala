@@ -39,15 +39,40 @@ object EventQueries {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Range-pruned events: the scan bounds are re-expressed on the RAW
+    * nanos column before the timestamp conversion, so they reach the
+    * parquet reader as PushedFilters (row-group min/max pruning) — the
+    * post-conversion predicate `timestamp_micros(ts div 1000) >= …` is
+    * opaque to pushdown, and at 100 TB an unpruned time-range scan is
+    * the dominant cost. Bounds replicate Timeseries.scan's inclusive
+    * bucketed endpoints: [sliceFloor(start), sliceFloor(finish)+slice). */
+  private def eventsRanged(spark: SparkSession, dir: String,
+      start: String, finish: String, slice: Int = 15): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val loNanos = TimeKernel.sliceFloorLocal(ts(start), slice)
+      .toInstant.getEpochSecond * 1000000000L
+    val hiNanos = (TimeKernel.sliceFloorLocal(ts(finish), slice)
+      .toInstant.getEpochSecond + slice * 60L) * 1000000000L
+    spark.read.parquet(s"$dir/events.parquet")
+      .where(col("ts") >= lit(loNanos) && col("ts") < lit(hiNanos))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   private val userBucket: Column =
     (col("user_id") % 10).cast(StringType).as("user_bucket")
 
-  /** Prepared frame for the Timeseries pipeline: grouping dims + ts + value. */
+  /** Prepared frame for the Timeseries pipeline: grouping dims + ts +
+    * value; when the query range is known it is pushed onto the raw
+    * nanos column ([[eventsRanged]]) for parquet row-group pruning. */
   private def prep(spark: SparkSession, dir: String, withUser: Boolean,
-      value: Column): DataFrame = {
+      value: Column, range: Option[(String, String)] = None): DataFrame = {
     val dims: Seq[Column] =
       if (withUser) Seq(col("event_type"), userBucket) else Seq(col("event_type"))
-    events(spark, dir).select(dims :+ col("ts") :+ value.as("value"): _*)
+    val src = range match {
+      case Some((s, f)) => eventsRanged(spark, dir, s, f)
+      case None => events(spark, dir)
+    }
+    src.select(dims :+ col("ts") :+ value.as("value"): _*)
   }
 
   private val one = lit(1L)
@@ -68,44 +93,51 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O20 full pipeline: hourly collapse + finish-exclusive zero-filled grid
     "ts_counter_hour_fill" -> ((s, dir) =>
-      Timeseries.run(prep(s, dir, withUser = false, one), countFact, 15,
+      Timeseries.run(prep(s, dir, withUser = false, one,
+          Some(("2024-01-05T00:00", "2024-01-07T00:00"))), countFact, 15,
         Seq("event_type"), Map("event_type" -> Some("click")),
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)),
 
     // O16 + :all sentinel: step none -> NULL bucket, routed hierarchy
     "ts_counter_none" -> ((s, dir) =>
-      Timeseries.run(prep(s, dir, withUser = true, one), countFact, 15,
+      Timeseries.run(prep(s, dir, withUser = true, one,
+          Some(("2024-01-10T00:00", "2024-01-20T00:00"))), countFact, 15,
         Seq("event_type", "user_bucket"), Map("user_bucket" -> Some("3")),
         ts("2024-01-10T00:00"), ts("2024-01-20T00:00"), Step.NoStep)),
 
     // O10/O16 average: (counter,total) pairs per day, zero-filled
     "ts_avg_day_fill" -> ((s, dir) =>
-      Timeseries.run(prep(s, dir, withUser = false, cents), avgFact, 15,
+      Timeseries.run(prep(s, dir, withUser = false, cents,
+          Some(("2024-01-03T00:00", "2024-01-10T00:00"))), avgFact, 15,
         Seq("event_type"), Map.empty,
         ts("2024-01-03T00:00"), ts("2024-01-10T00:00"), Step.Day)),
 
     // O21 histogram (completed beyond reference): clamped bucket counts
     "ts_hist" -> ((s, dir) =>
-      Timeseries.runHistogram(prep(s, dir, withUser = false, col("value")),
+      Timeseries.runHistogram(prep(s, dir, withUser = false, col("value"),
+          Some(("2024-01-01T00:00", "2024-01-31T00:00"))),
         histFact, 15, Seq("event_type"), Map.empty,
         ts("2024-01-01T00:00"), ts("2024-01-31T00:00"))),
 
     // O15 non-ISO week truncation (previous Sunday), week grid
     "ts_week_fill" -> ((s, dir) =>
-      Timeseries.run(prep(s, dir, withUser = false, one), countFact, 15,
+      Timeseries.run(prep(s, dir, withUser = false, one,
+          Some(("2023-12-31T00:00", "2024-02-04T00:00"))), countFact, 15,
         Seq("event_type"), Map("event_type" -> Some("signup")),
         ts("2023-12-31T00:00"), ts("2024-02-04T00:00"), Step.Week)),
 
     // O15 offset-hours timezone shift before day truncation
     "ts_offset_day" -> ((s, dir) =>
-      Timeseries.run(prep(s, dir, withUser = false, one), countFact, 15,
+      Timeseries.run(prep(s, dir, withUser = false, one,
+          Some(("2024-01-05T00:00", "2024-01-10T00:00"))), countFact, 15,
         Seq("event_type"), Map("event_type" -> Some("purchase")),
         ts("2024-01-05T00:00"), ts("2024-01-10T00:00"), Step.Day,
         offsetHours = -5)),
 
     // O7 slice bucketing at query granularity (15-minute buckets)
     "ts_slice_15m" -> ((s, dir) => {
-      val scanned = Timeseries.scan(prep(s, dir, withUser = false, one), 15,
+      val scanned = Timeseries.scan(prep(s, dir, withUser = false, one,
+          Some(("2024-01-10T00:00", "2024-01-11T00:00"))), 15,
         Seq("event_type"), Map("event_type" -> Some("purchase")),
         ts("2024-01-10T00:00"), ts("2024-01-11T00:00"))
       Timeseries.sliceBuckets(scanned, countFact, 15, Seq("event_type"))
@@ -116,7 +148,8 @@ object EventQueries {
       val filters: Map[String, Option[String]] = Map("event_type" -> Some("view"))
       val grouping = Timeseries.bestGrouping(userDimGroupedBy, "user_bucket",
         filters.keySet) // -> [event_type, user_bucket]
-      Timeseries.run(prep(s, dir, withUser = true, one), countFact, 15,
+      Timeseries.run(prep(s, dir, withUser = true, one,
+          Some(("2024-01-08T00:00", "2024-01-11T00:00"))), countFact, 15,
         grouping, filters,
         ts("2024-01-08T00:00"), ts("2024-01-11T00:00"), Step.Day)
     }),
