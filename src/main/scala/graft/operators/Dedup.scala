@@ -31,6 +31,23 @@ object Dedup {
     conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10)
       .cast(LongType)
 
+  /** Deterministic 60-bit hash (no seed): md5-prefix as positive long. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Mersenne prime 2³¹−1 for universal hashing: `(a·h + b) mod P`
+    * with h < P and a,b < P never overflows a long. */
+  val HashP: Long = 2147483647L
+
+  /** Fixed universal-hash coefficients (seeded once, hardcoded seed —
+    * identical in the DuckDB oracles). One md5 per shingle + N cheap
+    * arithmetic derivations replaces N md5 calls per shingle. */
+  val hashCoeffs: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(20240812L)
+    IndexedSeq.fill(64)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
   /** Word k-gram shingles of a whitespace-tokenized text column.
     * Docs shorter than k words yield a single whole-doc shingle so
     * they still participate (never an empty set). */
@@ -40,6 +57,47 @@ object Dedup {
     val grams = transform(sequence(lit(1), n - lit(k - 1)),
       i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))
     array_distinct(when(n >= k, grams).otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** JVM-side replica of [[hash60]]: first 15 hex chars of md5 as a
+    * positive long — byte-identical to Spark's `md5()` and DuckDB's,
+    * so kernel-computed hashes stay oracle-comparable. */
+  def md5Hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 15 hex chars = first 7.5 bytes, big-endian
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** JVM-side replica of [[shingles]]: distinct word k-grams (whole
+    * doc when shorter than k words). */
+  def shingleStrings(text: String, k: Int): Array[String] = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length >= k)
+      toks.sliding(k).map(_.mkString(" ")).toArray.distinct
+    else Array(toks.mkString(" "))
+  }
+
+  /** Shingle-hash kernel: (id, distinct 60-bit shingle hashes) via
+    * mapPartitions — one MessageDigest per batch, tight loops. The
+    * declarative [[shingles]]+[[hash60]] pipeline is the semantic
+    * reference (DedupTextSpec pins kernel ≡ declarative); this is the
+    * form for large corpora, where interpreted higher-order array
+    * expressions dominate the profile. */
+  def shingleHashKernel(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          (id, shingleStrings(text, k).map(md5Hash60))
+        }
+      }.toDF("id", "hs")
   }
 
   /** Exact dedup: every row mapped to the canonical (minimum) id of
@@ -64,8 +122,15 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, k: Int,
       thresholdE4: Int, maxDf: Long = 1000L): DataFrame = {
+    // join on 60-bit shingle hashes, not strings: the quadratic stage
+    // shuffles/compares longs (collisions are ~|shingles|²/2⁶⁰ and the
+    // oracle hashes identically, so results stay exact-match).
+    // The exploded table feeds three plan branches (sizes, df-cap,
+    // self-join) — cache it so interpreted shingling+hashing runs once,
+    // not per branch.
     val sh = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), k)).as("sh"))
+        explode(transform(shingles(col(textCol), k), hash60(_))).as("sh"))
+      .cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val filtered = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df_"))
@@ -84,11 +149,100 @@ object Dedup {
         col("sz_a"), col("sz_b"))
   }
 
-  /** MinHash signature columns: H independent min-hashes computed as a
-    * row-local array fold (no explode, no shuffle). */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i =>
-      array_min(transform(shingleArr, s => seededHash(s, i))).as(s"mh_$i"))
+  /** [[jaccardPairs]] with kernel-side shingling: identical semantics
+    * and output (same 60-bit hashes → same joins → same counts), with
+    * the per-doc array work in tight JVM loops instead of interpreted
+    * expressions. */
+  def jaccardPairsKernel(df: DataFrame, textCol: String, idCol: String,
+      k: Int, thresholdE4: Int, maxDf: Long = 1000L): DataFrame = {
+    val hs = shingleHashKernel(df, textCol, idCol, k).cache()
+    val ex = hs.select(col("id"), explode(col("hs")).as("sh"))
+    val sizes = hs.select(col("id"), size(col("hs")).cast(LongType).as("sz"))
+    val keep = ex.groupBy("sh").agg(count(lit(1)).as("df_"))
+      .where(col("df_") <= maxDf).select("sh")
+    val filtered = ex.join(keep, Seq("sh"))
+    val pairs = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .where(lit(10000L) * col("common") >=
+        lit(thresholdE4.toLong) * (col("sz_a") + col("sz_b") - col("common")))
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("sz_a"), col("sz_b"))
+  }
+
+  /** Full md5 hex (32 chars) — JVM replica of Spark/DuckDB `md5()`. */
+  def md5Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** [[minhashLshPairs]] with kernel-side shingling + signatures: the
+    * 60-bit hashes, the universal-hash minima, and the band keys are
+    * computed in one mapPartitions pass (byte-identical to the
+    * expression pipeline); the band candidate join and the verify stay
+    * declarative. Verification intersects the 60-bit hash SETS rather
+    * than shingle strings — same counts (hashing is injective modulo
+    * ~2⁻⁶⁰ collisions, and the oracle hashes identically either way). */
+  def minhashLshPairsKernel(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      thresholdE4: Int = 5000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    val hs = shingleHashKernel(df, textCol, idCol, k).cache()
+    val banded = hs.as[(Long, Array[Long])]
+      .flatMap { case (id, hashes) =>
+        val sig = new Array[Long](numHashes)
+        var i = 0
+        while (i < numHashes) {
+          val (a, b) = hashCoeffs(i)
+          var best = Long.MaxValue
+          var j = 0
+          while (j < hashes.length) {
+            val h = ((hashes(j) % HashP) * a + b) % HashP
+            if (h < best) best = h
+            j += 1
+          }
+          sig(i) = best
+          i += 1
+        }
+        (0 until bands).map { b =>
+          (id, b, md5Hex(sig.slice(b * rows, (b + 1) * rows).mkString(",")))
+        }
+      }.toDF("id", "band", "key")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+    val common = size(array_intersect(col("hs_a"), col("hs_b")))
+    val union = size(col("hs_a")) + size(col("hs_b")) - common
+    cand
+      .where(lit(10000L) * common >= lit(thresholdE4.toLong) * union)
+      .select(col("id_a"), col("id_b"),
+        common.cast(LongType).as("common"),
+        size(col("hs_a")).cast(LongType).as("sz_a"),
+        size(col("hs_b")).cast(LongType).as("sz_b"))
+  }
+
+  /** MinHash signature columns over a PRE-HASHED shingle array (one
+    * md5 per shingle, reduced mod [[HashP]]): H independent min-hashes
+    * via universal hashing `(aᵢ·h + bᵢ) mod P` — row-local array
+    * folds, no explode, no shuffle, and H× fewer md5 evaluations. */
+  def minhashSignature(hashArr: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { i =>
+      val (a, b) = hashCoeffs(i)
+      array_min(transform(hashArr, h => (h * a + b) % HashP)).as(s"mh_$i")
+    }
 
   /** MinHash + LSH near-dup pairs: signatures → band keys (bands ×
     * rowsPerBand = numHashes) → candidates sharing ≥1 band → verified
@@ -102,10 +256,15 @@ object Dedup {
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
       thresholdE4: Int = 5000): DataFrame = {
     val rows = numHashes / bands
+    // shingling + md5 hashing feed the signature stage AND both
+    // verification joins — cache so the interpreted array work runs
+    // once per doc across the three consumers
     val withSh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), k).as("shset"))
+        shingles(col(textCol), k).as("shset"))
+      .withColumn("hs", transform(col("shset"), s => hash60(s) % HashP))
+      .cache()
     val sig = withSh.select(
-      (col("id") +: col("shset") +: minhashSignature(col("shset"), numHashes)): _*)
+      (col("id") +: col("shset") +: minhashSignature(col("hs"), numHashes)): _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*))
@@ -152,6 +311,26 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
+  /** [[simhash]] as a table op: explode tokens → one codegen'd hash
+    * aggregation with 32 conditional-sum vote columns → repack bits.
+    * Identical results to the column variant (the per-bit vote is an
+    * order-independent sum), but stays inside whole-stage codegen
+    * instead of 32 interpreted array folds per row — the form to use
+    * on large corpora. */
+  def simhashTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val exploded = df.select(col(idCol).as("id"), explode(toks).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
+    val votes = (0 until 32).map(j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v_$j"))
+    val packed = (0 until 32).map(j =>
+      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    exploded.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
     * scalably via the pigeonhole principle: split the 32-bit print into
     * (maxHamming+1) chunks — any pair within the bound must agree on at
@@ -161,7 +340,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 32 / chunks
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val sh = simhashTable(df, textCol, idCol)
+      .select(col("id"), col("simhash").as("sim"))
     val chunkCols = (0 until chunks).map(c => struct(lit(c).as("chunk"),
       shiftrightunsigned(col("sim"), c * width)
         .bitwiseAND((1L << width) - 1).as("key")))

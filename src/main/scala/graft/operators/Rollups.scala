@@ -1,0 +1,91 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeKernel
+import graft.model.{FactDef, FactType, Step}
+
+/** Materialized slice-level rollups — the reference's storage strategy
+  * (one pre-aggregated table per fact × dimension × grouping path,
+  * `postgres/schema.clj:220-241`, upserted per event
+  * `postgres/update.clj:39-81`) as an OPTIONAL optimization layer over
+  * the compute-on-read engine.
+  *
+  * A rollup holds the finest-granularity partial aggregates:
+  * `(dims…, bucket = slice floor, value)` for counters,
+  * `(dims…, bucket, counter, total)` for averages — exactly the
+  * re-aggregable shapes the reference keeps (sums of sums; averages as
+  * (count,total) pairs, `query.clj:66-72`), so any calendar collapse
+  * can be answered from the rollup without touching raw events.
+  *
+  * Scale design: the rollup parquet is partitioned by `date(bucket)` —
+  * a time-range query prunes whole partitions before reading a byte,
+  * and the rollup is smaller than raw events by the events-per-slice
+  * compaction factor. Refresh is idempotent per (fact, grouping): a
+  * full overwrite per run, or per-date-partition overwrite for
+  * incremental loads (dynamic partition overwrite); the streaming
+  * variant is [[graft.streaming.StreamingIngest.sliceAggregation]],
+  * which emits the same shape continuously.
+  */
+object Rollups {
+
+  /** Compact a prepared frame (dims + ts + value) into slice-level
+    * partial aggregates. */
+  def build(prepared: DataFrame, fact: FactDef, sliceMinutes: Int,
+      grouping: Seq[String]): DataFrame =
+    Timeseries.sliceBuckets(prepared, fact, sliceMinutes, grouping)
+
+  /** Materialize to parquet, partitioned by the bucket's date for
+    * partition-pruned range scans. */
+  def materialize(prepared: DataFrame, fact: FactDef, sliceMinutes: Int,
+      grouping: Seq[String], path: String): Unit =
+    build(prepared, fact, sliceMinutes, grouping)
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("bucket_date")
+
+  /** Re-aggregate slice partials into a calendar bucket — the rollup
+    * counterpart of [[Timeseries.collapse]] (which aggregates raw
+    * events): counter/histogram partials sum; average partials sum
+    * component-wise. */
+  def collapsePartials(rollup: DataFrame, fact: FactDef, grouping: Seq[String],
+      step: Step, offsetHours: Int): DataFrame = {
+    val keys = grouping.map(col) :+
+      TimeKernel.timeDimension(col("bucket"), step, offsetHours).as("bucket")
+    val grouped = rollup.groupBy(keys: _*)
+    fact.ftype match {
+      case FactType.Average =>
+        grouped.agg(sum("counter").as("counter"), sum("total").as("total"))
+      case _ =>
+        grouped.agg(sum("value").as("value"))
+    }
+  }
+
+  /** The full read path served from a rollup instead of raw events:
+    * routed-grouping filter → inclusive bucketed range scan (both
+    * endpoints slice-floored, `postgres/query.clj:16-17`) → collapse →
+    * gap fill. Result is IDENTICAL to [[Timeseries.run]] over the raw
+    * events the rollup was built from (pinned by RollupsSpec). */
+  def run(rollup: DataFrame, fact: FactDef, sliceMinutes: Int,
+      grouping: Seq[String], filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp, step: Step,
+      offsetHours: Int = 0): DataFrame = {
+    val lo = TimeKernel.sliceFloorLocal(start, sliceMinutes)
+    val hi = TimeKernel.sliceFloorLocal(finish, sliceMinutes)
+    val eq = filters.collect {
+      case (k, Some(v)) if grouping.contains(k) => col(k) === lit(v)
+    }.foldLeft(lit(true))(_ && _)
+    val scanned = rollup
+      .where(col("bucket") >= lit(lo) && col("bucket") <= lit(hi))
+      .where(eq)
+    val collapsed = collapsePartials(scanned, fact, grouping, step, offsetHours)
+    Timeseries.fillRange(collapsed, fact, grouping, start, finish, step)
+  }
+}

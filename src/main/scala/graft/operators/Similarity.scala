@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * beyond-reference operators for the training-data-pipeline surface.
   *
   * Scale design (100 TB posture):
-  *  - the dot product is a row-local array fold over doubles
-  *    (codegen'd higher-order functions — no UDF, no row conversion);
+  *  - the dot product is a row-local expression over doubles (the
+  *    unrolled variant stays inside whole-stage codegen — no UDF, no
+  *    row conversion, no interpreted higher-order calls on hot paths);
   *  - brute-force top-k broadcasts the (small) query set against the
   *    corpus — one pass, no corpus shuffle, per-query k-selection via
   *    a window partitioned by query id (parallel across queries);
@@ -31,6 +32,18 @@ object Similarity {
       zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
       lit(0.0), _ + _)
 
+  /** [[dot]] unrolled for a statically-known dimension: a flat
+    * left-associated chain of `a[i]·b[i]` terms that stays inside
+    * whole-stage codegen (higher-order array functions are
+    * CodegenFallback), with the exact same sequential summation order.
+    * Measured: wins in projections, but NOT in nested-loop join
+    * conditions (per-element null checks dominate) — for quadratic
+    * pair loops use [[nearDupPairsKernel]] instead. */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map { i =>
+      element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double")
+    }.reduce(_ + _)
+
   /** Exact cosine top-k (embeddings are unit-norm ⇒ cosine = dot).
     *
     * @param corpus  (idCol, vecCol) rows to search
@@ -40,14 +53,17 @@ object Similarity {
     *         similarity, id-ascending tie-break, self excluded.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      dim: Option[Int] = None): DataFrame = {
+    def d(a: Column, b: Column) =
+      dim.map(dotUnrolled(a, b, _)).getOrElse(dot(a, b))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        dot(col("qv"), col("cv")).as("sim"))
+        d(col("qv"), col("cv")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -58,12 +74,53 @@ object Similarity {
     * the LSH-banded prefilter (see [[Dedup.simhashPairs]] pattern /
     * IVF bucketing below) is the scale path. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, dim: Option[Int] = None): DataFrame = {
+    def d(a: Column, b: Column) =
+      dim.map(dotUnrolled(a, b, _)).getOrElse(dot(a, b))
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .where(dot(col("va"), col("vb")) >= threshold)
+      .where(d(col("va"), col("vb")) >= threshold)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** [[nearDupPairs]] as a broadcast primitive-array kernel: the N²
+    * dot-product loop is genuinely compute-bound, and per-pair
+    * expression evaluation (interpreted higher-order folds or 64-term
+    * codegen chains) costs ~10× a fused while-loop over primitive
+    * doubles. The corpus ships once as a broadcast of packed arrays;
+    * each task owns a slice of row indices — no shuffle at all. The
+    * inner sum is the same sequential left fold (bit-identical IEEE
+    * results, DuckDB-parity preserved). Applicability: corpus must fit
+    * in a broadcast (~1M × small dim); beyond that, run this kernel
+    * per LSH bucket / IVF partition block.
+    */
+  def nearDupPairsKernel(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(rows)
+    val n = rows.length
+    val tasks = math.max(1, math.min(64, n / 16))
+    spark.sparkContext.parallelize(0 until n, tasks)
+      .flatMap { i =>
+        val all = bc.value
+        val (ida, va) = all(i)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var j = i + 1
+        while (j < all.length) {
+          val (idb, vb) = all(j)
+          var s = 0.0
+          var d = 0
+          while (d < va.length) { s += va(d) * vb(d); d += 1 }
+          if (s >= threshold) out += ((ida, idb))
+          j += 1
+        }
+        out
+      }.toDF("id_a", "id_b")
   }
 
   /** Per-partition centroids: mean of vectors grouped by `partCol`,
@@ -82,14 +139,17 @@ object Similarity {
     * centroids per query, exact-rank within the probed subset.
     * Output schema matches [[bruteForceTopK]]. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, partCol: String, k: Int, nProbe: Int): DataFrame = {
+      vecCol: String, partCol: String, k: Int, nProbe: Int,
+      dim: Option[Int] = None): DataFrame = {
+    def d(a: Column, b: Column) =
+      dim.map(dotUnrolled(a, b, _)).getOrElse(dot(a, b))
     val cent = centroids(corpus, partCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("part"))
     val probes = q.join(broadcast(cent))
       .select(col("query_id"), col("qv"), col("part"),
-        dot(col("qv"), col("centroid")).as("csim"))
+        d(col("qv"), col("centroid")).as("csim"))
       .withColumn("prank", row_number().over(probeW))
       .where(col("prank") <= nProbe)
       .select(col("query_id"), col("qv"), col("part"))
@@ -100,7 +160,7 @@ object Similarity {
     c.join(broadcast(probes), Seq("part"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        dot(col("qv"), col("cv")).as("sim"))
+        d(col("qv"), col("cv")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))

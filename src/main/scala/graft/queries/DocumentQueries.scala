@@ -23,17 +23,18 @@ object DocumentQueries {
 
     // n-gram Jaccard near-dup pairs (3-gram shingles, j >= 0.5)
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs(s, dir), "text", "doc_id", k = 3,
+      Dedup.jaccardPairsKernel(docs(s, dir), "text", "doc_id", k = 3,
         thresholdE4 = 5000)),
 
     // MinHash + LSH (16 hashes, 4 bands) verified at j >= 0.5
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id")),
+      Dedup.minhashLshPairsKernel(docs(s, dir), "text", "doc_id")),
 
-    // SimHash fingerprints per doc (32-bit, md5-vote)
+    // SimHash fingerprints per doc (32-bit, md5-vote; codegen'd
+    // explode+aggregate form)
     "text_simhash" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        Dedup.simhash(col("text")).as("simhash"))),
+      Dedup.simhashTable(docs(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("simhash"))),
 
     // language-ID + token counting + quality scoring per doc
     "text_stats" -> ((s, dir) =>
@@ -73,10 +74,6 @@ object DocumentQueries {
 
   // ---------------------------------------------------------------- oracles
 
-  /** 60-bit md5 hash (DuckDB side) of an expression under a seed. */
-  private def h60(expr: String, seed: String): String =
-    s"CAST('0x' || substr(md5($seed || ':' || $expr), 1, 15) AS BIGINT)"
-
   /** Shingle CTE fragment: doc_id + distinct 3-gram shingle list
     * (whole-doc shingle for docs shorter than 3 tokens). */
   private val shingleCte =
@@ -107,7 +104,10 @@ object DocumentQueries {
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
-         |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+         |ex AS (SELECT doc_id,
+         |  unnest(list_transform(shset,
+         |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+         |  FROM sh),
          |sizes AS (SELECT doc_id, len(shset) AS sz FROM sh),
          |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
          |pairs AS (
@@ -122,17 +122,22 @@ object DocumentQueries {
          |WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)""".stripMargin,
 
     "dedup_minhash_lsh" -> {
-      val sigs = (0 until 16).map(i =>
-        s"list_min(list_transform(shset, s -> ${h60("s", i.toString)})) AS mh_$i")
-        .mkString(",\n    ")
+      val sigs = (0 until 16).map { i =>
+        val (a, b) = Dedup.hashCoeffs(i)
+        s"list_min(list_transform(hs_raw, h -> ((h % ${Dedup.HashP}) * $a + $b) % ${Dedup.HashP})) AS mh_$i"
+      }.mkString(",\n    ")
       val bandKeys = (0 until 4).map { b =>
         val cols = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
         s"{band: $b, key: md5(${cols.mkString(" || ',' || ")})}"
       }.mkString(", ")
       s"""WITH $shingleCte,
-         |sig AS (SELECT doc_id, shset,
-         |    $sigs
+         |hashed AS (SELECT doc_id,
+         |    list_transform(shset,
+         |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs_raw
          |  FROM sh),
+         |sig AS (SELECT doc_id, hs_raw,
+         |    $sigs
+         |  FROM hashed),
          |banded0 AS (SELECT doc_id, unnest([$bandKeys]) AS bk FROM sig),
          |banded AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM banded0),
          |cand AS (
@@ -140,17 +145,17 @@ object DocumentQueries {
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
          |withsets AS (
-         |  SELECT c.id_a, c.id_b, sa.shset AS sh_a, sb.shset AS sh_b
+         |  SELECT c.id_a, c.id_b, sa.hs_raw AS hs_a, sb.hs_raw AS hs_b
          |  FROM cand c
          |  JOIN sig sa ON sa.doc_id = c.id_a
          |  JOIN sig sb ON sb.doc_id = c.id_b)
          |SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS common,
-         |  CAST(len(sh_a) AS BIGINT) AS sz_a,
-         |  CAST(len(sh_b) AS BIGINT) AS sz_b
+         |  CAST(len(list_intersect(hs_a, hs_b)) AS BIGINT) AS common,
+         |  CAST(len(hs_a) AS BIGINT) AS sz_a,
+         |  CAST(len(hs_b) AS BIGINT) AS sz_b
          |FROM withsets
-         |WHERE 10000 * len(list_intersect(sh_a, sh_b)) >=
-         |  5000 * (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))""".stripMargin
+         |WHERE 10000 * len(list_intersect(hs_a, hs_b)) >=
+         |  5000 * (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b)))""".stripMargin
     },
 
     "text_simhash" -> {

@@ -23,9 +23,10 @@ object EmbeddingQueries {
         "vec_id", "embedding", k = 5)
     }),
 
-    // embedding near-dup pairs at cosine >= 0.4
+    // embedding near-dup pairs at cosine >= 0.4 (broadcast kernel —
+    // the N² loop runs over primitive arrays, not per-pair expressions)
     "emb_near_pairs" -> ((s, dir) =>
-      Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding",
+      Similarity.nearDupPairsKernel(emb(s, dir), "vec_id", "embedding",
         threshold = 0.4)),
 
     // IVF (label-partitioned) with all partitions probed == brute force;

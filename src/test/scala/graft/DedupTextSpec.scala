@@ -59,6 +59,29 @@ class DedupTextSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L))) // hamming 0
   }
 
+  test("kernel shingle hashing == declarative hash60(shingles)") {
+    val decl = corpus.select(col("doc_id"),
+        org.apache.spark.sql.functions.transform(
+          Dedup.shingles(col("text"), 3), Dedup.hash60(_)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kern = Dedup.shingleHashKernel(corpus, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(decl == kern)
+  }
+
+  test("kernel jaccard == declarative jaccard; kernel minhash == declarative") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(
+      norm(Dedup.jaccardPairsKernel(corpus, "text", "doc_id", 3, 5000)) ==
+        norm(Dedup.jaccardPairs(corpus, "text", "doc_id", 3, 5000)))
+    val k = Dedup.minhashLshPairsKernel(corpus, "text", "doc_id")
+      .select("id_a", "id_b").collect().map(_.toSeq).toSet
+    val d = Dedup.minhashLshPairs(corpus, "text", "doc_id")
+      .select("id_a", "id_b").collect().map(_.toSeq).toSet
+    assert(k == d)
+  }
+
   test("token counting: whitespace and bpe-ish") {
     val df = Seq("hello world", "don't stop-me now2", " padded  spaces ")
       .toDF("text")

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeKernel
+import graft.functions.TimeKernel.ts
+import graft.model._
+import graft.operators.Timeseries
+
+/** Property tests (SURVEY §5.3) over seeded-random event sets — an
+  * upgrade over the reference's example-only suite:
+  *  1. conservation: Σ of a counter timeseries == Σ of event values
+  *     for ANY event set / step (events are never lost or duplicated
+  *     across grouping fan-out, `postgres/update.clj:84-87`);
+  *  2. re-aggregation associativity: collapsing slices to hours then
+  *     summing == collapsing straight to days (sums of sums);
+  *  3. fill-range density: rows == |series| × calendar distance
+  *     regardless of data sparsity.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val fact = FactDef("f", FactType.Counter, sliceMinutes = 15)
+
+  private def randomEvents(seed: Int, n: Int) = {
+    val rnd = new Random(seed)
+    (0 until n).map { _ =>
+      val day = 1 + rnd.nextInt(9)
+      val h = rnd.nextInt(24)
+      val m = rnd.nextInt(60)
+      ("d" + rnd.nextInt(3), ts(f"2024-02-$day%02dT$h%02d:$m%02d"),
+        1L + rnd.nextInt(5))
+    }.toDF("dim", "ts", "value")
+  }
+
+  private val start = ts("2024-02-01T00:00")
+  private val finish = ts("2024-02-10T00:00")
+
+  test("conservation: grid sum equals event-value sum for every step") {
+    for (seed <- Seq(1, 2, 3)) {
+      val ev = randomEvents(seed, 300).cache()
+      val total = ev.agg(sum("value")).head().getLong(0)
+      for (step <- Seq(Step.NoStep, Step.Hour, Step.Day)) {
+        // full-range query, no filters: nothing may be lost at the edges
+        val got = Timeseries.run(ev, fact, 15, Seq("dim"), Map.empty,
+          start, finish, step)
+        val gridTotal = got.agg(sum("value")).head().getLong(0)
+        assert(gridTotal == total, s"seed $seed step $step")
+      }
+      ev.unpersist()
+    }
+  }
+
+  test("re-aggregation associativity: hour-collapse summed == day-collapse") {
+    for (seed <- Seq(4, 5)) {
+      val ev = randomEvents(seed, 300)
+      val scanned = Timeseries.scan(ev, 15, Seq("dim"), Map.empty, start, finish)
+      val hourly = Timeseries.collapse(scanned, fact, Seq("dim"), Step.Hour, 0)
+      val viaHour = hourly
+        .groupBy(col("dim"), date_trunc("day", col("bucket")).as("bucket"))
+        .agg(sum("value").as("value"))
+      val direct = Timeseries.collapse(scanned, fact, Seq("dim"), Step.Day, 0)
+      val a = viaHour.collect().map(_.toSeq).toSet
+      val b = direct.collect().map(_.toSeq).toSet
+      assert(a == b, s"seed $seed")
+    }
+  }
+
+  test("fill density: |result| == |series present| × calendar points") {
+    for (seed <- Seq(6, 7)) {
+      val ev = randomEvents(seed, 50) // sparse: most buckets empty
+      val got = Timeseries.run(ev, fact, 15, Seq("dim"), Map.empty,
+        start, finish, Step.Day)
+      val nSeries = ev
+        .where(col("ts") >= start && col("ts") < finish)
+        .select("dim").distinct().count()
+      val nGrid = TimeKernel.timeRange(start, finish, Step.Day).length
+      assert(nGrid == 9) // finish exclusive
+      assert(got.count() == nSeries * nGrid, s"seed $seed")
+      // every absent bucket must carry the filler, never be missing
+      assert(got.where(col("value").isNull).count() == 0)
+    }
+  }
+
+  test("slice invariance: query result independent of slice size for aligned ranges") {
+    // With whole-hour query bounds and hour collapse, the slice size
+    // (5/15/30/60) must not change results — slices nest inside hours.
+    for (slice <- Seq(5, 15, 30, 60)) {
+      val ev = randomEvents(8, 200)
+      val f = FactDef("f", FactType.Counter, sliceMinutes = slice)
+      val got = Timeseries.run(ev, f, slice, Seq("dim"), Map.empty,
+        start, finish, Step.Hour)
+        .collect().map(_.toSeq).toSet
+      val base = Timeseries.run(ev, fact, 15, Seq("dim"), Map.empty,
+        start, finish, Step.Hour)
+        .collect().map(_.toSeq).toSet
+      assert(got == base, s"slice $slice")
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeKernel.ts
+import graft.model._
+import graft.operators.{Rollups, Timeseries}
+
+/** The rollup-serving contract: a query answered from materialized
+  * slice partials is IDENTICAL to the same query over raw events
+  * (re-aggregability — the property the reference's storage design
+  * depends on, query.clj:66-72). */
+class RollupsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val counterFact = FactDef("clicks", FactType.Counter, sliceMinutes = 15)
+  private val avgFact = FactDef("latency", FactType.Average, sliceMinutes = 15)
+
+  // events spread over several days, two series, varying values
+  private def rawCounter = (0 until 200).map { i =>
+    ("s" + (i % 2), ts(f"2024-01-${1 + i % 5}%02dT${i % 24}%02d:${(i * 7) % 60}%02d"), 1L + i % 3)
+  }.toDF("dim", "ts", "value")
+
+  private def rawAvg = (0 until 100).map { i =>
+    ("h" + (i % 2), ts(f"2024-01-${1 + i % 3}%02dT${i % 24}%02d:${(i * 11) % 60}%02d"), (50 + i).toLong)
+  }.toDF("dim", "ts", "value")
+
+  private def collectSorted(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  test("counter: rollup-served query == raw-events query (day step + fill)") {
+    val dir = Files.createTempDirectory("rollup").toString
+    Rollups.materialize(rawCounter, counterFact, 15, Seq("dim"), dir)
+    val rollup = Rollups.read(spark, dir)
+    val fromRollup = Rollups.run(rollup, counterFact, 15, Seq("dim"),
+      Map("dim" -> Some("s1")), ts("2024-01-01T00:00"), ts("2024-01-06T00:00"),
+      Step.Day)
+    val fromRaw = Timeseries.run(rawCounter, counterFact, 15, Seq("dim"),
+      Map("dim" -> Some("s1")), ts("2024-01-01T00:00"), ts("2024-01-06T00:00"),
+      Step.Day)
+    assert(collectSorted(fromRollup) == collectSorted(fromRaw))
+    assert(fromRollup.count() == 5) // 5 day grid points, one series
+  }
+
+  test("counter: equivalence holds for hour step and :none") {
+    val dir = Files.createTempDirectory("rollup").toString
+    Rollups.materialize(rawCounter, counterFact, 15, Seq("dim"), dir)
+    val rollup = Rollups.read(spark, dir)
+    for (step <- Seq(Step.Hour, Step.NoStep)) {
+      val a = Rollups.run(rollup, counterFact, 15, Seq("dim"), Map.empty,
+        ts("2024-01-02T06:00"), ts("2024-01-04T18:00"), step)
+      val b = Timeseries.run(rawCounter, counterFact, 15, Seq("dim"), Map.empty,
+        ts("2024-01-02T06:00"), ts("2024-01-04T18:00"), step)
+      assert(collectSorted(a) == collectSorted(b), s"step $step")
+    }
+  }
+
+  test("average: (counter,total) partials re-aggregate exactly") {
+    val dir = Files.createTempDirectory("rollup").toString
+    Rollups.materialize(rawAvg, avgFact, 15, Seq("dim"), dir)
+    val rollup = Rollups.read(spark, dir)
+    val a = Rollups.run(rollup, avgFact, 15, Seq("dim"), Map.empty,
+      ts("2024-01-01T00:00"), ts("2024-01-04T00:00"), Step.Day)
+    val b = Timeseries.run(rawAvg, avgFact, 15, Seq("dim"), Map.empty,
+      ts("2024-01-01T00:00"), ts("2024-01-04T00:00"), Step.Day)
+    assert(collectSorted(a) == collectSorted(b))
+    // and totals actually contain data
+    assert(a.agg(sum("total")).head().getLong(0) > 0)
+  }
+
+  test("rollup parquet is date-partitioned for partition pruning") {
+    val dir = Files.createTempDirectory("rollup").toString
+    Rollups.materialize(rawCounter, counterFact, 15, Seq("dim"), dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket_date=")).map(_.getName).sorted
+    assert(parts.length == 5)
+    assert(parts.head == "bucket_date=2024-01-01")
+  }
+
+  test("rollup is smaller than raw events (slice compaction)") {
+    val dir = Files.createTempDirectory("rollup").toString
+    Rollups.materialize(rawCounter, counterFact, 15, Seq("dim"), dir)
+    assert(Rollups.read(spark, dir).count() < rawCounter.count())
+  }
+}
