@@ -157,7 +157,22 @@ object EventQueries {
     // distinct aggregation breadth (not in reference; built-in)
     "events_distinct_users" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
-        .agg(count_distinct(col("user_id")).as("users"))))
+        .agg(count_distinct(col("user_id")).as("users"))),
+
+    // materialized-rollup read path: build slice partials, serve the
+    // hourly query FROM the rollup — result must hash-match the same
+    // oracle as the raw-events pipeline (re-aggregability, SURVEY §4)
+    "ts_rollup_hour_fill" -> ((s, dir) => {
+      import graft.operators.Rollups
+      val out = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+      Rollups.materialize(
+        prep(s, dir, withUser = false, one,
+          Some(("2024-01-05T00:00", "2024-01-07T00:00"))),
+        countFact, 15, Seq("event_type"), out)
+      Rollups.run(Rollups.read(s, out), countFact, 15,
+        Seq("event_type"), Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
+    }))
 
   // ---------------------------------------------------------------- oracles
 
@@ -259,5 +274,14 @@ object EventQueries {
       dimNames = "event_type, user_bucket"),
 
     "events_distinct_users" ->
-      "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY 1")
+      "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY 1",
+
+    // identical to ts_counter_hour_fill: the rollup path must be
+    // indistinguishable from compute-on-read
+    "ts_rollup_hour_fill" -> fillOracle(
+      where = "event_type = 'click'",
+      bucketExpr = "date_trunc('hour', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
+      gridStep = "1 HOUR",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")))
 }
