@@ -159,6 +159,30 @@ object EventQueries {
       events(s, dir).groupBy(col("event_type"))
         .agg(count_distinct(col("user_id")).as("users"))),
 
+    // as-of join: each click matched to the user's most recent purchase
+    // value at or before the click (one window shuffle, no range join)
+    "asof_click_purchase" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val e = events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast(LongType).as("purchase_cents"))
+      AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts",
+          Seq("purchase_cents"))
+        .select(col("event_id"), col("user_id"), col("purchase_cents"))
+    }),
+
+    // gap-based sessionization (30-minute inactivity) via the built-in
+    // session_window — stateful event analytics the reference lacks
+    "event_sessions" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))),
+
     // materialized-rollup read path: build slice partials, serve the
     // hourly query FROM the rollup — result must hash-match the same
     // oracle as the raw-events pipeline (re-aggregability, SURVEY §4)
@@ -275,6 +299,31 @@ object EventQueries {
 
     "events_distinct_users" ->
       "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY 1",
+
+    "asof_click_purchase" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.purchase_cents
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "event_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin,
 
     // identical to ts_counter_hour_fill: the rollup path must be
     // indistinguishable from compute-on-read
