@@ -54,9 +54,8 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      dim: Option[Int] = None): DataFrame = {
-    def d(a: Column, b: Column) =
-      dim.map(dotUnrolled(a, b, _)).getOrElse(dot(a, b))
+      dotFn: (Column, Column) => Column = dot): DataFrame = {
+    val d = dotFn
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))
@@ -74,9 +73,9 @@ object Similarity {
     * the LSH-banded prefilter (see [[Dedup.simhashPairs]] pattern /
     * IVF bucketing below) is the scale path. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Option[Int] = None): DataFrame = {
-    def d(a: Column, b: Column) =
-      dim.map(dotUnrolled(a, b, _)).getOrElse(dot(a, b))
+      threshold: Double,
+      dotFn: (Column, Column) => Column = dot): DataFrame = {
+    val d = dotFn
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -140,9 +139,8 @@ object Similarity {
     * Output schema matches [[bruteForceTopK]]. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, partCol: String, k: Int, nProbe: Int,
-      dim: Option[Int] = None): DataFrame = {
-    def d(a: Column, b: Column) =
-      dim.map(dotUnrolled(a, b, _)).getOrElse(dot(a, b))
+      dotFn: (Column, Column) => Column = dot): DataFrame = {
+    val d = dotFn
     val cent = centroids(corpus, partCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
 import graft.operators.Similarity
 
 /** Driver-checkable similarity-search queries over the synthetic
@@ -18,9 +19,10 @@ object EmbeddingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-5 for the first 10 vectors (the ANN baseline)
     "ann_bruteforce_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5)
+        "vec_id", "embedding", k = 5, dotFn = GraftFunctions.dotNative)
     }),
 
     // embedding near-dup pairs at cosine >= 0.4 (broadcast kernel —
@@ -32,9 +34,11 @@ object EmbeddingQueries {
     // IVF (label-partitioned) with all partitions probed == brute force;
     // at nProbe < nPartitions this is the pruned 100 TB search path
     "ann_ivf_full_probe" -> ((s, dir) => {
+      GraftFunctions.register(s)
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", "label", k = 5, nProbe = 10)
+        "vec_id", "embedding", "label", k = 5, nProbe = 10,
+        dotFn = GraftFunctions.dotNative)
     }),
 
     // corpus profile: per-label counts (exact ints)
