@@ -119,20 +119,26 @@ final class TimeSeriesService(
 
   /** `get-histogram` (api.clj:38-41) — unimplemented in every reference
     * backend (postgres.clj:126-128); completed here. Returns one count
-    * per (series × hist_bucket lower bound); `mergeBuckets` collapses the
-    * series' time axis entirely (the "single row histogram"). */
+    * per (series × hist_bucket lower bound); with `mergeSeries` the
+    * series axis is collapsed too, bucket counts merged with `+` — the
+    * reference's declared "single row histogram … merged with `+` if
+    * merge-with unspecified". */
   def getHistogram(factId: String, dimId: String,
       filters: Map[String, Option[String]],
-      start: Timestamp, finish: Timestamp): DataFrame = {
+      start: Timestamp, finish: Timestamp,
+      mergeSeries: Boolean = false): DataFrame = {
     val (fact, dim, grouping) = route(factId, dimId, filters)
     require(fact.ftype == FactType.Histogram,
       s"Fact $factId is not a histogram")
     val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
     val scanned = Timeseries.scan(prepare(fact.id, grouping), slice,
       grouping, filters, start, finish)
-    Timeseries.collapse(scanned, fact, grouping, Step.NoStep, 0)
+    val perSeries = Timeseries.collapse(scanned, fact, grouping, Step.NoStep, 0)
       .groupBy((grouping.map(col) :+ col("hist_bucket")): _*)
       .agg(sum("value").as("value"))
+    if (mergeSeries)
+      perSeries.groupBy(col("hist_bucket")).agg(sum("value").as("value"))
+    else perSeries
   }
 
   /** Finest-granularity (slice-bucket) series, the engine's equivalent of

@@ -197,6 +197,15 @@ class TimeSeriesServiceSpec extends SparkTestBase {
       r.getAs[Long]("hist_bucket"), r.getAs[Long]("value"))).toSet
     // 50 -> b0; 150,160 -> b100; 999 -> b900; 1500 clamps to b900; -5 clamps to b0
     assert(got === Set(("h1", 0L, 2L), ("h1", 100L, 2L), ("h1", 900L, 2L)))
+
+    // second series + mergeSeries: the declared "single row histogram,
+    // merged with +" (api.clj:38-41)
+    svc.newFact("time-distr", ts("2014-03-21T09:20"), 120L, Map("host" -> "h2"))
+    val merged = svc.getHistogram("time-distr", "host", Map.empty,
+        ts("2014-03-21T09:00"), ts("2014-03-21T10:00"), mergeSeries = true)
+      .collect().map(r => r.getAs[Long]("hist_bucket") -> r.getAs[Long]("value"))
+      .toMap
+    assert(merged === Map(0L -> 2L, 100L -> 3L, 900L -> 2L))
   }
 
   test("update-dimension! associates a later fact (postgres.clj:42-47)") {
