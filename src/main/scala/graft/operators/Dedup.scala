@@ -331,6 +331,48 @@ object Dedup {
       .select(col("id"), packed.as("simhash"))
   }
 
+  /** First 8 hex chars of md5 as a long (32-bit value) — JVM replica of
+    * the per-token hash inside [[simhash]]/[[simhashTable]]. */
+  def md5Hash32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** JVM replica of [[simhash]]: one pass over the tokens, 32 integer
+    * votes, repacked bits — identical results (the vote is an
+    * order-independent sum). */
+  def simhashJvm(text: String): Long = {
+    val toks = text.trim.split("\\s+")
+    val votes = new Array[Long](32)
+    var i = 0
+    while (i < toks.length) {
+      val h = md5Hash32(toks(i))
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** SimHash table op in kernel form: (id, simhash) without the
+    * explode/aggregate shuffle of [[simhashTable]] — per-doc prints are
+    * row-local, so this is a pure map over input splits. */
+  def simhashKernel(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhashJvm(t)) })
+      .toDF("id", "simhash")
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
     * scalably via the pigeonhole principle: split the 32-bit print into
     * (maxHamming+1) chunks — any pair within the bound must agree on at

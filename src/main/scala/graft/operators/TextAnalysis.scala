@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -92,4 +92,97 @@ object TextAnalysis {
         t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType) % 1000000007L),
       lit(0L),
       (h, x) => (h * 31L + x) % 1000000007L)
+
+  // ------------------------------------------------------- JVM kernels
+  // Higher-order array expressions (transform/aggregate/filter) are
+  // CodegenFallback — interpreted per element, with a Column-tree eval
+  // and allocations per token. The kernels below are byte-identical JVM
+  // replicas run via mapPartitions (the pattern of
+  // [[Dedup.shingleHashKernel]]); DedupTextSpec pins kernel ≡
+  // declarative, and the DuckDB oracles are unchanged.
+
+  private val RollP = 1000000007L
+
+  /** JVM replica of [[md5Fingerprint]] + [[rollingFingerprint]]. */
+  def fingerprintJvm(text: String): (String, Long) = {
+    val toks = text.trim.split("\\s+")
+    var h = 0L
+    var i = 0
+    while (i < toks.length) {
+      h = (h * 31L + (Dedup.md5Hash60(toks(i)) % RollP)) % RollP
+      i += 1
+    }
+    (Dedup.md5Hex(toks.mkString(" ")), h)
+  }
+
+  /** Fingerprint table op: (id, fp_md5, fp_roll) in tight JVM loops. */
+  def fingerprintKernel(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (m, r) = fingerprintJvm(t); (id, m, r)
+      }).toDF("id", "fp_md5", "fp_roll")
+  }
+
+  private lazy val bpePattern =
+    java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+  private lazy val punctPattern =
+    java.util.regex.Pattern.compile("[^a-zA-Z0-9\\s]")
+  private lazy val stopSets: Seq[(String, Set[String])] =
+    stopwords.map { case (l, ws) => (l, ws.toSet) }
+  private lazy val allStopSet: Set[String] =
+    stopwords.flatMap(_._2).toSet
+
+  /** JVM replica of ([[langId]], [[tokenCount]], [[bpeishCount]],
+    * [[qualityScoreE4]]): same tokenization, same regexes (both engines
+    * run java.util.regex), same double-arithmetic association order —
+    * results are bit-identical to the declarative columns. */
+  def statsJvm(text: String): (String, Long, Long, Long) = {
+    val toks = text.trim.split("\\s+")
+    val nt = toks.length.toLong
+    val scores = stopSets.map { case (l, s) => (l, toks.count(s.contains).toLong) }
+    val best = scores.iterator.map(_._2).max
+    // first language in (alphabetical) list order wins ties, as in the
+    // declarative foldRight chain
+    val lang = if (best > 0) scores.find(_._2 == best).get._1 else "und"
+    val bm = bpePattern.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    var nb = 0L
+    while (bm.find()) nb += 1
+    val nc = text.length.toLong
+    val pm = punctPattern.matcher(text)
+    var np = 0L
+    while (pm.find()) np += 1
+    val nstop = toks.count(allStopSet.contains).toLong
+    val lenScore = math.min(nc.toDouble / 500.0, 1.0)
+    val stopScore = nstop.toDouble / nt.toDouble
+    val punctScore = 1.0 - np.toDouble / nc.toDouble
+    val awlScore = math.min(((nc - np).toDouble / nt.toDouble) / 10.0, 1.0)
+    val q = math.floor(2500.0 * lenScore + 2500.0 * stopScore +
+      2500.0 * punctScore + 2500.0 * awlScore).toLong
+    (lang, nt, nb, q)
+  }
+
+  /** Per-document stats table op:
+    * (id, lang_pred, n_tokens, n_bpeish, quality_e4). */
+  def statsKernel(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (lang, nt, nb, q) = statsJvm(t); (id, lang, nt, nb, q)
+      }).toDF("id", "lang_pred", "n_tokens", "n_bpeish", "quality_e4")
+  }
+
+  /** (key, lang_pred, quality_e4) keyed by an arbitrary string column —
+    * the kernel form feeding corpus roll-ups like `text_source_profile`
+    * without a join back to the key. */
+  def langQualityKernel(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(textCol)).as[(String, String)]
+      .mapPartitions(_.map { case (k, t) =>
+        val (lang, _, _, q) = statsJvm(t); (k, lang, q)
+      }).toDF(keyCol, "lang_pred", "quality_e4")
+  }
 }

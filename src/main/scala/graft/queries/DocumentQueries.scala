@@ -30,27 +30,24 @@ object DocumentQueries {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairsKernel(docs(s, dir), "text", "doc_id")),
 
-    // SimHash fingerprints per doc (32-bit, md5-vote; codegen'd
-    // explode+aggregate form)
+    // SimHash fingerprints per doc (32-bit, md5-vote; row-local kernel
+    // form — simhashTable is the declarative reference, spec-pinned)
     "text_simhash" -> ((s, dir) =>
-      Dedup.simhashTable(docs(s, dir), "text", "doc_id")
+      Dedup.simhashKernel(docs(s, dir), "text", "doc_id")
         .select(col("id").as("doc_id"), col("simhash"))),
 
-    // language-ID + token counting + quality scoring per doc
+    // language-ID + token counting + quality scoring per doc (kernel
+    // form of langId/tokenCount/bpeishCount/qualityScoreE4)
     "text_stats" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_pred"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.bpeishCount(col("text")).as("n_bpeish"),
-        TextAnalysis.qualityScoreE4(col("text")).as("quality_e4"))),
+      TextAnalysis.statsKernel(docs(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("lang_pred"),
+          col("n_tokens"), col("n_bpeish"), col("quality_e4"))),
 
     // document fingerprints: md5 content key + rolling polynomial hash
+    // (kernel form of md5Fingerprint/rollingFingerprint)
     "text_fingerprint" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.md5Fingerprint(col("text")).as("fp_md5"),
-        TextAnalysis.rollingFingerprint(col("text")).as("fp_roll"))),
+      TextAnalysis.fingerprintKernel(docs(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("fp_md5"), col("fp_roll"))),
 
     // multimodal plumbing (rows-only check — the stub codec is not
     // SQL-expressible): documents as fake image payloads → partition-
@@ -64,13 +61,12 @@ object DocumentQueries {
     }),
 
     // corpus roll-up: per (source, predicted lang) counts + mean quality
+    // (kernel-scored rows feed one codegen'd hash aggregation)
     "text_source_profile" -> ((s, dir) =>
-      docs(s, dir)
-        .select(col("source"),
-          TextAnalysis.langId(col("text")).as("lang_pred"),
-          TextAnalysis.qualityScoreE4(col("text")).as("q"))
+      TextAnalysis.langQualityKernel(docs(s, dir), "text", "source")
         .groupBy(col("source"), col("lang_pred"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("q")).as("sum_quality_e4"))))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("quality_e4")).as("sum_quality_e4"))))
 
   // ---------------------------------------------------------------- oracles
 

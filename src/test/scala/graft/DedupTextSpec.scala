@@ -117,6 +117,49 @@ class DedupTextSpec extends SparkTestBase {
     assert(rows(0) > rows(1)) // stopword-rich scores higher
   }
 
+  // stress corpus for kernel-parity pins: mixed scripts, punctuation,
+  // digits, padding, single token
+  private val kcorpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "el gato que duerme en la casa y una siesta"),
+    (3L, "的 了 是 我 不 在 有 人 der und"),
+    (4L, "  padded   don't stop-me now2  "),
+    (5L, "x"))
+    .toDF("doc_id", "text")
+
+  test("kernel text stats == declarative langId/tokenCount/bpeish/quality") {
+    val decl = kcorpus.select(col("doc_id"),
+        TextAnalysis.langId(col("text")),
+        TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.bpeishCount(col("text")),
+        TextAnalysis.qualityScoreE4(col("text")))
+      .collect().map(_.toSeq).toSet
+    val kern = TextAnalysis.statsKernel(kcorpus, "text", "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(decl == kern)
+  }
+
+  test("kernel fingerprints == declarative md5/rolling fingerprints") {
+    val decl = kcorpus.select(col("doc_id"),
+        TextAnalysis.md5Fingerprint(col("text")),
+        TextAnalysis.rollingFingerprint(col("text")))
+      .collect().map(_.toSeq).toSet
+    val kern = TextAnalysis.fingerprintKernel(kcorpus, "text", "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(decl == kern)
+  }
+
+  test("kernel simhash == declarative simhash column and table forms") {
+    val decl = kcorpus.select(col("doc_id"), Dedup.simhash(col("text")))
+      .collect().map(_.toSeq).toSet
+    val tbl = Dedup.simhashTable(kcorpus, "text", "doc_id")
+      .collect().map(_.toSeq).toSet
+    val kern = Dedup.simhashKernel(kcorpus, "text", "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(decl == kern)
+    assert(tbl == kern)
+  }
+
   test("fingerprints: md5 normalizes whitespace; rolling is order-sensitive") {
     val fp = Seq((1L, "a b c"), (2L, " a  b   c "), (3L, "c b a"))
       .toDF("id", "text")
