@@ -175,6 +175,80 @@ object Dedup {
         col("sz_a"), col("sz_b"))
   }
 
+  /** [[jaccardPairsKernel]] with PPJoin-style prefix filtering
+    * (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    * WWW'07; public algorithm): a pair with Jaccard ≥ t must share at
+    * least ⌈t·|A|⌉ kept shingles, so — with every doc's kept shingles
+    * sorted by a GLOBAL order (ascending document frequency, then
+    * hash) — any qualifying pair must collide within each doc's first
+    * `k_A − ⌈t·|A|⌉ + 1` shingles. Only those prefixes are indexed for
+    * the candidate join, which cuts the index fan-out from Σ df² over
+    * ALL shingles to Σ df² over the RAREST ones; candidates are then
+    * verified by exact set intersection. Same output contract as
+    * [[jaccardPairs]] (`common` counts kept shingles only — pairs
+    * sharing solely df-capped shingles are excluded; sizes are full
+    * shingle-set sizes), so the DuckDB oracle is unchanged.
+    *
+    * At 100 TB this is the all-pairs plan: every stage shuffles compact
+    * (id, hash) rows linear in corpus size except the candidate join,
+    * whose fan-out the prefix bound keeps near-linear on natural
+    * corpora (rare shingles have df ≈ 1).
+    */
+  def jaccardPairsPrefixKernel(df: DataFrame, textCol: String, idCol: String,
+      k: Int, thresholdE4: Int, maxDf: Long = 1000L): DataFrame = {
+    val hs = shingleHashKernel(df, textCol, idCol, k)
+    val ex = hs.select(col("id"), explode(col("hs")).as("sh"))
+    val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df_"))
+      .where(col("df_") <= maxDf)
+    val sizes = hs.select(col("id"), size(col("hs")).cast(LongType).as("sz"))
+    // kept shingles per doc, globally ordered by (df asc, hash asc)
+    val keptArr = ex.join(dfTab, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df_"), col("sh")))).as("ks"))
+      .join(sizes, Seq("id"))
+      .select(col("id"), col("sz"),
+        transform(col("ks"), _.getField("sh")).as("ksh"))
+    // α = ⌈t·sz⌉ (integer-exact); prefix = first len(ksh) − α + 1
+    val alpha = floor((col("sz") * thresholdE4.toLong + 9999L) / 10000L)
+    val prefixLen = greatest(size(col("ksh")) - alpha + 1, lit(0))
+      .cast("int")
+    // candidate generation from prefix posting lists: one shuffle on the
+    // shingle hash, then (a < b) pair emission in a JVM loop — cheaper
+    // per emitted pair than a sort-merge self-join, and the per-list
+    // fan-out is bounded by maxDf²/2
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cand = keptArr
+      .select(explode(slice(col("ksh"), lit(1), prefixLen)).as("sh"), col("id"))
+      .groupBy("sh").agg(collect_list(col("id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val a = ids.toArray
+        java.util.Arrays.sort(a)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var i = 0
+        while (i < a.length) {
+          var j = i + 1
+          while (j < a.length) { out += ((a(i), a(j))); j += 1 }
+          i += 1
+        }
+        out
+      }.toDF("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val withArr = cand
+      .join(keptArr.select(col("id").as("id_a"), col("ksh").as("ksh_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(keptArr.select(col("id").as("id_b"), col("ksh").as("ksh_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+    val common = size(array_intersect(col("ksh_a"), col("ksh_b")))
+      .cast(LongType)
+    withArr
+      .where(lit(10000L) * common >=
+        lit(thresholdE4.toLong) * (col("sz_a") + col("sz_b") - common))
+      .select(col("id_a"), col("id_b"), common.as("common"),
+        col("sz_a"), col("sz_b"))
+  }
+
   /** Full md5 hex (32 chars) — JVM replica of Spark/DuckDB `md5()`. */
   def md5Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

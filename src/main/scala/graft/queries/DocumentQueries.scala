@@ -21,9 +21,10 @@ object DocumentQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "text", "doc_id")),
 
-    // n-gram Jaccard near-dup pairs (3-gram shingles, j >= 0.5)
+    // n-gram Jaccard near-dup pairs (3-gram shingles, j >= 0.5;
+    // PPJoin prefix-filtered candidate generation)
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairsKernel(docs(s, dir), "text", "doc_id", k = 3,
+      Dedup.jaccardPairsPrefixKernel(docs(s, dir), "text", "doc_id", k = 3,
         thresholdE4 = 5000)),
 
     // MinHash + LSH (16 hashes, 4 bands) verified at j >= 0.5
