@@ -196,7 +196,10 @@ object Dedup {
     */
   def jaccardPairsPrefixKernel(df: DataFrame, textCol: String, idCol: String,
       k: Int, thresholdE4: Int, maxDf: Long = 1000L): DataFrame = {
-    val hs = shingleHashKernel(df, textCol, idCol, k)
+    // hs feeds the df table, the sizes, and the kept-array build;
+    // keptArr feeds the prefix index and both verify joins — cache
+    // both so shingling and the global sort run once, not per branch
+    val hs = shingleHashKernel(df, textCol, idCol, k).cache()
     val ex = hs.select(col("id"), explode(col("hs")).as("sh"))
     val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df_"))
       .where(col("df_") <= maxDf)
@@ -208,6 +211,7 @@ object Dedup {
       .join(sizes, Seq("id"))
       .select(col("id"), col("sz"),
         transform(col("ks"), _.getField("sh")).as("ksh"))
+      .cache()
     // α = ⌈t·sz⌉ (integer-exact); prefix = first len(ksh) − α + 1
     val alpha = floor((col("sz") * thresholdE4.toLong + 9999L) / 10000L)
     val prefixLen = greatest(size(col("ksh")) - alpha + 1, lit(0))

@@ -47,6 +47,14 @@ object Multimodal {
       frame_index: Int,
       frame_payload: Array[Byte])
 
+  /** Decoded audio features (stub-decoded; schema is the contract). */
+  case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      duration_ms: Long,
+      mfccish: Array[Float])
+
   /** Deterministic fake codec — stands in for libjpeg/ffmpeg.
     * Every output is a pure function of the payload bytes, so tests
     * and re-runs are exactly reproducible cluster-wide. */
@@ -73,6 +81,40 @@ object Multimodal {
     /** Fake frame extraction: fixed-stride byte windows. */
     def sampleFrames(payload: Array[Byte], everyN: Int): Seq[Array[Byte]] =
       payload.grouped(math.max(1, everyN)).toSeq
+
+    /** Fake resize: nearest-neighbor byte resample to an output buffer
+      * sized targetW·targetH·channels/1024 (deterministic — same bytes
+      * in, same bytes out, like a real scaler). */
+    def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val outLen = math.max(1, targetW * targetH * 3 / 1024)
+      val out = new Array[Byte](outLen)
+      if (payload.nonEmpty) {
+        var i = 0
+        while (i < outLen) {
+          out(i) = payload((i.toLong * payload.length / outLen).toInt)
+          i += 1
+        }
+      }
+      out
+    }
+
+    /** Fake audio decode: header-derived sample rate, byte-pair
+      * samples, and an mfcc-shaped moment vector. */
+    def decodeAudio(payload: Array[Byte], dim: Int = 13): (Int, Long, Array[Float]) = {
+      val h = java.util.Arrays.hashCode(payload)
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      val sampleRate = rates(math.floorMod(h, rates.length))
+      val nSamples = payload.length.toLong / 2
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i + 1 < payload.length) {
+        val s = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
+        acc(math.floorMod(s, dim)) += 1f
+        i += 2
+      }
+      val n = math.sqrt(acc.map(x => x.toDouble * x).sum).toFloat max 1e-9f
+      (sampleRate, nSamples, acc.map(_ / n))
+    }
   }
 
   /** Normalize an arbitrary frame into the canonical media schema. */
@@ -113,6 +155,37 @@ object Multimodal {
         it.map { case (id, payload) =>
           val (w, h, c) = StubCodec.decodeImage(payload)
           ImageFeatures(id, w, h, c, StubCodec.imageEmbedding(payload))
+        }
+      }
+  }
+
+  /** Partition-mapped image resize: payload → payload, metadata gains
+    * the target geometry. Payload-in/payload-out ops keep the media
+    * table schema closed under transformation, so resize → decode →
+    * frame-sample pipelines compose. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    media.where(col("modality") === "image").as[MediaFile]
+      .mapPartitions { it =>
+        it.map { m =>
+          m.copy(
+            payload = StubCodec.resizeImage(m.payload, targetW, targetH),
+            meta = m.meta + ("resized" -> s"${targetW}x$targetH"))
+        }
+      }
+  }
+
+  /** Partition-mapped audio decode + feature extraction — the audio
+    * twin of [[decodeImages]]. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.where(col("modality") === "audio")
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (rate, n, feats) = StubCodec.decodeAudio(payload)
+          AudioFeatures(id, rate, n, n * 1000L / rate, feats)
         }
       }
   }

@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.TimeSeriesService
 import graft.model.{FactDef, FactType}
@@ -79,4 +80,69 @@ object StreamingIngest {
       .format("memory")
       .queryName(queryName)
       .start()
+
+  /** An open (not yet gap-closed) session interval in streaming state. */
+  case class OpenSession(startMs: Long, endMs: Long, n: Long)
+
+  /** Per-user streaming sessionization state: open intervals only —
+    * cardinality is concurrent sessions per user inside the watermark
+    * horizon, never event volume. */
+  case class SessionBuf(open: Seq[OpenSession])
+
+  /** A gap-closed session, emitted exactly once. */
+  case class ClosedSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Mode 3: custom streaming state via `flatMapGroupsWithState` —
+    * gap sessionization, the streaming twin of the batch
+    * `session_window` operator (`event_sessions` driver query). Events
+    * merge into a session while consecutive gaps stay under
+    * `gapMinutes` (strict `<`, matching `session_window`'s
+    * window-overlap rule); a session is emitted once the event-time
+    * watermark passes its last event + gap.
+    *
+    * State holds a sorted list of open intervals per user, so
+    * out-of-order events inside the watermark horizon merge correctly
+    * (including bridging two previously-separate intervals). Emission
+    * uses event-time timeouts: users with no new events still close
+    * their sessions when the watermark advances. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+      watermarkDelay: String): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionBuf, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          val existing = if (state.exists) state.get.open else Seq.empty
+          val incoming =
+            rows.map(r => OpenSession(r._2.getTime, r._2.getTime, 1L)).toSeq
+          val merged = (existing ++ incoming)
+            .sortBy(s => (s.startMs, s.endMs))
+            .foldLeft(List.empty[OpenSession]) { (acc, s) =>
+              acc match {
+                case h :: t if s.startMs < h.endMs + gapMs =>
+                  OpenSession(h.startMs, math.max(h.endMs, s.endMs), h.n + s.n) :: t
+                case _ => s :: acc
+              }
+            }.reverse
+          val (closed, open) = merged.partition(_.endMs + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(SessionBuf(open))
+            // earliest possible close; strictly > wm for all open
+            state.setTimeoutTimestamp(open.map(_.endMs + gapMs).min)
+          } else {
+            state.remove()
+          }
+          closed.iterator.map(s =>
+            ClosedSession(user, new Timestamp(s.startMs),
+              new Timestamp(s.endMs), s.n))
+      }
+  }
 }

@@ -54,6 +54,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(_.frame_payload.length).toSeq == Seq(10, 10, 6))
   }
 
+  test("resizeImages: payload-in/payload-out, schema closed, meta tagged") {
+    val out = Multimodal.resizeImages(spark, media(), 256, 256).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out.keySet == Set(1L, 2L)) // video row excluded
+    assert(out(1L).meta("resized") == "256x256")
+    assert(out(1L).payload.length == 256 * 256 * 3 / 1024)
+    // deterministic + composes with decode
+    val again = Multimodal.resizeImages(spark, media(), 256, 256).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out(1L).payload.toSeq == again(1L).payload.toSeq)
+    val decoded = Multimodal.decodeImages(spark,
+      Multimodal.resizeImages(spark, media(), 256, 256).toDF()).collect()
+    assert(decoded.length == 2)
+  }
+
+  test("decodeAudio: deterministic stub rate/duration/features") {
+    val audio = media().withColumn("modality", lit("audio"))
+    val out = Multimodal.decodeAudio(spark, audio).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    val a1 = out(1L)
+    assert(Set(8000, 16000, 22050, 44100, 48000).contains(a1.sample_rate))
+    assert(a1.n_samples == "tiny payload one".length / 2)
+    assert(a1.duration_ms == a1.n_samples * 1000 / a1.sample_rate)
+    assert(a1.mfccish.length == 13)
+    val n = math.sqrt(a1.mfccish.map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1.0) < 1e-3)
+  }
+
   test("filterByMeta prunes by metadata without touching payloads") {
     val got = Multimodal.filterByMeta(media(),
       col("meta").getItem("source") === "cam0")

@@ -107,6 +107,57 @@ class StreamingSpec extends SparkTestBase {
       ("32", ts("2014-03-21T09:20"), 1L)))
   }
 
+  test("stateful sessionization: closed sessions == batch session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamingIngest.sessionizeStream(
+      source.toDF().toDF("user_id", "ts"), gapMinutes = 30,
+      watermarkDelay = "1 hour")
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_test")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString)
+      .start()
+    val batch1 = Seq(
+      (1L, ts("2024-01-01T10:00")), (1L, ts("2024-01-01T10:10")),
+      (2L, ts("2024-01-01T10:05")), (1L, ts("2024-01-01T10:50")))
+    source.addData(batch1: _*)
+    q.processAllAvailable()
+    // out-of-order (inside the 1h watermark): merges into user 1's
+    // first session
+    source.addData((1L, ts("2024-01-01T10:05")))
+    q.processAllAvailable()
+    // push the watermark past every session's close, then one more
+    // batch so the event-time timeouts actually fire
+    source.addData((99L, ts("2024-01-01T20:00")))
+    q.processAllAvailable()
+    source.addData((98L, ts("2024-01-01T20:01")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))).toSet
+    assert(got == Set(
+      (1L, ts("2024-01-01T10:00"), ts("2024-01-01T10:10"), 3L),
+      (1L, ts("2024-01-01T10:50"), ts("2024-01-01T10:50"), 1L),
+      (2L, ts("2024-01-01T10:05"), ts("2024-01-01T10:05"), 1L)))
+
+    // batch session_window over the same closed-user events agrees
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    val staticEvents = (batch1 :+ ((1L, ts("2024-01-01T10:05"))))
+      .toDF("user_id", "ts")
+    val batchSessions = staticEvents
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(batchSessions == got.map(s => (s._1, s._2, s._4)))
+  }
+
   test("average fact streams as re-aggregable (counter,total) pairs") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
