@@ -175,6 +175,60 @@ object Dedup {
         col("sz_a"), col("sz_b"))
   }
 
+  /** Posting list → ordered (id_a < id_b) co-occurrence pairs, emitted
+    * in a tight JVM loop. Shared candidate-generation tail for the
+    * posting/prefix/band index forms. */
+  def emitPairs(lists: org.apache.spark.sql.Dataset[Seq[Long]]): DataFrame = {
+    val spark = lists.sparkSession
+    import spark.implicits._
+    lists.flatMap { ids =>
+      val a = ids.toArray
+      java.util.Arrays.sort(a)
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+        a.length * (a.length - 1) / 2)
+      var i = 0
+      while (i < a.length) {
+        var j = i + 1
+        while (j < a.length) { out += ((a(i), a(j))); j += 1 }
+        i += 1
+      }
+      out
+    }.toDF("id_a", "id_b")
+  }
+
+  /** [[jaccardPairsKernel]] with posting-list pair emission: ONE hash
+    * aggregation builds the inverted index (`sh → ids`) with the df cap
+    * folded into the same pass (`size(ids) <= maxDf` replaces the
+    * separate df table + semi-join), then co-occurring pairs are
+    * emitted in a tight JVM loop and counted by a second map-side-
+    * combining aggregation. Identical output to [[jaccardPairs]]
+    * (same hashes → same posting lists → same counts), but the
+    * quadratic stage costs one shuffle of the exploded shingles plus
+    * one of the emitted pairs — versus the self-join's two sorted
+    * shuffles of the full index plus the pair shuffle. At 100 TB the
+    * pair stream (Σ df²/2 rows of two longs) dominates either way;
+    * this form just stops paying the join machinery on top of it. */
+  def jaccardPairsPostingKernel(df: DataFrame, textCol: String, idCol: String,
+      k: Int, thresholdE4: Int, maxDf: Long = 1000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hs = shingleHashKernel(df, textCol, idCol, k).cache()
+    val sizes = hs.select(col("id"), size(col("hs")).cast(LongType).as("sz"))
+    val pairs = emitPairs(
+      hs.select(col("id"), explode(col("hs")).as("sh"))
+        .groupBy("sh").agg(collect_list(col("id")).as("ids"))
+        .where(size(col("ids")) <= maxDf)
+        .select(col("ids")).as[Seq[Long]])
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .where(lit(10000L) * col("common") >=
+        lit(thresholdE4.toLong) * (col("sz_a") + col("sz_b") - col("common")))
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("sz_a"), col("sz_b"))
+  }
+
   /** [[jaccardPairsKernel]] with PPJoin-style prefix filtering
     * (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
     * WWW'07; public algorithm): a pair with Jaccard ≥ t must share at
@@ -222,22 +276,10 @@ object Dedup {
     // fan-out is bounded by maxDf²/2
     val spark = df.sparkSession
     import spark.implicits._
-    val cand = keptArr
-      .select(explode(slice(col("ksh"), lit(1), prefixLen)).as("sh"), col("id"))
-      .groupBy("sh").agg(collect_list(col("id")).as("ids"))
-      .select(col("ids")).as[Seq[Long]]
-      .flatMap { ids =>
-        val a = ids.toArray
-        java.util.Arrays.sort(a)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var i = 0
-        while (i < a.length) {
-          var j = i + 1
-          while (j < a.length) { out += ((a(i), a(j))); j += 1 }
-          i += 1
-        }
-        out
-      }.toDF("id_a", "id_b")
+    val cand = emitPairs(keptArr
+        .select(explode(slice(col("ksh"), lit(1), prefixLen)).as("sh"), col("id"))
+        .groupBy("sh").agg(collect_list(col("id")).as("ids"))
+        .select(col("ids")).as[Seq[Long]])
       .dropDuplicates("id_a", "id_b")
     val withArr = cand
       .join(keptArr.select(col("id").as("id_a"), col("ksh").as("ksh_a"),
@@ -294,11 +336,13 @@ object Dedup {
           (id, b, md5Hex(sig.slice(b * rows, (b + 1) * rows).mkString(",")))
         }
       }.toDF("id", "band", "key")
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // candidate generation via band posting lists (same emission loop
+    // as the jaccard posting kernel) — one shuffle on the band key
+    // instead of a sorted self-join of the banded table
+    val cand = emitPairs(
+        banded.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
+          .where(size(col("ids")) >= 2)
+          .select(col("ids")).as[Seq[Long]])
       .dropDuplicates("id_a", "id_b")
       .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))

@@ -100,6 +100,23 @@ class DedupTextSpec extends SparkTestBase {
         norm(Dedup.jaccardPairs(corpus, "text", "doc_id", 3, 5000)))
   }
 
+  test("posting-list jaccard == index-join jaccard (incl. df cap)") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val docs = (1L to 40L).map { i =>
+      val tail = if (i % 4 == 0) "xx yy zz" else s"tail $i unique$i"
+      (i, s"the quick brown fox jumps over wall $tail")
+    }.toDF("doc_id", "text")
+    for (t <- Seq(3000, 5000, 8000); cap <- Seq(5L, 1000L)) {
+      val base = norm(Dedup.jaccardPairsKernel(docs, "text", "doc_id", 3, t, cap))
+      val post = norm(Dedup.jaccardPairsPostingKernel(docs, "text", "doc_id", 3, t, cap))
+      assert(post == base, s"threshold=$t cap=$cap")
+    }
+    assert(
+      norm(Dedup.jaccardPairsPostingKernel(corpus, "text", "doc_id", 3, 5000)) ==
+        norm(Dedup.jaccardPairs(corpus, "text", "doc_id", 3, 5000)))
+  }
+
   test("token counting: whitespace and bpe-ish") {
     val df = Seq("hello world", "don't stop-me now2", " padded  spaces ")
       .toDF("text")
