@@ -59,11 +59,19 @@ object Dedup {
     array_distinct(when(n >= k, grams).otherwise(array(concat_ws(" ", toks))))
   }
 
+  /** Per-thread MD5 instance: `MessageDigest.getInstance` does a
+    * provider lookup + allocation per call, which dominates kernel
+    * profiles that hash every token/shingle; `digest()` resets the
+    * instance, so thread-local reuse is safe. */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** JVM-side replica of [[hash60]]: first 15 hex chars of md5 as a
     * positive long — byte-identical to Spark's `md5()` and DuckDB's,
     * so kernel-computed hashes stay oracle-comparable. */
   def md5Hash60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // 15 hex chars = first 7.5 bytes, big-endian
     var v = 0L
@@ -297,9 +305,16 @@ object Dedup {
 
   /** Full md5 hex (32 chars) — JVM replica of Spark/DuckDB `md5()`. */
   def md5Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+    val d = md5Local.get()
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
   }
 
   /** [[minhashLshPairs]] with kernel-side shingling + signatures: the
@@ -456,7 +471,7 @@ object Dedup {
   /** First 8 hex chars of md5 as a long (32-bit value) — JVM replica of
     * the per-token hash inside [[simhash]]/[[simhashTable]]. */
   def md5Hash32(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = md5Local.get()
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
