@@ -51,6 +51,32 @@ object Rollups {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("bucket_date")
 
+  /** Generic re-aggregable partials for the Catalyst routing rule
+    * ([[graft.plans.RollupRouting]]): per (dims…, slice bucket) keep
+    * every partial that common SQL aggregates re-derive from —
+    * `cnt`/`cntv`/`total`/`mn`/`mx` cover count(*), count(v), sum(v),
+    * min/max(v) and avg(v) (= total/cntv). One map-side-combined hash
+    * aggregation over raw events; output is smaller than the input by
+    * the events-per-slice compaction factor. */
+  def partials(raw: DataFrame, dims: Seq[String], tsCol: String = "ts",
+      valueCol: String = "value", sliceMinutes: Int = 15): DataFrame =
+    raw.groupBy(dims.map(col) :+
+        TimeKernel.sliceFloor(col(tsCol), sliceMinutes).as("bucket"): _*)
+      .agg(count(lit(1L)).as("cnt"), count(col(valueCol)).as("cntv"),
+        sum(col(valueCol)).as("total"), min(col(valueCol)).as("mn"),
+        max(col(valueCol)).as("mx"))
+
+  /** Materialize [[partials]] partitioned by the bucket's date, so a
+    * routed time-range query prunes whole partitions. */
+  def materializePartials(raw: DataFrame, dims: Seq[String], path: String,
+      tsCol: String = "ts", valueCol: String = "value",
+      sliceMinutes: Int = 15): Unit =
+    partials(raw, dims, tsCol, valueCol, sliceMinutes)
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(path)
+
   /** Re-aggregate slice partials into a calendar bucket — the rollup
     * counterpart of [[Timeseries.collapse]] (which aggregates raw
     * events): counter/histogram partials sum; average partials sum

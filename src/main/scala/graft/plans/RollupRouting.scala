@@ -1,0 +1,382 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType, TimestampType}
+
+import graft.functions.TimeKernel
+
+/** Transparent aggregate→rollup routing as a Catalyst optimizer rule.
+  *
+  * The reference's one query optimization is `best-grouping`
+  * (`postgres/query.clj:19-28`): answer a query from the smallest
+  * pre-aggregated table that covers it instead of raw events. The
+  * service layer already reimplements that routing
+  * ([[graft.operators.Timeseries.bestGrouping]]); this rule lifts it
+  * into Catalyst (SURVEY §4's "optional custom Rule" upgrade) so that
+  * ARBITRARY DataFrame/SQL aggregations over the raw events source —
+  * not just `TimeSeriesService` calls — are served from a registered
+  * slice-level rollup when semantics allow.
+  *
+  * A registered rollup holds, per (dims…, slice bucket), the partial
+  * aggregates `cnt = count(*)`, `cntv = count(value)`,
+  * `total = sum(value)`, `mn = min(value)`, `mx = max(value)`
+  * (see [[graft.operators.Rollups.partials]]). The rule rewrites
+  * `Aggregate [g…] [a…] (Filter? (Project? raw))` into the same
+  * aggregate over the rollup when:
+  *
+  *  - every grouping expression is a registered dimension expression,
+  *    a calendar truncation of the event time no finer than the slice
+  *    (`date_trunc` hour/day/week/month/quarter/year, or a cast to
+  *    date), or the slice-floor bucket itself;
+  *  - every aggregate is re-aggregable from the partials:
+  *    `sum(value)→sum(total)`, `count(*)→sum(cnt)`,
+  *    `count(value)→sum(cntv)`, `min/max(value)→min(mn)/max(mx)`,
+  *    `avg(value)→sum(total)/sum(cntv)`;
+  *  - every filter conjunct touches only dimension expressions, or is
+  *    a slice-ALIGNED half-open time bound (`ts >= lit` / `ts < lit`
+  *    with `lit` on a slice boundary — the only bounds for which the
+  *    raw row set is exactly a set of whole buckets).
+  *
+  * Anything else leaves the plan untouched — the rewrite is strictly
+  * best-effort and semantics-preserving. At 100 TB this is the
+  * difference between scanning raw events and scanning a table smaller
+  * by the events-per-slice compaction factor, with the time/dim
+  * predicates pushed into the rollup's parquet scan (the rewritten
+  * Filter sits directly on the rollup relation, so FileSourceStrategy
+  * still applies pushdown + pruning at physical planning).
+  */
+object RollupRouting {
+
+  /** One registered (raw source → rollup) mapping. All expressions are
+    * stored OPTIMIZED and expressed over `leaf`'s output attributes, so
+    * canonical comparison against a user plan (optimized by the time
+    * the rule runs) is stable; they are remapped onto the user plan's
+    * own leaf attribute ids at match time. */
+  private[plans] final case class Entry(
+      leaf: LogicalPlan,
+      tsExpr: Expression,
+      valueExpr: Expression,
+      sliceExpr: Expression,
+      dimExprs: Seq[(String, Expression)],
+      rollup: LogicalPlan,
+      sliceMinutes: Int)
+
+  private val registry = TrieMap.empty[SparkSession, Vector[Entry]]
+
+  private[plans] def entriesFor(spark: SparkSession): Vector[Entry] =
+    registry.getOrElse(spark, Vector.empty)
+
+  /** Register a rollup for a raw source. `raw` is the DataFrame users
+    * query (it may derive columns — e.g. a nanos→timestamp conversion —
+    * as long as it is Project/Filter-free-equivalent over ONE leaf
+    * relation); `rollup` must be shaped like
+    * [[graft.operators.Rollups.partials]] of the same raw frame. */
+  def register(spark: SparkSession, raw: DataFrame, rollup: DataFrame,
+      dims: Seq[String], tsCol: String = "ts", valueCol: String = "value",
+      sliceMinutes: Int = 15): Unit = {
+    // Probe plan: optimize the registered expressions exactly the way a
+    // user query's will be, then inline them down to the leaf attrs.
+    val probeCols = Seq(col(tsCol).as("__ts"), col(valueCol).as("__value"),
+      TimeKernel.sliceFloor(col(tsCol), sliceMinutes).as("__slice")) ++
+      dims.map(d => col(d).as(s"__dim__$d"))
+    val probe = raw.select(probeCols: _*).queryExecution.optimizedPlan
+    val (leaf, maps, fs) = strip(probe)
+    require(fs.isEmpty, "register: raw frame must not carry filters")
+    val byName = probe.output.map(a => a.name -> inline(a, maps, 0)).toMap
+    val entry = Entry(leaf, byName("__ts"), byName("__value"),
+      byName("__slice"), dims.map(d => d -> byName(s"__dim__$d")),
+      rollup.queryExecution.analyzed, sliceMinutes)
+    registry.updateWith(spark)(v => Some(v.getOrElse(Vector.empty) :+ entry))
+  }
+
+  def clear(spark: SparkSession): Unit = registry.remove(spark)
+
+  /** Add the routing rule to an already-built session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[RollupRouteRule]))
+      spark.experimental.extraOptimizations = cur :+ RollupRouteRule(spark)
+  }
+
+  // ---- plan surgery helpers (shared by register + rule) ----------------
+
+  /** Walk Project/Filter/SubqueryAlias down to the leaf; collect alias
+    * maps top-down and filter conditions with the number of alias maps
+    * above them. */
+  private[plans] def strip(plan: LogicalPlan)
+      : (LogicalPlan, Seq[Map[ExprId, Expression]], Seq[(Expression, Int)]) = {
+    val maps = ArrayBuffer.empty[Map[ExprId, Expression]]
+    val filters = ArrayBuffer.empty[(Expression, Int)]
+    var node = plan
+    var done = false
+    while (!done) node match {
+      case p: Project if p.projectList.forall(e =>
+          e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+        maps += p.projectList.collect {
+          case a: Alias => a.exprId -> a.child
+        }.toMap
+        node = p.child
+      case f: Filter =>
+        filters += ((f.condition, maps.size)); node = f.child
+      case s: SubqueryAlias => node = s.child
+      case _ => done = true
+    }
+    (node, maps.toSeq, filters.toSeq)
+  }
+
+  /** Substitute project aliases (top-down) so `e` references only leaf
+    * attributes. `fromDepth` = how many maps sit above e's position. */
+  private[plans] def inline(e: Expression,
+      maps: Seq[Map[ExprId, Expression]], fromDepth: Int): Expression =
+    maps.drop(fromDepth).foldLeft(e) { (ex, m) =>
+      ex.transformUp {
+        case ar: AttributeReference if m.contains(ar.exprId) => m(ar.exprId)
+      }
+    }
+
+  /** Leaf equivalence: structural sameResult, or same files for two
+    * independent reads of the same parquet location (HadoopFsRelation
+    * equality is reference-based on its FileIndex, so two
+    * `spark.read.parquet(path)` calls never compare equal). */
+  private[plans] def leavesMatch(a: LogicalPlan, b: LogicalPlan): Boolean =
+    a.sameResult(b) || ((a, b) match {
+      case (la: LogicalRelation, lb: LogicalRelation) =>
+        (la.relation, lb.relation) match {
+          case (fa: HadoopFsRelation, fb: HadoopFsRelation) =>
+            fa.fileFormat.getClass == fb.fileFormat.getClass &&
+              fa.location.rootPaths.map(_.toString).sorted ==
+                fb.location.rootPaths.map(_.toString).sorted &&
+              fa.dataSchema == fb.dataSchema
+          case _ => false
+        }
+      case _ => false
+    })
+}
+
+/** The optimizer rule. Runs late (extraOptimizations / injected user
+  * batch) — the rewritten subtree is final, but parquet pushdown and
+  * column pruning for the new rollup scan still happen at physical
+  * planning (FileSourceStrategy's PhysicalOperation), so the routed
+  * plan scans only the rollup columns and partitions it needs. */
+final case class RollupRouteRule(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+  import RollupRouting._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val entries = entriesFor(spark)
+    if (entries.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate =>
+        entries.view.flatMap(e => rewrite(agg, e)).headOption.getOrElse(agg)
+    }
+  }
+
+  private def rewrite(agg: Aggregate, entry: Entry): Option[Aggregate] = {
+    val (leaf, maps, filters) = strip(agg.child)
+    if (!leavesMatch(leaf, entry.leaf)) return None
+
+    // Remap the entry's leaf-attr expressions onto THIS plan's leaf ids.
+    val remap: Map[ExprId, Attribute] = entry.leaf.output.flatMap { a =>
+      leaf.output.find(_.name == a.name).map(a.exprId -> _)
+    }.toMap
+    if (remap.size != entry.leaf.output.size) return None
+    def re(e: Expression): Expression = e.transformUp {
+      case ar: AttributeReference if remap.contains(ar.exprId) => remap(ar.exprId)
+    }
+    val tsE = re(entry.tsExpr)
+    val valueE = re(entry.valueExpr)
+    val sliceE = re(entry.sliceExpr)
+    val dimEs = entry.dimExprs.map { case (n, e) => n -> re(e) }
+
+    // Fresh rollup instance (stable attr ids per rewrite site).
+    val rollup = entry.rollup match {
+      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+      case p => p
+    }
+    def rAttr(name: String): Option[Attribute] = rollup.output.find(_.name == name)
+    val (bucket, cnt, cntv, total) =
+      (rAttr("bucket"), rAttr("cnt"), rAttr("cntv"), rAttr("total")) match {
+        case (Some(b), Some(c), Some(cv), Some(t)) => (b, c, cv, t)
+        case _ => return None
+      }
+    val dimAttrs: Map[String, Attribute] =
+      dimEs.flatMap { case (n, _) => rAttr(n).map(n -> _) }.toMap
+    if (dimAttrs.size != dimEs.size) return None
+    val dimByCanon: Map[Expression, Attribute] =
+      dimEs.map { case (n, e) => e.canonicalized -> dimAttrs(n) }.toMap
+
+    val calendarUnits =
+      Set("year", "yyyy", "yy", "quarter", "month", "mon", "mm", "week",
+        "day", "dd", "hour")
+    def truncOk(fmt: String): Boolean = {
+      val f = fmt.toLowerCase(java.util.Locale.ROOT)
+      calendarUnits.contains(f) || (f == "minute" && entry.sliceMinutes == 1)
+    }
+
+    // ---- grouping --------------------------------------------------------
+    def groupTranslate(e: Expression): Option[Expression] =
+      dimByCanon.get(e.canonicalized).orElse(e match {
+        case tt @ TruncTimestamp(Literal(fmt, StringType), t, _)
+            if t.semanticEquals(tsE) && truncOk(fmt.toString) =>
+          Some(tt.copy(timestamp = bucket))
+        case c: Cast if c.dataType == DateType && c.child.semanticEquals(tsE) =>
+          Some(c.copy(child = bucket))
+        case _ if e.semanticEquals(sliceE) => Some(bucket)
+        case _ => None
+      })
+
+    val inlinedGroups = agg.groupingExpressions.map(inline(_, maps, 0))
+    val groupPairs = inlinedGroups.map(g => groupTranslate(g).map(g -> _))
+    if (groupPairs.exists(_.isEmpty)) return None
+    val groupByCanon: Map[Expression, Expression] =
+      groupPairs.flatten.map { case (g, t) => g.canonicalized -> t }.toMap
+
+    // ---- aggregates ------------------------------------------------------
+    val global = agg.groupingExpressions.isEmpty
+    def sumOf(a: Attribute): Expression = Sum(a).toAggregateExpression()
+    def aggTranslate(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined || ae.mode != Complete)
+        return None
+      val out: Option[Expression] = ae.aggregateFunction match {
+        case Sum(v, _) if v.semanticEquals(valueE) => Some(sumOf(total))
+        case Count(cs) if cs.nonEmpty && cs.forall(_.foldable) =>
+          // count(*): null on an empty rollup vs 0 on raw — coalesce for
+          // the global-aggregate case where the group always exists.
+          val s = sumOf(cnt)
+          Some(if (global) Coalesce(Seq(s, Literal(0L, LongType))) else s)
+        case Count(Seq(v)) if v.semanticEquals(valueE) =>
+          val s = sumOf(cntv)
+          Some(if (global) Coalesce(Seq(s, Literal(0L, LongType))) else s)
+        case Min(v) if v.semanticEquals(valueE) =>
+          rAttr("mn").map(m => Min(m).toAggregateExpression())
+        case Max(v) if v.semanticEquals(valueE) =>
+          rAttr("mx").map(m => Max(m).toAggregateExpression())
+        case Average(v, _) if v.semanticEquals(valueE) =>
+          Some(Divide(Cast(sumOf(total), DoubleType),
+            Cast(sumOf(cntv), DoubleType)))
+        case _ => None
+      }
+      out.filter(_.dataType == ae.dataType)
+    }
+
+    def tx(e: Expression): Option[Expression] =
+      groupByCanon.get(e.canonicalized) match {
+        case Some(r) => Some(r)
+        case None => e match {
+          case ae: AggregateExpression => aggTranslate(ae)
+          case _: AttributeReference => None
+          case _ if e.children.nonEmpty =>
+            val kids = e.children.map(tx)
+            if (kids.forall(_.isDefined)) Some(e.withNewChildren(kids.map(_.get)))
+            else None
+          case l: Literal => Some(l)
+          case _ => None
+        }
+      }
+
+    val newResults: Seq[Option[NamedExpression]] =
+      agg.aggregateExpressions.map { ne =>
+        inline(ne, maps, 0) match {
+          case a: Alias =>
+            tx(a.child).map(c => Alias(c, a.name)(exprId = a.exprId))
+          case ar: AttributeReference =>
+            tx(ar).map(c => Alias(c, ar.name)(exprId = ar.exprId))
+          case _ => None
+        }
+      }
+    if (newResults.exists(_.isEmpty)) return None
+
+    // ---- filters ---------------------------------------------------------
+    def aligned(micros: Long): Boolean = {
+      val minuteMicros = 60L * 1000000L
+      if (micros % minuteMicros != 0) false
+      else {
+        val minuteOfHour = (((micros / minuteMicros) % 60) + 60) % 60
+        minuteOfHour % entry.sliceMinutes == 0
+      }
+    }
+    // IsNotNull inferred on an underlying raw column: sound to move to
+    // the corresponding rollup column iff the registered expression is a
+    // null-intolerant function of exactly that column.
+    def notNullTarget(e: Expression): Option[Attribute] = {
+      def covers(reg: Expression): Boolean =
+        reg.references.size == 1 && reg.references.subsetOf(e.references) &&
+          e.references.size == 1
+      if (e.semanticEquals(tsE) || covers(tsE) && tsE.references == e.references)
+        Some(bucket)
+      else dimEs.collectFirst {
+        case (n, de) if de.semanticEquals(e) ||
+          (de.references == e.references && e.isInstanceOf[AttributeReference]) =>
+          dimAttrs(n)
+      }
+    }
+    def filterTranslate(c: Expression): Option[Expression] = {
+      val dimRefs = AttributeSet(dimEs.flatMap(_._2.references))
+      c match {
+        case GreaterThanOrEqual(t, l @ Literal(v: Long, TimestampType))
+            if t.semanticEquals(tsE) && aligned(v) =>
+          Some(GreaterThanOrEqual(bucket, l))
+        case LessThanOrEqual(l @ Literal(v: Long, TimestampType), t)
+            if t.semanticEquals(tsE) && aligned(v) =>
+          Some(GreaterThanOrEqual(bucket, l))
+        case LessThan(t, l @ Literal(v: Long, TimestampType))
+            if t.semanticEquals(tsE) && aligned(v) =>
+          Some(LessThan(bucket, l))
+        case GreaterThan(l @ Literal(v: Long, TimestampType), t)
+            if t.semanticEquals(tsE) && aligned(v) =>
+          Some(LessThan(bucket, l))
+        case IsNotNull(e) => notNullTarget(e).map(IsNotNull)
+        case _ =>
+          // Dimension-only predicate of any shape: replace each embedded
+          // dimension expression with its rollup column; succeed only if
+          // no raw attribute survives.
+          def dtx(e: Expression): Option[Expression] =
+            dimByCanon.get(e.canonicalized) match {
+              case Some(a) => Some(a)
+              case None => e match {
+                case _: AttributeReference => None
+                case _ if e.children.nonEmpty =>
+                  val kids = e.children.map(dtx)
+                  if (kids.forall(_.isDefined))
+                    Some(e.withNewChildren(kids.map(_.get)))
+                  else None
+                case l: Literal => Some(l)
+                case _ => None
+              }
+            }
+          if (c.references.subsetOf(dimRefs)) dtx(c) else None
+      }
+    }
+
+    val conjuncts = filters.flatMap { case (cond, depth) =>
+      splitConjunctivePredicates(inline(cond, maps, depth))
+    }
+    val newConjuncts = conjuncts.map(filterTranslate)
+    if (newConjuncts.exists(_.isEmpty)) return None
+
+    val child = newConjuncts.flatten.reduceOption(And)
+      .map(Filter(_, rollup)).getOrElse(rollup)
+    logInfo(s"RollupRouting: served aggregate from rollup " +
+      s"(${entry.dimExprs.map(_._1).mkString(",")} @ ${entry.sliceMinutes}m)")
+    Some(Aggregate(groupPairs.flatten.map(_._2), newResults.flatten, child))
+  }
+}
+
+/** `SparkSessionExtensions` hook: build sessions with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` (or
+  * `withExtensions(new GraftExtensions)`) to get routing without
+  * touching `experimental`. */
+final class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(s => RollupRouteRule(s))
+}

@@ -78,6 +78,28 @@ object EventQueries {
   private val one = lit(1L)
   private val cents = round(col("value") * 100).cast(LongType)
 
+  /** Raw frame for the routed-SQL query: monetary value as exact cents
+    * so sums/avgs re-aggregate bit-identically from partials. */
+  private def routedRaw(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).withColumn("value", cents)
+
+  /** Materialize + register the slice partials for [[routedRaw]] once
+    * per (session, sf dir) — queries then measure the ROUTED read path,
+    * the deployment shape where the rollup already exists. */
+  private val routedDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ensureRouted(s: SparkSession, dir: String): Unit =
+    routedDirs.getOrElseUpdate((s, dir), {
+      import graft.operators.Rollups
+      import graft.plans.RollupRouting
+      val out = java.nio.file.Files.createTempDirectory("graft_partials").toString
+      Rollups.materializePartials(routedRaw(s, dir), Seq("event_type"), out)
+      RollupRouting.install(s)
+      RollupRouting.register(s, routedRaw(s, dir), Rollups.read(s, out),
+        Seq("event_type"))
+      out
+    })
+
   /** The scan's inclusive-bucket upper bound, for oracle parity:
     * ts < slice(finish) + slice. */
   private def hi(finish: String, slice: Int = 15): String =
@@ -182,6 +204,21 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"))),
+
+    // Catalyst rollup routing (SURVEY §4's custom-Rule upgrade of
+    // `best-grouping`): a plain DataFrame aggregate over raw events is
+    // transparently rewritten by graft.plans.RollupRouteRule to scan
+    // the materialized slice partials; the oracle runs the SAME
+    // aggregate over raw events in DuckDB — routed ≡ unrouted.
+    "ts_routed_sql" -> ((s, dir) => {
+      val raw = routedRaw(s, dir)
+      ensureRouted(s, dir)
+      raw.where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_cents"),
+          min(col("value")).as("min_cents"), max(col("value")).as("max_cents"))
+    }),
 
     // materialized-rollup read path: build slice partials, serve the
     // hourly query FROM the rollup — result must hash-match the same
@@ -324,6 +361,17 @@ object EventQueries {
         |  FROM o)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    "ts_routed_sql" ->
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+        |  max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY ALL""".stripMargin,
 
     // identical to ts_counter_hour_fill: the rollup path must be
     // indistinguishable from compute-on-read

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Rollups
+import graft.plans.RollupRouting
+
+/** The Catalyst routing rule: aggregates over the raw events source are
+  * transparently rewritten onto materialized slice partials — result
+  * rows must be identical to the unrouted plan, and the routed plan
+  * must scan the rollup parquet instead of the events parquet. */
+class RollupRoutingSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val rollupDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_route").toString
+    Rollups.materializePartials(raw, Seq("event_type"), d)
+    d
+  }
+
+  private def raw: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def withRouting[A](f: => A): A = {
+    RollupRouting.install(spark)
+    RollupRouting.register(spark, raw, Rollups.read(spark, rollupDir),
+      Seq("event_type"))
+    try f finally RollupRouting.clear(spark)
+  }
+
+  private def scannedPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+
+  private def hourly: DataFrame =
+    raw.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"),
+        avg(col("value")).as("av"))
+
+  test("hourly grouped aggregate is served from the rollup, same rows") {
+    val expected = hourly.collect().map(r =>
+      (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2.getTime))
+    val (routedRows, paths) = withRouting {
+      val df = hourly
+      (df.collect(), scannedPaths(df))
+    }
+    assert(paths.exists(_.contains(rollupDir)), s"not routed: $paths")
+    assert(!paths.exists(_.contains("events.parquet")), s"still raw: $paths")
+    val routed = routedRows.map(r =>
+      (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2.getTime))
+    assert(routed.length == expected.length)
+    routed.zip(expected).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2 && a._3 == b._3)
+      assert(math.abs(a._4 - b._4) < 1e-9, s"min mismatch $a vs $b")
+    }
+    // float-summed partials: sum/avg re-aggregate within tolerance
+    val svE = hourly.collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+      (r.getDouble(3), r.getDouble(6))).toMap
+    routedRows.foreach { r =>
+      val (sv, av) = svE((r.getString(0), r.getTimestamp(1)))
+      assert(math.abs(r.getDouble(3) - sv) < 1e-6)
+      assert(math.abs(r.getDouble(6) - av) < 1e-9)
+    }
+  }
+
+  test("aligned time bounds + dimension filter route, with pushdown") {
+    def q: DataFrame = raw
+      .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+        && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-07 00:00:00"))
+        && col("event_type") === "click")
+      .groupBy(date_trunc("day", col("ts")).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val expected = q.collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val (rows, paths, physical) = withRouting {
+      val df = q
+      (df.collect(), scannedPaths(df), df.queryExecution.executedPlan.toString)
+    }
+    assert(paths.exists(_.contains(rollupDir)))
+    assert(rows.map(r => r.getTimestamp(0) -> r.getLong(1)).toMap == expected)
+    // the rewritten Filter reaches the rollup scan as pushed filters
+    assert(physical.contains("PushedFilters: ["), physical)
+  }
+
+  test("unaligned time bound does NOT route") {
+    val paths = withRouting {
+      scannedPaths(raw
+        .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:07:00")))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n")))
+    }
+    assert(!paths.exists(_.contains(rollupDir)), s"wrongly routed: $paths")
+  }
+
+  test("aggregate the rollup cannot answer does NOT route") {
+    val paths = withRouting {
+      scannedPaths(raw.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users")))
+    }
+    assert(!paths.exists(_.contains(rollupDir)), s"wrongly routed: $paths")
+  }
+
+  test("SQL over a temp view routes too") {
+    raw.createOrReplaceTempView("__route_ev")
+    val sql = """SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
+                |FROM __route_ev
+                |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                |  AND ts < TIMESTAMP '2024-01-11 00:00:00'
+                |GROUP BY 1, 2""".stripMargin
+    val expected = spark.sql(sql).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).sorted
+    val (rows, paths) = withRouting {
+      val df = spark.sql(sql)
+      (df.collect(), scannedPaths(df))
+    }
+    assert(paths.exists(_.contains(rollupDir)), s"not routed: $paths")
+    assert(rows.map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .sorted.sameElements(expected))
+  }
+
+  test("global aggregate: count(*) stays 0-valued on empty range") {
+    val (n, paths) = withRouting {
+      val df = raw
+        .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2031-01-01 00:00:00")))
+        .agg(count(lit(1)).as("n"))
+      (df.collect()(0).getLong(0), scannedPaths(df))
+    }
+    assert(paths.exists(_.contains(rollupDir)))
+    assert(n == 0L)
+  }
+}
