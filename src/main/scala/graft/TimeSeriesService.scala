@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model._
-import graft.operators.Timeseries
+import graft.operators.{Rollups, Timeseries}
 
 /** The engine's service facade — the reference's `TimeSeries` protocol
   * (`api.clj:1-47`) re-expressed Spark-first.
@@ -57,7 +57,50 @@ final class TimeSeriesService(
   def updateDimension(dimId: String, factId: String): DimensionDef =
     catalog.updateDimension(dimId, factId)
 
-  def dropSchema(): Unit = { catalog.drop(); buffer.clear(); bulk = None }
+  def dropSchema(): Unit = {
+    catalog.drop(); buffer.clear(); bulk = None; rollupStore.clear()
+  }
+
+  // ---- materialized rollups (reference storage strategy, opt-in) ------
+
+  /** Registered rollup paths: (factId, grouping) → parquet dir. */
+  private val rollupStore =
+    scala.collection.mutable.Map.empty[(String, Seq[String]), String]
+
+  /** Materialize slice partials for every (fact × non-group_only
+    * dimension × grouping path) under `baseDir` — the reference's eager
+    * table fan-out at `define-dimension!` time (`postgres/schema.clj:
+    * 220-241`), with the same `<path…>_<dim>_<fact>` naming
+    * (`postgres/common.clj:25-32`), re-expressed as date-partitioned
+    * parquet built by ONE aggregation per rollup instead of per-event
+    * upserts. Until invalidated by a write, [[getTimeseries]] serves
+    * reads from these instead of raw events. */
+  def materializeRollups(baseDir: String): Seq[String] = {
+    val made = for {
+      dim <- catalog.dimensions if !dim.groupOnly
+      factId <- dim.facts.toSeq.sorted
+      fact <- catalog.fact(factId).toSeq
+      path <- dim.groupedBy
+    } yield {
+      val grouping = path :+ dim.id
+      val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
+      val out = s"$baseDir/${(path :+ dim.id :+ fact.id).mkString("_")}"
+      Rollups.materialize(prepare(fact.id, grouping), fact, slice, grouping, out)
+      rollupStore((fact.id, grouping)) = out
+      out
+    }
+    made
+  }
+
+  /** Drop routed rollups for `factId` (all, when None) — called by the
+    * write path so a query never reads a stale rollup; the reference
+    * keeps rollups fresh per-event (`postgres/update.clj:83-93`), we
+    * keep them fresh by falling back to compute-on-read until the next
+    * [[materializeRollups]]. */
+  private def invalidateRollups(factId: Option[String]): Unit = factId match {
+    case Some(f) => rollupStore.filterInPlace { case ((fid, _), _) => fid != f }
+    case None => rollupStore.clear()
+  }
 
   // ---- Write path (O11/O12) -------------------------------------------
 
@@ -77,6 +120,7 @@ final class TimeSeriesService(
       throw new IllegalArgumentException(
         "None of the dimensions specified track the supplied fact")
     buffer += Event(fact.id, ts, value, categories)
+    invalidateRollups(Some(fact.id))
   }
 
   def newFact(factId: String, value: Long, categories: Map[String, String]): Unit =
@@ -88,8 +132,10 @@ final class TimeSeriesService(
 
   /** Bulk ingestion: a DataFrame in the canonical event schema (the
     * 100 TB path — buffer-per-event is for API-parity workloads only). */
-  def ingest(events: DataFrame): Unit =
+  def ingest(events: DataFrame): Unit = {
     bulk = Some(bulk.map(_.unionByName(events)).getOrElse(events))
+    invalidateRollups(None) // frame may carry any fact
+  }
 
   /** All events visible to queries. */
   def eventsDF: DataFrame = {
@@ -113,8 +159,16 @@ final class TimeSeriesService(
       step: Step = Step.NoStep, offsetHours: Int = 0): DataFrame = {
     val (fact, dim, grouping) = route(factId, dimId, filters)
     val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
-    Timeseries.run(prepare(fact.id, grouping), fact, slice, grouping,
-      filters, start, finish, step, offsetHours)
+    rollupStore.get((fact.id, grouping)) match {
+      case Some(path) => // serve from the materialized rollup (O13/§4):
+        // identical result by re-aggregability, smaller scan, and the
+        // bucket range prunes whole date partitions before reading.
+        Rollups.run(Rollups.read(spark, path), fact, slice, grouping,
+          filters, start, finish, step, offsetHours)
+      case None =>
+        Timeseries.run(prepare(fact.id, grouping), fact, slice, grouping,
+          filters, start, finish, step, offsetHours)
+    }
   }
 
   /** `get-histogram` (api.clj:38-41) — unimplemented in every reference

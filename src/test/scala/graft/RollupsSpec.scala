@@ -84,4 +84,39 @@ class RollupsSpec extends SparkTestBase {
     Rollups.materialize(rawCounter, counterFact, 15, Seq("dim"), dir)
     assert(Rollups.read(spark, dir).count() < rawCounter.count())
   }
+
+  test("service: materializeRollups serves getTimeseries, writes invalidate") {
+    import graft.functions.TimeKernel.ts
+    val svc = TimeSeriesService(spark)
+    svc.defineFact("signups", FactType.Counter, slice = 15)
+    svc.defineDimension("country", facts = Set("signups"))
+    svc.defineDimension("city", groupedBy = Seq(Seq("country")),
+      facts = Set("signups"))
+    svc.newFact("signups", ts("2024-02-01T09:07"), 1,
+      Map("country" -> "uy", "city" -> "mvd"))
+    svc.newFact("signups", ts("2024-02-01T10:22"), 2,
+      Map("country" -> "uy", "city" -> "mvd"))
+    svc.newFact("signups", ts("2024-02-01T10:40"), 3,
+      Map("country" -> "ar", "city" -> "bsas"))
+    def query() = pivot(svc.getTimeseries("signups", "city",
+      Map("country" -> Some("uy")), ts("2024-02-01T09:00"),
+      ts("2024-02-01T12:00"), Step.Hour), Seq("country", "city"))
+    val fromRaw = query()
+
+    val dir = Files.createTempDirectory("svc_rollup").toString
+    val made = svc.materializeRollups(dir)
+    // fan-out naming mirrors the reference's <path…>_<dim>_<fact>
+    // (postgres/common.clj:25-32): city has path [country], country [].
+    assert(made.map(_.stripPrefix(s"$dir/")).toSet ==
+      Set("country_signups", "country_city_signups"))
+    assert(query() == fromRaw) // rollup-served ≡ compute-on-read
+
+    // a write invalidates; the query falls back to raw and sees new data
+    svc.newFact("signups", ts("2024-02-01T11:05"), 5,
+      Map("country" -> "uy", "city" -> "mvd"))
+    val after = query()
+    assert(after != fromRaw)
+    assert(after(Map("country" -> "uy", "city" -> "mvd"))(
+      Some(ts("2024-02-01T11:00"))) == 5L)
+  }
 }
