@@ -48,8 +48,11 @@ object Rollups {
       .partitionBy("bucket_date")
       .parquet(path)
 
+  /** Read a materialized rollup. `bucket_date` (the partition column)
+    * is KEPT so [[run]] and the routing rule can derive partition
+    * predicates from bucket bounds; it is dropped before aggregation. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("bucket_date")
+    spark.read.parquet(path)
 
   /** Generic re-aggregable partials for the Catalyst routing rule
     * ([[graft.plans.RollupRouting]]): per (dims…, slice bucket) keep
@@ -108,7 +111,16 @@ object Rollups {
     val eq = filters.collect {
       case (k, Some(v)) if grouping.contains(k) => col(k) === lit(v)
     }.foldLeft(lit(true))(_ && _)
-    val scanned = rollup
+    // The bucket range implies a partition range on bucket_date (date
+    // is monotone in bucket): whole date partitions are pruned before a
+    // byte of parquet is read — the 100 TB path where a narrow query
+    // window touches a sliver of the rollup's history.
+    val pruned =
+      if (rollup.columns.contains("bucket_date"))
+        rollup.where(col("bucket_date").between(to_date(lit(lo)), to_date(lit(hi))))
+          .drop("bucket_date")
+      else rollup
+    val scanned = pruned
       .where(col("bucket") >= lit(lo) && col("bucket") <= lit(hi))
       .where(eq)
     val collapsed = collapsePartials(scanned, fact, grouping, step, offsetHours)

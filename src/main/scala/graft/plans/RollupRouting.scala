@@ -320,21 +320,37 @@ final case class RollupRouteRule(spark: SparkSession)
           dimAttrs(n)
       }
     }
+    // A bucket bound implies a bound on the bucket_date PARTITION column
+    // (date is monotone in bucket) — attaching it prunes whole date
+    // partitions of the rollup before any parquet is read.
+    val bucketDate = rAttr("bucket_date")
+    def dateLit(micros: Long): Literal =
+      Literal(Math.floorDiv(micros, 86400000000L).toInt, DateType)
+    def loBound(l: Literal, v: Long): Expression = {
+      val p: Expression = GreaterThanOrEqual(bucket, l)
+      bucketDate.map(bd => And(p, GreaterThanOrEqual(bd, dateLit(v))))
+        .getOrElse(p)
+    }
+    def hiBound(l: Literal, v: Long): Expression = {
+      val p: Expression = LessThan(bucket, l)
+      bucketDate.map(bd => And(p, LessThanOrEqual(bd, dateLit(v))))
+        .getOrElse(p)
+    }
     def filterTranslate(c: Expression): Option[Expression] = {
       val dimRefs = AttributeSet(dimEs.flatMap(_._2.references))
       c match {
         case GreaterThanOrEqual(t, l @ Literal(v: Long, TimestampType))
             if t.semanticEquals(tsE) && aligned(v) =>
-          Some(GreaterThanOrEqual(bucket, l))
+          Some(loBound(l, v))
         case LessThanOrEqual(l @ Literal(v: Long, TimestampType), t)
             if t.semanticEquals(tsE) && aligned(v) =>
-          Some(GreaterThanOrEqual(bucket, l))
+          Some(loBound(l, v))
         case LessThan(t, l @ Literal(v: Long, TimestampType))
             if t.semanticEquals(tsE) && aligned(v) =>
-          Some(LessThan(bucket, l))
+          Some(hiBound(l, v))
         case GreaterThan(l @ Literal(v: Long, TimestampType), t)
             if t.semanticEquals(tsE) && aligned(v) =>
-          Some(LessThan(bucket, l))
+          Some(hiBound(l, v))
         case IsNotNull(e) => notNullTarget(e).map(IsNotNull)
         case _ =>
           // Dimension-only predicate of any shape: replace each embedded

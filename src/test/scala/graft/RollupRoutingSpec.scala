@@ -90,8 +90,11 @@ class RollupRoutingSpec extends SparkTestBase {
     }
     assert(paths.exists(_.contains(rollupDir)))
     assert(rows.map(r => r.getTimestamp(0) -> r.getLong(1)).toMap == expected)
-    // the rewritten Filter reaches the rollup scan as pushed filters
+    // the rewritten Filter reaches the rollup scan as pushed filters,
+    // and the implied bucket_date bounds prune whole date partitions
     assert(physical.contains("PushedFilters: ["), physical)
+    assert("PartitionFilters: \\[[^\\]]*bucket_date".r
+      .findFirstIn(physical).isDefined, physical)
   }
 
   test("unaligned time bound does NOT route") {
