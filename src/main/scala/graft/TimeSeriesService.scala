@@ -92,6 +92,14 @@ final class TimeSeriesService(
     made
   }
 
+  /** Point queries for (fact, grouping) at an externally-maintained
+    * rollup — e.g. one kept fresh by
+    * [[graft.streaming.StreamingIngest.maintainRollup]]. The caller
+    * owns freshness; a direct write through this service still
+    * invalidates it. */
+  def registerRollup(factId: String, grouping: Seq[String], path: String): Unit =
+    rollupStore((factId, grouping)) = path
+
   /** Drop routed rollups for `factId` (all, when None) — called by the
     * write path so a query never reads a stale rollup; the reference
     * keeps rollups fresh per-event (`postgres/update.clj:83-93`), we

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TimeKernel
@@ -33,10 +33,17 @@ import graft.model.{FactDef, FactType, Step}
 object Rollups {
 
   /** Compact a prepared frame (dims + ts + value) into slice-level
-    * partial aggregates. */
+    * partial aggregates. Events missing any grouping value are skipped,
+    * as the reference's write path does (`event-key`,
+    * postgres/update.clj:11-26) — so rollup contents match what
+    * [[Timeseries.scan]]'s non-null filter yields from raw events. */
   def build(prepared: DataFrame, fact: FactDef, sliceMinutes: Int,
-      grouping: Seq[String]): DataFrame =
-    Timeseries.sliceBuckets(prepared, fact, sliceMinutes, grouping)
+      grouping: Seq[String]): DataFrame = {
+    val nonNull = grouping.map(col(_).isNotNull)
+      .foldLeft(lit(true))(_ && _)
+    Timeseries.sliceBuckets(prepared.where(nonNull), fact, sliceMinutes,
+      grouping)
+  }
 
   /** Materialize to parquet, partitioned by the bucket's date for
     * partition-pruned range scans. */
@@ -79,6 +86,30 @@ object Rollups {
       .write.mode("overwrite")
       .partitionBy("bucket_date")
       .parquet(path)
+
+  /** Compact an append-maintained rollup (multiple partial rows per
+    * key, e.g. from [[graft.streaming.StreamingIngest.maintainRollup]]'s
+    * per-batch appends) into one row per (dims…, bucket). Partials are
+    * re-aggregable, so queries are correct WITHOUT compaction — this
+    * only bounds file/row counts over time. Writes to a NEW path (no
+    * self-overwrite); measure columns are dispatched by name. */
+  def compact(spark: SparkSession, inPath: String, outPath: String): Unit = {
+    val df = spark.read.parquet(inPath)
+    val measures: Map[String, Column => Column] = Map(
+      "value" -> (c => sum(c)), "counter" -> (c => sum(c)),
+      "total" -> (c => sum(c)), "cnt" -> (c => sum(c)),
+      "cntv" -> (c => sum(c)), "mn" -> (c => min(c)), "mx" -> (c => max(c)))
+    val present = df.columns.filter(measures.contains)
+    val keys = df.columns.filterNot(c =>
+      measures.contains(c) || c == "bucket_date")
+    val aggs = present.map(c => measures(c)(col(c)).as(c))
+    df.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(outPath)
+  }
 
   /** Re-aggregate slice partials into a calendar bucket — the rollup
     * counterpart of [[Timeseries.collapse]] (which aggregates raw

@@ -73,6 +73,53 @@ object StreamingIngest {
       valueCols.map(col): _*)
   }
 
+  /** Mode 2b: streaming-MAINTAINED materialized rollup on disk. Each
+    * micro-batch appends its slice-level partial aggregates into the
+    * date-partitioned rollup parquet; partials are re-aggregable, so
+    * duplicate (dims, bucket) rows across batches are summed away by
+    * every reader ([[graft.operators.Rollups.run]] /
+    * [[graft.operators.Rollups.collapsePartials]] / the routing rule)
+    * — NO read-merge-overwrite cycle, no watermark, and late data of
+    * any age appends into its own (old) date partition, preserving the
+    * reference's unbounded-lateness semantics
+    * (`postgres/update.clj:24-26`). A batch-id marker makes replayed
+    * micro-batches (restart mid-commit) no-ops, so the append is
+    * idempotent. [[graft.operators.Rollups.compact]] bounds row/file
+    * counts offline; `TimeSeriesService.registerRollup` points queries
+    * at the maintained path. */
+  def maintainRollup(stream: DataFrame, fact: FactDef, dims: Seq[String],
+      path: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sessionState.newHadoopConf()
+        val marker = new org.apache.hadoop.fs.Path(path, "_graft_last_batch")
+        val fs = marker.getFileSystem(hconf)
+        val last =
+          if (!fs.exists(marker)) -1L
+          else {
+            val in = fs.open(marker)
+            try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+            finally in.close()
+          }
+        if (batchId > last) {
+          val dimCols = dims.map(d => col("categories").getItem(d).as(d))
+          val prepared = batch
+            .where(col("fact") === lit(fact.id))
+            .select(dimCols :+ col("ts") :+ col("value"): _*)
+          graft.operators.Rollups.build(prepared, fact, fact.sliceMinutes, dims)
+            .withColumn("bucket_date", to_date(col("bucket")))
+            .write.mode("append")
+            .partitionBy("bucket_date")
+            .parquet(path)
+          val out = fs.create(marker, true)
+          try out.write(batchId.toString.getBytes("UTF-8"))
+          finally out.close()
+        }
+        ()
+      }
+
   /** Start mode-2 into an in-memory sink (testing / small pipelines). */
   def startToMemory(agged: DataFrame, queryName: String): StreamingQuery =
     agged.writeStream

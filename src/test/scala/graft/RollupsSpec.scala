@@ -85,6 +85,23 @@ class RollupsSpec extends SparkTestBase {
     assert(Rollups.read(spark, dir).count() < rawCounter.count())
   }
 
+  test("events missing a grouping value never enter the rollup") {
+    // event-key skips incomplete paths at write (postgres/update.clj:
+    // 11-26); the raw-path scan drops them with its non-null filter —
+    // both paths must agree when a dim value is null.
+    val dir = Files.createTempDirectory("rollup_null").toString
+    val withNull = rawCounter.union(
+      Seq((null.asInstanceOf[String], ts("2024-01-02T10:00"), 7L))
+        .toDF("dim", "ts", "value"))
+    Rollups.materialize(withNull, counterFact, 15, Seq("dim"), dir)
+    val a = Rollups.run(Rollups.read(spark, dir), counterFact, 15, Seq("dim"),
+      Map.empty, ts("2024-01-01T00:00"), ts("2024-01-06T00:00"), Step.NoStep)
+    val b = Timeseries.run(withNull, counterFact, 15, Seq("dim"),
+      Map.empty, ts("2024-01-01T00:00"), ts("2024-01-06T00:00"), Step.NoStep)
+    assert(collectSorted(a) == collectSorted(b))
+    assert(!a.collect().exists(_.isNullAt(0)))
+  }
+
   test("service: materializeRollups serves getTimeseries, writes invalidate") {
     import graft.functions.TimeKernel.ts
     val svc = TimeSeriesService(spark)

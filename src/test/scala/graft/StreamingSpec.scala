@@ -158,6 +158,56 @@ class StreamingSpec extends SparkTestBase {
     assert(batchSessions == got.map(s => (s._1, s._2, s._4)))
   }
 
+  test("streaming-maintained rollup serves getTimeseries; compaction preserves") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Rollups
+    val source = MemoryStream[Event]
+    val fact = FactDef("signups", FactType.Counter, sliceMinutes = 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-mnt").toString
+    val q = StreamingIngest.maintainRollup(source.toDF(), fact,
+        Seq("dependency", "dependency_user"), path)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString)
+      .start()
+    source.addData(goldenEvents.head)
+    q.processAllAvailable()
+    // second batch: juanele's 10:20 slice + an hours-late event for an
+    // earlier bucket (appends into the old date partition)
+    source.addData(goldenEvents(1),
+      Event("signups", ts("2014-03-21T09:02"), 1,
+        Map("dependency" -> "31", "dependency_user" -> "juanele")))
+    q.processAllAvailable()
+    // third batch: the SAME 10:20 slice again → a second partial row
+    // for that key, summed away by every reader
+    source.addData(Event("signups", ts("2014-03-21T10:23"), 1,
+      Map("dependency" -> "31", "dependency_user" -> "juanele")))
+    q.processAllAvailable()
+    q.stop()
+
+    val svc = freshService()
+    svc.registerRollup("signups", Seq("dependency", "dependency_user"), path)
+    def query() = pivot(svc.getTimeseries("signups", "dependency_user",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T13:00"), Step.Hour),
+      Seq("dependency", "dependency_user"))
+    val expected = Map(
+      Map("dependency" -> "31", "dependency_user" -> "juanele") -> Map(
+        Option(ts("2014-03-21T09:00")) -> 1L, // the late event
+        Option(ts("2014-03-21T10:00")) -> 2L, // two partial rows summed
+        Option(ts("2014-03-21T11:00")) -> 0L,
+        Option(ts("2014-03-21T12:00")) -> 0L))
+    assert(query() == expected)
+
+    // compaction collapses duplicate partials without changing results
+    val compacted = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+    Rollups.compact(spark, path, compacted)
+    val rawRows = Rollups.read(spark, path).count()
+    val cmpRows = Rollups.read(spark, compacted).count()
+    assert(cmpRows < rawRows) // the duplicate 10:20 partials merged
+    svc.registerRollup("signups", Seq("dependency", "dependency_user"), compacted)
+    assert(query() == expected)
+  }
+
   test("average fact streams as re-aggregable (counter,total) pairs") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
