@@ -78,6 +78,19 @@ object Timeseries {
     * for every calendar step (slice flooring only zeroes minutes within
     * the hour; calendar truncation + whole-hour offsets preserve that),
     * so the slice bucket is never materialized on this path. */
+  /** Histogram bucket lower bound for a raw value: index clamped to
+    * [start, end) — beyond-reference completion (collapse :histogram
+    * throws at query.clj:75-77). */
+  def histBucket(fact: FactDef): Column = {
+    val n = fact.histogramBuckets.size
+    val lo = fact.start.get
+    val st = fact.step.get
+    val idx = least(greatest(
+      floor((col("value") - lit(lo)) / lit(st)).cast(LongType),
+      lit(0L)), lit(n - 1L))
+    (idx * lit(st) + lit(lo)).as("hist_bucket")
+  }
+
   def collapse(scanned: DataFrame, fact: FactDef, grouping: Seq[String],
       step: Step, offsetHours: Int): DataFrame = {
     val keys = grouping.map(col) :+
@@ -89,16 +102,8 @@ object Timeseries {
         scanned.groupBy(keys: _*)
           .agg(count(lit(1)).as("counter"), sum("value").as("total"))
       case FactType.Histogram =>
-        // Beyond-reference completion (collapse :histogram throws at
-        // query.clj:75-77): bucket index clamped to [start, end).
-        val n = fact.histogramBuckets.size
-        val lo = fact.start.get
-        val st = fact.step.get
-        val idx = least(greatest(
-          floor((col("value") - lit(lo)) / lit(st)).cast(LongType),
-          lit(0L)), lit(n - 1L))
-        val hb = (idx * lit(st) + lit(lo)).as("hist_bucket")
-        scanned.groupBy(keys :+ hb: _*).agg(count(lit(1)).as("value"))
+        scanned.groupBy(keys :+ histBucket(fact): _*)
+          .agg(count(lit(1)).as("value"))
     }
   }
 
