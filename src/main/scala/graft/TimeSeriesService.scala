@@ -63,9 +63,19 @@ final class TimeSeriesService(
 
   // ---- materialized rollups (reference storage strategy, opt-in) ------
 
-  /** Registered rollup paths: (factId, grouping) → parquet dir. */
+  /** A routed rollup: parquet dir + whether it is maintained OUTSIDE
+    * this service (external = [[registerRollup]], e.g. streaming-
+    * maintained) or materialized BY it ([[materializeRollups]]). The
+    * distinction drives write handling: a service-materialized rollup
+    * is a pure cache of the service's own events, so a write simply
+    * invalidates it; an external rollup holds history this service
+    * never saw, so dropping it on write would silently replace the
+    * streamed dataset with the (much smaller) local buffer. */
+  private case class RollupReg(path: String, external: Boolean)
+
+  /** Registered rollup paths: (factId, grouping) → registration. */
   private val rollupStore =
-    scala.collection.mutable.Map.empty[(String, Seq[String]), String]
+    scala.collection.mutable.Map.empty[(String, Seq[String]), RollupReg]
 
   /** Materialize slice partials for every (fact × non-group_only
     * dimension × grouping path) under `baseDir` — the reference's eager
@@ -86,7 +96,7 @@ final class TimeSeriesService(
       val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
       val out = s"$baseDir/${(path :+ dim.id :+ fact.id).mkString("_")}"
       Rollups.materialize(prepare(fact.id, grouping), fact, slice, grouping, out)
-      rollupStore((fact.id, grouping)) = out
+      rollupStore((fact.id, grouping)) = RollupReg(out, external = false)
       out
     }
     made
@@ -95,20 +105,25 @@ final class TimeSeriesService(
   /** Point queries for (fact, grouping) at an externally-maintained
     * rollup — e.g. one kept fresh by
     * [[graft.streaming.StreamingIngest.maintainRollup]]. The caller
-    * owns freshness; a direct write through this service still
-    * invalidates it. */
+    * owns freshness of the STREAMED history; events written directly
+    * through this service (newFact/ingest) are assumed disjoint from
+    * the stream and are merged into reads at query time
+    * ([[getTimeseries]]), so neither dataset is silently lost. */
   def registerRollup(factId: String, grouping: Seq[String], path: String): Unit =
-    rollupStore((factId, grouping)) = path
+    rollupStore((factId, grouping)) = RollupReg(path, external = true)
 
-  /** Drop routed rollups for `factId` (all, when None) — called by the
-    * write path so a query never reads a stale rollup; the reference
-    * keeps rollups fresh per-event (`postgres/update.clj:83-93`), we
-    * keep them fresh by falling back to compute-on-read until the next
-    * [[materializeRollups]]. */
-  private def invalidateRollups(factId: Option[String]): Unit = factId match {
-    case Some(f) => rollupStore.filterInPlace { case ((fid, _), _) => fid != f }
-    case None => rollupStore.clear()
-  }
+  /** Drop service-materialized rollups for `factId` (all, when None) —
+    * called by the write path so a query never reads a stale rollup;
+    * the reference keeps rollups fresh per-event
+    * (`postgres/update.clj:83-93`), we keep them fresh by falling back
+    * to compute-on-read until the next [[materializeRollups]].
+    * EXTERNAL rollups survive: they hold history that is not in this
+    * service's events, so the read path merges them with local events
+    * instead of dropping them. */
+  private def invalidateRollups(factId: Option[String]): Unit =
+    rollupStore.filterInPlace { case ((fid, _), reg) =>
+      reg.external || factId.exists(_ != fid)
+    }
 
   // ---- Write path (O11/O12) -------------------------------------------
 
@@ -168,10 +183,22 @@ final class TimeSeriesService(
     val (fact, dim, grouping) = route(factId, dimId, filters)
     val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
     rollupStore.get((fact.id, grouping)) match {
-      case Some(path) => // serve from the materialized rollup (O13/§4):
-        // identical result by re-aggregability, smaller scan, and the
-        // bucket range prunes whole date partitions before reading.
-        Rollups.run(Rollups.read(spark, path), fact, slice, grouping,
+      case Some(RollupReg(path, external)) =>
+        // Serve from the rollup (O13/§4): identical result by
+        // re-aggregability, smaller scan, and the bucket range prunes
+        // whole date partitions before reading. An EXTERNAL rollup may
+        // coexist with events written directly to this service (assumed
+        // disjoint from the stream feeding it) — union the local
+        // events' slice partials in so the query sees both histories.
+        val stored = Rollups.read(spark, path)
+        val merged =
+          if (external && (buffer.nonEmpty || bulk.nonEmpty)) {
+            val local = Rollups
+              .build(prepare(fact.id, grouping), fact, slice, grouping)
+              .withColumn("bucket_date", to_date(col("bucket")))
+            stored.unionByName(local, allowMissingColumns = true)
+          } else stored
+        Rollups.run(merged, fact, slice, grouping,
           filters, start, finish, step, offsetHours)
       case None =>
         Timeseries.run(prepare(fact.id, grouping), fact, slice, grouping,

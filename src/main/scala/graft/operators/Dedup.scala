@@ -184,23 +184,21 @@ object Dedup {
   }
 
   /** Posting list → ordered (id_a < id_b) co-occurrence pairs, emitted
-    * in a tight JVM loop. Shared candidate-generation tail for the
-    * posting/prefix/band index forms. */
+    * LAZILY (an Iterator, never a materialized buffer): a hot posting
+    * list of n ids yields n·(n−1)/2 pairs, and at dedup's typical
+    * workload (many near-identical docs) n can be large enough that
+    * buffering the fan-out in one task OOMs — streaming it through the
+    * shuffle costs constant memory per task regardless of n. Shared
+    * candidate-generation tail for the posting/prefix/band index forms. */
   def emitPairs(lists: org.apache.spark.sql.Dataset[Seq[Long]]): DataFrame = {
     val spark = lists.sparkSession
     import spark.implicits._
     lists.flatMap { ids =>
       val a = ids.toArray
       java.util.Arrays.sort(a)
-      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
-        a.length * (a.length - 1) / 2)
-      var i = 0
-      while (i < a.length) {
-        var j = i + 1
-        while (j < a.length) { out += ((a(i), a(j))); j += 1 }
-        i += 1
+      a.indices.iterator.flatMap { i =>
+        Iterator.range(i + 1, a.length).map(j => (a(i), a(j)))
       }
-      out
     }.toDF("id_a", "id_b")
   }
 
@@ -323,10 +321,18 @@ object Dedup {
     * expression pipeline); the band candidate join and the verify stay
     * declarative. Verification intersects the 60-bit hash SETS rather
     * than shingle strings — same counts (hashing is injective modulo
-    * ~2⁻⁶⁰ collisions, and the oracle hashes identically either way). */
+    * ~2⁻⁶⁰ collisions, and the oracle hashes identically either way).
+    *
+    * @param maxBandSize drop band posting lists larger than this (the
+    *   band-index twin of jaccard's `maxDf` hot-key cap): a band bucket
+    *   of n docs fans out n·(n−1)/2 candidate pairs, so one degenerate
+    *   band (boilerplate-heavy corpora collapse many docs into one
+    *   bucket) otherwise dominates the whole job quadratically. Pairs
+    *   inside an over-cap band are found through their OTHER bands when
+    *   genuinely similar; the default is far above any healthy bucket. */
   def minhashLshPairsKernel(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      thresholdE4: Int = 5000): DataFrame = {
+      thresholdE4: Int = 5000, maxBandSize: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = numHashes / bands
@@ -356,7 +362,7 @@ object Dedup {
     // instead of a sorted self-join of the banded table
     val cand = emitPairs(
         banded.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
-          .where(size(col("ids")) >= 2)
+          .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBandSize)
           .select(col("ids")).as[Seq[Long]])
       .dropDuplicates("id_a", "id_b")
       .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))

@@ -100,8 +100,10 @@ object Rollups {
       "total" -> (c => sum(c)), "cnt" -> (c => sum(c)),
       "cntv" -> (c => sum(c)), "mn" -> (c => min(c)), "mx" -> (c => max(c)))
     val present = df.columns.filter(measures.contains)
+    // bucket_date is re-derived; __batch_id is maintainRollup's
+    // idempotency partition — both are storage artifacts, not keys.
     val keys = df.columns.filterNot(c =>
-      measures.contains(c) || c == "bucket_date")
+      measures.contains(c) || c == "bucket_date" || c == "__batch_id")
     val aggs = present.map(c => measures(c)(col(c)).as(c))
     df.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -146,11 +148,16 @@ object Rollups {
     // is monotone in bucket): whole date partitions are pruned before a
     // byte of parquet is read — the 100 TB path where a narrow query
     // window touches a sliver of the rollup's history.
-    val pruned =
-      if (rollup.columns.contains("bucket_date"))
-        rollup.where(col("bucket_date").between(to_date(lit(lo)), to_date(lit(hi))))
-          .drop("bucket_date")
-      else rollup
+    val pruned = {
+      val p =
+        if (rollup.columns.contains("bucket_date"))
+          rollup.where(col("bucket_date").between(to_date(lit(lo)), to_date(lit(hi))))
+            .drop("bucket_date")
+        else rollup
+      // streaming-maintained rollups carry a __batch_id partition dir
+      // (idempotent per-batch overwrite) — a storage artifact, dropped
+      p.drop("__batch_id")
+    }
     val scanned = pruned
       .where(col("bucket") >= lit(lo) && col("bucket") <= lit(hi))
       .where(eq)

@@ -81,9 +81,28 @@ object RollupRouting {
     * as long as it is Project/Filter-free-equivalent over ONE leaf
     * relation); `rollup` must be shaped like
     * [[graft.operators.Rollups.partials]] of the same raw frame. */
+  /** True iff `tz` is a fixed zero-offset zone (UTC/GMT/Etc/UTC/+00:00).
+    * The routing rule's time reasoning — slice alignment of literal
+    * bounds via epoch arithmetic ([[RollupRouteRule]]`.aligned`) and
+    * epoch-day `bucket_date` partition bounds — is only valid when the
+    * session interprets timestamps in UTC, which is also the zone
+    * `to_date(bucket)` used when the rollup's `bucket_date` partition
+    * column was written (build.sbt pins it; arbitrary user sessions
+    * may not). */
+  private[plans] def isUtcZone(tz: String): Boolean =
+    try {
+      val rules = java.time.ZoneId.of(tz).getRules
+      rules.isFixedOffset && rules.getOffset(java.time.Instant.EPOCH) ==
+        java.time.ZoneOffset.UTC
+    } catch { case _: java.time.DateTimeException => false }
+
   def register(spark: SparkSession, raw: DataFrame, rollup: DataFrame,
       dims: Seq[String], tsCol: String = "ts", valueCol: String = "value",
       sliceMinutes: Int = 15): Unit = {
+    require(isUtcZone(spark.sessionState.conf.sessionLocalTimeZone),
+      "RollupRouting.register requires spark.sql.session.timeZone=UTC: " +
+        "slice alignment and bucket_date partition bounds are derived " +
+        "with epoch (UTC) arithmetic and would mis-prune in other zones")
     // Probe plan: optimize the registered expressions exactly the way a
     // user query's will be, then inline them down to the leaf attrs.
     val probeCols = Seq(col(tsCol).as("__ts"), col(valueCol).as("__value"),
@@ -175,7 +194,16 @@ final case class RollupRouteRule(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val entries = entriesFor(spark)
     if (entries.isEmpty) plan
-    else plan.transformUp {
+    // Non-UTC session (possible when the rule was injected via
+    // GraftExtensions into an arbitrary user session, or the zone was
+    // changed after register): the rule's epoch-based slice-alignment /
+    // bucket_date bounds would be wrong — leave plans untouched, the
+    // raw scan stays correct.
+    else if (!isUtcZone(spark.sessionState.conf.sessionLocalTimeZone)) {
+      logWarning("RollupRouting disabled: session timezone is " +
+        s"${spark.sessionState.conf.sessionLocalTimeZone}, not UTC")
+      plan
+    } else plan.transformUp {
       case agg: Aggregate =>
         entries.view.flatMap(e => rewrite(agg, e)).headOption.getOrElse(agg)
     }
@@ -307,17 +335,26 @@ final case class RollupRouteRule(spark: SparkSession)
     }
     // IsNotNull inferred on an underlying raw column: sound to move to
     // the corresponding rollup column iff the registered expression is a
-    // null-intolerant function of exactly that column.
+    // null-intolerant function of exactly that column — verified node by
+    // node (every non-leaf on the path must declare `nullIntolerant`, so
+    // reg(x) is null whenever x is; a null-TOLERANT registration like
+    // coalesce(c, 'unknown') must NOT absorb IsNotNull(c), since rows
+    // with c null survive on the rollup side that raw would drop).
+    // Residual assumption: the registration is also TOTAL (non-null in →
+    // non-null out), which holds for the temporal/arithmetic conversions
+    // registrations use; partial functions (cast from free-form string,
+    // map lookup) should register the underlying column instead.
+    def nullIntolerantTree(reg: Expression): Boolean = reg match {
+      case _: AttributeReference | _: Literal => true
+      case _ => reg.nullIntolerant && reg.children.forall(nullIntolerantTree)
+    }
     def notNullTarget(e: Expression): Option[Attribute] = {
       def covers(reg: Expression): Boolean =
-        reg.references.size == 1 && reg.references.subsetOf(e.references) &&
-          e.references.size == 1
-      if (e.semanticEquals(tsE) || covers(tsE) && tsE.references == e.references)
-        Some(bucket)
+        e.isInstanceOf[AttributeReference] && reg.references.size == 1 &&
+          reg.references == e.references && nullIntolerantTree(reg)
+      if (e.semanticEquals(tsE) || covers(tsE)) Some(bucket)
       else dimEs.collectFirst {
-        case (n, de) if de.semanticEquals(e) ||
-          (de.references == e.references && e.isInstanceOf[AttributeReference]) =>
-          dimAttrs(n)
+        case (n, de) if de.semanticEquals(e) || covers(de) => dimAttrs(n)
       }
     }
     // A bucket bound implies a bound on the bucket_date PARTITION column

@@ -82,11 +82,21 @@ object StreamingIngest {
     * — NO read-merge-overwrite cycle, no watermark, and late data of
     * any age appends into its own (old) date partition, preserving the
     * reference's unbounded-lateness semantics
-    * (`postgres/update.clj:24-26`). A batch-id marker makes replayed
-    * micro-batches (restart mid-commit) no-ops, so the append is
-    * idempotent. [[graft.operators.Rollups.compact]] bounds row/file
-    * counts offline; `TimeSeriesService.registerRollup` points queries
-    * at the maintained path. */
+    * (`postgres/update.clj:24-26`).
+    *
+    * Idempotency: each batch writes its partials under a DETERMINISTIC
+    * batch-scoped partition directory (`__batch_id=<id>/bucket_date=…`)
+    * in overwrite mode, so a replayed micro-batch (restart after a
+    * crash anywhere between the data write and the marker write)
+    * OVERWRITES its own prior — possibly partial — output instead of
+    * re-appending it; the batch-id marker is only a fast-skip for
+    * fully-committed batches. Readers discover `__batch_id` as an extra
+    * partition column and ignore it ([[graft.operators.Rollups.run]] /
+    * [[graft.operators.Rollups.compact]] drop it; the partials are
+    * re-aggregable so per-batch row duplication per key is summed away
+    * regardless). [[graft.operators.Rollups.compact]] bounds row/file/
+    * dir counts offline; `TimeSeriesService.registerRollup` points
+    * queries at the maintained path. */
   def maintainRollup(stream: DataFrame, fact: FactDef, dims: Seq[String],
       path: String): DataStreamWriter[Row] =
     stream.writeStream
@@ -110,9 +120,9 @@ object StreamingIngest {
             .select(dimCols :+ col("ts") :+ col("value"): _*)
           graft.operators.Rollups.build(prepared, fact, fact.sliceMinutes, dims)
             .withColumn("bucket_date", to_date(col("bucket")))
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("bucket_date")
-            .parquet(path)
+            .parquet(s"$path/__batch_id=$batchId")
           val out = fs.create(marker, true)
           try out.write(batchId.toString.getBytes("UTF-8"))
           finally out.close()

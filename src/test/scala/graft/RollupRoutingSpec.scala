@@ -132,6 +132,49 @@ class RollupRoutingSpec extends SparkTestBase {
       .sorted.sameElements(expected))
   }
 
+  test("non-UTC session timezone disables routing (correct raw plan kept)") {
+    val paths = withRouting {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      try scannedPaths(hourly)
+      finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+    assert(!paths.exists(_.contains(rollupDir)), s"routed in non-UTC: $paths")
+    // and register() itself refuses a non-UTC session outright
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try intercept[IllegalArgumentException] {
+      RollupRouting.register(spark, raw, Rollups.read(spark, rollupDir),
+        Seq("event_type"))
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      RollupRouting.clear(spark)
+    }
+  }
+
+  test("IsNotNull through a null-TOLERANT dim registration does not route") {
+    // dim registered as coalesce(event_type, 'unknown'): rows where
+    // event_type IS NULL survive on the rollup side as 'unknown', so a
+    // raw-side IsNotNull(event_type) must NOT be absorbed into
+    // IsNotNull(dim) — the rule has to leave the plan unrouted.
+    val raw2 = raw.select(
+      coalesce(col("event_type"), lit("unknown")).as("etype"),
+      col("ts"), col("value"))
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ni").toString
+    Rollups.materializePartials(raw2, Seq("etype"), d2)
+    RollupRouting.install(spark)
+    RollupRouting.register(spark, raw2, Rollups.read(spark, d2), Seq("etype"))
+    try {
+      val q = raw.where(col("event_type").isNotNull)
+        .groupBy(coalesce(col("event_type"), lit("unknown")).as("etype"))
+        .agg(count(lit(1)).as("n"))
+      assert(!scannedPaths(q).exists(_.contains(d2)),
+        "null-tolerant registration absorbed IsNotNull")
+      // without the raw-column IsNotNull the same aggregate DOES route
+      val q2 = raw.groupBy(coalesce(col("event_type"), lit("unknown")).as("etype"))
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(q2).exists(_.contains(d2)), "coalesce group no longer routes")
+    } finally RollupRouting.clear(spark)
+  }
+
   test("global aggregate: count(*) stays 0-valued on empty range") {
     val (n, paths) = withRouting {
       val df = raw

@@ -208,6 +208,74 @@ class StreamingSpec extends SparkTestBase {
     assert(query() == expected)
   }
 
+  test("maintained rollup: replayed micro-batches overwrite, never double-count") {
+    implicit val sqlCtx = spark.sqlContext
+    val fact = FactDef("signups", FactType.Counter, sliceMinutes = 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-rply").toString
+    val dims = Seq("dependency", "dependency_user")
+    def runOnce(): Unit = {
+      val source = MemoryStream[Event]
+      val q = StreamingIngest.maintainRollup(source.toDF(), fact, dims, path)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ck").toString)
+        .start()
+      source.addData(goldenEvents.head)
+      q.processAllAvailable()
+      source.addData(goldenEvents(1))
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    val svc = freshService()
+    svc.registerRollup("signups", dims, path)
+    def query() = pivot(svc.getTimeseries("signups", "dependency_user",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T13:00"), Step.Hour), dims)
+    val first = query()
+    assert(first(Map("dependency" -> "31", "dependency_user" -> "juanele"))(
+      Option(ts("2014-03-21T10:00"))) == 1L)
+    // Simulate a crash between the data write and the marker write: the
+    // marker is gone, so a restart replays every batch. The batch-scoped
+    // overwrite must absorb the replay — same result, no double counts.
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_last_batch")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
+    runOnce()
+    assert(query() == first)
+  }
+
+  test("external rollup + direct service writes: both histories served") {
+    implicit val sqlCtx = spark.sqlContext
+    val fact = FactDef("signups", FactType.Counter, sliceMinutes = 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-ext").toString
+    val dims = Seq("dependency", "dependency_user")
+    val source = MemoryStream[Event]
+    val q = StreamingIngest.maintainRollup(source.toDF(), fact, dims, path)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString)
+      .start()
+    source.addData(goldenEvents: _*) // 09:09 dep=32 + 10:23 dep=31
+    q.processAllAvailable()
+    q.stop()
+
+    val svc = freshService()
+    svc.registerRollup("signups", dims, path)
+    // a write through the service must NOT silently drop the streamed
+    // history (the registration survives), and the new event must be
+    // visible merged into the same query
+    svc.newFact("signups", ts("2014-03-21T11:30"), 1,
+      Map("dependency" -> "31", "dependency_user" -> "juanele"))
+    val got = pivot(svc.getTimeseries("signups", "dependency_user",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T13:00"), Step.Hour), dims)
+    assert(got == Map(
+      Map("dependency" -> "31", "dependency_user" -> "juanele") -> Map(
+        Option(ts("2014-03-21T09:00")) -> 0L,
+        Option(ts("2014-03-21T10:00")) -> 1L, // streamed history
+        Option(ts("2014-03-21T11:00")) -> 1L, // direct write
+        Option(ts("2014-03-21T12:00")) -> 0L)))
+  }
+
   test("average fact streams as re-aggregable (counter,total) pairs") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
