@@ -43,6 +43,14 @@ object DocumentQueries {
       Dedup.simhashKernel(docs(s, dir), "text", "doc_id")
         .select(col("id").as("doc_id"), col("simhash"))),
 
+    // SimHash near-dup PAIRS within Hamming distance 3, found via the
+    // pigeonhole chunk index (any qualifying pair shares one of 4
+    // 8-bit chunks) — candidates come from equality joins on small
+    // ints, never an all-pairs comparison; the oracle brute-forces the
+    // same bound, so the index must be exactly recall-complete
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 3)),
+
     // language-ID + token counting + quality scoring per doc (kernel
     // form of langId/tokenCount/bpeishCount/qualityScoreE4)
     "text_stats" -> ((s, dir) =>
@@ -172,6 +180,24 @@ object DocumentQueries {
          |    list_transform(string_split_regex(trim(text), '\\s+'),
          |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hs
          |  FROM documents)""".stripMargin
+    },
+
+    "dedup_simhash_pairs" -> {
+      val votes = (0 until 32).map(j =>
+        s"""CASE WHEN list_sum(list_transform(hs,
+           |    h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           |  THEN ${1L << j} ELSE 0 END""".stripMargin).mkString(" +\n  ")
+      s"""WITH sim AS (
+         |  SELECT doc_id, CAST($votes AS BIGINT) AS simhash
+         |  FROM (
+         |    SELECT doc_id,
+         |      list_transform(string_split_regex(trim(text), '\\s+'),
+         |        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hs
+         |    FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.simhash AS sim_a, b.simhash AS sim_b
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
     },
 
     "text_stats" -> {

@@ -148,6 +148,33 @@ object EventQueries {
         Seq("event_type"), Map("event_type" -> Some("signup")),
         ts("2023-12-31T00:00"), ts("2024-02-04T00:00"), Step.Week)),
 
+    // O15/O17 month truncation + month grid: range straddles empty
+    // months on both sides — the fill must produce them as zeros
+    "ts_month_fill" -> ((s, dir) =>
+      Timeseries.run(prep(s, dir, withUser = false, one,
+          Some(("2023-12-01T00:00", "2024-03-01T00:00"))), countFact, 15,
+        Seq("event_type"), Map("event_type" -> Some("view")),
+        ts("2023-12-01T00:00"), ts("2024-03-01T00:00"), Step.Month)),
+
+    // The reference fans one event out into a table per grouping path
+    // (postgres/schema.clj:233-239, update.clj:89-92) — a hand-rolled
+    // GROUPING SETS (SURVEY §2.2). Spark-first: ONE aggregation pass
+    // materializes every path's rollup; `grouping(dim)` tags which
+    // path each row belongs to (1 = coarse [event_type], 0 = fine
+    // [event_type, user_bucket]). At 100 TB this halves the number of
+    // raw scans per maintained path set versus one job per path.
+    "ts_grouping_paths" -> ((s, dir) => {
+      val src = eventsRanged(s, dir, "2024-01-08T00:00", "2024-01-11T00:00")
+        .select(col("event_type"), userBucket,
+          date_trunc("day", col("ts")).as("bucket"))
+      src.groupingSets(
+          Seq(Seq(col("event_type"), col("bucket")),
+            Seq(col("event_type"), col("user_bucket"), col("bucket"))),
+          col("event_type"), col("user_bucket"), col("bucket"))
+        .agg(grouping(col("user_bucket")).cast(LongType).as("path_id"),
+          count(lit(1)).as("value"))
+    }),
+
     // O15 offset-hours timezone shift before day truncation
     "ts_offset_day" -> ((s, dir) =>
       Timeseries.run(prep(s, dir, withUser = false, one,
@@ -316,6 +343,26 @@ object EventQueries {
       gridStart = "2023-12-31 00:00:00", gridStop = "2024-01-28 00:00:00",
       gridStep = "7 DAY",
       loTs = lo("2023-12-31T00:00"), hiTs = hi("2024-02-04T00:00")),
+
+    "ts_month_fill" -> fillOracle(
+      where = "event_type = 'view'",
+      bucketExpr = "date_trunc('month', ts)",
+      gridStart = "2023-12-01 00:00:00", gridStop = "2024-02-01 00:00:00",
+      gridStep = "1 MONTH",
+      loTs = lo("2023-12-01T00:00"), hiTs = hi("2024-03-01T00:00")),
+
+    "ts_grouping_paths" ->
+      s"""SELECT event_type, user_bucket, bucket,
+         |  CAST(GROUPING(user_bucket) AS BIGINT) AS path_id,
+         |  count(*) AS value
+         |FROM (
+         |  SELECT event_type, CAST(user_id % 10 AS VARCHAR) AS user_bucket,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '${lo("2024-01-08T00:00")}'
+         |    AND ts < TIMESTAMP '${hi("2024-01-11T00:00")}')
+         |GROUP BY GROUPING SETS ((event_type, bucket),
+         |  (event_type, user_bucket, bucket))""".stripMargin,
 
     "ts_offset_day" -> fillOracle(
       where = "event_type = 'purchase'",
