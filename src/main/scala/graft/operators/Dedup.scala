@@ -213,19 +213,40 @@ object Dedup {
     * one of the emitted pairs — versus the self-join's two sorted
     * shuffles of the full index plus the pair shuffle. At 100 TB the
     * pair stream (Σ df²/2 rows of two longs) dominates either way;
-    * this form just stops paying the join machinery on top of it. */
+    * this form just stops paying the join machinery on top of it.
+    *
+    * When every id provably fits in 31 bits (one cheap agg over the
+    * already-cached hashes), the pair stream is PACKED into a single
+    * long `(a<<32)|b` — half the shuffle key width and a single-column
+    * group key for the dominant stage; ids outside that range fall
+    * back to the two-column stream. Same counts either way. */
   def jaccardPairsPostingKernel(df: DataFrame, textCol: String, idCol: String,
       k: Int, thresholdE4: Int, maxDf: Long = 1000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hs = shingleHashKernel(df, textCol, idCol, k).cache()
     val sizes = hs.select(col("id"), size(col("hs")).cast(LongType).as("sz"))
-    val pairs = emitPairs(
-      hs.select(col("id"), explode(col("hs")).as("sh"))
-        .groupBy("sh").agg(collect_list(col("id")).as("ids"))
-        .where(size(col("ids")) <= maxDf)
-        .select(col("ids")).as[Seq[Long]])
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    val idx = hs.select(col("id"), explode(col("hs")).as("sh"))
+      .groupBy("sh").agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) <= maxDf)
+      .select(col("ids")).as[Seq[Long]]
+    val bounds = hs.agg(min(col("id")), max(col("id"))).head()
+    val packable = !bounds.isNullAt(0) && bounds.getLong(0) >= 0 &&
+      bounds.getLong(1) < (1L << 31)
+    val pairs =
+      if (packable)
+        idx.flatMap { ids =>
+          val a = ids.toArray
+          java.util.Arrays.sort(a)
+          a.indices.iterator.flatMap { i =>
+            Iterator.range(i + 1, a.length).map(j => (a(i) << 32) | a(j))
+          }
+        }.groupBy(col("value")).agg(count(lit(1)).as("common"))
+          .select(shiftrightunsigned(col("value"), 32).as("id_a"),
+            col("value").bitwiseAND((1L << 32) - 1).as("id_b"),
+            col("common"))
+      else
+        emitPairs(idx).groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
@@ -525,7 +546,9 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 32 / chunks
-    val sh = simhashTable(df, textCol, idCol)
+    // prints via the row-local kernel (pure map over input splits);
+    // simhashTable is the declarative twin with identical output
+    val sh = simhashKernel(df, textCol, idCol)
       .select(col("id"), col("simhash").as("sim"))
     val chunkCols = (0 until chunks).map(c => struct(lit(c).as("chunk"),
       shiftrightunsigned(col("sim"), c * width)

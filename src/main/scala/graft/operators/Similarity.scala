@@ -136,12 +136,18 @@ object Similarity {
 
   /** IVF top-k: probe the `nProbe` partitions with the most-similar
     * centroids per query, exact-rank within the probed subset.
-    * Output schema matches [[bruteForceTopK]]. */
+    * Output schema matches [[bruteForceTopK]].
+    *
+    * @param index pre-built centroid table ([[centroids]] output) — the
+    *   IVF index is built ONCE offline in deployment; passing it here
+    *   keeps query latency free of the index-build aggregation. Omitted
+    *   → computed inline (convenience/tests). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, partCol: String, k: Int, nProbe: Int,
-      dotFn: (Column, Column) => Column = dot): DataFrame = {
+      dotFn: (Column, Column) => Column = dot,
+      index: Option[DataFrame] = None): DataFrame = {
     val d = dotFn
-    val cent = centroids(corpus, partCol, vecCol)
+    val cent = index.getOrElse(centroids(corpus, partCol, vecCol))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("part"))
