@@ -56,6 +56,25 @@ object EmbeddingQueries {
         index = Some(s.read.parquet(indexPath)))
     }),
 
+    // IVF probing only the 3 closest partitions per query — the actual
+    // approximate-search shape (scan 3/10ths of the corpus). Still
+    // deterministic, so the oracle replicates the centroid ranking and
+    // the within-probe exact ranking in SQL.
+    "ann_ivf_probe3" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val indexPath = ivfIndexes.getOrElseUpdate((s, dir), {
+        val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+        Similarity.centroids(e, "label", "embedding")
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5, nProbe = 3,
+        dotFn = GraftFunctions.dotNative,
+        index = Some(s.read.parquet(indexPath)))
+    }),
+
     // corpus profile: per-label counts (exact ints)
     "emb_label_counts" -> ((s, dir) =>
       emb(s, dir).groupBy(col("label").cast("long").as("label"))
@@ -87,6 +106,33 @@ object EmbeddingQueries {
 
     // full-probe IVF is exactly brute force — same oracle
     "ann_ivf_full_probe" -> topkOracle,
+
+    "ann_ivf_probe3" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+        |u AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+        |      FROM c),
+        |cent AS (SELECT label, pos, avg(x) AS m FROM u GROUP BY label, pos),
+        |centv AS (SELECT label, list(m ORDER BY pos) AS cv
+        |          FROM cent GROUP BY label),
+        |probes AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT q.vec_id AS query_id, cv.label,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.v, cv.cv) DESC, cv.label) AS pr
+        |    FROM q CROSS JOIN centv cv)
+        |  WHERE pr <= 3)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM probes p
+        |  JOIN q ON q.vec_id = p.query_id
+        |  JOIN c ON c.label = p.label
+        |  WHERE c.vec_id <> p.query_id)
+        |WHERE rank <= 5""".stripMargin,
 
     "emb_label_counts" ->
       "SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs FROM embeddings GROUP BY 1")
