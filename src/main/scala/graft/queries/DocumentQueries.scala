@@ -75,6 +75,21 @@ object DocumentQueries {
         .select(col("media_id"), col("width"), col("height"), col("channels"))
     }),
 
+    // multimodal frame sampling WITH an exact oracle: the stub frame
+    // extractor is fixed-stride byte windows, so frame counts and byte
+    // totals are pure functions of payload length — the fan-out shape
+    // (flatMap generator → per-media re-aggregation) is the real
+    // video-pipeline plumbing
+    "multimodal_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(
+        docs(s, dir).withColumn("meta", map(lit("source"), col("source"))),
+        "doc_id", "text", "video")
+      Multimodal.sampleFrames(s, media, strideBytes = 1024).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_payload"))).as("frame_bytes"))
+    }),
+
     // corpus roll-up: per (source, predicted lang) counts + mean quality
     // (kernel-scored rows feed one codegen'd hash aggregation)
     "text_source_profile" -> ((s, dir) =>
@@ -199,6 +214,12 @@ object DocumentQueries {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
     },
+
+    "multimodal_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(ceil(strlen(text) / 1024.0) AS BIGINT) AS n_frames,
+        |  CAST(strlen(text) AS BIGINT) AS frame_bytes
+        |FROM documents WHERE strlen(text) > 0""".stripMargin,
 
     "text_stats" -> {
       val langCase = TextAnalysis.stopwords.map(_._1)
