@@ -33,7 +33,21 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, rightCols: Seq[String],
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None): DataFrame =
+    joined(left, right, keys, tsCol, rightCols, tolerance, backwards = true)
+
+  /** Forward as-of: for every left row, the EARLIEST right row with
+    * `right.ts >= left.ts` on the same keys (merge_asof
+    * direction="forward"). Same single-shuffle window composition as
+    * [[backward]], with the scan order reversed. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, rightCols: Seq[String],
+      tolerance: Option[Column] = None): DataFrame =
+    joined(left, right, keys, tsCol, rightCols, tolerance, backwards = false)
+
+  private def joined(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, rightCols: Seq[String],
+      tolerance: Option[Column], backwards: Boolean): DataFrame = {
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val rightStruct = struct((rightCols :+ tsCol).map(col).toIndexedSeq: _*)
     val rSchema = right.select((rightCols :+ tsCol).map(col): _*).schema
@@ -43,18 +57,24 @@ object AsOfJoin {
     val r = right.select(keys.map(col) :+ col(tsCol).as("__ts") :+
       lit(1).as("__side") :+ lit(null).cast(left.schema).as("__l") :+
       rightStruct.as("__r"): _*)
-    // order: at equal ts the right row sorts FIRST (side desc) so an
-    // exactly-simultaneous right row is visible to the left row
+    // scan toward each left row along time (backward: ascending;
+    // forward: descending); at equal ts the right row sorts FIRST
+    // (side desc) so an exactly-simultaneous right row is visible —
+    // both directions are ts-inclusive, like merge_asof
+    val ord = if (backwards) col("__ts").asc else col("__ts").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").desc)
+      .orderBy(ord, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 0)
     val withinTol = tolerance match {
-      case Some(tol) =>
+      case Some(tol) if backwards =>
         when(col("__match").isNotNull &&
           col("__ts") <= col(s"__match.$tsCol") + tol, col("__match"))
+      case Some(tol) =>
+        when(col("__match").isNotNull &&
+          col(s"__match.$tsCol") <= col("__ts") + tol, col("__match"))
       case None => col("__match")
     }
     val out = carried.withColumn("__match", withinTol)

@@ -223,6 +223,22 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("purchase_cents"))
     }),
 
+    // forward as-of: each signup matched to the user's NEXT purchase at
+    // or after the signup (same single-shuffle window composition,
+    // reversed scan direction)
+    "asof_signup_next_purchase" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val e = events(s, dir)
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast(LongType).as("purchase_cents"))
+      AsOfJoin.forward(signups, purchases, Seq("user_id"), "ts",
+          Seq("purchase_cents"))
+        .select(col("event_id"), col("user_id"), col("purchase_cents"))
+    }),
+
     // gap-based sessionization (30-minute inactivity) via the built-in
     // session_window — stateful event analytics the reference lacks
     "event_sessions" -> ((s, dir) =>
@@ -403,6 +419,19 @@ object EventQueries {
         |SELECT c.event_id, c.user_id, p.purchase_cents
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "asof_signup_next_purchase" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+        |p AS (
+        |  SELECT user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT s.event_id, s.user_id, m.purchase_cents
+        |FROM s LEFT JOIN LATERAL (
+        |  SELECT purchase_cents FROM p
+        |  WHERE p.user_id = s.user_id AND p.ts >= s.ts
+        |  ORDER BY p.ts LIMIT 1) m ON true""".stripMargin,
 
     "event_sessions" ->
       """WITH o AS (

@@ -41,6 +41,27 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got(1L).contains(100L))
   }
 
+  test("forward as-of join picks the earliest right row at or after left.ts") {
+    val got = AsOfJoin.forward(trades, quotes, Seq("sym"), "ts", Seq("px"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> Some(101L), // next A quote after 09:04 is 09:05
+      2L -> Some(101L), // exactly-at quote matches (inclusive)
+      3L -> Some(100L), // 08:59 -> first quote 09:00
+      4L -> None, // B has no quote after 10:00
+      5L -> None))
+  }
+
+  test("forward tolerance nulls out matches farther than the bound") {
+    val got = AsOfJoin.forward(trades, quotes, Seq("sym"), "ts", Seq("px"),
+        tolerance = Some(expr("INTERVAL 30 SECONDS")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(3L).isEmpty) // 09:00 quote is 60s ahead of 08:59 trade
+    assert(got(2L).contains(101L)) // zero-distance match survives
+  }
+
   test("all left columns and the matched timestamp survive") {
     val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "ts", Seq("px"))
     assert(out.columns.toSeq == Seq("trade_id", "sym", "ts", "px", "matched_ts"))
