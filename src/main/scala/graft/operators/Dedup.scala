@@ -540,31 +540,44 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
     * scalably via the pigeonhole principle: split the 32-bit print into
     * (maxHamming+1) chunks — any pair within the bound must agree on at
-    * least one chunk, so candidates come from equality joins on chunk
-    * values (shuffle on small ints), then are verified by popcount. */
+    * least one chunk, so candidates come from chunk-value posting lists
+    * (one shuffle on small int keys), verified by popcount INSIDE the
+    * emission loop — failing candidates never materialize as rows.
+    * Recall is exact: every qualifying pair shares ≥1 chunk and so
+    * appears in ≥1 posting list.
+    *
+    * @param maxBucketSize drop chunk posting lists larger than this
+    *   (hot-key cap, as in [[minhashLshPairsKernel]]): one degenerate
+    *   chunk value otherwise costs O(n²) popcounts in a single task.
+    *   Pairs in an over-cap bucket still surface through their other
+    *   chunks when genuinely close. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
     val chunks = maxHamming + 1
     val width = 32 / chunks
+    val spark = df.sparkSession
+    import spark.implicits._
     // prints via the row-local kernel (pure map over input splits);
     // simhashTable is the declarative twin with identical output
     val sh = simhashKernel(df, textCol, idCol)
-      .select(col("id"), col("simhash").as("sim"))
     val chunkCols = (0 until chunks).map(c => struct(lit(c).as("chunk"),
-      shiftrightunsigned(col("sim"), c * width)
+      shiftrightunsigned(col("simhash"), c * width)
         .bitwiseAND((1L << width) - 1).as("key")))
-    val indexed = sh.select(col("id"), col("sim"),
+    val lists = sh
+      .select(col("id"), col("simhash").as("sim"),
         explode(array(chunkCols: _*)).as("ck"))
-      .select(col("id"), col("sim"),
-        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val ham = bit_count(col("a.sim").bitwiseXOR(col("b.sim")))
-    indexed.as("a")
-      .join(indexed.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .where(ham <= maxHamming)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .groupBy(col("ck.chunk"), col("ck.key"))
+      .agg(collect_list(struct(col("id").as("_1"), col("sim").as("_2"))).as("xs"))
+      .where(size(col("xs")).between(2, maxBucketSize))
+      .select(col("xs")).as[Seq[(Long, Long)]]
+    lists.flatMap { xs =>
+        val a = xs.sortBy(_._1).toArray
+        a.indices.iterator.flatMap { i =>
+          Iterator.range(i + 1, a.length)
+            .filter(j => java.lang.Long.bitCount(a(i)._2 ^ a(j)._2) <= maxHamming)
+            .map(j => (a(i)._1, a(j)._1, a(i)._2, a(j)._2))
+        }
+      }.toDF("id_a", "id_b", "sim_a", "sim_b")
       .dropDuplicates("id_a", "id_b")
   }
 }
