@@ -276,6 +276,37 @@ class StreamingSpec extends SparkTestBase {
         Option(ts("2014-03-21T12:00")) -> 0L)))
   }
 
+  test("maintained rollup serves an AVERAGE fact: (counter,total) partials") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val fact = FactDef("resptime", FactType.Average, sliceMinutes = 15)
+    val path = java.nio.file.Files.createTempDirectory("graft-avg").toString
+    val q = StreamingIngest.maintainRollup(source.toDF(), fact, Seq("host"), path)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString)
+      .start()
+    source.addData(
+      Event("resptime", ts("2014-03-21T09:01"), 100, Map("host" -> "a")),
+      Event("resptime", ts("2014-03-21T09:07"), 200, Map("host" -> "a")))
+    q.processAllAvailable()
+    // second batch into the SAME slice: partials must re-aggregate
+    source.addData(
+      Event("resptime", ts("2014-03-21T09:11"), 60, Map("host" -> "a")))
+    q.processAllAvailable()
+    q.stop()
+
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("resptime", FactType.Average, slice = 15)
+    svc.defineDimension("host", facts = Set("resptime"))
+    svc.registerRollup("resptime", Seq("host"), path)
+    val rows = svc.getTimeseries("resptime", "host", Map.empty,
+        ts("2014-03-21T09:00"), ts("2014-03-21T10:00"), Step.Hour)
+      .collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Timestamp]("bucket"),
+        r.getAs[Long]("counter"), r.getAs[Long]("total"))).toSet
+    assert(rows == Set(("a", ts("2014-03-21T09:00"), 3L, 360L)))
+  }
+
   test("average fact streams as re-aggregable (counter,total) pairs") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
