@@ -86,6 +86,40 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("as-of joins agree with a brute-force reference on random data") {
+    import graft.operators.AsOfJoin
+    for (seed <- Seq(11, 12)) {
+      val rnd = new Random(seed)
+      def t(min: Int) = new Timestamp(ts("2024-02-01T00:00").getTime + min * 60000L)
+      // right timestamps unique per key (ties would make the match
+      // payload ambiguous in ANY asof implementation)
+      val rights = (for {
+        k <- 0 until 4
+        min <- rnd.shuffle((0 until 2000).toList).take(60)
+      } yield ("k" + k, t(min), rnd.nextInt(1000).toLong))
+      val lefts = (0 until 300).map(i =>
+        (i.toLong, "k" + rnd.nextInt(5), t(rnd.nextInt(2000))))
+      val lDF = lefts.toDF("id", "key", "ts")
+      val rDF = rights.toDF("key", "ts", "v")
+      val byKey = rights.groupBy(_._1)
+      def expect(back: Boolean): Map[Long, Option[Long]] = lefts.map {
+        case (id, k, lts) =>
+          val cands = byKey.getOrElse(k, Seq.empty).filter(r =>
+            if (back) !r._2.after(lts) else !r._2.before(lts))
+          id -> (if (cands.isEmpty) None
+            else Some((if (back) cands.maxBy(_._2.getTime)
+              else cands.minBy(_._2.getTime))._3))
+      }.toMap
+      for (back <- Seq(true, false)) {
+        val op = if (back) AsOfJoin.backward _ else AsOfJoin.forward _
+        val got = op(lDF, rDF, Seq("key"), "ts", Seq("v"), None)
+          .collect().map(r => r.getAs[Long]("id") ->
+            (if (r.isNullAt(3)) None else Some(r.getAs[Long]("v")))).toMap
+        assert(got == expect(back), s"seed $seed backward=$back")
+      }
+    }
+  }
+
   test("slice invariance: query result independent of slice size for aligned ranges") {
     // With whole-hour query bounds and hour collapse, the slice size
     // (5/15/30/60) must not change results — slices nest inside hours.
