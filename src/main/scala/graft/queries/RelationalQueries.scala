@@ -87,6 +87,32 @@ object RelationalQueries {
           col("rn"))
     }),
 
+    // set-operation breadth: customers ordering in 1996 but not 1997
+    // (EXCEPT on key sets, then a broadcast-joined segment roll-up)
+    "churned_customers_1997" -> ((s, dir) => {
+      val ord = read(s, dir, "orders")
+      def inYear(y: Int) = ord.where(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"))
+      val churned = inYear(1996).except(inYear(1997))
+      read(s, dir, "customer")
+        .join(churned, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // window-frame breadth: running spend per customer over order time
+    // (ROWS UNBOUNDED PRECEDING cumulative sum, deterministic ordering)
+    "cumulative_customer_spend" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      read(s, dir, "orders")
+        .where(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(round(col("o_totalprice") * 100).cast(LongType)).over(w)
+            .as("cum_cents"))
+    }),
+
     // semi/anti-join breadth: customers with no orders in the window
     "customers_without_orders" -> ((s, dir) => {
       val ord = read(s, dir, "orders")
@@ -144,6 +170,23 @@ object RelationalQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders WHERE o_custkey < 100)
         |WHERE rn <= 3""".stripMargin,
+
+    "churned_customers_1997" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |JOIN (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |) churned ON c_custkey = churned.o_custkey
+        |GROUP BY ALL""".stripMargin,
+
+    "cumulative_customer_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |FROM orders WHERE o_custkey < 50""".stripMargin,
 
     "customers_without_orders" ->
       """SELECT c_mktsegment, count(*) AS n_customers
