@@ -134,6 +134,38 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("part"), transform(col("pm"), _.getField("m")).as("centroid"))
 
+  /** Assign every corpus vector to its most-similar centroid — the IVF
+    * index-BUILD step (and the assignment half of a Lloyd/k-means
+    * iteration). The centroid table broadcasts; ties break on the lower
+    * part id, so assignment is deterministic. One window shuffle on the
+    * corpus id; at 100 TB the corpus never moves except that shuffle.
+    *
+    * @param cent (part, centroid) rows — small (breadth × dim)
+    * @return (idCol, part) */
+  def assignToCentroids(corpus: DataFrame, cent: DataFrame, idCol: String,
+      vecCol: String, dotFn: (Column, Column) => Column = dot): DataFrame = {
+    val d = dotFn
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("part"))
+    corpus.select(col(idCol), col(vecCol).as("__v"))
+      .join(broadcast(cent.select(col("part"), col("centroid"))))
+      .select(col(idCol), col("part"), d(col("__v"), col("centroid")).as("__csim"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("part"))
+  }
+
+  /** One Lloyd (k-means) iteration: assign to the given centroids, then
+    * recompute each partition's mean vector. Iterating this to a fixed
+    * point + [[assignToCentroids]] + [[ivfTopK]] is the full
+    * self-contained IVF pipeline (no pre-existing partition column
+    * needed). */
+  def lloydStep(corpus: DataFrame, cent: DataFrame, idCol: String,
+      vecCol: String, dotFn: (Column, Column) => Column = dot): DataFrame = {
+    val assigned = assignToCentroids(corpus, cent, idCol, vecCol, dotFn)
+    centroids(corpus.join(assigned, Seq(idCol)), "part", vecCol)
+  }
+
   /** IVF top-k: probe the `nProbe` partitions with the most-similar
     * centroids per query, exact-rank within the probed subset.
     * Output schema matches [[bruteForceTopK]].

@@ -75,6 +75,21 @@ object EmbeddingQueries {
         index = Some(s.read.parquet(indexPath)))
     }),
 
+    // IVF index BUILD: assign every vector to its most-similar seed
+    // centroid (vecs 0..9 as deterministic seeds) — the k-means
+    // assignment step that makes IVF self-contained when no natural
+    // partition column exists. Output: partition sizes.
+    "ann_kmeans_partition_sizes" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val init = e.where(col("vec_id") < 10)
+        .select(col("vec_id").cast("long").as("part"),
+          col("embedding").cast("array<double>").as("centroid"))
+      Similarity.assignToCentroids(e, init, "vec_id", "embedding",
+          GraftFunctions.dotNative)
+        .groupBy(col("part")).agg(count(lit(1)).as("n_vecs"))
+    }),
+
     // corpus profile: per-label counts (exact ints)
     "emb_label_counts" -> ((s, dir) =>
       emb(s, dir).groupBy(col("label").cast("long").as("label"))
@@ -133,6 +148,20 @@ object EmbeddingQueries {
         |  JOIN c ON c.label = p.label
         |  WHERE c.vec_id <> p.query_id)
         |WHERE rank <= 5""".stripMargin,
+
+    "ann_kmeans_partition_sizes" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |init AS (SELECT CAST(vec_id AS BIGINT) AS part, v AS cv
+        |         FROM c WHERE vec_id < 10),
+        |assigned AS (
+        |  SELECT vec_id, part FROM (
+        |    SELECT c.vec_id, i.part,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_dot_product(c.v, i.cv) DESC, i.part) AS rn
+        |    FROM c CROSS JOIN init i)
+        |  WHERE rn = 1)
+        |SELECT part, count(*) AS n_vecs FROM assigned GROUP BY 1""".stripMargin,
 
     "emb_label_counts" ->
       "SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs FROM embeddings GROUP BY 1")

@@ -47,6 +47,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(c(1).zip(Seq((s2 - 1) / 2.0, s2 / 2.0, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
   }
 
+  test("assignToCentroids: nearest centroid wins, ties break low") {
+    val cent = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0)))
+      .toDF("part", "centroid")
+    val got = Similarity.assignToCentroids(corpus, cent, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0 → e_x part, 1 → e_y part, 2 equidistant → lower part id,
+    // 3 (−e_x) → dot 0 with e_y beats −1 with e_x, 4 → e_x
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("lloydStep: recomputed centroids are the assigned-partition means") {
+    val cent = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0)))
+      .toDF("part", "centroid")
+    val next = Similarity.lloydStep(corpus, cent, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // part 0 = mean of vecs {0, 2, 4}; part 1 = mean of {1, 3}
+    val exp0 = Seq((1.0 + s2 + 0.999f.toDouble) / 3,
+      (s2 + 0.0447f.toDouble) / 3, 0.0)
+    val exp1 = Seq(-0.5, 0.5, 0.0)
+    assert(next(0L).zip(exp0).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(next(1L).zip(exp1).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+  }
+
   test("IVF with all partitions probed equals brute force exactly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 5)
