@@ -109,13 +109,16 @@ object Dedup {
   }
 
   /** Exact dedup: every row mapped to the canonical (minimum) id of
-    * its identical-content group. One aggregation + one broadcast-able
-    * join of (content-key → canonical) back onto ids. */
+    * its identical-content group. The content key is the 128-bit md5 of
+    * the text — at 100 TB the aggregation and join shuffle 32-byte
+    * keys, never the document bodies (collision odds ~n²/2¹²⁸ are
+    * negligible at any corpus size). One aggregation + one join of
+    * (content-key → canonical) back onto ids. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val canon = df.groupBy(col(textCol))
+    val keyed = df.select(col(idCol), md5(col(textCol)).as("__k"))
+    val canon = keyed.groupBy(col("__k"))
       .agg(min(col(idCol)).as("canonical_id"))
-    df.select(col(idCol), col(textCol))
-      .join(canon, Seq(textCol))
+    keyed.join(canon, Seq("__k"))
       .select(col(idCol), col("canonical_id"))
   }
 
