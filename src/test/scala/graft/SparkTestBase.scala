@@ -20,28 +20,14 @@ object SparkTestSession {
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
-  /** Pivot a timeseries result DataFrame into the reference's nested-map
-    * shape: {dims → {bucket(None ⇔ :all) → value}} — for golden parity
-    * with `postgres_test.clj` / `mem_test.clj` expectations. */
+  /** Reference nested-map shape, via the public presentation adapter
+    * ([[graft.ResultShape]]) — golden parity with `postgres_test.clj` /
+    * `mem_test.clj` expectations. */
   def pivot(df: DataFrame, dims: Seq[String], valueCol: String = "value")
       : Map[Map[String, String], Map[Option[java.sql.Timestamp], Long]] =
-    df.collect().toSeq
-      .groupBy(r => dims.map(d => d -> r.getAs[String](d)).toMap)
-      .map { case (k, rows) =>
-        k -> rows.map { r =>
-          Option(r.getAs[java.sql.Timestamp]("bucket")) ->
-            r.getAs[Long](valueCol)
-        }.toMap
-      }
+    ResultShape.nested(df, dims, valueCol)
 
   def pivotAvg(df: DataFrame, dims: Seq[String])
       : Map[Map[String, String], Map[Option[java.sql.Timestamp], (Long, Long)]] =
-    df.collect().toSeq
-      .groupBy(r => dims.map(d => d -> r.getAs[String](d)).toMap)
-      .map { case (k, rows) =>
-        k -> rows.map { r =>
-          Option(r.getAs[java.sql.Timestamp]("bucket")) ->
-            (r.getAs[Long]("counter"), r.getAs[Long]("total"))
-        }.toMap
-      }
+    ResultShape.nestedAvg(df, dims)
 }
