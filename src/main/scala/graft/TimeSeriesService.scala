@@ -37,6 +37,14 @@ final class TimeSeriesService(
 
   private val buffer = ArrayBuffer.empty[Event]
   private var bulk: Option[DataFrame] = None
+  private var bulkDepth = 0
+  private var storeDir: Option[String] = None
+
+  /** Union-plan depth at which bulk ingestion switches to an on-disk
+    * event store: an unbounded stream of `ingest` calls must not grow
+    * an unbounded lineage chain (plan analysis cost and recovery depth
+    * scale with it). Below the threshold ingestion stays zero-IO. */
+  private val spillDepth = 32
 
   // ---- DDL (O1–O6) ----------------------------------------------------
 
@@ -58,7 +66,8 @@ final class TimeSeriesService(
     catalog.updateDimension(dimId, factId)
 
   def dropSchema(): Unit = {
-    catalog.drop(); buffer.clear(); bulk = None; rollupStore.clear()
+    catalog.drop(); buffer.clear(); bulk = None; bulkDepth = 0
+    storeDir = None; rollupStore.clear()
   }
 
   // ---- materialized rollups (reference storage strategy, opt-in) ------
@@ -154,16 +163,45 @@ final class TimeSeriesService(
     newFact(factId, ts, 1L, categories)
 
   /** Bulk ingestion: a DataFrame in the canonical event schema (the
-    * 100 TB path — buffer-per-event is for API-parity workloads only). */
+    * 100 TB path — buffer-per-event is for API-parity workloads only).
+    *
+    * The first [[spillDepth]] frames stay a lazy in-memory union (no
+    * IO for one-shot batch use); past that — the long-running-stream
+    * shape, e.g. [[graft.streaming.StreamingIngest.foreachBatchInto]]
+    * micro-batches — the accumulated events move ONCE into an on-disk
+    * parquet store and every later ingest appends to it, so lineage
+    * depth, cached-batch memory, and per-query plan cost stay O(1) in
+    * stream length while total write IO stays O(data). */
   def ingest(events: DataFrame): Unit = {
-    bulk = Some(bulk.map(_.unionByName(events)).getOrElse(events))
+    storeDir match {
+      case Some(dir) =>
+        events.write.mode("append").parquet(dir)
+        // the incoming frame is materialized on disk now; if the caller
+        // cached it for the hand-off (streaming batches), release that
+        if (events.storageLevel.useMemory) events.unpersist()
+      case None =>
+        bulk = Some(bulk.map(_.unionByName(events)).getOrElse(events))
+        bulkDepth += 1
+        if (bulkDepth >= spillDepth) {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-eventstore").toString
+          bulk.foreach(_.write.mode("overwrite").parquet(dir))
+          storeDir = Some(dir)
+          bulk = None
+          bulkDepth = 0
+        }
+    }
     invalidateRollups(None) // frame may carry any fact
   }
 
   /** All events visible to queries. */
   def eventsDF: DataFrame = {
     val buffered = spark.createDataset(buffer.toSeq).toDF()
-    bulk.map(buffered.unionByName(_)).getOrElse(buffered)
+    val withStore = storeDir match {
+      case Some(dir) => buffered.unionByName(spark.read.parquet(dir))
+      case None => buffered
+    }
+    bulk.map(withStore.unionByName(_)).getOrElse(withStore)
   }
 
   // ---- Read path (O13–O20) --------------------------------------------

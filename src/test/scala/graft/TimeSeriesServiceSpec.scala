@@ -235,6 +235,34 @@ class TimeSeriesServiceSpec extends SparkTestBase {
       Map("company" -> "bbva", "campaign" -> "ventas") -> Map(None -> ((1L, 15L)))))
   }
 
+  test("long ingest streams spill to the event store without losing data") {
+    import spark.implicits._
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("signups", FactType.Counter, slice = 10)
+    svc.defineDimension("dependency", facts = Set("signups"))
+    // 40 single-event frames crosses the in-memory union spill
+    // threshold mid-stream; totals must be exact across the switch
+    for (i <- 0 until 40) {
+      val min = i % 60
+      svc.ingest(Seq(graft.model.Event("signups",
+        ts(f"2014-03-21T09:$min%02d"), 1L, Map("dependency" -> "31")))
+        .toDF())
+    }
+    val got = pivot(svc.getTimeseries("signups", "dependency",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00"), Step.NoStep),
+      Seq("dependency"))
+    assert(got == Map(Map("dependency" -> "31") -> Map(None -> 40L)))
+    // post-spill appends land in the store too
+    svc.ingest(Seq(graft.model.Event("signups",
+      ts("2014-03-21T09:30"), 2L, Map("dependency" -> "31"))).toDF())
+    val after = pivot(svc.getTimeseries("signups", "dependency",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00"), Step.NoStep),
+      Seq("dependency"))
+    assert(after == Map(Map("dependency" -> "31") -> Map(None -> 42L)))
+  }
+
   test("catalog round-trip through parquet (O1/O6)") {
     val svc = freshService()
     val dir = java.nio.file.Files.createTempDirectory("graft-catalog").toString
