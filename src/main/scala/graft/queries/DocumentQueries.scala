@@ -90,6 +90,25 @@ object DocumentQueries {
           sum(length(col("frame_payload"))).as("frame_bytes"))
     }),
 
+    // the composed training-data pipeline in one query: quality gate →
+    // language gate → exact dedup (canonical survivors only, computed
+    // WITHIN the gated subset) → per-source corpus counts. Each stage
+    // is one of the operators above; this pins that they compose.
+    "pipeline_quality_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keep = TextAnalysis.statsKernel(d, "text", "doc_id")
+        .where(col("quality_e4") >= 5000 && col("lang_pred") === "en")
+        .select(col("id").as("doc_id"))
+      val gated = d.join(keep, Seq("doc_id"))
+      val canon = Dedup.exact(gated, "text", "doc_id")
+        .where(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"))
+      gated.join(canon, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"))
+    }),
+
     // corpus roll-up: per (source, predicted lang) counts + mean quality
     // (kernel-scored rows feed one codegen'd hash aggregation)
     "text_source_profile" -> ((s, dir) =>
@@ -120,6 +139,43 @@ object DocumentQueries {
 
   private val allStops: String = TextAnalysis.stopwords.flatMap(_._2).distinct
     .map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** text_stats oracle body — shared verbatim by the composed-
+    * pipeline oracle so both gates replicate the kernel arithmetic
+    * identically. */
+  private lazy val textStatsSql: String = {
+      val langCase = TextAnalysis.stopwords.map(_._1)
+        .map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      val scores = TextAnalysis.stopwords.map(_._1)
+        .map(l => s"${hits(l)} AS s_$l").mkString(",\n    ")
+      s"""SELECT doc_id, $langCase AS lang_pred,
+         |  CAST(nt AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+         |  CAST(floor(
+         |    2500.0 * least(nc / 500.0, 1.0) +
+         |    2500.0 * (nstop / CAST(nt AS DOUBLE)) +
+         |    2500.0 * (1.0 - npunct / CAST(nc AS DOUBLE)) +
+         |    2500.0 * least(((nc - npunct) / CAST(nt AS DOUBLE)) / 10.0, 1.0)
+         |  ) AS BIGINT) AS quality_e4
+         |FROM (
+         |  SELECT doc_id, text, toks,
+         |    greatest(s_de, s_en, s_es, s_fr, s_zh) AS best,
+         |    s_de, s_en, s_es, s_fr, s_zh,
+         |    len(toks) AS nt,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(len(list_filter(toks, t -> t IN $allStops)) AS DOUBLE) AS nstop,
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |      AS npunct
+         |  FROM (
+         |    SELECT doc_id, text, toks,
+         |      $scores
+         |    FROM (SELECT doc_id, text,
+         |            string_split_regex(trim(text), '\\s+') AS toks
+         |          FROM documents)))""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -221,39 +277,19 @@ object DocumentQueries {
         |  CAST(strlen(text) AS BIGINT) AS frame_bytes
         |FROM documents WHERE strlen(text) > 0""".stripMargin,
 
-    "text_stats" -> {
-      val langCase = TextAnalysis.stopwords.map(_._1)
-        .map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
-        .mkString("CASE ", " ", " ELSE 'und' END")
-      val scores = TextAnalysis.stopwords.map(_._1)
-        .map(l => s"${hits(l)} AS s_$l").mkString(",\n    ")
-      s"""SELECT doc_id, $langCase AS lang_pred,
-         |  CAST(nt AS BIGINT) AS n_tokens,
-         |  CAST(len(regexp_extract_all(lower(text),
-         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish,
-         |  CAST(floor(
-         |    2500.0 * least(nc / 500.0, 1.0) +
-         |    2500.0 * (nstop / CAST(nt AS DOUBLE)) +
-         |    2500.0 * (1.0 - npunct / CAST(nc AS DOUBLE)) +
-         |    2500.0 * least(((nc - npunct) / CAST(nt AS DOUBLE)) / 10.0, 1.0)
-         |  ) AS BIGINT) AS quality_e4
-         |FROM (
-         |  SELECT doc_id, text, toks,
-         |    greatest(s_de, s_en, s_es, s_fr, s_zh) AS best,
-         |    s_de, s_en, s_es, s_fr, s_zh,
-         |    len(toks) AS nt,
-         |    CAST(length(text) AS DOUBLE) AS nc,
-         |    CAST(len(list_filter(toks, t -> t IN $allStops)) AS DOUBLE) AS nstop,
-         |    CAST(length(text) -
-         |      length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-         |      AS npunct
-         |  FROM (
-         |    SELECT doc_id, text, toks,
-         |      $scores
-         |    FROM (SELECT doc_id, text,
-         |            string_split_regex(trim(text), '\\s+') AS toks
-         |          FROM documents)))""".stripMargin
-    },
+    "text_stats" -> textStatsSql,
+
+    "pipeline_quality_dedup" ->
+      s"""WITH st AS ($textStatsSql),
+         |gated AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN st ON st.doc_id = d.doc_id
+         |  WHERE st.quality_e4 >= 5000 AND st.lang_pred = 'en'),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
+         |SELECT g.source, count(*) AS n_docs,
+         |  CAST(sum(length(g.text)) AS BIGINT) AS n_chars
+         |FROM gated g JOIN canon USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
