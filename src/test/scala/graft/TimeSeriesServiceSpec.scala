@@ -235,6 +235,33 @@ class TimeSeriesServiceSpec extends SparkTestBase {
       Map("company" -> "bbva", "campaign" -> "ventas") -> Map(None -> ((1L, 15L)))))
   }
 
+  test("drop-schema clears engine state, leaves unrelated data intact (postgres_test.clj:173-201)") {
+    import spark.implicits._
+    val svc = freshService()
+    val rollups = svc.materializeRollups(
+      java.nio.file.Files.createTempDirectory("graft-drop").toString)
+    assert(rollups.nonEmpty)
+    // unrelated user data, not owned by the engine
+    val unrelated = java.nio.file.Files.createTempDirectory("user-own").toString
+    Seq((1, "keep")).toDF("k", "v").write.mode("overwrite").parquet(unrelated)
+
+    svc.dropSchema()
+    assert(svc.catalog.facts.isEmpty && svc.catalog.dimensions.isEmpty)
+    val err = intercept[IllegalArgumentException] {
+      svc.getTimeseries("signups", "dependency_user", Map.empty,
+        ts("2014-03-21T09:00"), ts("2014-03-21T13:00"))
+    }
+    assert(err.getMessage.contains("Non existent fact"))
+    // schema can be redefined cleanly afterward, with no ghost events
+    svc.defineFact("signups", FactType.Counter, slice = 10)
+    svc.defineDimension("dependency", facts = Set("signups"))
+    val re = svc.getTimeseries("signups", "dependency", Map.empty,
+      ts("2014-03-21T09:00"), ts("2014-03-21T13:00"))
+    assert(re.count() == 0)
+    // the user's own data is untouched
+    assert(spark.read.parquet(unrelated).count() == 1)
+  }
+
   test("long ingest streams spill to the event store without losing data") {
     import spark.implicits._
     val svc = new TimeSeriesService(spark)
