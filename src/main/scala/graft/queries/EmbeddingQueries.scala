@@ -22,6 +22,11 @@ object EmbeddingQueries {
   private val ivfIndexes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Self-contained (k-means-derived) IVF index: assignment table +
+    * refined centroids, persisted once per (session, corpus dir). */
+  private val kmeansIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-5 for the first 10 vectors (the ANN baseline)
     "ann_bruteforce_topk" -> ((s, dir) => {
@@ -90,6 +95,35 @@ object EmbeddingQueries {
         .groupBy(col("part")).agg(count(lit(1)).as("n_vecs"))
     }),
 
+    // the full SELF-CONTAINED IVF pipeline: k-means assignment to seed
+    // centroids (vecs 0..9) → per-partition mean centroids (one Lloyd
+    // refinement) → probe-limited top-k search over the built
+    // partitions. No pre-existing partition column — the index is
+    // derived, persisted once, and queries pay only the probe path.
+    "ann_ivf_kmeans_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), {
+        val base = java.nio.file.Files.createTempDirectory("graft_kivf").toString
+        val init = e.where(col("vec_id") < 10)
+          .select(col("vec_id").cast("long").as("part"),
+            col("embedding").cast("array<double>").as("centroid"))
+        val assigned = Similarity.assignToCentroids(e, init, "vec_id",
+          "embedding", GraftFunctions.dotNative)
+        assigned.write.mode("overwrite").parquet(s"$base/assign")
+        Similarity.centroids(
+            e.join(s.read.parquet(s"$base/assign"), Seq("vec_id")),
+            "part", "embedding")
+          .write.mode("overwrite").parquet(s"$base/centroids")
+        base
+      })
+      val corpusP = e.join(s.read.parquet(s"$built/assign"), Seq("vec_id"))
+      Similarity.ivfTopK(corpusP, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", "part", k = 5, nProbe = 3,
+        dotFn = GraftFunctions.dotNative,
+        index = Some(s.read.parquet(s"$built/centroids")))
+    }),
+
     // corpus profile: per-label counts (exact ints)
     "emb_label_counts" -> ((s, dir) =>
       emb(s, dir).groupBy(col("label").cast("long").as("label"))
@@ -146,6 +180,42 @@ object EmbeddingQueries {
         |  FROM probes p
         |  JOIN q ON q.vec_id = p.query_id
         |  JOIN c ON c.label = p.label
+        |  WHERE c.vec_id <> p.query_id)
+        |WHERE rank <= 5""".stripMargin,
+
+    "ann_ivf_kmeans_topk" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |init AS (SELECT CAST(vec_id AS BIGINT) AS part, v AS cv
+        |         FROM c WHERE vec_id < 10),
+        |assigned AS (
+        |  SELECT vec_id, part FROM (
+        |    SELECT c.vec_id, i.part,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_dot_product(c.v, i.cv) DESC, i.part) AS rn
+        |    FROM c CROSS JOIN init i)
+        |  WHERE rn = 1),
+        |u AS (SELECT a.part, unnest(c.v) AS x, generate_subscripts(c.v, 1) AS pos
+        |      FROM c JOIN assigned a USING (vec_id)),
+        |cm AS (SELECT part, pos, avg(x) AS m FROM u GROUP BY part, pos),
+        |cent AS (SELECT part, list(m ORDER BY pos) AS cv FROM cm GROUP BY part),
+        |q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, part FROM (
+        |    SELECT q.vec_id AS query_id, cent.part,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.v, cent.cv) DESC, cent.part) AS pr
+        |    FROM q CROSS JOIN cent)
+        |  WHERE pr <= 3)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM probes p
+        |  JOIN q ON q.vec_id = p.query_id
+        |  JOIN assigned a ON a.part = p.part
+        |  JOIN c ON c.vec_id = a.vec_id
         |  WHERE c.vec_id <> p.query_id)
         |WHERE rank <= 5""".stripMargin,
 
