@@ -86,6 +86,28 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("offset equivalence: collapse with offset == collapse of shifted events") {
+    // time-dimension shifts the timestamp by offset hours BEFORE
+    // truncation (query.clj:8-9) — so running with offset o must equal
+    // running offset-free over events whose ts is shifted by o hours.
+    for ((seed, off) <- Seq((9, -5), (10, 3))) {
+      val ev = randomEvents(seed, 200)
+      val shifted = ev.withColumn("ts",
+        timestamp_seconds(unix_timestamp(col("ts")) + off * 3600L))
+      val withOffset = Timeseries.collapse(
+        Timeseries.scan(ev, 15, Seq("dim"), Map.empty, start, finish),
+        fact, Seq("dim"), Step.Day, off)
+        .collect().map(_.toSeq).toSet
+      val preShifted = Timeseries.collapse(
+        Timeseries.scan(shifted, 15, Seq("dim"), Map.empty,
+          new Timestamp(start.getTime + off * 3600000L),
+          new Timestamp(finish.getTime + off * 3600000L)),
+        fact, Seq("dim"), Step.Day, 0)
+        .collect().map(_.toSeq).toSet
+      assert(withOffset == preShifted, s"seed $seed offset $off")
+    }
+  }
+
   test("as-of joins agree with a brute-force reference on random data") {
     import graft.operators.AsOfJoin
     for (seed <- Seq(11, 12)) {

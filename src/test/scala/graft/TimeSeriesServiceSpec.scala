@@ -262,6 +262,28 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(spark.read.parquet(unrelated).count() == 1)
   }
 
+  test("three-level grouping hierarchy routes and serves both leaf series (README.md:110-111)") {
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("avg_time", FactType.Average, slice = 15)
+    svc.defineDimension("company", groupOnly = true, facts = Set("avg_time"))
+    svc.defineDimension("campaign", groupedBy = Seq(Seq("company")), facts = Set("avg_time"))
+    svc.defineDimension("channel", groupedBy = Seq(Seq("company", "campaign")),
+      facts = Set("avg_time"))
+    svc.newFact("avg_time", ts("2014-03-21T09:00"), 15,
+      Map("company" -> "bbva", "campaign" -> "ventas", "channel" -> "web"))
+    svc.newFact("avg_time", ts("2014-03-21T09:10"), 25,
+      Map("company" -> "bbva", "campaign" -> "ventas", "channel" -> "mail"))
+    val got = pivotAvg(svc.getTimeseries("avg_time", "channel",
+      Map("company" -> Some("bbva"), "campaign" -> Some("ventas")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00")),
+      Seq("company", "campaign", "channel"))
+    assert(got == Map(
+      Map("company" -> "bbva", "campaign" -> "ventas", "channel" -> "web") ->
+        Map(None -> ((1L, 15L))),
+      Map("company" -> "bbva", "campaign" -> "ventas", "channel" -> "mail") ->
+        Map(None -> ((1L, 25L)))))
+  }
+
   test("long ingest streams spill to the event store without losing data") {
     import spark.implicits._
     val svc = new TimeSeriesService(spark)
