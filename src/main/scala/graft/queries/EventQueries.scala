@@ -120,6 +120,24 @@ object EventQueries {
         Seq("event_type"), Map("event_type" -> Some("click")),
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)),
 
+    // the SERVICE façade end-to-end under the oracle gate: catalog DDL
+    // (O3/O4) → bulk ingest of canonical events (O11) → routed
+    // getTimeseries (O20). Must produce byte-identical results to the
+    // operator-level ts_counter_hour_fill pipeline.
+    "ts_service_end_to_end" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineDimension("event_type", facts = Set("events_count"))
+      svc.ingest(eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .select(lit("events_count").as("fact"), col("ts"),
+          lit(1L).as("value"),
+          map(lit("event_type"), col("event_type")).as("categories")))
+      svc.getTimeseries("events_count", "event_type",
+        Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
+    }),
+
     // O16 + :all sentinel: step none -> NULL bucket, routed hierarchy
     "ts_counter_none" -> ((s, dir) =>
       Timeseries.run(prep(s, dir, withUser = true, one,
@@ -311,6 +329,15 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "ts_counter_hour_fill" -> fillOracle(
+      where = "event_type = 'click'",
+      bucketExpr = "date_trunc('hour', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
+      gridStep = "1 HOUR",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
+
+    // identical to ts_counter_hour_fill: the service façade must be
+    // indistinguishable from the operator pipeline
+    "ts_service_end_to_end" -> fillOracle(
       where = "event_type = 'click'",
       bucketExpr = "date_trunc('hour', ts)",
       gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
