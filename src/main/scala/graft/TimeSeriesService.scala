@@ -253,7 +253,8 @@ final class TimeSeriesService(
   def getHistogram(factId: String, dimId: String,
       filters: Map[String, Option[String]],
       start: Timestamp, finish: Timestamp,
-      mergeSeries: Boolean = false): DataFrame = {
+      mergeSeries: Boolean = false,
+      mergeWith: Option[(Long, Long) => Long] = None): DataFrame = {
     val (fact, dim, grouping) = route(factId, dimId, filters)
     require(fact.ftype == FactType.Histogram,
       s"Fact $factId is not a histogram")
@@ -263,9 +264,15 @@ final class TimeSeriesService(
     val perSeries = Timeseries.collapse(scanned, fact, grouping, Step.NoStep, 0)
       .groupBy((grouping.map(col) :+ col("hist_bucket")): _*)
       .agg(sum("value").as("value"))
-    if (mergeSeries)
-      perSeries.groupBy(col("hist_bucket")).agg(sum("value").as("value"))
-    else perSeries
+    if (mergeSeries) {
+      // the reference's declared merge-with parameter (api.clj:38-41,
+      // stub in every backend): per-bucket series counts reduced by a
+      // user-supplied function, `+` when unspecified
+      val merge = mergeWith
+        .map(f => graft.functions.MergeWith(f)(col("value")))
+        .getOrElse(sum(col("value")))
+      perSeries.groupBy(col("hist_bucket")).agg(merge.as("value"))
+    } else perSeries
   }
 
   /** Finest-granularity (slice-bucket) series, the engine's equivalent of

@@ -206,6 +206,15 @@ class TimeSeriesServiceSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("hist_bucket") -> r.getAs[Long]("value"))
       .toMap
     assert(merged === Map(0L -> 2L, 100L -> 3L, 900L -> 2L))
+
+    // user-supplied merge-with: max instead of + — per bucket, the
+    // LARGEST single-series count survives (h1 has 2 in b100, h2 has 1)
+    val maxMerged = svc.getHistogram("time-distr", "host", Map.empty,
+        ts("2014-03-21T09:00"), ts("2014-03-21T10:00"), mergeSeries = true,
+        mergeWith = Some(math.max))
+      .collect().map(r => r.getAs[Long]("hist_bucket") -> r.getAs[Long]("value"))
+      .toMap
+    assert(maxMerged === Map(0L -> 2L, 100L -> 2L, 900L -> 2L))
   }
 
   test("update-dimension! associates a later fact (postgres.clj:42-47)") {
