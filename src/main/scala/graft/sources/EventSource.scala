@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources for the canonical event stream — the engine's one data-plane
+  * input (`fact STRING, ts TIMESTAMP, value LONG,
+  * categories MAP<STRING,STRING>`), replacing the reference's JDBC-only
+  * ingestion (`postgres/update.clj:83-93`) with Spark's source surface:
+  * parquet / JSON / CSV batch readers, the same formats as bounded
+  * streams, and an adapter that maps ARBITRARY wide tables (one column
+  * per dimension — e.g. the driver's `events` table) into the canonical
+  * shape.
+  *
+  * Scale posture: every reader applies an EXPLICIT schema — no
+  * inference pass over 100 TB — and the adapter keeps derived-timestamp
+  * conversions ABOVE any range predicate so scan pushdown still sees
+  * the raw stored column (see `EventQueries.eventsRanged`).
+  */
+object EventSource {
+
+  /** The canonical event schema (SURVEY §1.1 Event). */
+  val schema: StructType = StructType(Seq(
+    StructField("fact", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("value", LongType, nullable = false),
+    StructField("categories",
+      MapType(StringType, StringType, valueContainsNull = true))))
+
+  /** Project/validate an arbitrary frame into the canonical schema
+    * (column order + types normalized; extra columns dropped). */
+  def validated(df: DataFrame): DataFrame = {
+    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"event frame is missing canonical columns: ${missing.mkString(", ")}")
+    df.select(col("fact").cast(StringType), col("ts").cast(TimestampType),
+      col("value").cast(LongType),
+      col("categories").cast(schema("categories").dataType))
+  }
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    validated(spark.read.parquet(path))
+
+  /** JSON lines with the canonical schema (categories as a JSON object). */
+  def json(spark: SparkSession, path: String): DataFrame =
+    validated(spark.read.schema(schema).json(path))
+
+  /** CSV cannot carry a map column — `categories` rides as a JSON-object
+    * string and is parsed on read. Written by [[writeCsv]]. */
+  def csv(spark: SparkSession, path: String): DataFrame = {
+    val flat = StructType(Seq(
+      StructField("fact", StringType), StructField("ts", TimestampType),
+      StructField("value", LongType), StructField("categories_json", StringType)))
+    validated(spark.read.schema(flat).option("header", "true").csv(path)
+      .withColumn("categories",
+        from_json(col("categories_json"), schema("categories").dataType)))
+  }
+
+  /** Canonical events → CSV (categories serialized to a JSON string). */
+  def writeCsv(events: DataFrame, path: String): Unit =
+    validated(events)
+      .withColumn("categories_json", to_json(col("categories")))
+      .drop("categories")
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** The same path as a file STREAM (for
+    * [[graft.streaming.StreamingIngest]] writers): explicit schema, one
+    * of `parquet` / `json`. New files under `path` become micro-batches. */
+  def stream(spark: SparkSession, path: String,
+      format: String = "parquet"): DataFrame =
+    validated(spark.readStream.schema(schema).format(format).load(path))
+
+  /** Adapt a WIDE table (one column per dimension) into canonical
+    * events — the driver's `events.parquet` shape, and the reference's
+    * `new-fact!` call shape (`categories` built from named columns).
+    *
+    * @param factId  fact id literal stamped on every row
+    * @param tsCol   timestamp column (or expression) of the source
+    * @param valueCol value column (or expression), cast to LONG
+    * @param dims    source columns that become `categories` entries,
+    *                keyed by their (aliased) names; values cast to string
+    */
+  def fromWide(df: DataFrame, factId: String, tsCol: Column, valueCol: Column,
+      dims: Map[String, Column]): DataFrame = {
+    val entries = dims.toSeq.sortBy(_._1).flatMap { case (k, c) =>
+      Seq(lit(k), c.cast(StringType))
+    }
+    df.select(lit(factId).as("fact"), tsCol.cast(TimestampType).as("ts"),
+      valueCol.cast(LongType).as("value"),
+      map(entries: _*).as("categories"))
+  }
+}
