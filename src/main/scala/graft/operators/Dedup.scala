@@ -229,9 +229,16 @@ object Dedup {
     import spark.implicits._
     val hs = shingleHashKernel(df, textCol, idCol, k).cache()
     val sizes = hs.select(col("id"), size(col("hs")).cast(LongType).as("sz"))
-    val idx = hs.select(col("id"), explode(col("hs")).as("sh"))
+    // Hot shingles are dropped BEFORE the posting lists are collected:
+    // a stop-shingle's list must never be materialized in one reduce
+    // task just to be thrown away (at corpus scale that build is an
+    // OOM, cap or no cap). The df count is algebraic (partial-agg
+    // skew-safe) and the over-cap key set is tiny — broadcast anti-join.
+    val ex = hs.select(col("id"), explode(col("hs")).as("sh"))
+    val hot = ex.groupBy("sh").agg(count(lit(1)).as("df_"))
+      .where(col("df_") > maxDf).select("sh")
+    val idx = ex.join(broadcast(hot), Seq("sh"), "left_anti")
       .groupBy("sh").agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) <= maxDf)
       .select(col("ids")).as[Seq[Long]]
     val bounds = hs.agg(min(col("id")), max(col("id"))).head()
     val packable = !bounds.isNullAt(0) && bounds.getLong(0) >= 0 &&
@@ -383,10 +390,16 @@ object Dedup {
       }.toDF("id", "band", "key")
     // candidate generation via band posting lists (same emission loop
     // as the jaccard posting kernel) — one shuffle on the band key
-    // instead of a sorted self-join of the banded table
+    // instead of a sorted self-join of the banded table. Over-cap
+    // band buckets are dropped BEFORE collection (algebraic count +
+    // broadcast anti-join of the tiny hot-key set), so a degenerate
+    // band never materializes its posting list just to be discarded.
+    val hotBands = banded.groupBy("band", "key").agg(count(lit(1)).as("n_"))
+      .where(col("n_") > maxBandSize).select("band", "key")
     val cand = emitPairs(
-        banded.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
-          .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBandSize)
+        banded.join(broadcast(hotBands), Seq("band", "key"), "left_anti")
+          .groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
+          .where(size(col("ids")) >= 2)
           .select(col("ids")).as[Seq[Long]])
       .dropDuplicates("id_a", "id_b")
       .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
@@ -566,12 +579,22 @@ object Dedup {
     val chunkCols = (0 until chunks).map(c => struct(lit(c).as("chunk"),
       shiftrightunsigned(col("simhash"), c * width)
         .bitwiseAND((1L << width) - 1).as("key")))
-    val lists = sh
+    val indexed = sh
       .select(col("id"), col("simhash").as("sim"),
         explode(array(chunkCols: _*)).as("ck"))
-      .groupBy(col("ck.chunk"), col("ck.key"))
+      .select(col("id"), col("sim"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    // over-cap chunk buckets dropped BEFORE collection (see the
+    // jaccard posting kernel) — a degenerate chunk value never
+    // materializes its posting list just to be discarded
+    val hotBuckets = indexed.groupBy("chunk", "key")
+      .agg(count(lit(1)).as("n_"))
+      .where(col("n_") > maxBucketSize).select("chunk", "key")
+    val lists = indexed
+      .join(broadcast(hotBuckets), Seq("chunk", "key"), "left_anti")
+      .groupBy(col("chunk"), col("key"))
       .agg(collect_list(struct(col("id").as("_1"), col("sim").as("_2"))).as("xs"))
-      .where(size(col("xs")).between(2, maxBucketSize))
+      .where(size(col("xs")) >= 2)
       .select(col("xs")).as[Seq[(Long, Long)]]
     lists.flatMap { xs =>
         val a = xs.sortBy(_._1).toArray
