@@ -257,6 +257,21 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("purchase_cents"))
     }),
 
+    // time-band range join: every (click, purchase) pair of the same
+    // user within one hour forward — bucketed equality join (2× left
+    // fan-out), never the per-key cartesian a naive theta join runs
+    "range_click_purchase_1h" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val e = events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      RangeJoin.band(clicks, purchases, Seq("user_id"), "ts",
+        windowSeconds = 3600, Seq("click_id", "user_id"),
+        Seq(("event_id", "purchase_id")))
+    }),
+
     // gap-based sessionization (30-minute inactivity) via the built-in
     // session_window — stateful event analytics the reference lacks
     "event_sessions" -> ((s, dir) =>
@@ -459,6 +474,12 @@ object EventQueries {
         |  SELECT purchase_cents FROM p
         |  WHERE p.user_id = s.user_id AND p.ts >= s.ts
         |  ORDER BY p.ts LIMIT 1) m ON true""".stripMargin,
+
+    "range_click_purchase_1h" ->
+      """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR""".stripMargin,
 
     "event_sessions" ->
       """WITH o AS (
