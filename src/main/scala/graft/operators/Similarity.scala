@@ -122,6 +122,45 @@ object Similarity {
       }.toDF("id_a", "id_b")
   }
 
+  /** Deterministic random-projection hyperplanes (seeded, components
+    * rounded to 6 decimals so the SAME doubles can ride as SQL literals
+    * in the DuckDB oracle). Public LSH scheme: sign of ⟨v, plane⟩ per
+    * plane → one bucket bit (Charikar, STOC'02). */
+  def randomHyperplanes(nPlanes: Int, dim: Int,
+      seed: Long = 20240813L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(
+      math.rint(rnd.nextGaussian() * 1e6) / 1e6))
+  }
+
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes
+    * (bit i = ⟨v, planeᵢ⟩ ≥ 0) — row-local, no shuffle. */
+  def rpLshBucket(vec: Column, planes: Seq[Array[Double]],
+      dotFn: (Column, Column) => Column = dot): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotFn(vec, typedlit(p.toSeq)) >= 0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed near-dup pairs — the hash-bucket alternative to the
+    * IVF scale path: candidates are pairs sharing a sign-bit bucket
+    * (equality join on a small long — 2^nPlanes buckets; fan-out is
+    * per-bucket, never corpus-quadratic), verified by the exact
+    * threshold. Recall is the LSH collision probability (1 − θ/π per
+    * plane) — a DOCUMENTED approximation, unlike the exact
+    * [[nearDupPairs]]; more planes → smaller buckets and lower recall,
+    * fewer planes → the reverse. */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Array[Double]], threshold: Double,
+      dotFn: (Column, Column) => Column = dot): DataFrame = {
+    val d = dotFn
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      rpLshBucket(col(vecCol), planes, dotFn).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .where(d(col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
   /** Per-partition centroids: mean of vectors grouped by `partCol`,
     * via posexplode → (part, pos) partial-aggregated means → re-packed
     * arrays. The dim-fan-out rows aggregate map-side, so the shuffle

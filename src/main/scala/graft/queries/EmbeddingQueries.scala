@@ -27,6 +27,11 @@ object EmbeddingQueries {
   private val kmeansIndexes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Seeded sign-LSH hyperplanes (8 planes × dim 64), shared verbatim
+    * with the DuckDB oracle as SQL literals. */
+  private val lshPlanes: Seq[Array[Double]] =
+    Similarity.randomHyperplanes(nPlanes = 8, dim = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-5 for the first 10 vectors (the ANN baseline)
     "ann_bruteforce_topk" -> ((s, dir) => {
@@ -122,6 +127,17 @@ object EmbeddingQueries {
         "vec_id", "embedding", "part", k = 5, nProbe = 3,
         dotFn = GraftFunctions.dotNative,
         index = Some(s.read.parquet(s"$built/centroids")))
+    }),
+
+    // LSH-bucketed near-dup pairs — the hash-bucket scale path beside
+    // IVF: sign-bit buckets from seeded hyperplanes (row-local), pair
+    // candidates only within a bucket, exact-verified at cosine >= 0.4.
+    // The oracle recomputes the SAME buckets from the same literal
+    // hyperplanes, so the (documented) LSH recall loss is identical.
+    "emb_lsh_near_pairs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Similarity.lshNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        lshPlanes, threshold = 0.4, dotFn = GraftFunctions.dotNative)
     }),
 
     // corpus profile: per-label counts (exact ints)
@@ -232,6 +248,22 @@ object EmbeddingQueries {
         |    FROM c CROSS JOIN init i)
         |  WHERE rn = 1)
         |SELECT part, count(*) AS n_vecs FROM assigned GROUP BY 1""".stripMargin,
+
+    "emb_lsh_near_pairs" -> {
+      val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
+        val lits = p.map(x => if (x == x.floor) f"$x%.1f" else x.toString)
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" +\n      ")
+      s"""WITH b AS (
+         |  SELECT vec_id, v, $bucketExpr AS bucket
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |        FROM embeddings))
+         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+         |FROM b a JOIN b b2
+         |  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE list_dot_product(a.v, b2.v) >= 0.4""".stripMargin
+    },
 
     "emb_label_counts" ->
       "SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs FROM embeddings GROUP BY 1")

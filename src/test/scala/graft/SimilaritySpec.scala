@@ -74,6 +74,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(next(1L).zip(exp1).forall { case (a, b) => math.abs(a - b) < 1e-6 })
   }
 
+  test("LSH near-dup pairs == exact pairs restricted to shared buckets") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = Similarity.randomHyperplanes(nPlanes = 8, dim = 64)
+    val lsh = Similarity.lshNearDupPairs(e, "vec_id", "embedding", planes, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val buckets = e.select(col("vec_id"),
+        Similarity.rpLshBucket(col("embedding"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh.subsetOf(exact), "LSH must never invent pairs")
+    assert(lsh == exact.filter { case (a, b) => buckets(a) == buckets(b) },
+      "LSH must find every exact pair that shares a bucket")
+    assert(lsh.nonEmpty, "bucketing lost all near-dup pairs")
+  }
+
   test("IVF with all partitions probed equals brute force exactly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 5)
