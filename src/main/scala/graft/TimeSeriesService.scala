@@ -39,6 +39,10 @@ final class TimeSeriesService(
   private var bulk: Option[DataFrame] = None
   private var bulkDepth = 0
   private var storeDir: Option[String] = None
+  /** Pre-spill ingested frames, tracked so their caches (callers may
+    * persist streaming micro-batches for the hand-off) can be released
+    * once the spill materializes them to disk. */
+  private val pendingFrames = ArrayBuffer.empty[DataFrame]
 
   /** Union-plan depth at which bulk ingestion switches to an on-disk
     * event store: an unbounded stream of `ingest` calls must not grow
@@ -67,6 +71,18 @@ final class TimeSeriesService(
 
   def dropSchema(): Unit = {
     catalog.drop(); buffer.clear(); bulk = None; bulkDepth = 0
+    pendingFrames.clear()
+    // the spilled event store is engine-owned storage — delete it, the
+    // reference's drop-schema removes exactly the tables it created
+    storeDir.foreach { dir =>
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     storeDir = None; rollupStore.clear()
   }
 
@@ -181,6 +197,7 @@ final class TimeSeriesService(
         if (events.storageLevel.useMemory) events.unpersist()
       case None =>
         bulk = Some(bulk.map(_.unionByName(events)).getOrElse(events))
+        pendingFrames += events
         bulkDepth += 1
         if (bulkDepth >= spillDepth) {
           val dir = java.nio.file.Files
@@ -189,6 +206,12 @@ final class TimeSeriesService(
           storeDir = Some(dir)
           bulk = None
           bulkDepth = 0
+          // the spilled data is on disk now — release any caches the
+          // callers pinned on the pre-spill frames (no-op if uncached)
+          pendingFrames.foreach(f =>
+            if (f.storageLevel.useMemory || f.storageLevel.useDisk)
+              f.unpersist())
+          pendingFrames.clear()
         }
     }
     invalidateRollups(None) // frame may carry any fact
@@ -229,8 +252,10 @@ final class TimeSeriesService(
         // disjoint from the stream feeding it) — union the local
         // events' slice partials in so the query sees both histories.
         val stored = Rollups.read(spark, path)
+        val hasLocalEvents =
+          buffer.nonEmpty || bulk.nonEmpty || storeDir.nonEmpty
         val merged =
-          if (external && (buffer.nonEmpty || bulk.nonEmpty)) {
+          if (external && hasLocalEvents) {
             val local = Rollups
               .build(prepare(fact.id, grouping), fact, slice, grouping)
               .withColumn("bucket_date", to_date(col("bucket")))

@@ -222,7 +222,13 @@ object Dedup {
     * already-cached hashes), the pair stream is PACKED into a single
     * long `(a<<32)|b` — half the shuffle key width and a single-column
     * group key for the dominant stage; ids outside that range fall
-    * back to the two-column stream. Same counts either way. */
+    * back to the two-column stream. Same counts either way.
+    *
+    * NOTE: choosing the packed plan runs one EAGER job at call time
+    * (id min/max over the kernel output, which is cached and reused by
+    * every downstream stage) — unlike the other builders this method
+    * is not purely lazy. Callers that only want the plan should use
+    * [[jaccardPairsKernel]]. */
   def jaccardPairsPostingKernel(df: DataFrame, textCol: String, idCol: String,
       k: Int, thresholdE4: Int, maxDf: Long = 1000L): DataFrame = {
     val spark = df.sparkSession
@@ -388,6 +394,9 @@ object Dedup {
           (id, b, md5Hex(sig.slice(b * rows, (b + 1) * rows).mkString(",")))
         }
       }.toDF("id", "band", "key")
+      // signatures feed the hot-band count AND the posting build —
+      // cache so the minhash loops run once per doc
+      .cache()
     // candidate generation via band posting lists (same emission loop
     // as the jaccard posting kernel) — one shuffle on the band key
     // instead of a sorted self-join of the banded table. Over-cap
@@ -579,7 +588,10 @@ object Dedup {
     val chunkCols = (0 until chunks).map(c => struct(lit(c).as("chunk"),
       shiftrightunsigned(col("simhash"), c * width)
         .bitwiseAND((1L << width) - 1).as("key")))
-    val indexed = sh
+    // the kernel (an md5 pass over every token) feeds both the
+    // hot-bucket count and the posting build — cache so it runs once
+    val cached = sh.cache()
+    val indexed = cached
       .select(col("id"), col("simhash").as("sim"),
         explode(array(chunkCols: _*)).as("ck"))
       .select(col("id"), col("sim"),

@@ -22,6 +22,17 @@ object EmbeddingQueries {
   private val ivfIndexes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Build-or-reuse the label-partitioned centroid index. */
+  private def ivfIndex(s: SparkSession, dir: String): DataFrame = {
+    val path = ivfIndexes.getOrElseUpdate((s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      Similarity.centroids(emb(s, dir), "label", "embedding")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Self-contained (k-means-derived) IVF index: assignment table +
     * refined centroids, persisted once per (session, corpus dir). */
   private val kmeansIndexes =
@@ -54,16 +65,9 @@ object EmbeddingQueries {
     "ann_ivf_full_probe" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = emb(s, dir)
-      val indexPath = ivfIndexes.getOrElseUpdate((s, dir), {
-        val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-        Similarity.centroids(e, "label", "embedding")
-          .write.mode("overwrite").parquet(p)
-        p
-      })
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10),
         "vec_id", "embedding", "label", k = 5, nProbe = 10,
-        dotFn = GraftFunctions.dotNative,
-        index = Some(s.read.parquet(indexPath)))
+        dotFn = GraftFunctions.dotNative, index = Some(ivfIndex(s, dir)))
     }),
 
     // IVF probing only the 3 closest partitions per query — the actual
@@ -73,16 +77,9 @@ object EmbeddingQueries {
     "ann_ivf_probe3" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = emb(s, dir)
-      val indexPath = ivfIndexes.getOrElseUpdate((s, dir), {
-        val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-        Similarity.centroids(e, "label", "embedding")
-          .write.mode("overwrite").parquet(p)
-        p
-      })
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10),
         "vec_id", "embedding", "label", k = 5, nProbe = 3,
-        dotFn = GraftFunctions.dotNative,
-        index = Some(s.read.parquet(indexPath)))
+        dotFn = GraftFunctions.dotNative, index = Some(ivfIndex(s, dir)))
     }),
 
     // IVF index BUILD: assign every vector to its most-similar seed
@@ -251,8 +248,10 @@ object EmbeddingQueries {
 
     "emb_lsh_near_pairs" -> {
       val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
-        val lits = p.map(x => if (x == x.floor) f"$x%.1f" else x.toString)
-          .mkString("[", ", ", "]")
+        // Double.toString is locale-independent ('.' decimal, optional
+        // E-notation — both valid DuckDB literals); never use printf
+        // formatting here, comma-decimal locales would break the SQL
+        val lits = p.map(_.toString).mkString("[", ", ", "]")
         s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" +\n      ")
       s"""WITH b AS (

@@ -274,6 +274,24 @@ class StreamingSpec extends SparkTestBase {
         Option(ts("2014-03-21T10:00")) -> 1L, // streamed history
         Option(ts("2014-03-21T11:00")) -> 1L, // direct write
         Option(ts("2014-03-21T12:00")) -> 0L)))
+
+    // push local ingestion past the spill threshold: events now live in
+    // the on-disk store (buffer empty, bulk None) — the external-rollup
+    // merge must STILL see them alongside the streamed history
+    implicit val sqlCtx2 = spark.sqlContext
+    import spark.implicits._
+    for (i <- 0 until 35) {
+      svc.ingest(Seq(Event("signups", ts(f"2014-03-21T12:${i % 60}%02d"), 1L,
+        Map("dependency" -> "31", "dependency_user" -> "juanele"))).toDF())
+    }
+    val spilled = pivot(svc.getTimeseries("signups", "dependency_user",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T13:00"), Step.Hour), dims)
+    val series = spilled(
+      Map("dependency" -> "31", "dependency_user" -> "juanele"))
+    assert(series(Option(ts("2014-03-21T10:00"))) == 1L) // streamed kept
+    assert(series(Option(ts("2014-03-21T11:00"))) == 1L) // buffered kept
+    assert(series(Option(ts("2014-03-21T12:00"))) == 35L) // spilled seen
   }
 
   test("maintained rollup serves an AVERAGE fact: (counter,total) partials") {
