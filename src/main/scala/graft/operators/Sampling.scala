@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-addressed sampling and dataset splitting —
+  * the reproducibility primitive of a training-data pipeline: a row's
+  * split/sample membership is a pure function of its id and a seed, so
+  * the same corpus yields the same split on any cluster, any partition
+  * layout, any Spark version — unlike `DataFrame.sample`/`sampleBy`,
+  * whose output depends on partitioning. Row-local (no shuffle), one
+  * md5 per row, codegen'd.
+  */
+object Sampling {
+
+  /** Uniform hash in [0, 10000) from the row id and seed — the md5
+    * machinery shared with [[Dedup.seededHash]], so DuckDB replicates
+    * it exactly (`'0x' || substr(md5(...), 1, 15)` cast). */
+  def hashE4(id: Column, seed: Int): Column =
+    pmod(Dedup.seededHash(id.cast("string"), seed), lit(10000L))
+
+  /** Keep approximately `keepE4`/10000 of rows, deterministically. */
+  def hashSample(df: DataFrame, idCol: String, keepE4: Int,
+      seed: Int = 42): DataFrame =
+    df.where(hashE4(col(idCol), seed) < keepE4)
+
+  /** Assign each row to a named split by cumulative hash ranges, e.g.
+    * `Seq("train" -> 9000, "val" -> 500, "test" -> 500)` (basis points,
+    * must sum to ≤ 10000; a shortfall leaves rows unassigned → null). */
+  def splitColumn(id: Column, fractionsE4: Seq[(String, Int)],
+      seed: Int = 42): Column = {
+    require(fractionsE4.map(_._2.toLong).sum <= 10000L,
+      "split fractions exceed 10000 basis points")
+    val h = hashE4(id, seed)
+    val (cases, _) = fractionsE4.foldLeft(
+      (lit(null).cast("string"), 0L)) { case ((acc, lo), (name, f)) =>
+      (when(h >= lo && h < lo + f, lit(name)).otherwise(acc), lo + f)
+    }
+    cases
+  }
+}

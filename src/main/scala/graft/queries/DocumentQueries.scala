@@ -109,6 +109,19 @@ object DocumentQueries {
           sum(length(col("text"))).as("n_chars"))
     }),
 
+    // deterministic train/val/test split (content-addressed md5 hash —
+    // identical assignment on any cluster/partitioning, unlike
+    // DataFrame.sample) profiled per split
+    "sample_split_profile" -> ((s, dir) => {
+      import graft.operators.Sampling
+      docs(s, dir)
+        .withColumn("split", Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 9000, "val" -> 500, "test" -> 500)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"))
+    }),
+
     // corpus roll-up: per (source, predicted lang) counts + mean quality
     // (kernel-scored rows feed one codegen'd hash aggregation)
     "text_source_profile" -> ((s, dir) =>
@@ -276,6 +289,19 @@ object DocumentQueries {
         |  CAST(ceil(strlen(text) / 1024.0) AS BIGINT) AS n_frames,
         |  CAST(strlen(text) AS BIGINT) AS frame_bytes
         |FROM documents WHERE strlen(text) > 0""".stripMargin,
+
+    "sample_split_profile" ->
+      """SELECT CASE
+        |    WHEN h < 9000 THEN 'train'
+        |    WHEN h < 9500 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM (
+        |  SELECT text,
+        |    CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 10000 AS h
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
 
     "text_stats" -> textStatsSql,
 

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 2000L).toDF("id")
+
+  test("splits are total, deterministic, and roughly proportional") {
+    val split = Sampling.splitColumn(col("id"),
+      Seq("train" -> 9000, "val" -> 500, "test" -> 500))
+    val counts = ids.withColumn("s", split).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test")) // total: no nulls
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1600 && counts("train") < 1990)
+    // same expression evaluated again → identical assignment
+    val again = ids.withColumn("s", split).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
+  test("shortfall fractions leave the remainder unassigned (null)") {
+    val split = Sampling.splitColumn(col("id"), Seq("a" -> 5000))
+    val n = ids.withColumn("s", split).where(col("s").isNull).count()
+    assert(n > 0 && n < 2000)
+  }
+
+  test("hashSample is a deterministic subset consistent with the split hash") {
+    val kept = Sampling.hashSample(ids.toDF(), "id", keepE4 = 2500)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < 2000)
+    val again = Sampling.hashSample(ids.toDF(), "id", keepE4 = 2500)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+    // monotone: a larger keep fraction strictly contains a smaller one
+    val wider = Sampling.hashSample(ids.toDF(), "id", keepE4 = 5000)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(wider))
+  }
+
+  test("fractions over 10000 basis points are rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(col("id"), Seq("a" -> 9000, "b" -> 2000))
+    }
+  }
+}
