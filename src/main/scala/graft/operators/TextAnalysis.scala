@@ -77,6 +77,22 @@ object TextAnalysis {
       lit(2500.0) * punctScore + lit(2500.0) * awlScore).cast(LongType)
   }
 
+  /** Repetition score ×10⁴: the fraction of NON-distinct word 3-grams
+    * in the document (Gopher/C4-style repetition quality rule, public
+    * heuristic family) — 0 for fully novel text, →10000 for a document
+    * that repeats one phrase. Docs shorter than 3 tokens score 0.
+    * Row-local array expression, integer-exact. */
+  def repetitionE4(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val grams = transform(sequence(lit(1), n - lit(k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))
+    when(n < k, lit(0L)).otherwise(
+      floor(lit(10000.0) *
+        (lit(1.0) - size(array_distinct(grams)).cast("double") /
+          size(grams).cast("double"))).cast(LongType))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized text —
     * the exact-dedup key in hash form. */
   def md5Fingerprint(text: Column): Column =

@@ -109,6 +109,23 @@ object DocumentQueries {
           sum(length(col("text"))).as("n_chars"))
     }),
 
+    // vocabulary building: corpus-wide top-50 tokens by frequency
+    // (explode → one partial-aggregated count → global top-k with a
+    // deterministic tie-break) — the scale path is the hash aggregation
+    // itself; only 50 rows ever reach the driver side of the sort
+    "vocab_top_terms" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
+
+    // repetition quality rule (Gopher/C4-style): per-doc fraction of
+    // duplicated word 3-grams, integer-exact
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.repetitionE4(col("text")).as("rep3_e4"))),
+
     // deterministic train/val/test split (content-addressed md5 hash —
     // identical assignment on any cluster/partitioning, unlike
     // DataFrame.sample) profiled per split
@@ -289,6 +306,27 @@ object DocumentQueries {
         |  CAST(ceil(strlen(text) / 1024.0) AS BIGINT) AS n_frames,
         |  CAST(strlen(text) AS BIGINT) AS frame_bytes
         |FROM documents WHERE strlen(text) > 0""".stripMargin,
+
+    "vocab_top_terms" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 50""".stripMargin,
+
+    "text_repetition" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN 0
+        |    ELSE CAST(floor(10000.0 * (1.0 -
+        |      CAST(len(list_distinct(grams)) AS DOUBLE) /
+        |      CAST(len(grams) AS DOUBLE))) AS BIGINT) END AS rep3_e4
+        |FROM (
+        |  SELECT doc_id, toks,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents))""".stripMargin,
 
     "sample_split_profile" ->
       """SELECT CASE
