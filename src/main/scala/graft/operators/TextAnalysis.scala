@@ -93,6 +93,44 @@ object TextAnalysis {
           size(grams).cast("double"))).cast(LongType))
   }
 
+  /** JVM replica of [[repetitionE4]] — the form for real corpora: the
+    * declarative variant's nested higher-order expressions re-evaluate
+    * the tokenizer per element (interpreted, no subtree memoization),
+    * measured ~50× slower. Identical integer results (same double
+    * division, same floor). */
+  def repetitionJvm(text: String, k: Int = 3): Long = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length < k) 0L
+    else {
+      val total = toks.length - k + 1
+      val seen = new java.util.HashSet[String](total * 2)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < total) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      math.floor(10000.0 * (1.0 - seen.size.toDouble / total.toDouble)).toLong
+    }
+  }
+
+  /** Repetition table op in kernel form: (id, rep3_e4). */
+  def repetitionKernel(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, repetitionJvm(t, k)) })
+      .toDF("id", "rep3_e4")
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized text —
     * the exact-dedup key in hash form. */
   def md5Fingerprint(text: Column): Column =

@@ -121,10 +121,11 @@ object DocumentQueries {
         .limit(50)),
 
     // repetition quality rule (Gopher/C4-style): per-doc fraction of
-    // duplicated word 3-grams, integer-exact
+    // duplicated word 3-grams, integer-exact (kernel form; the
+    // declarative repetitionE4 is the spec-pinned semantic reference)
     "text_repetition" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        TextAnalysis.repetitionE4(col("text")).as("rep3_e4"))),
+      TextAnalysis.repetitionKernel(docs(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("rep3_e4"))),
 
     // deterministic train/val/test split (content-addressed md5 hash —
     // identical assignment on any cluster/partitioning, unlike

@@ -174,6 +174,22 @@ class DedupTextSpec extends SparkTestBase {
     assert(decl == kern)
   }
 
+  test("kernel repetition == declarative repetitionE4 (incl. short docs, repeats)") {
+    val rep = Seq(
+      (10L, "a b c a b c a b c"), // heavy 3-gram repetition
+      (11L, "all words unique here today friend"),
+      (12L, "x y"), // shorter than k -> 0
+      (13L, "w w w w w w w w")) // single repeated gram
+      .toDF("doc_id", "text")
+    val corpus = kcorpus.unionByName(rep)
+    val decl = corpus.select(col("doc_id"),
+        TextAnalysis.repetitionE4(col("text")).as("rep3_e4"))
+      .collect().map(_.toSeq).toSet
+    val kern = TextAnalysis.repetitionKernel(corpus, "text", "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(decl == kern)
+  }
+
   test("kernel fingerprints == declarative md5/rolling fingerprints") {
     val decl = kcorpus.select(col("doc_id"),
         TextAnalysis.md5Fingerprint(col("text")),
