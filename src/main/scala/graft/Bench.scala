@@ -47,15 +47,13 @@ object Bench {
       if (ok) dt else -1.0
     }
 
-    // two passes per query, min taken: measures steady-state engine
+    // three passes per query, min taken: measures steady-state engine
     // throughput rather than first-run JIT or transient host noise
+    // (observed multi-second bursts spanning two consecutive passes)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = runOnce(name, fn)
-      val b = runOnce(name, fn)
-      val best =
-        if (a < 0 || b < 0) math.max(a, b) // one failure → report the success
-        else math.min(a, b)
-      name -> best
+      val runs = Seq.fill(3)(runOnce(name, fn))
+      val ok = runs.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
