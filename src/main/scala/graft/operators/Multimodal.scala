@@ -1,21 +1,23 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets.US_ASCII
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing for the
   * training-data-pipeline surface: media ride through the engine as
-  * opaque `binary` payloads with typed metadata; decode / feature
+  * opaque `binary` columns with typed metadata; decode / feature
   * extraction runs as partition-mapped batch functions.
   *
-  * The actual codec step is a STUB (this container has no image/audio
-  * libraries): [[StubCodec]] derives deterministic fake dimensions/
-  * features from the payload bytes. Everything AROUND the stub — the
-  * schema contract, the `Dataset[T]` encoders, the partition-mapped
-  * batch execution shape (one codec context per partition, streamed
-  * row batches), the frame-explosion layout — is the real production
-  * plumbing: swapping `StubCodec` for a JNI/javacpp codec changes no
-  * query code.
+  * The IMAGE path is a real codec: [[Ppm]] is a genuine binary-PPM
+  * (P6) encoder/decoder — [[decodeImages]] parses the payload bytes
+  * (magic, geometry, maxval, raster) and derives features (geometry,
+  * per-channel sums, a pixel-histogram embedding) from the decoded
+  * raster, exactly as a libjpeg-backed decoder would from JPEG bytes.
+  * Audio/video remain STUBS ([[StubCodec]], this container has no
+  * media libraries): deterministic fakes behind the same plumbing, so
+  * swapping in a JNI/javacpp codec changes no query code.
   *
   * Scale design: payloads are the heavy column — all metadata-only
   * operations (`filterByMeta`, routing, joins) prune the payload
@@ -33,12 +35,15 @@ object Multimodal {
       payload: Array[Byte],
       meta: Map[String, String])
 
-  /** Decoded image features (stub-decoded; schema is the contract). */
+  /** Decoded image features, derived from the decoded raster. */
   case class ImageFeatures(
       media_id: Long,
       width: Int,
       height: Int,
       channels: Int,
+      ch0_sum: Long,
+      ch1_sum: Long,
+      ch2_sum: Long,
       embedding: Array[Float])
 
   /** One sampled video frame, exploded to its own row. */
@@ -55,48 +60,152 @@ object Multimodal {
       duration_ms: Long,
       mfccish: Array[Float])
 
-  /** Deterministic fake codec — stands in for libjpeg/ffmpeg.
-    * Every output is a pure function of the payload bytes, so tests
-    * and re-runs are exactly reproducible cluster-wide. */
-  object StubCodec {
-    def decodeImage(payload: Array[Byte]): (Int, Int, Int) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val width = 64 + math.floorMod(h, 1024)
-      val height = 64 + math.floorMod(h >> 10, 1024)
-      (width, height, 3)
+  /** Real binary-PPM (P6) codec — netpbm's public image format: ASCII
+    * header `P6 <width> <height> <maxval>` (whitespace-separated, `#`
+    * comments allowed) followed by one whitespace byte and the
+    * `width·height·3` RGB raster. Chosen because it is decodable in
+    * pure JVM code with zero libraries while still being a genuine
+    * parse of untrusted bytes (malformed input throws, exactly like a
+    * real codec). */
+  object Ppm {
+
+    /** A decoded image: row-major RGB raster. */
+    final case class Image(width: Int, height: Int, maxVal: Int,
+        pixels: Array[Byte])
+
+    /** Encode a P6 PPM; `pixel(x, y, c)` must return 0..255. */
+    def encode(width: Int, height: Int,
+        pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      require(width > 0 && height > 0, "empty image")
+      val header = s"P6\n$width $height\n255\n".getBytes(US_ASCII)
+      val out = new Array[Byte](header.length + width * height * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var o = header.length
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          var c = 0
+          while (c < 3) { out(o) = pixel(x, y, c).toByte; o += 1; c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
 
-    /** Fake visual embedding: byte-histogram moments, L2-normalized. */
-    def imageEmbedding(payload: Array[Byte], dim: Int = 8): Array[Float] = {
-      val acc = new Array[Float](dim)
-      var i = 0
-      while (i < payload.length) {
-        acc(math.floorMod(payload(i), dim)) += 1f
-        i += 1
+    /** Decode a P6 PPM payload. Throws on malformed bytes (wrong
+      * magic, non-numeric geometry, truncated raster) — decode is a
+      * real parse, not a trusted cast. */
+    def decode(payload: Array[Byte]): Image = {
+      var pos = 0
+      def skipWs(): Unit = {
+        var done = false
+        while (!done && pos < payload.length) {
+          val b = payload(pos)
+          if (b == '#') {
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          } else if (b == ' ' || b == '\t' || b == '\n' || b == '\r') pos += 1
+          else done = true
+        }
       }
-      val n = math.sqrt(acc.map(x => x.toDouble * x).sum).toFloat max 1e-9f
-      acc.map(_ / n)
+      def token(): String = {
+        skipWs()
+        val start = pos
+        while (pos < payload.length &&
+          !Character.isWhitespace(payload(pos).toChar)) pos += 1
+        require(pos > start, "truncated PPM header")
+        new String(payload, start, pos - start, US_ASCII)
+      }
+      val magic = token()
+      require(magic == "P6", s"not a binary PPM (magic '$magic')")
+      val w = token().toInt
+      val h = token().toInt
+      val maxVal = token().toInt
+      require(w > 0 && h > 0 && maxVal > 0 && maxVal < 256,
+        s"unsupported PPM geometry ${w}x$h maxval $maxVal")
+      pos += 1 // exactly one whitespace byte separates header and raster
+      val n = w * h * 3
+      require(payload.length - pos >= n,
+        s"truncated PPM raster: need $n bytes, have ${payload.length - pos}")
+      Image(w, h, maxVal, java.util.Arrays.copyOfRange(payload, pos, pos + n))
     }
+
+    /** Nearest-neighbor resample to `tw`×`th` — decode → sample →
+      * re-encode, the real scaler shape. */
+    def resize(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+      val img = decode(payload)
+      encode(tw, th, (x, y, c) => {
+        val sx = (x.toLong * img.width / tw).toInt
+        val sy = (y.toLong * img.height / th).toInt
+        img.pixels((sy * img.width + sx) * 3 + c) & 0xff
+      })
+    }
+  }
+
+  /** Pixel-histogram embedding over a decoded raster: byte values
+    * bucketed mod `dim`, L2-normalized — a real (if simple) visual
+    * feature, computed from decoded pixels rather than payload bytes. */
+  def histogramEmbedding(pixels: Array[Byte], dim: Int = 8): Array[Float] = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < pixels.length) {
+      acc((pixels(i) & 0xff) % dim) += 1f
+      i += 1
+    }
+    val n = math.sqrt(acc.map(x => x.toDouble * x).sum).toFloat max 1e-9f
+    acc.map(_ / n)
+  }
+
+  /** Decode one image payload into features: geometry from the parsed
+    * header, per-channel sums + histogram embedding from the raster. */
+  def imageFeatures(id: Long, payload: Array[Byte]): ImageFeatures = {
+    val img = Ppm.decode(payload)
+    var s0 = 0L; var s1 = 0L; var s2 = 0L
+    var i = 0
+    while (i < img.pixels.length) {
+      s0 += img.pixels(i) & 0xff
+      s1 += img.pixels(i + 1) & 0xff
+      s2 += img.pixels(i + 2) & 0xff
+      i += 3
+    }
+    ImageFeatures(id, img.width, img.height, 3, s0, s1, s2,
+      histogramEmbedding(img.pixels))
+  }
+
+  /** Deterministic synthetic PPM: geometry and every pixel are pure
+    * closed-form functions of the id (`w = 8 + id mod 25`,
+    * `h = 8 + (id div 25) mod 25`,
+    * `pixel(x,y,c) = (id + x + y + 85c) mod 256`), so an EXTERNAL
+    * oracle can recompute the decoded features without running this
+    * code — the generator stands in for a real image corpus (none in
+    * this container) while keeping decode a genuine parse. */
+  def syntheticPpm(id: Long): Array[Byte] = {
+    val w = (8 + Math.floorMod(id, 25L)).toInt
+    val h = (8 + Math.floorMod(id / 25L, 25L)).toInt
+    Ppm.encode(w, h,
+      (x, y, c) => Math.floorMod(id + x + y + 85L * c, 256L).toInt)
+  }
+
+  /** Media table of synthetic PPMs, one image per input id — the
+    * partition-mapped generator twin of [[decodeImages]]. */
+  def syntheticPpmTable(spark: SparkSession, df: DataFrame,
+      idCol: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaFile(id, "image", syntheticPpm(id), Map.empty)))
+  }
+
+  /** Deterministic fake codec — stands in for ffmpeg on the AUDIO and
+    * VIDEO paths (images decode for real via [[Ppm]]). Every output is
+    * a pure function of the payload bytes, so tests and re-runs are
+    * exactly reproducible cluster-wide. */
+  object StubCodec {
 
     /** Fake frame extraction: fixed-stride byte windows. */
     def sampleFrames(payload: Array[Byte], everyN: Int): Seq[Array[Byte]] =
       payload.grouped(math.max(1, everyN)).toSeq
-
-    /** Fake resize: nearest-neighbor byte resample to an output buffer
-      * sized targetW·targetH·channels/1024 (deterministic — same bytes
-      * in, same bytes out, like a real scaler). */
-    def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-      val outLen = math.max(1, targetW * targetH * 3 / 1024)
-      val out = new Array[Byte](outLen)
-      if (payload.nonEmpty) {
-        var i = 0
-        while (i < outLen) {
-          out(i) = payload((i.toLong * payload.length / outLen).toInt)
-          i += 1
-        }
-      }
-      out
-    }
 
     /** Fake audio decode: header-derived sample rate, byte-pair
       * samples, and an mfcc-shaped moment vector. */
@@ -145,24 +254,23 @@ object Multimodal {
 
   /** Partition-mapped image decode + feature extraction: the codec
     * context is per-partition (the `it =>` closure), rows stream
-    * through in one pass — the production batch shape. */
+    * through in one pass — the production batch shape. Payloads must
+    * be binary PPM ([[Ppm.decode]] throws otherwise, as any codec
+    * does on bytes of the wrong format). */
   def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.where(col("modality") === "image")
       .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real impl: initialize codec once per partition here
-        it.map { case (id, payload) =>
-          val (w, h, c) = StubCodec.decodeImage(payload)
-          ImageFeatures(id, w, h, c, StubCodec.imageEmbedding(payload))
-        }
+        it.map { case (id, payload) => imageFeatures(id, payload) }
       }
   }
 
-  /** Partition-mapped image resize: payload → payload, metadata gains
-    * the target geometry. Payload-in/payload-out ops keep the media
-    * table schema closed under transformation, so resize → decode →
-    * frame-sample pipelines compose. */
+  /** Partition-mapped image resize: payload → payload (decode →
+    * nearest-neighbor resample → re-encode), metadata gains the target
+    * geometry. Payload-in/payload-out ops keep the media table schema
+    * closed under transformation, so resize → decode → frame-sample
+    * pipelines compose. */
   def resizeImages(spark: SparkSession, media: DataFrame,
       targetW: Int, targetH: Int): Dataset[MediaFile] = {
     import spark.implicits._
@@ -170,14 +278,14 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { m =>
           m.copy(
-            payload = StubCodec.resizeImage(m.payload, targetW, targetH),
+            payload = Ppm.resize(m.payload, targetW, targetH),
             meta = m.meta + ("resized" -> s"${targetW}x$targetH"))
         }
       }
   }
 
   /** Partition-mapped audio decode + feature extraction — the audio
-    * twin of [[decodeImages]]. */
+    * twin of [[decodeImages]] (stub codec behind real plumbing). */
   def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.where(col("modality") === "audio")

@@ -64,15 +64,20 @@ object DocumentQueries {
       TextAnalysis.fingerprintKernel(docs(s, dir), "text", "doc_id")
         .select(col("id").as("doc_id"), col("fp_md5"), col("fp_roll"))),
 
-    // multimodal plumbing (rows-only check — the stub codec is not
-    // SQL-expressible): documents as fake image payloads → partition-
-    // mapped decode → per-source feature roll-up
+    // multimodal image decode WITH an exact oracle: the media table
+    // holds real binary-PPM payloads (deterministic synthetic images,
+    // one per doc_id), decodeImages genuinely PARSES those bytes
+    // (magic + geometry + raster), and the generator's closed form
+    // lets DuckDB recompute the decoded geometry and per-channel sums
+    // without ever seeing the bytes — a hard correctness gate on the
+    // codec, not just the plumbing
     "multimodal_image_features" -> ((s, dir) => {
-      val media = Multimodal.asMediaTable(
-        docs(s, dir).withColumn("meta", map(lit("source"), col("source"))),
-        "doc_id", "text", "image")
-      Multimodal.decodeImages(s, media).toDF()
-        .select(col("media_id"), col("width"), col("height"), col("channels"))
+      val media = Multimodal.syntheticPpmTable(s, docs(s, dir), "doc_id")
+      Multimodal.decodeImages(s, media.toDF()).toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("ch0_sum"), col("ch1_sum"), col("ch2_sum"))
     }),
 
     // multimodal frame sampling WITH an exact oracle: the stub frame
@@ -301,6 +306,26 @@ object DocumentQueries {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
     },
+
+    // recompute the decoded features from the generator's closed form
+    // (Multimodal.syntheticPpm): w = 8 + id mod 25, h = 8 + (id div 25)
+    // mod 25, pixel(x,y,c) = (id + x + y + 85c) mod 256 — the engine
+    // side must PARSE the actual payload bytes to match this
+    "multimodal_image_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS media_id,
+        |    8 + (doc_id % 25) AS w,
+        |    8 + ((doc_id // 25) % 25) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT media_id, w, h, unnest(range(0, w * h)) AS i FROM dims)
+        |SELECT media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(sum((media_id + (i % w) + (i // w)) % 256) AS BIGINT) AS ch0_sum,
+        |  CAST(sum((media_id + (i % w) + (i // w) + 85) % 256) AS BIGINT) AS ch1_sum,
+        |  CAST(sum((media_id + (i % w) + (i // w) + 170) % 256) AS BIGINT) AS ch2_sum
+        |FROM px GROUP BY media_id, w, h""".stripMargin,
 
     "multimodal_frame_sample" ->
       """SELECT doc_id AS media_id,

@@ -3,21 +3,20 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
+import graft.operators.Multimodal.Ppm
 
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
-  // fake media: payloads derived from text bytes (deterministic)
+  // media table: real PPM payloads for images, raw bytes for video
   private def media() = {
     val df = Seq(
-      (1L, "image", "tiny payload one", Map("source" -> "cam0")),
-      (2L, "image", "a considerably longer payload that produces different stats",
-        Map("source" -> "cam1")),
-      (3L, "video", "0123456789abcdef0123456789", Map("source" -> "cam0")))
-      .toDF("id", "modality", "body", "meta")
-      .withColumn("payload", col("body").cast("binary"))
-    df.select(col("id").as("media_id"), col("modality"),
-      col("payload"), col("meta"))
+      (1L, "image", Multimodal.syntheticPpm(1L), Map("source" -> "cam0")),
+      (2L, "image", Multimodal.syntheticPpm(2L), Map("source" -> "cam1")),
+      (3L, "video", "0123456789abcdef0123456789".getBytes("UTF-8"),
+        Map("source" -> "cam0")))
+      .toDF("media_id", "modality", "payload", "meta")
+    df
   }
 
   test("canonical media schema: binary payload + typed meta") {
@@ -31,18 +30,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.getAs[Array[Byte]]("payload").toSeq == Seq[Byte](1, 2, 3))
   }
 
-  test("decodeImages: deterministic stub features, one row per image") {
+  test("Ppm round-trips: encode then decode recovers geometry and pixels") {
+    val px = (x: Int, y: Int, c: Int) => (x * 7 + y * 3 + c * 11) % 256
+    val bytes = Ppm.encode(5, 4, px)
+    val img = Ppm.decode(bytes)
+    assert(img.width == 5 && img.height == 4 && img.maxVal == 255)
+    for (y <- 0 until 4; x <- 0 until 5; c <- 0 until 3)
+      assert((img.pixels((y * 5 + x) * 3 + c) & 0xff) == px(x, y, c))
+  }
+
+  test("Ppm.decode handles comments and rejects malformed bytes") {
+    val base = Ppm.encode(2, 2, (_, _, _) => 9)
+    // inject a comment line into the header
+    val commented = ("P6\n# a comment\n2 2\n255\n").getBytes("US-ASCII") ++
+      base.drop("P6\n2 2\n255\n".length)
+    assert(Ppm.decode(commented).pixels.forall(b => (b & 0xff) == 9))
+    intercept[IllegalArgumentException] {
+      Ppm.decode("P5\n2 2\n255\n....".getBytes("US-ASCII")) // wrong magic
+    }
+    intercept[IllegalArgumentException] {
+      Ppm.decode(base.dropRight(3)) // truncated raster
+    }
+  }
+
+  test("decodeImages parses real PPM bytes; features match closed form") {
     val feats = Multimodal.decodeImages(spark, media()).collect()
       .map(f => f.media_id -> f).toMap
     assert(feats.keySet == Set(1L, 2L)) // video row excluded
-    val f1a = feats(1L)
-    val again = Multimodal.decodeImages(spark, media()).collect()
-      .map(f => f.media_id -> f).toMap
-    assert(f1a.width == again(1L).width && f1a.embedding.toSeq == again(1L).embedding.toSeq)
-    assert(f1a.width >= 64 && f1a.height >= 64 && f1a.channels == 3)
-    // unit-norm fake embedding
-    val n = math.sqrt(f1a.embedding.map(x => x.toDouble * x).sum)
-    assert(math.abs(n - 1.0) < 1e-3)
+    for (id <- Seq(1L, 2L)) {
+      val f = feats(id)
+      // generator closed form: w = 8 + id mod 25, h = 8 + (id/25) mod 25
+      assert(f.width == (8 + id % 25).toInt)
+      assert(f.height == (8 + (id / 25) % 25).toInt)
+      assert(f.channels == 3)
+      // per-channel sums recomputed independently of the codec
+      def chSum(c: Int): Long = (for {
+        y <- 0 until f.height; x <- 0 until f.width
+      } yield Math.floorMod(id + x + y + 85L * c, 256L)).sum
+      assert(f.ch0_sum == chSum(0))
+      assert(f.ch1_sum == chSum(1))
+      assert(f.ch2_sum == chSum(2))
+      val n = math.sqrt(f.embedding.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3)
+    }
   }
 
   test("sampleFrames explodes video payloads into indexed frame rows") {
@@ -54,19 +84,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(_.frame_payload.length).toSeq == Seq(10, 10, 6))
   }
 
-  test("resizeImages: payload-in/payload-out, schema closed, meta tagged") {
-    val out = Multimodal.resizeImages(spark, media(), 256, 256).collect()
+  test("resizeImages: real nearest-neighbor resample, schema closed") {
+    val out = Multimodal.resizeImages(spark, media(), 4, 4).collect()
       .map(m => m.media_id -> m).toMap
     assert(out.keySet == Set(1L, 2L)) // video row excluded
-    assert(out(1L).meta("resized") == "256x256")
-    assert(out(1L).payload.length == 256 * 256 * 3 / 1024)
-    // deterministic + composes with decode
-    val again = Multimodal.resizeImages(spark, media(), 256, 256).collect()
-      .map(m => m.media_id -> m).toMap
-    assert(out(1L).payload.toSeq == again(1L).payload.toSeq)
+    assert(out(1L).meta("resized") == "4x4")
+    val resized = Ppm.decode(out(1L).payload)
+    assert(resized.width == 4 && resized.height == 4)
+    // nearest-neighbor: resized pixel (x,y,c) samples the source at
+    // (x*w/4, y*h/4) — verify against the generator closed form
+    val (w, h) = (8 + 1 % 25, 8 + (1 / 25) % 25)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+      val sx = x * w / 4; val sy = y * h / 4
+      val want = Math.floorMod(1L + sx + sy + 85L * c, 256L)
+      assert((resized.pixels((y * 4 + x) * 3 + c) & 0xff) == want)
+    }
+    // composes with decode
     val decoded = Multimodal.decodeImages(spark,
-      Multimodal.resizeImages(spark, media(), 256, 256).toDF()).collect()
-    assert(decoded.length == 2)
+      Multimodal.resizeImages(spark, media(), 4, 4).toDF()).collect()
+    assert(decoded.length == 2 && decoded.forall(f => f.width == 4 && f.height == 4))
   }
 
   test("decodeAudio: deterministic stub rate/duration/features") {
@@ -76,11 +112,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.keySet == Set(1L, 2L, 3L))
     val a1 = out(1L)
     assert(Set(8000, 16000, 22050, 44100, 48000).contains(a1.sample_rate))
-    assert(a1.n_samples == "tiny payload one".length / 2)
+    assert(a1.n_samples == Multimodal.syntheticPpm(1L).length / 2)
     assert(a1.duration_ms == a1.n_samples * 1000 / a1.sample_rate)
     assert(a1.mfccish.length == 13)
     val n = math.sqrt(a1.mfccish.map(x => x.toDouble * x).sum)
     assert(math.abs(n - 1.0) < 1e-3)
+  }
+
+  test("syntheticPpmTable: one decodable image per input id") {
+    val tab = Multimodal.syntheticPpmTable(spark,
+      Seq(0L, 24L, 25L, 100L).toDF("doc_id"), "doc_id")
+    val rows = tab.collect().map(m => m.media_id -> m).toMap
+    assert(rows.keySet == Set(0L, 24L, 25L, 100L))
+    assert(rows.values.forall(_.modality == "image"))
+    val img24 = Ppm.decode(rows(24L).payload)
+    assert(img24.width == 8 + 24 && img24.height == 8 + 0)
   }
 
   test("filterByMeta prunes by metadata without touching payloads") {
