@@ -271,24 +271,24 @@ final class TimeSeriesService(
 
   /** `get-histogram` (api.clj:38-41) — unimplemented in every reference
     * backend (postgres.clj:126-128); completed here. Returns one count
-    * per (series × hist_bucket lower bound); with `mergeSeries` the
+    * per (series × hist_bucket lower bound); a calendar `step` adds the
+    * time axis (one histogram per series × hour/day/…, the same
+    * O15/O17 kernels as [[getTimeseries]]); with `mergeSeries` the
     * series axis is collapsed too, bucket counts merged with `+` — the
     * reference's declared "single row histogram … merged with `+` if
     * merge-with unspecified". */
   def getHistogram(factId: String, dimId: String,
       filters: Map[String, Option[String]],
       start: Timestamp, finish: Timestamp,
+      step: Step = Step.NoStep, offsetHours: Int = 0,
       mergeSeries: Boolean = false,
       mergeWith: Option[(Long, Long) => Long] = None): DataFrame = {
     val (fact, dim, grouping) = route(factId, dimId, filters)
     require(fact.ftype == FactType.Histogram,
       s"Fact $factId is not a histogram")
     val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
-    val scanned = Timeseries.scan(prepare(fact.id, grouping), slice,
-      grouping, filters, start, finish)
-    val perSeries = Timeseries.collapse(scanned, fact, grouping, Step.NoStep, 0)
-      .groupBy((grouping.map(col) :+ col("hist_bucket")): _*)
-      .agg(sum("value").as("value"))
+    val perSeries = Timeseries.runHistogram(prepare(fact.id, grouping),
+      fact, slice, grouping, filters, start, finish, step, offsetHours)
     if (mergeSeries) {
       // the reference's declared merge-with parameter (api.clj:38-41,
       // stub in every backend): per-bucket series counts reduced by a
@@ -296,7 +296,10 @@ final class TimeSeriesService(
       val merge = mergeWith
         .map(f => graft.functions.MergeWith(f)(col("value")))
         .getOrElse(sum(col("value")))
-      perSeries.groupBy(col("hist_bucket")).agg(merge.as("value"))
+      val keys =
+        if (step == Step.NoStep) Seq(col("hist_bucket"))
+        else Seq(col("bucket"), col("hist_bucket"))
+      perSeries.groupBy(keys: _*).agg(merge.as("value"))
     } else perSeries
   }
 

@@ -160,14 +160,20 @@ object Timeseries {
   }
 
   /** Histogram pipeline (O21, completed beyond the reference): counts per
-    * (series × hist_bucket lower bound) over the scan range. */
+    * (series × hist_bucket lower bound) over the scan range. With a
+    * calendar `step`, one histogram per (series × time bucket) — the
+    * O15/O17 time kernel applied to the histogram surface, matching
+    * [[run]]'s step semantics (NoStep collapses the time axis away). */
   def runHistogram(prepared: DataFrame, fact: FactDef, sliceMinutes: Int,
       grouping: Seq[String], filters: Map[String, Option[String]],
-      start: Timestamp, finish: Timestamp): DataFrame = {
+      start: Timestamp, finish: Timestamp, step: Step = Step.NoStep,
+      offsetHours: Int = 0): DataFrame = {
     val scanned = scan(prepared, sliceMinutes, grouping, filters, start, finish)
-    collapse(scanned, fact, grouping, Step.NoStep, 0)
-      .groupBy(grouping.map(col) :+ col("hist_bucket"): _*)
-      .agg(sum("value").as("value"))
+    val coll = collapse(scanned, fact, grouping, step, offsetHours)
+    if (step == Step.NoStep)
+      coll.groupBy(grouping.map(col) :+ col("hist_bucket"): _*)
+        .agg(sum("value").as("value"))
+    else coll // already one row per (series × bucket × hist_bucket)
   }
 
   /** Slice-bucket view (O7 at query granularity): the scan with its

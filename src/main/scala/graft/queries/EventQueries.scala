@@ -159,6 +159,15 @@ object EventQueries {
         histFact, 15, Seq("event_type"), Map.empty,
         ts("2024-01-01T00:00"), ts("2024-01-31T00:00"))),
 
+    // O21 + O15/O17: histogram SERIES at a calendar step — one
+    // histogram per (series × day), the step surface getTimeseries has
+    // applied to the histogram pipeline
+    "ts_hist_day" -> ((s, dir) =>
+      Timeseries.runHistogram(prep(s, dir, withUser = false, col("value"),
+          Some(("2024-01-01T00:00", "2024-01-15T00:00"))),
+        histFact, 15, Seq("event_type"), Map.empty,
+        ts("2024-01-01T00:00"), ts("2024-01-15T00:00"), Step.Day)),
+
     // O15 non-ISO week truncation (previous Sunday), week grid
     "ts_week_fill" -> ((s, dir) =>
       Timeseries.run(prep(s, dir, withUser = false, one,
@@ -296,6 +305,32 @@ object EventQueries {
           min(col("value")).as("min_cents"), max(col("value")).as("max_cents"))
     }),
 
+    // routed AVG + count(value): the Average/Count(v) re-aggregation
+    // paths of the routing rule (avg(value) → sum(total)/sum(cntv)) —
+    // RollupRoutingSpec pins that this plan scans the rollup, the
+    // oracle pins that routed ≡ raw
+    "ts_routed_avg" -> ((s, dir) => {
+      val raw = routedRaw(s, dir)
+      ensureRouted(s, dir)
+      raw.where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(col("value")).as("n_vals"), avg(col("value")).as("avg_cents"))
+    }),
+
+    // the raw-scan FALLBACK: a time bound NOT on a slice boundary
+    // (…00:07:00 with 15-minute slices) makes the rollup unable to
+    // answer exactly — the rule must leave the plan on raw events
+    // (RollupRoutingSpec pins the non-rewrite; this pins the answer)
+    "ts_routed_unaligned" -> ((s, dir) => {
+      val raw = routedRaw(s, dir)
+      ensureRouted(s, dir)
+      raw.where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:07:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-09 00:00:00")))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_cents"))
+    }),
+
     // materialized-rollup read path: build slice partials, serve the
     // hourly query FROM the rollup — result must hash-match the same
     // oracle as the raw-events pipeline (re-aggregability, SURVEY §4)
@@ -393,6 +428,15 @@ object EventQueries {
          |FROM events
          |WHERE ts >= TIMESTAMP '${lo("2024-01-01T00:00")}'
          |  AND ts < TIMESTAMP '${hi("2024-01-31T00:00")}'
+         |GROUP BY ALL""".stripMargin,
+
+    "ts_hist_day" ->
+      s"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         |  CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) * 20 AS hist_bucket,
+         |  count(*) AS value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '${lo("2024-01-01T00:00")}'
+         |  AND ts < TIMESTAMP '${hi("2024-01-15T00:00")}'
          |GROUP BY ALL""".stripMargin,
 
     "ts_week_fill" -> fillOracle(
@@ -504,6 +548,28 @@ object EventQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY ALL""".stripMargin,
+
+    // avg recomputed as exact-integer-sum / count so both engines run
+    // the same IEEE division (DuckDB's avg() aggregation order is not
+    // pinned; sum over BIGINT is)
+    "ts_routed_avg" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |  count(value) AS n_vals,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) /
+        |    CAST(count(value) AS DOUBLE) AS avg_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY ALL""".stripMargin,
+
+    "ts_routed_unaligned" ->
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:07:00'
+        |  AND ts < TIMESTAMP '2024-01-09 00:00:00'
         |GROUP BY ALL""".stripMargin,
 
     // identical to ts_counter_hour_fill: the rollup path must be
