@@ -331,6 +331,21 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_cents"))
     }),
 
+    // batch/stream EQUIVALENCE under the oracle gate: the rollup is
+    // maintained by Structured Streaming (maintainRollup's idempotent
+    // per-batch appends), then the SAME hourly fill query is served
+    // from it — must hash-match the raw-events oracle exactly like the
+    // batch-materialized ts_rollup_hour_fill does. Rollups.run prunes
+    // the maintained history to the queried bucket range, so serving
+    // from the full-history rollup equals the range-scoped build.
+    "ts_stream_maintained_fill" -> ((s, dir) => {
+      import graft.operators.Rollups
+      val path = maintainedRollup(s, dir)
+      Rollups.run(Rollups.read(s, path), countFact, 15,
+        Seq("event_type"), Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
+    }),
+
     // materialized-rollup read path: build slice partials, serve the
     // hourly query FROM the rollup — result must hash-match the same
     // oracle as the raw-events pipeline (re-aggregability, SURVEY §4)
@@ -354,6 +369,47 @@ object EventQueries {
     * deployment shape), not a rebuild per query. */
   private val rollupDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** ts_stream_maintained_fill's streaming-maintained rollup, built
+    * once per (session, sf dir) by replaying the events parquet as a
+    * bounded file stream. */
+  private val streamRollupDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Replay the sf events through
+    * [[graft.streaming.StreamingIngest.maintainRollup]] (file-source
+    * stream, AvailableNow trigger — each parquet file is a micro-batch)
+    * and return the maintained rollup path. No driver-side collect: the
+    * stream reads files directly, exactly like a deployed pipeline
+    * draining a landing directory. */
+  private def maintainedRollup(s: SparkSession, dir: String): String =
+    streamRollupDirs.getOrElseUpdate((s, dir), {
+      import graft.streaming.StreamingIngest
+      val base = java.nio.file.Files.createTempDirectory("graft_streamroll")
+        .toString
+      val rollPath = s"$base/rollup"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file-stream source needs a directory: stream the sf dir
+      // with a glob pinned to the events table (single-file tables at
+      // test scale; a landing DIRECTORY of files in deployment, each
+      // arriving file its own micro-batch via maxFilesPerTrigger)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(lit("events_count").as("fact"), col("ts"),
+          lit(1L).as("value"),
+          map(lit("event_type"), col("event_type")).as("categories"))
+      val q = StreamingIngest
+        .maintainRollup(stream, countFact, Seq("event_type"), rollPath)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      rollPath
+    })
 
   // ---------------------------------------------------------------- oracles
 
@@ -571,6 +627,15 @@ object EventQueries {
         |WHERE ts >= TIMESTAMP '2024-01-05 00:07:00'
         |  AND ts < TIMESTAMP '2024-01-09 00:00:00'
         |GROUP BY ALL""".stripMargin,
+
+    // identical to ts_counter_hour_fill: a streaming-maintained rollup
+    // must be indistinguishable from batch compute-on-read
+    "ts_stream_maintained_fill" -> fillOracle(
+      where = "event_type = 'click'",
+      bucketExpr = "date_trunc('hour', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
+      gridStep = "1 HOUR",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
 
     // identical to ts_counter_hour_fill: the rollup path must be
     // indistinguishable from compute-on-read
