@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -22,6 +23,14 @@ import org.apache.spark.sql.types.LongType
   *  - All hashes are md5-derived and deterministic — identical across
   *    Spark and the DuckDB oracle, with no seed/partitioning
   *    dependence, so results are reproducible cluster-to-cluster.
+  *
+  * Cache lifecycle: kernels `.cache()` small intermediates (shingle-
+  * hash tables) that feed MULTIPLE branches of the returned plan —
+  * ownership passes to the caller with the returned DataFrame. Blocks
+  * are evicted LRU under storage pressure, so leaving them is safe;
+  * long-running sessions issuing many unrelated kernel queries should
+  * `spark.catalog.clearCache()` (or unpersist) between them, as
+  * Bench/Verify do after every query.
   */
 object Dedup {
 
@@ -186,6 +195,31 @@ object Dedup {
         col("sz_a"), col("sz_b"))
   }
 
+  /** Bounded `collect_list`: gathers up to `cap` elements per group in
+    * ONE aggregation pass; a group that exceeds the cap yields the
+    * overflow sentinel (empty list) instead of its contents. Memory per
+    * key is constant (≤ cap+1 elements) even on degenerate hot keys —
+    * the buffer stops growing once past the cap — so the hot-key drop
+    * needs no separate count pass + anti-join: dropping and collecting
+    * happen in the same map-side-combined aggregation. Partial buffers
+    * are individually capped and the merged count saturates at cap+1,
+    * so overflow detection is exact (a group overflows iff its true
+    * size exceeds cap; under-cap groups are collected completely). */
+  private final class CappedCollect[T](cap: Int)(
+      implicit bEnc: Encoder[(Int, List[T])], oEnc: Encoder[Seq[T]])
+      extends Aggregator[T, (Int, List[T]), Seq[T]] {
+    def zero: (Int, List[T]) = (0, Nil)
+    def reduce(b: (Int, List[T]), a: T): (Int, List[T]) =
+      if (b._1 > cap) b else (b._1 + 1, a :: b._2)
+    def merge(x: (Int, List[T]), y: (Int, List[T])): (Int, List[T]) = {
+      val n = math.min(x._1 + y._1, cap + 1)
+      if (n > cap) (n, Nil) else (n, x._2 ::: y._2)
+    }
+    def finish(b: (Int, List[T])): Seq[T] = if (b._1 > cap) Nil else b._2
+    def bufferEncoder: Encoder[(Int, List[T])] = bEnc
+    def outputEncoder: Encoder[Seq[T]] = oEnc
+  }
+
   /** Posting list → ordered (id_a < id_b) co-occurrence pairs, emitted
     * LAZILY (an Iterator, never a materialized buffer): a hot posting
     * list of n ids yields n·(n−1)/2 pairs, and at dedup's typical
@@ -205,10 +239,13 @@ object Dedup {
     }.toDF("id_a", "id_b")
   }
 
-  /** [[jaccardPairsKernel]] with posting-list pair emission: ONE hash
-    * aggregation builds the inverted index (`sh → ids`) with the df cap
-    * folded into the same pass (`size(ids) <= maxDf` replaces the
-    * separate df table + semi-join), then co-occurring pairs are
+  /** [[jaccardPairsKernel]] with posting-list pair emission: ONE
+    * capped aggregation builds the inverted index (`sh → ids`) with
+    * the df cap folded into the SAME pass ([[CappedCollect]] — an
+    * over-cap shingle's posting list stops accumulating at cap+1
+    * elements and is dropped at finish, so a stop-shingle never
+    * materializes its list just to be discarded and never costs more
+    * than cap+1 buffered ids in any task). Co-occurring pairs are then
     * emitted in a tight JVM loop and counted by a second map-side-
     * combining aggregation. Identical output to [[jaccardPairs]]
     * (same hashes → same posting lists → same counts), but the
@@ -218,42 +255,37 @@ object Dedup {
     * pair stream (Σ df²/2 rows of two longs) dominates either way;
     * this form just stops paying the join machinery on top of it.
     *
-    * When every id provably fits in 31 bits (one cheap agg over the
-    * already-cached hashes), the pair stream is PACKED into a single
+    * With `packIds` (default), the pair stream is PACKED into a single
     * long `(a<<32)|b` — half the shuffle key width and a single-column
-    * group key for the dominant stage; ids outside that range fall
-    * back to the two-column stream. Same counts either way.
-    *
-    * NOTE: choosing the packed plan runs one EAGER job at call time
-    * (id min/max over the kernel output, which is cached and reused by
-    * every downstream stage) — unlike the other builders this method
-    * is not purely lazy. Callers that only want the plan should use
-    * [[jaccardPairsKernel]]. */
+    * group key for the dominant stage. This is a CALLER CONTRACT that
+    * every id fits in [0, 2³¹): it is verified during emission (a
+    * violating id fails fast with a clear error, never a silent wrong
+    * pair) rather than probed up front, so plan construction stays
+    * fully lazy — no job runs until the returned frame is acted on.
+    * Pass `packIds = false` for wider id spaces (two-column stream,
+    * same counts). */
   def jaccardPairsPostingKernel(df: DataFrame, textCol: String, idCol: String,
-      k: Int, thresholdE4: Int, maxDf: Long = 1000L): DataFrame = {
+      k: Int, thresholdE4: Int, maxDf: Long = 1000L,
+      packIds: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hs = shingleHashKernel(df, textCol, idCol, k).cache()
     val sizes = hs.select(col("id"), size(col("hs")).cast(LongType).as("sz"))
-    // Hot shingles are dropped BEFORE the posting lists are collected:
-    // a stop-shingle's list must never be materialized in one reduce
-    // task just to be thrown away (at corpus scale that build is an
-    // OOM, cap or no cap). The df count is algebraic (partial-agg
-    // skew-safe) and the over-cap key set is tiny — broadcast anti-join.
-    val ex = hs.select(col("id"), explode(col("hs")).as("sh"))
-    val hot = ex.groupBy("sh").agg(count(lit(1)).as("df_"))
-      .where(col("df_") > maxDf).select("sh")
-    val idx = ex.join(broadcast(hot), Seq("sh"), "left_anti")
-      .groupBy("sh").agg(collect_list(col("id")).as("ids"))
-      .select(col("ids")).as[Seq[Long]]
-    val bounds = hs.agg(min(col("id")), max(col("id"))).head()
-    val packable = !bounds.isNullAt(0) && bounds.getLong(0) >= 0 &&
-      bounds.getLong(1) < (1L << 31)
+    val idx = hs.select(col("id"), explode(col("hs")).as("sh"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .mapValues(_._1)
+      .agg(new CappedCollect[Long](maxDf.toInt).toColumn.name("ids"))
+      .map(_._2)
+      .filter(_.lengthCompare(2) >= 0) // drops overflow (empty) + singletons
     val pairs =
-      if (packable)
+      if (packIds)
         idx.flatMap { ids =>
           val a = ids.toArray
           java.util.Arrays.sort(a)
+          require(a(0) >= 0 && a(a.length - 1) < (1L << 31),
+            "jaccardPairsPostingKernel(packIds=true) requires ids in " +
+              "[0, 2^31); call with packIds=false for wider id spaces")
           a.indices.iterator.flatMap { i =>
             Iterator.range(i + 1, a.length).map(j => (a(i) << 32) | a(j))
           }
@@ -393,23 +425,21 @@ object Dedup {
         (0 until bands).map { b =>
           (id, b, md5Hex(sig.slice(b * rows, (b + 1) * rows).mkString(",")))
         }
-      }.toDF("id", "band", "key")
-      // signatures feed the hot-band count AND the posting build —
-      // cache so the minhash loops run once per doc
-      .cache()
+      }
     // candidate generation via band posting lists (same emission loop
-    // as the jaccard posting kernel) — one shuffle on the band key
-    // instead of a sorted self-join of the banded table. Over-cap
-    // band buckets are dropped BEFORE collection (algebraic count +
-    // broadcast anti-join of the tiny hot-key set), so a degenerate
-    // band never materializes its posting list just to be discarded.
-    val hotBands = banded.groupBy("band", "key").agg(count(lit(1)).as("n_"))
-      .where(col("n_") > maxBandSize).select("band", "key")
+    // as the jaccard posting kernel) — ONE capped aggregation on the
+    // band key ([[CappedCollect]]): an over-cap band bucket stops
+    // accumulating at maxBandSize+1 ids and drops at finish, so a
+    // degenerate band never materializes its posting list (nor costs
+    // more than cap+1 buffered ids in any task) — the hot-band drop
+    // needs no separate count pass + anti-join.
     val cand = emitPairs(
-        banded.join(broadcast(hotBands), Seq("band", "key"), "left_anti")
-          .groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
-          .where(size(col("ids")) >= 2)
-          .select(col("ids")).as[Seq[Long]])
+        banded
+          .groupByKey { case (_, band, key) => (band, key) }
+          .mapValues(_._1)
+          .agg(new CappedCollect[Long](maxBandSize).toColumn.name("ids"))
+          .map(_._2)
+          .filter(_.lengthCompare(2) >= 0))
       .dropDuplicates("id_a", "id_b")
       .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
@@ -568,14 +598,18 @@ object Dedup {
     * least one chunk, so candidates come from chunk-value posting lists
     * (one shuffle on small int keys), verified by popcount INSIDE the
     * emission loop — failing candidates never materialize as rows.
-    * Recall is exact: every qualifying pair shares ≥1 chunk and so
-    * appears in ≥1 posting list.
+    * Recall is exact — every qualifying pair shares ≥1 chunk and so
+    * appears in ≥1 posting list — PROVIDED no bucket exceeds
+    * `maxBucketSize`: the pigeonhole bound only guarantees ONE shared
+    * chunk, so a pair whose single shared chunk lands in an over-cap
+    * (dropped) bucket is lost. The default cap is far above any
+    * healthy bucket; on corpora where it triggers, treat the output as
+    * approximate (the same trade [[minhashLshPairsKernel]] documents).
     *
     * @param maxBucketSize drop chunk posting lists larger than this
     *   (hot-key cap, as in [[minhashLshPairsKernel]]): one degenerate
-    *   chunk value otherwise costs O(n²) popcounts in a single task.
-    *   Pairs in an over-cap bucket still surface through their other
-    *   chunks when genuinely close. */
+    *   chunk value otherwise costs O(n²) popcounts in a single task —
+    *   at the price of the recall caveat above. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
     val chunks = maxHamming + 1
@@ -588,26 +622,22 @@ object Dedup {
     val chunkCols = (0 until chunks).map(c => struct(lit(c).as("chunk"),
       shiftrightunsigned(col("simhash"), c * width)
         .bitwiseAND((1L << width) - 1).as("key")))
-    // the kernel (an md5 pass over every token) feeds both the
-    // hot-bucket count and the posting build — cache so it runs once
-    val cached = sh.cache()
-    val indexed = cached
+    // ONE capped aggregation on the chunk key builds the posting lists
+    // with the hot-bucket drop folded in ([[CappedCollect]]): an
+    // over-cap bucket stops accumulating at maxBucketSize+1 entries
+    // and drops at finish — no separate count pass, no anti-join, no
+    // cache (the kernel output now has a single consumer)
+    val lists = sh
       .select(col("id"), col("simhash").as("sim"),
         explode(array(chunkCols: _*)).as("ck"))
-      .select(col("id"), col("sim"),
-        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    // over-cap chunk buckets dropped BEFORE collection (see the
-    // jaccard posting kernel) — a degenerate chunk value never
-    // materializes its posting list just to be discarded
-    val hotBuckets = indexed.groupBy("chunk", "key")
-      .agg(count(lit(1)).as("n_"))
-      .where(col("n_") > maxBucketSize).select("chunk", "key")
-    val lists = indexed
-      .join(broadcast(hotBuckets), Seq("chunk", "key"), "left_anti")
-      .groupBy(col("chunk"), col("key"))
-      .agg(collect_list(struct(col("id").as("_1"), col("sim").as("_2"))).as("xs"))
-      .where(size(col("xs")) >= 2)
-      .select(col("xs")).as[Seq[(Long, Long)]]
+      .select(col("ck.chunk").as("chunk"), col("ck.key").as("key"),
+        col("id"), col("sim"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey { case (chunk, key, _, _) => (chunk, key) }
+      .mapValues { case (_, _, id, sim) => (id, sim) }
+      .agg(new CappedCollect[(Long, Long)](maxBucketSize).toColumn.name("xs"))
+      .map(_._2)
+      .filter(_.lengthCompare(2) >= 0)
     lists.flatMap { xs =>
         val a = xs.sortBy(_._1).toArray
         a.indices.iterator.flatMap { i =>

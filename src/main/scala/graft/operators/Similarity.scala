@@ -68,18 +68,23 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Near-duplicate pairs: all (a < b) with cosine ≥ threshold.
-    * Quadratic candidate generation — correct baseline at test scale;
-    * the LSH-banded prefilter (see [[Dedup.simhashPairs]] pattern /
-    * IVF bucketing below) is the scale path. */
+  /** Near-duplicate pairs: all (a < b) with cosine ≥ threshold, as a
+    * broadcast nested-loop join with the threshold folded into the
+    * join condition — the dot product (pass the codegen'd
+    * [[graft.functions.GraftFunctions.dotNative]]) and the comparison
+    * run inside whole-stage codegen, failing pairs never materialize
+    * as rows, and nothing is collected outside Spark's managed
+    * broadcast. Exact and inherently quadratic: one side must fit a
+    * broadcast; beyond that the scale twins are [[lshNearDupPairs]] /
+    * IVF bucketing (run the N² only within a bucket). */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double,
       dotFn: (Column, Column) => Column = dot): DataFrame = {
     val d = dotFn
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .where(d(col("va"), col("vb")) >= threshold)
+    a.join(broadcast(b),
+        col("id_a") < col("id_b") && d(col("va"), col("vb")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 
@@ -92,7 +97,10 @@ object Similarity {
     * inner sum is the same sequential left fold (bit-identical IEEE
     * results, DuckDB-parity preserved). Applicability: corpus must fit
     * in a broadcast (~1M × small dim); beyond that, run this kernel
-    * per LSH bucket / IVF partition block.
+    * per LSH bucket / IVF partition block. NOTE the explicit driver
+    * collect: this is the per-bucket building block — the headline
+    * all-pairs query path is [[nearDupPairs]] with the codegen'd dot,
+    * which keeps everything inside Spark's managed broadcast join.
     */
   def nearDupPairsKernel(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

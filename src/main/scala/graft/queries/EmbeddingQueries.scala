@@ -52,11 +52,15 @@ object EmbeddingQueries {
         "vec_id", "embedding", k = 5, dotFn = GraftFunctions.dotNative)
     }),
 
-    // embedding near-dup pairs at cosine >= 0.4 (broadcast kernel —
-    // the N² loop runs over primitive arrays, not per-pair expressions)
-    "emb_near_pairs" -> ((s, dir) =>
-      Similarity.nearDupPairsKernel(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.4)),
+    // embedding near-dup pairs at cosine >= 0.4: exact all-pairs as a
+    // broadcast nested-loop join with the codegen'd DotProduct in the
+    // join condition — no driver-side collect anywhere in the plan
+    // (nearDupPairsKernel remains the per-bucket building block)
+    "emb_near_pairs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4, dotFn = GraftFunctions.dotNative)
+    }),
 
     // IVF (label-partitioned) with all partitions probed == brute force;
     // at nProbe < nPartitions this is the pruned 100 TB search path.

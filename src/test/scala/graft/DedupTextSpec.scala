@@ -117,6 +117,55 @@ class DedupTextSpec extends SparkTestBase {
         norm(Dedup.jaccardPairs(corpus, "text", "doc_id", 3, 5000)))
   }
 
+  test("posting kernel is fully lazy: no job runs at plan-build time") {
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Dedup.jaccardPairsPostingKernel(corpus, "text", "doc_id", 3, 5000)
+      Thread.sleep(500) // job-start events post asynchronously
+      assert(jobs == 0, s"plan construction ran $jobs eager job(s)")
+      assert(df.limit(1).collect().nonEmpty) // the plan still executes
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("packIds contract: wide ids fail fast packed, work unpacked") {
+    val wide = Seq(
+      (5000000000L, "aa bb cc dd"),
+      (5000000001L, "aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val err = intercept[org.apache.spark.SparkException] {
+      Dedup.jaccardPairsPostingKernel(wide, "text", "doc_id", 3, 5000).collect()
+    }
+    assert(err.getMessage.contains("packIds"))
+    val ok = Dedup.jaccardPairsPostingKernel(wide, "text", "doc_id", 3, 5000,
+      packIds = false).collect()
+    assert(ok.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((5000000000L, 5000000001L)))
+  }
+
+  test("hot-bucket caps drop over-cap buckets in one pass") {
+    // minhash: the dup pair shares every band; cap 1 drops all its band
+    // buckets, so no candidates survive — cap 1000 finds the pairs
+    assert(Dedup.minhashLshPairsKernel(corpus, "text", "doc_id",
+      maxBandSize = 1).count() == 0)
+    assert(Dedup.minhashLshPairsKernel(corpus, "text", "doc_id")
+      .count() >= 1)
+    // simhash: identical prints share every chunk bucket; cap 1 drops them
+    assert(Dedup.simhashPairs(corpus, "text", "doc_id",
+      maxBucketSize = 1).count() == 0)
+    assert(Dedup.simhashPairs(corpus, "text", "doc_id").count() >= 1)
+    // jaccard: df cap 1 keeps only singleton posting lists — no pairs
+    assert(Dedup.jaccardPairsPostingKernel(corpus, "text", "doc_id", 3, 5000,
+      packIds = true) // corpus ids are small; exercise the packed path
+      .sparkSession != null) // plan builds lazily
+    assert(Dedup.jaccardPairsPostingKernel(corpus, "text", "doc_id", 3,
+      5000, maxDf = 1L).count() == 0)
+  }
+
   test("token counting: whitespace and bpe-ish") {
     val df = Seq("hello world", "don't stop-me now2", " padded  spaces ")
       .toDF("text")
