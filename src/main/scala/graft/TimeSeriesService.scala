@@ -178,6 +178,15 @@ final class TimeSeriesService(
   def inc(factId: String, ts: Timestamp, categories: Map[String, String]): Unit =
     newFact(factId, ts, 1L, categories)
 
+  /** Monotonic tag for post-spill ingests with no external batch
+    * identity (plain bulk loads). */
+  private var localBatchSeq = 0L
+
+  /** Stream batch ids already ingested (pre-spill replay fast-skip —
+    * post-spill replays are handled structurally by the deterministic
+    * per-batch overwrite directories). */
+  private val seenBatches = scala.collection.mutable.Set.empty[Long]
+
   /** Bulk ingestion: a DataFrame in the canonical event schema (the
     * 100 TB path — buffer-per-event is for API-parity workloads only).
     *
@@ -185,13 +194,36 @@ final class TimeSeriesService(
     * IO for one-shot batch use); past that — the long-running-stream
     * shape, e.g. [[graft.streaming.StreamingIngest.foreachBatchInto]]
     * micro-batches — the accumulated events move ONCE into an on-disk
-    * parquet store and every later ingest appends to it, so lineage
-    * depth, cached-batch memory, and per-query plan cost stay O(1) in
-    * stream length while total write IO stays O(data). */
+    * parquet store and every later ingest writes its own
+    * `__batch_id=<tag>` partition directory there, so lineage depth,
+    * cached-batch memory, and per-query plan cost stay O(1) in stream
+    * length while total write IO stays O(data). */
   def ingest(events: DataFrame): Unit = {
+    localBatchSeq += 1
+    ingestTagged(events, s"local$localBatchSeq")
+  }
+
+  /** [[ingest]] with an at-least-once delivery identity (a foreachBatch
+    * micro-batch id): a replayed batch is skipped pre-spill (`seen` set)
+    * and OVERWRITES its own deterministic `__batch_id=b<id>` partition
+    * directory post-spill — mirroring
+    * [[graft.streaming.StreamingIngest.maintainRollup]]'s scheme, so a
+    * crash-retry between the data write and batch commit cannot
+    * double-append durable events. */
+  def ingest(events: DataFrame, batchId: Long): Unit = {
+    if (!seenBatches.contains(batchId)) {
+      ingestTagged(events, s"b$batchId")
+      seenBatches += batchId
+    }
+  }
+
+  private def ingestTagged(events: DataFrame, tag: String): Unit = {
     storeDir match {
       case Some(dir) =>
-        events.write.mode("append").parquet(dir)
+        // deterministic per-batch partition dir in overwrite mode: a
+        // replay of the same tag replaces its own (possibly partial)
+        // prior output instead of appending a duplicate
+        events.write.mode("overwrite").parquet(s"$dir/__batch_id=$tag")
         // the incoming frame is materialized on disk now; if the caller
         // cached it for the hand-off (streaming batches), release that
         if (events.storageLevel.useMemory) events.unpersist()
@@ -202,7 +234,8 @@ final class TimeSeriesService(
         if (bulkDepth >= spillDepth) {
           val dir = java.nio.file.Files
             .createTempDirectory("graft-eventstore").toString
-          bulk.foreach(_.write.mode("overwrite").parquet(dir))
+          bulk.foreach(_.write.mode("overwrite")
+            .parquet(s"$dir/__batch_id=spill"))
           storeDir = Some(dir)
           bulk = None
           bulkDepth = 0
@@ -217,11 +250,13 @@ final class TimeSeriesService(
     invalidateRollups(None) // frame may carry any fact
   }
 
-  /** All events visible to queries. */
+  /** All events visible to queries. `__batch_id` is the store's
+    * idempotency partition — a storage artifact, dropped on read. */
   def eventsDF: DataFrame = {
     val buffered = spark.createDataset(buffer.toSeq).toDF()
     val withStore = storeDir match {
-      case Some(dir) => buffered.unionByName(spark.read.parquet(dir))
+      case Some(dir) =>
+        buffered.unionByName(spark.read.parquet(dir).drop("__batch_id"))
       case None => buffered
     }
     bulk.map(withStore.unionByName(_)).getOrElse(withStore)

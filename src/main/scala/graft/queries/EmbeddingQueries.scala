@@ -18,14 +18,35 @@ object EmbeddingQueries {
 
   /** IVF centroid index, built once per (session, corpus dir) and
     * persisted to parquet — repeated queries measure the probe path
-    * only, matching a deployed index's lifecycle. */
+    * only, matching a deployed index's lifecycle.
+    *
+    * Bench-harness memoization, deliberately simple: the key carries
+    * no content fingerprint, so REGENERATING the parquet at `dir`
+    * within one session would serve a stale index (the driver never
+    * does — sf dirs are immutable), and the SparkSession key pins the
+    * session for the JVM lifetime. Index temp dirs are registered for
+    * JVM-exit cleanup. A production deployment owns index freshness
+    * explicitly by passing `index` to [[Similarity.ivfTopK]]. */
   private val ivfIndexes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Best-effort JVM-exit cleanup for memoized index dirs. */
+  private def tempIndexDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }))
+    p.toString
+  }
 
   /** Build-or-reuse the label-partitioned centroid index. */
   private def ivfIndex(s: SparkSession, dir: String): DataFrame = {
     val path = ivfIndexes.getOrElseUpdate((s, dir), {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      val p = tempIndexDir("graft_ivf")
       Similarity.centroids(emb(s, dir), "label", "embedding")
         .write.mode("overwrite").parquet(p)
       p
@@ -110,7 +131,7 @@ object EmbeddingQueries {
       GraftFunctions.register(s)
       val e = emb(s, dir)
       val built = kmeansIndexes.getOrElseUpdate((s, dir), {
-        val base = java.nio.file.Files.createTempDirectory("graft_kivf").toString
+        val base = tempIndexDir("graft_kivf")
         val init = e.where(col("vec_id") < 10)
           .select(col("vec_id").cast("long").as("part"),
             col("embedding").cast("array<double>").as("centroid"))

@@ -43,8 +43,11 @@ object StreamingIngest {
   def foreachBatchInto(stream: DataFrame, service: TimeSeriesService): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        service.ingest(batch.persist())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the batch id rides along so a replayed micro-batch
+        // (at-least-once foreachBatch delivery) is skipped pre-spill
+        // and overwrites its own partition dir post-spill
+        service.ingest(batch.persist(), batchId)
         ()
       }
 

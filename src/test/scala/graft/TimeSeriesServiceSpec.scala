@@ -321,6 +321,30 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(after == Map(Map("dependency" -> "31") -> Map(None -> 42L)))
   }
 
+  test("replayed ingest batches are idempotent pre- and post-spill") {
+    import spark.implicits._
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("signups", FactType.Counter, slice = 10)
+    svc.defineDimension("dependency", facts = Set("signups"))
+    def frame(v: Long) = Seq(graft.model.Event("signups",
+      ts("2014-03-21T09:15"), v, Map("dependency" -> "31"))).toDF()
+    def total(): Long = pivot(svc.getTimeseries("signups", "dependency",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00"), Step.NoStep),
+      Seq("dependency"))(Map("dependency" -> "31"))(None)
+    // pre-spill: batch 7 delivered twice counts once (seen-set skip)
+    svc.ingest(frame(1L), batchId = 7L)
+    svc.ingest(frame(1L), batchId = 7L)
+    assert(total() == 1L)
+    // cross the spill threshold with plain ingests
+    for (i <- 0 until 40) svc.ingest(frame(1L))
+    assert(total() == 41L)
+    // post-spill: a replayed batch id overwrites its own partition dir
+    svc.ingest(frame(5L), batchId = 8L)
+    svc.ingest(frame(5L), batchId = 8L)
+    assert(total() == 46L)
+  }
+
   test("catalog round-trip through parquet (O1/O6)") {
     val svc = freshService()
     val dir = java.nio.file.Files.createTempDirectory("graft-catalog").toString
