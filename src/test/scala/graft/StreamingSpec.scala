@@ -204,6 +204,12 @@ class StreamingSpec extends SparkTestBase {
     val rawRows = Rollups.read(spark, path).count()
     val cmpRows = Rollups.read(spark, compacted).count()
     assert(cmpRows < rawRows) // the duplicate 10:20 partials merged
+    // file growth is bounded too: one file set per key-partition, not
+    // one per (batch × partition)
+    def parquetFiles(p: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        .filter(f => f.toString.endsWith(".parquet")).count()
+    assert(parquetFiles(compacted) < parquetFiles(path))
     svc.registerRollup("signups", Seq("dependency", "dependency_user"), compacted)
     assert(query() == expected)
   }
