@@ -159,6 +159,20 @@ object EventQueries {
         histFact, 15, Seq("event_type"), Map.empty,
         ts("2024-01-01T00:00"), ts("2024-01-31T00:00"))),
 
+    // O21 merge-with under the oracle gate: series axis collapsed by
+    // the MergeWith UDAF (the reference's declared user-supplied
+    // reduction, stubbed in every backend) — with f = + the result
+    // must equal the plain grouped count, which DuckDB recomputes
+    "ts_hist_merged" -> ((s, dir) => {
+      val per = Timeseries.runHistogram(prep(s, dir, withUser = false,
+          col("value"), Some(("2024-01-01T00:00", "2024-01-31T00:00"))),
+        histFact, 15, Seq("event_type"), Map.empty,
+        ts("2024-01-01T00:00"), ts("2024-01-31T00:00"))
+      per.groupBy(col("hist_bucket"))
+        .agg(graft.functions.MergeWith((a, b) => a + b)(col("value"))
+          .as("value"))
+    }),
+
     // O21 + O15/O17: histogram SERIES at a calendar step — one
     // histogram per (series × day), the step surface getTimeseries has
     // applied to the histogram pipeline
@@ -479,6 +493,15 @@ object EventQueries {
 
     "ts_hist" ->
       s"""SELECT event_type,
+         |  CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) * 20 AS hist_bucket,
+         |  count(*) AS value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '${lo("2024-01-01T00:00")}'
+         |  AND ts < TIMESTAMP '${hi("2024-01-31T00:00")}'
+         |GROUP BY ALL""".stripMargin,
+
+    "ts_hist_merged" ->
+      s"""SELECT
          |  CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) * 20 AS hist_bucket,
          |  count(*) AS value
          |FROM events

@@ -157,4 +157,23 @@ class PropertySpec extends SparkTestBase {
       assert(got == base, s"slice $slice")
     }
   }
+
+  test("PPM codec: encode/decode round-trips arbitrary images") {
+    import graft.operators.Multimodal.Ppm
+    val rnd = new Random(20260813)
+    for (_ <- 0 until 50) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val img = Ppm.decode(Ppm.encode(w, h, (x, y, c) => px((y * w + x) * 3 + c)))
+      assert(img.width == w && img.height == h && img.maxVal == 255)
+      assert(img.pixels.map(_ & 0xff).toSeq == px.toSeq)
+      // resize to any geometry decodes to that geometry
+      val tw = 1 + rnd.nextInt(20)
+      val th = 1 + rnd.nextInt(20)
+      val r = Ppm.decode(Ppm.resize(Ppm.encode(w, h,
+        (x, y, c) => px((y * w + x) * 3 + c)), tw, th))
+      assert(r.width == tw && r.height == th)
+    }
+  }
 }
