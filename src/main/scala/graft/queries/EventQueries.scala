@@ -280,6 +280,47 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("purchase_cents"))
     }),
 
+    // backward as-of WITH tolerance: matches older than 1 hour null
+    // out (merge_asof semantics) — same single-shuffle window
+    // composition, the tolerance is a post-match filter
+    "asof_click_purchase_tol" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val e = events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast(LongType).as("purchase_cents"))
+      AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts",
+          Seq("purchase_cents"), tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select(col("event_id"), col("user_id"), col("purchase_cents"))
+    }),
+
+    // the full source surface under the oracle gate: wide events →
+    // canonical schema (fromWide) → CSV round-trip (EventSource.writeCsv
+    // /csv, microsecond-exact timestamps, categories as JSON strings) →
+    // the reference pipeline — must match the same raw-parquet oracle
+    // as ts_counter_hour_fill
+    "events_csv_roundtrip" -> ((s, dir) => {
+      import graft.sources.EventSource
+      val csvPath = csvDirs.getOrElseUpdate((s, dir), {
+        val p = java.nio.file.Files.createTempDirectory("graft_evcsv").toString
+        EventSource.writeCsv(
+          EventSource.fromWide(
+            eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00"),
+            "events_count", col("ts"), lit(1L),
+            Map("event_type" -> col("event_type"))), p)
+        p
+      })
+      val prepared = EventSource.csv(s, csvPath)
+        .where(col("fact") === "events_count")
+        .select(col("categories").getItem("event_type").as("event_type"),
+          col("ts"), col("value"))
+      Timeseries.run(prepared, countFact, 15, Seq("event_type"),
+        Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
+    }),
+
     // time-band range join: every (click, purchase) pair of the same
     // user within one hour forward — bucketed equality join (2× left
     // fan-out), never the per-key cartesian a naive theta join runs
@@ -382,6 +423,11 @@ object EventQueries {
     * (session, sf dir): repeated runs measure the rollup READ path (the
     * deployment shape), not a rebuild per query. */
   private val rollupDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** events_csv_roundtrip's CSV copy of the ranged events, written once
+    * per (session, sf dir). */
+  private val csvDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   /** ts_stream_maintained_fill's streaming-maintained rollup, built
@@ -597,6 +643,33 @@ object EventQueries {
         |  SELECT purchase_cents FROM p
         |  WHERE p.user_id = s.user_id AND p.ts >= s.ts
         |  ORDER BY p.ts LIMIT 1) m ON true""".stripMargin,
+
+    // tolerance = the as-of match restricted to a 1-hour lookback: the
+    // latest purchase <= click time is in-window iff ANY purchase is
+    // (earlier matches are older), so the LATERAL window form is
+    // equivalent to match-then-null-out
+    "asof_click_purchase_tol" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, m.purchase_cents
+        |FROM clicks c LEFT JOIN LATERAL (
+        |  SELECT purchase_cents FROM purch p
+        |  WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        |    AND p.ts >= c.ts - INTERVAL 1 HOUR
+        |  ORDER BY p.ts DESC LIMIT 1) m ON true""".stripMargin,
+
+    // identical to ts_counter_hour_fill: the CSV-round-tripped source
+    // must be indistinguishable from the parquet scan
+    "events_csv_roundtrip" -> fillOracle(
+      where = "event_type = 'click'",
+      bucketExpr = "date_trunc('hour', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
+      gridStep = "1 HOUR",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
 
     "range_click_purchase_1h" ->
       """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id

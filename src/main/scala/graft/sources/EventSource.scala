@@ -46,13 +46,19 @@ object EventSource {
   def json(spark: SparkSession, path: String): DataFrame =
     validated(spark.read.schema(schema).json(path))
 
+  /** Microsecond-precision timestamp format for CSV: Spark's default
+    * CSV format carries milliseconds only, which would silently
+    * truncate event times on a write/read round-trip. */
+  private val csvTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** CSV cannot carry a map column — `categories` rides as a JSON-object
     * string and is parsed on read. Written by [[writeCsv]]. */
   def csv(spark: SparkSession, path: String): DataFrame = {
     val flat = StructType(Seq(
       StructField("fact", StringType), StructField("ts", TimestampType),
       StructField("value", LongType), StructField("categories_json", StringType)))
-    validated(spark.read.schema(flat).option("header", "true").csv(path)
+    validated(spark.read.schema(flat).option("header", "true")
+      .option("timestampFormat", csvTsFormat).csv(path)
       .withColumn("categories",
         from_json(col("categories_json"), schema("categories").dataType)))
   }
@@ -62,7 +68,8 @@ object EventSource {
     validated(events)
       .withColumn("categories_json", to_json(col("categories")))
       .drop("categories")
-      .write.mode("overwrite").option("header", "true").csv(path)
+      .write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", csvTsFormat).csv(path)
 
   /** The same path as a file STREAM (for
     * [[graft.streaming.StreamingIngest]] writers): explicit schema, one
