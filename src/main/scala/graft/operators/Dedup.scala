@@ -370,6 +370,69 @@ object Dedup {
         col("sz_a"), col("sz_b"))
   }
 
+  /** Connected components over a near-dup pair list — the
+    * cluster-collapse step of a fuzzy-dedup pipeline (pairs alone don't
+    * dedup: A~B and B~C must collapse to ONE canonical doc even when
+    * A~C was never emitted). Iterative min-label propagation: each
+    * round every node takes the minimum label in its closed
+    * neighborhood; converges in O(component diameter) rounds, and
+    * near-dup clusters are shallow (a few hops), so rounds stay small.
+    * Each round is one join + one map-side-combined aggregation over
+    * (id, label) longs — never the documents — with the previous round
+    * cached and released, so lineage and storage stay O(1) in rounds.
+    * Convergence is detected by the monotonically-decreasing label sum
+    * (one scalar read per round). For adversarially deep chain graphs
+    * use a star-contraction variant (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — public algorithm);
+    * min-label is the right trade for dedup-shaped graphs.
+    *
+    * NOTE: iterative by nature — runs one Spark job per round at call
+    * time (unlike the lazy kernel builders) and returns the CACHED
+    * final labels (caller owns the handle's lifecycle).
+    *
+    * @return (idCol, component) — component = min id reachable */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val sym = edges
+      .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
+      .union(edges
+        .select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
+    // labels feeds BOTH the message join and the union each round, so
+    // without lineage truncation the logical plan doubles per round
+    // (2^rounds nodes); eager localCheckpoint collapses it to a leaf —
+    // plan size and recovery depth stay O(1) in rounds — and the prior
+    // round's checkpoint blocks are released once the next is
+    // materialized (safe: eager checkpoint never recomputes).
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    var labels = nodes
+      .select(col(idCol).cast(LongType).as("id"), col(idCol).cast(LongType).as("comp"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).union(msgs)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      releaseCheckpoint(labels)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    labels.select(col("id").as(idCol), col("comp").as("component"))
+  }
+
   /** Full md5 hex (32 chars) — JVM replica of Spark/DuckDB `md5()`. */
   def md5Hex(s: String): String = {
     val d = md5Local.get()

@@ -37,6 +37,19 @@ object DocumentQueries {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairsKernel(docs(s, dir), "text", "doc_id")),
 
+    // the cluster-collapse step: near-dup pairs → connected components
+    // → one canonical (min) doc id per transitive cluster. The oracle
+    // recomputes the same pairs and closes them with a recursive CTE,
+    // so the iterative min-label propagation must converge to the
+    // exact same partition of the corpus.
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairsPostingKernel(d, "text", "doc_id",
+        k = 3, thresholdE4 = 5000)
+      Dedup.connectedComponents(d.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b")
+    }),
+
     // SimHash fingerprints per doc (32-bit, md5-vote; row-local kernel
     // form — simhashTable is the declarative reference, spec-pinned)
     "text_simhash" -> ((s, dir) =>
@@ -213,6 +226,27 @@ object DocumentQueries {
          |          FROM documents)))""".stripMargin
   }
 
+  /** dedup_ngram_jaccard's full oracle — shared with the cluster
+    * oracle so both close over the identical pair set. */
+  private lazy val jaccardPairsSql: String =
+    s"""WITH $shingleCte,
+       |ex AS (SELECT doc_id,
+       |  unnest(list_transform(shset,
+       |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+       |  FROM sh),
+       |sizes AS (SELECT doc_id, len(shset) AS sz FROM sh),
+       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |  FROM ex a JOIN keep USING (s) JOIN ex b USING (s)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.id_a, p.id_b, p.common, sa.sz AS sz_a, sb.sz AS sz_b
+       |FROM pairs p
+       |JOIN sizes sa ON sa.doc_id = p.id_a
+       |JOIN sizes sb ON sb.doc_id = p.id_b
+       |WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT d.doc_id, c.canonical_id
@@ -220,24 +254,21 @@ object DocumentQueries {
         |JOIN (SELECT text, min(doc_id) AS canonical_id
         |      FROM documents GROUP BY text) c USING (text)""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      s"""WITH $shingleCte,
-         |ex AS (SELECT doc_id,
-         |  unnest(list_transform(shset,
-         |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
-         |  FROM sh),
-         |sizes AS (SELECT doc_id, len(shset) AS sz FROM sh),
-         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-         |  FROM ex a JOIN keep USING (s) JOIN ex b USING (s)
-         |  WHERE a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT p.id_a, p.id_b, p.common, sa.sz AS sz_a, sb.sz AS sz_b
-         |FROM pairs p
-         |JOIN sizes sa ON sa.doc_id = p.id_a
-         |JOIN sizes sb ON sb.doc_id = p.id_b
-         |WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardPairsSql,
+
+    // transitive closure of the SAME pair set via a recursive CTE:
+    // component = min doc_id reachable through near-dup edges
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE jp AS (
+         |$jaccardPairsSql
+         |),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM jp
+         |        UNION ALL SELECT id_b AS a, id_a AS b FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
+         |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin,
 
     "dedup_minhash_lsh" -> {
       val sigs = (0 until 16).map { i =>

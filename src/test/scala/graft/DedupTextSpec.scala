@@ -166,6 +166,31 @@ class DedupTextSpec extends SparkTestBase {
       5000, maxDf = 1L).count() == 0)
   }
 
+  test("connected components: transitive clusters, chains, isolates") {
+    // components: {1,2,3} via chain 1-2, 2-3; {4,5}; {6} isolated —
+    // the chain needs >1 propagation round
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // a long chain converges too (diameter 9)
+    val chainN = (0L to 9L).toDF("id")
+    val chainE = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chain = Dedup.connectedComponents(chainN, "id", chainE, "id_a", "id_b")
+      .collect().map(_.getLong(1)).toSet
+    assert(chain == Set(0L))
+    // composes with the pair kernel: exact dups + near dup (j = 0.4,
+    // so threshold 0.3 links it) collapse into one cluster with the
+    // min id canonical
+    val pairs = Dedup.jaccardPairsPostingKernel(corpus, "text", "doc_id", 3, 3000)
+    val comp = Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(4L) == 4L && comp(5L) == 5L)
+  }
+
   test("token counting: whitespace and bpe-ish") {
     val df = Seq("hello world", "don't stop-me now2", " padded  spaces ")
       .toDF("text")
