@@ -394,10 +394,14 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {
+    // the symmetric edge list is joined EVERY round — materialize it
+    // once (eager checkpoint) or each round re-runs the upstream
+    // pair-generation pipeline from scratch; blocks released on return
     val sym = edges
       .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
       .union(edges
         .select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
+      .localCheckpoint(true)
     // labels feeds BOTH the message join and the union each round, so
     // without lineage truncation the logical plan doubles per round
     // (2^rounds nodes); eager localCheckpoint collapses it to a leaf —
