@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, TextAnalysis}
 
 /** Driver-checkable dedup + text-analysis queries over the synthetic
   * `documents` table (`doc_id, text, lang, source, n_chars`), each with
@@ -164,7 +164,34 @@ object DocumentQueries {
       TextAnalysis.langQualityKernel(docs(s, dir), "text", "source")
         .groupBy(col("source"), col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("quality_e4")).as("sum_quality_e4"))))
+          sum(col("quality_e4")).as("sum_quality_e4"))),
+
+    // benchmark decontamination: training docs (doc_id % 25 != 0)
+    // sharing any 3-gram shingle with the "benchmark" slice
+    // (doc_id % 25 = 0 — a stand-in eval corpus drawn from the same
+    // table). Broadcast eval shingle set; hits = distinct shared
+    // shingles per training doc.
+    "decontaminate_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.overlapReport(
+        d.where(col("doc_id") % 25 =!= 0),
+        d.where(col("doc_id") % 25 === 0),
+        "text", "doc_id")
+        .select(col("id").as("doc_id"), col("hits"))
+    }),
+
+    // the clean view after decontamination, profiled per source —
+    // exercises the anti-join drop path end-to-end
+    "decontaminate_clean_profile" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.clean(
+        d.where(col("doc_id") % 25 =!= 0),
+        d.where(col("doc_id") % 25 === 0),
+        "text", "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }))
 
   // ---------------------------------------------------------------- oracles
 
@@ -451,5 +478,36 @@ object DocumentQueries {
          |            string_split_regex(trim(text), '\\s+') AS toks
          |          FROM documents)))
          |GROUP BY 1, 2""".stripMargin
-    })
+    },
+
+    // same md5-hashed shingle space as the dedup oracles: eval slice =
+    // doc_id % 25 = 0; hits = distinct shared shingles per training doc
+    "decontaminate_overlap" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id,
+         |  unnest(list_transform(shset,
+         |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+         |  FROM sh),
+         |ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 25 = 0)
+         |SELECT e.doc_id, count(*) AS hits
+         |FROM ex e JOIN ev USING (s)
+         |WHERE e.doc_id % 25 <> 0
+         |GROUP BY 1""".stripMargin,
+
+    "decontaminate_clean_profile" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id,
+         |  unnest(list_transform(shset,
+         |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+         |  FROM sh),
+         |ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 25 = 0),
+         |cont AS (SELECT DISTINCT e.doc_id
+         |         FROM ex e JOIN ev USING (s)
+         |         WHERE e.doc_id % 25 <> 0)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents d
+         |WHERE d.doc_id % 25 <> 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+         |GROUP BY 1""".stripMargin)
 }
