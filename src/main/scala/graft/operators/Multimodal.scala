@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata; decode / feature
   * extraction runs as partition-mapped batch functions.
   *
-  * The IMAGE path is a real codec: [[Ppm]] is a genuine binary-PPM
-  * (P6) encoder/decoder — [[decodeImages]] parses the payload bytes
-  * (magic, geometry, maxval, raster) and derives features (geometry,
-  * per-channel sums, a pixel-histogram embedding) from the decoded
-  * raster, exactly as a libjpeg-backed decoder would from JPEG bytes.
-  * Audio/video remain STUBS ([[StubCodec]], this container has no
-  * media libraries): deterministic fakes behind the same plumbing, so
-  * swapping in a JNI/javacpp codec changes no query code.
+  * The IMAGE and AUDIO paths are real codecs: [[Ppm]] is a genuine
+  * binary-PPM (P6) encoder/decoder — [[decodeImages]] parses the
+  * payload bytes (magic, geometry, maxval, raster) and derives
+  * features (geometry, per-channel sums, a pixel-histogram embedding)
+  * from the decoded raster, exactly as a libjpeg-backed decoder would
+  * from JPEG bytes — and [[Wav]] is a genuine RIFF/WAVE PCM16
+  * chunk-walking parser feeding [[decodeAudio]]. Video frame
+  * extraction remains a STUB ([[StubCodec]], this container has no
+  * media libraries): a deterministic fake behind the same plumbing,
+  * so swapping in a JNI/javacpp codec changes no query code.
   *
   * Scale design: payloads are the heavy column — all metadata-only
   * operations (`filterByMeta`, routing, joins) prune the payload
@@ -52,13 +54,19 @@ object Multimodal {
       frame_index: Int,
       frame_payload: Array[Byte])
 
-  /** Decoded audio features (stub-decoded; schema is the contract). */
+  /** Decoded audio features — geometry from the parsed RIFF header,
+    * amplitude moments from the decoded PCM samples. `n_frames` is
+    * per-channel sample count (what "duration" means); `sum_amp` /
+    * `sum_sq` are integer-exact over the interleaved samples, so an
+    * external oracle can recompute them from generator parameters. */
   case class AudioFeatures(
       media_id: Long,
       sample_rate: Int,
-      n_samples: Long,
+      channels: Int,
+      n_frames: Long,
       duration_ms: Long,
-      mfccish: Array[Float])
+      sum_amp: Long,
+      sum_sq: Long)
 
   /** Real binary-PPM (P6) codec — netpbm's public image format: ASCII
     * header `P6 <width> <height> <maxval>` (whitespace-separated, `#`
@@ -197,33 +205,158 @@ object Multimodal {
         MediaFile(id, "image", syntheticPpm(id), Map.empty)))
   }
 
-  /** Deterministic fake codec — stands in for ffmpeg on the AUDIO and
-    * VIDEO paths (images decode for real via [[Ppm]]). Every output is
-    * a pure function of the payload bytes, so tests and re-runs are
-    * exactly reproducible cluster-wide. */
+  /** Real RIFF/WAVE PCM16 codec — the audio twin of [[Ppm]]: a
+    * genuine chunk-walking parse of the public WAV container (RIFF
+    * header, `fmt ` chunk, `data` chunk, unknown chunks skipped with
+    * odd-size padding, malformed input throws), decodable in pure JVM
+    * code with zero libraries. Samples are interleaved little-endian
+    * signed 16-bit. */
+  object Wav {
+
+    /** Decoded audio: interleaved per-frame samples. */
+    final case class Audio(sampleRate: Int, channels: Int,
+        samples: Array[Short])
+
+    private def putIntLE(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    private def putShortLE(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+    }
+    private def intLE(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def shortLE(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, US_ASCII)
+
+    /** Encode a canonical 44-byte-header PCM16 WAV. */
+    def encode(sampleRate: Int, channels: Int,
+        samples: Array[Short]): Array[Byte] = {
+      require(sampleRate > 0 && channels > 0, "bad WAV geometry")
+      require(samples.length % channels == 0,
+        "interleaved sample count must be a channel multiple")
+      val dataSize = samples.length * 2
+      val out = new Array[Byte](44 + dataSize)
+      System.arraycopy("RIFF".getBytes(US_ASCII), 0, out, 0, 4)
+      putIntLE(out, 4, 36 + dataSize)
+      System.arraycopy("WAVE".getBytes(US_ASCII), 0, out, 8, 4)
+      System.arraycopy("fmt ".getBytes(US_ASCII), 0, out, 12, 4)
+      putIntLE(out, 16, 16) // PCM fmt chunk size
+      putShortLE(out, 20, 1) // audioFormat = PCM
+      putShortLE(out, 22, channels)
+      putIntLE(out, 24, sampleRate)
+      putIntLE(out, 28, sampleRate * channels * 2) // byte rate
+      putShortLE(out, 32, channels * 2) // block align
+      putShortLE(out, 34, 16) // bits per sample
+      System.arraycopy("data".getBytes(US_ASCII), 0, out, 36, 4)
+      putIntLE(out, 40, dataSize)
+      var i = 0
+      while (i < samples.length) {
+        putShortLE(out, 44 + i * 2, samples(i)); i += 1
+      }
+      out
+    }
+
+    /** Decode a PCM16 WAV payload. Walks the chunk list (any order,
+      * unknown chunks skipped, odd sizes padded per RIFF), requires
+      * PCM format with 16-bit samples, throws on anything malformed —
+      * a real parse of untrusted bytes, not a trusted cast. */
+    def decode(payload: Array[Byte]): Audio = {
+      require(payload.length >= 12 && tag(payload, 0) == "RIFF" &&
+        tag(payload, 8) == "WAVE", "not a RIFF/WAVE payload")
+      var pos = 12
+      var rate = -1; var channels = -1
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
+        val id = tag(payload, pos)
+        val sz = intLE(payload, pos + 4)
+        require(sz >= 0 && pos + 8 + sz <= payload.length,
+          s"truncated WAV chunk '$id'")
+        id match {
+          case "fmt " =>
+            require(sz >= 16, "short fmt chunk")
+            require(shortLE(payload, pos + 8) == 1, "not PCM audio")
+            channels = shortLE(payload, pos + 10)
+            rate = intLE(payload, pos + 12)
+            require(shortLE(payload, pos + 22) == 16,
+              "only 16-bit samples supported")
+          case "data" => dataOff = pos + 8; dataLen = sz
+          case _ => () // skip unknown chunk (LIST, fact, …)
+        }
+        pos += 8 + sz + (sz & 1) // RIFF pads odd chunks to even
+      }
+      require(rate > 0 && channels > 0, "missing fmt chunk")
+      require(dataOff >= 0, "missing data chunk")
+      require(dataLen % (channels * 2) == 0,
+        "data length is not a whole number of frames")
+      val samples = new Array[Short](dataLen / 2)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) = shortLE(payload, dataOff + i * 2).toShort; i += 1
+      }
+      Audio(rate, channels, samples)
+    }
+  }
+
+  /** Deterministic synthetic WAV: rate, channel count, frame count and
+    * every sample are closed-form functions of the id
+    * (`rate = [8000,16000,22050,44100,48000][id mod 5]`,
+    * `channels = 1 + id mod 2`, `frames = 500 + (31·id) mod 1500`,
+    * `sample(j) = ((id + 7919·j) mod 65536) − 32768` over the
+    * interleaved index), so an external oracle recomputes the decoded
+    * features without running this code — the audio analogue of
+    * [[syntheticPpm]]. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    val rate = rates(Math.floorMod(id, 5L).toInt)
+    val channels = 1 + Math.floorMod(id, 2L).toInt
+    val frames = (500 + Math.floorMod(31L * id, 1500L)).toInt
+    val samples = new Array[Short](frames * channels)
+    var j = 0
+    while (j < samples.length) {
+      samples(j) = (Math.floorMod(id + 7919L * j, 65536L) - 32768L).toShort
+      j += 1
+    }
+    Wav.encode(rate, channels, samples)
+  }
+
+  /** Media table of synthetic WAVs, one clip per input id — the
+    * partition-mapped generator twin of [[decodeAudio]]. */
+  def syntheticWavTable(spark: SparkSession, df: DataFrame,
+      idCol: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaFile(id, "audio", syntheticWav(id), Map.empty)))
+  }
+
+  /** Decode one audio payload into features: geometry from the parsed
+    * header, integer-exact amplitude moments from the samples. */
+  def audioFeatures(id: Long, payload: Array[Byte]): AudioFeatures = {
+    val a = Wav.decode(payload)
+    var sumAmp = 0L; var sumSq = 0L
+    var i = 0
+    while (i < a.samples.length) {
+      val s = a.samples(i).toLong
+      sumAmp += s; sumSq += s * s; i += 1
+    }
+    val frames = a.samples.length.toLong / a.channels
+    AudioFeatures(id, a.sampleRate, a.channels, frames,
+      frames * 1000L / a.sampleRate, sumAmp, sumSq)
+  }
+
+  /** Deterministic fake codec — stands in for ffmpeg on the VIDEO
+    * path only (images decode for real via [[Ppm]], audio via
+    * [[Wav]]). Every output is a pure function of the payload bytes,
+    * so tests and re-runs are exactly reproducible cluster-wide. */
   object StubCodec {
 
     /** Fake frame extraction: fixed-stride byte windows. */
     def sampleFrames(payload: Array[Byte], everyN: Int): Seq[Array[Byte]] =
       payload.grouped(math.max(1, everyN)).toSeq
-
-    /** Fake audio decode: header-derived sample rate, byte-pair
-      * samples, and an mfcc-shaped moment vector. */
-    def decodeAudio(payload: Array[Byte], dim: Int = 13): (Int, Long, Array[Float]) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val rates = Array(8000, 16000, 22050, 44100, 48000)
-      val sampleRate = rates(math.floorMod(h, rates.length))
-      val nSamples = payload.length.toLong / 2
-      val acc = new Array[Float](dim)
-      var i = 0
-      while (i + 1 < payload.length) {
-        val s = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
-        acc(math.floorMod(s, dim)) += 1f
-        i += 2
-      }
-      val n = math.sqrt(acc.map(x => x.toDouble * x).sum).toFloat max 1e-9f
-      (sampleRate, nSamples, acc.map(_ / n))
-    }
   }
 
   /** Normalize an arbitrary frame into the canonical media schema. */
@@ -285,16 +418,14 @@ object Multimodal {
   }
 
   /** Partition-mapped audio decode + feature extraction — the audio
-    * twin of [[decodeImages]] (stub codec behind real plumbing). */
+    * twin of [[decodeImages]]: a REAL [[Wav]] parse per row (throws on
+    * non-WAV bytes, as any codec does on the wrong format). */
   def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.where(col("modality") === "audio")
       .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          val (rate, n, feats) = StubCodec.decodeAudio(payload)
-          AudioFeatures(id, rate, n, n * 1000L / rate, feats)
-        }
+        it.map { case (id, payload) => audioFeatures(id, payload) }
       }
   }
 

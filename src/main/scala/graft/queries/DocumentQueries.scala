@@ -93,6 +93,20 @@ object DocumentQueries {
           col("ch0_sum"), col("ch1_sum"), col("ch2_sum"))
     }),
 
+    // the audio twin: synthetic RIFF/WAVE PCM16 clips (closed-form
+    // generator) decoded by the REAL Wav chunk-walking parser; the
+    // oracle recomputes geometry + integer amplitude moments from the
+    // generator parameters
+    "multimodal_audio_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticWavTable(s, docs(s, dir), "doc_id")
+      Multimodal.decodeAudio(s, media.toDF()).toDF()
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"), col("duration_ms"),
+          col("sum_amp"), col("sum_sq"))
+    }),
+
     // multimodal frame sampling WITH an exact oracle: the stub frame
     // extractor is fixed-stride byte windows, so frame counts and byte
     // totals are pure functions of payload length — the fan-out shape
@@ -384,6 +398,30 @@ object DocumentQueries {
         |  CAST(sum((media_id + (i % w) + (i // w) + 85) % 256) AS BIGINT) AS ch1_sum,
         |  CAST(sum((media_id + (i % w) + (i // w) + 170) % 256) AS BIGINT) AS ch2_sum
         |FROM px GROUP BY media_id, w, h""".stripMargin,
+
+    // generator parameters re-derived per id; amplitude moments summed
+    // over the interleaved sample index exactly as the codec sees them
+    "multimodal_audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+        |    1 + doc_id % 2 AS ch,
+        |    500 + (31 * doc_id) % 1500 AS frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, rate, ch, frames,
+        |    ((media_id + 7919 * unnest(range(0, frames * ch))) % 65536)
+        |      - 32768 AS v
+        |  FROM p)
+        |SELECT media_id,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |FROM s GROUP BY media_id, rate, ch, frames""".stripMargin,
 
     "multimodal_frame_sample" ->
       """SELECT doc_id AS media_id,

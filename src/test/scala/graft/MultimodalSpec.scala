@@ -105,18 +105,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(decoded.length == 2 && decoded.forall(f => f.width == 4 && f.height == 4))
   }
 
-  test("decodeAudio: deterministic stub rate/duration/features") {
-    val audio = media().withColumn("modality", lit("audio"))
+  test("Wav codec round-trips and rejects malformed payloads") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345)
+    val bytes = Multimodal.Wav.encode(22050, 2, samples)
+    val back = Multimodal.Wav.decode(bytes)
+    assert(back.sampleRate == 22050 && back.channels == 2)
+    assert(back.samples.toSeq == samples.toSeq)
+    // unknown chunk before data is skipped (odd size → pad byte)
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 9, 9, 9, 0)
+    val reordered = bytes.take(36) ++ junk ++ bytes.drop(36)
+    assert(Multimodal.Wav.decode(reordered).samples.toSeq == samples.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.Wav.decode("not a wav at all".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Wav.decode(bytes.dropRight(3)) // truncated raster
+    }
+  }
+
+  test("decodeAudio: real WAV parse matches the generator closed form") {
+    val ids = Seq(0L, 1L, 7L, 24L).toDF("doc_id")
+    val audio = Multimodal.syntheticWavTable(spark, ids, "doc_id").toDF()
     val out = Multimodal.decodeAudio(spark, audio).collect()
       .map(a => a.media_id -> a).toMap
-    assert(out.keySet == Set(1L, 2L, 3L))
-    val a1 = out(1L)
-    assert(Set(8000, 16000, 22050, 44100, 48000).contains(a1.sample_rate))
-    assert(a1.n_samples == Multimodal.syntheticPpm(1L).length / 2)
-    assert(a1.duration_ms == a1.n_samples * 1000 / a1.sample_rate)
-    assert(a1.mfccish.length == 13)
-    val n = math.sqrt(a1.mfccish.map(x => x.toDouble * x).sum)
-    assert(math.abs(n - 1.0) < 1e-3)
+    assert(out.keySet == Set(0L, 1L, 7L, 24L))
+    for (id <- Seq(0L, 1L, 7L, 24L)) {
+      val a = out(id)
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      assert(a.sample_rate == rates((id % 5).toInt))
+      assert(a.channels == 1 + (id % 2).toInt)
+      val frames = 500 + (31 * id) % 1500
+      assert(a.n_frames == frames)
+      assert(a.duration_ms == frames * 1000 / a.sample_rate)
+      // recompute the moments straight from the closed form
+      val total = (frames * a.channels).toInt
+      val vals = (0 until total).map(j =>
+        Math.floorMod(id + 7919L * j, 65536L) - 32768L)
+      assert(a.sum_amp == vals.sum)
+      assert(a.sum_sq == vals.map(v => v * v).sum)
+    }
   }
 
   test("syntheticPpmTable: one decodable image per input id") {
