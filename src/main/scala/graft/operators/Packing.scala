@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concat-and-chunk step that turns a document
+  * corpus into fixed-capacity training sequences: documents are
+  * concatenated in a deterministic order and sliced into
+  * `capacity`-token context windows; each document is assigned the
+  * global token offset where it starts, the sequence (window) that
+  * offset lands in, and its position within that sequence.
+  *
+  * Scale design (100 TB posture): the naive formulation is a running
+  * sum over ONE global window (`sum over (order by id)`), which Spark
+  * executes as a single partition — a non-starter at scale. This is
+  * instead the classic two-pass distributed prefix sum:
+  *
+  *  1. range-partition + sort by the order key (one shuffle — the same
+  *     shuffle any global ordering costs),
+  *  2. per-partition token totals (a P-row job, P = #partitions),
+  *  3. exclusive prefix over the P totals on the driver (P is
+  *     thousands at most — the same driver-side footprint AQE's
+  *     per-partition statistics already accept), broadcast back,
+  *  4. per-partition running sum seeded by the broadcast offset —
+  *     row-local, streaming, no second shuffle.
+  *
+  * The ranged input RDD is cached between the two passes so both read
+  * the SAME partitioning (range bounds come from a sampling pass; the
+  * sampling is deterministic for identical input, so an evicted block
+  * recomputes to the same rows — the cache is an efficiency, not a
+  * correctness dependency). Cache ownership passes to the caller with
+  * the returned frame, per the kernel convention.
+  *
+  * Determinism: output is a pure function of (ids, token counts,
+  * capacity) — the partition count changes WHERE the prefix sum is
+  * split, never its values — so the same corpus packs identically on
+  * any cluster, and a SQL oracle can recompute it with a window
+  * function.
+  */
+object Packing {
+
+  /** Assign pack coordinates to every document: returns
+    * `(id, n_tokens, offset, seq_id, seq_pos)` where `offset` is the
+    * exclusive global prefix sum of `tokenCol` in `idCol` order,
+    * `seq_id = offset / capacity`, `seq_pos = offset % capacity`.
+    *
+    * @param capacity context-window size in tokens
+    * @param partitions range-partition count (0 = session shuffle
+    *   parallelism)
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      capacity: Long, partitions: Int = 0): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    // the RDD (not Dataset) is what both passes share: partition ids
+    // come from mapPartitionsWithIndex — the RDD's OWN partition index,
+    // stable even when a downstream coalesce merges several of these
+    // partitions into one task (TaskContext.getPartitionId() is the
+    // TASK id and silently collapses to 0 under coalesce(1), reseeding
+    // every merged partition — a wrong-results bug, not a perf one)
+    val ranged = df
+      .select(col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("toks"))
+      .repartitionByRange(p, col("id"))
+      .sortWithinPartitions(col("id"))
+      .as[(Long, Long)]
+      .rdd
+      .cache()
+    // pass 1: per-partition totals — P rows to the driver
+    val totals = ranged
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(s += _._2)
+        Iterator.single((pid, s))
+      }
+      .collect()
+      .sortBy(_._1)
+    // exclusive prefix over partition totals
+    val offsets = new Array[Long](totals.length)
+    var acc = 0L
+    totals.foreach { case (pid, s) => offsets(pid) = acc; acc += s }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: seeded running sum, row-local
+    spark
+      .createDataset(ranged.mapPartitionsWithIndex { (pid, it) =>
+        var run = bc.value(pid)
+        it.map { case (id, toks) =>
+          val off = run
+          run += toks
+          (id, toks, off)
+        }
+      })
+      .toDF("id", "n_tokens", "offset")
+      .withColumn("seq_id", expr(s"offset DIV ${capacity}L")) // exact long division, no double round-trip
+      .withColumn("seq_pos", col("offset") % capacity)
+  }
+
+  /** Per-sequence packing profile: how many documents START in each
+    * context window and how many tokens they carry — the occupancy
+    * view a packing run is judged by. One map-side-combined
+    * aggregation over [[packSequences]]' output. */
+  def packProfile(packed: DataFrame): DataFrame =
+    packed.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+}

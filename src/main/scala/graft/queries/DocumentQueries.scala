@@ -180,6 +180,29 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("quality_e4")).as("sum_quality_e4"))),
 
+    // sequence packing (concat-and-chunk): every doc gets the global
+    // token offset where it starts (distributed two-pass prefix sum —
+    // never a single-partition window), its 2048-token context window,
+    // and its position inside it
+    "pack_sequences" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.packSequences(
+        docs(s, dir).withColumn("nt", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "nt", capacity = 2048L)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("offset"),
+          col("seq_id"), col("seq_pos"))
+    }),
+
+    // occupancy profile of the same packing run: docs + tokens per
+    // context window
+    "pack_profile" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.packProfile(Packing.packSequences(
+        docs(s, dir).withColumn("nt", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "nt", capacity = 2048L))
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"))
+    }),
+
     // benchmark decontamination: training docs (doc_id % 25 != 0)
     // sharing any 3-gram shingle with the "benchmark" slice
     // (doc_id % 25 = 0 — a stand-in eval corpus drawn from the same
@@ -517,6 +540,39 @@ object DocumentQueries {
          |          FROM documents)))
          |GROUP BY 1, 2""".stripMargin
     },
+
+    // the sequential formulation the distributed prefix sum must equal:
+    // one global window in doc_id order
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, nt,
+        |    CAST(COALESCE(sum(nt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM t)
+        |SELECT doc_id, nt AS n_tokens, off AS offset,
+        |  CAST(off // 2048 AS BIGINT) AS seq_id,
+        |  CAST(off % 2048 AS BIGINT) AS seq_pos
+        |FROM o""".stripMargin,
+
+    "pack_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, nt,
+        |    CAST(COALESCE(sum(nt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM t)
+        |SELECT CAST(off // 2048 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM o GROUP BY 1""".stripMargin,
 
     // same md5-hashed shingle space as the dedup oracles: eval slice =
     // doc_id % 25 = 0; hits = distinct shared shingles per training doc

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** Sequence-packing semantics: exclusive prefix offsets, window
+  * assignment, and independence from the partition count (the
+  * distributed prefix sum must equal the sequential one). */
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, 600L), (2L, 600L), (3L, 600L), (4L, 1000L), (5L, 10L))
+    .toDF("doc_id", "n_tokens")
+
+  test("offsets are the exclusive prefix sum in id order") {
+    val got = Packing.packSequences(docs, "doc_id", "n_tokens", 1024L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((600L, 0L, 0L, 0L)))
+    assert(got(2L) == ((600L, 600L, 0L, 600L)))
+    assert(got(3L) == ((600L, 1200L, 1L, 176L)))
+    assert(got(4L) == ((1000L, 1800L, 1L, 776L)))
+    assert(got(5L) == ((10L, 2800L, 2L, 752L)))
+  }
+
+  test("partition count changes nothing") {
+    val p1 = Packing.packSequences(docs, "doc_id", "n_tokens", 1024L,
+      partitions = 1).collect().map(_.toSeq).toSet
+    val p7 = Packing.packSequences(docs, "doc_id", "n_tokens", 1024L,
+      partitions = 7).collect().map(_.toSeq).toSet
+    assert(p1 == p7)
+  }
+
+  test("packProfile counts docs and tokens per window") {
+    val prof = Packing.packProfile(
+      Packing.packSequences(docs, "doc_id", "n_tokens", 1024L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prof == Map(0L -> ((2L, 1200L)), 1L -> ((2L, 1600L)),
+      2L -> ((1L, 10L))))
+  }
+
+  test("coalesce(1) on the output cannot reseed partitions") {
+    // Verify writes with coalesce(1), which merges every upstream
+    // partition into ONE task: a TaskContext-based partition id would
+    // collapse to 0 there and restart the running sum per merged
+    // partition. mapPartitionsWithIndex must keep the RDD's own ids.
+    val got = Packing.packSequences(docs, "doc_id", "n_tokens", 1024L,
+      partitions = 5)
+      .coalesce(1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 600L, 3L -> 1200L, 4L -> 1800L,
+      5L -> 2800L))
+  }
+
+  test("a large synthetic corpus matches the sequential closed form") {
+    val n = 5000
+    val big = (1 to n).map(i => (i.toLong, (i % 97 + 1).toLong))
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.packSequences(big, "doc_id", "n_tokens", 2048L,
+      partitions = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var off = 0L
+    (1 to n).foreach { i =>
+      assert(got(i.toLong) == off, s"doc $i")
+      off += i % 97 + 1
+    }
+  }
+}
