@@ -24,6 +24,28 @@ object Sampling {
       seed: Int = 42): DataFrame =
     df.where(hashE4(col(idCol), seed) < keepE4)
 
+  /** Per-stratum deterministic sampling — the corpus-balancing step of
+    * a training-data pipeline (downsample over-represented languages /
+    * sources to a target mix): each stratum value gets its own keep
+    * rate in basis points; strata absent from `ratesE4` fall back to
+    * `defaultE4`. Membership stays a pure function of (id, seed), so
+    * rates can be retuned without reshuffling which rows survive
+    * inside an unchanged stratum (a row kept at 2000 is still kept at
+    * 3000 — the samples are nested, which makes ablation corpora
+    * comparable). Row-local, no shuffle, codegen'd `when` chain (strata
+    * counts are small — languages, sources — so the chain stays
+    * shallow). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      ratesE4: Map[String, Int], defaultE4: Int = 10000,
+      seed: Int = 42): DataFrame = {
+    require((defaultE4 +: ratesE4.values.toSeq)
+      .forall(r => r >= 0 && r <= 10000), "rates are basis points")
+    val rate = ratesE4.toSeq.sortBy(_._1).foldLeft(lit(defaultE4)) {
+      case (acc, (v, r)) => when(col(stratumCol) === v, lit(r)).otherwise(acc)
+    }
+    df.where(hashE4(col(idCol), seed) < rate)
+  }
+
   /** Assign each row to a named split by cumulative hash ranges, e.g.
     * `Seq("train" -> 9000, "val" -> 500, "test" -> 500)` (basis points,
     * must sum to ≤ 10000; a shortfall leaves rows unassigned → null). */

@@ -180,6 +180,17 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("quality_e4")).as("sum_quality_e4"))),
 
+    // stratified (corpus-balancing) sampling: per-language keep rates
+    // (en downsampled to 25%, zh to 50%, the rest kept), membership a
+    // pure function of (doc_id, seed) — profiled per language
+    "sample_stratified" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 2500, "zh" -> 5000))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // sequence packing (concat-and-chunk): every doc gets the global
     // token offset where it starts (distributed two-pass prefix sum —
     // never a single-partition window), its 2048-token context window,
@@ -540,6 +551,20 @@ object DocumentQueries {
          |          FROM documents)))
          |GROUP BY 1, 2""".stripMargin
     },
+
+    // the same seeded md5 membership hash as the split oracle, gated
+    // by a per-language rate
+    "sample_stratified" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 10000 AS h
+        |  FROM documents)
+        |WHERE h < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000
+        |  ELSE 10000 END
+        |GROUP BY 1""".stripMargin,
 
     // the sequential formulation the distributed prefix sum must equal:
     // one global window in doc_id order

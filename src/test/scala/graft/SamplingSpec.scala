@@ -29,6 +29,33 @@ class SamplingSpec extends SparkTestBase {
     assert(n > 0 && n < 2000)
   }
 
+  test("stratifiedSample applies per-stratum rates and nests across rates") {
+    val rows = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "de"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(rows, "id", "lang",
+      Map("en" -> 2000, "fr" -> 8000))
+    val counts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en downsampled hard, fr lightly, de kept whole (default 10000)
+    assert(counts("de") == 1000L)
+    assert(counts("en") > 100 && counts("en") < 320)
+    assert(counts("fr") > 700 && counts("fr") < 900)
+    assert(counts("en") < counts("fr"))
+    // nested: every row surviving the lower rate survives a higher one
+    val low = Sampling.stratifiedSample(rows, "id", "lang",
+      Map("en" -> 1000), defaultE4 = 0)
+      .collect().map(_.getLong(0)).toSet
+    val high = Sampling.stratifiedSample(rows, "id", "lang",
+      Map("en" -> 3000), defaultE4 = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+    // zero rate drops the stratum entirely
+    val none = Sampling.stratifiedSample(rows, "id", "lang",
+      Map("en" -> 0), defaultE4 = 0)
+    assert(none.count() == 0L)
+  }
+
   test("hashSample is a deterministic subset consistent with the split hash") {
     val kept = Sampling.hashSample(ids.toDF(), "id", keepE4 = 2500)
       .collect().map(_.getLong(0)).toSet
