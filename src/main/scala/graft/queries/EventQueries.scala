@@ -321,6 +321,29 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
     }),
 
+    // the JSON twin of the CSV round-trip: raw events → canonical JSON
+    // lines (microsecond-explicit timestamps) → the reference pipeline —
+    // must match the same raw-parquet oracle
+    "events_json_roundtrip" -> ((s, dir) => {
+      import graft.sources.EventSource
+      val jsonPath = jsonDirs.getOrElseUpdate((s, dir), {
+        val p = java.nio.file.Files.createTempDirectory("graft_evjson").toString
+        EventSource.writeJson(
+          EventSource.fromWide(
+            eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00"),
+            "events_count", col("ts"), lit(1L),
+            Map("event_type" -> col("event_type"))), p)
+        p
+      })
+      val prepared = EventSource.json(s, jsonPath)
+        .where(col("fact") === "events_count")
+        .select(col("categories").getItem("event_type").as("event_type"),
+          col("ts"), col("value"))
+      Timeseries.run(prepared, countFact, 15, Seq("event_type"),
+        Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
+    }),
+
     // time-band range join: every (click, purchase) pair of the same
     // user within one hour forward — bucketed equality join (2× left
     // fan-out), never the per-key cartesian a naive theta join runs
@@ -428,6 +451,10 @@ object EventQueries {
   /** events_csv_roundtrip's CSV copy of the ranged events, written once
     * per (session, sf dir). */
   private val csvDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** events_json_roundtrip's JSON copy, same lifecycle as [[csvDirs]]. */
+  private val jsonDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   /** ts_stream_maintained_fill's streaming-maintained rollup, built
@@ -665,6 +692,13 @@ object EventQueries {
     // identical to ts_counter_hour_fill: the CSV-round-tripped source
     // must be indistinguishable from the parquet scan
     "events_csv_roundtrip" -> fillOracle(
+      where = "event_type = 'click'",
+      bucketExpr = "date_trunc('hour', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
+      gridStep = "1 HOUR",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
+
+    "events_json_roundtrip" -> fillOracle(
       where = "event_type = 'click'",
       bucketExpr = "date_trunc('hour', ts)",
       gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",

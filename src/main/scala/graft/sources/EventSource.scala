@@ -71,6 +71,16 @@ object EventSource {
       .write.mode("overwrite").option("header", "true")
       .option("timestampFormat", csvTsFormat).csv(path)
 
+  /** Canonical events → JSON lines. The same microsecond-explicit
+    * timestamp format as CSV: Spark's default JSON format carries
+    * milliseconds only, which would silently truncate event times on
+    * a write/read round-trip (the reader's lenient ISO fallback parses
+    * the six-digit fraction back losslessly). */
+  def writeJson(events: DataFrame, path: String): Unit =
+    validated(events)
+      .write.mode("overwrite")
+      .option("timestampFormat", csvTsFormat).json(path)
+
   /** The same path as a file STREAM (for
     * [[graft.streaming.StreamingIngest]] writers): explicit schema, one
     * of `parquet` / `json`. New files under `path` become micro-batches. */

@@ -35,6 +35,17 @@ class EventSourceSpec extends SparkTestBase {
     assert(canon(EventSource.csv(spark, s"$base/c")) == expect)
   }
 
+  test("writeJson round-trips microsecond timestamps losslessly") {
+    val micro = Seq(Event("signups",
+      java.sql.Timestamp.from(java.time.Instant.parse("2014-03-21T09:09:00.123456Z")),
+      7, Map("k" -> "v")))
+    val src = spark.createDataset(micro).toDF()
+    val base = java.nio.file.Files.createTempDirectory("graft-srcj").toString
+    EventSource.writeJson(src, s"$base/jm")
+    assert(canon(EventSource.json(spark, s"$base/jm")) ==
+      canon(EventSource.validated(src)))
+  }
+
   test("file stream shares the batch schema and feeds the service") {
     val base = java.nio.file.Files.createTempDirectory("graft-srcs").toString
     spark.createDataset(events).toDF()
