@@ -180,6 +180,30 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("quality_e4")).as("sum_quality_e4"))),
 
+    // multi-signal (ensemble) dedup consensus: near-dup pairs flagged
+    // by text 3-gram Jaccard vs by embedding cosine, classified into
+    // both / text_only / emb_only — the cross-checking pass a real
+    // pipeline runs before trusting either signal alone. Composition
+    // of two operators over two tables; a full outer join of two
+    // SMALL pair sets (the corpus-sized work happens inside each
+    // operator, already bounded).
+    "dedup_consensus" -> ((s, dir) => {
+      import graft.functions.GraftFunctions
+      import graft.operators.Similarity
+      GraftFunctions.register(s)
+      val tp = Dedup.jaccardPairsPostingKernel(docs(s, dir), "text",
+        "doc_id", k = 3, thresholdE4 = 5000)
+        .select(col("id_a"), col("id_b"), lit(true).as("t"))
+      val ep = Similarity.nearDupPairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        threshold = 0.4, dotFn = GraftFunctions.dotNative)
+        .select(col("id_a"), col("id_b"), lit(true).as("e"))
+      tp.join(ep, Seq("id_a", "id_b"), "full_outer")
+        .select(when(col("t") && col("e"), "both")
+          .when(col("t"), "text_only").otherwise("emb_only").as("signal"))
+        .groupBy(col("signal")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // stratified (corpus-balancing) sampling: per-language keep rates
     // (en downsampled to 25%, zh to 50%, the rest kept), membership a
     // pure function of (doc_id, seed) — profiled per language
@@ -551,6 +575,32 @@ object DocumentQueries {
          |          FROM documents)))
          |GROUP BY 1, 2""".stripMargin
     },
+
+    // both pair sets recomputed exactly (jaccard CTE ≡ the
+    // dedup_ngram_jaccard oracle; cosine ≡ the emb_near_pairs oracle),
+    // then full-outer joined into agreement classes
+    "dedup_consensus" ->
+      s"""WITH jpfull AS (
+         |$jaccardPairsSql
+         |),
+         |jp AS (SELECT id_a, id_b FROM jpfull),
+         |ep AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |        FROM embeddings) a
+         |  CROSS JOIN
+         |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |        FROM embeddings) b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND list_dot_product(a.v, b.v) >= 0.4)
+         |SELECT CASE
+         |    WHEN jp.id_a IS NOT NULL AND ep.id_a IS NOT NULL THEN 'both'
+         |    WHEN jp.id_a IS NOT NULL THEN 'text_only'
+         |    ELSE 'emb_only' END AS signal,
+         |  count(*) AS n_pairs
+         |FROM jp FULL OUTER JOIN ep
+         |  ON jp.id_a = ep.id_a AND jp.id_b = ep.id_b
+         |GROUP BY 1""".stripMargin,
 
     // the same seeded md5 membership hash as the split oracle, gated
     // by a per-language rate
