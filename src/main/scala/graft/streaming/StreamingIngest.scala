@@ -141,6 +141,27 @@ object StreamingIngest {
       .queryName(queryName)
       .start()
 
+  /** Mode 4: streaming exact deduplication — the streaming twin of
+    * `Dedup.exact` for continuous document/event ingest: drop rows
+    * whose content key was already seen within the watermark horizon.
+    * Keys are md5 hashes of the content column (compact state, never
+    * the raw payload — the same no-raw-text-in-state rule the batch
+    * kernels follow), deduped by
+    * `dropDuplicatesWithinWatermark`: state is bounded by the
+    * watermark delay (an unbounded-horizon `dropDuplicates` would grow
+    * state forever on an infinite stream). Exactness holds for any
+    * duplicate arriving within `watermarkDelay` of the first
+    * occurrence; later re-occurrences are late data by contract —
+    * route them to the batch dedup pass (the standard lambda
+    * reconciliation this engine's batch operators already serve). */
+  def dedupStream(stream: DataFrame, contentCol: String, tsCol: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("__content_key", md5(col(contentCol).cast("string")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__content_key")
+      .drop("__content_key")
+
   /** An open (not yet gap-closed) session interval in streaming state. */
   case class OpenSession(startMs: Long, endMs: Long, n: Long)
 

@@ -349,4 +349,43 @@ class StreamingSpec extends SparkTestBase {
         r.getAs[Long]("counter"), r.getAs[Long]("total"))).toSet
     assert(rows == Set(("a", ts("2014-03-21T09:00"), 2L, 300L)))
   }
+
+  test("streaming exact dedup drops duplicate content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamingIngest.dedupStream(
+      source.toDF().toDF("doc_id", "ts", "text"), "text", "ts",
+      watermarkDelay = "1 hour")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_stream_test")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString)
+      .start()
+    source.addData(
+      (1L, ts("2024-01-01T10:00"), "alpha beta"),
+      (2L, ts("2024-01-01T10:01"), "alpha beta"), // dup of 1, same batch
+      (3L, ts("2024-01-01T10:02"), "gamma delta"))
+    q.processAllAvailable()
+    // dup of 1 across batches, still inside the 1h watermark horizon
+    source.addData((4L, ts("2024-01-01T10:30"), "alpha beta"))
+    q.processAllAvailable()
+    // fresh content always passes
+    source.addData((5L, ts("2024-01-01T10:40"), "epsilon zeta"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_stream_test").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // the surviving set equals batch exact-dedup canonicals over the
+    // same rows (streaming twin contract)
+    val batchCanon = graft.operators.Dedup.exact(
+      Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"),
+        (4L, "alpha beta"), (5L, "epsilon zeta")).toDF("doc_id", "text"),
+      "text", "doc_id")
+      .where(col("doc_id") === col("canonical_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(batchCanon == kept)
+  }
 }
