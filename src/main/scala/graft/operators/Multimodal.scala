@@ -399,6 +399,34 @@ object Multimodal {
       }
   }
 
+  /** [[decodeImages]] with per-row failure isolation — the production
+    * posture at 100 TB, where one corrupt file among billions must be
+    * quarantined, not job-fatal: a row whose payload fails to parse
+    * yields `(media_id, error)` on the errors side; clean rows decode
+    * exactly as [[decodeImages]]. Returns (features, errors). Strict
+    * [[decodeImages]] remains the default: in a pipeline with a
+    * trusted upstream, silently skipping rows is the bigger bug. */
+  def decodeImagesLenient(spark: SparkSession, media: DataFrame)
+      : (Dataset[ImageFeatures], DataFrame) = {
+    import spark.implicits._
+    val attempted = media.where(col("modality") === "image")
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          try (Option(imageFeatures(id, payload)),
+            Option.empty[(Long, String)])
+          catch {
+            case e: IllegalArgumentException =>
+              (Option.empty[ImageFeatures], Option((id, e.getMessage)))
+          }
+        }
+      }
+      .cache() // both branches filter the same attempt pass
+    val feats = attempted.flatMap(_._1)
+    val errs = attempted.flatMap(_._2).toDF("media_id", "error")
+    (feats, errs)
+  }
+
   /** Partition-mapped image resize: payload → payload (decode →
     * nearest-neighbor resample → re-encode), metadata gains the target
     * geometry. Payload-in/payload-out ops keep the media table schema

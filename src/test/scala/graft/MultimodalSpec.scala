@@ -146,6 +146,26 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("decodeImagesLenient quarantines corrupt payloads, decodes the rest") {
+    val good = Multimodal.syntheticPpm(1L)
+    val rows = Seq(
+      (1L, "image", good, Map.empty[String, String]),
+      (2L, "image", "NOT A PPM".getBytes("US-ASCII"), Map.empty[String, String]),
+      (3L, "image", good.dropRight(5), Map.empty[String, String]))
+      .toDF("media_id", "modality", "payload", "meta")
+    val (feats, errs) = Multimodal.decodeImagesLenient(spark, rows)
+    assert(feats.collect().map(_.media_id).toSet == Set(1L))
+    val errMap = errs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(errMap.keySet == Set(2L, 3L))
+    assert(errMap(2L).contains("not a binary PPM"))
+    assert(errMap(3L).contains("truncated"))
+    // strict decode on the same frame is job-fatal, as documented
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(spark, rows).collect()
+    }
+  }
+
   test("syntheticPpmTable: one decodable image per input id") {
     val tab = Multimodal.syntheticPpmTable(spark,
       Seq(0L, 24L, 25L, 100L).toDF("doc_id"), "doc_id")
