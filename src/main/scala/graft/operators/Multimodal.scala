@@ -457,6 +457,29 @@ object Multimodal {
       }
   }
 
+  /** [[decodeAudio]] with per-row failure isolation — the audio twin
+    * of [[decodeImagesLenient]] (same quarantine contract). */
+  def decodeAudioLenient(spark: SparkSession, media: DataFrame)
+      : (Dataset[AudioFeatures], DataFrame) = {
+    import spark.implicits._
+    val attempted = media.where(col("modality") === "audio")
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          try (Option(audioFeatures(id, payload)),
+            Option.empty[(Long, String)])
+          catch {
+            case e: IllegalArgumentException =>
+              (Option.empty[AudioFeatures], Option((id, e.getMessage)))
+          }
+        }
+      }
+      .cache()
+    val feats = attempted.flatMap(_._1)
+    val errs = attempted.flatMap(_._2).toDF("media_id", "error")
+    (feats, errs)
+  }
+
   /** Video frame sampling: one input row → N frame rows (flatMap —
     * Spark's generator shape for frame fan-out). */
   def sampleFrames(spark: SparkSession, media: DataFrame,

@@ -166,6 +166,18 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("decodeAudioLenient quarantines non-WAV payloads") {
+    val good = Multimodal.syntheticWav(3L)
+    val rows = Seq(
+      (3L, "audio", good, Map.empty[String, String]),
+      (4L, "audio", "junk bytes here!".getBytes("US-ASCII"), Map.empty[String, String]))
+      .toDF("media_id", "modality", "payload", "meta")
+    val (feats, errs) = Multimodal.decodeAudioLenient(spark, rows)
+    assert(feats.collect().map(_.media_id).toSet == Set(3L))
+    val err = errs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(err.keySet == Set(4L) && err(4L).contains("RIFF"))
+  }
+
   test("syntheticPpmTable: one decodable image per input id") {
     val tab = Multimodal.syntheticPpmTable(spark,
       Seq(0L, 24L, 25L, 100L).toDF("doc_id"), "doc_id")
