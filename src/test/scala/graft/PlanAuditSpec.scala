@@ -1,0 +1,53 @@
+package graft
+
+/** Physical-plan regression tests — pins the plan SHAPES the 100 TB
+  * design depends on (SCALE.md's audit claims), so a refactor that
+  * silently turns a broadcast into a sort-merge join, loses a filter
+  * pushdown, or reintroduces a cartesian product fails CI instead of
+  * surfacing as a cluster-scale incident. Assertions are deliberately
+  * loose (substring presence/absence on the executed plan) to stay
+  * robust across Spark versions and AQE re-planning.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) executed plan string, after running the query. */
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // force execution so AQE's final plan is the one audited
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("decontamination probes a broadcast, never a sort-merge join") {
+    val p = plan("decontaminate_overlap")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("timeseries scan pushes its raw time bounds into the parquet reader") {
+    val p = plan("ts_counter_hour_fill")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(ts"), p.take(2000))
+    assert(p.contains("LessThan(ts"), p.take(2000))
+  }
+
+  test("embedding near-dup is a broadcast nested loop, never a cartesian") {
+    val p = plan("emb_near_pairs")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("exact dedup is one hash aggregation pass, no joins in the dedup core") {
+    val p = plan("dedup_exact")
+    // the canonical-id map itself: aggregation + the id re-join only —
+    // never a sort-merge of raw text
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("star join broadcasts every dimension side") {
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+}
