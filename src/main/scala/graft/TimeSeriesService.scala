@@ -250,6 +250,29 @@ final class TimeSeriesService(
     invalidateRollups(None) // frame may carry any fact
   }
 
+  /** Compact the on-disk ingest event store: the accumulated per-batch
+    * `__batch_id=*` partition directories (one per micro-batch — small
+    * files, the classic streaming-ingest growth mode) rewrite into ONE
+    * `__batch_id=compacted` partition under `outDir`, and reads
+    * re-point there. Raw events are not re-aggregable, so unlike
+    * [[graft.operators.Rollups.compact]] this is purely a
+    * file-count/scan-IO optimization — row content is untouched
+    * (spec-pinned). Same swap contract as `Rollups.compact`: the write
+    * goes to a FRESH path, so a crash mid-compaction leaves the live
+    * store untouched, and retiring the old directory is the caller's
+    * deployment step. Replay idempotency survives: the seen-batch set
+    * is retained, so a pre-compaction batch id redelivered after the
+    * swap is still skipped rather than re-applied onto the compacted
+    * history. */
+  def compactEventStore(outDir: String, targetFiles: Int = 8): Unit =
+    storeDir.foreach { dir =>
+      spark.read.parquet(dir).drop("__batch_id")
+        .coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$outDir/__batch_id=compacted")
+      storeDir = Some(outDir)
+      invalidateRollups(None)
+    }
+
   /** All events visible to queries. `__batch_id` is the store's
     * idempotency partition — a storage artifact, dropped on read. */
   def eventsDF: DataFrame = {

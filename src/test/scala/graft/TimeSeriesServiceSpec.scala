@@ -321,6 +321,37 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(after == Map(Map("dependency" -> "31") -> Map(None -> 42L)))
   }
 
+  test("event-store compaction shrinks files, preserves rows and idempotency") {
+    import spark.implicits._
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("signups", FactType.Counter, slice = 10)
+    svc.defineDimension("dependency", facts = Set("signups"))
+    def frame(v: Long) = Seq(graft.model.Event("signups",
+      ts("2014-03-21T09:15"), v, Map("dependency" -> "31"))).toDF()
+    def total(): Long = pivot(svc.getTimeseries("signups", "dependency",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00"), Step.NoStep),
+      Seq("dependency"))(Map("dependency" -> "31"))(None)
+    for (_ <- 0 until 40) svc.ingest(frame(1L)) // cross the spill threshold
+    svc.ingest(frame(3L), batchId = 9L)
+    assert(total() == 43L)
+    def parquetFiles(dir: String): Int = {
+      val b = new scala.collection.mutable.ArrayBuffer[java.io.File]()
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet")) b += f
+      walk(new java.io.File(dir)); b.length
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-escompact").toString
+    svc.compactEventStore(out, targetFiles = 2)
+    assert(parquetFiles(out) <= 2, s"expected <=2 files, got ${parquetFiles(out)}")
+    assert(total() == 43L) // identical rows after the swap
+    // post-compaction ingest + replayed pre-compaction batch id
+    svc.ingest(frame(2L))
+    svc.ingest(frame(3L), batchId = 9L) // seen — must not re-apply
+    assert(total() == 45L)
+  }
+
   test("replayed ingest batches are idempotent pre- and post-spill") {
     import spark.implicits._
     val svc = new TimeSeriesService(spark)
