@@ -437,6 +437,35 @@ object Dedup {
     labels.select(col("id").as(idCol), col("comp").as("component"))
   }
 
+  /** Cross-document span duplication — the partial-overlap signal
+    * whole-doc Jaccard misses and within-doc repetition
+    * ([[TextAnalysis.repetitionE4]]) does not see: a boilerplate
+    * paragraph pasted into thousands of otherwise-distinct documents
+    * shows up here as spans whose corpus document-frequency is ≥ 2
+    * (the flag-then-remove signal of exact-substring training-data
+    * dedup). Per doc: distinct `w`-token spans, how many of them recur
+    * in ANY other doc, and the duplicated fraction (integer e4).
+    *
+    * Scale: span hashing is row-local (60-bit md5 via the shared
+    * shingle kernel — raw text never shuffles); corpus df is ONE
+    * count-only aggregation on the hash (no posting lists, so no
+    * hot-key cap is needed — a span in 10⁹ docs costs one counter);
+    * the re-join ships (hash, df>1) pairs. Audit: 2 shuffles + the
+    * per-doc roll-up. */
+  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+      w: Int = 8): DataFrame = {
+    val hs = shingleHashKernel(df, textCol, idCol, w)
+      .select(col("id"), explode(col("hs")).as("sh"))
+    val dfCounts = hs.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("sh"), (col("df") >= 2).as("dup"))
+    hs.join(dfCounts, "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac_e4", expr("(10000 * n_dup_spans) DIV n_spans"))
+  }
+
   /** Full md5 hex (32 chars) — JVM replica of Spark/DuckDB `md5()`. */
   def md5Hex(s: String): String = {
     val d = md5Local.get()

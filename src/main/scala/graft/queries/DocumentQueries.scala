@@ -180,6 +180,16 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("quality_e4")).as("sum_quality_e4"))),
 
+    // cross-document span duplication (exact-substring dedup signal):
+    // per doc, distinct 8-token spans, spans recurring in ANY other
+    // doc (corpus df >= 2), and the duplicated fraction — catches
+    // boilerplate paragraphs whole-doc Jaccard dilutes away and
+    // within-doc repetition cannot see
+    "text_cross_repetition" -> ((s, dir) =>
+      Dedup.duplicatedSpanStats(docs(s, dir), "text", "doc_id", w = 8)
+        .select(col("id").as("doc_id"), col("n_spans"),
+          col("n_dup_spans"), col("dup_frac_e4"))),
+
     // multi-signal (ensemble) dedup consensus: near-dup pairs flagged
     // by text 3-gram Jaccard vs by embedding cosine, classified into
     // both / text_only / emb_only — the cross-checking pass a real
@@ -575,6 +585,29 @@ object DocumentQueries {
          |          FROM documents)))
          |GROUP BY 1, 2""".stripMargin
     },
+
+    // 8-gram spans in the same hashed space; df computed count-only
+    "text_cross_repetition" ->
+      """WITH sh8 AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 8
+        |      THEN list_transform(range(1, len(toks) - 6),
+        |             i -> array_to_string(toks[i:i+7], ' '))
+        |      ELSE [array_to_string(toks, ' ')] END) AS shset
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |ex AS (SELECT doc_id,
+        |  unnest(list_transform(shset,
+        |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+        |  FROM sh8),
+        |dfc AS (SELECT s, count(*) >= 2 AS dup FROM ex GROUP BY s)
+        |SELECT e.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  CAST((10000 * sum(CASE WHEN dup THEN 1 ELSE 0 END)) // count(*)
+        |    AS BIGINT) AS dup_frac_e4
+        |FROM ex e JOIN dfc USING (s)
+        |GROUP BY 1""".stripMargin,
 
     // both pair sets recomputed exactly (jaccard CTE ≡ the
     // dedup_ngram_jaccard oracle; cosine ≡ the emb_near_pairs oracle),

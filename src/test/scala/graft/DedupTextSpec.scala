@@ -17,6 +17,23 @@ class DedupTextSpec extends SparkTestBase {
     (5L, "ab")) // shorter than shingle k
     .toDF("doc_id", "text")
 
+  test("duplicatedSpanStats flags cross-doc spans, not unique content") {
+    // doc 1/2 identical → every span duplicated; doc 3 shares the
+    // 3-token tail change so w=3 spans mostly overlap doc 1; doc 4
+    // is fully unique; doc 5 is a whole-doc span (short fallback)
+    val got = Dedup.duplicatedSpanStats(corpus, "text", "doc_id", w = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((7L, 7L, 10000L))) // identical twin: all 7 dup
+    assert(got(2L) == got(1L))
+    // doc 3 shares {the quick brown, quick brown fox, over the lazy,
+    // the lazy dog} with docs 1/2 — 4 of its 7 spans
+    assert(got(3L) == ((7L, 4L, 5714L)))
+    assert(got(4L) == ((5L, 0L, 0L))) // 7 tokens → 5 spans, all unique
+    assert(got(5L) == ((1L, 0L, 0L))) // whole-doc fallback span
+  }
+
   test("exact dedup maps identical texts to the minimum id") {
     val got = Dedup.exact(corpus, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
