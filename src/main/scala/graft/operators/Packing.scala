@@ -99,6 +99,31 @@ object Packing {
       .withColumn("seq_pos", col("offset") % capacity)
   }
 
+  /** Sliding-window document chunking — the embedding/retrieval prep
+    * step: each document splits into `window`-token chunks starting
+    * every `stride` tokens (overlapping when `stride < window`, the
+    * usual retrieval setting; trailing chunks are shorter). Row-local
+    * generator (flatMap) — one input row fans out to its chunks with
+    * no shuffle; chunk identity `(doc_id, chunk_idx)` is deterministic
+    * so re-runs and downstream embedding joins line up. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        Iterator.range(0, toks.length, stride).map { start =>
+          val chunk = toks.slice(start, start + window)
+          (id, (start / stride).toLong, chunk.mkString(" "),
+            chunk.length.toLong)
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+  }
+
   /** Per-sequence packing profile: how many documents START in each
     * context window and how many tokens they carry — the occupancy
     * view a packing run is judged by. One map-side-combined

@@ -214,6 +214,15 @@ object DocumentQueries {
         .groupBy(col("signal")).agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // sliding-window chunking (embedding/retrieval prep): 32-token
+    // windows every 16 tokens, one generator fan-out, deterministic
+    // (doc_id, chunk_idx) identity
+    "doc_chunks" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.chunkDocuments(docs(s, dir), "text", "doc_id",
+        window = 32, stride = 16)
+    }),
+
     // stratified (corpus-balancing) sampling: per-language keep rates
     // (en downsampled to 25%, zh to 50%, the rest kept), membership a
     // pure function of (doc_id, seed) — profiled per language
@@ -634,6 +643,21 @@ object DocumentQueries {
          |FROM jp FULL OUTER JOIN ep
          |  ON jp.id_a = ep.id_a AND jp.id_b = ep.id_b
          |GROUP BY 1""".stripMargin,
+
+    // same chunk grid: starts every 16 tokens while start < n
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, (len(toks) + 15) // 16)) AS ci
+        |  FROM t)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[ci*16+1 : least(ci*16+32, n)], ' ')
+        |    AS chunk_text,
+        |  CAST(least(ci*16+32, n) - ci*16 AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
 
     // the same seeded md5 membership hash as the split oracle, gated
     // by a per-language rate

@@ -54,6 +54,23 @@ class PackingSpec extends SparkTestBase {
       5L -> 2800L))
   }
 
+  test("chunkDocuments: overlapping windows, deterministic ids, short tails") {
+    val d = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
+    val got = Packing.chunkDocuments(d, "text", "doc_id",
+      window = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      (1L, 0L) -> (("a b c d", 4L)), (1L, 1L) -> (("c d e f", 4L)),
+      (1L, 2L) -> (("e f g", 3L)), (1L, 3L) -> (("g", 1L)),
+      (2L, 0L) -> (("x y", 2L))))
+    // non-overlapping stride == window partitions the token stream
+    val parts = Packing.chunkDocuments(d, "text", "doc_id", 3, 3)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(parts == 9L) // 7 + 2 tokens, each exactly once
+  }
+
   test("a large synthetic corpus matches the sequential closed form") {
     val n = 5000
     val big = (1 to n).map(i => (i.toLong, (i % 97 + 1).toLong))
