@@ -133,10 +133,13 @@ object Multimodal {
       require(w > 0 && h > 0 && maxVal > 0 && maxVal < 256,
         s"unsupported PPM geometry ${w}x$h maxval $maxVal")
       pos += 1 // exactly one whitespace byte separates header and raster
-      val n = w * h * 3
-      require(payload.length - pos >= n,
+      // long arithmetic: a crafted huge geometry must fail the length
+      // check, not overflow int into a bogus "valid" size
+      val n = w.toLong * h.toLong * 3L
+      require(payload.length.toLong - pos >= n,
         s"truncated PPM raster: need $n bytes, have ${payload.length - pos}")
-      Image(w, h, maxVal, java.util.Arrays.copyOfRange(payload, pos, pos + n))
+      Image(w, h, maxVal,
+        java.util.Arrays.copyOfRange(payload, pos, pos + n.toInt))
     }
 
     /** Nearest-neighbor resample to `tw`×`th` — decode → sample →
@@ -273,7 +276,9 @@ object Multimodal {
       while (pos + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
         val id = tag(payload, pos)
         val sz = intLE(payload, pos + 4)
-        require(sz >= 0 && pos + 8 + sz <= payload.length,
+        // long arithmetic: a crafted size near Int.MaxValue must fail
+        // the bound check, not overflow into a bogus "valid" offset
+        require(sz >= 0 && pos.toLong + 8L + sz <= payload.length,
           s"truncated WAV chunk '$id'")
         id match {
           case "fmt " =>
@@ -416,8 +421,11 @@ object Multimodal {
           try (Option(imageFeatures(id, payload)),
             Option.empty[(Long, String)])
           catch {
-            case e: IllegalArgumentException =>
-              (Option.empty[ImageFeatures], Option((id, e.getMessage)))
+            // NonFatal, not just IAE: geometry parse failures surface
+            // as NumberFormatException — any parse crash quarantines
+            case scala.util.control.NonFatal(e) =>
+              (Option.empty[ImageFeatures],
+                Option((id, String.valueOf(e.getMessage))))
           }
         }
       }
@@ -469,8 +477,9 @@ object Multimodal {
           try (Option(audioFeatures(id, payload)),
             Option.empty[(Long, String)])
           catch {
-            case e: IllegalArgumentException =>
-              (Option.empty[AudioFeatures], Option((id, e.getMessage)))
+            case scala.util.control.NonFatal(e) =>
+              (Option.empty[AudioFeatures],
+                Option((id, String.valueOf(e.getMessage))))
           }
         }
       }

@@ -166,6 +166,27 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("codecs reject adversarial headers without overflowing") {
+    // PPM with a geometry whose w*h*3 overflows Int into a small
+    // positive number — must fail the length check, not "succeed"
+    val huge = "P6\n65536 65536\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(0)
+    val e1 = intercept[IllegalArgumentException](Multimodal.Ppm.decode(huge))
+    assert(e1.getMessage.contains("truncated PPM raster"))
+    // non-numeric geometry is quarantined (not a crash) in lenient mode
+    val rows = Seq((7L, "image",
+      "P6\nabc def\n255\nxxxx".getBytes("US-ASCII"),
+      Map.empty[String, String])).toDF("media_id", "modality", "payload", "meta")
+    val (feats, errs) = Multimodal.decodeImagesLenient(spark, rows)
+    assert(feats.count() == 0L && errs.count() == 1L)
+    // WAV chunk size near Int.MaxValue must not wrap the offset
+    val good = Multimodal.Wav.encode(8000, 1, Array[Short](1, 2))
+    val evil = good.clone()
+    evil(40) = -1; evil(41) = -1; evil(42) = -1; evil(43) = 0x7f // data size = MaxValue-ish
+    val e2 = intercept[IllegalArgumentException](Multimodal.Wav.decode(evil))
+    assert(e2.getMessage.contains("truncated WAV chunk"))
+  }
+
   test("decodeAudioLenient quarantines non-WAV payloads") {
     val good = Multimodal.syntheticWav(3L)
     val rows = Seq(
