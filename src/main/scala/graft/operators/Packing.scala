@@ -99,6 +99,65 @@ object Packing {
       .withColumn("seq_pos", col("offset") % capacity)
   }
 
+  /** [[packSequences]] generalized to independent packing PER GROUP —
+    * the per-split form (train/val/test each concat-and-chunked into
+    * their own sequence space, the usual dataset layout). Same
+    * two-pass distributed prefix sum, with per-partition totals keyed
+    * by (partition, group) and the driver prefix computed per group:
+    * the range partition on (group, id) keeps each group's rows
+    * contiguous and ordered, so the seeded running sum just resets at
+    * group boundaries. Driver footprint: P × |groups| totals — groups
+    * are splits/corpora (a handful), not a per-row key. */
+  def packSequencesByGroup(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, capacity: Long, partitions: Int = 0): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("toks"))
+      .repartitionByRange(p, col("grp"), col("id"))
+      .sortWithinPartitions(col("grp"), col("id"))
+      .as[(String, Long, Long)]
+      .rdd
+      .cache()
+    val totals = ranged
+      .mapPartitionsWithIndex { (pid, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (g, _, t) => acc(g) = acc.getOrElse(g, 0L) + t }
+        acc.iterator.map { case (g, s) => (g, pid, s) }
+      }
+      .collect()
+    // per group: exclusive prefix across partitions in pid order
+    val offsets: Map[(String, Int), Long] = totals
+      .groupBy(_._1)
+      .flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (_, pid, s) =>
+          val o = ((g, pid), acc); acc += s; o
+        }
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+    spark
+      .createDataset(ranged.mapPartitionsWithIndex { (pid, it) =>
+        var current: String = null
+        var run = 0L
+        it.map { case (g, id, toks) =>
+          if (g != current) { current = g; run = bc.value((g, pid)) }
+          val off = run
+          run += toks
+          (g, id, toks, off)
+        }
+      })
+      .toDF("group", "id", "n_tokens", "offset")
+      .withColumn("seq_id", expr(s"offset DIV ${capacity}L"))
+      .withColumn("seq_pos", col("offset") % capacity)
+  }
+
   /** Sliding-window document chunking — the embedding/retrieval prep
     * step: each document splits into `window`-token chunks starting
     * every `stride` tokens (overlapping when `stride < window`, the

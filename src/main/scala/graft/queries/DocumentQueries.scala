@@ -283,6 +283,22 @@ object DocumentQueries {
         .select(col("seq_id"), col("n_docs"), col("n_tokens"))
     }),
 
+    // per-split packing: the deterministic train/val/test assignment
+    // composed with group-independent concat-and-chunk — each split
+    // packs into its own sequence space (the dataset layout a trainer
+    // consumes), still via the distributed prefix sum
+    "pack_by_split" -> ((s, dir) => {
+      import graft.operators.{Packing, Sampling}
+      val withSplit = docs(s, dir)
+        .withColumn("split", Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 9000, "val" -> 500, "test" -> 500)))
+        .withColumn("nt", TextAnalysis.tokenCount(col("text")))
+      Packing.packSequencesByGroup(withSplit, "split", "doc_id", "nt",
+        capacity = 2048L)
+        .select(col("group").as("split"), col("id").as("doc_id"),
+          col("n_tokens"), col("offset"), col("seq_id"), col("seq_pos"))
+    }),
+
     // benchmark decontamination: training docs (doc_id % 25 != 0)
     // sharing any 3-gram shingle with the "benchmark" slice
     // (doc_id % 25 = 0 — a stand-in eval corpus drawn from the same
@@ -731,6 +747,30 @@ object DocumentQueries {
         |SELECT CAST(off // 2048 AS BIGINT) AS seq_id,
         |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM o GROUP BY 1""".stripMargin,
+
+    // split from the same seeded md5 ranges as sample_split_profile;
+    // one window per split
+    "pack_by_split" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+        |    CASE WHEN h < 9000 THEN 'train'
+        |         WHEN h < 9500 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT) % 10000 AS h
+        |    FROM documents)),
+        |o AS (
+        |  SELECT split, doc_id, nt,
+        |    CAST(COALESCE(sum(nt) OVER (PARTITION BY split ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM t)
+        |SELECT split, doc_id, nt AS n_tokens, off AS offset,
+        |  CAST(off // 2048 AS BIGINT) AS seq_id,
+        |  CAST(off % 2048 AS BIGINT) AS seq_pos
+        |FROM o""".stripMargin,
 
     // same md5-hashed shingle space as the dedup oracles: eval slice =
     // doc_id % 25 = 0; hits = distinct shared shingles per training doc

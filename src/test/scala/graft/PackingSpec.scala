@@ -54,6 +54,28 @@ class PackingSpec extends SparkTestBase {
       5L -> 2800L))
   }
 
+  test("packSequencesByGroup == independent packSequences per group") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 600L).map(i =>
+      (Seq("train", "val", "test")(rnd.nextInt(3)), i, rnd.nextInt(200).toLong))
+      .toDF("split", "doc_id", "nt")
+    val grouped = Packing.packSequencesByGroup(rows, "split", "doc_id",
+      "nt", 1024L, partitions = 7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for (g <- Seq("train", "val", "test")) {
+      val solo = Packing.packSequences(
+        rows.where(col("split") === g), "doc_id", "nt", 1024L, 3)
+        .collect()
+        .map(r => (g, r.getLong(0)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      solo.foreach { case (k, v) =>
+        assert(grouped(k) == v, s"$k grouped=${grouped(k)} solo=$v")
+      }
+    }
+  }
+
   test("chunkDocuments: overlapping windows, deterministic ids, short tails") {
     val d = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
     val got = Packing.chunkDocuments(d, "text", "doc_id",
