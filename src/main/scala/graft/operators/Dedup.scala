@@ -437,6 +437,86 @@ object Dedup {
     labels.select(col("id").as(idCol), col("comp").as("component"))
   }
 
+  /** Connected components by alternating star contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    * public algorithm): the adversarial-depth twin of
+    * [[connectedComponents]]. Min-label propagation needs
+    * O(component diameter) rounds — a 300-link near-dup CHAIN
+    * (doc₁≈doc₂≈…≈doc₃₀₀, e.g. versioned boilerplate) exceeds any
+    * sane round cap. Large-star/small-star contracts components into
+    * stars in O(log² n) rounds regardless of diameter:
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach
+    *    to the minimum of its closed neighborhood;
+    *  - small-star: every node's ≤-neighbors (and itself) attach to
+    *    that minimum.
+    *
+    * Both phases are one aggregation + one join over (long, long)
+    * edges; rounds localCheckpoint eagerly (O(1) lineage, prior
+    * blocks released) and convergence is an exact edge-set comparison
+    * (`except` on the canonical pair set — subsumed by the round's
+    * own cost). Returns the same (idCol, component) contract as
+    * [[connectedComponents]]: component = min reachable id
+    * (spec-pinned equal on random graphs).
+    */
+  def connectedComponentsStar(nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    // one phase: per closed neighborhood minimum m(u), re-attach the
+    // selected neighbors to it. large keeps v > u; small keeps v <= u
+    // plus u itself.
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val directed =
+        if (large)
+          e.union(e.select(col("v").as("u"), col("u").as("v")))
+        else e // canonical (u > v): v-side already points small
+      val mins = directed.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val attached = directed.join(mins, "u")
+      if (large)
+        attached.where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+      else
+        attached.select(col("v").as("u"), col("m").as("v"))
+          .union(mins.select(col("u"), col("m").as("v")))
+    }
+    var e = canon(edges
+        .select(col(aCol).cast(LongType).as("u"), col(bCol).cast(LongType).as("v")))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = e.isEmpty
+    while (!converged && round < maxRounds) {
+      val next = canon(phase(canon(phase(e, large = true)), large = false))
+        .localCheckpoint(true)
+      // exact convergence: identical canonical edge sets
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      releaseCheckpoint(e)
+      e = next
+      round += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxRounds rounds")
+    // converged star graph: every non-root points directly at its
+    // component minimum
+    val parents = e.groupBy(col("u")).agg(min(col("v")).as("comp"))
+    nodes.select(col(idCol).cast(LongType).as("id"))
+      .join(parents.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("comp"), col("id")).as("component"))
+  }
+
   /** Cross-document span duplication — the partial-overlap signal
     * whole-doc Jaccard misses and within-doc repetition
     * ([[TextAnalysis.repetitionE4]]) does not see: a boilerplate

@@ -77,6 +77,16 @@ object DocumentQueries {
         jaccardPairsArtifact(s, dir), "id_a", "id_b")
     }),
 
+    // the same cluster collapse via alternating star contraction
+    // (O(log² n) rounds regardless of component diameter — the
+    // adversarial-depth twin of the min-label propagation above);
+    // identical components, same recursive-CTE oracle
+    "dedup_clusters_star" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.connectedComponentsStar(d.select(col("doc_id")), "doc_id",
+        jaccardPairsArtifact(s, dir), "id_a", "id_b")
+    }),
+
     // SimHash fingerprints per doc (32-bit, md5-vote; row-local kernel
     // form — simhashTable is the declarative reference, spec-pinned)
     "text_simhash" -> ((s, dir) =>
@@ -419,6 +429,20 @@ object DocumentQueries {
     // transitive closure of the SAME pair set via a recursive CTE:
     // component = min doc_id reachable through near-dup edges
     "dedup_clusters" ->
+      s"""WITH RECURSIVE jp AS (
+         |$jaccardPairsSql
+         |),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM jp
+         |        UNION ALL SELECT id_b AS a, id_a AS b FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
+         |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin,
+
+    // algorithm-independent result: the star-contraction variant must
+    // produce the identical component partition
+    "dedup_clusters_star" ->
       s"""WITH RECURSIVE jp AS (
          |$jaccardPairsSql
          |),

@@ -34,6 +34,45 @@ class DedupTextSpec extends SparkTestBase {
     assert(got(5L) == ((1L, 0L, 0L))) // whole-doc fallback span
   }
 
+  test("star contraction == min-label components on random graphs") {
+    for (seed <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120L
+      val nodes = (0L until n).toDF("id")
+      val edges = (0 until 150).map { _ =>
+        (rnd.nextLong(n), rnd.nextLong(n))
+      }.filter(p => p._1 != p._2).toDF("a", "b")
+      val byLabel = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byStar = Dedup.connectedComponentsStar(nodes, "id", edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byStar == byLabel, s"seed $seed")
+    }
+  }
+
+  test("star contraction converges on a chain min-label cannot finish") {
+    val n = 400L
+    val nodes = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    // min-label moves the minimum one hop per round: a 400-link chain
+    // exceeds the 50-round cap — the documented depth limitation
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, "id", chain, "a", "b").collect()
+    }
+    // star contraction is O(log^2 n) rounds regardless of diameter
+    val got = Dedup.connectedComponentsStar(nodes, "id", chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L) && got.size == n)
+  }
+
+  test("star contraction: empty edge set yields all-singleton components") {
+    val nodes = Seq(10L, 20L, 30L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 20L -> 20L, 30L -> 30L))
+  }
+
   test("exact dedup maps identical texts to the minimum id") {
     val got = Dedup.exact(corpus, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
