@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-level boilerplate line removal (C4/RefinedWeb-style): a line
+  * that recurs across ≥ `minDf` distinct documents (nav menus, cookie
+  * banners, copyright footers) is dropped from every document; the
+  * remaining lines are reassembled in their original order.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - line document-frequency is counted on 128-bit md5 line keys, so
+  *    the df aggregation never shuffles raw line text;
+  *  - the hot-line set (df ≥ minDf) is tiny by construction — at most
+  *    `total_lines / minDf` distinct keys — and is broadcast, so the
+  *    drop is a broadcast anti-join: document lines themselves are
+  *    never re-partitioned to be filtered;
+  *  - the only document-sized shuffle is the per-doc reassembly
+  *    (groupBy id), which any order-preserving reconstruction needs.
+  */
+object Boilerplate {
+
+  /** Document frequency per distinct line: (line, df) with df =
+    * number of distinct documents containing the line — the audit
+    * view for choosing `minDf`. */
+  def lineDf(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("df"))
+
+  /** Strip boilerplate lines and reassemble each document.
+    * Output: (id, n_lines, n_kept, clean_text, clean_len). */
+  def strip(df: DataFrame, textCol: String, idCol: String,
+      minDf: Long): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    // count-first on hashes only; the broadcast set is df-bounded
+    val hot = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("lh"))
+    val total = df.select(col(idCol).as("id"),
+      size(split(col(textCol), "\n")).cast(LongType).as("n_lines"))
+    val kept = lines.join(broadcast(hot), Seq("lh"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), "\n").as("clean_text"))
+    // left join from totals: a document whose every line was dropped
+    // still appears, with an empty clean view
+    total.join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        length(coalesce(col("clean_text"), lit(""))).cast(LongType)
+          .as("clean_len"))
+  }
+}

@@ -46,6 +46,47 @@ object Sampling {
     df.where(hashE4(col(idCol), seed) < rate)
   }
 
+  /** Rebalance the corpus to a target source mixture (the "data
+    * mixing" step of a training run: e.g. 40% web, 20% code, …).
+    * Given target weights in basis points per stratum, finds the
+    * LARGEST total corpus T achievable by pure downsampling — the
+    * scarcest stratum relative to its weight binds, keeping all of
+    * itself — and derives each stratum's keep rate in closed integer
+    * form:
+    *
+    *   T        = min over strata of  count_s * 10000 / w_s
+    *   rateE4_s = min(10000, T * w_s / count_s)
+    *
+    * (all divisions integer-floor, so the oracle replicates them
+    * exactly). Strata absent from `weightsE4` are dropped — the target
+    * mixture fully specifies the output corpus. Membership then uses
+    * the same (id, seed) hash as [[stratifiedSample]], so the result
+    * is partitioning-independent and nested under rate changes.
+    *
+    * The per-stratum counts are one small aggregation collected to the
+    * driver — O(#strata) rows, inherent (the rates are a function of
+    * the data), mirroring the catalog-read pattern; the returned rates
+    * make the decision auditable. */
+  def mixToTarget(df: DataFrame, idCol: String, stratumCol: String,
+      weightsE4: Map[String, Int], seed: Int = 42)
+      : (DataFrame, Map[String, Int]) = {
+    require(weightsE4.nonEmpty && weightsE4.values.forall(_ > 0),
+      "weights are positive basis points")
+    val counts = df
+      .where(col(stratumCol).isin(weightsE4.keys.toSeq: _*))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weightsE4.filter { case (s, _) => counts.contains(s) }
+    val t = present.map { case (s, w) => counts(s) * 10000L / w }.min
+    val rates = present.map { case (s, w) =>
+      s -> math.min(10000L, t * w / counts(s)).toInt
+    }
+    val sampled = stratifiedSample(
+      df.where(col(stratumCol).isin(present.keys.toSeq: _*)),
+      idCol, stratumCol, rates, defaultE4 = 0, seed = seed)
+    (sampled, rates)
+  }
+
   /** Assign each row to a named split by cumulative hash ranges, e.g.
     * `Seq("train" -> 9000, "val" -> 500, "test" -> 500)` (basis points,
     * must sum to ≤ 10000; a shortfall leaves rows unassigned → null). */

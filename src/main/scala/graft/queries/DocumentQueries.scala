@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontaminate, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Boilerplate, Decontaminate, Dedup, Multimodal, Pii, TextAnalysis}
 
 /** Driver-checkable dedup + text-analysis queries over the synthetic
   * `documents` table (`doc_id, text, lang, source, n_chars`), each with
@@ -44,6 +44,54 @@ object DocumentQueries {
     })
     s.read.parquet(path)
   }
+
+  /** Deterministic PII augmentation (the synthetic-media pattern: the
+    * corpus has no PII, so both sides inject the same closed-form
+    * snippets and the ENGINE must genuinely find/redact them):
+    * id%4=0 → email, id%4=1 → phone, id%4=2 → IPv4, id%4=3 → none;
+    * id%10=0 additionally gets a second IP (multi-match coverage —
+    * overlaps the email class at id%20=0). */
+  private def piiAugmented(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(text,
+      when(id % 4 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@mail.example.com now"))).otherwise(""),
+      when(id % 4 === 1, concat(lit(" call +1-555-"),
+        (id % 9000 + 1000).cast("string"))).otherwise(""),
+      when(id % 4 === 2, concat(lit(" host 10."), (id % 256).cast("string"),
+        lit("."), ((id * 3) % 256).cast("string"), lit("."),
+        (id % 250).cast("string"))).otherwise(""),
+      when(id % 10 === 0, concat(lit(" backup 192.168.0."),
+        (id % 200).cast("string"))).otherwise(""))
+
+  // single-line fragments: embedding a multiline fragment inside an
+  // outer stripMargin string would strip the `|` of `||` continuations
+  private val piiAugmentedSql: String = Seq(
+    "text",
+    "CASE WHEN doc_id % 4 = 0 THEN ' contact user' " +
+      "|| CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END",
+    "CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-' " +
+      "|| CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END",
+    "CASE WHEN doc_id % 4 = 2 THEN ' host 10.' " +
+      "|| CAST(doc_id % 256 AS VARCHAR) || '.' " +
+      "|| CAST((doc_id * 3) % 256 AS VARCHAR) || '.' " +
+      "|| CAST(doc_id % 250 AS VARCHAR) ELSE '' END",
+    "CASE WHEN doc_id % 10 = 0 THEN ' backup 192.168.0.' " +
+      "|| CAST(doc_id % 200 AS VARCHAR) ELSE '' END"
+  ).mkString(" || ")
+
+  /** Deterministic boilerplate augmentation: a corpus-wide nav header
+    * and a per-source copyright footer around every document — the
+    * engine must discover BOTH df tiers (500-doc header, 25-doc
+    * footers) from the data and strip them. */
+  private def boilerAugmented(text: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("NAV HOME ABOUT CONTACT\n"), text,
+      lit("\nCOPYRIGHT "), source, lit(" ALL RIGHTS RESERVED"))
+
+  private val boilerAugmentedSql: String =
+    "'NAV HOME ABOUT CONTACT' || chr(10) || text || chr(10) " +
+      "|| 'COPYRIGHT ' || source || ' ALL RIGHTS RESERVED'"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: canonical (min) doc_id per identical text
@@ -334,6 +382,76 @@ object DocumentQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // PII scrub: per-doc email/phone/IP match counts + redacted length
+    // over the deterministically PII-augmented corpus — the engine's
+    // regexes and sequential redaction must reproduce the oracle's
+    // exactly (patterns restricted to the java.util.regex ∩ RE2
+    // common subset)
+    "pii_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Pii.piiStats(
+        d.withColumn("aug", piiAugmented(col("doc_id"), col("text"))),
+        "aug", "doc_id")
+        .select(col("id").as("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), col("clean_len"))
+    }),
+
+    // boilerplate discovery: distinct lines recurring in >= 10 docs
+    // (the corpus-wide header at df=500 and every per-source footer at
+    // df=25 must surface; no body line qualifies) — the audit view for
+    // choosing the strip threshold
+    "boilerplate_line_df" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Boilerplate.lineDf(
+        d.withColumn("aug", boilerAugmented(col("text"), col("source"))),
+        "aug", "doc_id")
+        .where(col("df") >= 10)
+    }),
+
+    // boilerplate strip: per-doc line counts before/after + cleaned
+    // length — df counted on md5 line keys, hot set broadcast,
+    // order-preserving reassembly
+    "boilerplate_clean" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Boilerplate.strip(
+        d.withColumn("aug", boilerAugmented(col("text"), col("source"))),
+        "aug", "doc_id", minDf = 10L)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("clean_len"))
+    }),
+
+    // source-mixture rebalancing: downsample to a 4:2:2:1:1 target mix
+    // over five sources (the rest dropped), rates derived in closed
+    // integer form from the per-source counts — profiled per source
+    "mix_sources_profile" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val (mixed, _) = Sampling.mixToTarget(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 2000, "src1" -> 1000, "src2" -> 1000,
+          "src3" -> 500, "src4" -> 500))
+      mixed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // exact length percentiles per source (index-selection semantics:
+    // value at sorted position floor((n-1)·p/100), ties broken by
+    // doc_id — integer-exact, one shuffle)
+    "length_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nt = docs(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("nt"))
+      val byLen = Window.partitionBy(col("source"))
+        .orderBy(col("nt"), col("doc_id"))
+      val ranked = nt
+        .withColumn("rn", row_number().over(byLen))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      def pick(p: Int) =
+        max(when(col("rn") === floor((col("n") - 1) * p / lit(100)) + 1,
+          col("nt")))
+      ranked.groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"), pick(50).as("p50_tokens"),
+          pick(90).as("p90_tokens"), pick(99).as("p99_tokens"))
     }))
 
   // ---------------------------------------------------------------- oracles
@@ -825,5 +943,96 @@ object DocumentQueries {
          |FROM documents d
          |WHERE d.doc_id % 25 <> 0
          |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+
+    // same augmentation closed form; RE2 regexes are byte-identical to
+    // the engine's java.util.regex patterns, redaction applied in the
+    // same email → phone → IP sequence (and match counts on raw text)
+    "pii_stats" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, $piiAugmentedSql AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${Pii.EmailRe}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS BIGINT)
+         |    AS n_ips,
+         |  CAST(length(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(t, '${Pii.EmailRe}', '<EMAIL>', 'g'),
+         |        '${Pii.PhoneRe}', '<PHONE>', 'g'),
+         |      '${Pii.Ipv4Re}', '<IP>', 'g')) AS BIGINT) AS clean_len
+         |FROM aug""".stripMargin,
+
+    "boilerplate_line_df" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, $boilerAugmentedSql AS t
+         |  FROM documents),
+         |ex AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+         |       FROM aug)
+         |SELECT line, count(DISTINCT doc_id) AS df
+         |FROM ex GROUP BY line
+         |HAVING count(DISTINCT doc_id) >= 10""".stripMargin,
+
+    // order-preserving strip via list_filter against the hot-line list
+    "boilerplate_clean" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, string_split($boilerAugmentedSql, chr(10)) AS ls
+         |  FROM documents),
+         |ex AS (SELECT doc_id, unnest(ls) AS line FROM aug),
+         |hot AS (SELECT line FROM ex GROUP BY line
+         |        HAVING count(DISTINCT doc_id) >= 10),
+         |hl AS (SELECT list(line) AS hs FROM hot),
+         |clean AS (
+         |  SELECT doc_id, len(ls) AS n_lines,
+         |    list_filter(ls, x -> NOT list_contains(hl.hs, x)) AS kept
+         |  FROM aug, hl)
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT)
+         |    AS clean_len
+         |FROM clean""".stripMargin,
+
+    // the same closed-form rate derivation (integer-floor divisions)
+    // and seeded md5 membership hash as the engine
+    "mix_sources_profile" ->
+      """WITH w(source, w) AS (VALUES ('src0', 2000), ('src1', 1000),
+        |  ('src2', 1000), ('src3', 500), ('src4', 500)),
+        |cnt AS (SELECT source, count(*) AS c FROM documents
+        |        JOIN w USING (source) GROUP BY source),
+        |t AS (SELECT min(c * 10000 // w.w) AS t
+        |      FROM cnt JOIN w USING (source)),
+        |r AS (SELECT source, least(10000, t.t * w.w // c) AS rate
+        |      FROM cnt JOIN w USING (source), t)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN r ON r.source = d.source
+        |WHERE CAST('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)),
+        |    1, 15) AS BIGINT) % 10000 < r.rate
+        |GROUP BY 1""".stripMargin,
+
+    // index-selection percentiles: value at rank floor((n-1)·p/100)+1
+    // in (token count, doc_id) order
+    "length_percentiles" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |rk AS (
+        |  SELECT source, nt,
+        |    row_number() OVER (PARTITION BY source ORDER BY nt, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM t)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN nt END)
+        |    AS p50_tokens,
+        |  max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN nt END)
+        |    AS p90_tokens,
+        |  max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN nt END)
+        |    AS p99_tokens
+        |FROM rk GROUP BY 1""".stripMargin)
 }

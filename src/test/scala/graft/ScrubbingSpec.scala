@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Boilerplate, Pii, Sampling}
+
+/** The corpus-scrubbing pipeline operators: PII redaction, boilerplate
+  * line removal, source-mixture rebalancing. */
+class ScrubbingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("Pii.redact replaces each class with its tag, email first") {
+    val df = Seq(
+      (1L, "write to a.b+c@ex-ample.org today"),
+      (2L, "dial +1-555-0199 or +44-202-7946"),
+      (3L, "server 10.0.0.1 and 255.255.255.255"),
+      (4L, "no pii here"),
+      // the dotted quad inside the email domain is consumed by the
+      // email tag, not double-redacted
+      (5L, "x@10.0.0.1.net plus bare 10.0.0.2")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), Pii.redact(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "write to <EMAIL> today")
+    assert(out(2L) == "dial <PHONE> or <PHONE>")
+    assert(out(3L) == "server <IP> and <IP>")
+    assert(out(4L) == "no pii here")
+    // the dotted quad inside the email domain redacts as part of the
+    // email (pass order), never as a second <IP>
+    assert(out(5L) == "<EMAIL> plus bare <IP>")
+  }
+
+  test("piiStats counts non-overlapping matches per class") {
+    val df = Seq((7L, "a@b.co c@d.io +1-555-1234 1.2.3.4 5.6.7.8 plain"))
+      .toDF("id", "t")
+    val r = Pii.piiStats(df, "t", "id").collect().head
+    assert(r.getAs[Long]("n_emails") == 2L)
+    assert(r.getAs[Long]("n_phones") == 1L)
+    assert(r.getAs[Long]("n_ips") == 2L)
+    val clean = "<EMAIL> <EMAIL> <PHONE> <IP> <IP> plain"
+    assert(r.getAs[Long]("clean_len") == clean.length.toLong)
+  }
+
+  test("Boilerplate.strip drops df>=minDf lines, preserves order, keeps empty docs") {
+    val docs = Seq(
+      (1L, "HEADER\nbody one\nmiddle\nFOOTER"),
+      (2L, "HEADER\nbody two\nFOOTER"),
+      (3L, "HEADER\nFOOTER"), // everything boilerplate → empty clean view
+      (4L, "unique only")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.strip(docs, "text", "doc_id", minDf = 3L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text")))).toMap
+    // HEADER and FOOTER both reach df=3 → dropped everywhere
+    assert(out(1L) == ((4L, 2L, "body one\nmiddle")))
+    assert(out(2L)._3 == "body two")
+    assert(out(3L) == ((2L, 0L, "")))
+    assert(out(4L) == ((1L, 1L, "unique only")))
+  }
+
+  test("Boilerplate.lineDf counts distinct docs, not occurrences") {
+    val docs = Seq(
+      (1L, "dup\ndup\ndup"), // 3 occurrences, 1 doc
+      (2L, "dup\nother")
+    ).toDF("doc_id", "text")
+    val df = Boilerplate.lineDf(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df("dup") == 2L)
+    assert(df("other") == 1L)
+  }
+
+  test("mixToTarget hits the target mix via closed-form integer rates") {
+    val rows = (0L until 3000L).map { i =>
+      (i, if (i < 2000) "web" else if (i < 2800) "code" else "math")
+    }
+    val df = rows.toDF("id", "src")
+    // target 50/25/25 — math (200 docs vs 25% weight) binds: T = 800
+    val (mixed, rates) = Sampling.mixToTarget(df, "id", "src",
+      Map("web" -> 5000, "code" -> 2500, "math" -> 2500))
+    assert(rates("math") == 10000) // the binding stratum keeps itself
+    assert(rates("web") == 800L * 5000L / 2000L)  // 2000
+    assert(rates("code") == 800L * 2500L / 800L)  // 2500
+    val counts = mixed.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binding stratum kept whole; others near their target share of 800
+    assert(counts("math") == 200L)
+    assert(math.abs(counts("web") - 400L) < 80)
+    assert(math.abs(counts("code") - 200L) < 60)
+  }
+
+  test("mixToTarget drops unlisted strata and nests under weight changes") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val (m1, _) = Sampling.mixToTarget(df, "id", "src", Map("a" -> 10000))
+    assert(m1.where(col("src") === "b").count() == 0L)
+    assert(m1.count() == 500L) // sole stratum keeps itself entirely
+    // halving a's effective rate via a second stratum: kept set nests
+    val (m2, _) = Sampling.mixToTarget(df, "id", "src",
+      Map("a" -> 5000, "b" -> 5000))
+    val a2 = m2.where(col("src") === "a").select("id").as[Long].collect().toSet
+    val a1 = m1.select("id").as[Long].collect().toSet
+    assert(a2.subsetOf(a1))
+  }
+}
