@@ -31,7 +31,15 @@ object Boilerplate {
       .agg(countDistinct(col("id")).as("df"))
 
   /** Strip boilerplate lines and reassemble each document.
-    * Output: (id, n_lines, n_kept, clean_text, clean_len). */
+    * Output: (id, n_lines, n_kept, clean_text, clean_len).
+    *
+    * The hot set joins as a broadcast LEFT join carrying a flag (not an
+    * anti-join), so before/after line counts and the kept-line
+    * reassembly all come out of ONE per-doc aggregation — 3 shuffles
+    * total (distinct (line,doc) pairs → line df → reassembly), no
+    * doc-sized totals⋈kept join, and a fully-boilerplate document
+    * still appears with an empty clean view (its lines reach the
+    * aggregation; only the collect skips them). */
   def strip(df: DataFrame, textCol: String, idCol: String,
       minDf: Long): DataFrame = {
     val lines = df
@@ -42,22 +50,17 @@ object Boilerplate {
     val hot = lines.groupBy(col("lh"))
       .agg(countDistinct(col("id")).as("df"))
       .where(col("df") >= minDf)
-      .select(col("lh"))
-    val total = df.select(col(idCol).as("id"),
-      size(split(col(textCol), "\n")).cast(LongType).as("n_lines"))
-    val kept = lines.join(broadcast(hot), Seq("lh"), "left_anti")
+      .select(col("lh"), lit(true).as("hot"))
+    lines.join(broadcast(hot), Seq("lh"), "left")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("hot").isNull, lit(1))).as("n_kept"),
         array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          transform(
+            array_sort(collect_list(
+              when(col("hot").isNull, struct(col("pos"), col("line"))))),
             s => s.getField("line")), "\n").as("clean_text"))
-    // left join from totals: a document whose every line was dropped
-    // still appears, with an empty clean view
-    total.join(kept, Seq("id"), "left")
-      .select(col("id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        length(coalesce(col("clean_text"), lit(""))).cast(LongType)
-          .as("clean_len"))
+      .select(col("id"), col("n_lines"), col("n_kept"), col("clean_text"),
+        length(col("clean_text")).cast(LongType).as("clean_len"))
   }
 }

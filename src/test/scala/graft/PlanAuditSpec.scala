@@ -12,11 +12,14 @@ class PlanAuditSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Final (post-AQE) executed plan string, after running the query. */
+  /** Final (post-AQE) executed plan string, after running the query.
+    * The AQE plan's trailing `== Initial Plan ==` section is cut so
+    * operator COUNTS reflect the final plan only (substring-presence
+    * assertions are unaffected either way). */
   private def plan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect() // force execution so AQE's final plan is the one audited
-    df.queryExecution.executedPlan.toString
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
   test("decontamination probes a broadcast, never a sort-merge join") {
@@ -49,5 +52,33 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("q5_local_supplier_volume")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("PII scrub is row-local: zero shuffles, zero joins") {
+    val p = plan("pii_stats")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("boilerplate strip: hot set broadcast, no doc-sized extra join") {
+    val p = plan("boilerplate_clean")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // 3 data shuffles: distinct (line,doc) pairs + line-df + per-doc
+    // reassembly — and no 4th from a totals⋈kept doc join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p.take(3000))
+  }
+
+  test("mixture rebalancing output is sample + single aggregation") {
+    val p = plan("mix_sources_profile")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("length percentiles reuse the window partitioning for the final agg") {
+    val p = plan("length_percentiles")
+    // one hash partitioning on source serves both the rank window and
+    // the aggregation — a second exchange would mean lost co-partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
   }
 }
