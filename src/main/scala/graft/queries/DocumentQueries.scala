@@ -434,6 +434,26 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // the composed scrub pipeline: boilerplate strip (corpus line df)
+    // → PII redaction → per-source corpus profile. The strip's
+    // reassembly exchange on id is REUSED by the slim (id, source)
+    // join that restores the profile key (plan: no extra doc shuffle
+    // on the strip side), and the redaction is row-local on top.
+    "pipeline_scrub_profile" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val aug = d.withColumn("aug",
+        boilerAugmented(piiAugmented(col("doc_id"), col("text")),
+          col("source")))
+      val stripped = Boilerplate.strip(aug, "aug", "doc_id", minDf = 10L)
+        .withColumn("scrubbed", Pii.redact(col("clean_text")))
+      stripped.join(d.select(col("doc_id").as("id"), col("source")),
+          Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("scrubbed"))).as("sum_clean_chars"),
+          sum(col("n_kept")).as("sum_kept_lines"))
+    }),
+
     // exact length percentiles per source (index-selection semantics:
     // value at sorted position floor((n-1)·p/100), ties broken by
     // doc_id — integer-exact, one shuffle)
@@ -1013,6 +1033,39 @@ object DocumentQueries {
         |WHERE CAST('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)),
         |    1, 15) AS BIGINT) % 10000 < r.rate
         |GROUP BY 1""".stripMargin,
+
+    // the composed oracle: the boilerplate-clean CTE over the doubly
+    // augmented text, PII-redacted, profiled per source
+    "pipeline_scrub_profile" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, source,
+         |    string_split('NAV HOME ABOUT CONTACT' || chr(10)
+         |      || $piiAugmentedSql || chr(10)
+         |      || 'COPYRIGHT ' || source || ' ALL RIGHTS RESERVED',
+         |      chr(10)) AS ls
+         |  FROM documents),
+         |ex AS (SELECT doc_id, unnest(ls) AS line FROM aug),
+         |hot AS (SELECT line FROM ex GROUP BY line
+         |        HAVING count(DISTINCT doc_id) >= 10),
+         |hl AS (SELECT list(line) AS hs FROM hot),
+         |clean AS (
+         |  SELECT doc_id, source,
+         |    len(list_filter(ls, x -> NOT list_contains(hl.hs, x)))
+         |      AS n_kept,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          array_to_string(
+         |            list_filter(ls, x -> NOT list_contains(hl.hs, x)),
+         |            chr(10)),
+         |          '${Pii.EmailRe}', '<EMAIL>', 'g'),
+         |        '${Pii.PhoneRe}', '<PHONE>', 'g'),
+         |      '${Pii.Ipv4Re}', '<IP>', 'g') AS scrubbed
+         |  FROM aug, hl)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(length(scrubbed)) AS BIGINT) AS sum_clean_chars,
+         |  CAST(sum(n_kept) AS BIGINT) AS sum_kept_lines
+         |FROM clean GROUP BY 1""".stripMargin,
 
     // index-selection percentiles: value at rank floor((n-1)·p/100)+1
     // in (token count, doc_id) order

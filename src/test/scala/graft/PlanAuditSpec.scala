@@ -75,6 +75,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
   }
 
+  test("composed scrub pipeline adds no shuffle beyond strip + final agg") {
+    val p = plan("pipeline_scrub_profile")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // 3 strip shuffles + the final per-source aggregation; the (id,
+    // source) key-restore join must not re-shuffle the strip side
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 4, p.take(3000))
+  }
+
   test("length percentiles reuse the window partitioning for the final agg") {
     val p = plan("length_percentiles")
     // one hash partitioning on source serves both the rank window and
