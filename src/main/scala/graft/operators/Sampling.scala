@@ -46,6 +46,16 @@ object Sampling {
     df.where(hashE4(col(idCol), seed) < rate)
   }
 
+  /** Deterministic shard assignment in [0, nShards): the output-layout
+    * twin of [[splitColumn]] — a row's shard is a pure function of its
+    * id and seed, so re-running the export on any cluster or partition
+    * layout yields byte-identical shard membership (what makes a
+    * training-data export resumable and diffable). */
+  def shardColumn(id: Column, nShards: Int, seed: Int = 42): Column = {
+    require(nShards > 0, "nShards must be positive")
+    pmod(Dedup.seededHash(id.cast("string"), seed), lit(nShards.toLong))
+  }
+
   /** Rebalance the corpus to a target source mixture (the "data
     * mixing" step of a training run: e.g. 40% web, 20% code, …).
     * Given target weights in basis points per stratum, finds the

@@ -26,17 +26,22 @@ object DocumentQueries {
     * dirs; JVM-exit cleanup). */
   private val pairsDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val shardDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def deleteOnExit(p: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }))
 
   private def jaccardPairsArtifact(s: SparkSession, dir: String): DataFrame = {
     val path = pairsDirs.getOrElseUpdate((s, dir), {
       val p = java.nio.file.Files.createTempDirectory("graft_jpairs")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } catch { case _: Throwable => () }))
+      deleteOnExit(p)
       Dedup.jaccardPairsPostingKernel(docs(s, dir), "text", "doc_id",
         k = 3, thresholdE4 = 5000)
         .write.mode("overwrite").parquet(p.toString)
@@ -432,6 +437,25 @@ object DocumentQueries {
           "src3" -> 500, "src4" -> 500))
       mixed.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // sharded corpus export, gated end to end: actually WRITE the
+    // 16-shard layout (one file per shard dir), read it back, profile
+    // per shard — the oracle recomputes membership from the closed-form
+    // seeded md5, so writer routing must preserve every row exactly
+    "shard_profile" -> ((s, dir) => {
+      import graft.sources.CorpusSink
+      val out = shardDirs.getOrElseUpdate((s, dir), {
+        val p = java.nio.file.Files.createTempDirectory("graft_shards")
+        deleteOnExit(p)
+        CorpusSink.writeSharded(docs(s, dir), "doc_id", p.toString,
+          nShards = 16)
+        p.toString
+      })
+      CorpusSink.readSharded(s, out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"))
     }),
 
     // the composed scrub pipeline: boilerplate strip (corpus line df)
@@ -1032,6 +1056,16 @@ object DocumentQueries {
         |FROM documents d JOIN r ON r.source = d.source
         |WHERE CAST('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)),
         |    1, 15) AS BIGINT) % 10000 < r.rate
+        |GROUP BY 1""".stripMargin,
+
+    // membership from the same seeded md5 hash mod 16; totals prove
+    // the writer dropped/duplicated nothing
+    "shard_profile" ->
+      """SELECT CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+        |    1, 15) AS BIGINT) % 16 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents
         |GROUP BY 1""".stripMargin,
 
     // the composed oracle: the boilerplate-clean CTE over the doubly

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Trainer-facing corpus export: write a document set as N
+  * deterministic shards (`shard=K/` parquet dirs), the layout a data
+  * loader consumes round-robin. Shard membership is content-addressed
+  * ([[Sampling.shardColumn]]) — independent of cluster size, input
+  * partitioning, and Spark version — so re-exports are reproducible
+  * and shards can be diffed across pipeline revisions.
+  *
+  * Scale shape: one repartition ON THE SHARD KEY routes each shard to
+  * one task → one file per shard dir (no tiny-file explosion, no
+  * post-hoc merge job). Hash sharding is uniform, so tasks balance;
+  * for shards larger than a comfortable single file, set
+  * `maxRecordsPerFile` and the task splits its output without an
+  * extra shuffle.
+  */
+object CorpusSink {
+
+  /** Write `df` as `nShards` parquet shards under `dir`.
+    * @param maxRecordsPerFile 0 = one file per shard; >0 lets a task
+    *   roll over to multiple files inside its shard dir. */
+  def writeSharded(df: DataFrame, idCol: String, dir: String,
+      nShards: Int, seed: Int = 42, maxRecordsPerFile: Long = 0L): Unit =
+    df.withColumn("shard", Sampling.shardColumn(col(idCol), nShards, seed))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(dir)
+
+  /** Read a sharded export back (shard dirs become a `shard` column). */
+  def readSharded(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
+}

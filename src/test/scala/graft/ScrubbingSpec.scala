@@ -89,6 +89,27 @@ class ScrubbingSpec extends SparkTestBase {
     assert(math.abs(counts("code") - 200L) < 60)
   }
 
+  test("writeSharded: one file per shard, lossless, partitioning-independent") {
+    import graft.sources.CorpusSink
+    val dir = java.nio.file.Files.createTempDirectory("shard_spec").toString
+    val df = (0L until 500L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // scramble the input partitioning: shard layout must not care
+    CorpusSink.writeSharded(df.repartition(7), "id", dir, nShards = 4)
+    val back = CorpusSink.readSharded(spark, dir)
+    assert(back.count() == 500L)
+    assert(back.select("id").as[Long].collect().toSet == (0L until 500L).toSet)
+    // each shard dir holds exactly one parquet file
+    val shardFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(
+        _.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(shardFiles.length == 4 && shardFiles.forall(_ == 1))
+    // membership matches the closed-form column on any layout
+    val expected = df.select(col("id"),
+      Sampling.shardColumn(col("id"), 4).as("shard"))
+    assert(back.select(col("id"), col("shard").cast("long").as("shard"))
+      .except(expected).count() == 0L)
+  }
+
   test("mixToTarget drops unlisted strata and nests under weight changes") {
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "src")
