@@ -165,7 +165,20 @@ object EmbeddingQueries {
     // corpus profile: per-label counts (exact ints)
     "emb_label_counts" -> ((s, dir) =>
       emb(s, dir).groupBy(col("label").cast("long").as("label"))
-        .agg(count(lit(1)).as("n_vecs"))))
+        .agg(count(lit(1)).as("n_vecs"))),
+
+    // FILTERED vector search (the metadata-predicate ANN every
+    // retrieval stack needs): exact top-5 restricted to labels < 5 —
+    // the predicate composes UNDER the search, reaching the parquet
+    // scan as a pushed filter (plan-audit-pinned), so at 100 TB the
+    // filtered corpus is pruned before a single dot product runs
+    "ann_filtered_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.where(col("label") < 5),
+        e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dotFn = GraftFunctions.dotNative)
+    }))
 
   private val topkOracle: String =
     """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -290,5 +303,19 @@ object EmbeddingQueries {
     },
 
     "emb_label_counts" ->
-      "SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs FROM embeddings GROUP BY 1")
+      "SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs FROM embeddings GROUP BY 1",
+
+    // the brute-force ranking over the label-filtered corpus only
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE label < 5)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id)
+        |WHERE rank <= 5""".stripMargin)
 }

@@ -54,6 +54,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("filtered ANN pushes the metadata predicate into the corpus scan") {
+    val p = plan("ann_filtered_topk")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("LessThan(label"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("PII scrub is row-local: zero shuffles, zero joins") {
     val p = plan("pii_stats")
     assert(!p.contains("Exchange"), p.take(2000))
