@@ -28,6 +28,8 @@ object DocumentQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val shardDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val jsonlDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   private def deleteOnExit(p: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -456,6 +458,29 @@ object DocumentQueries {
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("sum_chars"))
+    }),
+
+    // JSONL corpus round trip, gated byte-exact: write the documents
+    // table as JSON lines, read it back with the pinned schema, and
+    // profile per (source, lang) with a per-doc md5 content-hash sum —
+    // the oracle computes the same profile from the PARQUET originals,
+    // so any JSON escaping/encoding loss (unicode, quotes, whitespace)
+    // breaks the hash
+    "docs_jsonl_roundtrip" -> ((s, dir) => {
+      import graft.sources.CorpusSink
+      val d = docs(s, dir)
+      val p = jsonlDirs.getOrElseUpdate((s, dir), {
+        val t = java.nio.file.Files.createTempDirectory("graft_jsonl")
+        deleteOnExit(t)
+        CorpusSink.writeJsonl(d, t.toString)
+        t.toString
+      })
+      CorpusSink.readJsonl(s, p, d.schema)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(conv(substring(md5(col("text")), 1, 15), 16, 10)
+            .cast("long") % 1000000007L).as("content_hash"))
     }),
 
     // the composed scrub pipeline: boilerplate strip (corpus line df)
@@ -1057,6 +1082,16 @@ object DocumentQueries {
         |WHERE CAST('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)),
         |    1, 15) AS BIGINT) % 10000 < r.rate
         |GROUP BY 1""".stripMargin,
+
+    // the same profile computed from the parquet originals — equality
+    // proves the JSONL write/read is lossless to the byte
+    "docs_jsonl_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |    % 1000000007) AS BIGINT) AS content_hash
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin,
 
     // membership from the same seeded md5 hash mod 16; totals prove
     // the writer dropped/duplicated nothing

@@ -37,4 +37,17 @@ object CorpusSink {
   def readSharded(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Corpus → JSON lines (the interchange format training corpora
+    * ship in). One JSON object per document; UTF-8 throughout, so
+    * non-ASCII text round-trips byte-exact (oracle-gated via per-doc
+    * content hashes in `docs_jsonl_roundtrip`). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL corpus reader with a PINNED schema — no inference pass over
+    * the input (at 100 TB, schema inference is a full extra scan). */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }
