@@ -36,6 +36,20 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人"))
 
+  /** Text normalization (the "clean" stage that precedes tokenizing):
+    * C0 control characters and DEL (except LF) become spaces, runs of
+    * spaces/tabs collapse to one space, and each line is trimmed of
+    * leading/trailing spaces. Newlines survive — line structure is
+    * load-bearing for the boilerplate pass. Row-local, codegen'd, and
+    * restricted to the java.util.regex ∩ RE2 subset like the PII
+    * patterns, so the DuckDB oracle replicates it exactly. */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "[\\x00-\\x09\\x0B-\\x1F\\x7F]", " "),
+        " {2,}", " "),
+      " ?\n ?", "\n"))
+
   /** Count of tokens contained in a fixed vocabulary. */
   def vocabHits(text: Column, vocab: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(vocab: _*))).cast(LongType)

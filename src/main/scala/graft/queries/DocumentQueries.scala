@@ -460,6 +460,24 @@ object DocumentQueries {
           sum(length(col("text"))).as("sum_chars"))
     }),
 
+    // text normalization over deterministically dirtied input (tabs,
+    // CRs, NULs, space runs injected in closed form both sides): the
+    // engine's 3-pass regexp normalization must reproduce the oracle's
+    // byte-for-byte, gated via length + md5 content hash per doc
+    "text_normalize" -> ((s, dir) => {
+      val dirty = concat(lit("\t "), col("text"),
+        lit("\r\r tail"), lit(" "),
+        when(col("doc_id") % 3 === 0, lit("  double  spaced \n line "))
+          .otherwise(""))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeWs(dirty).as("clean"))
+        .select(col("doc_id"),
+          length(col("clean")).cast("long").as("clean_len"),
+          conv(substring(md5(col("clean")), 1, 15), 16, 10).cast("long")
+            .as("clean_hash"))
+    }),
+
     // JSONL corpus round trip, gated byte-exact: write the documents
     // table as JSON lines, read it back with the pinned schema, and
     // profile per (source, lang) with a per-doc md5 content-hash sum —
@@ -1082,6 +1100,24 @@ object DocumentQueries {
         |WHERE CAST('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)),
         |    1, 15) AS BIGINT) % 10000 < r.rate
         |GROUP BY 1""".stripMargin,
+
+    // the same dirtying and the same 3-pass normalization in RE2
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(clean) AS BIGINT) AS clean_len,
+        |  CAST('0x' || substr(md5(clean), 1, 15) AS BIGINT) AS clean_hash
+        |FROM (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      chr(9) || ' ' || text || chr(13) || chr(13) || ' tail '
+        |        || CASE WHEN doc_id % 3 = 0
+        |             THEN '  double  spaced ' || chr(10) || ' line '
+        |             ELSE '' END,
+        |      '[\x00-\x09\x0B-\x1F\x7F]', ' ', 'g'),
+        |      ' {2,}', ' ', 'g'),
+        |      ' ?' || chr(10) || ' ?', chr(10), 'g'),
+        |      ' ') AS clean
+        |  FROM documents)""".stripMargin,
 
     // the same profile computed from the parquet originals — equality
     // proves the JSONL write/read is lossless to the byte
