@@ -368,6 +368,24 @@ object EventQueries {
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"))),
 
+    // per-entity rolling features (the feature-engineering op of an
+    // event-driven training pipeline): for EVERY event, the count of
+    // the same user's events in the trailing hour (RANGE frame on
+    // event time — tie-complete, so concurrent events see each other)
+    // and the seconds since the user's previous event. ONE shuffle on
+    // user_id serves both window frames; at 100 TB this is the same
+    // single hash partitioning any per-entity pass needs.
+    "event_user_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val secs = col("ts").cast("long")
+      val byUser = Window.partitionBy(col("user_id"))
+      val rolling = byUser.orderBy(secs).rangeBetween(-3600L, 0L)
+      val seq = byUser.orderBy(secs, col("event_id"))
+      events(s, dir).select(col("event_id"), col("user_id"),
+        count(lit(1)).over(rolling).as("n_prev_1h"),
+        (secs - lag(secs, 1).over(seq)).as("secs_since_prev"))
+    }),
+
     // Catalyst rollup routing (SURVEY §4's custom-Rule upgrade of
     // `best-grouping`): a plain DataFrame aggregate over raw events is
     // transparently rewritten by graft.plans.RollupRouteRule to scan
@@ -724,6 +742,20 @@ object EventQueries {
         |  FROM o)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    // same floor-second time base as Spark's timestamp→long cast
+    // (integer epoch_us division — no double rounding), tie-complete
+    // RANGE frame, deterministic lag order
+    "event_user_features" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY s
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_prev_1h,
+        |  s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+        |    AS secs_since_prev
+        |FROM e""".stripMargin,
 
     "ts_routed_sql" ->
       """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
