@@ -18,6 +18,11 @@ import org.apache.spark.sql.types.LongType
   *    never re-partitioned to be filtered;
   *  - the only document-sized shuffle is the per-doc reassembly
   *    (groupBy id), which any order-preserving reconstruction needs.
+  *
+  * Lines are split on `\n`; for CRLF corpora compose with
+  * [[TextAnalysis.normalizeWs]] first (it rewrites `\r\n` to a clean
+  * `\n`), otherwise a trailing `\r` makes otherwise-identical lines
+  * distinct and deflates their df.
   */
 object Boilerplate {
 
