@@ -158,6 +158,33 @@ object Packing {
       .withColumn("seq_pos", col("offset") % capacity)
   }
 
+  /** Token-budget corpus selection: keep the best documents (lowest
+    * `priorityCol` first — e.g. `10000 - quality_e4`) until the token
+    * budget is exhausted; a document is selected iff its exclusive
+    * cumulative token offset in priority order is `< budget` (it
+    * STARTS inside the budget). The greedy quality-vs-budget cut every
+    * curated pretraining mix makes, as a pure composition over the
+    * [[packSequences]] distributed prefix sum — never a global
+    * single-partition window.
+    *
+    * Ordering is (priority, id), encoded as one packed long key:
+    * contract `0 <= priority < 2^23` and `0 <= id < 2^40` (scores in
+    * basis points and 64-bit row ids well inside both).
+    * Output: (idCol, n_tokens, offset). */
+  def selectByBudget(df: DataFrame, idCol: String, tokenCol: String,
+      priorityCol: String, budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val keyed = df.select(
+      (col(priorityCol).cast("long") * lit(1L << 40) +
+        col(idCol).cast("long")).as("bkey"),
+      col(tokenCol))
+    packSequences(keyed, "bkey", tokenCol, capacity = budget,
+        partitions = partitions)
+      .where(col("offset") < budget)
+      .select((col("id") % lit(1L << 40)).as(idCol),
+        col("n_tokens"), col("offset"))
+  }
+
   /** Sliding-window document chunking — the embedding/retrieval prep
     * step: each document splits into `window`-token chunks starting
     * every `stride` tokens (overlapping when `stride < window`, the

@@ -521,6 +521,25 @@ object DocumentQueries {
           sum(col("n_kept")).as("sum_kept_lines"))
     }),
 
+    // token-budget corpus selection: highest-quality docs first until
+    // a 10k-token budget, via the packed-key distributed prefix sum
+    // (selection = offset < budget in (10000 - quality, doc_id) order)
+    // — profiled per source. The oracle replays the same greedy cut
+    // with a window cumsum.
+    "budget_selection" -> ((s, dir) => {
+      import graft.operators.Packing
+      val d = docs(s, dir)
+      val scored = TextAnalysis.statsKernel(d, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          (lit(10000L) - col("quality_e4")).as("pr"))
+      Packing.selectByBudget(scored, "doc_id", "n_tokens", "pr",
+          budget = 10000L)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
     // exact length percentiles per source (index-selection semantics:
     // value at sorted position floor((n-1)·p/100), ties broken by
     // doc_id — integer-exact, one shuffle)
@@ -1171,6 +1190,23 @@ object DocumentQueries {
          |  CAST(sum(length(scrubbed)) AS BIGINT) AS sum_clean_chars,
          |  CAST(sum(n_kept) AS BIGINT) AS sum_kept_lines
          |FROM clean GROUP BY 1""".stripMargin,
+
+    // same greedy cut: exclusive cumsum over (10000 - quality, doc_id)
+    // order, selected iff it starts under the budget
+    "budget_selection" ->
+      s"""WITH st AS ($textStatsSql),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (
+         |      ORDER BY 10000 - quality_e4, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off
+         |  FROM st)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(o.n_tokens) AS BIGINT) AS sum_tokens
+         |FROM o JOIN documents d USING (doc_id)
+         |WHERE o.off < 10000
+         |GROUP BY 1""".stripMargin,
 
     // index-selection percentiles: value at rank floor((n-1)·p/100)+1
     // in (token count, doc_id) order
