@@ -87,6 +87,8 @@ object Sampling {
       .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weightsE4.filter { case (s, _) => counts.contains(s) }
+    if (present.isEmpty) // no weighted stratum exists in the data
+      return (df.where(lit(false)), Map.empty)
     val t = present.map { case (s, w) => counts(s) * 10000L / w }.min
     val rates = present.map { case (s, w) =>
       s -> math.min(10000L, t * w / counts(s)).toInt
