@@ -540,6 +540,25 @@ object DocumentQueries {
           sum(col("n_tokens")).as("sum_tokens"))
     }),
 
+    // the full dataset-build flow in one query: quality scoring →
+    // token-budget greedy cut → concat-and-chunk packing of the
+    // selected corpus → per-window occupancy profile. Two chained
+    // distributed prefix sums (selection order, then pack order) —
+    // the end-to-end path a trainer-ready dataset actually takes.
+    "pipeline_dataset_build" -> ((s, dir) => {
+      import graft.operators.Packing
+      val d = docs(s, dir)
+      val scored = TextAnalysis.statsKernel(d, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          (lit(10000L) - col("quality_e4")).as("pr"))
+      val sel = Packing.selectByBudget(scored, "doc_id", "n_tokens", "pr",
+          budget = 10000L)
+        .select(col("doc_id"), col("n_tokens").as("nt"))
+      Packing.packProfile(
+          Packing.packSequences(sel, "doc_id", "nt", capacity = 2048L))
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"))
+    }),
+
     // exact length percentiles per source (index-selection semantics:
     // value at sorted position floor((n-1)·p/100), ties broken by
     // doc_id — integer-exact, one shuffle)
@@ -1207,6 +1226,29 @@ object DocumentQueries {
          |FROM o JOIN documents d USING (doc_id)
          |WHERE o.off < 10000
          |GROUP BY 1""".stripMargin,
+
+    // both prefix sums replayed as window cumsums: the budget cut in
+    // (10000 - quality, doc_id) order, then packing in doc_id order
+    // over the survivors
+    "pipeline_dataset_build" ->
+      s"""WITH st AS ($textStatsSql),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (
+         |      ORDER BY 10000 - quality_e4, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off
+         |  FROM st),
+         |sel AS (SELECT doc_id, n_tokens FROM o WHERE off < 10000),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS poff
+         |  FROM sel)
+         |SELECT CAST(poff // 2048 AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM p GROUP BY 1""".stripMargin,
 
     // index-selection percentiles: value at rank floor((n-1)·p/100)+1
     // in (token count, doc_id) order
