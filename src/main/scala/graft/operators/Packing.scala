@@ -185,6 +185,32 @@ object Packing {
         col("n_tokens"), col("offset"))
   }
 
+  /** [[selectByBudget]] with an independent token budget PER GROUP
+    * (per-language / per-source curation quotas): each group's greedy
+    * quality-first cut runs in its own token space via the grouped
+    * prefix sum. Groups absent from `budgetsPerGroup` are dropped.
+    * Output: (groupCol, idCol, n_tokens, offset). */
+  def selectByBudgetByGroup(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, priorityCol: String,
+      budgetsPerGroup: Map[String, Long], partitions: Int = 0): DataFrame = {
+    require(budgetsPerGroup.nonEmpty && budgetsPerGroup.values.forall(_ > 0),
+      "budgets must be positive")
+    val keyed = df.select(col(groupCol),
+      (col(priorityCol).cast("long") * lit(1L << 40) +
+        col(idCol).cast("long")).as("bkey"),
+      col(tokenCol))
+    val budget = budgetsPerGroup.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (g, b)) =>
+        when(col("group") === g, lit(b)).otherwise(acc)
+      }
+    packSequencesByGroup(keyed, groupCol, "bkey", tokenCol,
+        capacity = budgetsPerGroup.values.max, partitions = partitions)
+      .where(col("offset") < budget)
+      .select(col("group").as(groupCol),
+        (col("id") % lit(1L << 40)).as(idCol),
+        col("n_tokens"), col("offset"))
+  }
+
   /** Sliding-window document chunking — the embedding/retrieval prep
     * step: each document splits into `window`-token chunks starting
     * every `stride` tokens (overlapping when `stride < window`, the

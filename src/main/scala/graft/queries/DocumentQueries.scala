@@ -540,6 +540,24 @@ object DocumentQueries {
           sum(col("n_tokens")).as("sum_tokens"))
     }),
 
+    // per-language curation quotas: an independent quality-first
+    // token-budget cut inside each language (en 5000 / zh 3000 /
+    // de+es+fr 2000 tokens; grouped prefix sum, one range shuffle)
+    "budget_by_lang" -> ((s, dir) => {
+      import graft.operators.Packing
+      val d = docs(s, dir)
+      val scored = TextAnalysis.statsKernel(d, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          (lit(10000L) - col("quality_e4")).as("pr"))
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Packing.selectByBudgetByGroup(scored, "lang", "doc_id", "n_tokens",
+          "pr", Map("en" -> 5000L, "zh" -> 3000L, "de" -> 2000L,
+            "es" -> 2000L, "fr" -> 2000L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
     // the full dataset-build flow in one query: quality scoring →
     // token-budget greedy cut → concat-and-chunk packing of the
     // selected corpus → per-window occupancy profile. Two chained
@@ -1225,6 +1243,28 @@ object DocumentQueries {
          |  CAST(sum(o.n_tokens) AS BIGINT) AS sum_tokens
          |FROM o JOIN documents d USING (doc_id)
          |WHERE o.off < 10000
+         |GROUP BY 1""".stripMargin,
+
+    // per-language partitioned cumsum with per-language budget cases
+    "budget_by_lang" ->
+      s"""WITH st AS ($textStatsSql),
+         |j AS (
+         |  SELECT st.doc_id, st.n_tokens, 10000 - st.quality_e4 AS pr,
+         |    d.lang
+         |  FROM st JOIN documents d USING (doc_id)),
+         |o AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY pr, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off
+         |  FROM j)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM o
+         |WHERE off < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000
+         |  WHEN 'de' THEN 2000 WHEN 'es' THEN 2000 WHEN 'fr' THEN 2000
+         |  ELSE 0 END
          |GROUP BY 1""".stripMargin,
 
     // both prefix sums replayed as window cumsums: the budget cut in
