@@ -158,6 +158,20 @@ object Packing {
       .withColumn("seq_pos", col("offset") % capacity)
   }
 
+  /** Packed (priority, id) ordering key with a row-local contract
+    * guard: out-of-range inputs raise instead of silently reordering
+    * the cut (a wrong-results bug a sampled spec would miss). */
+  private def packedKey(priority: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val p = priority.cast("long")
+    val i = id.cast("long")
+    when(p.between(0L, (1L << 23) - 1) && i.between(0L, (1L << 40) - 1),
+      p * lit(1L << 40) + i)
+      .otherwise(raise_error(concat(
+        lit("selectByBudget contract: 0 <= priority < 2^23 and "),
+        lit("0 <= id < 2^40; got priority="), p, lit(" id="), i)))
+  }
+
   /** Token-budget corpus selection: keep the best documents (lowest
     * `priorityCol` first — e.g. `10000 - quality_e4`) until the token
     * budget is exhausted; a document is selected iff its exclusive
@@ -175,8 +189,7 @@ object Packing {
       priorityCol: String, budget: Long, partitions: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
     val keyed = df.select(
-      (col(priorityCol).cast("long") * lit(1L << 40) +
-        col(idCol).cast("long")).as("bkey"),
+      packedKey(col(priorityCol), col(idCol)).as("bkey"),
       col(tokenCol))
     packSequences(keyed, "bkey", tokenCol, capacity = budget,
         partitions = partitions)
@@ -196,8 +209,7 @@ object Packing {
     require(budgetsPerGroup.nonEmpty && budgetsPerGroup.values.forall(_ > 0),
       "budgets must be positive")
     val keyed = df.select(col(groupCol),
-      (col(priorityCol).cast("long") * lit(1L << 40) +
-        col(idCol).cast("long")).as("bkey"),
+      packedKey(col(priorityCol), col(idCol)).as("bkey"),
       col(tokenCol))
     val budget = budgetsPerGroup.toSeq.sortBy(_._1)
       .foldLeft(lit(0L)) { case (acc, (g, b)) =>
