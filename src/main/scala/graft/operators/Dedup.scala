@@ -195,6 +195,45 @@ object Dedup {
         col("sz_a"), col("sz_b"))
   }
 
+  /** INCREMENTAL near-dup detection: Jaccard pairs between a NEW batch
+    * and an EXISTING corpus only — the daily-ingest shape of a
+    * production dedup, where the corpus has already been deduped and
+    * re-pairing it against itself (the dominant cost: old×old is
+    * corpus-quadratic in candidate space) would redo yesterday's work.
+    * The corpus side becomes a df-capped shingle index, the new batch
+    * probes it, and pairs are only ever (new × old): cost scales with
+    * the BATCH, not the corpus.
+    *
+    * Inputs must be id-disjoint (a doc present in both sides would
+    * pair with itself at j = 1). Same hashes, cap rule, and verify
+    * arithmetic as [[jaccardPairsKernel]], so the DuckDB oracle mirrors
+    * it with a split CTE.
+    * Output: (id_new, id_old, common, sz_new, sz_old). */
+  def jaccardPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
+      textCol: String, idCol: String, k: Int, thresholdE4: Int,
+      maxDf: Long = 1000L): DataFrame = {
+    val nhs = shingleHashKernel(newDf, textCol, idCol, k).cache()
+    val chs = shingleHashKernel(corpusDf, textCol, idCol, k).cache()
+    val nex = nhs.select(col("id").as("id_new"), explode(col("hs")).as("sh"))
+    val cex = chs.select(col("id").as("id_old"), explode(col("hs")).as("sh"))
+    val nsizes = nhs.select(col("id").as("id_new"),
+      size(col("hs")).cast(LongType).as("sz_new"))
+    val csizes = chs.select(col("id").as("id_old"),
+      size(col("hs")).cast(LongType).as("sz_old"))
+    // df cap on the CORPUS index side: a hot shingle (boilerplate) is
+    // dropped from the index, bounding every probe's fan-out at maxDf
+    val keep = cex.groupBy(col("sh")).agg(count(lit(1)).as("df_"))
+      .where(col("df_") <= maxDf).select(col("sh"))
+    val pairs = nex.join(cex.join(keep, Seq("sh")), Seq("sh"))
+      .groupBy(col("id_new"), col("id_old"))
+      .agg(count(lit(1)).as("common"))
+    pairs.join(nsizes, Seq("id_new")).join(csizes, Seq("id_old"))
+      .where(lit(10000L) * col("common") >=
+        lit(thresholdE4.toLong) * (col("sz_new") + col("sz_old") - col("common")))
+      .select(col("id_new"), col("id_old"), col("common"),
+        col("sz_new"), col("sz_old"))
+  }
+
   /** Bounded `collect_list`: gathers up to `cap` elements per group in
     * ONE aggregation pass; a group that exceeds the cap yields the
     * overflow sentinel (empty list) instead of its contents. Memory per

@@ -142,6 +142,17 @@ object DocumentQueries {
         jaccardPairsArtifact(s, dir), "id_a", "id_b")
     }),
 
+    // INCREMENTAL dedup: the 20% "new batch" (doc_id % 5 = 4) probed
+    // against the 80% existing corpus — pairs are only new×old (the
+    // daily-ingest shape; the corpus is never re-paired with itself)
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.jaccardPairsAgainst(
+        d.where(col("doc_id") % 5 === 4),
+        d.where(col("doc_id") % 5 =!= 4),
+        "text", "doc_id", k = 3, thresholdE4 = 5000)
+    }),
+
     // SimHash fingerprints per doc (32-bit, md5-vote; row-local kernel
     // form — simhashTable is the declarative reference, spec-pinned)
     "text_simhash" -> ((s, dir) =>
@@ -686,6 +697,30 @@ object DocumentQueries {
         |      FROM documents GROUP BY text) c USING (text)""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardPairsSql,
+
+    // the split twin of jaccardPairsSql: probe side = doc_id % 5 = 4,
+    // index side = the rest, df cap computed on the INDEX side only
+    "dedup_incremental" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id,
+         |  unnest(list_transform(shset,
+         |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+         |  FROM sh),
+         |nw AS (SELECT * FROM ex WHERE doc_id % 5 = 4),
+         |old AS (SELECT * FROM ex WHERE doc_id % 5 <> 4),
+         |sizes AS (SELECT doc_id, len(shset) AS sz FROM sh),
+         |keep AS (SELECT s FROM old GROUP BY s HAVING count(*) <= 1000),
+         |pairs AS (
+         |  SELECT n.doc_id AS id_new, o.doc_id AS id_old,
+         |    count(*) AS common
+         |  FROM nw n JOIN keep USING (s) JOIN old o USING (s)
+         |  GROUP BY 1, 2)
+         |SELECT p.id_new, p.id_old, p.common,
+         |  sa.sz AS sz_new, sb.sz AS sz_old
+         |FROM pairs p
+         |JOIN sizes sa ON sa.doc_id = p.id_new
+         |JOIN sizes sb ON sb.doc_id = p.id_old
+         |WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)""".stripMargin,
 
     // transitive closure of the SAME pair set via a recursive CTE:
     // component = min doc_id reachable through near-dup edges

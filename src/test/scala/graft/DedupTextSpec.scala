@@ -17,6 +17,29 @@ class DedupTextSpec extends SparkTestBase {
     (5L, "ab")) // shorter than shingle k
     .toDF("doc_id", "text")
 
+  test("incremental pairs == full pairs restricted to the batch boundary") {
+    import org.apache.spark.sql.functions.col
+    // no shingle is hot in this corpus, so the df caps are inert and
+    // the incremental (new×old) set must equal the symmetric full
+    // pair set filtered to pairs crossing the split
+    val newDf = corpus.where(col("doc_id") % 2 === 1)
+    val oldDf = corpus.where(col("doc_id") % 2 === 0)
+    val inc = Dedup.jaccardPairsAgainst(newDf, oldDf, "text", "doc_id",
+        k = 3, thresholdE4 = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.jaccardPairsKernel(corpus, "text", "doc_id",
+        k = 3, thresholdE4 = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossFull = full.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+      case (a, b) if b % 2 == 1 && a % 2 == 0 => (b, a)
+    }
+    assert(inc == crossFull)
+    assert(inc.contains((1L, 2L))) // exact dup across the boundary
+    // and nothing pairs old×old or new×new
+    assert(inc.forall { case (n, o) => n % 2 == 1 && o % 2 == 0 })
+  }
+
   test("duplicatedSpanStats flags cross-doc spans, not unique content") {
     // doc 1/2 identical → every span duplicated; doc 3 shares the
     // 3-token tail change so w=3 spans mostly overlap doc 1; doc 4
