@@ -162,6 +162,27 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("__content_key")
       .drop("__content_key")
 
+  /** The streaming twin of [[graft.operators.Dedup.jaccardPairsAgainst]]'s
+    * exact-match special case: drop incoming rows whose CONTENT already
+    * exists in a static historical corpus — the ingest-time gate that
+    * keeps an already-deduped corpus closed under new arrivals. The
+    * corpus side collapses to its distinct md5 content keys once
+    * (32-byte keys, never the bodies — persist or broadcast-size it at
+    * deployment); the stream anti-joins per micro-batch, a
+    * stream-static join Structured Streaming executes stateless, so
+    * no watermark and no state store are involved (compose with
+    * [[dedupStream]] for within-stream duplicates). */
+  def dedupStreamAgainst(stream: DataFrame, contentCol: String,
+      corpus: DataFrame, corpusContentCol: String): DataFrame = {
+    val keys = corpus
+      .select(md5(col(corpusContentCol).cast("string")).as("__content_key"))
+      .distinct()
+    stream
+      .withColumn("__content_key", md5(col(contentCol).cast("string")))
+      .join(keys, Seq("__content_key"), "left_anti")
+      .drop("__content_key")
+  }
+
   /** An open (not yet gap-closed) session interval in streaming state. */
   case class OpenSession(startMs: Long, endMs: Long, n: Long)
 

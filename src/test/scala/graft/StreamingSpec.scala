@@ -388,4 +388,30 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(batchCanon == kept)
   }
+
+  test("stream-vs-corpus dedup drops known content, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "alpha beta"), (101L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val gated = StreamingIngest.dedupStreamAgainst(
+      source.toDF().toDF("doc_id", "ts", "text"), "text", corpus, "text")
+    val q = gated.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_against_test")
+      .start()
+    source.addData(
+      (1L, ts("2024-01-01T10:00"), "alpha beta"),   // known → dropped
+      (2L, ts("2024-01-01T10:01"), "fresh words"),  // new → kept
+      (3L, ts("2024-01-01T10:02"), "gamma delta"))  // known → dropped
+    q.processAllAvailable()
+    // no watermark needed: later batches see the same static gate
+    source.addData((4L, ts("2024-01-02T09:00"), "alpha beta"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_against_test").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L))
+  }
 }
