@@ -301,24 +301,8 @@ final class TimeSeriesService(
       step: Step = Step.NoStep, offsetHours: Int = 0): DataFrame = {
     val (fact, dim, grouping) = route(factId, dimId, filters)
     val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
-    rollupStore.get((fact.id, grouping)) match {
-      case Some(RollupReg(path, external)) =>
-        // Serve from the rollup (O13/§4): identical result by
-        // re-aggregability, smaller scan, and the bucket range prunes
-        // whole date partitions before reading. An EXTERNAL rollup may
-        // coexist with events written directly to this service (assumed
-        // disjoint from the stream feeding it) — union the local
-        // events' slice partials in so the query sees both histories.
-        val stored = Rollups.read(spark, path)
-        val hasLocalEvents =
-          buffer.nonEmpty || bulk.nonEmpty || storeDir.nonEmpty
-        val merged =
-          if (external && hasLocalEvents) {
-            val local = Rollups
-              .build(prepare(fact.id, grouping), fact, slice, grouping)
-              .withColumn("bucket_date", to_date(col("bucket")))
-            stored.unionByName(local, allowMissingColumns = true)
-          } else stored
+    servableRollup(fact, slice, grouping) match {
+      case Some(merged) =>
         Rollups.run(merged, fact, slice, grouping,
           filters, start, finish, step, offsetHours)
       case None =>
@@ -326,6 +310,29 @@ final class TimeSeriesService(
           filters, start, finish, step, offsetHours)
     }
   }
+
+  /** Registered partials for (fact, grouping), ready to query — or
+    * None for compute-on-read. Serving from the rollup (O13/§4) gives
+    * an identical result by re-aggregability, a smaller scan, and the
+    * bucket range prunes whole date partitions before reading. An
+    * EXTERNAL rollup may coexist with events written directly to this
+    * service (assumed disjoint from the stream feeding it) — the local
+    * events' slice partials are unioned in so the query sees both
+    * histories. */
+  private def servableRollup(fact: graft.model.FactDef, slice: Int,
+      grouping: Seq[String]): Option[DataFrame] =
+    rollupStore.get((fact.id, grouping)).map {
+      case RollupReg(path, external) =>
+        val stored = Rollups.read(spark, path)
+        val hasLocalEvents =
+          buffer.nonEmpty || bulk.nonEmpty || storeDir.nonEmpty
+        if (external && hasLocalEvents) {
+          val local = Rollups
+            .build(prepare(fact.id, grouping), fact, slice, grouping)
+            .withColumn("bucket_date", to_date(col("bucket")))
+          stored.unionByName(local, allowMissingColumns = true)
+        } else stored
+    }
 
   /** `get-histogram` (api.clj:38-41) — unimplemented in every reference
     * backend (postgres.clj:126-128); completed here. Returns one count
@@ -345,8 +352,17 @@ final class TimeSeriesService(
     require(fact.ftype == FactType.Histogram,
       s"Fact $factId is not a histogram")
     val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
-    val perSeries = Timeseries.runHistogram(prepare(fact.id, grouping),
-      fact, slice, grouping, filters, start, finish, step, offsetHours)
+    // histogram partials are tall (series × slice × hist_bucket) rows
+    // (Timeseries.sliceBuckets), so registered rollups serve histograms
+    // exactly like counters — O(rollup) instead of O(events)
+    val perSeries = servableRollup(fact, slice, grouping) match {
+      case Some(merged) =>
+        Rollups.runHistogram(merged, fact, slice, grouping, filters,
+          start, finish, step, offsetHours)
+      case None =>
+        Timeseries.runHistogram(prepare(fact.id, grouping),
+          fact, slice, grouping, filters, start, finish, step, offsetHours)
+    }
     if (mergeSeries) {
       // the reference's declared merge-with parameter (api.clj:38-41,
       // stub in every backend): per-bucket series counts reduced by a

@@ -121,12 +121,16 @@ object Rollups {
       step: Step, offsetHours: Int): DataFrame = {
     val keys = grouping.map(col) :+
       TimeKernel.timeDimension(col("bucket"), step, offsetHours).as("bucket")
-    val grouped = rollup.groupBy(keys: _*)
     fact.ftype match {
       case FactType.Average =>
-        grouped.agg(sum("counter").as("counter"), sum("total").as("total"))
+        rollup.groupBy(keys: _*)
+          .agg(sum("counter").as("counter"), sum("total").as("total"))
+      case FactType.Histogram =>
+        // partials carry hist_bucket; re-aggregation preserves it
+        rollup.groupBy(keys :+ col("hist_bucket"): _*)
+          .agg(sum("value").as("value"))
       case _ =>
-        grouped.agg(sum("value").as("value"))
+        rollup.groupBy(keys: _*).agg(sum("value").as("value"))
     }
   }
 
@@ -135,10 +139,12 @@ object Rollups {
     * endpoints slice-floored, `postgres/query.clj:16-17`) → collapse →
     * gap fill. Result is IDENTICAL to [[Timeseries.run]] over the raw
     * events the rollup was built from (pinned by RollupsSpec). */
-  def run(rollup: DataFrame, fact: FactDef, sliceMinutes: Int,
+  /** Shared partial-scan fragment: date-partition pruning + inclusive
+    * bucketed range + equality filters (postgres/query.clj:10-17
+    * semantics over partials). */
+  private def scanPartials(rollup: DataFrame, sliceMinutes: Int,
       grouping: Seq[String], filters: Map[String, Option[String]],
-      start: Timestamp, finish: Timestamp, step: Step,
-      offsetHours: Int = 0): DataFrame = {
+      start: Timestamp, finish: Timestamp): DataFrame = {
     val lo = TimeKernel.sliceFloorLocal(start, sliceMinutes)
     val hi = TimeKernel.sliceFloorLocal(finish, sliceMinutes)
     val eq = filters.collect {
@@ -158,10 +164,36 @@ object Rollups {
       // (idempotent per-batch overwrite) — a storage artifact, dropped
       p.drop("__batch_id")
     }
-    val scanned = pruned
+    pruned
       .where(col("bucket") >= lit(lo) && col("bucket") <= lit(hi))
       .where(eq)
+  }
+
+  def run(rollup: DataFrame, fact: FactDef, sliceMinutes: Int,
+      grouping: Seq[String], filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp, step: Step,
+      offsetHours: Int = 0): DataFrame = {
+    val scanned = scanPartials(rollup, sliceMinutes, grouping, filters,
+      start, finish)
     val collapsed = collapsePartials(scanned, fact, grouping, step, offsetHours)
     Timeseries.fillRange(collapsed, fact, grouping, start, finish, step)
+  }
+
+  /** [[Timeseries.runHistogram]] served from histogram slice partials
+    * (tall (series × slice × hist_bucket) rows) instead of raw events
+    * — identical results by re-aggregability of counts, with the same
+    * partition-pruned scan as [[run]]. At 100 TB this is what makes
+    * histogram queries O(rollup) instead of O(events). */
+  def runHistogram(rollup: DataFrame, fact: FactDef, sliceMinutes: Int,
+      grouping: Seq[String], filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp, step: Step = Step.NoStep,
+      offsetHours: Int = 0): DataFrame = {
+    val scanned = scanPartials(rollup, sliceMinutes, grouping, filters,
+      start, finish)
+    val coll = collapsePartials(scanned, fact, grouping, step, offsetHours)
+    if (step == Step.NoStep)
+      coll.groupBy(grouping.map(col) :+ col("hist_bucket"): _*)
+        .agg(sum("value").as("value"))
+    else coll
   }
 }

@@ -187,6 +187,12 @@ object Timeseries {
       case FactType.Average =>
         scanned.groupBy(keys: _*)
           .agg(count(lit(1)).as("counter"), sum("value").as("total"))
+      case FactType.Histogram =>
+        // tall partials: one row per (series × slice × value bucket),
+        // re-aggregable by summing counts — the reference's b<lower>
+        // columns (postgres/schema.clj:162-166) as rows, not DDL
+        scanned.groupBy(keys :+ histBucket(fact): _*)
+          .agg(count(lit(1)).as("value"))
       case _ =>
         scanned.groupBy(keys: _*).agg(sum("value").as("value"))
     }

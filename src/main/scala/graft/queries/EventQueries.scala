@@ -159,6 +159,19 @@ object EventQueries {
         histFact, 15, Seq("event_type"), Map.empty,
         ts("2024-01-01T00:00"), ts("2024-01-31T00:00"))),
 
+    // O21 served from MATERIALIZED partials: the same histogram query
+    // re-aggregated from tall (series × slice × hist_bucket) rollup
+    // rows instead of raw events — count re-aggregability makes the
+    // result identical, so it shares ts_hist's oracle
+    "ts_hist_rollup" -> ((s, dir) => {
+      import graft.operators.Rollups
+      val prepared = prep(s, dir, withUser = false, col("value"),
+        Some(("2024-01-01T00:00", "2024-01-31T00:00")))
+      val partials = Rollups.build(prepared, histFact, 15, Seq("event_type"))
+      Rollups.runHistogram(partials, histFact, 15, Seq("event_type"),
+        Map.empty, ts("2024-01-01T00:00"), ts("2024-01-31T00:00"))
+    }),
+
     // O21 merge-with under the oracle gate: series axis collapsed by
     // the MergeWith UDAF (the reference's declared user-supplied
     // reduction, stubbed in every backend) — with f = + the result
@@ -583,6 +596,16 @@ object EventQueries {
          |LEFT JOIN scanned c USING (event_type, bucket)""".stripMargin,
 
     "ts_hist" ->
+      s"""SELECT event_type,
+         |  CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) * 20 AS hist_bucket,
+         |  count(*) AS value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '${lo("2024-01-01T00:00")}'
+         |  AND ts < TIMESTAMP '${hi("2024-01-31T00:00")}'
+         |GROUP BY ALL""".stripMargin,
+
+    // rollup-served twin: identical result by count re-aggregability
+    "ts_hist_rollup" ->
       s"""SELECT event_type,
          |  CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) * 20 AS hist_bucket,
          |  count(*) AS value

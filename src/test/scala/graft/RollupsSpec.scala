@@ -70,6 +70,30 @@ class RollupsSpec extends SparkTestBase {
     assert(a.agg(sum("total")).head().getLong(0) > 0)
   }
 
+  private val histFact = FactDef("lat_hist", FactType.Histogram,
+    sliceMinutes = 15, start = Some(0L), end = Some(100L), step = Some(20L))
+
+  test("histogram: tall partials re-aggregate exactly (:none + day step + filters)") {
+    val raw = rawAvg // values 50..149 spread across the bucket range
+    val dir = Files.createTempDirectory("rollup").toString
+    Rollups.materialize(raw, histFact, 15, Seq("dim"), dir)
+    val rollup = Rollups.read(spark, dir)
+    // partials are (dim, bucket, hist_bucket, value) rows
+    assert(rollup.columns.toSet ==
+      Set("dim", "bucket", "hist_bucket", "value", "bucket_date"))
+    for ((step, filters) <- Seq(
+        (Step.NoStep, Map.empty[String, Option[String]]),
+        (Step.Day, Map.empty[String, Option[String]]),
+        (Step.NoStep, Map("dim" -> Option("h1"))))) {
+      val a = Rollups.runHistogram(rollup, histFact, 15, Seq("dim"), filters,
+        ts("2024-01-01T00:00"), ts("2024-01-04T00:00"), step)
+      val b = Timeseries.runHistogram(raw, histFact, 15, Seq("dim"), filters,
+        ts("2024-01-01T00:00"), ts("2024-01-04T00:00"), step)
+      assert(collectSorted(a) == collectSorted(b), s"step $step $filters")
+      assert(a.count() > 0, s"step $step $filters")
+    }
+  }
+
   test("rollup parquet is date-partitioned for partition pruning") {
     val dir = Files.createTempDirectory("rollup").toString
     Rollups.materialize(rawCounter, counterFact, 15, Seq("dim"), dir)
