@@ -331,6 +331,39 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set(("a", ts("2014-03-21T09:00"), 3L, 360L)))
   }
 
+  test("maintained rollup serves a HISTOGRAM fact: tall partials") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val fact = FactDef("lat_hist", FactType.Histogram, sliceMinutes = 15,
+      start = Some(0L), end = Some(300L), step = Some(100L))
+    val path = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    val q = StreamingIngest.maintainRollup(source.toDF(), fact, Seq("host"), path)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString)
+      .start()
+    source.addData(
+      Event("lat_hist", ts("2014-03-21T09:01"), 50, Map("host" -> "a")),
+      Event("lat_hist", ts("2014-03-21T09:07"), 250, Map("host" -> "a")))
+    q.processAllAvailable()
+    // same slice, same value bucket as the first event: counts re-agg
+    source.addData(
+      Event("lat_hist", ts("2014-03-21T09:11"), 80, Map("host" -> "a")))
+    q.processAllAvailable()
+    q.stop()
+
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("lat_hist", FactType.Histogram, slice = 15,
+      start = Some(0L), end = Some(300L), step = Some(100L))
+    svc.defineDimension("host", facts = Set("lat_hist"))
+    svc.registerRollup("lat_hist", Seq("host"), path)
+    val rows = svc.getHistogram("lat_hist", "host", Map.empty,
+        ts("2014-03-21T09:00"), ts("2014-03-21T10:00"))
+      .collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Long]("hist_bucket"),
+        r.getAs[Long]("value"))).toSet
+    assert(rows == Set(("a", 0L, 2L), ("a", 200L, 1L)))
+  }
+
   test("average fact streams as re-aggregable (counter,total) pairs") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
