@@ -214,6 +214,12 @@ final class TimeSeriesService(
     if (!seenBatches.contains(batchId)) {
       ingestTagged(events, s"b$batchId")
       seenBatches += batchId
+    } else if (events.storageLevel.useMemory) {
+      // replayed delivery: the caller cached the batch for the
+      // hand-off ([[graft.streaming.StreamingIngest.foreachBatchInto]])
+      // but nothing on this path will materialize it — release it, or
+      // every duplicate delivery leaks a cached frame until LRU
+      events.unpersist()
     }
   }
 

@@ -205,15 +205,28 @@ object Dedup {
     * the BATCH, not the corpus.
     *
     * Inputs must be id-disjoint (a doc present in both sides would
-    * pair with itself at j = 1). Same hashes, cap rule, and verify
-    * arithmetic as [[jaccardPairsKernel]], so the DuckDB oracle mirrors
-    * it with a split CTE.
+    * pair with itself at j = 1). The candidate join filters
+    * `id_new =!= id_old` so a contract violation can never emit a
+    * self-pair silently, and `validateDisjoint = true` additionally
+    * asserts the id sets don't intersect (one cheap distinct-join job
+    * over the already-cached shingle frames) — use it when the two
+    * sides come from an upstream whose id allocation isn't trusted.
+    * Same hashes, cap rule, and verify arithmetic as
+    * [[jaccardPairsKernel]], so the DuckDB oracle mirrors it with a
+    * split CTE.
     * Output: (id_new, id_old, common, sz_new, sz_old). */
   def jaccardPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
       textCol: String, idCol: String, k: Int, thresholdE4: Int,
-      maxDf: Long = 1000L): DataFrame = {
+      maxDf: Long = 1000L, validateDisjoint: Boolean = false): DataFrame = {
     val nhs = shingleHashKernel(newDf, textCol, idCol, k).cache()
     val chs = shingleHashKernel(corpusDf, textCol, idCol, k).cache()
+    if (validateDisjoint) {
+      val overlap = nhs.select(col("id")).distinct()
+        .join(chs.select(col("id")).distinct(), Seq("id")).limit(1)
+      require(overlap.isEmpty,
+        "jaccardPairsAgainst: newDf and corpusDf share ids — the " +
+          "incremental contract requires disjoint id spaces")
+    }
     val nex = nhs.select(col("id").as("id_new"), explode(col("hs")).as("sh"))
     val cex = chs.select(col("id").as("id_old"), explode(col("hs")).as("sh"))
     val nsizes = nhs.select(col("id").as("id_new"),
@@ -225,6 +238,7 @@ object Dedup {
     val keep = cex.groupBy(col("sh")).agg(count(lit(1)).as("df_"))
       .where(col("df_") <= maxDf).select(col("sh"))
     val pairs = nex.join(cex.join(keep, Seq("sh")), Seq("sh"))
+      .where(col("id_new") =!= col("id_old")) // surface, don't emit, contract violations
       .groupBy(col("id_new"), col("id_old"))
       .agg(count(lit(1)).as("common"))
     pairs.join(nsizes, Seq("id_new")).join(csizes, Seq("id_old"))
@@ -456,7 +470,12 @@ object Dedup {
     var labels = nodes
       .select(col(idCol).cast(LongType).as("id"), col(idCol).cast(LongType).as("comp"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    // sum over zero rows is SQL NULL — read through Option so an empty
+    // nodes frame converges to an empty labels frame instead of NPEing
+    def compSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("comp"))).head().get(0))
+        .fold(0L)(_.asInstanceOf[Number].longValue)
+    var prevSum = compSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -465,7 +484,7 @@ object Dedup {
       val next = labels.select(col("id"), col("comp")).union(msgs)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      val s = compSum(next)
       releaseCheckpoint(labels)
       labels = next
       converged = s == prevSum

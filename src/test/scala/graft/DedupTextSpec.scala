@@ -88,6 +88,29 @@ class DedupTextSpec extends SparkTestBase {
     assert(got.values.toSet == Set(0L) && got.size == n)
   }
 
+  test("min-label components: empty nodes frame returns empty labels") {
+    // sum over zero rows is SQL NULL — the convergence check must not
+    // dereference it (regression: NPE on empty input)
+    val nodes = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(nodes, "id", edges, "a", "b").isEmpty)
+  }
+
+  test("incremental pairs: shared ids are rejected / never self-pair") {
+    val batch = corpus.where(col("doc_id") <= 2)
+    // validateDisjoint: overlapping id spaces fail fast
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsAgainst(batch, corpus, "text", "doc_id",
+        k = 3, thresholdE4 = 5000, validateDisjoint = true).collect()
+    }
+    // without validation the join-side guard still suppresses the
+    // j=1 self-pair a doc would otherwise form with itself
+    val loose = Dedup.jaccardPairsAgainst(batch, corpus, "text", "doc_id",
+        k = 3, thresholdE4 = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(loose.forall { case (n, o) => n != o })
+  }
+
   test("star contraction: empty edge set yields all-singleton components") {
     val nodes = Seq(10L, 20L, 30L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -72,28 +72,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
     // 3 data shuffles: distinct (line,doc) pairs + line-df + per-doc
-    // reassembly — and no 4th from a totals⋈kept doc join
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p.take(3000))
+    // reassembly — and no 4th from a totals⋈kept doc join. Upper bound,
+    // not equality: planner/AQE changes may legally merge exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(3000))
   }
 
   test("mixture rebalancing output is sample + single aggregation") {
     val p = plan("mix_sources_profile")
     assert(!p.contains("Join"), p.take(2000))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
   }
 
   test("composed scrub pipeline adds no shuffle beyond strip + final agg") {
     val p = plan("pipeline_scrub_profile")
     assert(!p.contains("CartesianProduct"), p.take(2000))
     // 3 strip shuffles + the final per-source aggregation; the (id,
-    // source) key-restore join must not re-shuffle the strip side
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 4, p.take(3000))
+    // source) key-restore join must not re-shuffle the strip side.
+    // Upper bound: a merged exchange is fine, an extra one is the bug
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p.take(3000))
   }
 
   test("length percentiles reuse the window partitioning for the final agg") {
     val p = plan("length_percentiles")
     // one hash partitioning on source serves both the rank window and
     // the aggregation — a second exchange would mean lost co-partitioning
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
   }
 }
