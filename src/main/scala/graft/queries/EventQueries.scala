@@ -455,6 +455,19 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
     }),
 
+    // batch/stream EQUIVALENCE for SESSIONIZATION under the oracle
+    // gate: the events replay through flatMapGroupsWithState
+    // (sessionizeStream, custom per-user open-interval state) as a
+    // file stream, closed sessions land in a parquet sink, and the
+    // result must hash-match the SAME window-SQL oracle as the batch
+    // session_window query (event_sessions). Far-future sentinel
+    // files advance the watermark past every real session close —
+    // the streaming analogue of "the stream has moved on"
+    "stream_sessions" -> ((s, dir) =>
+      s.read.parquet(streamedSessions(s, dir))
+        .where(col("user_id") >= 0L)
+        .select(col("user_id"), col("session_start"), col("n_events"))),
+
     // materialized-rollup read path: build slice partials, serve the
     // hourly query FROM the rollup — result must hash-match the same
     // oracle as the raw-events pipeline (re-aggregability, SURVEY §4)
@@ -527,6 +540,67 @@ object EventQueries {
         .start()
       q.awaitTermination()
       rollPath
+    })
+
+  /** stream_sessions' closed-session parquet, built once per (session,
+    * sf dir). */
+  private val streamSessionDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Replay the sf events through
+    * [[graft.streaming.StreamingIngest.sessionizeStream]] as a bounded
+    * file stream and return the closed-session parquet path.
+    *
+    * Landing-dir choreography (mtime-ordered, one file per
+    * micro-batch): f1 = the real events; f2/f3 = single far-future
+    * sentinel events for negative user ids. After f1 the watermark
+    * advances to max real event time; f2 pushes it past every real
+    * session's close (end + gap); f3 runs one more batch so the
+    * event-time TIMEOUTS actually fire (timed-out state is processed
+    * on the batch AFTER the watermark passes it). Sentinel users are
+    * negative, so the serving query filters them without touching real
+    * sessions. Watermark delay 0: all real events arrive in one batch,
+    * so nothing is late relative to the still-epoch watermark. */
+  private def streamedSessions(s: SparkSession, dir: String): String =
+    streamSessionDirs.getOrElseUpdate((s, dir), {
+      import graft.streaming.StreamingIngest
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      import org.apache.spark.sql.types.{StructType, TimestampType}
+      val base = Files.createTempDirectory("graft_streamsess").toString
+      val landing = s"$base/landing"
+      Files.createDirectories(Paths.get(landing))
+      val outPath = s"$base/sessions"
+      def writeFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dest = Paths.get(landing, s"$name.parquet")
+        Files.move(Paths.get(part), dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+      import s.implicits._
+      val t0 = System.currentTimeMillis()
+      writeFile(events(s, dir).select(col("user_id").cast(LongType), col("ts")),
+        "f1", t0)
+      writeFile(Seq((-1L, ts("2100-01-01T00:00"))).toDF("user_id", "ts"),
+        "f2", t0 + 60000L)
+      writeFile(Seq((-2L, ts("2100-06-01T00:00"))).toDF("user_id", "ts"),
+        "f3", t0 + 120000L)
+      val schema = new StructType()
+        .add("user_id", LongType).add("ts", TimestampType)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      val q = StreamingIngest.sessionizeStream(stream, gapMinutes = 30,
+          watermarkDelay = "0 seconds")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      outPath
     })
 
   // ---------------------------------------------------------------- oracles
@@ -753,6 +827,22 @@ object EventQueries {
         |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR""".stripMargin,
 
     "event_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    // identical to event_sessions: a streaming sessionization must be
+    // indistinguishable from the batch session_window under the oracle
+    "stream_sessions" ->
       """WITH o AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL

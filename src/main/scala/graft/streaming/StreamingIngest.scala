@@ -183,8 +183,12 @@ object StreamingIngest {
       .drop("__content_key")
   }
 
-  /** An open (not yet gap-closed) session interval in streaming state. */
-  case class OpenSession(startMs: Long, endMs: Long, n: Long)
+  /** An open (not yet gap-closed) session interval in streaming state.
+    * Bounds are epoch MICROSECONDS: `Timestamp.getTime` is
+    * millisecond-truncating, and a session_start emitted at ms
+    * precision would diverge from the µs-exact batch `session_window`
+    * twin (the batch/stream-equivalence gate hashes them equal). */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
 
   /** Per-user streaming sessionization state: open intervals only —
     * cardinality is concurrent sessions per user inside the watermark
@@ -212,7 +216,15 @@ object StreamingIngest {
       watermarkDelay: String): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+    // µs-exact conversions: Timestamp.getTime truncates to ms, the
+    // sub-ms fraction lives in getNanos — recombine (and split back on
+    // emission) so streamed session bounds equal the batch twin's
+    def toUs(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def toTs(us: Long): Timestamp =
+      Timestamp.from(java.time.Instant.ofEpochSecond(
+        math.floorDiv(us, 1000000L), math.floorMod(us, 1000000L) * 1000L))
     events
       .withWatermark("ts", watermarkDelay)
       .select(col("user_id").cast("long"), col("ts"))
@@ -221,30 +233,31 @@ object StreamingIngest {
       .flatMapGroupsWithState[SessionBuf, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user, rows, state) =>
-          val wm = state.getCurrentWatermarkMs()
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val existing = if (state.exists) state.get.open else Seq.empty
           val incoming =
-            rows.map(r => OpenSession(r._2.getTime, r._2.getTime, 1L)).toSeq
+            rows.map { r => val us = toUs(r._2); OpenSession(us, us, 1L) }.toSeq
           val merged = (existing ++ incoming)
-            .sortBy(s => (s.startMs, s.endMs))
+            .sortBy(s => (s.startUs, s.endUs))
             .foldLeft(List.empty[OpenSession]) { (acc, s) =>
               acc match {
-                case h :: t if s.startMs < h.endMs + gapMs =>
-                  OpenSession(h.startMs, math.max(h.endMs, s.endMs), h.n + s.n) :: t
+                case h :: t if s.startUs < h.endUs + gapUs =>
+                  OpenSession(h.startUs, math.max(h.endUs, s.endUs), h.n + s.n) :: t
                 case _ => s :: acc
               }
             }.reverse
-          val (closed, open) = merged.partition(_.endMs + gapMs <= wm)
+          val (closed, open) = merged.partition(_.endUs + gapUs <= wmUs)
           if (open.nonEmpty) {
             state.update(SessionBuf(open))
-            // earliest possible close; strictly > wm for all open
-            state.setTimeoutTimestamp(open.map(_.endMs + gapMs).min)
+            // earliest possible close, CEIL'd to ms (the timeout clock):
+            // ceil keeps it strictly > wm, floor could re-arm in the past
+            state.setTimeoutTimestamp(
+              open.map(s => math.floorDiv(s.endUs + gapUs + 999L, 1000L)).min)
           } else {
             state.remove()
           }
           closed.iterator.map(s =>
-            ClosedSession(user, new Timestamp(s.startMs),
-              new Timestamp(s.endMs), s.n))
+            ClosedSession(user, toTs(s.startUs), toTs(s.endUs), s.n))
       }
   }
 }
