@@ -495,6 +495,42 @@ object Dedup {
     labels.select(col("id").as(idCol), col("comp").as("component"))
   }
 
+  /** Canonical-document selection: per near-dup cluster keep the
+    * highest-scoring member (ties broken by lowest id so the choice is
+    * deterministic). The second half of cluster-collapse dedup — after
+    * [[connectedComponents]] partitions the corpus, a real pipeline
+    * keeps ONE representative per cluster, and "first seen" is the
+    * wrong one when a later crawl has the cleaner copy; selecting by a
+    * quality signal (e.g. `quality_e4` from
+    * [[TextAnalysis.statsKernel]]) keeps the best.
+    *
+    * Scale shape: one equality join on the id (labels are (id,
+    * component) pairs, never text) and ONE hash-partitioning on
+    * `component` shared by both window functions (rank and member
+    * count use the same partition key, so Spark plans a single
+    * exchange). Cluster cardinality bounds window state: partitions
+    * hold one cluster's members, not the corpus.
+    *
+    * @param components (idCol, component) labels from
+    *   [[connectedComponents]]/[[connectedComponentsStar]]
+    * @param scores (idCol, scoreCol [, …]) per-doc quality
+    * @return one row per component: (component, idCol of the kept doc,
+    *   scoreCol of the kept doc, n_members) */
+  def keepBest(components: DataFrame, scores: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byComp = Window.partitionBy(col("component"))
+    val ranked = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    components
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .withColumn("__rk", row_number().over(ranked))
+      .where(col("__rk") === 1)
+      .select(col("component"), col(idCol), col(scoreCol),
+        col("n_members"))
+  }
+
   /** Connected components by alternating star contraction (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14 —
     * public algorithm): the adversarial-depth twin of

@@ -145,6 +145,42 @@ object TextAnalysis {
       .toDF("id", "rep3_e4")
   }
 
+  /** Rare-token profile: per document, how many of its token
+    * OCCURRENCES use a token whose corpus document frequency is
+    * ≤ `maxDf`, plus the fraction (×10⁴, floored). A high rare
+    * fraction flags OCR noise, mojibake, and synthetic gibberish —
+    * the df-based twin of the stopword-ratio quality signal (rare
+    * tokens are rare BECAUSE no other document corroborates them).
+    *
+    * Scale shape: the corpus-wide df table and the per-doc counts are
+    * both hash aggregations on compact keys ((token, id) pairs and
+    * tokens — never full text). The exploded token stream is shuffled
+    * twice (once to count distinct docs per token, once joined back on
+    * token — co-partitioned with the df aggregation's output, so the
+    * join itself adds no exchange on the df side), then per-doc totals
+    * reduce on id. No collect, no driver-side vocabulary: the df table
+    * stays distributed, so a 100 TB corpus's billion-token vocabulary
+    * never has to fit anywhere whole.
+    *
+    * @return one row per input doc: (idCol, n_tokens, n_rare, rare_e4) */
+  def rareTokenStats(df: DataFrame, textCol: String, idCol: String,
+      maxDf: Long = 2L): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    // df = distinct docs per token: the (token, id) distinct is the
+    // map-side-combinable form (countDistinct would carry the id set
+    // through the exchange)
+    val dfTable = tok.distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    tok.join(dfTable, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__df") <= maxDf, 1L).otherwise(0L)).as("n_rare"))
+      .select(col(idCol), col("n_tokens"), col("n_rare"),
+        floor(lit(10000.0) * col("n_rare") / col("n_tokens"))
+          .cast(LongType).as("rare_e4"))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized text —
     * the exact-dedup key in hash form. */
   def md5Fingerprint(text: Column): Column =

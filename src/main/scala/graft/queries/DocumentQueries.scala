@@ -30,6 +30,8 @@ object DocumentQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val jsonlDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val orcDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   private def deleteOnExit(p: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -140,6 +142,19 @@ object DocumentQueries {
       val d = docs(s, dir)
       Dedup.connectedComponentsStar(d.select(col("doc_id")), "doc_id",
         jaccardPairsArtifact(s, dir), "id_a", "id_b")
+    }),
+
+    // canonical-doc selection: the cluster collapse FINISHED — per
+    // component keep the highest-quality member (ties → lowest id),
+    // with the member count as the dedup yield signal. One join on ids
+    // + one shared window partitioning on component.
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val comps = Dedup.connectedComponents(d.select(col("doc_id")),
+        "doc_id", jaccardPairsArtifact(s, dir), "id_a", "id_b")
+      val scores = TextAnalysis.statsKernel(d, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("quality_e4"))
+      Dedup.keepBest(comps, scores, "doc_id", "quality_e4")
     }),
 
     // INCREMENTAL dedup: the 20% "new batch" (doc_id % 5 = 4) probed
@@ -254,6 +269,14 @@ object DocumentQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
+
+    // df-based rarity quality signal: per-doc count/fraction of token
+    // occurrences whose corpus document frequency is <= 2 (OCR noise /
+    // mojibake / gibberish detector — rare because uncorroborated).
+    // The corpus-wide df table stays distributed end to end.
+    "rare_token_stats" -> ((s, dir) =>
+      TextAnalysis.rareTokenStats(docs(s, dir), "text", "doc_id",
+        maxDf = 2L)),
 
     // repetition quality rule (Gopher/C4-style): per-doc fraction of
     // duplicated word 3-grams, integer-exact (kernel form; the
@@ -477,7 +500,7 @@ object DocumentQueries {
     // byte-for-byte, gated via length + md5 content hash per doc
     "text_normalize" -> ((s, dir) => {
       val dirty = concat(lit("\t "), col("text"),
-        lit("\r\r tail"), lit(" "),
+        lit("\r\r tail"), lit("\u0000"),
         when(col("doc_id") % 3 === 0, lit("  double  spaced \n line "))
           .otherwise(""))
       docs(s, dir)
@@ -505,6 +528,28 @@ object DocumentQueries {
         t.toString
       })
       CorpusSink.readJsonl(s, p, d.schema)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(conv(substring(md5(col("text")), 1, 15), 16, 10)
+            .cast("long") % 1000000007L).as("content_hash"))
+    }),
+
+    // same lossless-interchange gate for ORC (the other columnar
+    // hand-off format): write the corpus as ORC, read it back through
+    // the pinned-schema reader, profile per (source, lang) with the
+    // identical per-doc md5 content-hash sum — the oracle computes the
+    // profile from the parquet originals
+    "docs_orc_roundtrip" -> ((s, dir) => {
+      import graft.sources.CorpusSink
+      val d = docs(s, dir)
+      val p = orcDirs.getOrElseUpdate((s, dir), {
+        val t = java.nio.file.Files.createTempDirectory("graft_orc")
+        deleteOnExit(t)
+        CorpusSink.writeOrc(d, t.toString)
+        t.toString
+      })
+      CorpusSink.readOrc(s, p, d.schema)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("sum_chars"),
@@ -750,6 +795,30 @@ object DocumentQueries {
          |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
          |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin,
 
+    // the clusters CTE (same recursive closure) joined to the quality
+    // CTE; kept member = row_number 1 under (quality DESC, doc_id)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE jp AS (
+         |$jaccardPairsSql
+         |),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM jp
+         |        UNION ALL SELECT id_b AS a, id_a AS b FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+         |comp AS (SELECT a AS doc_id, min(b) AS component
+         |         FROM reach GROUP BY a),
+         |st AS ($textStatsSql),
+         |scored AS (
+         |  SELECT c.component, c.doc_id, st.quality_e4,
+         |    count(*) OVER (PARTITION BY c.component) AS n_members,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY st.quality_e4 DESC, c.doc_id) AS rk
+         |  FROM comp c JOIN st ON st.doc_id = c.doc_id)
+         |SELECT component, doc_id, quality_e4, n_members
+         |FROM scored WHERE rk = 1""".stripMargin,
+
     "dedup_minhash_lsh" -> {
       val sigs = (0 until 16).map { i =>
         val (a, b) = Dedup.hashCoeffs(i)
@@ -875,6 +944,21 @@ object DocumentQueries {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 50""".stripMargin,
+
+    // df table over exploded tokens; sums CAST back to BIGINT (DuckDB
+    // widens sums to HUGEINT, which the driver's pandas bridge rejects)
+    "rare_token_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df
+        |        FROM tk GROUP BY token)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(floor(10000.0 * sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END)
+        |    / count(*)) AS BIGINT) AS rare_e4
+        |FROM tk t JOIN dfq d ON d.token = t.token
+        |GROUP BY t.doc_id""".stripMargin,
 
     "text_repetition" ->
       """SELECT doc_id,
@@ -1213,6 +1297,16 @@ object DocumentQueries {
     // the same profile computed from the parquet originals — equality
     // proves the JSONL write/read is lossless to the byte
     "docs_jsonl_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |    % 1000000007) AS BIGINT) AS content_hash
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin,
+
+    // identical profile from the parquet originals — equality proves
+    // the ORC write/read is lossless to the byte
+    "docs_orc_roundtrip" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)

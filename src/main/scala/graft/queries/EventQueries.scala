@@ -262,6 +262,21 @@ object EventQueries {
       events(s, dir).groupBy(col("event_type"))
         .agg(count_distinct(col("user_id")).as("users"))),
 
+    // semi-structured property extraction: events carry a JSON props
+    // blob (the universal event-pipeline escape hatch); get_json_object
+    // is a row-local codegen'd path expression, so the extraction rides
+    // the scan — no UDF, no parse-to-struct materialization, and at
+    // 100 TB the blob column never survives past the map side (only
+    // the extracted long reaches the exchange)
+    "props_json_profile" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          count(when(col("k") >= 50, 1)).as("n_hi"))),
+
     // as-of join: each click matched to the user's most recent purchase
     // value at or before the click (one window shuffle, no range join)
     "asof_click_purchase" -> ((s, dir) => {
@@ -761,6 +776,16 @@ object EventQueries {
 
     "events_distinct_users" ->
       "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY 1",
+
+    // json_extract_string replicates get_json_object's $.k path; sums
+    // CAST back to BIGINT (DuckDB widens sums to HUGEINT)
+    "props_json_profile" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    >= 50 THEN 1 END) AS n_hi
+        |FROM events GROUP BY 1""".stripMargin,
 
     "asof_click_purchase" ->
       """WITH clicks AS (

@@ -50,4 +50,21 @@ object CorpusSink {
   def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Corpus → ORC (the other columnar interchange format large
+    * warehouses hand over; zlib-compressed by Spark's default). Like
+    * the parquet path it is splittable, predicate-pushdown-capable,
+    * and column-pruned at scan — a 100 TB hand-off loses nothing by
+    * arriving as ORC (oracle-gated byte-exact via per-doc content
+    * hashes in `docs_orc_roundtrip`). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC corpus reader with a PINNED schema, mirroring [[readJsonl]]:
+    * the schema contract is the caller's, not the file footer's, so a
+    * producer-side column rename fails loudly at read instead of
+    * silently nulling downstream. */
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

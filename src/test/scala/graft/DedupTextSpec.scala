@@ -387,6 +387,42 @@ class DedupTextSpec extends SparkTestBase {
     assert(tbl == kern)
   }
 
+  test("keepBest keeps the highest-quality member per cluster, ties to min id") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
+      .toDF("doc_id", "component")
+    val scores = Seq((1L, 70L), (2L, 90L), (3L, 90L), (4L, 10L), (5L, 0L))
+      .toDF("doc_id", "q")
+    val got = Dedup.keepBest(comps, scores, "doc_id", "q")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // cluster 1: docs 2 and 3 tie at 90 → doc 2 (lower id) wins
+    assert(got == Map(
+      1L -> ((2L, 90L, 3L)),
+      4L -> ((4L, 10L, 1L)),
+      5L -> ((5L, 0L, 1L))))
+  }
+
+  test("rareTokenStats counts occurrences of low-df tokens per doc") {
+    // corpus dfs: shared=3, common=2, x/y/z/q/w/v df=1 each
+    val rcorpus = Seq(
+      (1L, "shared common x y"),
+      (2L, "shared common z"),
+      (3L, "shared q w v q")) // q repeats: 2 occurrences, df still 1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rareTokenStats(rcorpus, "text", "doc_id", maxDf = 1L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((4L, 2L, 5000L))) // x y rare
+    assert(got(2L) == ((3L, 1L, 3333L))) // z rare
+    assert(got(3L) == ((5L, 4L, 8000L))) // q q w v rare (df counts DOCS)
+    // at maxDf=3 every token qualifies
+    val all = TextAnalysis.rareTokenStats(rcorpus, "text", "doc_id", maxDf = 3L)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(all.forall { case (_, e4) => e4 == 10000L })
+  }
+
   test("fingerprints: md5 normalizes whitespace; rolling is order-sensitive") {
     val fp = Seq((1L, "a b c"), (2L, " a  b   c "), (3L, "c b a"))
       .toDF("id", "text")

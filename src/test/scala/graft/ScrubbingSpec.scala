@@ -110,6 +110,29 @@ class ScrubbingSpec extends SparkTestBase {
       .except(expected).count() == 0L)
   }
 
+  test("ORC roundtrip is lossless and the pinned schema is enforced") {
+    import graft.sources.CorpusSink
+    val dir = java.nio.file.Files.createTempDirectory("orc_spec").toString
+    val df = Seq(
+      (1L, "plain ascii"),
+      (2L, "unicode ü中文 text"),
+      (3L, "embedded \"quotes\" and\nnewline"))
+      .toDF("doc_id", "text")
+    CorpusSink.writeOrc(df, dir)
+    val back = CorpusSink.readOrc(spark, dir, df.schema)
+    assert(back.collect().map(_.toSeq).toSet ==
+      df.collect().map(_.toSeq).toSet)
+    // pinned schema is the caller's contract: renamed column → nulls
+    // would be silent with inference; with the pin the mismatch shows
+    // as an all-null column the caller can assert on (ORC reads by
+    // name)
+    val renamed = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("body", org.apache.spark.sql.types.StringType)
+    val nulls = CorpusSink.readOrc(spark, dir, renamed)
+    assert(nulls.where(col("body").isNull).count() == 3L)
+  }
+
   test("normalizeWs: controls to spaces, runs collapsed, lines trimmed") {
     val df = Seq(
       (1L, "\t a\u0000b  c \r\n  d  "),
