@@ -181,6 +181,43 @@ object TextAnalysis {
           .cast(LongType).as("rare_e4"))
   }
 
+  /** TF-IDF keyword extraction: per document the top-`k` terms by
+    * `tf · ln(N/df)` (score ×10⁶, floored; ties broken by token so the
+    * cut is deterministic). The per-doc signature terms a retrieval or
+    * topic-labeling pipeline wants — the scoring twin of
+    * [[rareTokenStats]]'s gate.
+    *
+    * Scale shape: term frequencies aggregate on (id, token) — already
+    * distinct pairs, so the document-frequency table falls out of a
+    * second aggregation over the SAME rows with no distinct pass.
+    * The corpus size joins in as a broadcast 1-row frame (lazy — no
+    * eager count job at build time). Everything shuffles compact
+    * (id, token, counts) keys; the final top-k is one window
+    * partitioning on the doc id, with k rows of state per doc.
+    *
+    * @return (idCol, rk 1..k, token, tf, df, score_e6) */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
+      topK: Int = 3): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfTable, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_e6",
+        floor(lit(1000000.0) * col("tf") * log(col("__n") / col("df")))
+          .cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_e6").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col(idCol), col("rk").cast(LongType).as("rk"), col("token"),
+        col("tf"), col("df"), col("score_e6"))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized text —
     * the exact-dedup key in hash form. */
   def md5Fingerprint(text: Column): Column =

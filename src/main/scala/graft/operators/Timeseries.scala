@@ -159,6 +159,31 @@ object Timeseries {
     else fillRange(coll, fact, grouping, start, finish, step)
   }
 
+  /** Trailing moving average over a FILLED series (beyond-reference
+    * smoothing surface): per series, the trailing-`k`-bucket sum
+    * (exact long arithmetic) and mean (×100, floored — integer-exact
+    * for the oracle). Requires a dense grid ([[fillRange]] output) so
+    * the ROWS frame equals the time frame: on a gappy series a
+    * row-count frame would silently span time gaps.
+    *
+    * Scale shape: ONE hash partitioning on the series dims serves both
+    * window functions; window state is the k-row frame, not the
+    * series. Ramp-up buckets (fewer than k rows yet) average over the
+    * rows present — the standard trailing-window convention. */
+  def movingAverage(filled: DataFrame, grouping: Seq[String], k: Int,
+      valueCol: String = "value"): DataFrame = {
+    require(k >= 1, "window size must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grouping.map(col): _*)
+      .orderBy(col("bucket"))
+      .rowsBetween(-(k - 1L), 0L)
+    filled
+      .withColumn("trailing_sum", sum(col(valueCol)).over(w))
+      .withColumn("mavg_e2",
+        floor(lit(100.0) * sum(col(valueCol)).over(w)
+          / count(lit(1)).over(w)).cast(LongType))
+  }
+
   /** Histogram pipeline (O21, completed beyond the reference): counts per
     * (series × hist_bucket lower bound) over the scan range. With a
     * calendar `step`, one histogram per (series × time bucket) — the

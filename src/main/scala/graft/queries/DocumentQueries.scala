@@ -278,6 +278,14 @@ object DocumentQueries {
       TextAnalysis.rareTokenStats(docs(s, dir), "text", "doc_id",
         maxDf = 2L)),
 
+    // TF-IDF keyword extraction: per-doc top-3 terms by tf·ln(N/df),
+    // deterministic tie-break — the df table falls out of the tf
+    // aggregation (no distinct pass), corpus size joins as a broadcast
+    // 1-row frame
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), "text", "doc_id",
+        topK = 3)),
+
     // repetition quality rule (Gopher/C4-style): per-doc fraction of
     // duplicated word 3-grams, integer-exact (kernel form; the
     // declarative repetitionE4 is the spec-pinned semantic reference)
@@ -959,6 +967,27 @@ object DocumentQueries {
         |    / count(*)) AS BIGINT) AS rare_e4
         |FROM tk t JOIN dfq d ON d.token = t.token
         |GROUP BY t.doc_id""".stripMargin,
+
+    // identical double arithmetic (left-assoc 1e6·tf·ln(N/df), IEEE
+    // floor) so the e6 scores and the rank cut match bit-for-bit
+    "tfidf_top_terms" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.token, t.tf, d.df,
+        |    CAST(floor(1000000.0 * t.tf * ln(CAST(nn AS DOUBLE) / d.df))
+        |      AS BIGINT) AS score_e6
+        |  FROM tf t JOIN dfq d ON d.token = t.token CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_e6 DESC, token) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, df, score_e6
+        |FROM ranked WHERE rk <= 3""".stripMargin,
 
     "text_repetition" ->
       """SELECT doc_id,

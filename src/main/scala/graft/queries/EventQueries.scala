@@ -120,6 +120,17 @@ object EventQueries {
         Seq("event_type"), Map("event_type" -> Some("click")),
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)),
 
+    // series smoothing on top of the filled grid: trailing-4-bucket
+    // sum + mean per series — ONE series partitioning serves both
+    // window frames; dense fill makes the ROWS frame a time frame
+    "ts_moving_avg" -> ((s, dir) =>
+      Timeseries.movingAverage(
+        Timeseries.run(prep(s, dir, withUser = false, one,
+            Some(("2024-01-05T00:00", "2024-01-07T00:00"))), countFact, 15,
+          Seq("event_type"), Map("event_type" -> Some("click")),
+          ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour),
+        Seq("event_type"), k = 4)),
+
     // the SERVICE façade end-to-end under the oracle gate: catalog DDL
     // (O3/O4) → bulk ingest of canonical events (O11) → routed
     // getTimeseries (O20). Must produce byte-identical results to the
@@ -647,6 +658,26 @@ object EventQueries {
       gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
       gridStep = "1 HOUR",
       loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
+
+    // the fill oracle wrapped in the trailing window; window sums CAST
+    // back to BIGINT (DuckDB widens to HUGEINT)
+    "ts_moving_avg" ->
+      s"""WITH filled AS (
+         |${fillOracle(
+             where = "event_type = 'click'",
+             bucketExpr = "date_trunc('hour', ts)",
+             gridStart = "2024-01-05 00:00:00",
+             gridStop = "2024-01-06 23:00:00",
+             gridStep = "1 HOUR",
+             loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00"))}
+         |)
+         |SELECT event_type, bucket, value,
+         |  CAST(sum(value) OVER w AS BIGINT) AS trailing_sum,
+         |  CAST(floor(100.0 * sum(value) OVER w / count(*) OVER w)
+         |    AS BIGINT) AS mavg_e2
+         |FROM filled
+         |WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // identical to ts_counter_hour_fill: the service façade must be
     // indistinguishable from the operator pipeline

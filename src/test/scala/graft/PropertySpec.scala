@@ -55,6 +55,63 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("movingAverage: trailing frames match a scala fold on the filled grid") {
+    val ev = randomEvents(7, 200)
+    val filled = Timeseries.run(ev, fact, 15, Seq("dim"), Map.empty,
+      start, finish, Step.Hour)
+    val got = Timeseries.movingAverage(filled, Seq("dim"), k = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // brute-force per series: sort the filled grid, slide a 4-window
+    val base = filled.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    for ((dim, rows) <- base; (window, i) <- {
+        val sorted = rows.sortBy(_._2.getTime).map(x => (x._2, x._3))
+        sorted.indices.map(i => (sorted.slice(math.max(0, i - 3), i + 1), i) -> i)
+          .map(_._1)
+      }) {
+      val sorted = rows.sortBy(_._2.getTime).map(x => (x._2, x._3))
+      val (bucket, v) = sorted(i)
+      val tsum = window.map(_._2).sum
+      val mavg = math.floor(100.0 * tsum / window.length).toLong
+      assert(got((dim, bucket)) == ((v, tsum, mavg)),
+        s"$dim $bucket: got ${got((dim, bucket))} want ($v, $tsum, $mavg)")
+    }
+  }
+
+  test("tfIdfTopTerms: scores and rank cut match a scala reference") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry cherry date"),
+      (3L, "apple egg egg egg date"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .tfIdfTopTerms(docs, "text", "doc_id", topK = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val corpus = Map(
+      1L -> Seq("apple", "banana", "apple", "cherry"),
+      2L -> Seq("banana", "cherry", "cherry", "date"),
+      3L -> Seq("apple", "egg", "egg", "egg", "date"))
+    val dfm = corpus.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = corpus.size.toDouble
+    for ((id, toks) <- corpus) {
+      val scored = toks.groupBy(identity).toSeq.map { case (t, xs) =>
+        val tf = xs.size.toLong
+        val e6 = math.floor(1000000.0 * tf * math.log(n / dfm(t))).toLong
+        (t, tf, dfm(t), e6)
+      }.sortBy { case (t, _, _, e6) => (-e6, t) }
+      for ((exp, i) <- scored.take(2).zipWithIndex)
+        assert(got((id, i + 1L)) == exp, s"doc $id rank ${i + 1}")
+    }
+  }
+
   test("re-aggregation associativity: hour-collapse summed == day-collapse") {
     for (seed <- Seq(4, 5)) {
       val ev = randomEvents(seed, 300)
