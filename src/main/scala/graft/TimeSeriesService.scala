@@ -383,6 +383,19 @@ final class TimeSeriesService(
     } else perSeries
   }
 
+  /** Percentiles served from the histogram surface (O21 extension):
+    * [[getHistogram]] (rollup-served when partials are registered)
+    * composed with [[Timeseries.histPercentiles]] — per series, the
+    * smallest bucket lower bound reaching q% of the total. */
+  def getHistogramPercentiles(factId: String, dimId: String,
+      filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp,
+      pcts: Seq[Long] = Seq(50L, 95L)): DataFrame = {
+    val (_, _, grouping) = route(factId, dimId, filters)
+    Timeseries.histPercentiles(
+      getHistogram(factId, dimId, filters, start, finish), grouping, pcts)
+  }
+
   /** Finest-granularity (slice-bucket) series, the engine's equivalent of
     * scanning one rollup table directly. */
   def getSliceSeries(factId: String, dimId: String,

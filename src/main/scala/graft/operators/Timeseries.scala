@@ -201,6 +201,38 @@ object Timeseries {
     else coll // already one row per (series × bucket × hist_bucket)
   }
 
+  /** Percentiles from a histogram result (O21 serving surface): per
+    * series, for each requested percentile q, the smallest bucket
+    * lower bound whose cumulative count reaches q% of the series
+    * total — the standard "estimate percentiles from the histogram
+    * you already maintain" read, integer-exact on both sides
+    * (`cum·100 ≥ tot·q` avoids any float quantile arithmetic).
+    *
+    * Input is [[runHistogram]] / `Rollups.runHistogram` output
+    * (dims…, hist_bucket, value) — KB-scale aggregates, so the ONE
+    * series partitioning both window functions share costs nothing at
+    * any corpus size; percentile fan-out is an explode over the
+    * (tiny) requested list, not a second pass over the histogram.
+    *
+    * @return (dims…, pct, value = bucket lower bound) */
+  def histPercentiles(hist: DataFrame, grouping: Seq[String],
+      pcts: Seq[Long] = Seq(50L, 95L)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(q => q >= 1 && q <= 100),
+      "percentiles must be in [1, 100]")
+    val byS = org.apache.spark.sql.expressions.Window
+      .partitionBy(grouping.map(col): _*)
+    val cumW = byS.orderBy(col("hist_bucket"))
+      .rowsBetween(Long.MinValue, 0L)
+    hist
+      .withColumn("__cum", sum(col("value")).over(cumW))
+      .withColumn("__tot", sum(col("value")).over(byS))
+      .select(grouping.map(col) :+ col("hist_bucket") :+ col("__cum") :+
+        col("__tot") :+ explode(typedlit(pcts)).as("pct"): _*)
+      .where(col("__cum") * lit(100L) >= col("__tot") * col("pct"))
+      .groupBy(grouping.map(col) :+ col("pct"): _*)
+      .agg(min(col("hist_bucket")).as("value"))
+  }
+
   /** Slice-bucket view (O7 at query granularity): the scan with its
     * slice bucket materialized, for callers that want the finest
     * pre-aggregated granularity rather than a calendar collapse. */

@@ -170,6 +170,19 @@ object EventQueries {
         histFact, 15, Seq("event_type"), Map.empty,
         ts("2024-01-01T00:00"), ts("2024-01-31T00:00"))),
 
+    // percentiles FROM the histogram (the read a monitoring stack
+    // actually wants from maintained histograms): smallest bucket
+    // lower bound reaching q% of the series total — integer-exact
+    // (cum·100 >= tot·q), one series partitioning, percentile fan-out
+    // by explode over the tiny requested list
+    "ts_hist_pct" -> ((s, dir) =>
+      Timeseries.histPercentiles(
+        Timeseries.runHistogram(prep(s, dir, withUser = false, col("value"),
+            Some(("2024-01-01T00:00", "2024-01-31T00:00"))),
+          histFact, 15, Seq("event_type"), Map.empty,
+          ts("2024-01-01T00:00"), ts("2024-01-31T00:00")),
+        Seq("event_type"), Seq(50L, 90L, 95L, 99L))),
+
     // O21 served from MATERIALIZED partials: the same histogram query
     // re-aggregated from tall (series × slice × hist_bucket) rollup
     // rows instead of raw events — count re-aggregability makes the
@@ -272,6 +285,19 @@ object EventQueries {
     "events_distinct_users" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(count_distinct(col("user_id")).as("users"))),
+
+    // co-located large-x-large join: events and the per-user cohort
+    // profile are both BUCKETED on user_id (EventSource.writeBucketed),
+    // so the MERGE join runs with no exchange on either side — the
+    // join shuffle is paid once at layout time; the only runtime
+    // exchange is the final cohort aggregation (plan-audit-pinned)
+    "bucketed_cohort_spend" -> ((s, dir) => {
+      val (evT, usT) = bucketedTables(s, dir)
+      s.table(evT).hint("MERGE").join(s.table(usT), Seq("user_id"))
+        .groupBy(col("cohort"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("sum_cents"))
+    }),
 
     // semi-structured property extraction: events carry a JSON props
     // blob (the universal event-pipeline escape hatch); get_json_object
@@ -568,6 +594,33 @@ object EventQueries {
       rollPath
     })
 
+  /** bucketed_cohort_spend's (events, users) bucketed tables, laid out
+    * once per (session, sf dir). */
+  private val bucketedTabs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  /** Lay out the events table and its derived per-user cohort profile
+    * as co-bucketed tables (8 buckets on user_id, one file per bucket,
+    * per-bucket sorted) in a temp warehouse dir, returning the table
+    * names. The layout job runs once; every subsequent join on
+    * user_id is exchange-free. */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedTabs.getOrElseUpdate((s, dir), {
+      import graft.sources.EventSource
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast(LongType).as("value_cents"))
+      val users = events(s, dir).select(col("user_id")).distinct()
+        .withColumn("cohort", col("user_id") % 7)
+      val (evT, usT) = (s"graft_ev_$tag", s"graft_users_$tag")
+      EventSource.writeBucketed(ev, evT, s"$base/ev", "user_id", 8)
+      EventSource.writeBucketed(users, usT, s"$base/users", "user_id", 8)
+      (evT, usT)
+    })
+
   /** stream_sessions' closed-session parquet, built once per (session,
     * sf dir). */
   private val streamSessionDirs =
@@ -724,6 +777,31 @@ object EventQueries {
          |  AND ts < TIMESTAMP '${hi("2024-01-31T00:00")}'
          |GROUP BY ALL""".stripMargin,
 
+    // the hist oracle wrapped in the same integer-exact cumulative
+    // threshold (window sums stay internal, so no HUGEINT reaches the
+    // output schema)
+    "ts_hist_pct" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) * 20
+         |      AS hist_bucket,
+         |    count(*) AS value
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '${lo("2024-01-01T00:00")}'
+         |    AND ts < TIMESTAMP '${hi("2024-01-31T00:00")}'
+         |  GROUP BY ALL),
+         |c AS (
+         |  SELECT event_type, hist_bucket, value,
+         |    sum(value) OVER (PARTITION BY event_type ORDER BY hist_bucket
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(value) OVER (PARTITION BY event_type) AS tot
+         |  FROM h)
+         |SELECT event_type, CAST(p.pct AS BIGINT) AS pct,
+         |  min(hist_bucket) AS value
+         |FROM c CROSS JOIN (SELECT unnest([50, 90, 95, 99]) AS pct) p
+         |WHERE cum * 100 >= tot * p.pct
+         |GROUP BY 1, 2""".stripMargin,
+
     // rollup-served twin: identical result by count re-aggregability
     "ts_hist_rollup" ->
       s"""SELECT event_type,
@@ -807,6 +885,16 @@ object EventQueries {
 
     "events_distinct_users" ->
       "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY 1",
+
+    // cohort profile recomputed inline; cents sums CAST to BIGINT
+    "bucketed_cohort_spend" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id, user_id % 7 AS cohort FROM events)
+        |SELECT u.cohort, e.event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events e JOIN u USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // json_extract_string replicates get_json_object's $.k path; sums
     // CAST back to BIGINT (DuckDB widens sums to HUGEINT)

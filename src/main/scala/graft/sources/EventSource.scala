@@ -98,6 +98,30 @@ object EventSource {
     * @param dims    source columns that become `categories` entries,
     *                keyed by their (aliased) names; values cast to string
     */
+  /** Write a bucketed (and per-bucket sorted) table — the co-located
+    * storage layout for repeated large-×-large joins on `bucketCol`.
+    * Both sides of a join written with the SAME bucket count
+    * sort-merge-join with NO exchange on either side: at 100 TB the
+    * join's shuffle (the dominant cost of the naive plan) is paid ONCE
+    * at layout time and amortized over every subsequent query, which
+    * is exactly how a fact table and its per-entity profile should
+    * ship. The pre-write `repartition` on the bucket key makes one
+    * file per bucket, which is what lets the reader trust per-file
+    * sort order.
+    *
+    * Bucketing metadata lives in the session catalog (`saveAsTable`);
+    * `path` makes it an external table so the data outlives the
+    * session and lands where the caller owns storage. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   def fromWide(df: DataFrame, factId: String, tsCol: Column, valueCol: Column,
       dims: Map[String, Column]): DataFrame = {
     val entries = dims.toSeq.sortBy(_._1).flatMap { case (k, c) =>

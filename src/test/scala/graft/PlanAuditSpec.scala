@@ -77,6 +77,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(3000))
   }
 
+  test("bucketed cohort join: sort-merge with no exchange on either side") {
+    val p = plan("bucketed_cohort_spend")
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    // the co-located layout is the point: the ONLY runtime exchange is
+    // the final cohort aggregation — neither join input re-shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
+  }
+
   test("mixture rebalancing output is sample + single aggregation") {
     val p = plan("mix_sources_profile")
     assert(!p.contains("Join"), p.take(2000))

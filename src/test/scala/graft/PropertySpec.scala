@@ -82,6 +82,30 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("histPercentiles: threshold cut matches a scala cumulative scan") {
+    val rnd = new Random(11)
+    val hist = (for (d <- Seq("a", "b"); b <- 0 until 10)
+      yield (d, b.toLong * 20, 1L + rnd.nextInt(50)))
+      .toDF("dim", "hist_bucket", "value")
+    val pcts = Seq(1L, 50L, 90L, 99L, 100L)
+    val got = Timeseries.histPercentiles(hist, Seq("dim"), pcts)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val rows = hist.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (d <- Seq("a", "b"); q <- pcts) {
+      val series = rows.filter(_._1 == d).sortBy(_._2)
+      val tot = series.map(_._3).sum
+      var cum = 0L
+      val want = series.collectFirst {
+        case (_, b, v) if { cum += v; cum * 100 >= tot * q } => b
+      }.get
+      assert(got((d, q)) == want, s"$d p$q")
+    }
+    // p100 is the last non-empty bucket, p1 the first
+    assert(got(("a", 100L)) == 180L && got(("a", 1L)) == 0L)
+  }
+
   test("tfIdfTopTerms: scores and rank cut match a scala reference") {
     val docs = Seq(
       (1L, "apple banana apple cherry"),
