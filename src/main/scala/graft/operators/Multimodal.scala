@@ -10,16 +10,19 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata; decode / feature
   * extraction runs as partition-mapped batch functions.
   *
-  * The IMAGE and AUDIO paths are real codecs: [[Ppm]] is a genuine
-  * binary-PPM (P6) encoder/decoder — [[decodeImages]] parses the
-  * payload bytes (magic, geometry, maxval, raster) and derives
+  * The IMAGE, AUDIO, and VIDEO paths are real codecs: [[Ppm]] is a
+  * genuine binary-PPM (P6) encoder/decoder — [[decodeImages]] parses
+  * the payload bytes (magic, geometry, maxval, raster) and derives
   * features (geometry, per-channel sums, a pixel-histogram embedding)
   * from the decoded raster, exactly as a libjpeg-backed decoder would
-  * from JPEG bytes — and [[Wav]] is a genuine RIFF/WAVE PCM16
-  * chunk-walking parser feeding [[decodeAudio]]. Video frame
-  * extraction remains a STUB ([[StubCodec]], this container has no
-  * media libraries): a deterministic fake behind the same plumbing,
-  * so swapping in a JNI/javacpp codec changes no query code.
+  * from JPEG bytes — [[Wav]] is a genuine RIFF/WAVE PCM16
+  * chunk-walking parser feeding [[decodeAudio]], and [[Y4m]] is a
+  * genuine YUV4MPEG2 stream parser (header walk + per-FRAME raster)
+  * feeding [[decodeVideos]]/[[sampleVideoFrames]]. Only COMPRESSED
+  * codecs (JPEG/H.264 — this container has no media libraries) are
+  * out of scope; [[StubCodec]]'s byte-stride framing remains as the
+  * format-agnostic fallback, so swapping in a JNI/javacpp codec
+  * changes no query code.
   *
   * Scale design: payloads are the heavy column — all metadata-only
   * operations (`filterByMeta`, routing, joins) prune the payload
@@ -353,10 +356,184 @@ object Multimodal {
       frames * 1000L / a.sampleRate, sumAmp, sumSq)
   }
 
+  /** Real YUV4MPEG2 (y4m) codec — the video twin of [[Ppm]] / [[Wav]]:
+    * the public uncompressed-video interchange container (what ffmpeg
+    * emits with `-f yuv4mpegpipe`). Stream header
+    * `YUV4MPEG2 W<w> H<h> F<num>:<den> … C444\n`, then per frame a
+    * `FRAME…\n` marker followed by `w·h·3` planar bytes (C444: full-
+    * resolution Y, U, V planes). Decode is a genuine parse — tagged
+    * header walk, unknown parameters skipped, wrong magic / truncated
+    * frames / non-C444 colorspaces throw — in pure JVM code with zero
+    * libraries. */
+  object Y4m {
+
+    /** A decoded video: planar C444 frames, each `width·height·3`. */
+    final case class Video(width: Int, height: Int, fpsNum: Int,
+        fpsDen: Int, frames: Seq[Array[Byte]])
+
+    def encode(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(width > 0 && height > 0 && fpsNum > 0 && fpsDen > 0,
+        "bad y4m geometry")
+      val fsz = width * height * 3
+      require(frames.forall(_.length == fsz),
+        s"frame size mismatch: want $fsz bytes per frame")
+      val header =
+        s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C444\n"
+          .getBytes(US_ASCII)
+      val fm = "FRAME\n".getBytes(US_ASCII)
+      val out =
+        new Array[Byte](header.length + frames.size * (fm.length + fsz))
+      System.arraycopy(header, 0, out, 0, header.length)
+      var o = header.length
+      frames.foreach { f =>
+        System.arraycopy(fm, 0, out, o, fm.length); o += fm.length
+        System.arraycopy(f, 0, out, o, fsz); o += fsz
+      }
+      out
+    }
+
+    def decode(payload: Array[Byte]): Video = {
+      var nl = 0
+      while (nl < payload.length && payload(nl) != '\n') nl += 1
+      require(nl < payload.length, "truncated y4m stream header")
+      val header = new String(payload, 0, nl, US_ASCII)
+      val parts = header.split(" ")
+      require(parts.head == "YUV4MPEG2",
+        s"not a y4m stream (magic '${parts.head}')")
+      var w = -1; var h = -1; var fn = 30; var fd = 1; var cs = "C420"
+      parts.tail.filter(_.nonEmpty).foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'F' =>
+            val r = p.substring(1).split(":")
+            require(r.length == 2, s"malformed frame rate '$p'")
+            fn = r(0).toInt; fd = r(1).toInt
+          case 'C' => cs = p
+          case _ => () // Ip/A/X parameters: legal, irrelevant here
+        }
+      }
+      require(w > 0 && h > 0 && fn > 0 && fd > 0,
+        s"unsupported y4m geometry ${w}x$h F$fn:$fd")
+      require(cs == "C444", s"unsupported colorspace $cs (C444 only)")
+      val fsz = w.toLong * h.toLong * 3L
+      val frames = Seq.newBuilder[Array[Byte]]
+      var pos = nl + 1
+      while (pos < payload.length) {
+        // FRAME marker with optional parameters up to its newline
+        require(payload.length - pos >= 5 &&
+          new String(payload, pos, 5, US_ASCII) == "FRAME",
+          s"malformed frame marker at byte $pos")
+        pos += 5
+        while (pos < payload.length && payload(pos) != '\n') pos += 1
+        require(pos < payload.length, "truncated frame header")
+        pos += 1
+        require(payload.length.toLong - pos >= fsz,
+          s"truncated frame: need $fsz bytes, have ${payload.length - pos}")
+        frames += java.util.Arrays.copyOfRange(payload, pos, pos + fsz.toInt)
+        pos += fsz.toInt
+      }
+      Video(w, h, fn, fd, frames.result())
+    }
+  }
+
+  /** Decoded video features: geometry from the parsed stream header,
+    * frame count from the real frame walk, integer-exact byte sum
+    * over the SAMPLED frames (every `everyN`-th, from frame 0). */
+  case class VideoFeatures(
+      media_id: Long,
+      width: Long,
+      height: Long,
+      fps_num: Long,
+      fps_den: Long,
+      n_frames: Long,
+      sampled_frames: Long,
+      sampled_sum: Long)
+
+  /** Synthetic y4m generator (closed form:
+    * `byte(f, i) = (id·31 + f·17 + i·7) mod 251`, geometry and fps
+    * derived from the id), so an EXTERNAL oracle recomputes the
+    * decoded features without running this code — same pattern as
+    * [[syntheticPpm]] / [[syntheticWav]]. */
+  def syntheticY4m(id: Long): Array[Byte] = {
+    val w = (4 + Math.floorMod(id, 5L)).toInt
+    val h = (3 + Math.floorMod(id / 5L, 4L)).toInt
+    val nf = (2 + Math.floorMod(id, 4L)).toInt
+    val fps = Array(24, 25, 30)(Math.floorMod(id, 3L).toInt)
+    val fsz = w * h * 3
+    val frames = (0 until nf).map { f =>
+      val b = new Array[Byte](fsz)
+      var i = 0
+      while (i < fsz) {
+        b(i) = Math.floorMod(id * 31L + f * 17L + i * 7L, 251L).toByte
+        i += 1
+      }
+      b
+    }
+    Y4m.encode(w, h, fps, 1, frames)
+  }
+
+  /** Media table of synthetic y4m clips, one per input id. */
+  def syntheticY4mTable(spark: SparkSession, df: DataFrame,
+      idCol: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaFile(id, "video", syntheticY4m(id), Map.empty)))
+  }
+
+  /** Decode one video payload into features, sampling every
+    * `everyN`-th frame for the byte-sum moment. */
+  def videoFeatures(id: Long, payload: Array[Byte],
+      everyN: Int): VideoFeatures = {
+    val v = Y4m.decode(payload)
+    var sampled = 0L; var sum = 0L
+    var f = 0
+    while (f < v.frames.length) {
+      if (f % everyN == 0) {
+        sampled += 1
+        val fr = v.frames(f)
+        var i = 0
+        while (i < fr.length) { sum += fr(i) & 0xff; i += 1 }
+      }
+      f += 1
+    }
+    VideoFeatures(id, v.width, v.height, v.fpsNum, v.fpsDen,
+      v.frames.length, sampled, sum)
+  }
+
+  /** Partition-mapped video decode + sampled feature extraction — the
+    * video twin of [[decodeImages]]/[[decodeAudio]]: a REAL [[Y4m]]
+    * parse per row. */
+  def decodeVideos(spark: SparkSession, media: DataFrame,
+      everyN: Int = 2): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.where(col("modality") === "video")
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => videoFeatures(id, p, everyN) })
+  }
+
+  /** Real frame explosion: every `everyN`-th DECODED frame as its own
+    * [[Frame]] row (raw C444 plane bytes as the frame payload) — the
+    * generator fan-out a downstream per-frame featurizer consumes. */
+  def sampleVideoFrames(spark: SparkSession, media: DataFrame,
+      everyN: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.where(col("modality") === "video")
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        Y4m.decode(p).frames.iterator.zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .map { case (fr, i) => Frame(id, i, fr) }
+      })
+  }
+
   /** Deterministic fake codec — stands in for ffmpeg on the VIDEO
-    * path only (images decode for real via [[Ppm]], audio via
-    * [[Wav]]). Every output is a pure function of the payload bytes,
-    * so tests and re-runs are exactly reproducible cluster-wide. */
+    * BYTE-STRIDE path only (images decode for real via [[Ppm]], audio
+    * via [[Wav]], video containers via [[Y4m]]). Every output is a
+    * pure function of the payload bytes, so tests and re-runs are
+    * exactly reproducible cluster-wide. */
   object StubCodec {
 
     /** Fake frame extraction: fixed-stride byte windows. */

@@ -225,6 +225,16 @@ object DocumentQueries {
           col("sum_amp"), col("sum_sq"))
     }),
 
+    // REAL video codec under the oracle gate: synthetic YUV4MPEG2
+    // clips (closed-form generator) decoded by the genuine Y4m stream
+    // parser, every 2nd frame sampled; the oracle recomputes geometry,
+    // fps, frame counts, and the sampled byte sum from the generator
+    // parameters
+    "multimodal_video_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticY4mTable(s, docs(s, dir), "doc_id")
+      Multimodal.decodeVideos(s, media.toDF(), everyN = 2).toDF()
+    }),
+
     // multimodal frame sampling WITH an exact oracle: the stub frame
     // extractor is fixed-stride byte windows, so frame counts and byte
     // totals are pure functions of payload length — the fan-out shape
@@ -938,6 +948,32 @@ object DocumentQueries {
         |  CAST(sum(v) AS BIGINT) AS sum_amp,
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq
         |FROM s GROUP BY media_id, rate, ch, frames""".stripMargin,
+
+    // generator closed form replayed in SQL: byte(f,i) =
+    // (id·31 + f·17 + i·7) mod 251 summed over sampled frames
+    "multimodal_video_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    4 + doc_id % 5 AS w,
+        |    3 + (doc_id // 5) % 4 AS h,
+        |    2 + doc_id % 4 AS nf,
+        |    CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END AS fps
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, nf, fps, unnest(range(0, nf, 2)) AS fr
+        |  FROM p),
+        |b AS (
+        |  SELECT doc_id, w, h, nf, fps, fr,
+        |    list_sum(list_transform(range(0, CAST(w * h * 3 AS INT)),
+        |      i -> (doc_id * 31 + fr * 17 + i * 7) % 251)) AS fsum
+        |  FROM f)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(fps AS BIGINT) AS fps_num, CAST(1 AS BIGINT) AS fps_den,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  count(*) AS sampled_frames,
+        |  CAST(sum(fsum) AS BIGINT) AS sampled_sum
+        |FROM b GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
 
     "multimodal_frame_sample" ->
       """SELECT doc_id AS media_id,

@@ -209,6 +209,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(img24.width == 8 + 24 && img24.height == 8 + 0)
   }
 
+  test("Y4m codec round-trips and rejects malformed payloads") {
+    import Multimodal.Y4m
+    val frames = Seq(
+      Array.tabulate(2 * 3 * 3)(i => (i * 5).toByte),
+      Array.tabulate(2 * 3 * 3)(i => (200 - i).toByte))
+    val enc = Y4m.encode(2, 3, 30, 1, frames)
+    val v = Y4m.decode(enc)
+    assert(v.width == 2 && v.height == 3 && v.fpsNum == 30 && v.fpsDen == 1)
+    assert(v.frames.length == 2)
+    assert(v.frames(0).toSeq == frames(0).toSeq)
+    assert(v.frames(1).toSeq == frames(1).toSeq)
+    // unknown header parameters (Xfoo) are legal and skipped
+    val withX = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("C444", "Xmeta=1 C444")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Y4m.decode(withX).frames.length == 2)
+    // wrong magic, truncated frame, unsupported colorspace all throw
+    intercept[IllegalArgumentException](Y4m.decode("AVI1 junk\n".getBytes))
+    intercept[IllegalArgumentException](Y4m.decode(enc.dropRight(1)))
+    val c420 = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("C444", "C420")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    intercept[IllegalArgumentException](Y4m.decode(c420))
+  }
+
+  test("decodeVideos + sampleVideoFrames: real y4m parse, closed form") {
+    val tab = Multimodal.syntheticY4mTable(spark,
+      Seq(0L, 7L, 13L).toDF("doc_id"), "doc_id")
+    val feats = Multimodal.decodeVideos(spark, tab.toDF(), everyN = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(0L, 7L, 13L)) {
+      val w = 4 + id % 5; val h = 3 + (id / 5) % 4; val nf = 2 + id % 4
+      val f = feats(id)
+      assert(f.width == w && f.height == h && f.n_frames == nf)
+      assert(f.sampled_frames == (nf + 1) / 2)
+      val want = (0L until nf by 2).map(fr =>
+        (0L until w * h * 3).map(i => (id * 31 + fr * 17 + i * 7) % 251).sum).sum
+      assert(f.sampled_sum == want, s"id $id")
+    }
+    // frame explosion: every 2nd decoded frame, raw plane bytes
+    val fr7 = Multimodal.sampleVideoFrames(spark, tab.toDF(), everyN = 2)
+      .collect().filter(_.media_id == 7L)
+    val nf7 = 2 + 7 % 4 // 5 frames -> sampled 0, 2, 4
+    assert(fr7.map(_.frame_index).sorted.toSeq == Seq(0, 2, 4))
+    assert(fr7.forall(_.frame_payload.length == (4 + 7 % 5) * (3 + (7 / 5) % 4) * 3))
+  }
+
   test("filterByMeta prunes by metadata without touching payloads") {
     val got = Multimodal.filterByMeta(media(),
       col("meta").getItem("source") === "cam0")
