@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trailing-baseline anomaly detection over per-entity event streams —
+  * the monitoring-side twin of the rollup read path (a user of the
+  * reference's counters would alert on exactly these series; the
+  * reference itself stops at storage, cf.
+  * /root/reference/src/time_series_storage/core.clj which exposes only
+  * get-timeseries / get-histogram reads).
+  *
+  * Semantics: an observation is anomalous when it deviates from the
+  * mean of the entity's previous `baseN` observations by more than `k`
+  * trailing standard deviations, given at least `minN` prior points.
+  *
+  * Everything is integer-exact: values arrive as scaled longs (cents),
+  * and the z-score test `|x - mean| > k·sd` is evaluated in
+  * cross-multiplied form with no division or sqrt —
+  *
+  *   (n·x − S)² > k² · (n·Σx² − S²)
+  *
+  * where S and Σx² range over the trailing frame. Both sides are exact
+  * BIGINT arithmetic, so the DuckDB oracle hash-matches bit-for-bit
+  * (a float mean/stddev_pop would diverge in summation order).
+  *
+  * Scale shape: ONE hash partitioning on the entity key serves the
+  * count/sum/sum-of-squares frames (a single window spec), the frame
+  * is ROWS-bounded (state is O(baseN) per open frame, independent of
+  * series length), and the test itself is row-local codegen'd
+  * arithmetic. At 100 TB this is the same single per-entity shuffle as
+  * any sessionization / rolling-feature pass — no join, no collect, no
+  * second exchange.
+  */
+object Anomaly {
+
+  /** Flag rows whose value deviates > `k` trailing sigmas from the
+    * entity's previous-`baseN` baseline.
+    *
+    * @param df       input frame
+    * @param entityCol  partition key (e.g. user_id)
+    * @param orderCols  deterministic within-entity order (e.g. ts, id)
+    * @param valueCol   integral (pre-scaled) observation column
+    * @param baseN    trailing baseline size (frame is the `baseN` rows
+    *                 BEFORE the current row — the observation under
+    *                 test never contaminates its own baseline)
+    * @param minN     minimum prior observations for a verdict
+    * @param k        sigma threshold (integer, cross-multiplied as k²)
+    * @return input columns + `n_base`, `base_sum`, `is_anomaly`
+    */
+  def trailingZFlags(df: DataFrame, entityCol: Column, orderCols: Seq[Column],
+      valueCol: Column, baseN: Int, minN: Int, k: Int): DataFrame = {
+    val frame = Window.partitionBy(entityCol).orderBy(orderCols: _*)
+      .rowsBetween(-baseN.toLong, -1L)
+    val x = valueCol.cast("long")
+    val n = count(x).over(frame)
+    val s = sum(x).over(frame)
+    val sxx = sum(x * x).over(frame)
+    // (n·x − S)² > k²·(n·Σx² − S²), guarded on minN prior points
+    val lhs = (n * x - s) * (n * x - s)
+    val rhs = lit(k.toLong * k) * (n * sxx - s * s)
+    df.withColumn("n_base", n)
+      .withColumn("base_sum", s)
+      .withColumn("is_anomaly", n >= minN && lhs > rhs)
+  }
+}

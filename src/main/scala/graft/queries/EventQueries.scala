@@ -451,6 +451,24 @@ object EventQueries {
         (secs - lag(secs, 1).over(seq)).as("secs_since_prev"))
     }),
 
+    // trailing z-score anomaly detection (the alerting read a counter
+    // store exists to serve): per user, flag values deviating > 3
+    // trailing sigmas from the mean of the previous <=20 observations
+    // (min 8). Integer-exact cross-multiplied test — no sqrt, no
+    // division — so the oracle hash-matches; ONE entity partitioning,
+    // O(baseN) frame state, row-local verdict.
+    "event_anomalies" -> ((s, dir) => {
+      import graft.operators.Anomaly
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("sec"), cents.as("value_cents"))
+      Anomaly.trailingZFlags(e, col("user_id"),
+          Seq(col("sec"), col("event_id")), col("value_cents"),
+          baseN = 20, minN = 8, k = 3)
+        .where(col("is_anomaly"))
+        .select(col("event_id"), col("user_id"), col("value_cents"),
+          col("n_base"), col("base_sum"))
+    }),
+
     // Catalyst rollup routing (SURVEY §4's custom-Rule upgrade of
     // `best-grouping`): a plain DataFrame aggregate over raw events is
     // transparently rewritten by graft.plans.RollupRouteRule to scan
@@ -1013,6 +1031,24 @@ object EventQueries {
         |  s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
         |    AS secs_since_prev
         |FROM e""".stripMargin,
+
+    // same floor-second order base and cents scaling as the Spark side;
+    // the z test is pure BIGINT on both engines (no float mean/stddev)
+    "event_anomalies" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+        |         CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, x,
+        |    count(x) OVER f AS n, sum(x) OVER f AS sm, sum(x*x) OVER f AS sxx
+        |  FROM e
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY sec, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, x AS value_cents, n AS n_base,
+        |  CAST(sm AS BIGINT) AS base_sum
+        |FROM w
+        |WHERE n >= 8 AND (n*x - sm)*(n*x - sm) > 9*(n*sxx - sm*sm)""".stripMargin,
 
     "ts_routed_sql" ->
       """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
