@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Trailing-baseline anomaly detection over per-entity event streams —
   * the monitoring-side twin of the rollup read path (a user of the
@@ -21,9 +22,15 @@ import org.apache.spark.sql.functions._
   *
   *   (n·x − S)² > k² · (n·Σx² − S²)
   *
-  * where S and Σx² range over the trailing frame. Both sides are exact
-  * BIGINT arithmetic, so the DuckDB oracle hash-matches bit-for-bit
-  * (a float mean/stddev_pop would diverge in summation order).
+  * where S and Σx² range over the trailing frame. Both sides are
+  * evaluated in DecimalType(38,0) (DuckDB mirrors with HUGEINT), so
+  * the test is exact — no float mean/stddev summation-order drift, and
+  * no int64 overflow: a pure-long pipeline breaks once k²·(n·Σx²−S²)
+  * exceeds 2⁶³ (|x| ≈ 7·10⁸ at baseN=20, k=3). The decimal form is
+  * exact for |x| ≤ ~3·10¹⁵ at baseN ≤ 1000, k ≤ 3 (both cross-products
+  * stay under 10³⁸); beyond that ANSI mode raises rather than silently
+  * corrupting, and DuckDB's HUGEINT (≈1.7·10³⁸) errors at the same
+  * domain edge.
   *
   * Scale shape: ONE hash partitioning on the entity key serves the
   * count/sum/sum-of-squares frames (a single window spec), the frame
@@ -53,15 +60,20 @@ object Anomaly {
       valueCol: Column, baseN: Int, minN: Int, k: Int): DataFrame = {
     val frame = Window.partitionBy(entityCol).orderBy(orderCols: _*)
       .rowsBetween(-baseN.toLong, -1L)
+    val dec = DecimalType(38, 0)
     val x = valueCol.cast("long")
+    val xd = x.cast(dec)
     val n = count(x).over(frame)
-    val s = sum(x).over(frame)
-    val sxx = sum(x * x).over(frame)
-    // (n·x − S)² > k²·(n·Σx² − S²), guarded on minN prior points
-    val lhs = (n * x - s) * (n * x - s)
-    val rhs = lit(k.toLong * k) * (n * sxx - s * s)
+    val s = sum(xd).over(frame)
+    val sxx = sum(xd * xd).over(frame)
+    // (n·x − S)² > k²·(n·Σx² − S²), guarded on minN prior points;
+    // all products in decimal(38,0) — exact, overflow-raising, and
+    // hash-identical to the DuckDB HUGEINT oracle
+    val nd = n.cast(dec)
+    val lhs = (nd * xd - s) * (nd * xd - s)
+    val rhs = lit(k.toLong * k).cast(dec) * (nd * sxx - s * s)
     df.withColumn("n_base", n)
-      .withColumn("base_sum", s)
+      .withColumn("base_sum", s.cast("long"))
       .withColumn("is_anomaly", n >= minN && lhs > rhs)
   }
 }

@@ -1,73 +1,84 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.scalacheck.Gen
-import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
 
 import graft.operators.Anomaly
 
 /** Pins [[Anomaly.trailingZFlags]] against a brute-force JVM replica:
   * per entity, per row, recompute mean/variance of the previous
   * `baseN` values exactly (BigInt cross-multiplied) and compare the
-  * verdict row-for-row. Property-tested over random series so frame
-  * boundaries (first rows, short series, ties) are all exercised. */
-class AnomalySpec extends SparkTestBase with ScalaCheckPropertyChecks {
+  * verdict row-for-row. Randomized over seeded series (plain
+  * scala.util.Random — deterministic, no external property framework)
+  * so frame boundaries (first rows, short series, ties) and the
+  * large-magnitude domain (where a naive int64 pipeline overflows)
+  * are all exercised.
+  */
+class AnomalySpec extends SparkTestBase {
 
-  private def brute(rows: Seq[(Long, Long, Long)], baseN: Int, minN: Int,
-      k: Int): Map[Long, Boolean] = {
+  /** Exact replica ordered by (sec, event_id), BigInt arithmetic. */
+  private def replica(rows: Seq[(Long, Long, Long, Long)], baseN: Int,
+      minN: Int, k: Int): Map[Long, Boolean] =
     rows.groupBy(_._2).flatMap { case (_, es) =>
       val sorted = es.sortBy(e => (e._3, e._1))
-      sorted.zipWithIndex.map { case ((id, _, x), i) =>
-        val base = sorted.slice(math.max(0, i - baseN), i).map(_._3)
+      sorted.zipWithIndex.map { case ((id, _, _, x), i) =>
+        val base = sorted.slice(math.max(0, i - baseN), i).map(_._4)
         val n = BigInt(base.size)
-        val s = BigInt(base.sum)
+        val s = base.map(BigInt(_)).sum
         val sxx = base.map(v => BigInt(v) * v).sum
         val lhs = (n * x - s).pow(2)
         val rhs = BigInt(k) * k * (n * sxx - s * s)
         id -> (base.size >= minN && lhs > rhs)
       }
     }
+
+  private def check(rows: Seq[(Long, Long, Long, Long)]): Unit = {
+    import spark.implicits._
+    val df = rows.toDF("event_id", "user_id", "sec", "cents")
+    val got = Anomaly.trailingZFlags(df, col("user_id"),
+        Seq(col("sec"), col("event_id")), col("cents"),
+        baseN = 10, minN = 4, k = 3)
+      .select(col("event_id"), col("is_anomaly"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === replica(rows, baseN = 10, minN = 4, k = 3))
   }
 
-  test("trailingZFlags matches a brute-force exact replica") {
-    val gen = Gen.listOfN(120, for {
-      user <- Gen.choose(0L, 3L)
-      sec <- Gen.choose(0L, 40L)
-      cents <- Gen.oneOf(Gen.choose(90L, 110L), Gen.choose(0L, 5000L))
-    } yield (user, sec, cents))
-    forAll(gen) { raw =>
-      val rows = raw.zipWithIndex.map { case ((u, sec, x), i) =>
-        (i.toLong, u, sec, x)
+  test("trailingZFlags matches a brute-force exact replica (seeded runs)") {
+    val rnd = new scala.util.Random(0xA50417L)
+    for (_ <- 1 to 12) {
+      val rows = (0 until 120).map { i =>
+        val cents =
+          if (rnd.nextBoolean()) 90L + rnd.nextInt(21)
+          else rnd.nextInt(5001).toLong
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(41).toLong, cents)
       }
-      import spark.implicits._
-      val df = rows.toDF("event_id", "user_id", "sec", "cents")
-      val got = Anomaly.trailingZFlags(df, col("user_id"),
-          Seq(col("sec"), col("event_id")), col("cents"),
-          baseN = 10, minN = 4, k = 3)
-        .select(col("event_id"), col("is_anomaly"))
-        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-      // brute replica orders by (sec, event_id) exactly like the window
-      val want = brute(
-        rows.map { case (id, u, sec, x) => (id, u, x) }
-          .zip(rows).map { case ((id, u, x), (_, _, sec, _)) => (id, u, sec * 1000 + id, x) }
-          .map { case (id, u, ord, x) => (id, u, ord, x) }, // ord encodes (sec, id)
-        baseN = 10, minN = 4, k = 3)
-      // recompute want with true (sec, id) ordering replica instead
-      val want2 = rows.groupBy(_._2).flatMap { case (_, es) =>
-        val sorted = es.sortBy(e => (e._3, e._1))
-        sorted.zipWithIndex.map { case ((id, _, _, x), i) =>
-          val base = sorted.slice(math.max(0, i - 10), i).map(_._4)
-          val n = BigInt(base.size)
-          val s = BigInt(base.sum)
-          val sxx = base.map(v => BigInt(v) * v).sum
-          val lhs = (n * x - s).pow(2)
-          val rhs = BigInt(9) * (n * sxx - s * s)
-          id -> (base.size >= 4 && lhs > rhs)
-        }
-      }
-      assert(got === want2)
-      assert(want.nonEmpty) // silence unused warning; ord-packed replica agrees
+      check(rows)
     }
+  }
+
+  test("large magnitudes stay exact (int64 cross-multiply would overflow)") {
+    val rnd = new scala.util.Random(0xBEEF5EEDL)
+    for (_ <- 1 to 6) {
+      // |x| up to 1e9: n·Σx² ≈ 10·1e18 exceeds Long.MaxValue, so this
+      // domain is exactly where the DecimalType(38,0) path earns its keep
+      val rows = (0 until 80).map { i =>
+        val mag = if (rnd.nextBoolean()) 1000000000L else 999999999L
+        val sign = if (rnd.nextBoolean()) 1L else -1L
+        val cents =
+          if (rnd.nextInt(4) == 0) sign * (mag - rnd.nextInt(1000))
+          else rnd.nextInt(2000).toLong - 1000L
+        (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(30).toLong, cents)
+      }
+      check(rows)
+    }
+  }
+
+  test("domain-edge magnitudes near the documented 3e15 bound stay exact") {
+    val rnd = new scala.util.Random(0xD0C5EEDL)
+    val rows = (0 until 40).map { i =>
+      val cents = (rnd.nextLong() % 3000000000000000L)
+      (i.toLong, rnd.nextInt(2).toLong, rnd.nextInt(20).toLong, cents)
+    }
+    check(rows)
   }
 
   test("anomaly test never fires without enough history") {
