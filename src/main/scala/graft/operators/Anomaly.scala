@@ -25,12 +25,16 @@ import org.apache.spark.sql.types.DecimalType
   * where S and Σx² range over the trailing frame. Both sides are
   * evaluated in DecimalType(38,0) (DuckDB mirrors with HUGEINT), so
   * the test is exact — no float mean/stddev summation-order drift, and
-  * no int64 overflow: a pure-long pipeline breaks once k²·(n·Σx²−S²)
-  * exceeds 2⁶³ (|x| ≈ 7·10⁸ at baseN=20, k=3). The decimal form is
-  * exact for |x| ≤ ~3·10¹⁵ at baseN ≤ 1000, k ≤ 3 (both cross-products
-  * stay under 10³⁸); beyond that ANSI mode raises rather than silently
-  * corrupting, and DuckDB's HUGEINT (≈1.7·10³⁸) errors at the same
-  * domain edge.
+  * no int64 overflow: a pure-long pipeline breaks once either side
+  * exceeds 2⁶³, which an adversarial single outlier reaches near
+  * |x| ~ 10⁸ at baseN=20, k=3 (9·(n·Σx²−S²) ≈ 171·x² for a
+  * lone spike over a near-zero base). The decimal form is exact for
+  * |x| ≤ ~3·10¹⁵ at baseN ≤ 1000, k ≤ 3 (both cross-products stay
+  * under 10³⁸); beyond that, decimal overflow raises under ANSI mode
+  * (`spark.sql.ansi.enabled`, the Spark 4 default — [[anomalies]]
+  * asserts it, since with ANSI off overflow yields NULL and
+  * `.where(is_anomaly)` would silently drop rows), and DuckDB's
+  * HUGEINT (≈1.7·10³⁸) errors at the same domain edge.
   *
   * Scale shape: ONE hash partitioning on the entity key serves the
   * count/sum/sum-of-squares frames (a single window spec), the frame
@@ -58,6 +62,14 @@ object Anomaly {
     */
   def trailingZFlags(df: DataFrame, entityCol: Column, orderCols: Seq[Column],
       valueCol: Column, baseN: Int, minN: Int, k: Int): DataFrame = {
+    // With ANSI off, decimal overflow yields NULL → is_anomaly NULL →
+    // `.where(is_anomaly)` silently drops rows. Fail loudly instead:
+    // the exactness contract above requires ANSI (Spark 4's default).
+    require(df.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
+      .toBoolean, "Anomaly.trailingZFlags requires spark.sql.ansi." +
+      "enabled=true: with ANSI off, decimal overflow beyond the " +
+      "documented |x| domain becomes NULL and silently drops rows " +
+      "instead of raising")
     val frame = Window.partitionBy(entityCol).orderBy(orderCols: _*)
       .rowsBetween(-baseN.toLong, -1L)
     val dec = DecimalType(38, 0)

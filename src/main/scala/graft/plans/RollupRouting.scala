@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPl
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType, TimestampNTZType, TimestampType}
 
 import graft.functions.TimeKernel
 
@@ -373,21 +373,42 @@ final case class RollupRouteRule(spark: SparkSession)
       bucketDate.map(bd => And(p, LessThanOrEqual(bd, dateLit(v))))
         .getOrElse(p)
     }
+    // A time bound appears either as the registered expression compared
+    // to an LTZ literal, or — when the registration is a plain
+    // NTZ→LTZ cast that the optimizer UNWRAPPED
+    // (UnwrapCastInBinaryComparison) — as the raw NTZ column compared
+    // to an NTZ literal. The session is pinned UTC, so both literal
+    // kinds carry the same epoch micros and the same slice-alignment
+    // arithmetic applies; the rollup-side bound is always re-issued as
+    // an LTZ literal (the `bucket` column's type).
+    def tsBoundMicros(t: Expression, l: Literal): Option[Long] = {
+      val matches = l.dataType match {
+        case TimestampType => t.semanticEquals(tsE)
+        case TimestampNTZType => tsE match {
+          case c: Cast =>
+            c.dataType == TimestampType && c.child.semanticEquals(t)
+          case _ => false
+        }
+        case _ => false
+      }
+      if (matches) Some(l.value.asInstanceOf[Long]) else None
+    }
+    def ltz(v: Long): Literal = Literal(v, TimestampType)
     def filterTranslate(c: Expression): Option[Expression] = {
       val dimRefs = AttributeSet(dimEs.flatMap(_._2.references))
       c match {
-        case GreaterThanOrEqual(t, l @ Literal(v: Long, TimestampType))
-            if t.semanticEquals(tsE) && aligned(v) =>
-          Some(loBound(l, v))
-        case LessThanOrEqual(l @ Literal(v: Long, TimestampType), t)
-            if t.semanticEquals(tsE) && aligned(v) =>
-          Some(loBound(l, v))
-        case LessThan(t, l @ Literal(v: Long, TimestampType))
-            if t.semanticEquals(tsE) && aligned(v) =>
-          Some(hiBound(l, v))
-        case GreaterThan(l @ Literal(v: Long, TimestampType), t)
-            if t.semanticEquals(tsE) && aligned(v) =>
-          Some(hiBound(l, v))
+        case GreaterThanOrEqual(t, l: Literal)
+            if tsBoundMicros(t, l).exists(aligned) =>
+          tsBoundMicros(t, l).map(v => loBound(ltz(v), v))
+        case LessThanOrEqual(l: Literal, t)
+            if tsBoundMicros(t, l).exists(aligned) =>
+          tsBoundMicros(t, l).map(v => loBound(ltz(v), v))
+        case LessThan(t, l: Literal)
+            if tsBoundMicros(t, l).exists(aligned) =>
+          tsBoundMicros(t, l).map(v => hiBound(ltz(v), v))
+        case GreaterThan(l: Literal, t)
+            if tsBoundMicros(t, l).exists(aligned) =>
+          tsBoundMicros(t, l).map(v => hiBound(ltz(v), v))
         case IsNotNull(e) => notNullTarget(e).map(IsNotNull)
         case _ =>
           // Dimension-only predicate of any shape: replace each embedded

@@ -29,33 +29,27 @@ object EventQueries {
     start = Some(0L), end = Some(200L), step = Some(20L))
   val userDimGroupedBy: Seq[Seq[String]] = Seq(Seq("event_type"))
 
-  /** The synthetic events.parquet stores `ts` as TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. Read it as a nanos long
-    * (legacy conf) and convert to a microsecond timestamp; whole-minute
-    * query bounds are unaffected by the sub-µs truncation. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  /** The synthetic events.parquet — `ts` normalized to TIMESTAMP
+    * whatever the fixture's stored type (nanos BIGINT / TIMESTAMP_NTZ /
+    * TIMESTAMP; it has varied across driver rounds), via the
+    * schema-adaptive [[graft.sources.EventSource.wideEvents]]. */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.EventSource.wideEvents(spark, dir)
 
-  /** Range-pruned events: the scan bounds are re-expressed on the RAW
-    * nanos column before the timestamp conversion, so they reach the
-    * parquet reader as PushedFilters (row-group min/max pruning) — the
-    * post-conversion predicate `timestamp_micros(ts div 1000) >= …` is
-    * opaque to pushdown, and at 100 TB an unpruned time-range scan is
-    * the dominant cost. Bounds replicate Timeseries.scan's inclusive
+  /** Range-pruned events: the scan bounds are expressed on the RAW
+    * stored column in its native type before the timestamp conversion,
+    * so they reach the parquet reader as PushedFilters (row-group
+    * min/max pruning) — a post-conversion predicate would be opaque to
+    * pushdown, and at 100 TB an unpruned time-range scan is the
+    * dominant cost. Bounds replicate Timeseries.scan's inclusive
     * bucketed endpoints: [sliceFloor(start), sliceFloor(finish)+slice). */
   private def eventsRanged(spark: SparkSession, dir: String,
       start: String, finish: String, slice: Int = 15): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val loNanos = TimeKernel.sliceFloorLocal(ts(start), slice)
-      .toInstant.getEpochSecond * 1000000000L
-    val hiNanos = (TimeKernel.sliceFloorLocal(ts(finish), slice)
-      .toInstant.getEpochSecond + slice * 60L) * 1000000000L
-    spark.read.parquet(s"$dir/events.parquet")
-      .where(col("ts") >= lit(loNanos) && col("ts") < lit(hiNanos))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val loSec = TimeKernel.sliceFloorLocal(ts(start), slice)
+      .toInstant.getEpochSecond
+    val hiSec = TimeKernel.sliceFloorLocal(ts(finish), slice)
+      .toInstant.getEpochSecond + slice * 60L
+    graft.sources.EventSource.wideEvents(spark, dir, Some((loSec, hiSec)))
   }
 
   private val userBucket: Column =
@@ -595,11 +589,11 @@ object EventQueries {
       // with a glob pinned to the events table (single-file tables at
       // test scale; a landing DIRECTORY of files in deployment, each
       // arriving file its own micro-batch via maxFilesPerTrigger)
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = graft.sources.EventSource.normalizeEventTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
         .select(lit("events_count").as("fact"), col("ts"),
           lit(1L).as("value"),
           map(lit("event_type"), col("event_type")).as("categories"))
@@ -1033,7 +1027,10 @@ object EventQueries {
         |FROM e""".stripMargin,
 
     // same floor-second order base and cents scaling as the Spark side;
-    // the z test is pure BIGINT on both engines (no float mean/stddev)
+    // the z test is exact integer arithmetic on both engines (Spark in
+    // DecimalType(38,0), DuckDB in HUGEINT via its BIGINT-sum
+    // promotion) — no float mean/stddev, both exact over the
+    // documented |x| domain
     "event_anomalies" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,

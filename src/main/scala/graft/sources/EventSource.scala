@@ -20,6 +20,60 @@ import org.apache.spark.sql.types._
   */
 object EventSource {
 
+  /** Schema-adaptive reader for the driver's wide `events` table. The
+    * fixture's `ts` physical type has varied across driver rounds:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts as
+    * a nanos BIGINT via the legacy conf), naive TIMESTAMP(MICROS)
+    * (TIMESTAMP_NTZ to Spark), or a tz-adjusted TIMESTAMP_LTZ. All
+    * encode UTC instants; normalize to a session-tz TIMESTAMP (sessions
+    * here pin UTC) so every downstream operator sees one type. An
+    * optional [loSec, hiSec) epoch-second range is expressed on the RAW
+    * stored column in its native type so it reaches the parquet reader
+    * as PushedFilters (row-group pruning) — a predicate above the type
+    * conversion would be opaque to pushdown, and at 100 TB an unpruned
+    * time-range scan is the dominant cost. */
+  def wideEvents(spark: SparkSession, dir: String,
+      range: Option[(Long, Long)] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ranged = range match {
+      case None => raw
+      case Some((loSec, hiSec)) =>
+        raw.where(rawTsPredicate(raw.schema("ts").dataType, loSec, hiSec))
+    }
+    normalizeEventTs(ranged)
+  }
+
+  /** [loSec, hiSec) bounds on the raw `ts` column in its stored type —
+    * pushdown-visible (literal vs column, no cast on the column side). */
+  private def rawTsPredicate(dt: DataType, loSec: Long, hiSec: Long): Column =
+    dt match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as a nanos BIGINT
+        col("ts") >= lit(loSec * 1000000000L) &&
+          col("ts") < lit(hiSec * 1000000000L)
+      case TimestampNTZType => // naive µs wall clock, UTC by convention
+        col("ts") >= lit(java.time.LocalDateTime
+            .ofEpochSecond(loSec, 0, java.time.ZoneOffset.UTC)) &&
+          col("ts") < lit(java.time.LocalDateTime
+            .ofEpochSecond(hiSec, 0, java.time.ZoneOffset.UTC))
+      case _ =>
+        col("ts") >= timestamp_seconds(lit(loSec)) &&
+          col("ts") < timestamp_seconds(lit(hiSec))
+    }
+
+  /** Normalize a wide event frame's `ts` to TIMESTAMP. Pure column
+    * ops — works on batch and streaming frames alike. NTZ→LTZ cast
+    * interprets the wall clock in the session tz (pinned UTC), which is
+    * exactly the fixture's convention. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
   /** The canonical event schema (SURVEY §1.1 Event). */
   val schema: StructType = StructType(Seq(
     StructField("fact", StringType, nullable = false),

@@ -20,11 +20,8 @@ class RollupRoutingSpec extends SparkTestBase {
     d
   }
 
-  private def raw: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  private def raw: DataFrame =
+    graft.sources.EventSource.wideEvents(spark, dir)
 
   private def withRouting[A](f: => A): A = {
     RollupRouting.install(spark)
