@@ -15,21 +15,25 @@ import org.apache.spark.sql.functions._
   * executes as a single partition — a non-starter at scale. This is
   * instead the classic two-pass distributed prefix sum:
   *
-  *  1. range-partition + sort by the order key (one shuffle — the same
-  *     shuffle any global ordering costs),
-  *  2. per-partition token totals (a P-row job, P = #partitions),
+  *  1. sample range bounds from a PRUNED key-only scan (so the token
+  *     expression is never computed twice), stamp each row with its
+  *     range-bucket id, and hash-exchange + sort on it (one Tungsten
+  *     shuffle — the same shuffle any global ordering costs),
+  *  2. per-bucket token totals (a ≤P-row job, P = #buckets),
   *  3. exclusive prefix over the P totals on the driver (P is
   *     thousands at most — the same driver-side footprint AQE's
   *     per-partition statistics already accept), broadcast back,
-  *  4. per-partition running sum seeded by the broadcast offset —
+  *  4. per-bucket running sum seeded by the broadcast offset —
   *     row-local, streaming, no second shuffle.
   *
-  * The ranged input RDD is cached between the two passes so both read
-  * the SAME partitioning (range bounds come from a sampling pass; the
-  * sampling is deterministic for identical input, so an evicted block
-  * recomputes to the same rows — the cache is an efficiency, not a
-  * correctness dependency). Cache ownership passes to the caller with
-  * the returned frame, per the kernel convention.
+  * The bucket id is an explicit row column, NOT the physical partition
+  * index — the prefix arithmetic survives any re-partitioning (AQE
+  * coalescing, a downstream coalesce(1), cache eviction) because a
+  * bucket always carries its own identity. The bucketed frame is
+  * cached between the two passes as an efficiency; correctness does
+  * not depend on it (the bucket stamp is a pure function of the
+  * sampled bounds held on the driver). Cache ownership passes to the
+  * caller with the returned frame, per the kernel convention.
   *
   * Determinism: output is a pure function of (ids, token counts,
   * capacity) — the partition count changes WHERE the prefix sum is
@@ -56,44 +60,58 @@ object Packing {
     val p =
       if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    // the RDD (not Dataset) is what both passes share: partition ids
-    // come from mapPartitionsWithIndex — the RDD's OWN partition index,
-    // stable even when a downstream coalesce merges several of these
-    // partitions into one task (TaskContext.getPartitionId() is the
-    // TASK id and silently collapses to 0 under coalesce(1), reseeding
-    // every merged partition — a wrong-results bug, not a perf one)
-    val ranged = df
+    // Range bounds come from an explicit RangePartitioner built on an
+    // ID-ONLY projection: `repartitionByRange` would run its sampling
+    // job over the full (id, toks) plan, re-executing the caller's
+    // token-count expression (typically a regex over the document
+    // text) for every row a second time. The pruned scan decodes one
+    // key column and nothing else — at 100 TB the sampling pass costs
+    // a key-column read, not a second full compute pass.
+    val keyOnly = df.select(col(idCol).cast("long")).as[Long]
+      .rdd.map((_, null))
+    val partitioner = new org.apache.spark.RangePartitioner(p, keyOnly)
+    // The range-bucket id rides IN the rows, not in the physical
+    // partition index: the shuffle stays a Dataset (Tungsten/UnsafeRow)
+    // exchange — never a Java-serialized RDD shuffle — and the prefix
+    // arithmetic is partitioning-independent (a bucket carries its own
+    // identity, so AQE coalescing, a downstream coalesce(1), or cache
+    // eviction can re-shape partitions without corrupting offsets).
+    // Hash-partitioning ON the bucket id keeps each bucket whole in
+    // exactly one partition; the within-partition (bkt, id) sort keeps
+    // its rows contiguous and ordered.
+    val bucketed = df
       .select(col(idCol).cast("long").as("id"),
         col(tokenCol).cast("long").as("toks"))
-      .repartitionByRange(p, col("id"))
-      .sortWithinPartitions(col("id"))
       .as[(Long, Long)]
-      .rdd
+      .map { case (id, toks) => (partitioner.getPartition(id), id, toks) }
+      .repartition(p, col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
       .cache()
-    // pass 1: per-partition totals — P rows to the driver
-    val totals = ranged
-      .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L
-        it.foreach(s += _._2)
-        Iterator.single((pid, s))
+    // pass 1: per-bucket totals — at most P rows to the driver
+    val totals = bucketed
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+        it.foreach { case (b, _, t) => acc(b) = acc.getOrElse(b, 0L) + t }
+        acc.iterator
       }
       .collect()
-      .sortBy(_._1)
-    // exclusive prefix over partition totals
-    val offsets = new Array[Long](totals.length)
+    // exclusive prefix over bucket totals in bucket (= key-range) order
+    val offsets = new Array[Long](partitioner.numPartitions)
     var acc = 0L
-    totals.foreach { case (pid, s) => offsets(pid) = acc; acc += s }
+    totals.sortBy(_._1).foreach { case (b, s) => offsets(b) = acc; acc += s }
     val bc = spark.sparkContext.broadcast(offsets)
-    // pass 2: seeded running sum, row-local
-    spark
-      .createDataset(ranged.mapPartitionsWithIndex { (pid, it) =>
-        var run = bc.value(pid)
-        it.map { case (id, toks) =>
+    // pass 2: seeded running sum, row-local, reseeded at bucket change
+    bucketed
+      .mapPartitions { it =>
+        var cur = -1
+        var run = 0L
+        it.map { case (b, id, toks) =>
+          if (b != cur) { cur = b; run = bc.value(b) }
           val off = run
           run += toks
           (id, toks, off)
         }
-      })
+      }
       .toDF("id", "n_tokens", "offset")
       .withColumn("seq_id", expr(s"offset DIV ${capacity}L")) // exact long division, no double round-trip
       .withColumn("seq_pos", col("offset") % capacity)
@@ -116,43 +134,61 @@ object Packing {
     val p =
       if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df
+    // Same scheme as [[packSequences]]: pruned (grp, id)-only sampling
+    // for the range bounds, explicit in-row bucket id, Tungsten
+    // hash-exchange on the bucket + within-partition (bkt, grp, id)
+    // sort. A bucket may span group boundaries and a group many
+    // buckets; the per-(grp, bucket) seed map handles both.
+    val keyOnly = df
+      .select(col(groupCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+      .rdd.map((_, null))
+    val partitioner = new org.apache.spark.RangePartitioner(p, keyOnly)
+    val bucketed = df
       .select(col(groupCol).cast("string").as("grp"),
         col(idCol).cast("long").as("id"),
         col(tokenCol).cast("long").as("toks"))
-      .repartitionByRange(p, col("grp"), col("id"))
-      .sortWithinPartitions(col("grp"), col("id"))
       .as[(String, Long, Long)]
-      .rdd
+      .map { case (g, id, toks) =>
+        (partitioner.getPartition((g, id)), g, id, toks)
+      }
+      .repartition(p, col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
       .cache()
-    val totals = ranged
-      .mapPartitionsWithIndex { (pid, it) =>
-        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        it.foreach { case (g, _, t) => acc(g) = acc.getOrElse(g, 0L) + t }
-        acc.iterator.map { case (g, s) => (g, pid, s) }
+    val totals = bucketed
+      .mapPartitions { it =>
+        val acc =
+          scala.collection.mutable.LinkedHashMap.empty[(String, Int), Long]
+        it.foreach { case (b, g, _, t) =>
+          acc((g, b)) = acc.getOrElse((g, b), 0L) + t
+        }
+        acc.iterator
       }
       .collect()
-    // per group: exclusive prefix across partitions in pid order
+    // per group: exclusive prefix across buckets in bucket order
     val offsets: Map[(String, Int), Long] = totals
-      .groupBy(_._1)
-      .flatMap { case (g, rows) =>
+      .groupBy(_._1._1)
+      .flatMap { case (_, rows) =>
         var acc = 0L
-        rows.sortBy(_._2).map { case (_, pid, s) =>
-          val o = ((g, pid), acc); acc += s; o
+        rows.sortBy(_._1._2).map { case ((g, b), s) =>
+          val o = ((g, b), acc); acc += s; o
         }
       }
     val bc = spark.sparkContext.broadcast(offsets)
-    spark
-      .createDataset(ranged.mapPartitionsWithIndex { (pid, it) =>
-        var current: String = null
+    bucketed
+      .mapPartitions { it =>
+        var curB = -1
+        var curG: String = null
         var run = 0L
-        it.map { case (g, id, toks) =>
-          if (g != current) { current = g; run = bc.value((g, pid)) }
+        it.map { case (b, g, id, toks) =>
+          if (b != curB || g != curG) {
+            curB = b; curG = g; run = bc.value((g, b))
+          }
           val off = run
           run += toks
           (g, id, toks, off)
         }
-      })
+      }
       .toDF("group", "id", "n_tokens", "offset")
       .withColumn("seq_id", expr(s"offset DIV ${capacity}L"))
       .withColumn("seq_pos", col("offset") % capacity)
