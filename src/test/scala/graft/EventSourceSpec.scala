@@ -84,4 +84,61 @@ class EventSourceSpec extends SparkTestBase {
     assert(r.getMap[String, String](3).toMap ==
       Map("event_type" -> "click", "user_bucket" -> "7"))
   }
+
+  // ---- wideEvents schema adaptivity ------------------------------------
+  // The driver has regenerated events.parquet with ts as nanos-int64
+  // (round ≤4) and as timestamp[us]/TIMESTAMP_NTZ (round 5) — pin all
+  // three encodings so the next regeneration can't break the read path.
+
+  /** Three physically different events.parquet dirs encoding the SAME
+    * two instants; expected values under the UTC session. */
+  private def wideFixtures(): Seq[(String, String)] = {
+    val t1 = ts("2024-01-05T10:07:30")
+    val t2 = ts("2024-03-02T23:59:59")
+    val base = java.nio.file.Files.createTempDirectory("graft-wide").toString
+    // (a) nanos int64 — read back as LongType under nanosAsLong
+    Seq((t1, 1L), (t2, 2L))
+      .map { case (t, id) => (id, t.getTime * 1000000L, id, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$base/nanos/events.parquet")
+    // (b) TIMESTAMP_NTZ micros — the round-5 fixture shape
+    Seq((t1, 1L), (t2, 2L))
+      .map { case (t, id) => (id, t.toLocalDateTime, id, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$base/ntz/events.parquet")
+    // (c) TIMESTAMP (LTZ) — what a Spark producer writes
+    Seq((t1, 1L), (t2, 2L))
+      .map { case (t, id) => (id, t, id, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$base/ltz/events.parquet")
+    Seq("nanos" -> s"$base/nanos", "ntz" -> s"$base/ntz", "ltz" -> s"$base/ltz")
+  }
+
+  test("wideEvents normalizes nanos-long, NTZ, and LTZ ts to TIMESTAMP") {
+    val expect = Set(ts("2024-01-05T10:07:30"), ts("2024-03-02T23:59:59"))
+    wideFixtures().foreach { case (enc, dir) =>
+      val got = EventSource.wideEvents(spark, dir)
+      assert(got.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"encoding $enc")
+      assert(got.select("ts").collect().map(_.getTimestamp(0)).toSet ==
+        expect, s"encoding $enc")
+    }
+  }
+
+  test("wideEvents range bounds filter [lo, hi) and reach the scan") {
+    // [2024-01-05 10:00, 2024-01-05 10:15) keeps t1, drops t2
+    val lo = ts("2024-01-05T10:00").toInstant.getEpochSecond
+    val hi = ts("2024-01-05T10:15").toInstant.getEpochSecond
+    wideFixtures().foreach { case (enc, dir) =>
+      val got = EventSource.wideEvents(spark, dir, Some((lo, hi)))
+      assert(got.select("ts").collect().map(_.getTimestamp(0)).toSeq ==
+        Seq(ts("2024-01-05T10:07:30")), s"encoding $enc")
+      // the bound must reach the parquet reader on the RAW column —
+      // unpruned time scans are the dominant cost at scale
+      got.collect()
+      val physical = got.queryExecution.executedPlan.toString
+      assert(physical.contains("PushedFilters: [") &&
+        physical.contains("GreaterThanOrEqual(ts"), s"encoding $enc: $physical")
+    }
+  }
 }
