@@ -106,4 +106,15 @@ class PlanAuditSpec extends SparkTestBase {
     // the aggregation — a second exchange would mean lost co-partitioning
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
   }
+
+  test("sequence packing shuffles once, by bucket hash — never by range") {
+    val p = plan("pack_sequences")
+    // the prefix sum's one shuffle is the hash exchange on the in-row
+    // bucket id; a rangepartitioning exchange here means someone
+    // reverted to repartitionByRange, whose sampling job re-executes
+    // the token-count expression over the whole corpus a second time
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
 }
