@@ -107,6 +107,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
   }
 
+  test("as-of join is one window partitioning: 1 shuffle, 0 joins") {
+    val p = plan("asof_click_purchase")
+    // both sides union into one window partitioning on the entity key —
+    // a join formulation would explode candidate pairs per key
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("grouping-path fan-out is one Expand + one shuffle, no joins") {
+    val p = plan("ts_grouping_paths")
+    // every grouping path aggregates in ONE pass (Expand feeds a single
+    // partial+final agg) — versus one raw scan per path
+    assert(p.contains("Expand"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("moving average rides the fill: 2 shuffles, no joins, no range sort") {
+    val p = plan("ts_moving_avg")
+    // collapse agg + the shared series partitioning for fill/window —
+    // a third exchange means the window stopped reusing the fill's
+    // partitioning; a range exchange means a global sort crept in
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("sequence packing shuffles once, by bucket hash — never by range") {
     val p = plan("pack_sequences")
     // the prefix sum's one shuffle is the hash exchange on the in-row
