@@ -532,6 +532,17 @@ object EventQueries {
         .where(col("user_id") >= 0L)
         .select(col("user_id"), col("session_start"), col("n_events"))),
 
+    // streaming twin of event_anomalies: events replay as a bounded
+    // file stream through StreamingIngest.anomalyStream (watermark-
+    // gated in-order processing over flatMapGroupsWithState ring
+    // state); flagged rows land in parquet and must hash-match the
+    // SAME DuckDB oracle as the batch window query
+    "stream_anomalies" -> ((s, dir) =>
+      s.read.parquet(streamedAnomalies(s, dir))
+        .where(col("user_id") >= 0L)
+        .select(col("event_id"), col("user_id"), col("value_cents"),
+          col("n_base"), col("base_sum"))),
+
     // materialized-rollup read path: build slice partials, serve the
     // hourly query FROM the rollup — result must hash-match the same
     // oracle as the raw-events pipeline (re-aggregability, SURVEY §4)
@@ -685,6 +696,64 @@ object EventQueries {
         .option("maxFilesPerTrigger", "1").parquet(landing)
       val q = StreamingIngest.sessionizeStream(stream, gapMinutes = 30,
           watermarkDelay = "0 seconds")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      outPath
+    })
+
+  /** stream_anomalies' flagged-observation parquet, built once per
+    * (session, sf dir). */
+  private val streamAnomalyDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Replay the sf events through
+    * [[graft.streaming.StreamingIngest.anomalyStream]] as a bounded
+    * file stream and return the flagged-rows parquet path. Same
+    * landing-dir choreography as [[streamedSessions]]: f1 = the real
+    * events; f2 advances the watermark past every real observation's
+    * second; f3 runs one more batch so the event-time timeout fires
+    * and the gated buffer drains. Sentinel users are negative and
+    * filtered at serve time (their rings never reach minN, so they
+    * can't emit). */
+  private def streamedAnomalies(s: SparkSession, dir: String): String =
+    streamAnomalyDirs.getOrElseUpdate((s, dir), {
+      import graft.streaming.StreamingIngest
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      import org.apache.spark.sql.types.{StructType, TimestampType}
+      val base = Files.createTempDirectory("graft_streamanom").toString
+      val landing = s"$base/landing"
+      Files.createDirectories(Paths.get(landing))
+      val outPath = s"$base/flags"
+      def writeFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dest = Paths.get(landing, s"$name.parquet")
+        Files.move(Paths.get(part), dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+      import s.implicits._
+      val t0 = System.currentTimeMillis()
+      writeFile(events(s, dir).select(col("user_id").cast(LongType),
+        col("ts"), col("event_id").cast(LongType),
+        cents.as("value_cents")), "f1", t0)
+      writeFile(Seq((-1L, ts("2100-01-01T00:00"), -1L, 0L))
+        .toDF("user_id", "ts", "event_id", "value_cents"), "f2", t0 + 60000L)
+      writeFile(Seq((-2L, ts("2100-06-01T00:00"), -2L, 0L))
+        .toDF("user_id", "ts", "event_id", "value_cents"), "f3", t0 + 120000L)
+      val schema = new StructType()
+        .add("user_id", LongType).add("ts", TimestampType)
+        .add("event_id", LongType).add("value_cents", LongType)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      val q = StreamingIngest.anomalyStream(stream, baseN = 20, minN = 8,
+          k = 3, watermarkDelay = "0 seconds")
         .writeStream.outputMode("append").format("parquet")
         .option("path", outPath)
         .option("checkpointLocation", s"$base/ckpt")
@@ -1032,6 +1101,24 @@ object EventQueries {
     // promotion) — no float mean/stddev, both exact over the
     // documented |x| domain
     "event_anomalies" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+        |         CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, x,
+        |    count(x) OVER f AS n, sum(x) OVER f AS sm, sum(x*x) OVER f AS sxx
+        |  FROM e
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY sec, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, x AS value_cents, n AS n_base,
+        |  CAST(sm AS BIGINT) AS base_sum
+        |FROM w
+        |WHERE n >= 8 AND (n*x - sm)*(n*x - sm) > 9*(n*sxx - sm*sm)""".stripMargin,
+
+    // the streaming twin serves the SAME oracle as the batch window
+    // query — batch/stream equivalence is the gate, like stream_sessions
+    "stream_anomalies" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
         |         CAST(round(value * 100) AS BIGINT) AS x

@@ -260,4 +260,90 @@ object StreamingIngest {
             ClosedSession(user, toTs(s.startUs), toTs(s.endUs), s.n))
       }
   }
+
+  /** An event awaiting its watermark in streaming anomaly state. */
+  case class PendingObs(sec: Long, eventId: Long, x: Long)
+
+  /** Per-entity streaming anomaly state: watermark-gated pending
+    * events + the trailing ring of the last ≤ baseN PROCESSED values
+    * (oldest first). Pending size is bounded by the watermark horizon;
+    * the ring is fixed-size — state never grows with stream length. */
+  case class AnomalyBuf(pending: Seq[PendingObs], ring: Seq[Long])
+
+  /** A flagged observation, emitted exactly once. Column names match
+    * the batch `event_anomalies` surface. */
+  case class FlaggedObs(event_id: Long, user_id: Long, value_cents: Long,
+      n_base: Long, base_sum: Long)
+
+  /** Mode 4: streaming anomaly detection — the streaming twin of
+    * [[graft.operators.Anomaly.trailingZFlags]] (`event_anomalies`
+    * driver query). Per entity, an observation is flagged when it
+    * deviates > `k` trailing sigmas from the previous ≤ `baseN`
+    * observations in (floor-second, event id) order — the
+    * cross-multiplied integer test `(n·x−S)² > k²·(n·Σx²−S²)`,
+    * evaluated in BigInt so the verdict is exact over any long input
+    * (the batch twin's decimal(38,0) domain and beyond).
+    *
+    * Event-time correctness: incoming events BUFFER in state until the
+    * watermark passes them — only then are they processed, in
+    * (sec, event id) order, against the trailing ring. Out-of-order
+    * arrivals inside the watermark horizon therefore see exactly the
+    * baseline the batch operator gives them; emission uses event-time
+    * timeouts so buffered events drain when the watermark advances
+    * with no new data. Input columns: `user_id, ts, event_id,
+    * value_cents`.
+    *
+    * Scale: state per entity = (horizon-bounded pending, baseN ring);
+    * one stateful shuffle on the entity key — identical posture to
+    * [[sessionizeStream]]. */
+  def anomalyStream(events: DataFrame, baseN: Int, minN: Int, k: Int,
+      watermarkDelay: String): Dataset[FlaggedObs] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value_cents").cast("long"))
+      .as[(Long, Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyBuf, FlaggedObs](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val st = if (state.exists) state.get else AnomalyBuf(Nil, Nil)
+          val incoming = rows.map { r =>
+            PendingObs(math.floorDiv(r._2.getTime, 1000L), r._3, r._4)
+          }.toSeq
+          // An event is final once its WHOLE floor-second has passed
+          // the watermark: any later arrival in that second would be
+          // older than the watermark and dropped before reaching state,
+          // so no future row can order before it on the (sec, event id)
+          // key. Process final events in the batch twin's order; the
+          // rest stay pending.
+          val (ready, rest) = (st.pending ++ incoming)
+            .partition(e => (e.sec + 1L) * 1000L <= wmMs)
+          var ring = st.ring.toVector
+          val flags = Seq.newBuilder[FlaggedObs]
+          ready.sortBy(e => (e.sec, e.eventId)).foreach { e =>
+            val n = ring.length
+            if (n >= minN) {
+              val nB = BigInt(n)
+              val xB = BigInt(e.x)
+              val s = ring.foldLeft(BigInt(0))(_ + BigInt(_))
+              val sxx = ring.foldLeft(BigInt(0))((a, v) =>
+                a + BigInt(v) * BigInt(v))
+              val lhs = (nB * xB - s) * (nB * xB - s)
+              val rhs = BigInt(k.toLong * k) * (nB * sxx - s * s)
+              if (lhs > rhs)
+                flags += FlaggedObs(e.eventId, user, e.x, n.toLong, s.toLong)
+            }
+            ring = (ring :+ e.x).takeRight(baseN)
+          }
+          state.update(AnomalyBuf(rest, ring))
+          // wake on the next watermark advance while events are gated;
+          // a ring with no pending needs no timer (future data re-arms)
+          if (rest.nonEmpty) state.setTimeoutTimestamp(wmMs + 1L)
+          flags.result().iterator
+      }
+  }
 }

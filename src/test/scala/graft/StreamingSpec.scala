@@ -447,4 +447,62 @@ class StreamingSpec extends SparkTestBase {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(kept == Set(2L))
   }
+
+  test("streaming anomaly flags == batch trailingZFlags, out-of-order safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Long, Long)]
+    val flags = StreamingIngest.anomalyStream(
+      source.toDF().toDF("user_id", "ts", "event_id", "value_cents"),
+      baseN = 5, minN = 3, k = 3, watermarkDelay = "1 hour")
+    val q = flags.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("anom_test")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // user 1: flat baseline at 100 cents, then a 10000-cent spike at
+    // event 7. Events 4 and 5 arrive OUT OF ORDER in a later
+    // micro-batch (inside the 1h watermark) — the gated buffer must
+    // still process them before the spike, so the spike's baseline is
+    // the batch one.
+    def e(id: Long, sec: Int, x: Long) =
+      (1L, ts(f"2024-01-01T10:00:$sec%02d"), id, x)
+    source.addData(e(1, 1, 100), e(2, 2, 101), e(3, 3, 99), e(6, 6, 100),
+      e(7, 7, 10000))
+    q.processAllAvailable()
+    source.addData(e(4, 4, 100), e(5, 5, 102)) // out of order, buffered
+    q.processAllAvailable()
+    // advance the watermark past every observation, then fire timeouts
+    source.addData((99L, ts("2024-01-01T20:00"), 99L, 0L))
+    q.processAllAvailable()
+    source.addData((98L, ts("2024-01-01T20:01"), 98L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anom_test").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("value_cents"), r.getAs[Long]("n_base"),
+        r.getAs[Long]("base_sum"))).toSet
+
+    // batch twin over the union, regardless of arrival order
+    import graft.operators.Anomaly
+    val static = Seq(e(1, 1, 100), e(2, 2, 101), e(3, 3, 99), e(6, 6, 100),
+      e(7, 7, 10000), e(4, 4, 100), e(5, 5, 102))
+      .toDF("user_id", "ts", "event_id", "value_cents")
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        col("event_id"), col("value_cents"))
+    val expect = Anomaly.trailingZFlags(static, col("user_id"),
+        Seq(col("sec"), col("event_id")), col("value_cents"),
+        baseN = 5, minN = 3, k = 3)
+      .where(col("is_anomaly"))
+      .select(col("event_id"), col("user_id"), col("value_cents"),
+        col("n_base"), col("base_sum"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(expect.nonEmpty, "fixture must flag the spike")
+    assert(got == expect)
+    // the spike's baseline must include the late-arriving events 4, 5
+    assert(got.exists { case (id, _, _, n, _) => id == 7L && n == 5L })
+  }
 }
