@@ -532,6 +532,15 @@ object EventQueries {
         .where(col("user_id") >= 0L)
         .select(col("user_id"), col("session_start"), col("n_events"))),
 
+    // streaming twin of event_user_features: same watermark-gated
+    // ordered drain as stream_anomalies — the tie-complete RANGE count
+    // is exact because a whole second drains at once
+    "stream_user_features" -> ((s, dir) =>
+      s.read.parquet(streamedFeatures(s, dir))
+        .where(col("user_id") >= 0L)
+        .select(col("event_id"), col("user_id"), col("n_prev_1h"),
+          col("secs_since_prev"))),
+
     // streaming twin of event_anomalies: events replay as a bounded
     // file stream through StreamingIngest.anomalyStream (watermark-
     // gated in-order processing over flatMapGroupsWithState ring
@@ -695,6 +704,55 @@ object EventQueries {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(landing)
       val q = StreamingIngest.sessionizeStream(stream, gapMinutes = 30,
+          watermarkDelay = "0 seconds")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      outPath
+    })
+
+  /** stream_user_features' rolling-feature parquet, built once per
+    * (session, sf dir). Same landing choreography as
+    * [[streamedAnomalies]]. */
+  private val streamFeatureDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def streamedFeatures(s: SparkSession, dir: String): String =
+    streamFeatureDirs.getOrElseUpdate((s, dir), {
+      import graft.streaming.StreamingIngest
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      import org.apache.spark.sql.types.{StructType, TimestampType}
+      val base = Files.createTempDirectory("graft_streamfeat").toString
+      val landing = s"$base/landing"
+      Files.createDirectories(Paths.get(landing))
+      val outPath = s"$base/features"
+      def writeFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dest = Paths.get(landing, s"$name.parquet")
+        Files.move(Paths.get(part), dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+      import s.implicits._
+      val t0 = System.currentTimeMillis()
+      writeFile(events(s, dir).select(col("user_id").cast(LongType),
+        col("ts"), col("event_id").cast(LongType)), "f1", t0)
+      writeFile(Seq((-1L, ts("2100-01-01T00:00"), -1L))
+        .toDF("user_id", "ts", "event_id"), "f2", t0 + 60000L)
+      writeFile(Seq((-2L, ts("2100-06-01T00:00"), -2L))
+        .toDF("user_id", "ts", "event_id"), "f3", t0 + 120000L)
+      val schema = new StructType()
+        .add("user_id", LongType).add("ts", TimestampType)
+        .add("event_id", LongType)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      val q = StreamingIngest.userFeatureStream(stream, windowSecs = 3600L,
           watermarkDelay = "0 seconds")
         .writeStream.outputMode("append").format("parquet")
         .option("path", outPath)
@@ -1115,6 +1173,18 @@ object EventQueries {
         |  CAST(sm AS BIGINT) AS base_sum
         |FROM w
         |WHERE n >= 8 AND (n*x - sm)*(n*x - sm) > 9*(n*sxx - sm*sm)""".stripMargin,
+
+    // the streaming twin serves the SAME oracle as the batch windows
+    "stream_user_features" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY s
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_prev_1h,
+        |  s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+        |    AS secs_since_prev
+        |FROM e""".stripMargin,
 
     // the streaming twin serves the SAME oracle as the batch window
     // query — batch/stream equivalence is the gate, like stream_sessions

@@ -346,4 +346,79 @@ object StreamingIngest {
           flags.result().iterator
       }
   }
+
+  /** An event awaiting its watermark in streaming feature state. */
+  case class PendingFeat(sec: Long, eventId: Long)
+
+  /** Per-entity streaming rolling-feature state: watermark-gated
+    * pending events + the multiset of PROCESSED event seconds still
+    * inside the trailing window (ascending) + the last processed
+    * second. Bounded by (watermark horizon, events-per-window). */
+  case class FeatBuf(pending: Seq[PendingFeat], recent: Seq[Long],
+      lastSec: Long, hasLast: Boolean)
+
+  /** Rolling features for one observation, emitted exactly once.
+    * Column names match the batch `event_user_features` surface. */
+  case class UserFeatures(event_id: Long, user_id: Long, n_prev_1h: Long,
+      secs_since_prev: Option[Long])
+
+  /** Mode 5: streaming rolling entity features — the streaming twin of
+    * the batch `event_user_features` windows: per entity, the
+    * tie-complete trailing-window event count (RANGE frame — every
+    * event in the same floor-second counts its peers) and the seconds
+    * since the previous event in (sec, event id) order.
+    *
+    * Same watermark-gated ordered drain as [[anomalyStream]]: events
+    * buffer until their whole floor-second passes the watermark — at
+    * that point every same-second peer has either arrived or is late
+    * (dropped), so the tie group is complete and the RANGE count is
+    * exact. Input columns: `user_id, ts, event_id`;
+    * `windowSecs` = trailing RANGE width (batch twin uses 3600). */
+  def userFeatureStream(events: DataFrame, windowSecs: Long,
+      watermarkDelay: String): Dataset[UserFeatures] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"))
+      .as[(Long, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FeatBuf, UserFeatures](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val st = if (state.exists) state.get
+            else FeatBuf(Nil, Nil, 0L, hasLast = false)
+          val incoming = rows.map { r =>
+            PendingFeat(math.floorDiv(r._2.getTime, 1000L), r._3)
+          }.toSeq
+          val (ready, rest) = (st.pending ++ incoming)
+            .partition(e => (e.sec + 1L) * 1000L <= wmMs)
+          var recent = st.recent.toVector
+          var lastSec = st.lastSec
+          var hasLast = st.hasLast
+          val out = Seq.newBuilder[UserFeatures]
+          // drain whole SECONDS in order: the tie group at each second
+          // is final, so the RANGE count includes all peers
+          ready.groupBy(_.sec).toSeq.sortBy(_._1).foreach { case (t, g) =>
+            recent = recent.dropWhile(_ < t - windowSecs)
+            val tie = g.sortBy(_.eventId)
+            val n = recent.length + tie.length
+            tie.zipWithIndex.foreach { case (e, i) =>
+              val prev =
+                if (i > 0) Some(0L)
+                else if (hasLast) Some(t - lastSec)
+                else None
+              out += UserFeatures(e.eventId, user, n.toLong, prev)
+            }
+            recent = recent ++ Vector.fill(tie.length)(t)
+            lastSec = t
+            hasLast = true
+          }
+          state.update(FeatBuf(rest, recent, lastSec, hasLast))
+          if (rest.nonEmpty) state.setTimeoutTimestamp(wmMs + 1L)
+          out.result().iterator
+      }
+  }
 }

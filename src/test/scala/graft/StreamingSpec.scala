@@ -505,4 +505,65 @@ class StreamingSpec extends SparkTestBase {
     // the spike's baseline must include the late-arriving events 4, 5
     assert(got.exists { case (id, _, _, n, _) => id == 7L && n == 5L })
   }
+
+  test("streaming rolling features == batch windows, ties + disorder safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Long)]
+    val feats = StreamingIngest.userFeatureStream(
+      source.toDF().toDF("user_id", "ts", "event_id"),
+      windowSecs = 3600L, watermarkDelay = "2 hours")
+    val q = feats.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("feat_test")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // user 1: two events in the SAME second (tie-complete RANGE count
+    // must see both), an event 30 min later, one 2h later (outside the
+    // window of the first pair); event 3 arrives OUT OF ORDER after
+    // event 4 and must still order between 2 and 5 on drain
+    val all = Seq(
+      (1L, ts("2024-01-01T10:00:05"), 1L),
+      (1L, ts("2024-01-01T10:00:05"), 2L),
+      (1L, ts("2024-01-01T10:30:00"), 4L),
+      (1L, ts("2024-01-01T10:15:00"), 3L),
+      (1L, ts("2024-01-01T12:30:00"), 5L))
+    source.addData(all.take(3): _*)
+    q.processAllAvailable()
+    source.addData(all(3)) // out of order, inside the 2h watermark
+    q.processAllAvailable()
+    source.addData(all(4))
+    q.processAllAvailable()
+    // drain: watermark past every second, then fire the timeout
+    source.addData((99L, ts("2024-01-02T20:00"), 99L))
+    q.processAllAvailable()
+    source.addData((98L, ts("2024-01-02T20:01"), 98L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("feat_test").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_prev_1h"),
+        Option(r.getAs[java.lang.Long]("secs_since_prev"))
+          .map(_.longValue))).toSet
+
+    // batch twin over the union
+    import org.apache.spark.sql.expressions.Window
+    val secs = col("ts").cast("long")
+    val byUser = Window.partitionBy(col("user_id"))
+    val rolling = byUser.orderBy(secs).rangeBetween(-3600L, 0L)
+    val seq2 = byUser.orderBy(secs, col("event_id"))
+    val expect = all.toDF("user_id", "ts", "event_id")
+      .select(col("event_id"),
+        count(lit(1)).over(rolling).as("n_prev_1h"),
+        (secs - lag(secs, 1).over(seq2)).as("secs_since_prev"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Long]("secs_since_prev"))
+          .map(_.longValue))).toSet
+    assert(got == expect)
+    // spot-check the tie group: both 10:00:05 events count each other
+    assert(got.contains((1L, 2L, None)) && got.contains((2L, 2L, Some(0L))))
+    // and the 12:30 event's window excludes everything
+    assert(got.contains((5L, 1L, Some(7200L))))
+  }
 }
