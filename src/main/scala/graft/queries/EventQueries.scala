@@ -659,60 +659,67 @@ object EventQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   /** Replay the sf events through
-    * [[graft.streaming.StreamingIngest.sessionizeStream]] as a bounded
-    * file stream and return the closed-session parquet path.
-    *
-    * Landing-dir choreography (mtime-ordered, one file per
-    * micro-batch): f1 = the real events; f2/f3 = single far-future
-    * sentinel events for negative user ids. After f1 the watermark
-    * advances to max real event time; f2 pushes it past every real
-    * session's close (end + gap); f3 runs one more batch so the
-    * event-time TIMEOUTS actually fire (timed-out state is processed
-    * on the batch AFTER the watermark passes it). Sentinel users are
-    * negative, so the serving query filters them without touching real
-    * sessions. Watermark delay 0: all real events arrive in one batch,
-    * so nothing is late relative to the still-epoch watermark. */
+    * [[graft.streaming.StreamingIngest.sessionizeStream]] via
+    * [[replayThroughState]] and return the closed-session parquet
+    * path. Watermark delay 0: all real events arrive in one batch, so
+    * nothing is late relative to the still-epoch watermark. */
   private def streamedSessions(s: SparkSession, dir: String): String =
     streamSessionDirs.getOrElseUpdate((s, dir), {
-      import graft.streaming.StreamingIngest
-      import java.nio.file.{Files, Paths}
-      import java.nio.file.attribute.FileTime
-      import org.apache.spark.sql.types.{StructType, TimestampType}
-      val base = Files.createTempDirectory("graft_streamsess").toString
-      val landing = s"$base/landing"
-      Files.createDirectories(Paths.get(landing))
-      val outPath = s"$base/sessions"
-      def writeFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-        val tmp = s"$base/tmp_$name"
-        df.coalesce(1).write.parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-          .filter(_.endsWith(".parquet")).head
-        val dest = Paths.get(landing, s"$name.parquet")
-        Files.move(Paths.get(part), dest)
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
-      }
       import s.implicits._
-      val t0 = System.currentTimeMillis()
-      writeFile(events(s, dir).select(col("user_id").cast(LongType), col("ts")),
-        "f1", t0)
-      writeFile(Seq((-1L, ts("2100-01-01T00:00"))).toDF("user_id", "ts"),
-        "f2", t0 + 60000L)
-      writeFile(Seq((-2L, ts("2100-06-01T00:00"))).toDF("user_id", "ts"),
-        "f3", t0 + 120000L)
-      val schema = new StructType()
-        .add("user_id", LongType).add("ts", TimestampType)
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(landing)
-      val q = StreamingIngest.sessionizeStream(stream, gapMinutes = 30,
-          watermarkDelay = "0 seconds")
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", outPath)
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      outPath
+      replayThroughState(s, "streamsess",
+        events(s, dir).select(col("user_id").cast(LongType), col("ts")),
+        Seq(Seq((-1L, ts("2100-01-01T00:00"))).toDF("user_id", "ts"),
+          Seq((-2L, ts("2100-06-01T00:00"))).toDF("user_id", "ts")),
+        graft.streaming.StreamingIngest.sessionizeStream(_, gapMinutes = 30,
+          watermarkDelay = "0 seconds"))
     })
+
+  /** Shared bounded-replay choreography for the stateful streaming
+    * twins (`stream_sessions` / `stream_user_features` /
+    * `stream_anomalies`). Lands `f1` (the real-events projection) and
+    * two far-future sentinel files in a landing dir with ascending
+    * mtimes — one micro-batch each: after f1 the watermark advances to
+    * the max real event time; the first sentinel pushes it past every
+    * real observation; the second runs one more batch so event-time
+    * TIMEOUTS fire and gated state drains. Sentinel rows carry
+    * negative user ids, filtered at serve time. Replays the landing
+    * dir as a bounded file stream (schema = f1's, no inference pass)
+    * through `op` and returns the parquet path of the appended
+    * output. */
+  private def replayThroughState(s: SparkSession, tag: String,
+      f1: DataFrame, sentinels: Seq[DataFrame],
+      op: DataFrame => org.apache.spark.sql.Dataset[_]): String = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val base = Files.createTempDirectory(s"graft_$tag").toString
+    val landing = s"$base/landing"
+    Files.createDirectories(Paths.get(landing))
+    val outPath = s"$base/out"
+    def writeFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dest = Paths.get(landing, s"$name.parquet")
+      Files.move(Paths.get(part), dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+    }
+    val t0 = System.currentTimeMillis()
+    writeFile(f1, "f1", t0)
+    sentinels.zipWithIndex.foreach { case (df, i) =>
+      writeFile(df, s"f${i + 2}", t0 + (i + 1) * 60000L)
+    }
+    val stream = s.readStream.schema(f1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    val q = op(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    outPath
+  }
 
   /** stream_user_features' rolling-feature parquet, built once per
     * (session, sf dir). Same landing choreography as
@@ -722,45 +729,16 @@ object EventQueries {
 
   private def streamedFeatures(s: SparkSession, dir: String): String =
     streamFeatureDirs.getOrElseUpdate((s, dir), {
-      import graft.streaming.StreamingIngest
-      import java.nio.file.{Files, Paths}
-      import java.nio.file.attribute.FileTime
-      import org.apache.spark.sql.types.{StructType, TimestampType}
-      val base = Files.createTempDirectory("graft_streamfeat").toString
-      val landing = s"$base/landing"
-      Files.createDirectories(Paths.get(landing))
-      val outPath = s"$base/features"
-      def writeFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-        val tmp = s"$base/tmp_$name"
-        df.coalesce(1).write.parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-          .filter(_.endsWith(".parquet")).head
-        val dest = Paths.get(landing, s"$name.parquet")
-        Files.move(Paths.get(part), dest)
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
-      }
       import s.implicits._
-      val t0 = System.currentTimeMillis()
-      writeFile(events(s, dir).select(col("user_id").cast(LongType),
-        col("ts"), col("event_id").cast(LongType)), "f1", t0)
-      writeFile(Seq((-1L, ts("2100-01-01T00:00"), -1L))
-        .toDF("user_id", "ts", "event_id"), "f2", t0 + 60000L)
-      writeFile(Seq((-2L, ts("2100-06-01T00:00"), -2L))
-        .toDF("user_id", "ts", "event_id"), "f3", t0 + 120000L)
-      val schema = new StructType()
-        .add("user_id", LongType).add("ts", TimestampType)
-        .add("event_id", LongType)
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(landing)
-      val q = StreamingIngest.userFeatureStream(stream, windowSecs = 3600L,
-          watermarkDelay = "0 seconds")
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", outPath)
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      outPath
+      replayThroughState(s, "streamfeat",
+        events(s, dir).select(col("user_id").cast(LongType), col("ts"),
+          col("event_id").cast(LongType)),
+        Seq(Seq((-1L, ts("2100-01-01T00:00"), -1L))
+            .toDF("user_id", "ts", "event_id"),
+          Seq((-2L, ts("2100-06-01T00:00"), -2L))
+            .toDF("user_id", "ts", "event_id")),
+        graft.streaming.StreamingIngest.userFeatureStream(_,
+          windowSecs = 3600L, watermarkDelay = "0 seconds"))
     })
 
   /** stream_anomalies' flagged-observation parquet, built once per
@@ -769,56 +747,22 @@ object EventQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   /** Replay the sf events through
-    * [[graft.streaming.StreamingIngest.anomalyStream]] as a bounded
-    * file stream and return the flagged-rows parquet path. Same
-    * landing-dir choreography as [[streamedSessions]]: f1 = the real
-    * events; f2 advances the watermark past every real observation's
-    * second; f3 runs one more batch so the event-time timeout fires
-    * and the gated buffer drains. Sentinel users are negative and
-    * filtered at serve time (their rings never reach minN, so they
-    * can't emit). */
+    * [[graft.streaming.StreamingIngest.anomalyStream]] via
+    * [[replayThroughState]] and return the flagged-rows parquet path.
+    * Sentinel users are negative and filtered at serve time (their
+    * rings never reach minN, so they can't emit). */
   private def streamedAnomalies(s: SparkSession, dir: String): String =
     streamAnomalyDirs.getOrElseUpdate((s, dir), {
-      import graft.streaming.StreamingIngest
-      import java.nio.file.{Files, Paths}
-      import java.nio.file.attribute.FileTime
-      import org.apache.spark.sql.types.{StructType, TimestampType}
-      val base = Files.createTempDirectory("graft_streamanom").toString
-      val landing = s"$base/landing"
-      Files.createDirectories(Paths.get(landing))
-      val outPath = s"$base/flags"
-      def writeFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-        val tmp = s"$base/tmp_$name"
-        df.coalesce(1).write.parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-          .filter(_.endsWith(".parquet")).head
-        val dest = Paths.get(landing, s"$name.parquet")
-        Files.move(Paths.get(part), dest)
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
-      }
       import s.implicits._
-      val t0 = System.currentTimeMillis()
-      writeFile(events(s, dir).select(col("user_id").cast(LongType),
-        col("ts"), col("event_id").cast(LongType),
-        cents.as("value_cents")), "f1", t0)
-      writeFile(Seq((-1L, ts("2100-01-01T00:00"), -1L, 0L))
-        .toDF("user_id", "ts", "event_id", "value_cents"), "f2", t0 + 60000L)
-      writeFile(Seq((-2L, ts("2100-06-01T00:00"), -2L, 0L))
-        .toDF("user_id", "ts", "event_id", "value_cents"), "f3", t0 + 120000L)
-      val schema = new StructType()
-        .add("user_id", LongType).add("ts", TimestampType)
-        .add("event_id", LongType).add("value_cents", LongType)
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(landing)
-      val q = StreamingIngest.anomalyStream(stream, baseN = 20, minN = 8,
-          k = 3, watermarkDelay = "0 seconds")
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", outPath)
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      outPath
+      replayThroughState(s, "streamanom",
+        events(s, dir).select(col("user_id").cast(LongType), col("ts"),
+          col("event_id").cast(LongType), cents.as("value_cents")),
+        Seq(Seq((-1L, ts("2100-01-01T00:00"), -1L, 0L))
+            .toDF("user_id", "ts", "event_id", "value_cents"),
+          Seq((-2L, ts("2100-06-01T00:00"), -2L, 0L))
+            .toDF("user_id", "ts", "event_id", "value_cents")),
+        graft.streaming.StreamingIngest.anomalyStream(_, baseN = 20,
+          minN = 8, k = 3, watermarkDelay = "0 seconds"))
     })
 
   // ---------------------------------------------------------------- oracles
