@@ -182,4 +182,44 @@ class RollupRoutingSpec extends SparkTestBase {
     assert(paths.exists(_.contains(rollupDir)))
     assert(n == 0L)
   }
+
+  test("time-bounded routing works across every fixture ts encoding") {
+    // the driver has shipped events.ts as nanos-int64, TIMESTAMP_NTZ,
+    // and a Spark producer writes TIMESTAMP — aligned bounds must route
+    // whichever encoding the registered raw frame was read from
+    // (UnwrapCastInBinaryComparison rewrites NTZ-sourced bounds onto
+    // the raw column with NTZ literals; the rule must catch both forms)
+    import spark.implicits._
+    val t1 = graft.functions.TimeKernel.ts("2024-01-05T10:07:00")
+    val t2 = graft.functions.TimeKernel.ts("2024-01-06T11:09:00")
+    val base = java.nio.file.Files.createTempDirectory("graft_enc").toString
+    Seq((1L, t1.getTime * 1000000L, 1L, "click", 1.0, "{}"),
+        (2L, t2.getTime * 1000000L, 2L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$base/nanos/events.parquet")
+    Seq((1L, t1.toLocalDateTime, 1L, "click", 1.0, "{}"),
+        (2L, t2.toLocalDateTime, 2L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$base/ntz/events.parquet")
+    Seq((1L, t1, 1L, "click", 1.0, "{}"), (2L, t2, 2L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$base/ltz/events.parquet")
+    Seq("nanos", "ntz", "ltz").foreach { enc =>
+      val encRaw = graft.sources.EventSource.wideEvents(spark, s"$base/$enc")
+      val d = java.nio.file.Files.createTempDirectory(s"graft_enc_$enc").toString
+      Rollups.materializePartials(encRaw, Seq("event_type"), d)
+      RollupRouting.install(spark)
+      RollupRouting.register(spark, encRaw, Rollups.read(spark, d),
+        Seq("event_type"))
+      try {
+        val q = encRaw
+          .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+            && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-06 00:00:00")))
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        assert(scannedPaths(q).exists(_.contains(d)), s"$enc: not routed")
+        val rows = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(rows == Set(("click", 1L)), s"$enc: wrong rows $rows")
+      } finally RollupRouting.clear(spark)
+    }
+  }
 }
