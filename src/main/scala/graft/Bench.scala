@@ -22,10 +22,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: JIT + classloading + file index + page cache + parquet
-    // reader codegen for every table family, not measured
+    // reader codegen for every table family, not measured. The counts
+    // double as input provenance: cross-round per-query deltas are
+    // only attributable to the engine when the recorded table sizes
+    // match; a fixture regeneration shows up as drift here (SCALE.md
+    // §9 — data drift vs engine regression must be decidable).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    val tables =
+      Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+        .map { t =>
+          val path = s"$sfDir/$t.parquet"
+          t -> (spark.read.parquet(path).count(), new java.io.File(path).length())
+        }
+    // chars of document text ~ regex/tokenizer workload for the whole
+    // text plane; rows+bytes alone can hide a content re-roll
+    val docChars = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text"))))
+      .head.getLong(0)
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
@@ -38,6 +53,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name pass: $dt%.3f s")
       // operators may cache intra-query intermediates (e.g. shingle
       // tables); drop them BLOCKING so the next query doesn't inherit
       // eviction/GC pressure (catalog.clearCache is async)
@@ -50,15 +66,23 @@ object Bench {
     // three passes per query, min taken: measures steady-state engine
     // throughput rather than first-run JIT or transient host noise
     // (observed multi-second bursts spanning two consecutive passes)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = Seq.fill(3)(runOnce(name, fn))
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val results = selected.map { case (name, fn) =>
+      val runs = Seq.fill(passes)(runOnce(name, fn))
       val ok = runs.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val prov = tables.map { case (t, (rows, bytes)) =>
+      "\"" + t + "\":{\"rows\":" + rows + ",\"bytes\":" + bytes + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tables":$prov,"doc_chars":$docChars}""")
     spark.stop()
   }
 }
