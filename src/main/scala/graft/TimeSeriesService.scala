@@ -223,13 +223,26 @@ final class TimeSeriesService(
     }
   }
 
+  /** Event-date partition column of the on-disk store (and, derived
+    * on the fly, of in-memory frames so the two union cleanly). A
+    * storage/pruning artifact like `__batch_id`, never query-visible:
+    * [[graft.operators.Timeseries.scan]] turns its time range into a
+    * partition predicate on it and drops it. */
+  private def withEventDate(events: DataFrame): DataFrame =
+    events.withColumn("__event_date", to_date(col("ts")))
+
   private def ingestTagged(events: DataFrame, tag: String): Unit = {
     storeDir match {
       case Some(dir) =>
         // deterministic per-batch partition dir in overwrite mode: a
         // replay of the same tag replaces its own (possibly partial)
-        // prior output instead of appending a duplicate
-        events.write.mode("overwrite").parquet(s"$dir/__batch_id=$tag")
+        // prior output instead of appending a duplicate. Inside it,
+        // one dir per event date: the 100 TB read path prunes whole
+        // dates from the partition index (matching the rollup layout,
+        // Rollups.materialize) instead of opening every footer for
+        // row-group min/max.
+        withEventDate(events).write.mode("overwrite")
+          .partitionBy("__event_date").parquet(s"$dir/__batch_id=$tag")
         // the incoming frame is materialized on disk now; if the caller
         // cached it for the hand-off (streaming batches), release that
         if (events.storageLevel.useMemory) events.unpersist()
@@ -240,7 +253,8 @@ final class TimeSeriesService(
         if (bulkDepth >= spillDepth) {
           val dir = java.nio.file.Files
             .createTempDirectory("graft-eventstore").toString
-          bulk.foreach(_.write.mode("overwrite")
+          bulk.foreach(b => withEventDate(b).write.mode("overwrite")
+            .partitionBy("__event_date")
             .parquet(s"$dir/__batch_id=spill"))
           storeDir = Some(dir)
           bulk = None
@@ -272,23 +286,33 @@ final class TimeSeriesService(
     * history. */
   def compactEventStore(outDir: String, targetFiles: Int = 8): Unit =
     storeDir.foreach { dir =>
+      // __event_date survives the rewrite (a partition column of the
+      // read is a real column here); coalesce bounds writer tasks, so
+      // file count is at most targetFiles × dates-per-task-span —
+      // still the per-batch-dir small-file fix this exists for
       spark.read.parquet(dir).drop("__batch_id")
         .coalesce(targetFiles)
-        .write.mode("overwrite").parquet(s"$outDir/__batch_id=compacted")
+        .write.mode("overwrite").partitionBy("__event_date")
+        .parquet(s"$outDir/__batch_id=compacted")
       storeDir = Some(outDir)
       invalidateRollups(None)
     }
 
   /** All events visible to queries. `__batch_id` is the store's
-    * idempotency partition — a storage artifact, dropped on read. */
+    * idempotency partition — a storage artifact, dropped on read.
+    * `__event_date` is KEPT (derived on the in-memory sides so the
+    * union is uniform): on the store branch it is the physical
+    * partition column, and [[graft.operators.Timeseries.scan]] turns
+    * its time range into a predicate on it — partition pruning on
+    * disk, a cheap redundant filter in memory — then drops it. */
   def eventsDF: DataFrame = {
-    val buffered = spark.createDataset(buffer.toSeq).toDF()
+    val buffered = withEventDate(spark.createDataset(buffer.toSeq).toDF())
     val withStore = storeDir match {
       case Some(dir) =>
         buffered.unionByName(spark.read.parquet(dir).drop("__batch_id"))
       case None => buffered
     }
-    bulk.map(withStore.unionByName(_)).getOrElse(withStore)
+    bulk.map(b => withStore.unionByName(withEventDate(b))).getOrElse(withStore)
   }
 
   // ---- Read path (O13–O20) --------------------------------------------
@@ -420,11 +444,14 @@ final class TimeSeriesService(
   }
 
   /** Project canonical events into the prepared shape for one (fact,
-    * grouping): dim columns pulled out of the categories map. */
+    * grouping): dim columns pulled out of the categories map.
+    * `__event_date` rides along so the scan can prune store
+    * partitions; aggregation keys never include it, so it cannot leak
+    * into results. */
   private def prepare(factId: String, grouping: Seq[String]): DataFrame = {
     val dimCols = grouping.map(d => col("categories").getItem(d).as(d))
     eventsDF
       .where(col("fact") === lit(factId))
-      .select(dimCols :+ col("ts") :+ col("value"): _*)
+      .select(dimCols :+ col("ts") :+ col("value") :+ col("__event_date"): _*)
   }
 }

@@ -64,7 +64,23 @@ object Timeseries {
     val eq = filters.collect {
       case (k, Some(v)) if grouping.contains(k) => col(k) === lit(v)
     }.foldLeft(lit(true))(_ && _)
-    prepared
+    // When the frame carries the event store's `__event_date`
+    // partition column (TimeSeriesService.eventsDF), restate the time
+    // range on it: the date of any admitted ts lies in
+    // [date(lo), date(hiExcl − 1µs)] (implied by the ts bounds, so
+    // results are unchanged), and a predicate on the PARTITION column
+    // is what lets the store prune whole date directories from the
+    // partition index — row-group min/max alone still opens every
+    // footer. The artifact column is dropped here; it never reaches
+    // aggregation keys or output.
+    val dated =
+      if (prepared.columns.contains("__event_date"))
+        prepared.where(col("__event_date").between(
+            to_date(lit(lo)),
+            to_date(lit(Timestamp.from(hiExcl.toInstant.minusNanos(1000))))))
+          .drop("__event_date")
+      else prepared
+    dated
       .where(col("ts") >= lit(lo) && col("ts") < lit(hiExcl))
       .where(nonNull && eq)
   }

@@ -144,4 +144,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
     assert(!p.contains("Join"), p.take(2000))
   }
+
+  test("spilled event store: time range prunes whole date partitions") {
+    import spark.implicits._
+    import graft.functions.TimeKernel.ts
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("signups", graft.model.FactType.Counter, slice = 10)
+    svc.defineDimension("dependency", facts = Set("signups"))
+    // 40 single-event frames across 4 distinct dates cross the spill
+    // threshold, so the store holds __batch_id=*/__event_date=* dirs
+    for (i <- 0 until 40)
+      svc.ingest(Seq(graft.model.Event("signups",
+        ts(f"2014-03-${10 + i % 4}%02dT09:15"), 1L,
+        Map("dependency" -> "31"))).toDF())
+    val df = svc.getTimeseries("signups", "dependency",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-11T00:00"), ts("2014-03-11T23:59"))
+    // correctness first: exactly the 10 day-11 events
+    assert(df.collect().map(_.getLong(2)).sum == 10L)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the ts range must be restated on the store's partition column —
+    // whole date directories drop out of the partition index before a
+    // byte of parquet is read (the 100 TB narrow-window read path);
+    // row-group min/max alone would still open every footer
+    assert("PartitionFilters: \\[[^\\]]*__event_date".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    // and the artifact column never reaches the result schema
+    assert(!df.columns.contains("__event_date"))
+  }
 }
