@@ -28,12 +28,14 @@ import org.apache.spark.sql.functions._
   *
   * The bucket id is an explicit row column, NOT the physical partition
   * index — the prefix arithmetic survives any re-partitioning (AQE
-  * coalescing, a downstream coalesce(1), cache eviction) because a
-  * bucket always carries its own identity. The bucketed frame is
-  * cached between the two passes as an efficiency; correctness does
-  * not depend on it (the bucket stamp is a pure function of the
-  * sampled bounds held on the driver). Cache ownership passes to the
-  * caller with the returned frame, per the kernel convention.
+  * coalescing, a downstream coalesce(1)) because a bucket always
+  * carries its own identity. The two passes share ONE materialized
+  * RDD of the bucketed frame: the second job finds the shuffle map
+  * stage already complete and re-reads its shuffle files, so nothing
+  * is cached and nothing has to be unpersisted — at corpus scale a
+  * cache of the bucketed rows would itself be the memory/spill
+  * problem, while the re-read costs one extra pass over (int, long,
+  * long) shuffle blocks.
   *
   * Determinism: output is a pure function of (ids, token counts,
   * capacity) — the partition count changes WHERE the prefix sum is
@@ -42,6 +44,23 @@ import org.apache.spark.sql.functions._
   * function.
   */
 object Packing {
+
+  /** Structural guard for the pass-2 reseed invariant: the bucketed
+    * frame's one exchange must HASH-partition on the in-row bucket id
+    * (`_1`), which is what keeps every bucket whole inside exactly one
+    * partition. A round-robin or range exchange here could split a
+    * bucket across partitions and silently double-seed the running
+    * sum — wrong offsets that small-scale value specs may not catch.
+    * Driver-side string check on the compiled plan, once per call; no
+    * job runs. */
+  private def requireBucketHashExchange(sorted: org.apache.spark.sql.Dataset[_]): Unit = {
+    val plan = sorted.queryExecution.sparkPlan.toString
+    // p == 1 folds the hash exchange to SinglePartition, where
+    // wholeness holds trivially
+    require(plan.contains("Exchange hashpartitioning(_1")
+        || plan.contains("Exchange SinglePartition"),
+      s"packing requires a hash exchange on the bucket id; got:\n${plan.take(800)}")
+  }
 
   /** Assign pack coordinates to every document: returns
     * `(id, n_tokens, offset, seq_id, seq_pos)` where `offset` is the
@@ -79,14 +98,19 @@ object Packing {
     // Hash-partitioning ON the bucket id keeps each bucket whole in
     // exactly one partition; the within-partition (bkt, id) sort keeps
     // its rows contiguous and ordered.
-    val bucketed = df
+    val sorted = df
       .select(col(idCol).cast("long").as("id"),
         col(tokenCol).cast("long").as("toks"))
       .as[(Long, Long)]
       .map { case (id, toks) => (partitioner.getPartition(id), id, toks) }
       .repartition(p, col("_1"))
       .sortWithinPartitions(col("_1"), col("_2"))
-      .cache()
+    requireBucketHashExchange(sorted)
+    // ONE RDD shared by both passes: pass 2's job skips the already-
+    // complete shuffle map stage and re-reads its shuffle files — no
+    // cache, so no storage to release (PackingSpec pins zero
+    // persistent RDDs) and no corpus-sized cache at scale
+    val bucketed = sorted.as[(Int, Long, Long)].rdd
     // pass 1: per-bucket totals — at most P rows to the driver
     val totals = bucketed
       .mapPartitions { it =>
@@ -100,8 +124,13 @@ object Packing {
     var acc = 0L
     totals.sortBy(_._1).foreach { case (b, s) => offsets(b) = acc; acc += s }
     val bc = spark.sparkContext.broadcast(offsets)
-    // pass 2: seeded running sum, row-local, reseeded at bucket change
-    bucketed
+    // pass 2: seeded running sum, row-local, reseeded at bucket change.
+    // Reseed-on-change is correct ONLY because each bucket id is whole
+    // in one partition (hash exchange on the bucket column above) and
+    // its rows are contiguous (the within-partition sort): a split
+    // bucket would seed twice. requireBucketHashExchange above fails
+    // loudly if a refactor changes that exchange.
+    spark.createDataset(bucketed
       .mapPartitions { it =>
         var cur = -1
         var run = 0L
@@ -111,7 +140,7 @@ object Packing {
           run += toks
           (id, toks, off)
         }
-      }
+      })
       .toDF("id", "n_tokens", "offset")
       .withColumn("seq_id", expr(s"offset DIV ${capacity}L")) // exact long division, no double round-trip
       .withColumn("seq_pos", col("offset") % capacity)
@@ -144,7 +173,7 @@ object Packing {
       .as[(String, Long)]
       .rdd.map((_, null))
     val partitioner = new org.apache.spark.RangePartitioner(p, keyOnly)
-    val bucketed = df
+    val sorted = df
       .select(col(groupCol).cast("string").as("grp"),
         col(idCol).cast("long").as("id"),
         col(tokenCol).cast("long").as("toks"))
@@ -154,7 +183,10 @@ object Packing {
       }
       .repartition(p, col("_1"))
       .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
-      .cache()
+    requireBucketHashExchange(sorted)
+    // shared-RDD scheme of [[packSequences]]: no cache, pass 2
+    // re-reads the completed shuffle
+    val bucketed = sorted.as[(Int, String, Long, Long)].rdd
     val totals = bucketed
       .mapPartitions { it =>
         val acc =
@@ -175,7 +207,10 @@ object Packing {
         }
       }
     val bc = spark.sparkContext.broadcast(offsets)
-    bucketed
+    // same wholeness invariant as [[packSequences]] pass 2: reseed at
+    // (bucket, group) change requires the hash exchange on the bucket
+    // column — guarded by requireBucketHashExchange above
+    spark.createDataset(bucketed
       .mapPartitions { it =>
         var curB = -1
         var curG: String = null
@@ -188,7 +223,7 @@ object Packing {
           run += toks
           (g, id, toks, off)
         }
-      }
+      })
       .toDF("group", "id", "n_tokens", "offset")
       .withColumn("seq_id", expr(s"offset DIV ${capacity}L"))
       .withColumn("seq_pos", col("offset") % capacity)

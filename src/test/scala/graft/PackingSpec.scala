@@ -54,6 +54,19 @@ class PackingSpec extends SparkTestBase {
       5L -> 2800L))
   }
 
+  test("packing leaves no cached storage behind") {
+    // both passes share one RDD (shuffle-stage reuse), so nothing is
+    // ever persisted: a reintroduced .cache() without an unpersist
+    // would accumulate corpus-sized storage in a long-lived session
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Packing.packSequences(docs, "doc_id", "n_tokens", 1024L).count()
+    Packing.packSequencesByGroup(
+      Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("grp", "doc_id", "n_tokens"),
+      "grp", "doc_id", "n_tokens", 1024L).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"packing persisted RDDs: $leaked")
+  }
+
   test("packSequencesByGroup == independent packSequences per group") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 600L).map(i =>

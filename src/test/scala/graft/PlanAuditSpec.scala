@@ -135,13 +135,20 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("sequence packing shuffles once, by bucket hash — never by range") {
-    val p = plan("pack_sequences")
-    // the prefix sum's one shuffle is the hash exchange on the in-row
-    // bucket id; a rangepartitioning exchange here means someone
-    // reverted to repartitionByRange, whose sampling job re-executes
-    // the token-count expression over the whole corpus a second time
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
-    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+    // the packed frame is built from the shared two-pass RDD, so the
+    // shuffle lives in the RDD lineage rather than the visible SQL
+    // plan: walk the dependency graph instead. Exactly ONE shuffle
+    // (the bucket hash exchange — its hashpartitioning form is
+    // require()-guarded inside Packing); a second shuffle means the
+    // prefix sum grew a range exchange or an extra repartition, whose
+    // sampling job re-executes the token-count expression over the
+    // whole corpus a second time
+    val df = SparkEntry.queries("pack_sequences")(spark, sf)
+    df.collect()
+    val lineage = df.queryExecution.toRdd.toDebugString
+    assert("ShuffledRowRDD".r.findAllIn(lineage).size == 1, lineage)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(!p.contains("Join"), p.take(2000))
   }
 
