@@ -27,12 +27,19 @@ object Bench {
     // only attributable to the engine when the recorded table sizes
     // match; a fixture regeneration shows up as drift here (SCALE.md
     // §9 — data drift vs engine regression must be decidable).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tables =
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .map { t =>
           val path = s"$sfDir/$t.parquet"
-          t -> (spark.read.parquet(path).count(), new java.io.File(path).length())
+          // events may carry a TIMESTAMP(NANOS) ts depending on the
+          // fixture generation — resolve its schema adaptively rather
+          // than flipping the legacy session conf
+          val df =
+            if (t == "events") spark.read
+              .schema(graft.sources.EventSource.adaptiveSchema(spark, path))
+              .parquet(path)
+            else spark.read.parquet(path)
+          t -> (df.count(), new java.io.File(path).length())
         }
     // chars of document text ~ regex/tokenizer workload for the whole
     // text plane; rows+bytes alone can hide a content re-roll

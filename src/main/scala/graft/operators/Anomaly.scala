@@ -65,11 +65,13 @@ object Anomaly {
     // With ANSI off, decimal overflow yields NULL → is_anomaly NULL →
     // `.where(is_anomaly)` silently drops rows. Fail loudly instead:
     // the exactness contract above requires ANSI (Spark 4's default).
-    require(df.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
-      .toBoolean, "Anomaly.trailingZFlags requires spark.sql.ansi." +
-      "enabled=true: with ANSI off, decimal overflow beyond the " +
-      "documented |x| domain becomes NULL and silently drops rows " +
-      "instead of raising")
+    // Read the RESOLVED conf value — a string get with a literal
+    // fallback would shadow SQLConf's real default on builds where it
+    // differs (Spark 3.x defaulted ANSI off).
+    require(df.sparkSession.sessionState.conf.ansiEnabled,
+      "Anomaly.trailingZFlags requires spark.sql.ansi.enabled=true: " +
+      "with ANSI off, decimal overflow beyond the documented |x| " +
+      "domain becomes NULL and silently drops rows instead of raising")
     val frame = Window.partitionBy(entityCol).orderBy(orderCols: _*)
       .rowsBetween(-baseN.toLong, -1L)
     val dec = DecimalType(38, 0)

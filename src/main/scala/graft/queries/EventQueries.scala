@@ -603,8 +603,10 @@ object EventQueries {
       val base = java.nio.file.Files.createTempDirectory("graft_streamroll")
         .toString
       val rollPath = s"$base/rollup"
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // nanos-adaptive schema resolution without mutating the session
+      // conf; the stream itself stays on the caller's session
+      val schema = graft.sources.EventSource
+        .adaptiveSchema(s, s"$dir/events.parquet")
       // the file-stream source needs a directory: stream the sf dir
       // with a glob pinned to the events table (single-file tables at
       // test scale; a landing DIRECTORY of files in deployment, each

@@ -22,8 +22,8 @@ object EventSource {
 
   /** Schema-adaptive reader for the driver's wide `events` table. The
     * fixture's `ts` physical type has varied across driver rounds:
-    * TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts as
-    * a nanos BIGINT via the legacy conf), naive TIMESTAMP(MICROS)
+    * TIMESTAMP(NANOS) (read as a nanos BIGINT under an explicit
+    * schema — see [[adaptiveSchema]]), naive TIMESTAMP(MICROS)
     * (TIMESTAMP_NTZ to Spark), or a tz-adjusted TIMESTAMP_LTZ. All
     * encode UTC instants; normalize to a session-tz TIMESTAMP (sessions
     * here pin UTC) so every downstream operator sees one type. An
@@ -34,8 +34,12 @@ object EventSource {
     * time-range scan is the dominant cost. */
   def wideEvents(spark: SparkSession, dir: String,
       range: Option[(Long, Long)] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val path = s"$dir/events.parquet"
+    // Explicit schema on the CALLER's session: the frame keeps the
+    // caller's temp views / routing rule / runtime conf (a cloned
+    // session would silently lose all three), no global conf is
+    // mutated, and the one footer resolution replaces inference.
+    val raw = spark.read.schema(adaptiveSchema(spark, path)).parquet(path)
     val ranged = range match {
       case None => raw
       case Some((loSec, hiSec)) =>
@@ -43,6 +47,29 @@ object EventSource {
     }
     normalizeEventTs(ranged)
   }
+
+  /** Schema of the parquet at `path`, resolved WITHOUT mutating any
+    * session conf. Spark's automatic schema conversion rejects
+    * INT64 (TIMESTAMP(NANOS)) unless the legacy `nanosAsLong` session
+    * conf is on — but the conf is only consulted during conversion:
+    * the column DECODES fine as a plain LongType under an explicit
+    * user schema. So: try the caller's session; on the
+    * nanos-rejection error, resolve once more through a throwaway
+    * conf-isolated clone (`newSession` shares the SparkContext but
+    * owns its SQL conf) that maps the nanos column to LongType. The
+    * clone is driver-side schema plumbing only — no DataFrame built
+    * on it ever escapes, so the caller's temp views, optimizer rules,
+    * and runtime conf are never bypassed, and the caller's session is
+    * never mutated. */
+  def adaptiveSchema(spark: SparkSession, path: String): StructType =
+    try spark.read.parquet(path).schema
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("Illegal Parquet type") =>
+        val reader = spark.newSession()
+        reader.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        reader.read.parquet(path).schema
+    }
 
   /** [loSec, hiSec) bounds on the raw `ts` column in its stored type —
     * pushdown-visible (literal vs column, no cast on the column side). */

@@ -334,8 +334,16 @@ object StreamingIngest {
                 a + BigInt(v) * BigInt(v))
               val lhs = (nB * xB - s) * (nB * xB - s)
               val rhs = BigInt(k.toLong * k) * (nB * sxx - s * s)
-              if (lhs > rhs)
+              if (lhs > rhs) {
+                // the verdict is BigInt-exact, but the emitted base_sum
+                // diagnostic is a Long column: raise on overflow like
+                // the batch twin's ANSI decimal→long cast does, rather
+                // than silently wrapping (needs baseN extreme longs)
+                if (!s.isValidLong) throw new ArithmeticException(
+                  s"base_sum $s overflows LONG for entity $user — " +
+                    "beyond the batch surface's emitted-column domain")
                 flags += FlaggedObs(e.eventId, user, e.x, n.toLong, s.toLong)
+              }
             }
             ring = (ring :+ e.x).takeRight(baseN)
           }
@@ -351,10 +359,13 @@ object StreamingIngest {
   case class PendingFeat(sec: Long, eventId: Long)
 
   /** Per-entity streaming rolling-feature state: watermark-gated
-    * pending events + the multiset of PROCESSED event seconds still
-    * inside the trailing window (ascending) + the last processed
-    * second. Bounded by (watermark horizon, events-per-window). */
-  case class FeatBuf(pending: Seq[PendingFeat], recent: Seq[Long],
+    * pending events + the PROCESSED event seconds still inside the
+    * trailing window, run-length encoded as ascending (sec, count)
+    * pairs — so a hot entity's state grows with DISTINCT seconds in
+    * the window (≤ windowSecs entries), not with its event count —
+    * plus the last processed second. Bounded by (watermark horizon,
+    * windowSecs). */
+  case class FeatBuf(pending: Seq[PendingFeat], recent: Seq[(Long, Long)],
       lastSec: Long, hasLast: Boolean)
 
   /** Rolling features for one observation, emitted exactly once.
@@ -400,19 +411,23 @@ object StreamingIngest {
           var hasLast = st.hasLast
           val out = Seq.newBuilder[UserFeatures]
           // drain whole SECONDS in order: the tie group at each second
-          // is final, so the RANGE count includes all peers
+          // is final, so the RANGE count includes all peers. `recent`
+          // is run-length encoded — seconds are drained in ascending
+          // order and a drained second can never recur (later arrivals
+          // are behind the watermark), so each second appends exactly
+          // one (sec, count) entry and the vector stays sorted.
           ready.groupBy(_.sec).toSeq.sortBy(_._1).foreach { case (t, g) =>
-            recent = recent.dropWhile(_ < t - windowSecs)
+            recent = recent.dropWhile(_._1 < t - windowSecs)
             val tie = g.sortBy(_.eventId)
-            val n = recent.length + tie.length
+            val n = recent.iterator.map(_._2).sum + tie.length
             tie.zipWithIndex.foreach { case (e, i) =>
               val prev =
                 if (i > 0) Some(0L)
                 else if (hasLast) Some(t - lastSec)
                 else None
-              out += UserFeatures(e.eventId, user, n.toLong, prev)
+              out += UserFeatures(e.eventId, user, n, prev)
             }
-            recent = recent ++ Vector.fill(tie.length)(t)
+            recent = recent :+ (t -> tie.length.toLong)
             lastSec = t
             hasLast = true
           }

@@ -111,7 +111,46 @@ class EventSourceSpec extends SparkTestBase {
       .map { case (t, id) => (id, t, id, "click", 1.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$base/ltz/events.parquet")
-    Seq("nanos" -> s"$base/nanos", "ntz" -> s"$base/ntz", "ltz" -> s"$base/ltz")
+    // (d) TRUE INT64(TIMESTAMP(NANOS,true)) annotation via parquet-mr —
+    // what the round-≤4 driver fixtures actually stored; Spark's
+    // automatic schema conversion rejects this annotation outright, so
+    // it exercises adaptiveSchema's clone fallback + explicit-schema
+    // read (fixture (a) is a plain un-annotated int64)
+    writeNanosAnnotated(s"$base/nanos_ann/events.parquet",
+      Seq((1L, t1.getTime * 1000000L), (2L, t2.getTime * 1000000L)))
+    Seq("nanos" -> s"$base/nanos", "ntz" -> s"$base/ntz",
+      "ltz" -> s"$base/ltz", "nanos_ann" -> s"$base/nanos_ann")
+  }
+
+  /** Write a wide events file whose ts column carries the real
+    * TIMESTAMP(NANOS) logical-type annotation (Spark cannot write one;
+    * parquet-mr, already on the classpath, can). */
+  private def writeNanosAnnotated(path: String,
+      rows: Seq[(Long, Long)]): Unit = {
+    import org.apache.parquet.schema.MessageTypeParser
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val msg = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,true));
+        |  required int64 user_id;
+        |  required binary event_type (STRING);
+        |  required double value;
+        |  required binary props (STRING);
+        |}""".stripMargin)
+    new java.io.File(path).mkdirs()
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$path/part-00000.parquet"))
+      .withType(msg).build()
+    val gf = new SimpleGroupFactory(msg)
+    rows.foreach { case (id, tsNanos) =>
+      val g = gf.newGroup()
+      g.add("event_id", id); g.add("ts", tsNanos); g.add("user_id", id)
+      g.add("event_type", "click"); g.add("value", 1.0); g.add("props", "{}")
+      w.write(g)
+    }
+    w.close()
   }
 
   test("wideEvents normalizes nanos-long, NTZ, and LTZ ts to TIMESTAMP") {
