@@ -205,7 +205,16 @@ final case class RollupRouteRule(spark: SparkSession)
       plan
     } else plan.transformUp {
       case agg: Aggregate =>
-        entries.view.flatMap(e => rewrite(agg, e)).headOption.getOrElse(agg)
+        // best-grouping preference (postgres/query.clj:19-28): among
+        // every registered rollup that can serve this aggregate, route
+        // to the NARROWEST — fewest dimension columns, i.e. the most
+        // compacted partials (a wider rollup carries one row per extra
+        // dimension combination that this query would immediately
+        // re-aggregate away). Ties keep registration order (minBy is
+        // stable over the ordered entry list).
+        val servable = entries.flatMap(e =>
+          rewrite(agg, e).map(e.dimExprs.size -> _))
+        if (servable.isEmpty) agg else servable.minBy(_._1)._2
     }
   }
 

@@ -183,6 +183,41 @@ class RollupRoutingSpec extends SparkTestBase {
     assert(n == 0L)
   }
 
+  test("two covering rollups: the narrowest is routed (best-grouping)") {
+    // the reference's best-grouping picks the most specific covering
+    // pre-aggregation (postgres/query.clj:19-28); the Catalyst twin
+    // must prefer the fewest-dimension covering rollup, not whichever
+    // registered first — a wider rollup carries rows this query would
+    // immediately re-aggregate away
+    val wideD = java.nio.file.Files.createTempDirectory("graft_rt_wide").toString
+    val narrowD = java.nio.file.Files.createTempDirectory("graft_rt_nar").toString
+    Rollups.materializePartials(raw, Seq("event_type", "user_id"), wideD)
+    Rollups.materializePartials(raw, Seq("event_type"), narrowD)
+    def q: DataFrame = raw.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    val expected = q.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    RollupRouting.install(spark)
+    // WIDE registered first: registration order must not decide
+    RollupRouting.register(spark, raw, Rollups.read(spark, wideD),
+      Seq("event_type", "user_id"))
+    RollupRouting.register(spark, raw, Rollups.read(spark, narrowD),
+      Seq("event_type"))
+    try {
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains(narrowD)), s"narrow not chosen: $paths")
+      assert(!paths.exists(_.contains(wideD)), s"wide chosen: $paths")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == expected)
+      // a query grouping by user_id too is only covered by the wide
+      // rollup — it must still route there
+      val q2 = raw.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val p2 = scannedPaths(q2)
+      assert(p2.exists(_.contains(wideD)), s"wide query not routed: $p2")
+    } finally RollupRouting.clear(spark)
+  }
+
   test("time-bounded routing works across every fixture ts encoding") {
     // the driver has shipped events.ts as nanos-int64, TIMESTAMP_NTZ,
     // and a Spark producer writes TIMESTAMP — aligned bounds must route
