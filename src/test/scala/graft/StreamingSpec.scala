@@ -448,6 +448,135 @@ class StreamingSpec extends SparkTestBase {
     assert(kept == Set(2L))
   }
 
+  // ---- checkpoint restart recovery --------------------------------------
+  // The stateful twins are replay-gated above; these kill the query
+  // mid-stream (with data already ADDED but not processed — the
+  // crash-with-in-flight-work shape) and restart from the checkpoint:
+  // custom state (pending buffers, rings, RLE second counts, open
+  // sessions) must round-trip the state store, and the parquet sink's
+  // metadata log must keep output exactly-once across the restart.
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("sessionization survives kill+restart from checkpoint (same oracle)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp)]
+    val (ck, out) = (tmp("graft-rck"), tmp("graft-rout"))
+    def startQ() = StreamingIngest.sessionizeStream(
+        source.toDF().toDF("user_id", "ts"), gapMinutes = 30,
+        watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    val q1 = startQ()
+    source.addData((1L, ts("2024-01-01T10:00")), (2L, ts("2024-01-01T10:05")))
+    q1.processAllAvailable()
+    // in-flight at kill time: added, never processed by q1
+    source.addData((1L, ts("2024-01-01T10:10")))
+    q1.stop()
+    val q2 = startQ()
+    // out-of-order merge into user 1's OPEN session recovered from state
+    source.addData((1L, ts("2024-01-01T10:05")), (1L, ts("2024-01-01T10:50")))
+    q2.processAllAvailable()
+    source.addData((99L, ts("2024-01-01T20:00")))
+    q2.processAllAvailable()
+    source.addData((98L, ts("2024-01-01T20:01")))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))).toSet
+    assert(got == Set(
+      (1L, ts("2024-01-01T10:00"), ts("2024-01-01T10:10"), 3L),
+      (1L, ts("2024-01-01T10:50"), ts("2024-01-01T10:50"), 1L),
+      (2L, ts("2024-01-01T10:05"), ts("2024-01-01T10:05"), 1L)))
+  }
+
+  test("anomaly stream survives kill+restart from checkpoint (same oracle)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Long, Long)]
+    val (ck, out) = (tmp("graft-ack"), tmp("graft-aout"))
+    def startQ() = StreamingIngest.anomalyStream(
+        source.toDF().toDF("user_id", "ts", "event_id", "value_cents"),
+        baseN = 5, minN = 3, k = 3, watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    def e(id: Long, sec: Int, x: Long) =
+      (1L, ts(f"2024-01-01T10:00:$sec%02d"), id, x)
+    val q1 = startQ()
+    source.addData(e(1, 1, 100), e(2, 2, 101), e(3, 3, 99))
+    q1.processAllAvailable()
+    // the spike is in flight (added, unprocessed) when the query dies
+    source.addData(e(6, 6, 100), e(7, 7, 10000))
+    q1.stop()
+    val q2 = startQ()
+    // out-of-order pre-spike events arrive only after the restart: the
+    // recovered pending buffer must still order them before the spike
+    source.addData(e(4, 4, 100), e(5, 5, 102))
+    q2.processAllAvailable()
+    source.addData((99L, ts("2024-01-01T20:00"), 99L, 0L))
+    q2.processAllAvailable()
+    source.addData((98L, ts("2024-01-01T20:01"), 98L, 0L))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_base"),
+        r.getAs[Long]("base_sum"))).toSet
+    // the batch twin over the union: one flag, with the full 5-event
+    // baseline — i.e. the restart lost neither the ring nor the gate
+    assert(got == Set((7L, 5L, 502L)), s"got $got")
+  }
+
+  test("user features survive kill+restart from checkpoint (same oracle)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Long)]
+    val (ck, out) = (tmp("graft-fck"), tmp("graft-fout"))
+    def startQ() = StreamingIngest.userFeatureStream(
+        source.toDF().toDF("user_id", "ts", "event_id"),
+        windowSecs = 3600L, watermarkDelay = "2 hours")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    val all = Seq(
+      (1L, ts("2024-01-01T10:00:05"), 1L),
+      (1L, ts("2024-01-01T10:00:05"), 2L),
+      (1L, ts("2024-01-01T10:30:00"), 4L),
+      (1L, ts("2024-01-01T10:15:00"), 3L),
+      (1L, ts("2024-01-01T12:30:00"), 5L))
+    val q1 = startQ()
+    source.addData(all.take(2): _*)
+    q1.processAllAvailable()
+    source.addData(all(2)) // in flight at kill time
+    q1.stop()
+    val q2 = startQ()
+    source.addData(all(3)) // out of order, must drain between 2 and 4
+    q2.processAllAvailable()
+    source.addData(all(4))
+    q2.processAllAvailable()
+    source.addData((99L, ts("2024-01-02T20:00"), 99L))
+    q2.processAllAvailable()
+    source.addData((98L, ts("2024-01-02T20:01"), 98L))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_prev_1h"),
+        Option(r.getAs[java.lang.Long]("secs_since_prev"))
+          .map(_.longValue))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val secs = col("ts").cast("long")
+    val byUser = Window.partitionBy(col("user_id"))
+    val rolling = byUser.orderBy(secs).rangeBetween(-3600L, 0L)
+    val seq2 = byUser.orderBy(secs, col("event_id"))
+    val expect = all.toDF("user_id", "ts", "event_id")
+      .select(col("event_id"),
+        count(lit(1)).over(rolling).as("n_prev_1h"),
+        (secs - lag(secs, 1).over(seq2)).as("secs_since_prev"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Long]("secs_since_prev"))
+          .map(_.longValue))).toSet
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   test("streaming anomaly flags == batch trailingZFlags, out-of-order safe") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp, Long, Long)]
