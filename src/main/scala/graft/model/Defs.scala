@@ -20,8 +20,17 @@ object FactType {
     * reference's read path is an unimplemented stub (`get-histogram`,
     * postgres.clj:126-128); this engine completes it. */
   case object Histogram extends FactType("histogram")
+  /** BEYOND-REFERENCE: exact distinct-value count per (series ×
+    * bucket) — unique users/sessions per slice, the metrics-store
+    * need the reference's scalar counters cannot express (distinct
+    * counts are not re-aggregable from per-slice scalars). Rollup
+    * partials are TALL (series × slice × value) rows, mirroring the
+    * histogram design: re-bucketing stays EXACT at any collapse step
+    * because the values themselves are retained at slice granularity,
+    * and appended streaming partials merge by the same convention. */
+  case object Distinct extends FactType("distinct")
 
-  val all: Seq[FactType] = Seq(Counter, Average, Histogram)
+  val all: Seq[FactType] = Seq(Counter, Average, Histogram, Distinct)
   def parse(s: String): FactType =
     all.find(_.name == s.toLowerCase.stripPrefix(":"))
       .getOrElse(throw new IllegalArgumentException(s"Unknown fact type: $s"))

@@ -129,6 +129,13 @@ object Rollups {
         // partials carry hist_bucket; re-aggregation preserves it
         rollup.groupBy(keys :+ col("hist_bucket"): _*)
           .agg(sum("value").as("value"))
+      case FactType.Distinct =>
+        // tall distinct partials carry the value itself (`dval`):
+        // counting DISTINCT dval per calendar bucket is exact across
+        // any slice→calendar collapse — a value seen in three slices
+        // of the same day counts once for that day
+        rollup.groupBy(keys: _*)
+          .agg(count_distinct(col("dval")).as("value"))
       case _ =>
         rollup.groupBy(keys: _*).agg(sum("value").as("value"))
     }

@@ -99,6 +99,32 @@ object Sampling {
     (sampled, rates)
   }
 
+  /** Deterministic per-group fixed-size sample: the `k` rows of each
+    * group with the SMALLEST seeded content hash — a hash reservoir.
+    * Uniform within the group (the hash is uniform in the id),
+    * reproducible on any cluster or partition layout (unlike an RDD
+    * reservoir, whose result depends on partition iteration order),
+    * and NESTED in k: the k=3 sample is a prefix of the k=5 sample,
+    * so growing an inspection sample never churns the rows already
+    * reviewed. The per-source eyeball sample every corpus audit
+    * starts from.
+    *
+    * Scale shape: ONE hash partitioning on the group key serves the
+    * rank window; state per group is the current row only, and k rows
+    * per group survive the filter — output is O(groups × k) no matter
+    * the corpus size. No global sort, no driver-side collection.
+    * Output: input columns + `sample_rank` (1-based within group). */
+  def topKByHash(df: DataFrame, idCol: String, groupCol: String, k: Int,
+      seed: Int = 42): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(Dedup.seededHash(col(idCol).cast("string"), seed),
+        col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Assign each row to a named split by cumulative hash ranges, e.g.
     * `Seq("train" -> 9000, "val" -> 500, "test" -> 500)` (basis points,
     * must sum to ≤ 10000; a shortfall leaves rows unassigned → null). */

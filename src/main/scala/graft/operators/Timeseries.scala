@@ -120,6 +120,13 @@ object Timeseries {
       case FactType.Histogram =>
         scanned.groupBy(keys :+ histBucket(fact): _*)
           .agg(count(lit(1)).as("value"))
+      case FactType.Distinct =>
+        // exact distinct values per (series × bucket) — one hash
+        // aggregation; Spark plans distinct as a two-phase partial
+        // (Expand-free here: single count distinct), still shuffling
+        // only aggregate keys
+        scanned.groupBy(keys: _*)
+          .agg(count_distinct(col("value")).as("value"))
     }
   }
 
@@ -265,6 +272,18 @@ object Timeseries {
         // re-aggregable by summing counts — the reference's b<lower>
         // columns (postgres/schema.clj:162-166) as rows, not DDL
         scanned.groupBy(keys :+ histBucket(fact): _*)
+          .agg(count(lit(1)).as("value"))
+      case FactType.Distinct =>
+        // tall partials: one row per (series × slice × distinct value)
+        // with its occurrence count — the histogram trick applied to
+        // distinct counting. Retaining the values at slice granularity
+        // is what keeps any later calendar collapse EXACT (distinct
+        // counts don't re-aggregate from scalars); the count column
+        // keeps appended streaming partials mergeable by the standard
+        // sum convention (Rollups.compact). Partial size is bounded by
+        // per-slice cardinality, the same envelope the reference's
+        // per-key upsert rows occupy.
+        scanned.groupBy(keys :+ col("value").as("dval"): _*)
           .agg(count(lit(1)).as("value"))
       case _ =>
         scanned.groupBy(keys: _*).agg(sum("value").as("value"))

@@ -377,6 +377,15 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // per-source hash-reservoir inspection sample: the 3 docs with the
+    // smallest seeded hash per source — deterministic, partition-
+    // independent, nested in k; output is O(sources × k) at any scale
+    "sample_topk_per_source" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.topKByHash(docs(s, dir), "doc_id", "source", k = 3)
+        .select(col("source"), col("doc_id"), col("sample_rank"))
+    }),
+
     // sequence packing (concat-and-chunk): every doc gets the global
     // token offset where it starts (distributed two-pass prefix sum —
     // never a single-partition window), its 2048-token context window,
@@ -1183,6 +1192,18 @@ object DocumentQueries {
         |WHERE h < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000
         |  ELSE 10000 END
         |GROUP BY 1""".stripMargin,
+
+    // the same seeded md5 hash, ranked per source
+    "sample_topk_per_source" ->
+      """SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+        |FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT),
+        |      doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3""".stripMargin,
 
     // the sequential formulation the distributed prefix sum must equal:
     // one global window in doc_id order

@@ -25,6 +25,7 @@ object EventQueries {
   // Facts: the catalog definitions these queries run under.
   val countFact = FactDef("events_count", FactType.Counter, sliceMinutes = 15)
   val avgFact = FactDef("value_avg", FactType.Average, sliceMinutes = 15)
+  val distinctFact = FactDef("uniq_users", FactType.Distinct, sliceMinutes = 15)
   val histFact = FactDef("value_hist", FactType.Histogram, sliceMinutes = 15,
     start = Some(0L), end = Some(200L), step = Some(20L))
   val userDimGroupedBy: Seq[Seq[String]] = Seq(Seq("event_type"))
@@ -279,6 +280,32 @@ object EventQueries {
     "events_distinct_users" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(count_distinct(col("user_id")).as("users"))),
+
+    // BEYOND-REFERENCE fact type: exact DISTINCT-count series (unique
+    // users per day) through the full reference pipeline — routed
+    // scan, calendar collapse, zero-filled finish-exclusive grid. The
+    // reference's scalar fact types cannot express this (distinct
+    // counts are not re-aggregable from per-slice scalars).
+    "ts_distinct_day" -> ((s, dir) =>
+      Timeseries.run(prep(s, dir, withUser = false, col("user_id"),
+          Some(("2024-01-05T00:00", "2024-01-12T00:00"))), distinctFact, 15,
+        Seq("event_type"), Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-12T00:00"), Step.Day)),
+
+    // the same series served from TALL (series × slice × value)
+    // distinct partials — the histogram trick applied to distinct
+    // counting: values retained at slice granularity keep any
+    // calendar collapse exact at O(rollup) scan cost. Shares
+    // ts_distinct_day's oracle: the two paths must be identical.
+    "ts_distinct_rollup" -> ((s, dir) => {
+      import graft.operators.Rollups
+      val partials = Rollups.build(prep(s, dir, withUser = false,
+          col("user_id"), Some(("2024-01-05T00:00", "2024-01-12T00:00"))),
+        distinctFact, 15, Seq("event_type"))
+      Rollups.run(partials, distinctFact, 15, Seq("event_type"),
+        Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-12T00:00"), Step.Day)
+    }),
 
     // co-located large-x-large join: events and the per-user cohort
     // profile are both BUCKETED on user_id (EventSource.writeBucketed),
@@ -774,9 +801,10 @@ object EventQueries {
     * resulting column names used downstream. */
   private def fillOracle(where: String, bucketExpr: String, gridStart: String,
       gridStop: String, gridStep: String, loTs: String, hiTs: String,
-      dimExprs: String = "event_type", dimNames: String = "event_type"): String = {
+      dimExprs: String = "event_type", dimNames: String = "event_type",
+      measure: String = "count(*)"): String = {
     s"""WITH scanned AS (
-       |  SELECT $dimExprs, CAST($bucketExpr AS TIMESTAMP) AS bucket, count(*) AS cnt
+       |  SELECT $dimExprs, CAST($bucketExpr AS TIMESTAMP) AS bucket, $measure AS cnt
        |  FROM events
        |  WHERE $where AND ts >= TIMESTAMP '$loTs' AND ts < TIMESTAMP '$hiTs'
        |  GROUP BY ALL),
@@ -796,6 +824,24 @@ object EventQueries {
       gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
       gridStep = "1 HOUR",
       loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
+
+    // exact distinct counts per day over the same fill grid; the
+    // rollup-served twin must be bit-identical, so it shares this SQL
+    "ts_distinct_day" -> fillOracle(
+      where = "event_type = 'click'",
+      bucketExpr = "date_trunc('day', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-11 00:00:00",
+      gridStep = "1 DAY",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-12T00:00"),
+      measure = "count(DISTINCT user_id)"),
+
+    "ts_distinct_rollup" -> fillOracle(
+      where = "event_type = 'click'",
+      bucketExpr = "date_trunc('day', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-11 00:00:00",
+      gridStep = "1 DAY",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-12T00:00"),
+      measure = "count(DISTINCT user_id)"),
 
     // the fill oracle wrapped in the trailing window; window sums CAST
     // back to BIGINT (DuckDB widens to HUGEINT)

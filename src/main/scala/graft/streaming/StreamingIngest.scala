@@ -65,11 +65,19 @@ object StreamingIngest {
       case FactType.Average =>
         prepared.groupBy(keys: _*)
           .agg(count(lit(1)).as("counter"), sum("value").as("total"))
+      case FactType.Distinct =>
+        // streaming aggregation cannot COUNT DISTINCT directly; emit
+        // the tall (series × slice × value) partials instead — a plain
+        // count over finer keys, fully streaming-legal, and the exact
+        // re-aggregable shape Timeseries.sliceBuckets materializes
+        prepared.groupBy(keys :+ col("value").as("dval"): _*)
+          .agg(count(lit(1)).as("value"))
       case _ =>
         prepared.groupBy(keys: _*).agg(sum("value").as("value"))
     }
     val valueCols: Seq[String] = fact.ftype match {
       case FactType.Average => Seq("counter", "total")
+      case FactType.Distinct => Seq("dval", "value")
       case _ => Seq("value")
     }
     agged.select((dims.map(col) :+ col("window.start").as("bucket")) ++

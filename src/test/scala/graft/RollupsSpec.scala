@@ -70,6 +70,61 @@ class RollupsSpec extends SparkTestBase {
     assert(a.agg(sum("total")).head().getLong(0) > 0)
   }
 
+  private val distinctFact =
+    FactDef("uniq", FactType.Distinct, sliceMinutes = 15)
+
+  test("distinct: tall (series × slice × value) partials re-aggregate exactly") {
+    // value = user id; users deliberately recur across slices, hours,
+    // and days, so a scalar-partial scheme (summing per-slice distinct
+    // counts) would OVERCOUNT — only the retained values collapse
+    // exactly at every step
+    val rawDistinct = (0 until 300).map { i =>
+      ("s" + (i % 2),
+        ts(f"2024-01-${1 + i % 4}%02dT${i % 24}%02d:${(i * 13) % 60}%02d"),
+        (i % 7).toLong) // 7 users cycling — heavy cross-slice recurrence
+    }.toDF("dim", "ts", "value")
+    val dir = Files.createTempDirectory("rollup-distinct").toString
+    Rollups.materialize(rawDistinct, distinctFact, 15, Seq("dim"), dir)
+    val rollup = Rollups.read(spark, dir)
+    for (step <- Seq(Step.Day, Step.Hour, Step.NoStep)) {
+      val a = Rollups.run(rollup, distinctFact, 15, Seq("dim"), Map.empty,
+        ts("2024-01-01T00:00"), ts("2024-01-05T00:00"), step)
+      val b = Timeseries.run(rawDistinct, distinctFact, 15, Seq("dim"),
+        Map.empty, ts("2024-01-01T00:00"), ts("2024-01-05T00:00"), step)
+      assert(collectSorted(a) == collectSorted(b), s"step $step")
+    }
+    // :none over the whole range = global distinct per series — with 7
+    // cycling users both series must report exactly 7, the loudest
+    // possible overcount detector
+    val none = Timeseries.run(rawDistinct, distinctFact, 15, Seq("dim"),
+      Map.empty, ts("2024-01-01T00:00"), ts("2024-01-05T00:00"), Step.NoStep)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(none == Map("s0" -> 7L, "s1" -> 7L), s"got $none")
+  }
+
+  test("service façade serves a DISTINCT fact end to end") {
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("uniq", FactType.Distinct, slice = 15)
+    svc.defineDimension("dim", facts = Set("uniq"))
+    // user 5 appears twice in the same hour, user 6 once; hour 11 empty
+    Seq((ts("2024-02-01T10:05"), 5L), (ts("2024-02-01T10:20"), 5L),
+      (ts("2024-02-01T10:40"), 6L), (ts("2024-02-01T12:10"), 5L))
+      .foreach { case (t, u) => svc.newFact("uniq", t, u, Map("dim" -> "a")) }
+    val got = pivot(svc.getTimeseries("uniq", "dim", Map("dim" -> Some("a")),
+      ts("2024-02-01T10:00"), ts("2024-02-01T13:00"), Step.Hour), Seq("dim"))
+    assert(got == Map(Map("dim" -> "a") -> Map(
+      Option(ts("2024-02-01T10:00")) -> 2L,
+      Option(ts("2024-02-01T11:00")) -> 0L,
+      Option(ts("2024-02-01T12:00")) -> 1L)))
+    // materialized rollups serve the same result
+    val base = Files.createTempDirectory("svc-distinct").toString
+    svc.materializeRollups(base)
+    val viaRollup = pivot(svc.getTimeseries("uniq", "dim",
+      Map("dim" -> Some("a")),
+      ts("2024-02-01T10:00"), ts("2024-02-01T13:00"), Step.Hour), Seq("dim"))
+    assert(viaRollup == got)
+  }
+
   private val histFact = FactDef("lat_hist", FactType.Histogram,
     sliceMinutes = 15, start = Some(0L), end = Some(100L), step = Some(20L))
 

@@ -364,6 +364,39 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set(("a", 0L, 2L), ("a", 200L, 1L)))
   }
 
+  test("maintained rollup serves a DISTINCT fact: tall value partials") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val fact = FactDef("uniq", FactType.Distinct, sliceMinutes = 15)
+    val path = java.nio.file.Files.createTempDirectory("graft-dst").toString
+    val q = StreamingIngest.maintainRollup(source.toDF(), fact, Seq("dim"), path)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // batch 1: users 5 and 6 in the 09:00 hour
+    source.addData(
+      Event("uniq", ts("2014-03-21T09:01"), 5, Map("dim" -> "a")),
+      Event("uniq", ts("2014-03-21T09:07"), 6, Map("dim" -> "a")))
+    q.processAllAvailable()
+    // batch 2: user 5 AGAIN in the same hour (different slice) + user 7
+    // — the cross-batch duplicate must count once per hour
+    source.addData(
+      Event("uniq", ts("2014-03-21T09:31"), 5, Map("dim" -> "a")),
+      Event("uniq", ts("2014-03-21T09:40"), 7, Map("dim" -> "a")))
+    q.processAllAvailable()
+    q.stop()
+
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("uniq", FactType.Distinct, slice = 15)
+    svc.defineDimension("dim", facts = Set("uniq"))
+    svc.registerRollup("uniq", Seq("dim"), path)
+    val got = pivot(svc.getTimeseries("uniq", "dim", Map("dim" -> Some("a")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T11:00"), Step.Hour), Seq("dim"))
+    assert(got == Map(Map("dim" -> "a") -> Map(
+      Option(ts("2014-03-21T09:00")) -> 3L, // users 5,6,7 — 5 once
+      Option(ts("2014-03-21T10:00")) -> 0L)))
+  }
+
   test("average fact streams as re-aggregable (counter,total) pairs") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
