@@ -19,6 +19,53 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
+  /** Learned vocabulary: the corpus's top-`k` whitespace tokens by
+    * occurrence count (ties broken by term), ids 1..k in that order.
+    * One map-side-combined aggregation + a k-row driver collect — the
+    * same bounded driver footprint as broadcast centroids
+    * (Similarity). */
+  def buildVocab(df: DataFrame, textCol: String, k: Int): Map[String, Long] = {
+    require(k > 0, "k must be positive")
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getString(0) -> (i + 1L) }.toMap
+  }
+
+  /** Tokenize against a learned vocabulary — the id-mapping step that
+    * turns a curated corpus into trainer input. The vocab rides as a
+    * MAP LITERAL, so the whole mapping is row-local codegen'd column
+    * algebra: split → per-token `try_element_at` lookup → unk
+    * fallback. Zero shuffles, zero joins, no UDF — linear in input
+    * splits at any corpus size. (Map literals suit vocab sizes up to
+    * ~10⁴ entries; a 10⁵+ BPE vocab should switch to a broadcast-join
+    * formulation to keep codegen size bounded.)
+    *
+    * Output keeps trainer-shaped results scalar so the DuckDB oracle
+    * can hash them: token count, unk count, and an md5 digest of the
+    * comma-joined id sequence — the digest pins every id AND its
+    * order without an array-compare dependency.
+    * Output: (idCol, n_tokens, n_unk, ids_md5). */
+  def tokenizeWithVocab(df: DataFrame, textCol: String, idCol: String,
+      vocab: Map[String, Long], unkId: Long = 0L): DataFrame = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    require(!vocab.values.exists(_ == unkId),
+      s"unkId $unkId collides with a vocab id")
+    val m = typedlit(vocab)
+    val toks = tokens(col(textCol))
+    // raw lookups keep nulls so n_unk needs no sentinel comparison;
+    // try_element_at (not element_at) because ANSI mode raises on
+    // missing map keys — unknown tokens are expected input here
+    val looked = transform(toks, t => try_element_at(m, t))
+    val ids = transform(looked, x => coalesce(x, lit(unkId)))
+    df.select(col(idCol),
+      size(toks).cast(LongType).as("n_tokens"),
+      size(filter(looked, x => x.isNull)).cast(LongType).as("n_unk"),
+      md5(concat_ws(",", transform(ids, _.cast("string")))).as("ids_md5"))
+  }
+
   /** BPE-ish subword count: runs of letters, runs of digits, or single
     * other non-space characters — the shape of a byte-pair pre-tokenizer
     * split, as a codegen'd regexp. */

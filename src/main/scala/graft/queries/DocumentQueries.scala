@@ -280,6 +280,16 @@ object DocumentQueries {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // tokenization against the learned vocab: corpus top-50 terms get
+    // ids 1..50, everything else maps to unk=0 — the id-mapping step a
+    // trainer consumes. Row-local map-literal lookup (no join, no
+    // shuffle, no UDF); the md5 digest of the id sequence pins every
+    // id and its order under the oracle hash
+    "tokenize_with_vocab" -> ((s, dir) => {
+      val vocab = TextAnalysis.buildVocab(docs(s, dir), "text", k = 50)
+      TextAnalysis.tokenizeWithVocab(docs(s, dir), "text", "doc_id", vocab)
+    }),
+
     // df-based rarity quality signal: per-doc count/fraction of token
     // occurrences whose corpus document frequency is <= 2 (OCR noise /
     // mojibake / gibberish detector — rare because uncorroborated).
@@ -997,6 +1007,36 @@ object DocumentQueries {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 50""".stripMargin,
+
+    // the same top-50 vocab (count desc, term asc → ids 1..50), token
+    // ids re-derived by per-token left join, digest over the ordered
+    // id sequence
+    "tokenize_with_vocab" ->
+      """WITH docs_t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token,
+        |    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS tid
+        |  FROM (
+        |    SELECT token, count(*) AS n
+        |    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |          FROM documents)
+        |    GROUP BY token ORDER BY n DESC, token LIMIT 50)),
+        |pos AS (
+        |  SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM docs_t),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    arr[CAST(i AS INT) + 1] AS tok
+        |  FROM pos),
+        |mapped AS (
+        |  SELECT t.doc_id, t.i, coalesce(v.tid, 0) AS id,
+        |    v.tid IS NULL AS unk
+        |  FROM tok t LEFT JOIN vocab v ON v.token = t.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY i)) AS ids_md5
+        |FROM mapped GROUP BY doc_id""".stripMargin,
 
     // df table over exploded tokens; sums CAST back to BIGINT (DuckDB
     // widens sums to HUGEINT, which the driver's pandas bridge rejects)

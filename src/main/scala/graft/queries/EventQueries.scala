@@ -546,6 +546,19 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
     }),
 
+    // the DISTINCT fact type under the same streaming gate: the
+    // maintained rollup's tall per-value partials must count each user
+    // once per hour even when the user's events arrived in different
+    // micro-batches — the raw-events COUNT(DISTINCT) oracle is the
+    // loudest possible cross-batch overcount detector
+    "ts_stream_distinct_fill" -> ((s, dir) => {
+      import graft.operators.Rollups
+      val path = maintainedDistinctRollup(s, dir)
+      Rollups.run(Rollups.read(s, path), distinctFact, 15,
+        Seq("event_type"), Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
+    }),
+
     // batch/stream EQUIVALENCE for SESSIONIZATION under the oracle
     // gate: the events replay through flatMapGroupsWithState
     // (sessionizeStream, custom per-user open-interval state) as a
@@ -625,7 +638,16 @@ object EventQueries {
     * stream reads files directly, exactly like a deployed pipeline
     * draining a landing directory. */
   private def maintainedRollup(s: SparkSession, dir: String): String =
-    streamRollupDirs.getOrElseUpdate((s, dir), {
+    streamedRollupFor(s, dir, countFact, lit(1L))
+
+  /** The distinct twin: the same file-stream replay maintains a
+    * DISTINCT-fact rollup (value = user id → tall per-value partials). */
+  private def maintainedDistinctRollup(s: SparkSession, dir: String): String =
+    streamedRollupFor(s, dir, distinctFact, col("user_id").cast(LongType))
+
+  private def streamedRollupFor(s: SparkSession, dir: String,
+      fact: FactDef, value: Column): String =
+    streamRollupDirs.getOrElseUpdate((s, s"$dir#${fact.id}"), {
       import graft.streaming.StreamingIngest
       val base = java.nio.file.Files.createTempDirectory("graft_streamroll")
         .toString
@@ -643,11 +665,11 @@ object EventQueries {
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir))
-        .select(lit("events_count").as("fact"), col("ts"),
-          lit(1L).as("value"),
+        .select(lit(fact.id).as("fact"), col("ts"),
+          value.as("value"),
           map(lit("event_type"), col("event_type")).as("categories"))
       val q = StreamingIngest
-        .maintainRollup(stream, countFact, Seq("event_type"), rollPath)
+        .maintainRollup(stream, fact, Seq("event_type"), rollPath)
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -833,6 +855,15 @@ object EventQueries {
       gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-11 00:00:00",
       gridStep = "1 DAY",
       loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-12T00:00"),
+      measure = "count(DISTINCT user_id)"),
+
+    // hourly distinct fill for the streaming-maintained rollup twin
+    "ts_stream_distinct_fill" -> fillOracle(
+      where = "event_type = 'click'",
+      bucketExpr = "date_trunc('hour', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
+      gridStep = "1 HOUR",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00"),
       measure = "count(DISTINCT user_id)"),
 
     "ts_distinct_rollup" -> fillOracle(

@@ -434,4 +434,37 @@ class DedupTextSpec extends SparkTestBase {
     assert(fp(1L)._1 != fp(3L)._1) // order-sensitive
     assert(fp(1L)._2 != fp(3L)._2)
   }
+
+  test("tokenizeWithVocab: ids in order, unk fallback, digest pins order") {
+    val vocab = Map("the" -> 1L, "quick" -> 2L, "fox" -> 3L)
+    val got = TextAnalysis
+      .tokenizeWithVocab(corpus, "text", "doc_id", vocab)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1: 9 tokens; the/quick/fox known (the twice), rest unk
+    assert(got(1L)._1 == 9L && got(1L)._2 == 5L)
+    // identical text → identical digest; docs 1 and 3 differ only in
+    // an UNK token (jumps vs leaps), so their ID sequences — and
+    // digests — legitimately coincide; doc 4 (different shape) differs
+    assert(got(1L)._3 == got(2L)._3)
+    assert(got(1L)._3 == got(3L)._3)
+    assert(got(1L)._3 != got(4L)._3)
+    // digest equals the hand-computed id sequence for doc 1:
+    // the quick brown fox jumps over the lazy dog → 1,2,0,3,0,0,1,0,0
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("1,2,0,3,0,0,1,0,0".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(1L)._3 == expect)
+    // unk-id collision with a vocab id is rejected loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tokenizeWithVocab(corpus, "text", "doc_id", vocab,
+        unkId = 1L)
+    }
+    // buildVocab ids follow (count desc, term asc) with ids from 1:
+    // "the" leads with 6 occurrences; brown/dog/fox/lazy/over/quick
+    // tie at 3 and "brown" wins the term tie-break
+    val built = TextAnalysis.buildVocab(corpus, "text", k = 2)
+    assert(built == Map("the" -> 1L, "brown" -> 2L), s"got $built")
+  }
 }
