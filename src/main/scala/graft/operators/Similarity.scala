@@ -213,6 +213,60 @@ object Similarity {
     centroids(corpus.join(assigned, Seq(idCol)), "part", vecCol)
   }
 
+  /** Persist the IVF-partitioned corpus: vectors co-located by their
+    * index partition as `part=<p>` parquet directories. This is the
+    * serving layout of the index — [[ivfTopKFromStore]] turns the
+    * probe set into a PARTITION FILTER on this store, so a query
+    * reads ~nProbe/breadth of the data as whole-directory pruning
+    * (the vector-store analogue of the rollups' `bucket_date`
+    * layout), not a filtered full scan.
+    * `assigned` is [[assignToCentroids]] output (idCol, part). */
+  def writeIvfCorpus(corpus: DataFrame, assigned: DataFrame, idCol: String,
+      path: String): Unit =
+    corpus.join(assigned, Seq(idCol))
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+
+  /** [[ivfTopK]] served from a persisted [[writeIvfCorpus]] store:
+    * probes are computed from the broadcast centroid index, their
+    * part ids collected (bounded by |queries| × nProbe — the same
+    * driver envelope as the centroids themselves) and re-issued as a
+    * partition filter on the store scan, so unprobed `part=`
+    * directories are pruned before any vector is read. Results are
+    * identical to [[ivfTopK]] over the same assignment. */
+  def ivfTopKFromStore(storePath: String, index: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int, dotFn: (Column, Column) => Column = dot): DataFrame = {
+    val d = dotFn
+    val spark = queries.sparkSession
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("part"))
+    val probes = q.join(broadcast(index.select(col("part"), col("centroid"))))
+      .select(col("query_id"), col("qv"), col("part"),
+        d(col("qv"), col("centroid")).as("csim"))
+      .withColumn("prank", row_number().over(probeW))
+      .where(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("part"))
+    // the union of probed parts, to the driver: this small collect is
+    // exactly what buys the partition filter below
+    val probedParts = probes.select(col("part").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val c = spark.read.parquet(storePath)
+      .where(col("part").isin(probedParts: _*)) // prunes part= dirs
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("part").cast("long").as("part"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(probes.withColumn("part", col("part").cast("long"))),
+        Seq("part"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        d(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** IVF top-k: probe the `nProbe` partitions with the most-similar
     * centroids per query, exact-rank within the probed subset.
     * Output schema matches [[bruteForceTopK]].

@@ -59,6 +59,26 @@ object EmbeddingQueries {
   private val kmeansIndexes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Build the k-means IVF index artifacts: seed centroids = vecs
+    * 0..9, one assignment pass, one Lloyd centroid refinement;
+    * `assign` + `centroids` parquet under a fresh temp dir. */
+  private def buildKmeans(s: SparkSession, dir: String): String = {
+    import graft.functions.GraftFunctions
+    val e = emb(s, dir)
+    val base = tempIndexDir("graft_kivf")
+    val init = e.where(col("vec_id") < 10)
+      .select(col("vec_id").cast("long").as("part"),
+        col("embedding").cast("array<double>").as("centroid"))
+    val assigned = Similarity.assignToCentroids(e, init, "vec_id",
+      "embedding", GraftFunctions.dotNative)
+    assigned.write.mode("overwrite").parquet(s"$base/assign")
+    Similarity.centroids(
+        e.join(s.read.parquet(s"$base/assign"), Seq("vec_id")),
+        "part", "embedding")
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    base
+  }
+
   /** Seeded sign-LSH hyperplanes (8 planes × dim 64), shared verbatim
     * with the DuckDB oracle as SQL literals. */
   private val lshPlanes: Seq[Array[Double]] =
@@ -130,25 +150,33 @@ object EmbeddingQueries {
     "ann_ivf_kmeans_topk" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = emb(s, dir)
-      val built = kmeansIndexes.getOrElseUpdate((s, dir), {
-        val base = tempIndexDir("graft_kivf")
-        val init = e.where(col("vec_id") < 10)
-          .select(col("vec_id").cast("long").as("part"),
-            col("embedding").cast("array<double>").as("centroid"))
-        val assigned = Similarity.assignToCentroids(e, init, "vec_id",
-          "embedding", GraftFunctions.dotNative)
-        assigned.write.mode("overwrite").parquet(s"$base/assign")
-        Similarity.centroids(
-            e.join(s.read.parquet(s"$base/assign"), Seq("vec_id")),
-            "part", "embedding")
-          .write.mode("overwrite").parquet(s"$base/centroids")
-        base
-      })
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
       val corpusP = e.join(s.read.parquet(s"$built/assign"), Seq("vec_id"))
       Similarity.ivfTopK(corpusP, e.where(col("vec_id") < 10),
         "vec_id", "embedding", "part", k = 5, nProbe = 3,
         dotFn = GraftFunctions.dotNative,
         index = Some(s.read.parquet(s"$built/centroids")))
+    }),
+
+    // the SERVING layout of the same index: the corpus persisted as
+    // part=<p> parquet directories (writeIvfCorpus), so the probe set
+    // becomes a PARTITION FILTER — unprobed directories are pruned
+    // before a single vector is read (plan-audit-pinned). Must be
+    // bit-identical to ann_ivf_kmeans_topk (shared oracle): the
+    // layout changes what is READ, never what is answered.
+    "ann_ivf_persisted" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+      val store = s"$built/store"
+      if (!new java.io.File(store).exists()) {
+        Similarity.writeIvfCorpus(e, s.read.parquet(s"$built/assign"),
+          "vec_id", store)
+      }
+      Similarity.ivfTopKFromStore(store,
+        s.read.parquet(s"$built/centroids"), e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 3,
+        dotFn = GraftFunctions.dotNative)
     }),
 
     // LSH-bucketed near-dup pairs — the hash-bucket scale path beside
@@ -193,6 +221,45 @@ object EmbeddingQueries {
       |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id)
       |WHERE rank <= 5""".stripMargin
 
+  /** The k-means IVF ranking (seed = vecs 0..9, one Lloyd refinement,
+    * 3-probe top-5) — shared by the join-served and the
+    * partitioned-store-served query paths, which must be identical. */
+  private val kmeansIvfOracle: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |init AS (SELECT CAST(vec_id AS BIGINT) AS part, v AS cv
+      |         FROM c WHERE vec_id < 10),
+      |assigned AS (
+      |  SELECT vec_id, part FROM (
+      |    SELECT c.vec_id, i.part,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_dot_product(c.v, i.cv) DESC, i.part) AS rn
+      |    FROM c CROSS JOIN init i)
+      |  WHERE rn = 1),
+      |u AS (SELECT a.part, unnest(c.v) AS x, generate_subscripts(c.v, 1) AS pos
+      |      FROM c JOIN assigned a USING (vec_id)),
+      |cm AS (SELECT part, pos, avg(x) AS m FROM u GROUP BY part, pos),
+      |cent AS (SELECT part, list(m ORDER BY pos) AS cv FROM cm GROUP BY part),
+      |q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, part FROM (
+      |    SELECT q.vec_id AS query_id, cent.part,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.v, cent.cv) DESC, cent.part) AS pr
+      |    FROM q CROSS JOIN cent)
+      |  WHERE pr <= 3)
+      |SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT p.query_id, c.vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id)
+      |      AS INTEGER) AS rank
+      |  FROM probes p
+      |  JOIN q ON q.vec_id = p.query_id
+      |  JOIN assigned a ON a.part = p.part
+      |  JOIN c ON c.vec_id = a.vec_id
+      |  WHERE c.vec_id <> p.query_id)
+      |WHERE rank <= 5""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "ann_bruteforce_topk" -> topkOracle,
 
@@ -234,41 +301,11 @@ object EmbeddingQueries {
         |  WHERE c.vec_id <> p.query_id)
         |WHERE rank <= 5""".stripMargin,
 
-    "ann_ivf_kmeans_topk" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
-        |init AS (SELECT CAST(vec_id AS BIGINT) AS part, v AS cv
-        |         FROM c WHERE vec_id < 10),
-        |assigned AS (
-        |  SELECT vec_id, part FROM (
-        |    SELECT c.vec_id, i.part,
-        |      row_number() OVER (PARTITION BY c.vec_id
-        |        ORDER BY list_dot_product(c.v, i.cv) DESC, i.part) AS rn
-        |    FROM c CROSS JOIN init i)
-        |  WHERE rn = 1),
-        |u AS (SELECT a.part, unnest(c.v) AS x, generate_subscripts(c.v, 1) AS pos
-        |      FROM c JOIN assigned a USING (vec_id)),
-        |cm AS (SELECT part, pos, avg(x) AS m FROM u GROUP BY part, pos),
-        |cent AS (SELECT part, list(m ORDER BY pos) AS cv FROM cm GROUP BY part),
-        |q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
-        |probes AS (
-        |  SELECT query_id, part FROM (
-        |    SELECT q.vec_id AS query_id, cent.part,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY list_dot_product(q.v, cent.cv) DESC, cent.part) AS pr
-        |    FROM q CROSS JOIN cent)
-        |  WHERE pr <= 3)
-        |SELECT query_id, neighbor_id, rank FROM (
-        |  SELECT p.query_id, c.vec_id AS neighbor_id,
-        |    CAST(row_number() OVER (PARTITION BY p.query_id
-        |      ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id)
-        |      AS INTEGER) AS rank
-        |  FROM probes p
-        |  JOIN q ON q.vec_id = p.query_id
-        |  JOIN assigned a ON a.part = p.part
-        |  JOIN c ON c.vec_id = a.vec_id
-        |  WHERE c.vec_id <> p.query_id)
-        |WHERE rank <= 5""".stripMargin,
+    // identical ranking contract for the partitioned-store serving
+    // layout: layout changes what is read, never the answer
+    "ann_ivf_persisted" -> kmeansIvfOracle,
+
+    "ann_ivf_kmeans_topk" -> kmeansIvfOracle,
 
     "ann_kmeans_partition_sizes" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

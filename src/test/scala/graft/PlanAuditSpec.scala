@@ -152,6 +152,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("persisted IVF store: the probe set prunes part= directories") {
+    val p = plan("ann_ivf_persisted")
+    // the probe ids must reach the vector store as a PARTITION filter
+    // (whole-directory pruning) — a data filter on part would mean the
+    // serving layout is being full-scanned at 100 TB
+    assert("PartitionFilters: \\[[^\\]]*part".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("spilled event store: time range prunes whole date partitions") {
     import spark.implicits._
     import graft.functions.TimeKernel.ts
