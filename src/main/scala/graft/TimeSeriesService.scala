@@ -127,6 +127,36 @@ final class TimeSeriesService(
     made
   }
 
+  /** Incrementally refresh the materialized rollups for ONE time
+    * window and re-register them for serving: every (fact ×
+    * non-group_only dimension × grouping path) recomputes only the
+    * days touched by `[start, finish]` and replaces only those
+    * `bucket_date` partitions (dynamic partition overwrite —
+    * [[graft.operators.Rollups.refreshWindow]]). The incremental
+    * maintenance mode: after ingesting a day's events, refresh that
+    * day at O(delta) instead of re-materializing all of history.
+    * Same layout and registration as [[materializeRollups]]; assumes
+    * the store under `baseDir` exists (call materializeRollups once
+    * first) and events are append-only inside the window. */
+  def refreshRollups(baseDir: String, start: Timestamp,
+      finish: Timestamp): Seq[String] = {
+    val made = for {
+      dim <- catalog.dimensions if !dim.groupOnly
+      factId <- dim.facts.toSeq.sorted
+      fact <- catalog.fact(factId).toSeq
+      path <- dim.groupedBy
+    } yield {
+      val grouping = path :+ dim.id
+      val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
+      val out = s"$baseDir/${(path :+ dim.id :+ fact.id).mkString("_")}"
+      Rollups.refreshWindow(prepare(fact.id, grouping), fact, slice,
+        grouping, out, start, finish)
+      rollupStore((fact.id, grouping)) = RollupReg(out, external = false)
+      out
+    }
+    made
+  }
+
   /** Point queries for (fact, grouping) at an externally-maintained
     * rollup — e.g. one kept fresh by
     * [[graft.streaming.StreamingIngest.maintainRollup]]. The caller

@@ -61,6 +61,44 @@ object Rollups {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Incrementally refresh ONE window of a materialized rollup: the
+    * slice partials for every day touched by `[start, finish]` are
+    * recomputed from `prepared` and their `bucket_date` partitions
+    * replaced via DYNAMIC partition overwrite — partitions outside the
+    * window are not rewritten (or even read). This is the maintenance
+    * mode for a 100 TB store whose history is far larger than its
+    * daily delta: a full [[materialize]] re-aggregates all of history,
+    * a refresh costs O(window).
+    *
+    * The recompute window is SNAPPED OUTWARD to whole UTC days because
+    * a `bucket_date` partition is replaced atomically — recomputing a
+    * half-day and overwriting its whole partition would silently drop
+    * the other half. Assumes events are append-only (a day losing
+    * events keeps its old partition if the new window has none). */
+  def refreshWindow(prepared: DataFrame, fact: FactDef, sliceMinutes: Int,
+      grouping: Seq[String], path: String,
+      start: Timestamp, finish: Timestamp): Unit = {
+    val utc = java.time.ZoneOffset.UTC
+    val loDay = TimeKernel.sliceFloorLocal(start, sliceMinutes)
+      .toInstant.atZone(utc).toLocalDate
+    val hiExcl = TimeKernel.sliceFloorLocal(finish, sliceMinutes)
+      .toInstant.plusSeconds(sliceMinutes * 60L)
+    val hiDayExcl = hiExcl.minusNanos(1000).atZone(utc).toLocalDate.plusDays(1)
+    val dayStart = Timestamp.from(loDay.atStartOfDay(utc).toInstant)
+    // scan finish such that the inclusive bucketed upper bound lands
+    // exactly on the day boundary: finish = hiDayExcl - slice
+    val dayFinish = Timestamp.from(
+      hiDayExcl.atStartOfDay(utc).toInstant.minusSeconds(sliceMinutes * 60L))
+    val scanned = Timeseries.scan(prepared, sliceMinutes, grouping,
+      Map.empty, dayStart, dayFinish)
+    Timeseries.sliceBuckets(scanned, fact, sliceMinutes, grouping)
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket_date")
+      .parquet(path)
+  }
+
   /** Generic re-aggregable partials for the Catalyst routing rule
     * ([[graft.plans.RollupRouting]]): per (dims…, slice bucket) keep
     * every partial that common SQL aggregates re-derive from —

@@ -125,6 +125,44 @@ class RollupsSpec extends SparkTestBase {
     assert(viaRollup == got)
   }
 
+  test("refreshRollups recomputes only the touched day partitions") {
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("clicks", FactType.Counter, slice = 15)
+    svc.defineDimension("dim", facts = Set("clicks"))
+    def ev(day: Int, hour: Int, v: Long): Unit =
+      svc.newFact("clicks", ts(f"2024-03-$day%02dT$hour%02d:05"), v,
+        Map("dim" -> "a"))
+    ev(1, 10, 1L); ev(3, 12, 5L) // days 1 and 3
+    val base = Files.createTempDirectory("svc-refresh").toString
+    svc.materializeRollups(base)
+    def daySnapshot(date: String): Map[String, Long] = {
+      val d = new java.io.File(s"$base/dim_clicks/bucket_date=$date")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val d1Before = daySnapshot("2024-03-01")
+    val d3Before = daySnapshot("2024-03-03")
+    assert(d1Before.nonEmpty && d3Before.nonEmpty)
+    // new day-2 event invalidates the materialized rollups…
+    ev(2, 9, 7L)
+    // …and a WINDOWED refresh of day 2 re-registers them, recomputing
+    // only that day's partition
+    svc.refreshRollups(base, ts("2024-03-02T00:00"), ts("2024-03-02T23:59"))
+    val got = pivot(svc.getTimeseries("clicks", "dim",
+      Map("dim" -> Some("a")),
+      ts("2024-03-01T00:00"), ts("2024-03-04T00:00"), Step.Day), Seq("dim"))
+    assert(got == Map(Map("dim" -> "a") -> Map(
+      Option(ts("2024-03-01T00:00")) -> 1L,
+      Option(ts("2024-03-02T00:00")) -> 7L,
+      Option(ts("2024-03-03T00:00")) -> 5L)))
+    // untouched day partitions were not rewritten (same files, same
+    // mtimes); the refreshed day exists
+    assert(daySnapshot("2024-03-01") == d1Before)
+    assert(daySnapshot("2024-03-03") == d3Before)
+    assert(daySnapshot("2024-03-02").nonEmpty)
+  }
+
   private val histFact = FactDef("lat_hist", FactType.Histogram,
     sliceMinutes = 15, start = Some(0L), end = Some(100L), step = Some(20L))
 
