@@ -136,6 +136,40 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("distinct: rollup-served == raw == scala reference on random data") {
+    val dFact = FactDef("u", FactType.Distinct, sliceMinutes = 15)
+    for (seed <- Seq(11, 12)) {
+      val rnd = new Random(seed)
+      // values cycle over a small user pool → heavy cross-slice
+      // recurrence, the case where scalar partials would overcount
+      val ev = (0 until 400).map { _ =>
+        val day = 1 + rnd.nextInt(5)
+        ("d" + rnd.nextInt(2),
+          ts(f"2024-02-$day%02dT${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d"),
+          rnd.nextInt(12).toLong)
+      }.toDF("dim", "ts", "value")
+      val dir = java.nio.file.Files.createTempDirectory("prop-distinct").toString
+      graft.operators.Rollups.materialize(ev, dFact, 15, Seq("dim"), dir)
+      val rollup = graft.operators.Rollups.read(spark, dir)
+      for (step <- Seq(Step.NoStep, Step.Hour, Step.Day)) {
+        val raw = Timeseries.run(ev, dFact, 15, Seq("dim"), Map.empty,
+          start, finish, step).collect().map(_.toSeq).toSet
+        val served = graft.operators.Rollups.run(rollup, dFact, 15,
+          Seq("dim"), Map.empty, start, finish, step)
+          .collect().map(_.toSeq).toSet
+        assert(raw == served, s"seed $seed step $step")
+      }
+      // scala reference at NoStep: distinct values per dim
+      val expect = ev.collect()
+        .map(r => (r.getString(0), r.getLong(2))).distinct
+        .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val none = Timeseries.run(ev, dFact, 15, Seq("dim"), Map.empty,
+        start, finish, Step.NoStep)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(none == expect, s"seed $seed")
+    }
+  }
+
   test("re-aggregation associativity: hour-collapse summed == day-collapse") {
     for (seed <- Seq(4, 5)) {
       val ev = randomEvents(seed, 300)
