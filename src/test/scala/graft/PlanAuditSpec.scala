@@ -152,6 +152,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("distinct series: two-phase distinct agg, pushdown intact, no joins") {
+    val p = plan("ts_distinct_day")
+    // COUNT DISTINCT plans as a partial dedupe on (keys, value) + the
+    // distinct-count aggregation, and the join-free gap fill adds its
+    // one per-series aggregation: 3 hash exchanges total, all carrying
+    // aggregate-sized data. A 4th exchange or any join means the
+    // collapse or the fill grew an extra pass.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(3000))
+    assert(!p.contains("Join"), p.take(2000))
+    // the raw ts range still reaches the parquet reader
+    assert(p.contains("PushedFilters"), p.take(2000))
+  }
+
   test("persisted IVF store: the probe set prunes part= directories") {
     val p = plan("ann_ivf_persisted")
     // the probe ids must reach the vector store as a PARTITION filter
