@@ -294,6 +294,32 @@ object Packing {
         col("n_tokens"), col("offset"))
   }
 
+  /** Deterministic global training-shuffle order: each row's position
+    * in a seeded pseudo-random permutation of the corpus — the
+    * data-ordering step of a training run (and the precondition for
+    * reproducible curricula / resumable epochs). Position = 0-based
+    * rank by (seeded 23-bit md5 hash, id), so the permutation is a
+    * pure function of (ids, seed): any cluster, any partitioning,
+    * any Spark version yields the same order, and the same md5
+    * machinery as [[Sampling]] lets a SQL oracle replicate it.
+    *
+    * Computed via the SAME distributed two-pass prefix sum as
+    * [[packSequences]] (each row contributes 1) — never the naive
+    * `row_number() OVER (ORDER BY hash)` global window, which Spark
+    * executes as a single partition. Contract: `0 <= id < 2^40`
+    * (packedKey guard raises otherwise).
+    * Output: (idCol, shuffle_pos). */
+  def shufflePositions(df: DataFrame, idCol: String,
+      seed: Int = 42): DataFrame = {
+    val h = pmod(Dedup.seededHash(col(idCol).cast("string"), seed),
+      lit(1L << 23))
+    val keyed = df.select(packedKey(h, col(idCol)).as("bkey"),
+      lit(1L).as("one"))
+    packSequences(keyed, "bkey", "one", capacity = 1L)
+      .select((col("id") % lit(1L << 40)).as(idCol),
+        col("offset").as("shuffle_pos"))
+  }
+
   /** Sliding-window document chunking — the embedding/retrieval prep
     * step: each document splits into `window`-token chunks starting
     * every `stride` tokens (overlapping when `stride < window`, the

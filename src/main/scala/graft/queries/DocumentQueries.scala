@@ -387,6 +387,14 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // deterministic global training-shuffle order: rank by seeded
+    // hash via the distributed prefix sum — never a single-partition
+    // global window; a pure function of (ids, seed) on any cluster
+    "sample_shuffle_positions" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.shufflePositions(docs(s, dir), "doc_id")
+    }),
+
     // per-source hash-reservoir inspection sample: the 3 docs with the
     // smallest seeded hash per source — deterministic, partition-
     // independent, nested in k; output is O(sources × k) at any scale
@@ -1232,6 +1240,16 @@ object DocumentQueries {
         |WHERE h < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000
         |  ELSE 10000 END
         |GROUP BY 1""".stripMargin,
+
+    // the sequential formulation the distributed rank must equal: one
+    // global window over (23-bit seeded hash, id)
+    "sample_shuffle_positions" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY
+        |    CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 8388608,
+        |    doc_id) - 1 AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
 
     // the same seeded md5 hash, ranked per source
     "sample_topk_per_source" ->

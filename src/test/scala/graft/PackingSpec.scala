@@ -67,6 +67,24 @@ class PackingSpec extends SparkTestBase {
     assert(leaked.isEmpty, s"packing persisted RDDs: $leaked")
   }
 
+  test("shufflePositions is a deterministic permutation") {
+    val ids = (0L until 200L).map(Tuple1(_)).toDF("doc_id")
+    val a = Packing.shufflePositions(ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation: positions are exactly 0..n-1
+    assert(a.values.toSeq.sorted == (0L until 200L))
+    // partition-count independent (the prefix-sum guarantee)
+    val b = Packing.shufflePositions(ids.repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // a different seed is a different permutation
+    val c = Packing.shufflePositions(ids, "doc_id", seed = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c != a && c.values.toSeq.sorted == (0L until 200L))
+    // and it is genuinely shuffled, not id order
+    assert(a.toSeq.sortBy(_._1).map(_._2) != (0L until 200L))
+  }
+
   test("packSequencesByGroup == independent packSequences per group") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 600L).map(i =>
