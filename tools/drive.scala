@@ -1,0 +1,55 @@
+// Canonical library-boundary drive: run against the packaged jar with
+//   /opt/spark/bin/spark-shell --master 'local[4]' \
+//     --conf spark.ui.enabled=false \
+//     --conf spark.sql.session.timeZone=UTC \
+//     --conf spark.sql.shuffle.partitions=4 \
+//     --jars target/scala-2.13/timeseriesstoragespark_2.13-0.1.0.jar \
+//     -I tools/drive.scala <<< ""
+// NOTE: -I scripts are REPL line-oriented — keep chains on one line.
+import graft._
+import graft.model._
+import graft.functions.TimeKernel.ts
+
+// 1. the reference flagship flow (SURVEY §7.3 golden)
+val svc = TimeSeriesService(spark)
+svc.defineFact("signups", FactType.Counter, slice = 10, name = Some("registros"))
+svc.defineDimension("dependency", facts = Set("signups"))
+svc.defineDimension("dependency_user", groupedBy = Seq(Seq("dependency")), facts = Set("signups"))
+svc.newFact("signups", ts("2014-03-21T09:09"), 1, Map("dependency" -> "32", "dependency_user" -> "pepe"))
+svc.newFact("signups", ts("2014-03-21T10:23"), 1, Map("dependency" -> "31", "dependency_user" -> "juanele"))
+val out = svc.getTimeseries("signups", "dependency_user", Map("dependency" -> Some("31")), ts("2014-03-21T09:00"), ts("2014-03-21T13:00"), step = Step.Hour)
+val rows = out.orderBy("bucket").collect()
+assert(rows.length == 4, s"expected 4 buckets got ${rows.length}")
+assert(rows.map(_.getLong(rows.head.length - 1)).toSeq == Seq(0L, 1L, 0L, 0L), "fill values mismatch")
+println("DRIVE-OK-counter " + rows.mkString(" | "))
+
+// 2. the DISTINCT fact type end to end (round-7 surface)
+svc.defineFact("uniq", FactType.Distinct, slice = 15)
+svc.defineDimension("dim", facts = Set("uniq"))
+svc.newFact("uniq", ts("2024-02-01T10:05"), 5, Map("dim" -> "a"))
+svc.newFact("uniq", ts("2024-02-01T10:20"), 5, Map("dim" -> "a"))
+svc.newFact("uniq", ts("2024-02-01T10:40"), 6, Map("dim" -> "a"))
+val du = svc.getTimeseries("uniq", "dim", Map("dim" -> Some("a")), ts("2024-02-01T10:00"), ts("2024-02-01T12:00"), step = Step.Hour).orderBy("bucket").collect()
+assert(du.map(_.getLong(2)).toSeq == Seq(2L, 0L), s"distinct fill mismatch: ${du.mkString("|")}")
+println("DRIVE-OK-distinct " + du.mkString(" | "))
+
+// 3. histogram + percentile serving (the reference's stub, completed)
+svc.defineFact("lat", FactType.Histogram, slice = 15, start = Some(0L), end = Some(300L), step = Some(100L))
+svc.defineDimension("host", facts = Set("lat"))
+svc.newFact("lat", ts("2024-02-01T10:05"), 50, Map("host" -> "h1"))
+svc.newFact("lat", ts("2024-02-01T10:06"), 80, Map("host" -> "h1"))
+svc.newFact("lat", ts("2024-02-01T10:07"), 250, Map("host" -> "h1"))
+val pct = svc.getHistogramPercentiles("lat", "host", Map.empty, ts("2024-02-01T10:00"), ts("2024-02-01T11:00"), pcts = Seq(50L, 95L)).collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+assert(pct == Map(50L -> 0L, 95L -> 200L), s"percentiles mismatch: $pct")
+println("DRIVE-OK-histogram " + pct)
+
+// 4. materialize + incremental windowed refresh through the facade
+val base = java.nio.file.Files.createTempDirectory("drive-roll").toString
+svc.materializeRollups(base)
+svc.newFact("uniq", ts("2024-02-02T09:00"), 7, Map("dim" -> "a"))
+svc.refreshRollups(base, ts("2024-02-02T00:00"), ts("2024-02-02T23:59"))
+val du2 = svc.getTimeseries("uniq", "dim", Map("dim" -> Some("a")), ts("2024-02-01T00:00"), ts("2024-02-03T00:00"), step = Step.Day).orderBy("bucket").collect()
+assert(du2.map(_.getLong(2)).toSeq == Seq(2L, 1L), s"refresh mismatch: ${du2.mkString("|")}")
+println("DRIVE-OK-refresh " + du2.mkString(" | "))
+println("DRIVE-OK-ALL")
+sys.exit(0)
