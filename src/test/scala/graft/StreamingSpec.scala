@@ -397,6 +397,43 @@ class StreamingSpec extends SparkTestBase {
       Option(ts("2014-03-21T10:00")) -> 0L)))
   }
 
+  test("distinct partials compact across batches without changing results") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Rollups
+    val source = MemoryStream[Event]
+    val fact = FactDef("uniq", FactType.Distinct, sliceMinutes = 15)
+    val path = java.nio.file.Files.createTempDirectory("graft-dstc").toString
+    val q = StreamingIngest.maintainRollup(source.toDF(), fact, Seq("dim"), path)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // the SAME (dim, slice, user) tuple lands in two different batches
+    // → two duplicate tall partial rows that compaction must merge
+    // (dval is a KEY for compaction, counts sum)
+    source.addData(Event("uniq", ts("2014-03-21T09:01"), 5, Map("dim" -> "a")))
+    q.processAllAvailable()
+    source.addData(Event("uniq", ts("2014-03-21T09:07"), 5, Map("dim" -> "a")),
+      Event("uniq", ts("2014-03-21T09:08"), 6, Map("dim" -> "a")))
+    q.processAllAvailable()
+    q.stop()
+    def query(p: String): Map[Option[java.sql.Timestamp], Long] = {
+      val svc = new TimeSeriesService(spark)
+      svc.defineFact("uniq", FactType.Distinct, slice = 15)
+      svc.defineDimension("dim", facts = Set("uniq"))
+      svc.registerRollup("uniq", Seq("dim"), p)
+      pivot(svc.getTimeseries("uniq", "dim", Map("dim" -> Some("a")),
+        ts("2014-03-21T09:00"), ts("2014-03-21T10:00"), Step.Hour),
+        Seq("dim"))(Map("dim" -> "a"))
+    }
+    val before = query(path)
+    assert(before == Map(Option(ts("2014-03-21T09:00")) -> 2L))
+    val compacted = java.nio.file.Files.createTempDirectory("graft-dstcmp").toString
+    Rollups.compact(spark, path, compacted)
+    assert(Rollups.read(spark, compacted).count()
+      < Rollups.read(spark, path).count())
+    assert(query(compacted) == before)
+  }
+
   test("average fact streams as re-aggregable (counter,total) pairs") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
