@@ -69,7 +69,13 @@ object RollupRouting {
       sliceExpr: Expression,
       dimExprs: Seq[(String, Expression)],
       rollup: LogicalPlan,
-      sliceMinutes: Int)
+      sliceMinutes: Int,
+      /** true → `rollup` is DISTINCT tall partials (dims…, bucket,
+        * dval, value): the retained values serve COUNT(DISTINCT
+        * value) — and only that — exactly at any coarser grouping.
+        * Scalar-partial entries cannot serve distincts and distinct
+        * entries cannot serve sums, so the two kinds never compete. */
+      distinctVals: Boolean = false)
 
   private val registry = TrieMap.empty[SparkSession, Vector[Entry]]
 
@@ -98,7 +104,25 @@ object RollupRouting {
 
   def register(spark: SparkSession, raw: DataFrame, rollup: DataFrame,
       dims: Seq[String], tsCol: String = "ts", valueCol: String = "value",
-      sliceMinutes: Int = 15): Unit = {
+      sliceMinutes: Int = 15): Unit =
+    registerImpl(spark, raw, rollup, dims, tsCol, valueCol, sliceMinutes,
+      distinctVals = false)
+
+  /** Register DISTINCT tall partials (the `FactType.Distinct` rollup
+    * shape — `Timeseries.sliceBuckets` output with a `dval` column)
+    * for `raw`: `COUNT(DISTINCT valueCol)` aggregates route onto
+    * `COUNT(DISTINCT dval)` over the rollup. At 100 TB the distinct
+    * count is THE query that cannot be served from scalar partials —
+    * this is its O(rollup) path under user SQL we don't control. */
+  def registerDistinct(spark: SparkSession, raw: DataFrame,
+      rollup: DataFrame, dims: Seq[String], tsCol: String = "ts",
+      valueCol: String = "value", sliceMinutes: Int = 15): Unit =
+    registerImpl(spark, raw, rollup, dims, tsCol, valueCol, sliceMinutes,
+      distinctVals = true)
+
+  private def registerImpl(spark: SparkSession, raw: DataFrame,
+      rollup: DataFrame, dims: Seq[String], tsCol: String,
+      valueCol: String, sliceMinutes: Int, distinctVals: Boolean): Unit = {
     require(isUtcZone(spark.sessionState.conf.sessionLocalTimeZone),
       "RollupRouting.register requires spark.sql.session.timeZone=UTC: " +
         "slice alignment and bucket_date partition bounds are derived " +
@@ -114,7 +138,7 @@ object RollupRouting {
     val byName = probe.output.map(a => a.name -> inline(a, maps, 0)).toMap
     val entry = Entry(leaf, byName("__ts"), byName("__value"),
       byName("__slice"), dims.map(d => d -> byName(s"__dim__$d")),
-      rollup.queryExecution.analyzed, sliceMinutes)
+      rollup.queryExecution.analyzed, sliceMinutes, distinctVals)
     registry.updateWith(spark)(v => Some(v.getOrElse(Vector.empty) :+ entry))
   }
 
@@ -241,11 +265,17 @@ final case class RollupRouteRule(spark: SparkSession)
       case p => p
     }
     def rAttr(name: String): Option[Attribute] = rollup.output.find(_.name == name)
-    val (bucket, cnt, cntv, total) =
-      (rAttr("bucket"), rAttr("cnt"), rAttr("cntv"), rAttr("total")) match {
-        case (Some(b), Some(c), Some(cv), Some(t)) => (b, c, cv, t)
-        case _ => return None
-      }
+    val bucket = rAttr("bucket") match {
+      case Some(b) => b
+      case None => return None
+    }
+    // distinct entries carry the values (dval); generic entries carry
+    // re-aggregable scalar partials — each kind requires its columns
+    val dvalOpt = rAttr("dval")
+    if (entry.distinctVals && dvalOpt.isEmpty) return None
+    val (cntOpt, cntvOpt, totalOpt) = (rAttr("cnt"), rAttr("cntv"), rAttr("total"))
+    if (!entry.distinctVals &&
+      (cntOpt.isEmpty || cntvOpt.isEmpty || totalOpt.isEmpty)) return None
     val dimAttrs: Map[String, Attribute] =
       dimEs.flatMap { case (n, _) => rAttr(n).map(n -> _) }.toMap
     if (dimAttrs.size != dimEs.size) return None
@@ -282,27 +312,41 @@ final case class RollupRouteRule(spark: SparkSession)
     val global = agg.groupingExpressions.isEmpty
     def sumOf(a: Attribute): Expression = Sum(a).toAggregateExpression()
     def aggTranslate(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined || ae.mode != Complete)
-        return None
-      val out: Option[Expression] = ae.aggregateFunction match {
-        case Sum(v, _) if v.semanticEquals(valueE) => Some(sumOf(total))
-        case Count(cs) if cs.nonEmpty && cs.forall(_.foldable) =>
-          // count(*): null on an empty rollup vs 0 on raw — coalesce for
-          // the global-aggregate case where the group always exists.
-          val s = sumOf(cnt)
-          Some(if (global) Coalesce(Seq(s, Literal(0L, LongType))) else s)
-        case Count(Seq(v)) if v.semanticEquals(valueE) =>
-          val s = sumOf(cntv)
-          Some(if (global) Coalesce(Seq(s, Literal(0L, LongType))) else s)
-        case Min(v) if v.semanticEquals(valueE) =>
-          rAttr("mn").map(m => Min(m).toAggregateExpression())
-        case Max(v) if v.semanticEquals(valueE) =>
-          rAttr("mx").map(m => Max(m).toAggregateExpression())
-        case Average(v, _) if v.semanticEquals(valueE) =>
-          Some(Divide(Cast(sumOf(total), DoubleType),
-            Cast(sumOf(cntv), DoubleType)))
-        case _ => None
-      }
+      if (ae.filter.isDefined || ae.mode != Complete) return None
+      val out: Option[Expression] =
+        if (entry.distinctVals) ae.aggregateFunction match {
+          // the ONE aggregate distinct-value partials serve:
+          // count(distinct value) → count(distinct dval). The values
+          // are physically retained per slice, so re-aggregation to
+          // any coarser grouping stays exact — the scalar-partial
+          // scheme structurally cannot answer this.
+          case Count(Seq(v)) if ae.isDistinct && v.semanticEquals(valueE) =>
+            dvalOpt.map(d =>
+              Count(Seq(d)).toAggregateExpression(isDistinct = true))
+          case _ => None
+        }
+        else if (ae.isDistinct) None
+        else ae.aggregateFunction match {
+          case Sum(v, _) if v.semanticEquals(valueE) =>
+            Some(sumOf(totalOpt.get))
+          case Count(cs) if cs.nonEmpty && cs.forall(_.foldable) =>
+            // count(*): null on an empty rollup vs 0 on raw — coalesce
+            // for the global-aggregate case where the group always
+            // exists.
+            val s = sumOf(cntOpt.get)
+            Some(if (global) Coalesce(Seq(s, Literal(0L, LongType))) else s)
+          case Count(Seq(v)) if v.semanticEquals(valueE) =>
+            val s = sumOf(cntvOpt.get)
+            Some(if (global) Coalesce(Seq(s, Literal(0L, LongType))) else s)
+          case Min(v) if v.semanticEquals(valueE) =>
+            rAttr("mn").map(m => Min(m).toAggregateExpression())
+          case Max(v) if v.semanticEquals(valueE) =>
+            rAttr("mx").map(m => Max(m).toAggregateExpression())
+          case Average(v, _) if v.semanticEquals(valueE) =>
+            Some(Divide(Cast(sumOf(totalOpt.get), DoubleType),
+              Cast(sumOf(cntvOpt.get), DoubleType)))
+          case _ => None
+        }
       out.filter(_.dataType == ae.dataType)
     }
 

@@ -95,6 +95,27 @@ object EventQueries {
       out
     })
 
+  /** Distinct tall partials for the routing rule, registered once per
+    * (session, sf dir): COUNT(DISTINCT user_id) aggregates over the
+    * raw events route onto them transparently. */
+  private val routedDistinctDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ensureRoutedDistinct(s: SparkSession, dir: String): Unit =
+    routedDistinctDirs.getOrElseUpdate((s, dir), {
+      import graft.operators.Rollups
+      import graft.plans.RollupRouting
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_dpartials").toString
+      Rollups.materialize(
+        events(s, dir).select(col("event_type"), col("ts"),
+          col("user_id").cast(LongType).as("value")),
+        distinctFact, 15, Seq("event_type"), out)
+      RollupRouting.install(s)
+      RollupRouting.registerDistinct(s, events(s, dir),
+        Rollups.read(s, out), Seq("event_type"), valueCol = "user_id")
+      out
+    })
+
   /** The scan's inclusive-bucket upper bound, for oracle parity:
     * ts < slice(finish) + slice. */
   private def hi(finish: String, slice: Int = 15): String =
@@ -518,6 +539,20 @@ object EventQueries {
         .agg(count(col("value")).as("n_vals"), avg(col("value")).as("avg_cents"))
     }),
 
+    // COUNT DISTINCT under the ROUTING RULE: the user writes a plain
+    // DataFrame count-distinct over raw events; the rule rewrites it
+    // onto the registered distinct tall partials (RollupRoutingSpec
+    // pins the scan swap) — the one aggregate scalar partials can
+    // never serve, at O(rollup) instead of O(events)
+    "ts_routed_distinct" -> ((s, dir) => {
+      val raw = events(s, dir)
+      ensureRoutedDistinct(s, dir)
+      raw.where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count_distinct(col("user_id")).as("uniq_users"))
+    }),
+
     // the raw-scan FALLBACK: a time bound NOT on a slice boundary
     // (…00:07:00 with 15-minute slices) makes the rollup unable to
     // answer exactly — the rule must leave the plan on raw events
@@ -856,6 +891,16 @@ object EventQueries {
       gridStep = "1 DAY",
       loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-12T00:00"),
       measure = "count(DISTINCT user_id)"),
+
+    // routed ≡ raw for count distinct: the oracle computes straight
+    // from raw events, the Spark side is served from the partials
+    "ts_routed_distinct" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |  count(DISTINCT user_id) AS uniq_users
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
 
     // hourly distinct fill for the streaming-maintained rollup twin
     "ts_stream_distinct_fill" -> fillOracle(

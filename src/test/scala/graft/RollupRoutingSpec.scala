@@ -218,6 +218,41 @@ class RollupRoutingSpec extends SparkTestBase {
     } finally RollupRouting.clear(spark)
   }
 
+  test("COUNT DISTINCT routes onto distinct tall partials — and only it") {
+    import graft.model.{FactDef, FactType}
+    val dFact = FactDef("uniq", FactType.Distinct, sliceMinutes = 15)
+    val dDir = java.nio.file.Files.createTempDirectory("graft_rt_dst").toString
+    Rollups.materialize(
+      raw.select(col("event_type"), col("ts"),
+        col("user_id").cast("long").as("value")),
+      dFact, 15, Seq("event_type"), dDir)
+    def q: DataFrame = raw
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
+      .agg(countDistinct(col("user_id")).as("u"))
+    def qSum: DataFrame = raw.groupBy(col("event_type"))
+      .agg(sum(col("user_id")).as("s"))
+    val expected = q.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val sumExpected = qSum.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    RollupRouting.install(spark)
+    RollupRouting.registerDistinct(spark, raw, Rollups.read(spark, dDir),
+      Seq("event_type"), valueCol = "user_id")
+    try {
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains(dDir)), s"distinct not routed: $paths")
+      assert(q.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+        == expected)
+      // a SUM over the same raw must NOT ride the distinct partials
+      // (they cannot re-aggregate sums of the value column)
+      assert(!scannedPaths(qSum).exists(_.contains(dDir)),
+        "sum wrongly routed onto distinct partials")
+      assert(qSum.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == sumExpected)
+    } finally RollupRouting.clear(spark)
+  }
+
   test("time-bounded routing works across every fixture ts encoding") {
     // the driver has shipped events.ts as nanos-int64, TIMESTAMP_NTZ,
     // and a Spark producer writes TIMESTAMP — aligned bounds must route
