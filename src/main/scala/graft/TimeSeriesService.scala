@@ -135,12 +135,18 @@ final class TimeSeriesService(
     * [[graft.operators.Rollups.refreshWindow]]). The incremental
     * maintenance mode: after ingesting a day's events, refresh that
     * day at O(delta) instead of re-materializing all of history.
-    * Same layout and registration as [[materializeRollups]]; assumes
-    * the store under `baseDir` exists (call materializeRollups once
-    * first) and events are append-only inside the window. */
+    * Same layout and registration as [[materializeRollups]]; events
+    * are assumed append-only inside the window. The store under
+    * `baseDir` must already hold a directory for every (fact,
+    * grouping) this catalog implies (call materializeRollups once
+    * first): refreshing a never-materialized target would write ONLY
+    * the window and register a history-less rollup — queries outside
+    * the window would silently read nothing — so that case fails
+    * loudly instead (e.g. a fact or dimension defined after the last
+    * materializeRollups). */
   def refreshRollups(baseDir: String, start: Timestamp,
       finish: Timestamp): Seq[String] = {
-    val made = for {
+    val targets = for {
       dim <- catalog.dimensions if !dim.groupOnly
       factId <- dim.facts.toSeq.sorted
       fact <- catalog.fact(factId).toSeq
@@ -149,12 +155,25 @@ final class TimeSeriesService(
       val grouping = path :+ dim.id
       val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
       val out = s"$baseDir/${(path :+ dim.id :+ fact.id).mkString("_")}"
+      (fact, grouping, slice, out)
+    }
+    val hconf = spark.sessionState.newHadoopConf()
+    val missing = targets.collect {
+      case (_, _, _, out) if {
+        val p = new org.apache.hadoop.fs.Path(out)
+        !p.getFileSystem(hconf).exists(p)
+      } => out
+    }
+    require(missing.isEmpty,
+      "refreshRollups: no materialized rollup to refresh at " +
+        s"${missing.mkString(", ")} — run materializeRollups first " +
+        "(a window-only refresh would register a history-less store)")
+    targets.map { case (fact, grouping, slice, out) =>
       Rollups.refreshWindow(prepare(fact.id, grouping), fact, slice,
         grouping, out, start, finish)
       rollupStore((fact.id, grouping)) = RollupReg(out, external = false)
       out
     }
-    made
   }
 
   /** Point queries for (fact, grouping) at an externally-maintained

@@ -78,6 +78,16 @@ object Rollups {
   def refreshWindow(prepared: DataFrame, fact: FactDef, sliceMinutes: Int,
       grouping: Seq[String], path: String,
       start: Timestamp, finish: Timestamp): Unit = {
+    // bucket_date partitions were written with session-zone
+    // to_date(bucket); the recompute window below snaps to UTC days.
+    // In a non-UTC session those disagree and the dynamic partition
+    // overwrite would replace a date partition with a HALF-day
+    // recompute — silent data loss. Same guard as RollupRouting.
+    require(graft.plans.RollupRouting.isUtcZone(
+        prepared.sparkSession.sessionState.conf.sessionLocalTimeZone),
+      "Rollups.refreshWindow requires spark.sql.session.timeZone=UTC: " +
+        "the day-snapped recompute window and the bucket_date " +
+        "partition values must agree or a partition overwrite loses data")
     val utc = java.time.ZoneOffset.UTC
     val loDay = TimeKernel.sliceFloorLocal(start, sliceMinutes)
       .toInstant.atZone(utc).toLocalDate
@@ -120,6 +130,63 @@ object Rollups {
       tsCol: String = "ts", valueCol: String = "value",
       sliceMinutes: Int = 15): Unit =
     partials(raw, dims, tsCol, valueCol, sliceMinutes)
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(path)
+
+  /** DISTINCT tall partials for the Catalyst routing rule: one row per
+    * (dims…, slice bucket, distinct value `dval`) with its occurrence
+    * count. Unlike [[build]] (the service write path, which skips
+    * null-dimension events to match the reference's `event-key`
+    * semantics), this KEEPS null dimension groups — the routing rule
+    * rewrites arbitrary user SQL, and a raw `GROUP BY dim` emits the
+    * NULL-dim group, so a routed plan served from null-dropping
+    * partials would silently lose it. [[partials]] already keeps nulls
+    * for the scalar shapes; this is its distinct-valued sibling.
+    * Null VALUES are also kept as a null `dval` group — `COUNT
+    * (DISTINCT v)` ignores nulls on both the raw and rollup side, so
+    * the translation stays exact either way. */
+  def distinctPartials(raw: DataFrame, dims: Seq[String],
+      tsCol: String = "ts", valueCol: String = "value",
+      sliceMinutes: Int = 15): DataFrame =
+    raw.groupBy(dims.map(col) :+
+        TimeKernel.sliceFloor(col(tsCol), sliceMinutes).as("bucket") :+
+        col(valueCol).as("dval"): _*)
+      .agg(count(lit(1L)).as("value"))
+
+  /** Materialize [[distinctPartials]] partitioned by the bucket's date. */
+  def materializeDistinctPartials(raw: DataFrame, dims: Seq[String],
+      path: String, tsCol: String = "ts", valueCol: String = "value",
+      sliceMinutes: Int = 15): Unit =
+    distinctPartials(raw, dims, tsCol, valueCol, sliceMinutes)
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(path)
+
+  /** HISTOGRAM tall partials for the Catalyst routing rule: one row
+    * per (dims…, slice bucket, histogram bucket) with the bucket's
+    * COUNT — the [[Timeseries.sliceBuckets]] Histogram shape, but
+    * null-KEEPING like [[distinctPartials]] (the routing rule serves
+    * arbitrary user GROUP BYs, which emit null dim groups and the
+    * null-value bucket). `histCol` is the bucketing expression
+    * (canonically [[Timeseries.histBucket]]); it is re-aliased to the
+    * `hist_bucket` column the rule translates onto. */
+  def histogramPartials(raw: DataFrame, dims: Seq[String],
+      histCol: Column, tsCol: String = "ts",
+      sliceMinutes: Int = 15): DataFrame =
+    raw.groupBy(dims.map(col) :+
+        TimeKernel.sliceFloor(col(tsCol), sliceMinutes).as("bucket") :+
+        histCol.as("hist_bucket"): _*)
+      .agg(count(lit(1L)).as("value"))
+
+  /** Materialize [[histogramPartials]] partitioned by the bucket's
+    * date. */
+  def materializeHistogramPartials(raw: DataFrame, dims: Seq[String],
+      histCol: Column, path: String, tsCol: String = "ts",
+      sliceMinutes: Int = 15): Unit =
+    histogramPartials(raw, dims, histCol, tsCol, sliceMinutes)
       .withColumn("bucket_date", to_date(col("bucket")))
       .write.mode("overwrite")
       .partitionBy("bucket_date")

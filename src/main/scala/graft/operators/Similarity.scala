@@ -213,6 +213,64 @@ object Similarity {
     centroids(corpus.join(assigned, Seq(idCol)), "part", vecCol)
   }
 
+  /** Full k-means driver: iterate [[lloydStep]] from deterministic
+    * seeds until the centroids stop moving (max per-centroid L2
+    * movement ≤ `tol`) or `maxIter` rounds — the index-BUILD loop that
+    * turns a raw embedding corpus into an IVF layout with no
+    * pre-existing partition column and no hand-rolled iteration at the
+    * call site.
+    *
+    * Determinism: seeds are the `k` corpus vectors with the SMALLEST
+    * ids (a distributed top-k, insensitive to partitioning and row
+    * order), assignment ties break on the lower part id
+    * ([[assignToCentroids]]), and empty clusters RETAIN their previous
+    * centroid rather than respawning — so two runs over the same
+    * corpus produce identical centroids, which a persisted serving
+    * layout ([[writeIvfCorpus]]) needs to be rebuildable.
+    *
+    * Scale shape: the corpus stays distributed and is scanned once per
+    * iteration (assign = broadcast join + one window shuffle; means =
+    * map-side-combined aggregation). Centroids — k × dim doubles, the
+    * same envelope every step broadcasts anyway — come back to the
+    * driver between iterations, which also RESETS LINEAGE each round:
+    * the next iteration's plan starts from a literal centroid frame,
+    * not an ever-deepening recursive plan (the iterate-a-DataFrame
+    * trap).
+    *
+    * @return converged (part, centroid) index for [[ivfTopK]] /
+    *   [[assignToCentroids]] / [[writeIvfCorpus]] */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int = 20, tol: Double = 1e-9,
+      dotFn: (Column, Column) => Column = dot): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(maxIter >= 1, "maxIter must be >= 1")
+    require(tol >= 0.0, "tol must be >= 0")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cent: Seq[(Long, Seq[Double])] = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq
+    require(cent.nonEmpty, "corpus is empty")
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val prev = cent.toMap
+      val stepped = lloydStep(corpus, cent.toDF("part", "centroid"),
+        idCol, vecCol, dotFn)
+        .select(col("part").cast("long"), col("centroid"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cent = cent.map { case (p, old) => (p, stepped.getOrElse(p, old)) }
+      moved = cent.map { case (p, v) =>
+        math.sqrt(prev(p).lazyZip(v).map((a, b) => (a - b) * (a - b)).sum)
+      }.max
+      iter += 1
+    }
+    cent.toDF("part", "centroid")
+  }
+
   /** Persist the IVF-partitioned corpus: vectors co-located by their
     * index partition as `part=<p>` parquet directories. This is the
     * serving layout of the index — [[ivfTopKFromStore]] turns the

@@ -66,6 +66,54 @@ object TextAnalysis {
       md5(concat_ws(",", transform(ids, _.cast("string")))).as("ids_md5"))
   }
 
+  /** [[buildVocab]]'s distributed twin: the top-`k` vocabulary as a
+    * DataFrame `(token, tid)` with ids 1..k in (count desc, token)
+    * order — for BPE-scale vocabularies (50k–250k entries) that should
+    * ride a broadcast join rather than a collected map literal. The
+    * ranking window runs over the already-`limit(k)`-bounded frame, so
+    * the single-partition sort it implies is k rows, never the corpus
+    * vocabulary. */
+  def buildVocabTable(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .withColumn("tid", row_number().over(w).cast(LongType))
+      .select(col("token"), col("tid"))
+  }
+
+  /** [[tokenizeWithVocab]] at BPE scale: same output contract
+    * (idCol, n_tokens, n_unk, ids_md5), but the vocabulary joins in as
+    * a BROADCAST table instead of riding codegen as a map literal —
+    * map literals blow up generated-code size past ~10⁴ entries, while
+    * a 250k-row (token, tid) table is a few MB broadcast.
+    *
+    * Scale shape: posexplode to (doc, position, token) → broadcast
+    * left join onto the vocab (unknown tokens keep a null tid) → one
+    * hash aggregation back on the doc id, rebuilding the ORDERED id
+    * sequence with a k-bounded per-doc sort (`array_sort` on
+    * (position, id) structs collected per doc — state is the doc's
+    * own token count, the same envelope the text column itself
+    * occupies). One shuffle on the doc id, no skew (positions are
+    * doc-local), vocabulary never collected to the driver. */
+  def tokenizeWithVocabTable(df: DataFrame, textCol: String, idCol: String,
+      vocabDf: DataFrame, unkId: Long = 0L): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "token")))
+    toks.join(broadcast(vocabDf), Seq("token"), "left")
+      .withColumn("__id", coalesce(col("tid"), lit(unkId)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid").isNull, 1L).otherwise(0L)).as("n_unk"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__id")))),
+          s => s.getField("__id").cast("string")))).as("ids_md5"))
+      .select(col(idCol), col("n_tokens"), col("n_unk"), col("ids_md5"))
+  }
+
   /** BPE-ish subword count: runs of letters, runs of digits, or single
     * other non-space characters — the shape of a byte-pair pre-tokenizer
     * split, as a codegen'd regexp. */
@@ -199,30 +247,39 @@ object TextAnalysis {
     * the df-based twin of the stopword-ratio quality signal (rare
     * tokens are rare BECAUSE no other document corroborates them).
     *
-    * Scale shape: the corpus-wide df table and the per-doc counts are
-    * both hash aggregations on compact keys ((token, id) pairs and
-    * tokens — never full text). The exploded token stream is shuffled
-    * twice (once to count distinct docs per token, once joined back on
-    * token — co-partitioned with the df aggregation's output, so the
-    * join itself adds no exchange on the df side), then per-doc totals
-    * reduce on id. No collect, no driver-side vocabulary: the df table
-    * stays distributed, so a 100 TB corpus's billion-token vocabulary
-    * never has to fit anywhere whole.
+    * Scale shape (the [[tfIdfTopTerms]] shape): occurrences collapse
+    * to (id, token) → cnt FIRST — bounded by per-doc vocabulary, with
+    * the Zipfian head ("the", "of") absorbed by map-side combine —
+    * the df table falls out of a second aggregation over those same
+    * distinct pairs, and the join runs on the distinct-pair table,
+    * never the raw occurrence stream (which at corpus scale is a
+    * skew-joined shuffle on hot tokens). Per-doc totals are then
+    * cnt-weighted sums reducing on id. No collect, no driver-side
+    * vocabulary: the df table stays distributed, so a 100 TB corpus's
+    * billion-token vocabulary never has to fit anywhere whole.
     *
     * @return one row per input doc: (idCol, n_tokens, n_rare, rare_e4) */
   def rareTokenStats(df: DataFrame, textCol: String, idCol: String,
       maxDf: Long = 2L): DataFrame = {
-    val tok = df
+    // tf = (id, token) → occurrence count: bounded by per-doc
+    // VOCABULARY, not token occurrences — the Zipfian hot keys ("the",
+    // "of") collapse map-side before anything shuffles
+    val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    // df = distinct docs per token: the (token, id) distinct is the
-    // map-side-combinable form (countDistinct would carry the id set
-    // through the exchange)
-    val dfTable = tok.distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    tok.join(dfTable, Seq("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("__cnt"))
+    // df falls out of a second aggregation over the SAME distinct
+    // pairs (one row per doc per token ⇒ count = doc frequency)
+    val dfTable = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    // join on distinct (id, token) pairs, then weight by __cnt: same
+    // answer as joining the raw occurrence stream, but the join input
+    // is the distinct-pair table — at corpus scale the occurrence
+    // join is a skewed shuffle on the Zipfian head, this one isn't
+    tf.join(dfTable, Seq("token"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__df") <= maxDf, 1L).otherwise(0L)).as("n_rare"))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        sum(when(col("__df") <= maxDf, col("__cnt")).otherwise(0L))
+          .as("n_rare"))
       .select(col(idCol), col("n_tokens"), col("n_rare"),
         floor(lit(10000.0) * col("n_rare") / col("n_tokens"))
           .cast(LongType).as("rare_e4"))

@@ -75,7 +75,14 @@ object RollupRouting {
         * value) — and only that — exactly at any coarser grouping.
         * Scalar-partial entries cannot serve distincts and distinct
         * entries cannot serve sums, so the two kinds never compete. */
-      distinctVals: Boolean = false)
+      distinctVals: Boolean = false,
+      /** Some(expr) → `rollup` is HISTOGRAM tall partials (dims…,
+        * bucket, hist_bucket, value-as-count): `expr` is the
+        * registered bucketing expression over the raw value, and
+        * `count(*) GROUP BY <expr>`-shaped aggregates route onto
+        * `sum(value) GROUP BY hist_bucket`. Counts re-aggregate by
+        * summing, so any coarser calendar/dim grouping stays exact. */
+      histExpr: Option[Expression] = None)
 
   private val registry = TrieMap.empty[SparkSession, Vector[Entry]]
 
@@ -95,7 +102,7 @@ object RollupRouting {
     * `to_date(bucket)` used when the rollup's `bucket_date` partition
     * column was written (build.sbt pins it; arbitrary user sessions
     * may not). */
-  private[plans] def isUtcZone(tz: String): Boolean =
+  private[graft] def isUtcZone(tz: String): Boolean =
     try {
       val rules = java.time.ZoneId.of(tz).getRules
       rules.isFixedOffset && rules.getOffset(java.time.Instant.EPOCH) ==
@@ -113,16 +120,46 @@ object RollupRouting {
     * for `raw`: `COUNT(DISTINCT valueCol)` aggregates route onto
     * `COUNT(DISTINCT dval)` over the rollup. At 100 TB the distinct
     * count is THE query that cannot be served from scalar partials —
-    * this is its O(rollup) path under user SQL we don't control. */
+    * this is its O(rollup) path under user SQL we don't control.
+    *
+    * The rollup MUST retain null dimension groups (build it with
+    * [[graft.operators.Rollups.distinctPartials]], not the service
+    * write path's null-skipping
+    * [[graft.operators.Rollups.build]]): user `GROUP BY dim` plans
+    * emit the NULL-dim group, and a store missing it would make the
+    * routed plan silently drop those rows. */
   def registerDistinct(spark: SparkSession, raw: DataFrame,
       rollup: DataFrame, dims: Seq[String], tsCol: String = "ts",
       valueCol: String = "value", sliceMinutes: Int = 15): Unit =
     registerImpl(spark, raw, rollup, dims, tsCol, valueCol, sliceMinutes,
       distinctVals = true)
 
+  /** Register HISTOGRAM tall partials (the `FactType.Histogram` rollup
+    * shape — (dims…, bucket, hist_bucket, value) where `value` is the
+    * bucket's COUNT, [[graft.operators.Rollups.histogramPartials]])
+    * for `raw`: aggregates of the shape
+    * `count(*) … GROUP BY [dims…, calendar trunc,] <histCol>` route
+    * onto `sum(value) … GROUP BY [dims…, bucket trunc,] hist_bucket`.
+    *
+    * `histCol` is the bucketing expression users are expected to group
+    * by (canonically [[graft.operators.Timeseries.histBucket]]); the
+    * match is structural after optimization, so a user plan must
+    * compute the SAME bucketing algebra — a differently-written but
+    * semantically-equal bucketing simply keeps its raw scan.
+    * Like [[registerDistinct]], the rollup MUST retain null dimension
+    * groups and the null-value bucket (build it with
+    * histogramPartials, not the service write path). */
+  def registerHistogram(spark: SparkSession, raw: DataFrame,
+      rollup: DataFrame, dims: Seq[String], histCol: org.apache.spark.sql.Column,
+      tsCol: String = "ts", valueCol: String = "value",
+      sliceMinutes: Int = 15): Unit =
+    registerImpl(spark, raw, rollup, dims, tsCol, valueCol, sliceMinutes,
+      distinctVals = false, histCol = Some(histCol))
+
   private def registerImpl(spark: SparkSession, raw: DataFrame,
       rollup: DataFrame, dims: Seq[String], tsCol: String,
-      valueCol: String, sliceMinutes: Int, distinctVals: Boolean): Unit = {
+      valueCol: String, sliceMinutes: Int, distinctVals: Boolean,
+      histCol: Option[org.apache.spark.sql.Column] = None): Unit = {
     require(isUtcZone(spark.sessionState.conf.sessionLocalTimeZone),
       "RollupRouting.register requires spark.sql.session.timeZone=UTC: " +
         "slice alignment and bucket_date partition bounds are derived " +
@@ -131,6 +168,7 @@ object RollupRouting {
     // user query's will be, then inline them down to the leaf attrs.
     val probeCols = Seq(col(tsCol).as("__ts"), col(valueCol).as("__value"),
       TimeKernel.sliceFloor(col(tsCol), sliceMinutes).as("__slice")) ++
+      histCol.map(_.as("__hist")).toSeq ++
       dims.map(d => col(d).as(s"__dim__$d"))
     val probe = raw.select(probeCols: _*).queryExecution.optimizedPlan
     val (leaf, maps, fs) = strip(probe)
@@ -138,7 +176,8 @@ object RollupRouting {
     val byName = probe.output.map(a => a.name -> inline(a, maps, 0)).toMap
     val entry = Entry(leaf, byName("__ts"), byName("__value"),
       byName("__slice"), dims.map(d => d -> byName(s"__dim__$d")),
-      rollup.queryExecution.analyzed, sliceMinutes, distinctVals)
+      rollup.queryExecution.analyzed, sliceMinutes, distinctVals,
+      histExpr = histCol.map(_ => byName("__hist")))
     registry.updateWith(spark)(v => Some(v.getOrElse(Vector.empty) :+ entry))
   }
 
@@ -269,13 +308,19 @@ final case class RollupRouteRule(spark: SparkSession)
       case Some(b) => b
       case None => return None
     }
-    // distinct entries carry the values (dval); generic entries carry
-    // re-aggregable scalar partials — each kind requires its columns
+    // distinct entries carry the values (dval), histogram entries
+    // carry (hist_bucket, count), generic entries carry re-aggregable
+    // scalar partials — each kind requires its columns
+    val isHist = entry.histExpr.isDefined
     val dvalOpt = rAttr("dval")
     if (entry.distinctVals && dvalOpt.isEmpty) return None
+    val histAttrOpt = rAttr("hist_bucket")
+    val histCntOpt = rAttr("value")
+    if (isHist && (histAttrOpt.isEmpty || histCntOpt.isEmpty)) return None
     val (cntOpt, cntvOpt, totalOpt) = (rAttr("cnt"), rAttr("cntv"), rAttr("total"))
-    if (!entry.distinctVals &&
+    if (!entry.distinctVals && !isHist &&
       (cntOpt.isEmpty || cntvOpt.isEmpty || totalOpt.isEmpty)) return None
+    val histE = entry.histExpr.map(re)
     val dimAttrs: Map[String, Attribute] =
       dimEs.flatMap { case (n, _) => rAttr(n).map(n -> _) }.toMap
     if (dimAttrs.size != dimEs.size) return None
@@ -293,6 +338,7 @@ final case class RollupRouteRule(spark: SparkSession)
     // ---- grouping --------------------------------------------------------
     def groupTranslate(e: Expression): Option[Expression] =
       dimByCanon.get(e.canonicalized).orElse(e match {
+        case _ if histE.exists(e.semanticEquals) => histAttrOpt
         case tt @ TruncTimestamp(Literal(fmt, StringType), t, _)
             if t.semanticEquals(tsE) && truncOk(fmt.toString) =>
           Some(tt.copy(timestamp = bucket))
@@ -323,6 +369,18 @@ final case class RollupRouteRule(spark: SparkSession)
           case Count(Seq(v)) if ae.isDistinct && v.semanticEquals(valueE) =>
             dvalOpt.map(d =>
               Count(Seq(d)).toAggregateExpression(isDistinct = true))
+          case _ => None
+        }
+        else if (isHist) ae.aggregateFunction match {
+          // the ONE aggregate histogram partials serve: count(*) →
+          // sum(per-bucket count). Correct at ANY registered grouping
+          // subset — with the bucket expression in the user's GROUP BY
+          // this is the histogram read; without it the buckets simply
+          // re-aggregate away (counts are sums of sums either way).
+          case Count(cs) if !ae.isDistinct && cs.nonEmpty &&
+              cs.forall(_.foldable) =>
+            val s = sumOf(histCntOpt.get)
+            Some(if (global) Coalesce(Seq(s, Literal(0L, LongType))) else s)
           case _ => None
         }
         else if (ae.isDistinct) None

@@ -290,6 +290,18 @@ object DocumentQueries {
       TextAnalysis.tokenizeWithVocab(docs(s, dir), "text", "doc_id", vocab)
     }),
 
+    // the same id-mapping at BPE scale: a k=50 000 vocabulary rides a
+    // BROADCAST (token, tid) table instead of a codegen map literal
+    // (which stops scaling near 10⁴ entries). Same digest contract —
+    // the md5 over the ordered id sequence pins every id and its
+    // position — so one oracle shape gates both formulations.
+    "tokenize_with_vocab_large" -> ((s, dir) => {
+      val vocabDf = TextAnalysis.buildVocabTable(docs(s, dir), "text",
+        k = 50000)
+      TextAnalysis.tokenizeWithVocabTable(docs(s, dir), "text", "doc_id",
+        vocabDf)
+    }),
+
     // df-based rarity quality signal: per-doc count/fraction of token
     // occurrences whose corpus document frequency is <= 2 (OCR noise /
     // mojibake / gibberish detector — rare because uncorroborated).
@@ -1031,6 +1043,35 @@ object DocumentQueries {
         |    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
         |          FROM documents)
         |    GROUP BY token ORDER BY n DESC, token LIMIT 50)),
+        |pos AS (
+        |  SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM docs_t),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    arr[CAST(i AS INT) + 1] AS tok
+        |  FROM pos),
+        |mapped AS (
+        |  SELECT t.doc_id, t.i, coalesce(v.tid, 0) AS id,
+        |    v.tid IS NULL AS unk
+        |  FROM tok t LEFT JOIN vocab v ON v.token = t.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY i)) AS ids_md5
+        |FROM mapped GROUP BY doc_id""".stripMargin,
+
+    // identical digest contract at k=50 000 (the BPE-scale broadcast
+    // formulation on the Spark side)
+    "tokenize_with_vocab_large" ->
+      """WITH docs_t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token,
+        |    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS tid
+        |  FROM (
+        |    SELECT token, count(*) AS n
+        |    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |          FROM documents)
+        |    GROUP BY token ORDER BY n DESC, token LIMIT 50000)),
         |pos AS (
         |  SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM docs_t),
         |tok AS (

@@ -97,7 +97,13 @@ object EventQueries {
 
   /** Distinct tall partials for the routing rule, registered once per
     * (session, sf dir): COUNT(DISTINCT user_id) aggregates over the
-    * raw events route onto them transparently. */
+    * raw events route onto them transparently. Built with
+    * [[Rollups.distinctPartials]] (NOT the service write path's
+    * [[Rollups.materialize]]): the rule rewrites arbitrary user SQL
+    * whose GROUP BY keeps null-dimension groups, so the registered
+    * store must keep them too — the service path's null-skip matches
+    * the reference's `event-key` write semantics but would silently
+    * drop the NULL event_type group from a routed plan. */
   private val routedDistinctDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def ensureRoutedDistinct(s: SparkSession, dir: String): Unit =
@@ -106,13 +112,32 @@ object EventQueries {
       import graft.plans.RollupRouting
       val out = java.nio.file.Files
         .createTempDirectory("graft_dpartials").toString
-      Rollups.materialize(
-        events(s, dir).select(col("event_type"), col("ts"),
-          col("user_id").cast(LongType).as("value")),
-        distinctFact, 15, Seq("event_type"), out)
+      Rollups.materializeDistinctPartials(events(s, dir),
+        Seq("event_type"), out, valueCol = "user_id")
       RollupRouting.install(s)
       RollupRouting.registerDistinct(s, events(s, dir),
         Rollups.read(s, out), Seq("event_type"), valueCol = "user_id")
+      out
+    })
+
+  /** Histogram tall partials for the routing rule, registered once per
+    * (session, sf dir): `count(*) GROUP BY histBucket(value)` plans
+    * over the raw events route onto (hist_bucket, count) partials —
+    * built null-KEEPING like the distinct registration. */
+  private val routedHistDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ensureRoutedHist(s: SparkSession, dir: String): Unit =
+    routedHistDirs.getOrElseUpdate((s, dir), {
+      import graft.operators.{Rollups, Timeseries}
+      import graft.plans.RollupRouting
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_hpartials").toString
+      Rollups.materializeHistogramPartials(events(s, dir),
+        Seq("event_type"), Timeseries.histBucket(histFact), out)
+      RollupRouting.install(s)
+      RollupRouting.registerHistogram(s, events(s, dir),
+        Rollups.read(s, out), Seq("event_type"),
+        Timeseries.histBucket(histFact))
       out
     })
 
@@ -551,6 +576,22 @@ object EventQueries {
           && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
         .agg(count_distinct(col("user_id")).as("uniq_users"))
+    }),
+
+    // HISTOGRAM under the ROUTING RULE: the user groups raw events by
+    // the bucketing expression and counts — the rule rewrites onto the
+    // registered (hist_bucket, count) tall partials, summing counts.
+    // Shares ts_hist's oracle SHAPE (same bucketing, same aligned
+    // range), so routed ≡ raw is DuckDB-gated like the other routed
+    // queries; RollupRoutingSpec pins the scan swap.
+    "ts_routed_hist" -> ((s, dir) => {
+      import graft.operators.Timeseries
+      val raw = events(s, dir)
+      ensureRoutedHist(s, dir)
+      raw.where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-31 00:15:00")))
+        .groupBy(col("event_type"), Timeseries.histBucket(histFact))
+        .agg(count(one).as("value"))
     }),
 
     // the raw-scan FALLBACK: a time bound NOT on a slice boundary
@@ -1295,6 +1336,18 @@ object EventQueries {
         |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
         |GROUP BY ALL""".stripMargin,
+
+    // routed ≡ raw for the histogram read: same bucketing algebra and
+    // aligned range as ts_hist (the Spark side scans the registered
+    // hist partials, the oracle recomputes from raw events)
+    "ts_routed_hist" ->
+      s"""SELECT event_type,
+         |  CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) * 20 AS hist_bucket,
+         |  count(*) AS value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '${lo("2024-01-01T00:00")}'
+         |  AND ts < TIMESTAMP '${hi("2024-01-31T00:00")}'
+         |GROUP BY ALL""".stripMargin,
 
     "ts_routed_unaligned" ->
       """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,

@@ -64,9 +64,15 @@ object RelationalQueries {
         .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
           col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
       val li = read(s, dir, "lineitem")
+      // customer is deliberately UNHINTED: it is the one "dimension"
+      // that grows with scale factor (15k rows at sf0.1, 15M at
+      // sf100) — a forced broadcast would OOM the driver at cluster
+      // scale. AQE's size estimate picks broadcast while it fits and
+      // degrades to a shuffled join when it doesn't. The fixed-size
+      // catalogs (supplier/nation/region) stay hinted.
       li.join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(customer.withColumnRenamed("c_nationkey", "cn")),
+        .join(customer.withColumnRenamed("c_nationkey", "cn"),
           col("o_custkey") === col("c_custkey") && col("cn") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

@@ -372,7 +372,14 @@ object StreamingIngest {
     * pairs — so a hot entity's state grows with DISTINCT seconds in
     * the window (≤ windowSecs entries), not with its event count —
     * plus the last processed second. Bounded by (watermark horizon,
-    * windowSecs). */
+    * windowSecs).
+    *
+    * STATE-SHAPE COMPATIBILITY: `recent` was `Seq[Long]` (one entry
+    * per event) before the run-length encoding; checkpoints written by
+    * that shape cannot be restored by this one (Spark's state encoder
+    * has no migration hook). A deployment upgrading across the change
+    * must restart the query from a NEW checkpoint location and replay
+    * the source from an offset at or before the old watermark. */
   case class FeatBuf(pending: Seq[PendingFeat], recent: Seq[(Long, Long)],
       lastSec: Long, hasLast: Boolean)
 

@@ -165,6 +165,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("PushedFilters"), p.take(2000))
   }
 
+  test("rare-token df join consumes pre-aggregated pairs, not occurrences") {
+    // Zipfian skew guard: the df table must join onto (id, token) → cnt
+    // AGGREGATES, never the raw exploded occurrence stream — on every
+    // path from a join down to an explode there must be an aggregation
+    // absorbing the hot-token head before the shuffle
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, LogicalPlan}
+    val df = SparkEntry.queries("rare_token_stats")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected a df join in rare_token_stats")
+    def aggGated(p: LogicalPlan): Boolean = p match {
+      case _: Generate => false
+      case _: Aggregate => true
+      case other => other.children.forall(aggGated)
+    }
+    joins.foreach(j => j.children.foreach(side =>
+      assert(aggGated(side),
+        s"join side consumes an un-aggregated explode:\n$side")))
+  }
+
   test("persisted IVF store: the probe set prunes part= directories") {
     val p = plan("ann_ivf_persisted")
     // the probe ids must reach the vector store as a PARTITION filter

@@ -219,13 +219,9 @@ class RollupRoutingSpec extends SparkTestBase {
   }
 
   test("COUNT DISTINCT routes onto distinct tall partials — and only it") {
-    import graft.model.{FactDef, FactType}
-    val dFact = FactDef("uniq", FactType.Distinct, sliceMinutes = 15)
     val dDir = java.nio.file.Files.createTempDirectory("graft_rt_dst").toString
-    Rollups.materialize(
-      raw.select(col("event_type"), col("ts"),
-        col("user_id").cast("long").as("value")),
-      dFact, 15, Seq("event_type"), dDir)
+    Rollups.materializeDistinctPartials(raw, Seq("event_type"), dDir,
+      valueCol = "user_id")
     def q: DataFrame = raw
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
       .agg(countDistinct(col("user_id")).as("u"))
@@ -250,6 +246,83 @@ class RollupRoutingSpec extends SparkTestBase {
         "sum wrongly routed onto distinct partials")
       assert(qSum.collect().map(r => (r.getString(0), r.getLong(1))).toSet
         == sumExpected)
+    } finally RollupRouting.clear(spark)
+  }
+
+  test("count-by-histogram-bucket routes onto histogram tall partials") {
+    import graft.model.{FactDef, FactType}
+    import graft.operators.Timeseries
+    val hFact = FactDef("vh", FactType.Histogram, sliceMinutes = 15,
+      start = Some(0L), end = Some(200L), step = Some(20L))
+    val hDir = java.nio.file.Files.createTempDirectory("graft_rt_hist").toString
+    Rollups.materializeHistogramPartials(raw, Seq("event_type"),
+      Timeseries.histBucket(hFact), hDir)
+    def q: DataFrame = raw
+      .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+        && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-07 00:00:00")))
+      .groupBy(col("event_type"), Timeseries.histBucket(hFact))
+      .agg(count(lit(1)).as("value"))
+    def qSum: DataFrame = raw
+      .groupBy(col("event_type"), Timeseries.histBucket(hFact))
+      .agg(sum(col("value")).as("s"))
+    val expected = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val sumExpected = qSum.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    RollupRouting.install(spark)
+    RollupRouting.registerHistogram(spark, raw, Rollups.read(spark, hDir),
+      Seq("event_type"), Timeseries.histBucket(hFact))
+    try {
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains(hDir)), s"hist not routed: $paths")
+      assert(q.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        == expected)
+      // a SUM of the raw value must NOT ride histogram partials (they
+      // carry bucket counts, not value sums)
+      assert(!scannedPaths(qSum).exists(_.contains(hDir)),
+        "sum wrongly routed onto histogram partials")
+      assert(qSum.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        == sumExpected)
+    } finally RollupRouting.clear(spark)
+  }
+
+  test("distinct routing preserves NULL dimension and NULL value groups") {
+    // a raw GROUP BY dim emits the NULL-dim group; a routed plan served
+    // from null-dropping partials (the service write path's semantics)
+    // would silently lose it — distinctPartials must keep nulls so the
+    // rewrite stays a pure physical substitution
+    import spark.implicits._
+    val t = graft.functions.TimeKernel.ts("2024-01-05T10:07:00")
+    val base = java.nio.file.Files.createTempDirectory("graft_nulld").toString
+    Seq[(Long, java.sql.Timestamp, java.lang.Long, String, Double, String)](
+        (1L, t, 7L, "click", 1.0, "{}"),
+        (2L, t, 8L, null, 1.0, "{}"),      // NULL dim, distinct user
+        (3L, t, 8L, null, 1.0, "{}"),      // NULL dim, same user again
+        (4L, t, null, "view", 1.0, "{}"),  // NULL value: count distinct skips
+        (5L, t, 9L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$base/events.parquet")
+    val nRaw = graft.sources.EventSource.wideEvents(spark, base)
+    val dDir = java.nio.file.Files.createTempDirectory("graft_nulld_r").toString
+    Rollups.materializeDistinctPartials(nRaw, Seq("event_type"), dDir,
+      valueCol = "user_id")
+    def q: DataFrame = nRaw.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+    val expected = q.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(expected == Set((Some("click"), 1L), (None, 1L), (Some("view"), 1L)),
+      s"fixture sanity: $expected")
+    RollupRouting.install(spark)
+    RollupRouting.registerDistinct(spark, nRaw, Rollups.read(spark, dDir),
+      Seq("event_type"), valueCol = "user_id")
+    try {
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains(dDir)), s"not routed: $paths")
+      val routed = q.collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+      assert(routed == expected, s"routed $routed != raw $expected")
     } finally RollupRouting.clear(spark)
   }
 

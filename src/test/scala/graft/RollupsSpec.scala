@@ -163,6 +163,27 @@ class RollupsSpec extends SparkTestBase {
     assert(daySnapshot("2024-03-02").nonEmpty)
   }
 
+  test("refreshRollups refuses a never-materialized target") {
+    // a fact defined AFTER materializeRollups has no store directory:
+    // refreshing it would write only the window and register a
+    // history-less rollup (queries outside the window read nothing) —
+    // it must fail loudly instead
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("clicks", FactType.Counter, slice = 15)
+    svc.defineDimension("dim", facts = Set("clicks"))
+    svc.newFact("clicks", ts("2024-03-01T10:05"), 1L, Map("dim" -> "a"))
+    val base = Files.createTempDirectory("svc-refresh-miss").toString
+    svc.materializeRollups(base)
+    svc.defineFact("views", FactType.Counter, slice = 15)
+    svc.updateDimension("dim", "views")
+    svc.newFact("views", ts("2024-03-02T11:05"), 2L, Map("dim" -> "a"))
+    val e = intercept[IllegalArgumentException] {
+      svc.refreshRollups(base, ts("2024-03-02T00:00"),
+        ts("2024-03-02T23:59"))
+    }
+    assert(e.getMessage.contains("materializeRollups"), e.getMessage)
+  }
+
   private val histFact = FactDef("lat_hist", FactType.Histogram,
     sliceMinutes = 15, start = Some(0L), end = Some(100L), step = Some(20L))
 

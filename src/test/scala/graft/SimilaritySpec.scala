@@ -74,6 +74,54 @@ class SimilaritySpec extends SparkTestBase {
     assert(next(1L).zip(exp1).forall { case (a, b) => math.abs(a - b) < 1e-6 })
   }
 
+  test("kmeansFit: converges to a Lloyd fixed point, deterministically") {
+    // two well-separated 3-d clusters: convergence must land centroids
+    // on the cluster means and a FURTHER Lloyd step must not move them
+    val twoClusters = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.01f, 0f)),
+      (2L, Array(0.98f, 0f, 0.02f)),
+      (10L, Array(0f, 1f, 0f)), (11L, Array(0.01f, 0.99f, 0f)),
+      (12L, Array(0f, 0.98f, 0.02f)))
+      .toDF("vec_id", "embedding")
+    def centMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val fit = Similarity.kmeansFit(twoClusters, "vec_id", "embedding",
+      k = 2, maxIter = 25, tol = 1e-12)
+    val got = centMap(fit)
+    // seeds are vec_ids 0 and 1 (smallest ids) → both start inside the
+    // x-cluster; Lloyd must still separate the clusters
+    val exp0 = Seq((1.0 + 0.99f.toDouble + 0.98f.toDouble) / 3,
+      0.01f.toDouble / 3, 0.02f.toDouble / 3)
+    val exp1 = Seq(0.01f.toDouble / 3,
+      (1.0 + 0.99f.toDouble + 0.98f.toDouble) / 3, 0.02f.toDouble / 3)
+    val (c0, c1) = (got(0L), got(1L))
+    val matches = (c0.zip(exp0) ++ c1.zip(exp1))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 }
+    assert(matches, s"not at the cluster means: $got")
+    // fixed point: one more Lloyd step leaves the centroids unchanged
+    val stepped = centMap(
+      Similarity.lloydStep(twoClusters, fit, "vec_id", "embedding"))
+    got.foreach { case (p, v) =>
+      assert(v.zip(stepped(p)).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+        s"centroid $p moved after convergence") }
+    // determinism: an identical second run reproduces the index exactly
+    val again = centMap(Similarity.kmeansFit(twoClusters, "vec_id",
+      "embedding", k = 2, maxIter = 25, tol = 1e-12))
+    assert(again == got)
+  }
+
+  test("kmeansFit: empty clusters retain their previous centroid") {
+    // k = 3 over the 5-vector geometry corpus: at least one cluster
+    // goes empty during iteration; its centroid must persist (not NaN,
+    // not dropped) so the returned index always has k parts
+    val fit = Similarity.kmeansFit(corpus, "vec_id", "embedding",
+      k = 3, maxIter = 10, tol = 1e-12)
+    val got = fit.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    got.values.foreach(v =>
+      assert(v.forall(x => !x.isNaN && !x.isInfinite), s"bad centroid: $got"))
+  }
+
   test("LSH near-dup pairs == exact pairs restricted to shared buckets") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val planes = Similarity.randomHyperplanes(nPlanes = 8, dim = 64)

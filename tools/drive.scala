@@ -51,5 +51,39 @@ svc.refreshRollups(base, ts("2024-02-02T00:00"), ts("2024-02-02T23:59"))
 val du2 = svc.getTimeseries("uniq", "dim", Map("dim" -> Some("a")), ts("2024-02-01T00:00"), ts("2024-02-03T00:00"), step = Step.Day).orderBy("bucket").collect()
 assert(du2.map(_.getLong(2)).toSeq == Seq(2L, 1L), s"refresh mismatch: ${du2.mkString("|")}")
 println("DRIVE-OK-refresh " + du2.mkString(" | "))
+
+// 5. round-8 surface: routed histogram, k-means fit, BPE-scale vocab
+import graft.operators.{Rollups, Similarity, TextAnalysis, Timeseries}
+import graft.plans.RollupRouting
+import org.apache.spark.sql.functions.{col, count, lit}
+import spark.implicits._
+// routing registrations need a persistent (re-scannable) source — a
+// LocalRelation gets constant-folded before the rule can match it
+val evDir = java.nio.file.Files.createTempDirectory("drive-ev").toString
+Seq((1L, ts("2024-01-05T10:05"), "click", 30.0), (2L, ts("2024-01-05T10:06"), "click", 150.0), (3L, ts("2024-01-05T11:06"), "view", 30.0)).toDF("event_id", "ts", "event_type", "value").write.mode("overwrite").parquet(evDir)
+val ev = spark.read.parquet(evDir)
+val hf = FactDef("h", FactType.Histogram, sliceMinutes = 15, start = Some(0L), end = Some(200L), step = Some(20L))
+val hd = java.nio.file.Files.createTempDirectory("drive-hist").toString
+Rollups.materializeHistogramPartials(ev, Seq("event_type"), Timeseries.histBucket(hf), hd)
+RollupRouting.install(spark)
+RollupRouting.registerHistogram(spark, ev, Rollups.read(spark, hd), Seq("event_type"), Timeseries.histBucket(hf))
+val hq = ev.groupBy(col("event_type"), Timeseries.histBucket(hf)).agg(count(lit(1)).as("value"))
+assert(hq.queryExecution.executedPlan.toString.contains(hd), "hist query not routed onto the partials")
+val hrows = hq.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+assert(hrows == Set(("click", 20L, 1L), ("click", 140L, 1L), ("view", 20L, 1L)), s"routed hist mismatch: $hrows")
+RollupRouting.clear(spark)
+println("DRIVE-OK-routed-hist " + hrows)
+
+val vecs = Seq((0L, Array(1.0f, 0f)), (1L, Array(0.9f, 0.1f)), (10L, Array(0f, 1.0f)), (11L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+val fit = Similarity.kmeansFit(vecs, "vec_id", "embedding", k = 2, maxIter = 10, tol = 1e-9)
+val cm = fit.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+assert(cm.size == 2 && math.abs(cm(0L)(0) - 0.95) < 1e-6 && math.abs(cm(1L)(1) - 0.95) < 1e-6, s"kmeansFit mismatch: $cm")
+println("DRIVE-OK-kmeans " + cm)
+
+val docsDf = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+val vt = TextAnalysis.buildVocabTable(docsDf, "text", k = 2)
+val tk = TextAnalysis.tokenizeWithVocabTable(docsDf, "text", "doc_id", vt).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+assert(tk == Set((1L, 3L, 0L), (2L, 2L, 1L)), s"vocab tokenize mismatch: $tk")
+println("DRIVE-OK-vocab-table " + tk)
 println("DRIVE-OK-ALL")
 sys.exit(0)
