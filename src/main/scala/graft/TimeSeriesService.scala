@@ -39,6 +39,10 @@ final class TimeSeriesService(
   private var bulk: Option[DataFrame] = None
   private var bulkDepth = 0
   private var storeDir: Option[String] = None
+  /** Where the spilled on-disk event store lives (None before the
+    * ingest stream crosses the spill depth) — the deployment handle
+    * for storage accounting and retention verification. */
+  def eventStoreDir: Option[String] = storeDir
   /** Pre-spill ingested frames, tracked so their caches (callers may
     * persist streaming micro-batches for the hand-off) can be released
     * once the spill materializes them to disk. */
@@ -346,6 +350,103 @@ final class TimeSeriesService(
       storeDir = Some(outDir)
       invalidateRollups(None)
     }
+
+  /** Event-store retention (the production TSDB lifecycle): roll the
+    * history OLDER than `horizon`'s UTC date into retained slice
+    * partials, then delete those raw `__event_date` partitions from
+    * the on-disk store. Reads stay exact over the FULL history:
+    * [[getTimeseries]] / [[getHistogram]] serve the aged range from
+    * the retained partials (registered external, so they both survive
+    * [[ingest]]'s rollup invalidation and union with the partials of
+    * the remaining raw events) while post-horizon ranges keep
+    * compute-on-read freshness. At 100 TB this is what bounds the
+    * event store: raw bytes live for the horizon window, history
+    * costs only the events-per-slice-compacted partials.
+    *
+    * Exactly-once accounting across REPEAT retention: a previously
+    * registered external rollup for the same (fact, grouping) —
+    * retention-made or user-registered streamed history — is folded
+    * into the new retained store (partials merge losslessly,
+    * [[graft.operators.Rollups.compactFrame]]) before its
+    * registration is replaced, and each retained store is written to
+    * a horizon-stamped fresh directory (never overwriting a store
+    * that is being read). The aged raw range and prior external
+    * history are disjoint by the external-rollup contract, and raw
+    * deletion removes exactly the events the retained partials
+    * absorbed (`__event_date < horizon-date ⇔ ts < cutoff`, both UTC).
+    *
+    * Constraints, all checked loudly: UTC session (date-partition
+    * arithmetic), spilled on-disk store (retention of an in-memory
+    * union is meaningless — ingest past the spill depth first), no
+    * pending in-memory events (they would double-count through the
+    * retained build). Slice-level reads ([[getSliceSeries]]) cover
+    * only the retained raw window afterwards — by design, that read
+    * IS the raw granularity. Facts/groupings added AFTER a retention
+    * pass have no aged history to lose, so the usual
+    * materialize-first rule does not apply here.
+    *
+    * @return the retained rollup directories written */
+  def expireEvents(horizon: Timestamp, rollupBaseDir: String): Seq[String] = {
+    require(graft.plans.RollupRouting.isUtcZone(
+        spark.sessionState.conf.sessionLocalTimeZone),
+      "expireEvents requires spark.sql.session.timeZone=UTC: retention " +
+        "deletes __event_date partitions derived with UTC day arithmetic")
+    require(storeDir.isDefined,
+      "expireEvents: no on-disk event store to retire (the in-memory " +
+        "union predates the spill threshold — nothing to age out)")
+    require(buffer.isEmpty && bulk.isEmpty,
+      "expireEvents: flush pending in-memory events first (they would " +
+        "double-count through the retained partial build)")
+    val utc = java.time.ZoneOffset.UTC
+    val horizonDate = horizon.toInstant.atZone(utc).toLocalDate
+    val cutoff = Timestamp.from(horizonDate.atStartOfDay(utc).toInstant)
+    val made = for {
+      dim <- catalog.dimensions if !dim.groupOnly
+      factId <- dim.facts.toSeq.sorted
+      fact <- catalog.fact(factId).toSeq
+      path <- dim.groupedBy
+    } yield {
+      val grouping = path :+ dim.id
+      val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
+      val out = s"$rollupBaseDir/retained_" +
+        s"${(path :+ dim.id :+ fact.id).mkString("_")}_$horizonDate"
+      val aged = Rollups.build(
+        prepare(fact.id, grouping).where(col("ts") < lit(cutoff)),
+        fact, slice, grouping)
+      val merged = rollupStore.get((fact.id, grouping)) match {
+        case Some(RollupReg(p, true)) =>
+          Rollups.compactFrame(Rollups.read(spark, p)
+            .drop("bucket_date", "__batch_id").unionByName(aged))
+        case _ => aged
+      }
+      // nothing aged and no prior external history → leave this
+      // (fact, grouping) alone (an empty partitioned write would make
+      // an unreadable store and erase nothing anyway)
+      if (merged.isEmpty) None
+      else {
+        merged.withColumn("bucket_date", to_date(col("bucket")))
+          .write.mode("overwrite").partitionBy("bucket_date").parquet(out)
+        rollupStore((fact.id, grouping)) = RollupReg(out, external = true)
+        Some(out)
+      }
+    }
+    // every queryable (fact, grouping) now serves its aged history from
+    // the retained partials — the raw date partitions can go
+    val root = new org.apache.hadoop.fs.Path(storeDir.get)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dateRe = "__event_date=(\\d{4}-\\d{2}-\\d{2})".r
+    fs.listStatus(root).filter(_.isDirectory).foreach { batch =>
+      fs.listStatus(batch.getPath).filter(_.isDirectory).foreach { d =>
+        d.getPath.getName match {
+          case dateRe(ds)
+              if java.time.LocalDate.parse(ds).isBefore(horizonDate) =>
+            fs.delete(d.getPath, true)
+          case _ => ()
+        }
+      }
+    }
+    made.flatten
+  }
 
   /** All events visible to queries. `__batch_id` is the store's
     * idempotency partition — a storage artifact, dropped on read.

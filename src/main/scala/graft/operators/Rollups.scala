@@ -198,8 +198,22 @@ object Rollups {
     * re-aggregable, so queries are correct WITHOUT compaction — this
     * only bounds file/row counts over time. Writes to a NEW path (no
     * self-overwrite); measure columns are dispatched by name. */
-  def compact(spark: SparkSession, inPath: String, outPath: String): Unit = {
-    val df = spark.read.parquet(inPath)
+  def compact(spark: SparkSession, inPath: String, outPath: String): Unit =
+    compactFrame(spark.read.parquet(inPath))
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(outPath)
+
+  /** [[compact]]'s frame-level core: one row per key set, measure
+    * columns re-aggregated by the standard partial-merge convention
+    * (sums sum, min/max re-extremize) — dispatched by column NAME, so
+    * it works for every partial shape (counter, average, histogram,
+    * distinct — whose `dval` is a non-measure column and therefore a
+    * key). Also the merge step of the retention path
+    * ([[graft.TimeSeriesService.expireEvents]]): unioned partial
+    * frames from different stores compact into one. */
+  private[graft] def compactFrame(df: DataFrame): DataFrame = {
     val measures: Map[String, Column => Column] = Map(
       "value" -> (c => sum(c)), "counter" -> (c => sum(c)),
       "total" -> (c => sum(c)), "cnt" -> (c => sum(c)),
@@ -210,12 +224,7 @@ object Rollups {
     val keys = df.columns.filterNot(c =>
       measures.contains(c) || c == "bucket_date" || c == "__batch_id")
     val aggs = present.map(c => measures(c)(col(c)).as(c))
-    df.groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("bucket_date", to_date(col("bucket")))
-      .write.mode("overwrite")
-      .partitionBy("bucket_date")
-      .parquet(outPath)
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Re-aggregate slice partials into a calendar bucket — the rollup

@@ -247,42 +247,60 @@ object TextAnalysis {
     * the df-based twin of the stopword-ratio quality signal (rare
     * tokens are rare BECAUSE no other document corroborates them).
     *
-    * Scale shape (the [[tfIdfTopTerms]] shape): occurrences collapse
-    * to (id, token) → cnt FIRST — bounded by per-doc vocabulary, with
-    * the Zipfian head ("the", "of") absorbed by map-side combine —
-    * the df table falls out of a second aggregation over those same
-    * distinct pairs, and the join runs on the distinct-pair table,
-    * never the raw occurrence stream (which at corpus scale is a
-    * skew-joined shuffle on hot tokens). Per-doc totals are then
-    * cnt-weighted sums reducing on id. No collect, no driver-side
-    * vocabulary: the df table stays distributed, so a 100 TB corpus's
-    * billion-token vocabulary never has to fit anywhere whole.
+    * Scale shape — skew-immune by CONSTRUCTION, not by runtime rescue:
     *
+    *  1. Occurrences collapse to (id, token) → cnt first (bounded by
+    *     per-doc vocabulary; map-side combine absorbs hot keys), and
+    *     the df table falls out of a second aggregation over those
+    *     same pairs. Aggregations are skew-immune (partial combine);
+    *     only JOINS can straggle.
+    *  2. Per-doc totals need NO join at all (Σ cnt on the doc id).
+    *  3. The rare join's key multiplicity is BOUNDED: the Zipf head —
+    *     tokens in more than `hotDocFrac` of docs, a set pigeonhole-
+    *     bounded by avg-doc-vocabulary / hotDocFrac regardless of
+    *     corpus size — is broadcast and anti-joined out of the pair
+    *     table ROW-LOCALLY, so every key that reaches the shuffle
+    *     join matches ≤ max(maxDf, hotDocFrac·N) rows. "the" (df ≈
+    *     50% of docs) never enters a shuffle; no partition can
+    *     straggle. (AQE skew-split cannot save the naive single-join
+    *     form here: the df table's final aggregation sits on the
+    *     join's own exchange, which AQE must not split.)
+    *  4. Totals and rare counts meet on the unique doc id — uniform
+    *     keys, both sides already partitioned by it.
+    *
+    * No collect, no driver-side vocabulary: the df table stays
+    * distributed (only the tiny Zipf head broadcasts), so a 100 TB
+    * corpus's billion-token vocabulary never has to fit anywhere
+    * whole. The repeated tf/df subtrees dedupe into one physical
+    * shuffle each via exchange reuse (plan-pinned in ScaleSpec).
+    *
+    * @param hotDocFrac df fraction above which a token counts as the
+    *   broadcastable Zipf head; the shuffle-join multiplicity bound.
     * @return one row per input doc: (idCol, n_tokens, n_rare, rare_e4) */
   def rareTokenStats(df: DataFrame, textCol: String, idCol: String,
-      maxDf: Long = 2L): DataFrame = {
-    // tf = (id, token) → occurrence count: bounded by per-doc
-    // VOCABULARY, not token occurrences — the Zipfian hot keys ("the",
-    // "of") collapse map-side before anything shuffles
+      maxDf: Long = 2L, hotDocFrac: Double = 0.001): DataFrame = {
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("__cnt"))
-    // df falls out of a second aggregation over the SAME distinct
-    // pairs (one row per doc per token ⇒ count = doc frequency)
     val dfTable = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    // join on distinct (id, token) pairs, then weight by __cnt: same
-    // answer as joining the raw occurrence stream, but the join input
-    // is the distinct-pair table — at corpus scale the occurrence
-    // join is a skewed shuffle on the Zipfian head, this one isn't
-    tf.join(dfTable, Seq("token"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__cnt")).as("n_tokens"),
-        sum(when(col("__df") <= maxDf, col("__cnt")).otherwise(0L))
-          .as("n_rare"))
-      .select(col(idCol), col("n_tokens"), col("n_rare"),
-        floor(lit(10000.0) * col("n_rare") / col("n_tokens"))
-          .cast(LongType).as("rare_e4"))
+    // corpus size as a broadcast 1-row frame (lazy, no eager count job)
+    val n = df.agg(count(lit(1)).as("__n"))
+    val hotSet = dfTable.crossJoin(broadcast(n))
+      .where(col("__df") >
+        greatest(lit(maxDf), ceil(col("__n") * lit(hotDocFrac))))
+      .select(col("token"))
+    // hotcut ≥ maxDf, so dropping the head can never drop a rare token
+    val coldTf = tf.join(broadcast(hotSet), Seq("token"), "left_anti")
+    val rare = coldTf
+      .join(dfTable.where(col("__df") <= maxDf), Seq("token"))
+      .groupBy(col(idCol)).agg(sum(col("__cnt")).as("n_rare"))
+    tf.groupBy(col(idCol)).agg(sum(col("__cnt")).as("n_tokens"))
+      .join(rare, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        floor(lit(10000.0) * coalesce(col("n_rare"), lit(0L)) /
+          col("n_tokens")).cast(LongType).as("rare_e4"))
   }
 
   /** TF-IDF keyword extraction: per document the top-`k` terms by

