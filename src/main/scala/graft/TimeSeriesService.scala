@@ -32,8 +32,15 @@ object TimeSeriesService {
 
 final class TimeSeriesService(
     val spark: SparkSession,
-    val catalog: Catalog = new Catalog) {
+    val catalog: Catalog = new Catalog,
+    /** Union-plan depth at which bulk ingestion switches to the
+      * on-disk event store (default 32): a memory/IO budget knob —
+      * lower it when frames are large or when the disk-backed
+      * lifecycle ([[compactEventStore]], [[expireEvents]]) should
+      * engage from the first few batches. */
+    val spillDepth: Int = 32) {
   import spark.implicits._
+  require(spillDepth >= 1, "spillDepth must be >= 1")
 
   private val buffer = ArrayBuffer.empty[Event]
   private var bulk: Option[DataFrame] = None
@@ -48,11 +55,10 @@ final class TimeSeriesService(
     * once the spill materializes them to disk. */
   private val pendingFrames = ArrayBuffer.empty[DataFrame]
 
-  /** Union-plan depth at which bulk ingestion switches to an on-disk
-    * event store: an unbounded stream of `ingest` calls must not grow
-    * an unbounded lineage chain (plan analysis cost and recovery depth
-    * scale with it). Below the threshold ingestion stays zero-IO. */
-  private val spillDepth = 32
+  // spillDepth (constructor): an unbounded stream of `ingest` calls
+  // must not grow an unbounded lineage chain — plan analysis cost and
+  // recovery depth scale with it. Below the threshold ingestion stays
+  // zero-IO.
 
   // ---- DDL (O1–O6) ----------------------------------------------------
 

@@ -181,6 +181,54 @@ object Rollups {
         histCol.as("hist_bucket"): _*)
       .agg(count(lit(1L)).as("value"))
 
+  /** APPROXIMATE distinct partials: one HLL sketch (DataSketches
+    * HllSketch via `hll_sketch_agg`) per (dims…, slice bucket) — the
+    * scale alternative to [[distinctPartials]] for facts whose values
+    * are unique-per-event (request ids, UUIDs), where exact tall
+    * partials degenerate to a copy of the event stream (SCALE.md §8).
+    * A sketch partial is FIXED-SIZE (≈ 2^lgK bytes, ~4 KB at the
+    * default lgK=12 for ~±1.6% RSE) regardless of per-slice
+    * cardinality, and sketches UNION losslessly — any calendar
+    * collapse stays a partial-merge, values seen in many slices of
+    * the same day count once ([[collapseSketchPartials]]).
+    *
+    * Approximation is strictly OPT-IN at the call site: these
+    * partials are deliberately NOT registrable with the Catalyst
+    * routing rule — user SQL asking COUNT(DISTINCT x) must never be
+    * silently served an estimate. */
+  def sketchPartials(raw: DataFrame, dims: Seq[String],
+      tsCol: String = "ts", valueCol: String = "value",
+      sliceMinutes: Int = 15, lgK: Int = 12): DataFrame =
+    raw.groupBy(dims.map(col) :+
+        TimeKernel.sliceFloor(col(tsCol), sliceMinutes).as("bucket"): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Collapse sketch partials to a calendar bucket: union the slice
+    * sketches per (dims…, calendar bucket) and estimate. Returns
+    * `value` as the BIGINT estimate — same shape as the exact
+    * distinct read, explicitly approximate by provenance. */
+  def collapseSketchPartials(rollup: DataFrame, grouping: Seq[String],
+      step: Step, offsetHours: Int = 0): DataFrame = {
+    val keys = grouping.map(col) :+
+      TimeKernel.timeDimension(col("bucket"), step, offsetHours).as("bucket")
+    rollup.groupBy(keys: _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("value"))
+  }
+
+  /** Materialize [[sketchPartials]] partitioned by the bucket's date —
+    * the standing store form: a year of per-slice sketches for a
+    * billion-cardinality fact is ~35k × 4 KB per series, where exact
+    * tall partials would be the event stream itself. */
+  def materializeSketchPartials(raw: DataFrame, dims: Seq[String],
+      path: String, tsCol: String = "ts", valueCol: String = "value",
+      sliceMinutes: Int = 15, lgK: Int = 12): Unit =
+    sketchPartials(raw, dims, tsCol, valueCol, sliceMinutes, lgK)
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(path)
+
   /** Materialize [[histogramPartials]] partitioned by the bucket's
     * date. */
   def materializeHistogramPartials(raw: DataFrame, dims: Seq[String],
@@ -217,7 +265,10 @@ object Rollups {
     val measures: Map[String, Column => Column] = Map(
       "value" -> (c => sum(c)), "counter" -> (c => sum(c)),
       "total" -> (c => sum(c)), "cnt" -> (c => sum(c)),
-      "cntv" -> (c => sum(c)), "mn" -> (c => min(c)), "mx" -> (c => max(c)))
+      "cntv" -> (c => sum(c)), "mn" -> (c => min(c)), "mx" -> (c => max(c)),
+      // HLL partials merge by sketch union (NOT a grouping key — a
+      // binary sketch as a key would silently break compaction)
+      "sketch" -> (c => hll_union_agg(c, lit(false))))
     val present = df.columns.filter(measures.contains)
     // bucket_date is re-derived; __batch_id is maintainRollup's
     // idempotency partition — both are storage artifacts, not keys.

@@ -68,6 +68,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column: per
+    * vector, `scale = max|x| / 127` and `q_i = round(x_i / scale)` —
+    * 4× less memory/IO than float32 (the difference between a vector
+    * corpus fitting executor memory or not at 100 TB), with the
+    * approximate dot recovered as `(qa·qb)·scaleA·scaleB`. Row-local
+    * column algebra, no UDF. Adds `qvec` (array<tinyint>) and
+    * `qscale` (double); the all-zero vector quantizes to zeros with
+    * scale 0. */
+  def quantizeEmbeddings(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val m = array_max(transform(v, x => abs(x)))
+    df.withColumn("qscale", m / lit(127.0))
+      .withColumn("qvec",
+        when(m === 0.0, transform(v, _ => lit(0).cast("tinyint")))
+          .otherwise(transform(v,
+            x => round(x / (m / lit(127.0))).cast("tinyint"))))
+  }
+
+  /** Approximate dot product of two quantized vectors: integer
+    * multiply-accumulate (the int8 fast path real vector engines use)
+    * rescaled by both quantization scales. */
+  def dotQuantized(qa: Column, qb: Column, sa: Column, sb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x.cast("int") * y.cast("int")),
+      lit(0), (acc, z) => acc + z).cast("double") * sa * sb
+
+  /** [[bruteForceTopK]] over int8-quantized vectors: same
+    * broadcast-queries shape, ranks by the approximate quantized
+    * similarity (deterministic id tie-break). Recall vs the exact
+    * ranking is the quantization trade — gate it explicitly
+    * (`ann_int8_topk` pins recall in-plan against the exact top-k). */
+  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = quantizeEmbeddings(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("qa"),
+        col("qscale").as("sa"))
+    val c = quantizeEmbeddings(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qvec").as("qb"),
+        col("qscale").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotQuantized(col("qa"), col("qb"), col("sa"), col("sb")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Near-duplicate pairs: all (a < b) with cosine ≥ threshold, as a
     * broadcast nested-loop join with the threshold folded into the
     * join condition — the dot product (pass the codegen'd
@@ -283,6 +331,30 @@ object Similarity {
       path: String): Unit =
     corpus.join(assigned, Seq(idCol))
       .write.mode("overwrite").partitionBy("part").parquet(path)
+
+  /** INCREMENTAL index maintenance — the daily-ingest ANN shape: a
+    * new vector batch assigns to the EXISTING (offline-built, frozen)
+    * centroid index and APPENDS into the persisted `part=` layout.
+    * Cost scales with the batch (one broadcast join + one window
+    * shuffle over the batch, appends touch only its partitions); the
+    * standing corpus is never rewritten or re-shuffled, mirroring
+    * [[graft.operators.Dedup.jaccardPairsAgainst]]'s batch-scaled
+    * contract on the text plane. Queries over the store
+    * ([[ivfTopKFromStore]]) see exactly what a full rebuild under the
+    * same centroids would produce — the index is centroid-defined, so
+    * append order cannot change any assignment.
+    *
+    * Centroid drift is the documented trade: appended vectors do not
+    * move the centroids (frozen index = stable probe semantics);
+    * re-fit with [[kmeansFit]] + full [[writeIvfCorpus]] when drift
+    * accumulates. */
+  def appendIvfCorpus(newBatch: DataFrame, index: DataFrame, idCol: String,
+      vecCol: String, path: String,
+      dotFn: (Column, Column) => Column = dot): Unit = {
+    val assigned = assignToCentroids(newBatch, index, idCol, vecCol, dotFn)
+    newBatch.join(assigned, Seq(idCol))
+      .write.mode("append").partitionBy("part").parquet(path)
+  }
 
   /** [[ivfTopK]] served from a persisted [[writeIvfCorpus]] store:
     * probes are computed from the broadcast centroid index, their

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -179,6 +180,59 @@ object EmbeddingQueries {
         dotFn = GraftFunctions.dotNative)
     }),
 
+    // int8-QUANTIZED search beside the float path: 4× memory/IO
+    // reduction with recall pinned IN-PLAN against the exact top-5
+    // (≥3 of 5 exact neighbors must appear in the quantized top-5 per
+    // query) — output is the EXACT top-k plus the verdict, so the
+    // oracle gates the quantized path deterministically.
+    "ann_int8_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val qs = e.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+        k = 5, dotFn = GraftFunctions.dotNative)
+      val quant = Similarity.bruteForceTopKQuantized(e, qs, "vec_id",
+        "embedding", k = 5)
+        .groupBy(col("query_id"))
+        .agg(collect_set(col("neighbor_id")).as("qn"))
+      val perQuery = Window.partitionBy(col("query_id"))
+      exact.join(quant, Seq("query_id"))
+        .withColumn("__hit",
+          when(array_contains(col("qn"), col("neighbor_id")), 1L)
+            .otherwise(0L))
+        .withColumn("__hits", sum(col("__hit")).over(perQuery))
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (col("__hits") >= 3L).as("recall_ok"))
+    }),
+
+    // INCREMENTAL index maintenance — the daily-ingest ANN shape: the
+    // standing corpus is laid out once, a new batch (vec_id % 7 == 3)
+    // assigns to the FROZEN centroid index and APPENDS into the same
+    // part= layout; batch-scaled cost, the corpus is never rewritten.
+    // The index is centroid-defined, so the incrementally-built store
+    // must answer identically to the full build — it shares
+    // ann_ivf_persisted's oracle verbatim.
+    "ann_ivf_incremental" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+      val store = s"$built/store_incr"
+      if (!new java.io.File(store).exists()) {
+        val isBatch = col("vec_id") % 7 === 3
+        Similarity.writeIvfCorpus(e.where(!isBatch),
+          s.read.parquet(s"$built/assign"), "vec_id", store)
+        val frozen = e.where(col("vec_id") < 10)
+          .select(col("vec_id").cast("long").as("part"),
+            col("embedding").cast("array<double>").as("centroid"))
+        Similarity.appendIvfCorpus(e.where(isBatch), frozen,
+          "vec_id", "embedding", store, GraftFunctions.dotNative)
+      }
+      Similarity.ivfTopKFromStore(store,
+        s.read.parquet(s"$built/centroids"), e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 3,
+        dotFn = GraftFunctions.dotNative)
+    }),
+
     // LSH-bucketed near-dup pairs — the hash-bucket scale path beside
     // IVF: sign-bit buckets from seeded hyperplanes (row-local), pair
     // candidates only within a bucket, exact-verified at cosine >= 0.4.
@@ -304,6 +358,14 @@ object EmbeddingQueries {
     // identical ranking contract for the partitioned-store serving
     // layout: layout changes what is read, never the answer
     "ann_ivf_persisted" -> kmeansIvfOracle,
+
+    // the incrementally-appended store must answer IDENTICALLY to the
+    // full build under the same frozen centroids
+    "ann_ivf_incremental" -> kmeansIvfOracle,
+
+    // exact top-k plus the pinned-at-TRUE quantization recall verdict
+    "ann_int8_topk" ->
+      s"SELECT *, TRUE AS recall_ok FROM ($topkOracle)",
 
     "ann_ivf_kmeans_topk" -> kmeansIvfOracle,
 

@@ -190,6 +190,32 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
     }),
 
+    // RETENTION under the driver's correctness gate: three daily
+    // batches spill to the on-disk store, the first two days age out
+    // into retained partials (raw partitions DELETED), and the
+    // full-range daily read must still hash-match the oracle computed
+    // over the COMPLETE raw history — aged ranges rollup-served,
+    // retained-raw ranges compute-on-read, exactly once each.
+    "ts_retention_serve" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s, spillDepth = 2)
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineDimension("event_type", facts = Set("events_count"))
+      def day(d: Int) = events(s, dir)
+        .where(col("ts") >= lit(java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")))
+        .select(lit("events_count").as("fact"), col("ts"),
+          lit(1L).as("value"),
+          map(lit("event_type"), col("event_type")).as("categories"))
+      svc.ingest(day(5)); svc.ingest(day(6)); svc.ingest(day(7))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_retain").toString
+      svc.expireEvents(ts("2024-01-07T00:00"), base)
+      svc.getTimeseries("events_count", "event_type",
+        Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-07T23:45"), Step.Day)
+    }),
+
     // O16 + :all sentinel: step none -> NULL bucket, routed hierarchy
     "ts_counter_none" -> ((s, dir) =>
       Timeseries.run(prep(s, dir, withUser = true, one,
@@ -578,6 +604,53 @@ object EventQueries {
         .agg(count_distinct(col("user_id")).as("uniq_users"))
     }),
 
+    // APPROXIMATE distinct via HLL sketch partials — the scale path
+    // for unique-per-event values where exact tall partials would be
+    // as big as the event stream (SCALE.md §8). Per-slice sketches
+    // union losslessly into daily estimates; the query pins the
+    // estimate against the EXACT count in-plan (integer 5% band) and
+    // emits the exact count + the verdict, so the DuckDB oracle gates
+    // the sketch path deterministically.
+    "ts_distinct_sketch" -> ((s, dir) => {
+      import graft.operators.Rollups
+      val raw = events(s, dir)
+        .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
+      val partials = Rollups.sketchPartials(raw, Seq("event_type"),
+        valueCol = "user_id")
+      val approx = Rollups.collapseSketchPartials(partials,
+          Seq("event_type"), Step.Day)
+        .withColumnRenamed("value", "approx")
+      raw.groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("bucket"))
+        .agg(count_distinct(col("user_id")).as("value"))
+        .join(approx, Seq("event_type", "bucket"))
+        .select(col("event_type"), col("bucket"), col("value"),
+          (abs(col("approx") - col("value")) * lit(20L) <= col("value"))
+            .as("within_5pct"))
+    }),
+
+    // the STREAMING-maintained sketch store under the same gate: the
+    // file-stream replay appends batch-local sketches, the read-side
+    // union dedupes values across batches AND slices, and the daily
+    // estimate must sit in the 5% band around the exact count over
+    // the complete replayed history
+    "ts_stream_distinct_sketch" -> ((s, dir) => {
+      import graft.operators.Rollups
+      val path = maintainedSketchRollup(s, dir)
+      val approx = Rollups.collapseSketchPartials(
+          Rollups.read(s, path).drop("bucket_date", "__batch_id"),
+          Seq("event_type"), Step.Day)
+        .withColumnRenamed("value", "approx")
+      events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count_distinct(col("user_id")).as("value"))
+        .join(approx, Seq("event_type", "bucket"))
+        .select(col("event_type"), col("bucket"), col("value"),
+          (abs(col("approx") - col("value")) * lit(20L) <= col("value"))
+            .as("within_5pct"))
+    }),
+
     // HISTOGRAM under the ROUTING RULE: the user groups raw events by
     // the bucketing expression and counts — the rule rewrites onto the
     // registered (hist_bucket, count) tall partials, summing counts.
@@ -746,6 +819,36 @@ object EventQueries {
           map(lit("event_type"), col("event_type")).as("categories"))
       val q = StreamingIngest
         .maintainRollup(stream, fact, Seq("event_type"), rollPath)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      rollPath
+    })
+
+  /** The streaming-maintained APPROXIMATE-distinct store: same
+    * file-stream replay, per-batch HLL sketch partials instead of
+    * exact tall partials ([[graft.streaming.StreamingIngest
+    * .maintainSketchRollup]]). */
+  private def maintainedSketchRollup(s: SparkSession, dir: String): String =
+    streamRollupDirs.getOrElseUpdate((s, s"$dir#sketch"), {
+      import graft.streaming.StreamingIngest
+      val base = java.nio.file.Files.createTempDirectory("graft_streamsk")
+        .toString
+      val rollPath = s"$base/rollup"
+      val schema = graft.sources.EventSource
+        .adaptiveSchema(s, s"$dir/events.parquet")
+      val stream = graft.sources.EventSource.normalizeEventTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+        .select(lit("uniq_users").as("fact"), col("ts"),
+          col("user_id").cast(LongType).as("value"),
+          map(lit("event_type"), col("event_type")).as("categories"))
+      val q = StreamingIngest
+        .maintainSketchRollup(stream, "uniq_users", Seq("event_type"),
+          rollPath)
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -988,6 +1091,16 @@ object EventQueries {
       gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
       gridStep = "1 HOUR",
       loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
+
+    // the retention read recomputed over the COMPLETE raw history —
+    // the Spark side deleted days 5-6 from its raw store and must
+    // still produce exactly this from the retained partials
+    "ts_retention_serve" -> fillOracle(
+      where = "event_type = 'click'",
+      bucketExpr = "date_trunc('day', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-07 00:00:00",
+      gridStep = "1 DAY",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T23:45")),
 
     "ts_counter_none" ->
       s"""SELECT event_type, CAST(user_id % 10 AS VARCHAR) AS user_bucket,
@@ -1336,6 +1449,24 @@ object EventQueries {
         |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
         |GROUP BY ALL""".stripMargin,
+
+    // exact daily distincts + the sketch-estimate verdict: the oracle
+    // recomputes the exact side and pins the verdict at TRUE — a
+    // sketch drifting past the 5% band fails the hash compare
+    "ts_distinct_sketch" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |  count(DISTINCT user_id) AS value, TRUE AS within_5pct
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // exact over the complete replayed history + the pinned verdict
+    "ts_stream_distinct_sketch" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |  count(DISTINCT user_id) AS value, TRUE AS within_5pct
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
 
     // routed ≡ raw for the histogram read: same bucketing algebra and
     // aligned range as ts_hist (the Spark side scans the registered

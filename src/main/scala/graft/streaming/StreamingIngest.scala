@@ -108,23 +108,40 @@ object StreamingIngest {
     * regardless). [[graft.operators.Rollups.compact]] bounds row/file/
     * dir counts offline; `TimeSeriesService.registerRollup` points
     * queries at the maintained path. */
+  /** The idempotence choreography shared by every maintained store:
+    * skip batches at or below the persisted high-water marker, write
+    * the batch's own deterministic `__batch_id=` directory (a replay
+    * OVERWRITES its possibly-partial prior output instead of
+    * appending a duplicate), then advance the marker — so a crash
+    * between data write and marker write re-runs the batch
+    * harmlessly. */
+  private def idempotentBatchWrite(path: String, batchId: Long,
+      hconf: org.apache.hadoop.conf.Configuration)
+      (write: String => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_last_batch")
+    val fs = marker.getFileSystem(hconf)
+    val last =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    if (batchId > last) {
+      write(s"$path/__batch_id=$batchId")
+      val out = fs.create(marker, true)
+      try out.write(batchId.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   def maintainRollup(stream: DataFrame, fact: FactDef, dims: Seq[String],
       path: String): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val hconf = spark.sessionState.newHadoopConf()
-        val marker = new org.apache.hadoop.fs.Path(path, "_graft_last_batch")
-        val fs = marker.getFileSystem(hconf)
-        val last =
-          if (!fs.exists(marker)) -1L
-          else {
-            val in = fs.open(marker)
-            try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-            finally in.close()
-          }
-        if (batchId > last) {
+        idempotentBatchWrite(path, batchId,
+            batch.sparkSession.sessionState.newHadoopConf()) { outDir =>
           val dimCols = dims.map(d => col("categories").getItem(d).as(d))
           val prepared = batch
             .where(col("fact") === lit(fact.id))
@@ -133,10 +150,42 @@ object StreamingIngest {
             .withColumn("bucket_date", to_date(col("bucket")))
             .write.mode("overwrite")
             .partitionBy("bucket_date")
-            .parquet(s"$path/__batch_id=$batchId")
-          val out = fs.create(marker, true)
-          try out.write(batchId.toString.getBytes("UTF-8"))
-          finally out.close()
+            .parquet(outDir)
+        }
+        ()
+      }
+
+  /** The APPROXIMATE-distinct maintained store: per micro-batch,
+    * batch-local HLL sketch partials
+    * ([[graft.operators.Rollups.sketchPartials]]) land in the batch's
+    * idempotent directory; the read side
+    * ([[graft.operators.Rollups.collapseSketchPartials]]) unions
+    * sketches across batches AND slices in one pass, so a value
+    * arriving in different micro-batches of the same calendar bucket
+    * still counts once. The streaming twin of the exact tall-partial
+    * distinct rollup for unique-per-event value domains where tall
+    * partials would be the stream itself (SCALE.md §8) — state here
+    * is ZERO (plain per-batch aggregation), store growth is
+    * sketch-sized. */
+  def maintainSketchRollup(stream: DataFrame, factId: String,
+      dims: Seq[String], path: String, sliceMinutes: Int = 15,
+      lgK: Int = 12): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentBatchWrite(path, batchId,
+            batch.sparkSession.sessionState.newHadoopConf()) { outDir =>
+          val dimCols = dims.map(d => col("categories").getItem(d).as(d))
+          val prepared = batch
+            .where(col("fact") === lit(factId))
+            .select(dimCols :+ col("ts") :+ col("value"): _*)
+          graft.operators.Rollups
+            .sketchPartials(prepared, dims, sliceMinutes = sliceMinutes,
+              lgK = lgK)
+            .withColumn("bucket_date", to_date(col("bucket")))
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(outDir)
         }
         ()
       }

@@ -163,6 +163,37 @@ class RollupsSpec extends SparkTestBase {
     assert(daySnapshot("2024-03-02").nonEmpty)
   }
 
+  test("sketch partials: cross-slice dedupe, exact in the coupon regime") {
+    // one user hits in three slices of day 1 and once on day 2; a
+    // second user only on day 1 — the sketch union must count each
+    // user once per day (the collapse-exactness property), and at
+    // this cardinality the DataSketches coupon list is exact
+    val raw = Seq(
+      ("click", ts("2024-03-01T10:05"), 7L),
+      ("click", ts("2024-03-01T10:20"), 7L), // same user, next slice
+      ("click", ts("2024-03-01T11:40"), 7L), // and again
+      ("click", ts("2024-03-01T12:00"), 8L),
+      ("click", ts("2024-03-02T09:10"), 7L))
+      .toDF("event_type", "ts", "value")
+    val partials = Rollups.sketchPartials(raw, Seq("event_type"))
+    // slice granularity: 4 distinct (slice, sketch) rows on day 1
+    assert(partials.count() == 5)
+    val daily = Rollups.collapseSketchPartials(partials,
+        Seq("event_type"), Step.Day)
+      .collect().map(r => r.getTimestamp(1) -> r.getLong(2)).toMap
+    assert(daily == Map(
+      ts("2024-03-01T00:00") -> 2L,
+      ts("2024-03-02T00:00") -> 1L), s"got $daily")
+    // materialized round trip preserves the estimate
+    val dir = Files.createTempDirectory("sketch-rt").toString
+    Rollups.materializeSketchPartials(raw, Seq("event_type"), dir)
+    val viaStore = Rollups.collapseSketchPartials(
+        Rollups.read(spark, dir).drop("bucket_date"),
+        Seq("event_type"), Step.Day)
+      .collect().map(r => r.getTimestamp(1) -> r.getLong(2)).toMap
+    assert(viaStore == daily)
+  }
+
   test("refreshRollups refuses a never-materialized target") {
     // a fact defined AFTER materializeRollups has no store directory:
     // refreshing it would write only the window and register a

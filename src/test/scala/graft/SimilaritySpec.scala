@@ -74,6 +74,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(next(1L).zip(exp1).forall { case (a, b) => math.abs(a - b) < 1e-6 })
   }
 
+  test("int8 quantization: known codes, approximate dot within bound") {
+    val df = Seq((0L, Array(1.0f, 0.5f, -1.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeEmbeddings(df, "embedding").head()
+    val scale = q.getAs[Double]("qscale")
+    val codes = q.getSeq[Byte](q.fieldIndex("qvec"))
+    assert(math.abs(scale - 1.0 / 127.0) < 1e-12)
+    assert(codes == Seq[Byte](127, 64, -127), s"codes: $codes")
+    // zero vector: zero codes, zero scale, no division blowup
+    val z = Similarity.quantizeEmbeddings(
+      Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"), "embedding")
+      .head()
+    assert(z.getAs[Double]("qscale") == 0.0)
+    assert(z.getSeq[Byte](z.fieldIndex("qvec")) == Seq[Byte](0, 0, 0))
+    // quantized ranks match exact ranks on clear-cut geometry
+    val exact = Similarity.bruteForceTopK(corpus,
+        corpus.where(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    val quant = Similarity.bruteForceTopKQuantized(corpus,
+        corpus.where(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(quant == exact, s"quantized $quant != exact $exact")
+  }
+
+  test("appendIvfCorpus: incremental store answers like the full build") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val init = e.where(col("vec_id") < 4)
+      .select(col("vec_id").cast("long").as("part"),
+        col("embedding").cast("array<double>").as("centroid"))
+    val assigned = Similarity.assignToCentroids(e, init, "vec_id", "embedding")
+    val full = java.nio.file.Files.createTempDirectory("ivf-full").toString
+    Similarity.writeIvfCorpus(e, assigned, "vec_id", full)
+    val incr = java.nio.file.Files.createTempDirectory("ivf-incr").toString
+    val isBatch = col("vec_id") % 5 === 2
+    Similarity.writeIvfCorpus(e.where(!isBatch), assigned, "vec_id", incr)
+    Similarity.appendIvfCorpus(e.where(isBatch), init, "vec_id",
+      "embedding", incr)
+    val q = e.where(col("vec_id") < 5)
+    def res(store: String) = Similarity.ivfTopKFromStore(store, init, q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(res(incr) == res(full), "append changed answers")
+  }
+
   test("kmeansFit: converges to a Lloyd fixed point, deterministically") {
     // two well-separated 3-d clusters: convergence must land centroids
     // on the cluster means and a FURTHER Lloyd step must not move them

@@ -85,5 +85,14 @@ val vt = TextAnalysis.buildVocabTable(docsDf, "text", k = 2)
 val tk = TextAnalysis.tokenizeWithVocabTable(docsDf, "text", "doc_id", vt).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 assert(tk == Set((1L, 3L, 0L), (2L, 2L, 1L)), s"vocab tokenize mismatch: $tk")
 println("DRIVE-OK-vocab-table " + tk)
+
+// 6. sketch distinct partials + int8 quantized search
+val skRaw = Seq(("click", ts("2024-03-01T10:05"), 7L), ("click", ts("2024-03-01T10:20"), 7L), ("click", ts("2024-03-02T09:10"), 8L)).toDF("event_type", "ts", "value")
+val sk = Rollups.collapseSketchPartials(Rollups.sketchPartials(skRaw, Seq("event_type")), Seq("event_type"), Step.Day).collect().map(r => r.getTimestamp(1) -> r.getLong(2)).toMap
+assert(sk == Map(ts("2024-03-01T00:00") -> 1L, ts("2024-03-02T00:00") -> 1L), s"sketch mismatch: $sk")
+println("DRIVE-OK-sketch " + sk)
+val qt = Similarity.bruteForceTopKQuantized(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding", 1).collect()
+assert(qt.length == 1 && qt.head.getLong(1) == 1L, s"quantized top-1: ${qt.toSeq}")
+println("DRIVE-OK-int8 " + qt.head)
 println("DRIVE-OK-ALL")
 sys.exit(0)
