@@ -137,6 +137,43 @@ final class TimeSeriesService(
     made
   }
 
+  /** Re-attach a previously [[materializeRollups]]-written store after
+    * a RESTART: a new service instance (same catalog) discovers the
+    * per-(fact, grouping) rollup directories under `baseDir` and
+    * registers every one that exists — the recovery half of the
+    * materialized-rollup lifecycle (without it a restarted service
+    * silently falls back to compute-on-read until the next full
+    * materialization). Registrations are internal (NOT external):
+    * the store was built from this service's own event history, so a
+    * later ingest must invalidate it exactly as if this instance had
+    * materialized it. Missing directories are skipped, not errors —
+    * a catalog extended since the last materialization simply leaves
+    * the new targets on compute-on-read.
+    *
+    * RETENTION-made stores (`retained_*`, [[expireEvents]]) are NOT
+    * re-attached here: after raw deletion the retained partials are
+    * the ONLY copy of aged history and must be registered external —
+    * a restart after retention should call [[registerRollup]] for
+    * them (their horizon-stamped paths are in expireEvents's return).
+    *
+    * @return the directories attached */
+  def attachRollups(baseDir: String): Seq[String] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val found = for {
+      dim <- catalog.dimensions if !dim.groupOnly
+      factId <- dim.facts.toSeq.sorted
+      fact <- catalog.fact(factId).toSeq
+      path <- dim.groupedBy
+      out = s"$baseDir/${(path :+ dim.id :+ fact.id).mkString("_")}"
+      p = new org.apache.hadoop.fs.Path(out)
+      if p.getFileSystem(hconf).exists(p)
+    } yield {
+      rollupStore((fact.id, path :+ dim.id)) = RollupReg(out, external = false)
+      out
+    }
+    found
+  }
+
   /** Incrementally refresh the materialized rollups for ONE time
     * window and re-register them for serving: every (fact ×
     * non-group_only dimension × grouping path) recomputes only the

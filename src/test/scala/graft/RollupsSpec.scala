@@ -194,6 +194,30 @@ class RollupsSpec extends SparkTestBase {
     assert(viaStore == daily)
   }
 
+  test("attachRollups: a restarted service serves from the found store") {
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("clicks", FactType.Counter, slice = 15)
+    svc.defineDimension("dim", facts = Set("clicks"))
+    svc.newFact("clicks", ts("2024-03-01T10:05"), 3L, Map("dim" -> "a"))
+    svc.newFact("clicks", ts("2024-03-02T11:20"), 4L, Map("dim" -> "a"))
+    val base = Files.createTempDirectory("svc-attach").toString
+    svc.materializeRollups(base)
+    def read(s: TimeSeriesService) = pivot(s.getTimeseries("clicks", "dim",
+      Map("dim" -> Some("a")),
+      ts("2024-03-01T00:00"), ts("2024-03-03T00:00"), Step.Day), Seq("dim"))
+    val expect = read(svc)
+    // "restart": same catalog, no events, no registrations — without
+    // attach the read is empty (ALL history lives in the store)
+    val svc2 = new TimeSeriesService(spark, svc.catalog)
+    assert(read(svc2).isEmpty)
+    assert(svc2.attachRollups(base).nonEmpty)
+    assert(read(svc2) == expect, s"attached read: ${read(svc2)}")
+    // attach over a directory with no matching stores finds nothing
+    val svc3 = new TimeSeriesService(spark, svc.catalog)
+    assert(svc3.attachRollups(
+      Files.createTempDirectory("svc-attach-none").toString).isEmpty)
+  }
+
   test("refreshRollups refuses a never-materialized target") {
     // a fact defined AFTER materializeRollups has no store directory:
     // refreshing it would write only the window and register a

@@ -52,6 +52,13 @@ val du2 = svc.getTimeseries("uniq", "dim", Map("dim" -> Some("a")), ts("2024-02-
 assert(du2.map(_.getLong(2)).toSeq == Seq(2L, 1L), s"refresh mismatch: ${du2.mkString("|")}")
 println("DRIVE-OK-refresh " + du2.mkString(" | "))
 
+// 4b. restart recovery: a fresh instance re-attaches the store
+val svcR = new TimeSeriesService(spark, svc.catalog)
+assert(svcR.attachRollups(base).nonEmpty, "attach found no stores")
+val du3 = svcR.getTimeseries("uniq", "dim", Map("dim" -> Some("a")), ts("2024-02-01T00:00"), ts("2024-02-03T00:00"), step = Step.Day).orderBy("bucket").collect()
+assert(du3.map(_.getLong(2)).toSeq == Seq(2L, 1L), s"attached read mismatch: ${du3.mkString("|")}")
+println("DRIVE-OK-attach " + du3.mkString(" | "))
+
 // 5. round-8 surface: routed histogram, k-means fit, BPE-scale vocab
 import graft.operators.{Rollups, Similarity, TextAnalysis, Timeseries}
 import graft.plans.RollupRouting
