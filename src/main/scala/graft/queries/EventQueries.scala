@@ -392,6 +392,22 @@ object EventQueries {
           sum(col("value_cents")).as("sum_cents"))
     }),
 
+    // Z-ORDER clustered layout (sources/Layout): events rewritten with
+    // (user_id, ts) Morton-interleaved range clustering, so parquet
+    // min/max stats stay tight on BOTH columns — a predicate on either
+    // prunes files/row groups, where a plain sort serves only its
+    // leading column (LayoutSpec pins the span advantage). The oracle
+    // gates losslessness: the clustered copy must aggregate exactly
+    // like the original.
+    "events_zorder_roundtrip" -> ((s, dir) => {
+      val path = zorderedStore(s, dir)
+      s.read.parquet(path).groupBy(col("event_type"))
+        .agg(count(one).as("n_events"),
+          sum(col("user_id")).as("sum_users"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+    }),
+
     // semi-structured property extraction: events carry a JSON props
     // blob (the universal event-pipeline escape hatch); get_json_object
     // is a row-local codegen'd path expression, so the extraction rides
@@ -406,6 +422,15 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("k")).as("sum_k"),
           count(when(col("k") >= 50, 1)).as("n_hi"))),
+
+    // dataset profiling (the "dataset card" numbers for each pipeline
+    // stage): per column — rows, nulls, exact distinct cardinality,
+    // min/max. One column-pruned single-column aggregation per column,
+    // NOT one wide Expand-multiplied aggregate (Profiling scaladoc).
+    "events_profile" -> ((s, dir) =>
+      graft.operators.Profiling.columnProfile(
+        events(s, dir).select("event_id", "user_id", "event_type"),
+        Seq("event_id", "user_id", "event_type"))),
 
     // as-of join: each click matched to the user's most recent purchase
     // value at or before the click (one window shuffle, no range join)
@@ -856,6 +881,19 @@ object EventQueries {
       rollPath
     })
 
+  /** Z-ordered copy of the events table, laid out once per
+    * (session, sf dir). */
+  private val zorderedDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def zorderedStore(s: SparkSession, dir: String): String =
+    zorderedDirs.getOrElseUpdate((s, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_zorder")
+        .toString + "/events"
+      graft.sources.Layout.writeZOrdered(events(s, dir),
+        Seq("user_id", "ts"), out, files = 8)
+      out
+    })
+
   /** bucketed_cohort_spend's (events, users) bucketed tables, laid out
     * once per (session, sf dir). */
   private val bucketedTabs = scala.collection.concurrent.TrieMap
@@ -1266,6 +1304,23 @@ object EventQueries {
         |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
         |    >= 50 THEN 1 END) AS n_hi
         |FROM events GROUP BY 1""".stripMargin,
+
+    // the clustered copy must aggregate exactly like the original
+    "events_zorder_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // per-column recompute; sums CAST back to BIGINT
+    "events_profile" -> Seq("event_id", "user_id", "event_type").map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val
+         |FROM events""".stripMargin).mkString("\nUNION ALL\n"),
 
     "asof_click_purchase" ->
       """WITH clicks AS (

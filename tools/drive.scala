@@ -101,5 +101,15 @@ println("DRIVE-OK-sketch " + sk)
 val qt = Similarity.bruteForceTopKQuantized(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding", 1).collect()
 assert(qt.length == 1 && qt.head.getLong(1) == 1L, s"quantized top-1: ${qt.toSeq}")
 println("DRIVE-OK-int8 " + qt.head)
+
+// 7. z-order layout roundtrip + dataset profile
+val zin = Seq((1L, 10L, ts("2024-03-01T10:05")), (2L, 20L, ts("2024-03-02T10:05")), (3L, 30L, ts("2024-03-03T10:05"))).toDF("event_id", "user_id", "ts")
+val zdir = java.nio.file.Files.createTempDirectory("drive-z").toString + "/e"
+graft.sources.Layout.writeZOrdered(zin, Seq("user_id", "ts"), zdir, files = 2)
+val zback = spark.read.parquet(zdir).collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+assert(zback == Seq(1L, 2L, 3L), s"zorder roundtrip: $zback")
+val prof = graft.operators.Profiling.columnProfile(skRaw, Seq("event_type", "value")).collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+assert(prof == Map("event_type" -> ((3L, 0L, 1L)), "value" -> ((3L, 0L, 2L))), s"profile mismatch: $prof")
+println("DRIVE-OK-layout-profile " + zback + " " + prof)
 println("DRIVE-OK-ALL")
 sys.exit(0)
