@@ -114,6 +114,62 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("n_unk"), col("ids_md5"))
   }
 
+  /** Approximate heavy-hitters top-`k` terms via per-partition
+    * MISRA–GRIES summaries + an exact recount of the merged candidate
+    * set — the bounded-memory alternative to the exact
+    * `vocab_top_terms` aggregation, whose shuffle carries the ENTIRE
+    * vocabulary (billions of tokens at 100 TB) to find 50 winners.
+    *
+    * Guarantees (two-pass MG): each partition keeps at most
+    * `capacity` counters; any token whose partition-local frequency
+    * exceeds partitionTokens/capacity survives its summary, so any
+    * token with GLOBAL frequency > N/capacity survives in at least
+    * one partition — the candidate union (≤ capacity × partitions
+    * rows, independent of vocabulary size) then gets EXACT counts in
+    * a second pass filtered by the broadcast candidate set, so the
+    * returned counts are exact and the top-k is the true top-k
+    * whenever the kth frequency clears the N/capacity bar (at k ≪
+    * capacity this holds for any Zipf-shaped corpus; a violation can
+    * only DEMOTE a sub-bar tail term, never corrupt a count).
+    *
+    * Scale shape: pass 1 shuffles only candidate summaries (bounded
+    * rows); pass 2 is a row-local broadcast `isin` filter + one hash
+    * aggregation over ONLY candidate occurrences. The vocabulary
+    * never materializes anywhere whole.
+    *
+    * @return (token, n) — the exact-recounted top-k,
+    *         (n desc, token) ordered like the exact operator */
+  def topTermsApprox(df: DataFrame, textCol: String, k: Int,
+      capacity: Int = 4096): DataFrame = {
+    require(k > 0 && capacity >= k, "need capacity >= k > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(tokens(col(textCol))).as("token"))
+      .as[String]
+    val candidates = toks.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t) || counters.size < capacity)
+          counters(t) = counters.getOrElse(t, 0L) + 1L
+        else {
+          // decrement-all step; drop zeroed counters
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.mapValuesInPlace((_, v) => v - 1L)
+          counters.foreach { case (key, v) => if (v <= 0L) dead += key }
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    // candidate set ≤ capacity × partitions rows — broadcast-sized by
+    // construction; the semi join is row-local on the occurrence side
+    toks.toDF("token")
+      .join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
   /** BPE-ish subword count: runs of letters, runs of digits, or single
     * other non-space characters — the shape of a byte-pair pre-tokenizer
     * split, as a codegen'd regexp. */

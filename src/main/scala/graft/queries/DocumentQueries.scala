@@ -280,6 +280,15 @@ object DocumentQueries {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // the bounded-memory heavy-hitters form of the same top-50:
+    // per-partition Misra-Gries summaries → broadcast candidate set →
+    // exact recount. The vocabulary never shuffles whole; the result
+    // must equal the exact operator (counts are exact by the second
+    // pass; the MG bar N/capacity sits far below the 50th frequency
+    // on any Zipf-shaped corpus), so it SHARES the exact oracle.
+    "vocab_top_terms_approx" -> ((s, dir) =>
+      TextAnalysis.topTermsApprox(docs(s, dir), "text", k = 50)),
+
     // tokenization against the learned vocab: corpus top-50 terms get
     // ids 1..50, everything else maps to unk=0 — the id-mapping step a
     // trainer consumes. Row-local map-literal lookup (no join, no
@@ -1021,6 +1030,16 @@ object DocumentQueries {
         |FROM documents WHERE strlen(text) > 0""".stripMargin,
 
     "vocab_top_terms" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 50""".stripMargin,
+
+    // heavy-hitters twin: exact-recounted candidates must reproduce
+    // the exact top-50 verbatim
+    "vocab_top_terms_approx" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
         |      FROM documents)

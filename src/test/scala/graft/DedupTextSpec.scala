@@ -423,6 +423,32 @@ class DedupTextSpec extends SparkTestBase {
     assert(all.forall { case (_, e4) => e4 == 10000L })
   }
 
+  test("topTermsApprox: heavy hitter survives MG decrement churn, " +
+      "exact counts, equals the exact operator") {
+    // 500 docs: 40% carry the hot token, every doc carries a unique
+    // singleton — capacity 4 forces constant decrement churn in every
+    // partition, yet the hitter must come back with its EXACT count
+    // (pass 2 recounts; MG only has to keep it as a CANDIDATE)
+    val docs = spark.range(500).select(
+      concat(when(col("id") % 5 < 2, lit("hot ")).otherwise(lit("")),
+        lit("u"), col("id").cast("string")).as("text"))
+    val got = TextAnalysis.topTermsApprox(docs, "text", k = 1, capacity = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("hot", 200L)), s"got $got")
+    // at a realistic capacity the approximate operator reproduces the
+    // exact top-k verbatim on a real corpus
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = corpus
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val approx = TextAnalysis.topTermsApprox(corpus, "text", k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(approx == exact)
+  }
+
   test("fingerprints: md5 normalizes whitespace; rolling is order-sensitive") {
     val fp = Seq((1L, "a b c"), (2L, " a  b   c "), (3L, "c b a"))
       .toDF("id", "text")

@@ -111,5 +111,8 @@ assert(zback == Seq(1L, 2L, 3L), s"zorder roundtrip: $zback")
 val prof = graft.operators.Profiling.columnProfile(skRaw, Seq("event_type", "value")).collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
 assert(prof == Map("event_type" -> ((3L, 0L, 1L)), "value" -> ((3L, 0L, 2L))), s"profile mismatch: $prof")
 println("DRIVE-OK-layout-profile " + zback + " " + prof)
+val tt = TextAnalysis.topTermsApprox(docsDf, "text", 1).collect().head
+assert(tt.getString(0) == "a" && tt.getLong(1) == 2L, s"topTermsApprox: $tt")
+println("DRIVE-OK-heavyhitters " + tt)
 println("DRIVE-OK-ALL")
 sys.exit(0)
