@@ -194,6 +194,16 @@ class PlanAuditSpec extends SparkTestBase {
         s"anti-join right side not aggregate-derived:\n${j.right}"))
   }
 
+  test("routed histogram: bounds prune the partials' date partitions") {
+    val p = plan("ts_routed_hist")
+    // the rewrite swapped the raw scan for the (hist_bucket, count)
+    // partials, and the aligned time bounds reach them as bucket_date
+    // PARTITION filters — whole-directory pruning before any read
+    assert(p.contains("hist_bucket"), p.take(2000))
+    assert("PartitionFilters: \\[[^\\]]*bucket_date".r
+      .findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("persisted IVF store: the probe set prunes part= directories") {
     val p = plan("ann_ivf_persisted")
     // the probe ids must reach the vector store as a PARTITION filter
