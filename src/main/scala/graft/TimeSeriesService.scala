@@ -299,6 +299,35 @@ final class TimeSeriesService(
     ingestTagged(events, s"local$localBatchSeq")
   }
 
+  /** [[ingest]] with QUARANTINE instead of trust: rows that would
+    * corrupt or silently vanish from the store — null fact / ts /
+    * value, or a fact id the catalog does not define — are diverted
+    * to `quarantineDir` (appended parquet, original columns plus a
+    * `__reason`) and only the valid remainder is ingested. The bulk
+    * twin of [[newFact]]'s per-event validation (O22) and of the
+    * multimodal lenient decodes: at 100 TB a feed with one malformed
+    * producer must not fail the job OR silently distort history, and
+    * the quarantine is the re-drive queue once the producer is fixed.
+    * Fan-out facts validate per row against the CURRENT catalog (a
+    * fact defined later re-drives from quarantine, it does not
+    * backfill).
+    *
+    * One pass: the validity predicate is row-local column algebra;
+    * the two branches each scan the input once (or cache `events`
+    * upstream if recomputation is expensive). */
+  def ingestLenient(events: DataFrame, quarantineDir: String): Unit = {
+    val knownFacts = catalog.facts.map(_.id).toSeq.sorted
+    val reason = when(col("fact").isNull, "null_fact")
+      .when(col("ts").isNull, "null_ts")
+      .when(col("value").isNull, "null_value")
+      .when(!col("fact").isin(knownFacts: _*), "undefined_fact")
+    val bad = events.withColumn("__reason", reason)
+      .where(col("__reason").isNotNull)
+    bad.write.mode("append").parquet(quarantineDir)
+    ingest(events.where(col("fact").isNotNull && col("ts").isNotNull &&
+      col("value").isNotNull && col("fact").isin(knownFacts: _*)))
+  }
+
   /** [[ingest]] with an at-least-once delivery identity (a foreachBatch
     * micro-batch id): a replayed batch is skipped pre-spill (`seen` set)
     * and OVERWRITES its own deterministic `__batch_id=b<id>` partition

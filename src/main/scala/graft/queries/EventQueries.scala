@@ -190,6 +190,32 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
     }),
 
+    // LENIENT ingest under the driver's gate: a feed where every 7th
+    // event carries a null value and every 7th+1 an undefined fact id
+    // must neither fail the job nor distort history — corrupt rows
+    // quarantine, valid rows ingest, and the read hash-matches the
+    // oracle computed over exactly the valid subset.
+    "ts_lenient_ingest" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineDimension("event_type", facts = Set("events_count"))
+      val frame = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .select(
+          when(col("event_id") % 7 === 1, lit("mystery"))
+            .otherwise(lit("events_count")).as("fact"),
+          col("ts"),
+          when(col("event_id") % 7 === 0, lit(null).cast(LongType))
+            .otherwise(lit(1L)).as("value"),
+          map(lit("event_type"), col("event_type")).as("categories"))
+      val qdir = java.nio.file.Files
+        .createTempDirectory("graft_quarantine").toString + "/bad"
+      svc.ingestLenient(frame, qdir)
+      svc.getTimeseries("events_count", "event_type",
+        Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
+    }),
+
     // RETENTION under the driver's correctness gate: three daily
     // batches spill to the on-disk store, the first two days age out
     // into retained partials (raw partitions DELETED), and the
@@ -1125,6 +1151,16 @@ object EventQueries {
     // indistinguishable from the operator pipeline
     "ts_service_end_to_end" -> fillOracle(
       where = "event_type = 'click'",
+      bucketExpr = "date_trunc('hour', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
+      gridStep = "1 HOUR",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
+
+    // exactly the valid subset of the corrupted feed: events whose
+    // id % 7 hit the null-value (0) or undefined-fact (1) corruption
+    // are excluded — they were quarantined, not ingested
+    "ts_lenient_ingest" -> fillOracle(
+      where = "event_type = 'click' AND (event_id % 7) NOT IN (0, 1)",
       bucketExpr = "date_trunc('hour', ts)",
       gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
       gridStep = "1 HOUR",

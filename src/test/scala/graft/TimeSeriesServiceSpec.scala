@@ -352,6 +352,36 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(total() == 45L)
   }
 
+  test("ingestLenient quarantines corrupt rows, ingests the rest") {
+    import spark.implicits._
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("signups", FactType.Counter, slice = 15)
+    svc.defineDimension("dependency", facts = Set("signups"))
+    val good = ts("2014-03-21T09:15")
+    val frame = Seq[(String, java.sql.Timestamp, java.lang.Long, Map[String, String])](
+      ("signups", good, 2L, Map("dependency" -> "31")),
+      ("signups", good, 3L, Map("dependency" -> "31")),
+      (null, good, 1L, Map("dependency" -> "31")),      // null fact
+      ("signups", null, 1L, Map("dependency" -> "31")), // null ts
+      ("signups", good, null, Map("dependency" -> "31")), // null value
+      ("ghosts", good, 9L, Map("dependency" -> "31")))  // undefined fact
+      .toDF("fact", "ts", "value", "categories")
+    val qdir = java.nio.file.Files
+      .createTempDirectory("svc-quarantine").toString + "/bad"
+    svc.ingestLenient(frame, qdir)
+    // only the two valid rows made it into history
+    val got = pivot(svc.getTimeseries("signups", "dependency",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00"), Step.NoStep),
+      Seq("dependency"))
+    assert(got == Map(Map("dependency" -> "31") -> Map(None -> 5L)))
+    // quarantine holds each reject with its reason
+    val reasons = spark.read.parquet(qdir)
+      .select("__reason").collect().map(_.getString(0)).sorted.toSeq
+    assert(reasons ==
+      Seq("null_fact", "null_ts", "null_value", "undefined_fact"))
+  }
+
   test("retention ages out raw partitions; full-range reads stay exact") {
     import spark.implicits._
     val svc = new TimeSeriesService(spark)
