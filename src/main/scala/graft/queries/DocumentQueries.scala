@@ -28,6 +28,41 @@ object DocumentQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val shardDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Streaming scrub output, built once per (session, sf dir): the
+    * documents table replayed as a bounded file stream through the
+    * ROW-LOCAL scrub chain (augment → normalize → PII count/redact) —
+    * all plain column algebra, so the same operators run under
+    * Structured Streaming with an append sink, no state, no
+    * watermark. The twin proves the text plane's scrub stage deploys
+    * as a continuous pipeline verbatim. */
+  private val streamScrubDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def streamedScrub(s: SparkSession, dir: String): String =
+    streamScrubDirs.getOrElseUpdate((s, dir), {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_streamscrub").toString
+      val out = s"$base/out"
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val clean = TextAnalysis.normalizeWs(
+        piiAugmented(col("doc_id"), col("text")))
+      val q = stream
+        .select(col("doc_id"), col("source"),
+          graft.operators.Pii.countMatches(clean,
+            graft.operators.Pii.EmailRe).as("n_emails"),
+          Pii.redact(clean).as("scrubbed"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      out
+    })
   private val jsonlDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val orcDirs =
@@ -641,6 +676,19 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("scrubbed"))).as("sum_clean_chars"),
           sum(col("n_kept")).as("sum_kept_lines"))
+    }),
+
+    // the STREAMING scrub twin: the same row-local scrub chain
+    // (augment → normalize → PII count/redact) replayed as a bounded
+    // file stream with an append sink — stateless, so batch ≡ stream
+    // verbatim; the oracle recomputes the chain from raw documents
+    "stream_scrub_profile" -> ((s, dir) => {
+      val path = streamedScrub(s, dir)
+      s.read.parquet(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("scrubbed"))).as("sum_clean_chars"),
+          sum(col("n_emails")).as("sum_emails"))
     }),
 
     // token-budget corpus selection: highest-quality docs first until
@@ -1530,6 +1578,29 @@ object DocumentQueries {
 
     // the composed oracle: the boilerplate-clean CTE over the doubly
     // augmented text, PII-redacted, profiled per source
+    // batch recompute of the streaming scrub chain: augment →
+    // normalize (3-pass regex, space-trim) → redact/count — stateless
+    // row algebra, so stream output must equal this exactly
+    "stream_scrub_profile" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, source,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(
+         |      $piiAugmentedSql,
+         |      '[\\x00-\\x09\\x0B-\\x1F\\x7F]', ' ', 'g'),
+         |      ' {2,}', ' ', 'g'),
+         |      ' ?' || chr(10) || ' ?', chr(10), 'g'), ' ') AS clean
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(length(
+         |    regexp_replace(regexp_replace(regexp_replace(clean,
+         |      '${graft.operators.Pii.EmailRe}', '<EMAIL>', 'g'),
+         |      '${graft.operators.Pii.PhoneRe}', '<PHONE>', 'g'),
+         |      '${graft.operators.Pii.Ipv4Re}', '<IP>', 'g'))) AS BIGINT)
+         |    AS sum_clean_chars,
+         |  CAST(sum(len(regexp_extract_all(clean,
+         |    '${graft.operators.Pii.EmailRe}'))) AS BIGINT) AS sum_emails
+         |FROM aug GROUP BY source""".stripMargin,
+
     "pipeline_scrub_profile" ->
       s"""WITH aug AS (
          |  SELECT doc_id, source,
