@@ -135,6 +135,39 @@ object Rollups {
       .partitionBy("bucket_date")
       .parquet(path)
 
+  /** Coarsen generic [[partials]] to DAY grain — the hierarchical
+    * rollup tier: built FROM the slice partials (never re-reading raw
+    * events), one row per (dims…, day) where the slice tier has up to
+    * 96. A year-long dashboard query served from the day tier scans
+    * ~96× fewer rows than the slice tier and ~events-per-day× fewer
+    * than raw; the routing rule prefers the coarsest registered tier
+    * that can serve a query exactly
+    * ([[graft.plans.RollupRouting.registerDayGrain]]). Scalar partials
+    * re-aggregate losslessly (sums of sums, min of mins), so the
+    * coarse tier answers day/week/month/quarter/year truncations
+    * bit-identically. */
+  def coarsenPartialsToDay(partials: DataFrame): DataFrame = {
+    val measures = Map[String, Column => Column](
+      "cnt" -> (c => sum(c)), "cntv" -> (c => sum(c)),
+      "total" -> (c => sum(c)), "mn" -> (c => min(c)), "mx" -> (c => max(c)))
+    val present = partials.columns.filter(measures.contains)
+    require(present.nonEmpty, "not a generic-partials frame")
+    val dims = partials.columns.filterNot(c =>
+      measures.contains(c) || c == "bucket" || c == "bucket_date")
+    val keys = dims.map(col) :+ date_trunc("day", col("bucket")).as("bucket")
+    val aggs = present.map(c => measures(c)(col(c)).as(c))
+    partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Materialize the day tier from an existing slice-partials frame,
+    * date-partitioned like every rollup store. */
+  def materializeDayPartials(partials: DataFrame, path: String): Unit =
+    coarsenPartialsToDay(partials)
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(path)
+
   /** DISTINCT tall partials for the Catalyst routing rule: one row per
     * (dims…, slice bucket, distinct value `dval`) with its occurrence
     * count. Unlike [[build]] (the service write path, which skips

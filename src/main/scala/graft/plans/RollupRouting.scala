@@ -115,6 +115,25 @@ object RollupRouting {
     registerImpl(spark, raw, rollup, dims, tsCol, valueCol, sliceMinutes,
       distinctVals = false)
 
+  /** Register a DAY-grain scalar-partials tier
+    * ([[graft.operators.Rollups.coarsenPartialsToDay]] shape) for
+    * `raw`: hierarchical rollups — with both a slice tier and a day
+    * tier registered, the rule serves day/week/month/quarter/year
+    * queries from the day tier (~96× fewer rows than 15-min slices)
+    * and hour queries from the slice tier, preferring the COARSEST
+    * tier that can serve exactly. Time bounds must be
+    * midnight-aligned to route here; hour truncations and sub-day
+    * bounds structurally cannot be served and fall through to a finer
+    * tier or the raw scan. */
+  def registerDayGrain(spark: SparkSession, raw: DataFrame,
+      rollup: DataFrame, dims: Seq[String], tsCol: String = "ts",
+      valueCol: String = "value"): Unit =
+    registerImpl(spark, raw, rollup, dims, tsCol, valueCol,
+      sliceMinutes = DayGrainMinutes, distinctVals = false)
+
+  /** Sentinel grain for day-tier entries (24 × 60). */
+  private[plans] val DayGrainMinutes = 1440
+
   /** Register DISTINCT tall partials (the `FactType.Distinct` rollup
     * shape — `Timeseries.sliceBuckets` output with a `dval` column)
     * for `raw`: `COUNT(DISTINCT valueCol)` aggregates route onto
@@ -164,10 +183,17 @@ object RollupRouting {
       "RollupRouting.register requires spark.sql.session.timeZone=UTC: " +
         "slice alignment and bucket_date partition bounds are derived " +
         "with epoch (UTC) arithmetic and would mis-prune in other zones")
+    require((sliceMinutes >= 1 && sliceMinutes <= 60) ||
+      sliceMinutes == DayGrainMinutes,
+      s"grain must be a (0,60]-minute slice or the day tier; got $sliceMinutes")
     // Probe plan: optimize the registered expressions exactly the way a
     // user query's will be, then inline them down to the leaf attrs.
+    val bucketExpr =
+      if (sliceMinutes == DayGrainMinutes)
+        org.apache.spark.sql.functions.date_trunc("day", col(tsCol))
+      else TimeKernel.sliceFloor(col(tsCol), sliceMinutes)
     val probeCols = Seq(col(tsCol).as("__ts"), col(valueCol).as("__value"),
-      TimeKernel.sliceFloor(col(tsCol), sliceMinutes).as("__slice")) ++
+      bucketExpr.as("__slice")) ++
       histCol.map(_.as("__hist")).toSeq ++
       dims.map(d => col(d).as(s"__dim__$d"))
     val probe = raw.select(probeCols: _*).queryExecution.optimizedPlan
@@ -273,10 +299,12 @@ final case class RollupRouteRule(spark: SparkSession)
         // to the NARROWEST — fewest dimension columns, i.e. the most
         // compacted partials (a wider rollup carries one row per extra
         // dimension combination that this query would immediately
-        // re-aggregate away). Ties keep registration order (minBy is
-        // stable over the ordered entry list).
+        // re-aggregate away) — then, within a dimension width, to the
+        // COARSEST time grain (the day tier holds up to 96× fewer
+        // rows than a 15-minute tier over the same span). Ties keep
+        // registration order (minBy is stable over the ordered list).
         val servable = entries.flatMap(e =>
-          rewrite(agg, e).map(e.dimExprs.size -> _))
+          rewrite(agg, e).map((e.dimExprs.size, -e.sliceMinutes) -> _))
         if (servable.isEmpty) agg else servable.minBy(_._1)._2
     }
   }
@@ -327,12 +355,19 @@ final case class RollupRouteRule(spark: SparkSession)
     val dimByCanon: Map[Expression, Attribute] =
       dimEs.map { case (n, e) => e.canonicalized -> dimAttrs(n) }.toMap
 
-    val calendarUnits =
+    val dayGrain = entry.sliceMinutes == DayGrainMinutes
+    // units a tier can serve exactly: every bucket must lie WHOLLY
+    // inside one truncation unit. Sub-hour slices floor within the
+    // hour, so any calendar unit ≥ hour works; the day tier's buckets
+    // are whole days, so hour (and minute) truncs are out of reach.
+    val dayUnits =
       Set("year", "yyyy", "yy", "quarter", "month", "mon", "mm", "week",
-        "day", "dd", "hour")
+        "day", "dd")
     def truncOk(fmt: String): Boolean = {
       val f = fmt.toLowerCase(java.util.Locale.ROOT)
-      calendarUnits.contains(f) || (f == "minute" && entry.sliceMinutes == 1)
+      dayUnits.contains(f) ||
+        (!dayGrain && f == "hour") ||
+        (f == "minute" && entry.sliceMinutes == 1)
     }
 
     // ---- grouping --------------------------------------------------------
@@ -436,14 +471,16 @@ final case class RollupRouteRule(spark: SparkSession)
     if (newResults.exists(_.isEmpty)) return None
 
     // ---- filters ---------------------------------------------------------
-    def aligned(micros: Long): Boolean = {
-      val minuteMicros = 60L * 1000000L
-      if (micros % minuteMicros != 0) false
+    def aligned(micros: Long): Boolean =
+      if (dayGrain) micros % 86400000000L == 0 // midnight (UTC epoch day)
       else {
-        val minuteOfHour = (((micros / minuteMicros) % 60) + 60) % 60
-        minuteOfHour % entry.sliceMinutes == 0
+        val minuteMicros = 60L * 1000000L
+        if (micros % minuteMicros != 0) false
+        else {
+          val minuteOfHour = (((micros / minuteMicros) % 60) + 60) % 60
+          minuteOfHour % entry.sliceMinutes == 0
+        }
       }
-    }
     // IsNotNull inferred on an underlying raw column: sound to move to
     // the corresponding rollup column iff the registered expression is a
     // null-intolerant function of exactly that column — verified node by

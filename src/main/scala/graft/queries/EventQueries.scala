@@ -120,6 +120,27 @@ object EventQueries {
       out
     })
 
+  /** Day-grain tier over [[ensureRouted]]'s slice partials, built and
+    * registered once per (session, sf dir): with both tiers live, the
+    * rule serves day+ queries from ~96× fewer rows. */
+  private val routedDayDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ensureRoutedDay(s: SparkSession, dir: String): Unit = {
+    ensureRouted(s, dir)
+    routedDayDirs.getOrElseUpdate((s, dir), {
+      import graft.operators.Rollups
+      import graft.plans.RollupRouting
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_daypartials").toString
+      Rollups.materializeDayPartials(
+        Rollups.read(s, routedDirs((s, dir))), out)
+      RollupRouting.registerDayGrain(s, routedRaw(s, dir),
+        Rollups.read(s, out), Seq("event_type"))
+      out
+    })
+    ()
+  }
+
   /** Histogram tall partials for the routing rule, registered once per
     * (session, sf dir): `count(*) GROUP BY histBucket(value)` plans
     * over the raw events route onto (hist_bucket, count) partials —
@@ -641,6 +662,22 @@ object EventQueries {
         .agg(count(col("value")).as("n_vals"), avg(col("value")).as("avg_cents"))
     }),
 
+    // HIERARCHICAL tiers under the ROUTING RULE: a day-grouped query
+    // with midnight bounds rides the DAY tier (coarsened FROM the
+    // slice partials, never from raw — ~96× fewer rows than the slice
+    // tier), preferred over the also-servable slice tier
+    // (RollupRoutingSpec pins the tier choice); routed ≡ raw gated by
+    // the oracle as usual
+    "ts_routed_day_tier" -> ((s, dir) => {
+      val raw = routedRaw(s, dir)
+      ensureRoutedDay(s, dir)
+      raw.where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(one).as("n_events"), sum(col("value")).as("total_cents"),
+          max(col("value")).as("max_cents"))
+    }),
+
     // COUNT DISTINCT under the ROUTING RULE: the user writes a plain
     // DataFrame count-distinct over raw events; the rule rewrites it
     // onto the registered distinct tall partials (RollupRoutingSpec
@@ -1099,6 +1136,18 @@ object EventQueries {
       gridStep = "1 DAY",
       loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-12T00:00"),
       measure = "count(DISTINCT user_id)"),
+
+    // routed ≡ raw for the day-tier read (the Spark side scans the
+    // coarsened day partials; the oracle recomputes from raw events)
+    "ts_routed_day_tier" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY ALL""".stripMargin,
 
     // routed ≡ raw for count distinct: the oracle computes straight
     // from raw events, the Spark side is served from the partials

@@ -249,6 +249,61 @@ class RollupRoutingSpec extends SparkTestBase {
     } finally RollupRouting.clear(spark)
   }
 
+  test("hierarchical tiers: day queries ride the day tier, hour the slice") {
+    val dayDir = java.nio.file.Files.createTempDirectory("graft_rt_day").toString
+    Rollups.materializeDayPartials(Rollups.read(spark, rollupDir), dayDir)
+    def dayQ: DataFrame = raw
+      .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+        && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-09 00:00:00")))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    def hourQ: DataFrame = raw
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
+      .agg(count(lit(1)).as("n"))
+    def monthQ: DataFrame = raw
+      .groupBy(date_trunc("month", col("ts")).as("b"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("mn"))
+    val expDay = dayQ.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val expMonth = monthQ.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    RollupRouting.install(spark)
+    RollupRouting.register(spark, raw, Rollups.read(spark, rollupDir),
+      Seq("event_type"))
+    RollupRouting.registerDayGrain(spark, raw, Rollups.read(spark, dayDir),
+      Seq("event_type"))
+    try {
+      // day-truncated query with midnight bounds: the COARSE tier wins
+      val pDay = scannedPaths(dayQ)
+      assert(pDay.exists(_.contains(dayDir)), s"day not on day tier: $pDay")
+      assert(!pDay.exists(_.contains(rollupDir)),
+        s"day query wrongly on slice tier: $pDay")
+      assert(dayQ.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+        == expDay)
+      // calendar units above day re-aggregate from the day tier too
+      val pMonth = scannedPaths(monthQ)
+      assert(pMonth.exists(_.contains(dayDir)), s"month: $pMonth")
+      assert(monthQ.collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+        == expMonth)
+      // hour truncation is OUT OF REACH for day buckets — slice tier
+      val pHour = scannedPaths(hourQ)
+      assert(pHour.exists(_.contains(rollupDir)), s"hour: $pHour")
+      assert(!pHour.exists(_.contains(dayDir)),
+        s"hour query wrongly on day tier: $pHour")
+      // a sub-day-aligned bound cannot ride the day tier: 03:00 is
+      // slice-aligned (15m) but not midnight — the slice tier serves
+      val pBound = scannedPaths(raw
+        .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 03:00:00")))
+        .groupBy(date_trunc("day", col("ts")).as("b"))
+        .agg(count(lit(1)).as("n")))
+      assert(pBound.exists(_.contains(rollupDir)) &&
+        !pBound.exists(_.contains(dayDir)),
+        s"sub-day bound mis-tiered: $pBound")
+    } finally RollupRouting.clear(spark)
+  }
+
   test("count-by-histogram-bucket routes onto histogram tall partials") {
     import graft.model.{FactDef, FactType}
     import graft.operators.Timeseries
