@@ -7,6 +7,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TimeKernel
 import graft.model._
 import graft.operators.{Rollups, Timeseries}
 
@@ -105,8 +106,12 @@ final class TimeSeriesService(
     * is a pure cache of the service's own events, so a write simply
     * invalidates it; an external rollup holds history this service
     * never saw, so dropping it on write would silently replace the
-    * streamed dataset with the (much smaller) local buffer. */
-  private case class RollupReg(path: String, external: Boolean)
+    * streamed dataset with the (much smaller) local buffer.
+    * `dayPath`: the optional DAY-grain tier (coarsened from the slice
+    * store) — served for calendar steps ≥ day with midnight-aligned
+    * bounds, up to ~96× fewer rows per query. */
+  private case class RollupReg(path: String, external: Boolean,
+      dayPath: Option[String] = None)
 
   /** Registered rollup paths: (factId, grouping) → registration. */
   private val rollupStore =
@@ -131,7 +136,14 @@ final class TimeSeriesService(
       val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
       val out = s"$baseDir/${(path :+ dim.id :+ fact.id).mkString("_")}"
       Rollups.materialize(prepare(fact.id, grouping), fact, slice, grouping, out)
-      rollupStore((fact.id, grouping)) = RollupReg(out, external = false)
+      // hierarchical day tier, coarsened FROM the slice store (one
+      // partial-merge aggregation — raw events are not re-read):
+      // calendar reads ≥ day with midnight bounds serve from it
+      val dayOut = s"${out}__day"
+      Rollups.materializeFactDayTier(Rollups.read(spark, out)
+        .drop("bucket_date"), fact, grouping, dayOut)
+      rollupStore((fact.id, grouping)) =
+        RollupReg(out, external = false, dayPath = Some(dayOut))
       out
     }
     made
@@ -168,7 +180,11 @@ final class TimeSeriesService(
       p = new org.apache.hadoop.fs.Path(out)
       if p.getFileSystem(hconf).exists(p)
     } yield {
-      rollupStore((fact.id, path :+ dim.id)) = RollupReg(out, external = false)
+      val dayOut = s"${out}__day"
+      val dp = new org.apache.hadoop.fs.Path(dayOut)
+      val hasDay = dp.getFileSystem(hconf).exists(dp)
+      rollupStore((fact.id, path :+ dim.id)) = RollupReg(out,
+        external = false, dayPath = if (hasDay) Some(dayOut) else None)
       out
     }
     found
@@ -218,7 +234,16 @@ final class TimeSeriesService(
     targets.map { case (fact, grouping, slice, out) =>
       Rollups.refreshWindow(prepare(fact.id, grouping), fact, slice,
         grouping, out, start, finish)
-      rollupStore((fact.id, grouping)) = RollupReg(out, external = false)
+      // keep the day tier in step (only the touched days re-coarsen);
+      // stores materialized before the tier existed stay slice-only
+      val dayOut = s"${out}__day"
+      val dayP = new org.apache.hadoop.fs.Path(dayOut)
+      val hasDay = dayP.getFileSystem(hconf).exists(dayP)
+      if (hasDay)
+        Rollups.refreshDayTierWindow(spark, out, fact, grouping, dayOut,
+          start, finish, slice)
+      rollupStore((fact.id, grouping)) = RollupReg(out, external = false,
+        dayPath = if (hasDay) Some(dayOut) else None)
       out
     }
   }
@@ -486,7 +511,7 @@ final class TimeSeriesService(
         prepare(fact.id, grouping).where(col("ts") < lit(cutoff)),
         fact, slice, grouping)
       val merged = rollupStore.get((fact.id, grouping)) match {
-        case Some(RollupReg(p, true)) =>
+        case Some(RollupReg(p, true, _)) =>
           Rollups.compactFrame(Rollups.read(spark, p)
             .drop("bucket_date", "__batch_id").unionByName(aged))
         case _ => aged
@@ -553,7 +578,8 @@ final class TimeSeriesService(
       step: Step = Step.NoStep, offsetHours: Int = 0): DataFrame = {
     val (fact, dim, grouping) = route(factId, dimId, filters)
     val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
-    servableRollup(fact, slice, grouping) match {
+    servableRollup(fact, slice, grouping, step, offsetHours,
+        start, finish) match {
       case Some(merged) =>
         Rollups.run(merged, fact, slice, grouping,
           filters, start, finish, step, offsetHours)
@@ -572,10 +598,35 @@ final class TimeSeriesService(
     * events' slice partials are unioned in so the query sees both
     * histories. */
   private def servableRollup(fact: graft.model.FactDef, slice: Int,
-      grouping: Seq[String]): Option[DataFrame] =
+      grouping: Seq[String], step: Step = Step.NoStep,
+      offsetHours: Int = 0, start: Timestamp = null,
+      finish: Timestamp = null): Option[DataFrame] =
     rollupStore.get((fact.id, grouping)).map {
-      case RollupReg(path, external) =>
-        val stored = Rollups.read(spark, path)
+      case RollupReg(path, external, dayPath) =>
+        val stored = dayPath match {
+          // the DAY tier serves when the read cannot tell tiers apart:
+          // a day-or-coarser collapse (or :all) whose scan window is
+          // whole UTC days (the slice window [floor(start),
+          // floor(finish)+slice) landing on midnights), unshifted.
+          // Hour steps, offset reads, and sub-day windows keep the
+          // slice tier — structural exactness, mirroring the routing
+          // rule's tier rules.
+          case Some(dp) if !external && offsetHours == 0 &&
+              (step match {
+                case Step.Day | Step.Week | Step.Month | Step.Year |
+                    Step.NoStep => true
+                case _ => false
+              }) && start != null && finish != null && {
+                def midnight(t: java.time.Instant): Boolean =
+                  t.getEpochSecond % 86400L == 0
+                val lo = TimeKernel.sliceFloorLocal(start, slice).toInstant
+                val hi = TimeKernel.sliceFloorLocal(finish, slice).toInstant
+                  .plusSeconds(slice * 60L)
+                midnight(lo) && midnight(hi)
+              } =>
+            Rollups.read(spark, dp)
+          case _ => Rollups.read(spark, path)
+        }
         val hasLocalEvents =
           buffer.nonEmpty || bulk.nonEmpty || storeDir.nonEmpty
         if (external && hasLocalEvents) {
@@ -607,7 +658,8 @@ final class TimeSeriesService(
     // histogram partials are tall (series × slice × hist_bucket) rows
     // (Timeseries.sliceBuckets), so registered rollups serve histograms
     // exactly like counters — O(rollup) instead of O(events)
-    val perSeries = servableRollup(fact, slice, grouping) match {
+    val perSeries = servableRollup(fact, slice, grouping, step,
+        offsetHours, start, finish) match {
       case Some(merged) =>
         Rollups.runHistogram(merged, fact, slice, grouping, filters,
           start, finish, step, offsetHours)

@@ -168,6 +168,73 @@ object Rollups {
       .partitionBy("bucket_date")
       .parquet(path)
 
+  /** The fact-typed twin of [[coarsenPartialsToDay]] for the SERVICE's
+    * rollup shapes ([[build]] output): re-aggregate slice partials to
+    * day grain while KEEPING the partial shape (this is a STORE, not a
+    * read — `collapsePartials` is the read): counter sums, average
+    * sums component-wise, histogram and distinct tall rows sum their
+    * counts per retained key (hist_bucket / dval stay keys, so any
+    * later calendar collapse — including exact COUNT DISTINCT — still
+    * works from the day tier). */
+  def coarsenFactPartialsToDay(rollup: DataFrame, fact: FactDef,
+      grouping: Seq[String]): DataFrame = {
+    val day = date_trunc("day", col("bucket")).as("bucket")
+    val keys = grouping.map(col) :+ day
+    fact.ftype match {
+      case FactType.Average =>
+        rollup.groupBy(keys: _*)
+          .agg(sum("counter").as("counter"), sum("total").as("total"))
+      case FactType.Histogram =>
+        rollup.groupBy(keys :+ col("hist_bucket"): _*)
+          .agg(sum("value").as("value"))
+      case FactType.Distinct =>
+        rollup.groupBy(keys :+ col("dval"): _*)
+          .agg(sum("value").as("value"))
+      case _ =>
+        rollup.groupBy(keys: _*).agg(sum("value").as("value"))
+    }
+  }
+
+  /** Materialize the fact-typed day tier from an existing slice store,
+    * date-partitioned like every rollup store. */
+  def materializeFactDayTier(rollup: DataFrame, fact: FactDef,
+      grouping: Seq[String], path: String): Unit =
+    coarsenFactPartialsToDay(rollup, fact, grouping)
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(path)
+
+  /** Incremental day-tier maintenance: after [[refreshWindow]]
+    * refreshed the SLICE store for `[start, finish]`, re-coarsen only
+    * the touched whole UTC days from it and replace only those
+    * `bucket_date` partitions of the day tier (dynamic partition
+    * overwrite — same outward day-snap and UTC requirement as the
+    * slice refresh, same O(window) cost). */
+  def refreshDayTierWindow(spark: SparkSession, slicePath: String,
+      fact: FactDef, grouping: Seq[String], dayPath: String,
+      start: Timestamp, finish: Timestamp, sliceMinutes: Int): Unit = {
+    require(graft.plans.RollupRouting.isUtcZone(
+        spark.sessionState.conf.sessionLocalTimeZone),
+      "refreshDayTierWindow requires spark.sql.session.timeZone=UTC")
+    val utc = java.time.ZoneOffset.UTC
+    val loDay = TimeKernel.sliceFloorLocal(start, sliceMinutes)
+      .toInstant.atZone(utc).toLocalDate
+    val hiExcl = TimeKernel.sliceFloorLocal(finish, sliceMinutes)
+      .toInstant.plusSeconds(sliceMinutes * 60L)
+    val hiDayExcl = hiExcl.minusNanos(1000).atZone(utc).toLocalDate.plusDays(1)
+    val lo = Timestamp.from(loDay.atStartOfDay(utc).toInstant)
+    val hi = Timestamp.from(hiDayExcl.atStartOfDay(utc).toInstant)
+    val window = read(spark, slicePath).drop("bucket_date")
+      .where(col("bucket") >= lit(lo) && col("bucket") < lit(hi))
+    coarsenFactPartialsToDay(window, fact, grouping)
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket_date")
+      .parquet(dayPath)
+  }
+
   /** DISTINCT tall partials for the Catalyst routing rule: one row per
     * (dims…, slice bucket, distinct value `dval`) with its occurrence
     * count. Unlike [[build]] (the service write path, which skips

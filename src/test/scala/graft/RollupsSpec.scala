@@ -194,6 +194,61 @@ class RollupsSpec extends SparkTestBase {
     assert(viaStore == daily)
   }
 
+  test("service day tier: calendar reads ride it, sub-day reads do not") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("uniq", FactType.Distinct, slice = 15)
+    svc.defineDimension("dim", facts = Set("uniq"))
+    // user 7 hits in TWO slices of day 1 and once on day 2: the day
+    // tier must still count each user once per day (dval retained)
+    svc.newFact("uniq", ts("2024-03-01T10:05"), 7L, Map("dim" -> "a"))
+    svc.newFact("uniq", ts("2024-03-01T11:40"), 7L, Map("dim" -> "a"))
+    svc.newFact("uniq", ts("2024-03-01T12:00"), 8L, Map("dim" -> "a"))
+    svc.newFact("uniq", ts("2024-03-02T09:10"), 7L, Map("dim" -> "a"))
+    val base = Files.createTempDirectory("svc-daytier").toString
+    svc.materializeRollups(base)
+    // 23:59 finish → the scan's inclusive-bucket upper bound lands on
+    // midnight, making the whole window exact whole days
+    def daily = svc.getTimeseries("uniq", "dim", Map("dim" -> Some("a")),
+      ts("2024-03-01T00:00"), ts("2024-03-02T23:59"), Step.Day)
+    assert(scanned(daily).exists(_.contains("__day")),
+      s"daily read not on the day tier: ${scanned(daily)}")
+    assert(pivot(daily, Seq("dim")) == Map(Map("dim" -> "a") -> Map(
+      Option(ts("2024-03-01T00:00")) -> 2L,
+      Option(ts("2024-03-02T00:00")) -> 1L)))
+    // hour step is finer than the day tier's buckets → slice store
+    val hourly = svc.getTimeseries("uniq", "dim", Map("dim" -> Some("a")),
+      ts("2024-03-01T10:00"), ts("2024-03-01T13:00"), Step.Hour)
+    assert(!scanned(hourly).exists(_.contains("__day")),
+      s"hourly read wrongly on the day tier: ${scanned(hourly)}")
+    assert(pivot(hourly, Seq("dim")) == Map(Map("dim" -> "a") -> Map(
+      Option(ts("2024-03-01T10:00")) -> 1L,
+      Option(ts("2024-03-01T11:00")) -> 1L,
+      Option(ts("2024-03-01T12:00")) -> 1L)))
+    // midnight-unaligned window → slice store even for a Day step
+    val shifted = svc.getTimeseries("uniq", "dim", Map("dim" -> Some("a")),
+      ts("2024-03-01T10:30"), ts("2024-03-02T10:30"), Step.Day)
+    assert(!scanned(shifted).exists(_.contains("__day")),
+      s"sub-day window wrongly on the day tier: ${scanned(shifted)}")
+    // refresh keeps BOTH tiers fresh for the touched window
+    svc.newFact("uniq", ts("2024-03-02T15:00"), 9L, Map("dim" -> "a"))
+    svc.refreshRollups(base, ts("2024-03-02T00:00"), ts("2024-03-02T23:59"))
+    val after = svc.getTimeseries("uniq", "dim", Map("dim" -> Some("a")),
+      ts("2024-03-01T00:00"), ts("2024-03-02T23:59"), Step.Day)
+    assert(scanned(after).exists(_.contains("__day")))
+    assert(pivot(after, Seq("dim")) == Map(Map("dim" -> "a") -> Map(
+      Option(ts("2024-03-01T00:00")) -> 2L,
+      Option(ts("2024-03-02T00:00")) -> 2L)))
+  }
+
   test("attachRollups: a restarted service serves from the found store") {
     val svc = new TimeSeriesService(spark)
     svc.defineFact("clicks", FactType.Counter, slice = 15)
