@@ -80,6 +80,44 @@ object RelationalQueries {
         .agg(sum(revE4).as("revenue_e4"))
     }),
 
+    // TPC-H Q10 shape: returned-item revenue ranking — fact filtered
+    // on the return flag, quarter-bounded orders, customer + nation
+    // dims; customer UNHINTED (scales with SF — AQE sizes it), the
+    // fixed nation catalog broadcast
+    "q10_returned_items" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val ord = read(s, dir, "orders")
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(read(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(read(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(revE4).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — a HAVING-style aggregate
+    // gate (per-order quantity > threshold) feeding the order/customer
+    // join; the gate output is order keys only, so the join input is
+    // pre-shrunk before any wide row moves
+    "q18_large_volume" -> ((s, dir) => {
+      val big = read(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast(LongType).as("total_qty"))
+        .where(col("total_qty") > 250)
+      read(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(read(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast(LongType).as("total_cents"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // window function: top-3 orders per customer, deterministic tie-break
     "topk_orders_per_customer" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -166,6 +204,33 @@ object RelationalQueries {
         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY ALL""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY ALL
+        |ORDER BY revenue_e4 DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING CAST(sum(l_quantity) AS BIGINT) > 250)
+        |SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  b.total_qty
+        |FROM orders o
+        |JOIN big b ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
 
     "topk_orders_per_customer" ->
       """SELECT o_custkey, o_orderkey,
