@@ -291,4 +291,61 @@ class PropertySpec extends SparkTestBase {
       assert(r.width == tw && r.height == th)
     }
   }
+
+  test("morton: deinterleaving the code reconstructs both coordinates") {
+    import graft.sources.Layout
+    val rnd = new Random(31)
+    val pts = (0 until 200).map(_ =>
+      (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+      .toDF("a", "b")
+    val coded = pts.select(col("a"), col("b"),
+      Layout.morton(Seq(col("a"), col("b")), bits = 16).as("z"))
+      .collect()
+    coded.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var (da, db) = (0L, 0L)
+      for (i <- 0 until 16) {
+        da |= ((z >> (2 * i)) & 1L) << i
+        db |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(da == a && db == b, s"($a,$b) -> $z -> ($da,$db)")
+    }
+  }
+
+  test("int8 quantization: per-element roundtrip error within scale/2") {
+    import graft.operators.Similarity
+    val rnd = new Random(47)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Similarity.quantizeEmbeddings(vecs, "embedding")
+      .select(col("embedding").cast("array<double>"), col("qvec"),
+        col("qscale")).collect()
+    q.foreach { r =>
+      val xs = r.getSeq[Double](0)
+      val codes = r.getSeq[Byte](1)
+      val scale = r.getDouble(2)
+      xs.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-12,
+          s"x=$x code=$c scale=$scale") }
+    }
+  }
+
+  test("partial-merge idempotence: compacting twice changes nothing") {
+    // a synthetic partial frame with duplicate keys across "batches":
+    // compactFrame must be idempotent (one row per key after one pass)
+    val rnd = new Random(53)
+    val partials = (0 until 400).map { _ =>
+      ("s" + rnd.nextInt(3), ts(f"2024-02-0${1 + rnd.nextInt(5)}T10:15"),
+        1L + rnd.nextInt(9), 1L + rnd.nextInt(4), rnd.nextInt(100).toLong,
+        rnd.nextInt(50).toLong, (50 + rnd.nextInt(50)).toLong)
+    }.toDF("dim", "bucket", "cnt", "cntv", "total", "mn", "mx")
+    val once = graft.operators.Rollups.compactFrame(partials)
+    val twice = graft.operators.Rollups.compactFrame(once)
+    val a = once.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val b = twice.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(a == b)
+    assert(once.groupBy(col("dim"), col("bucket")).count()
+      .agg(max("count")).head().getLong(0) == 1L)
+  }
 }
