@@ -514,6 +514,38 @@ object Multimodal {
       .mapPartitions(_.map { case (id, p) => videoFeatures(id, p, everyN) })
   }
 
+  /** One consecutive-frame comparison: per-byte absolute difference
+    * summed over the frame, plus the cut verdict. */
+  final case class SceneCut(media_id: Long, frame: Long, diff_sum: Long,
+      is_cut: Boolean)
+
+  /** Scene-cut detection — the video-curation segmentation step (cut
+    * boundaries are where frame samplers and clip extractors split):
+    * per consecutive DECODED frame pair, the summed per-byte absolute
+    * difference; a cut fires when it exceeds `perByteThreshold` ×
+    * frame size (integer-exact — no float drift between engines).
+    * Row-local like every codec pass: one media file's frames never
+    * leave their partition, and only the per-pair scalars survive the
+    * map side. */
+  def sceneCuts(spark: SparkSession, media: DataFrame,
+      perByteThreshold: Long = 50L): Dataset[SceneCut] = {
+    import spark.implicits._
+    media.where(col("modality") === "video")
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        val v = Y4m.decode(p)
+        val fsz = v.width * v.height * 3
+        (0 until v.frames.length - 1).iterator.map { f =>
+          val a = v.frames(f); val b = v.frames(f + 1)
+          var i = 0; var sum = 0L
+          while (i < fsz) {
+            sum += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1
+          }
+          SceneCut(id, f.toLong, sum, sum > fsz * perByteThreshold)
+        }
+      })
+  }
+
   /** Real frame explosion: every `everyN`-th DECODED frame as its own
     * [[Frame]] row (raw C444 plane bytes as the frame payload) — the
     * generator fan-out a downstream per-frame featurizer consumes. */

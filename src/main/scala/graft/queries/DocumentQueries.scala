@@ -270,6 +270,16 @@ object DocumentQueries {
       Multimodal.decodeVideos(s, media.toDF(), everyN = 2).toDF()
     }),
 
+    // scene-cut detection over REAL decoded frames (the segmentation
+    // step clip extractors split on): per consecutive frame pair the
+    // integer-exact summed byte difference + the cut verdict; the
+    // oracle recomputes every per-byte diff from the generator's
+    // closed form without running any engine code
+    "multimodal_scene_cuts" -> ((s, dir) => {
+      val media = Multimodal.syntheticY4mTable(s, docs(s, dir), "doc_id")
+      Multimodal.sceneCuts(s, media.toDF(), perByteThreshold = 50L).toDF()
+    }),
+
     // multimodal frame sampling WITH an exact oracle: the stub frame
     // extractor is fixed-stride byte windows, so frame counts and byte
     // totals are pure functions of payload length — the fan-out shape
@@ -1070,6 +1080,28 @@ object DocumentQueries {
         |  count(*) AS sampled_frames,
         |  CAST(sum(fsum) AS BIGINT) AS sampled_sum
         |FROM b GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    // every per-byte frame-pair diff recomputed from the generator's
+    // closed form byte(f,i) = (id·31 + f·17 + i·7) mod 251
+    "multimodal_scene_cuts" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST((4 + doc_id % 5) * (3 + (doc_id // 5) % 4) * 3 AS BIGINT)
+        |      AS fsz,
+        |    2 + doc_id % 4 AS nf
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, fsz, unnest(range(0, nf - 1)) AS f FROM p),
+        |d AS (
+        |  SELECT doc_id, fsz, f,
+        |    list_sum(list_transform(range(0, CAST(fsz AS INT)),
+        |      i -> abs(((doc_id * 31 + (f + 1) * 17 + i * 7) % 251) -
+        |               ((doc_id * 31 + f * 17 + i * 7) % 251)))) AS ds
+        |  FROM pairs)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame,
+        |  CAST(ds AS BIGINT) AS diff_sum,
+        |  ds > fsz * 50 AS is_cut
+        |FROM d""".stripMargin,
 
     "multimodal_frame_sample" ->
       """SELECT doc_id AS media_id,
