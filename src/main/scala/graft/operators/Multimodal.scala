@@ -674,6 +674,39 @@ object Multimodal {
       }
   }
 
+  /** Per-sample audio quality verdict counts. */
+  final case class AudioQuality(media_id: Long, n_samples: Long,
+      n_silent: Long, n_clipped: Long, peak: Long)
+
+  /** Audio QUALITY profiling — the curation gate for speech/audio
+    * corpora: per clip, how many decoded samples are near-silence
+    * (|v| < `silenceThr` — dead air, broken mics) and how many sit at
+    * the clipping rail (|v| ≥ `clipThr` — distorted takes), plus the
+    * peak amplitude. Integer-exact over the real PCM16 parse, one
+    * row-local pass per clip; the filter decision (drop clips that
+    * are mostly silence or heavily clipped) composes as plain column
+    * predicates downstream. */
+  def audioQuality(spark: SparkSession, media: DataFrame,
+      silenceThr: Long = 1000L, clipThr: Long = 32700L)
+      : Dataset[AudioQuality] = {
+    import spark.implicits._
+    media.where(col("modality") === "audio")
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val a = Wav.decode(payload)
+        var silent = 0L; var clipped = 0L; var peak = 0L
+        var i = 0
+        while (i < a.samples.length) {
+          val v = math.abs(a.samples(i).toLong)
+          if (v < silenceThr) silent += 1
+          if (v >= clipThr) clipped += 1
+          if (v > peak) peak = v
+          i += 1
+        }
+        AudioQuality(id, a.samples.length.toLong, silent, clipped, peak)
+      })
+  }
+
   /** [[decodeAudio]] with per-row failure isolation — the audio twin
     * of [[decodeImagesLenient]] (same quarantine contract). */
   def decodeAudioLenient(spark: SparkSession, media: DataFrame)

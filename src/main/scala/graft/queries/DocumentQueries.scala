@@ -270,6 +270,14 @@ object DocumentQueries {
       Multimodal.decodeVideos(s, media.toDF(), everyN = 2).toDF()
     }),
 
+    // audio QUALITY gate over the real PCM16 parse: near-silence and
+    // clipping-rail sample counts + peak — integer-exact, the oracle
+    // recomputes every sample from the generator's closed form
+    "multimodal_audio_quality" -> ((s, dir) => {
+      val media = Multimodal.syntheticWavTable(s, docs(s, dir), "doc_id")
+      Multimodal.audioQuality(s, media.toDF()).toDF()
+    }),
+
     // scene-cut detection over REAL decoded frames (the segmentation
     // step clip extractors split on): per consecutive frame pair the
     // integer-exact summed byte difference + the cut verdict; the
@@ -1080,6 +1088,26 @@ object DocumentQueries {
         |  count(*) AS sampled_frames,
         |  CAST(sum(fsum) AS BIGINT) AS sampled_sum
         |FROM b GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    // every sample recomputed from the generator's closed form
+    // v(j) = ((id + 7919·j) mod 65536) − 32768
+    "multimodal_audio_quality" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    (1 + doc_id % 2) * (500 + (31 * doc_id) % 1500) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, n,
+        |    abs(((media_id + 7919 * unnest(range(0, n))) % 65536) - 32768)
+        |      AS v
+        |  FROM p)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN v < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silent,
+        |  CAST(sum(CASE WHEN v >= 32700 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  CAST(max(v) AS BIGINT) AS peak
+        |FROM s GROUP BY media_id, n""".stripMargin,
 
     // every per-byte frame-pair diff recomputed from the generator's
     // closed form byte(f,i) = (id·31 + f·17 + i·7) mod 251
