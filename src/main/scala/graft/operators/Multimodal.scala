@@ -674,6 +674,81 @@ object Multimodal {
       }
   }
 
+  /** Per-image perceptual hash row. */
+  final case class ImageHash(media_id: Long, dhash: Long)
+
+  /** Perceptual dHash over DECODED pixels — the image-plane near-dup
+    * fingerprint (crop-resistant where byte hashes are not): resize
+    * to a 9×8 thumbnail (the real [[Ppm.resize]] nearest-neighbor
+    * path), integer grayscale, one bit per horizontal gradient
+    * `g(x+1,y) > g(x,y)`. 63 bits (position 63 unused) so the hash
+    * stays a positive BIGINT in every engine the oracle runs on.
+    * Row-local; payload bytes never survive the map side. */
+  def dHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.where(col("modality") === "image")
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val t = Ppm.decode(Ppm.resize(p, 9, 8))
+        def gray(x: Int, y: Int): Int = {
+          val o = (y * 9 + x) * 3
+          ((t.pixels(o) & 0xff) + (t.pixels(o + 1) & 0xff) +
+            (t.pixels(o + 2) & 0xff)) / 3
+        }
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val pos = y * 8 + x
+            if (pos < 63 && gray(x + 1, y) > gray(x, y)) h |= 1L << pos
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(id, h)
+      })
+  }
+
+  /** Image near-duplicate profile: per image, its dHash and the count
+    * of OTHER images within `maxHamming` bits — the image-plane twin
+    * of the SimHash text pairs, with the same pigeonhole index: the
+    * 63-bit hash splits into `maxHamming + 1` chunks, a pair within
+    * the bound must agree on at least one chunk, so candidates join
+    * on chunk keys (bucketed — never all-pairs) and verify with an
+    * in-condition popcount. At driver scale buckets are uncapped;
+    * corpus deployments cap them like `Dedup.simhashPairs` (hot
+    * buckets are ubiquitous-pattern images — low-signal by the same
+    * argument as ubiquitous shingles). */
+  def imageNearDupCounts(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 2): DataFrame = {
+    val hs = dHashes(spark, media).toDF()
+    val chunks = maxHamming + 1
+    val width = 63 / chunks
+    val chunkCols = (0 until chunks).map { c =>
+      val hi = if (c == chunks - 1) 63 - c * width else width
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("dhash"), c * width)
+          .bitwiseAND((1L << hi) - 1L).as("key"))
+    }
+    val ex = hs.select(col("media_id"), col("dhash"),
+      explode(array(chunkCols: _*)).as("ck"))
+    val pairs = ex.as("a")
+      .join(ex.as("b"),
+        col("a.ck") === col("b.ck") &&
+          col("a.media_id") < col("b.media_id") &&
+          bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+            <= maxHamming)
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val counts = pairs.select(col("id_a").as("media_id"))
+      .unionAll(pairs.select(col("id_b").as("media_id")))
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_near"))
+    hs.join(counts, Seq("media_id"), "left")
+      .select(col("media_id"), col("dhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+  }
+
   /** Per-sample audio quality verdict counts. */
   final case class AudioQuality(media_id: Long, n_samples: Long,
       n_silent: Long, n_clipped: Long, peak: Long)

@@ -270,6 +270,16 @@ object DocumentQueries {
       Multimodal.decodeVideos(s, media.toDF(), everyN = 2).toDF()
     }),
 
+    // image-plane near-dup: perceptual dHash over DECODED 9×8
+    // thumbnails (real resize path) + pigeonhole-bucketed hamming
+    // pairs — the crop-resistant image dedup fingerprint; the oracle
+    // recomputes every thumbnail pixel, hash bit, and pair from the
+    // generator's closed form
+    "multimodal_image_near_dup" -> ((s, dir) => {
+      val media = Multimodal.syntheticPpmTable(s, docs(s, dir), "doc_id")
+      Multimodal.imageNearDupCounts(s, media.toDF(), maxHamming = 2)
+    }),
+
     // audio QUALITY gate over the real PCM16 parse: near-silence and
     // clipping-rail sample counts + peak — integer-exact, the oracle
     // recomputes every sample from the generator's closed form
@@ -1088,6 +1098,45 @@ object DocumentQueries {
         |  count(*) AS sampled_frames,
         |  CAST(sum(fsum) AS BIGINT) AS sampled_sum
         |FROM b GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    // every thumbnail pixel recomputed from the generator's closed
+    // form pixel(x,y,c) = (id + x + y + 85c) mod 256 through the
+    // nearest-neighbor mapping sx = x·w/9, sy = y·h/8
+    "multimodal_image_near_dup" ->
+      """WITH geom AS (
+        |  SELECT doc_id AS id, 8 + doc_id % 25 AS w,
+        |    8 + (doc_id // 25) % 25 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT id, w, h, xs.x AS x, ys.y AS y
+        |  FROM geom, (SELECT unnest(range(9)) AS x) xs,
+        |       (SELECT unnest(range(8)) AS y) ys),
+        |gr AS (
+        |  SELECT id, x, y,
+        |    (( (id + (x*w//9) + (y*h//8)) % 256
+        |     + (id + (x*w//9) + (y*h//8) + 85) % 256
+        |     + (id + (x*w//9) + (y*h//8) + 170) % 256 ) // 3) AS g
+        |  FROM px),
+        |bits AS (
+        |  SELECT a.id, (a.y*8 + a.x) AS pos,
+        |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        |  FROM gr a JOIN gr b ON a.id = b.id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8 AND (a.y*8 + a.x) < 63),
+        |hs AS (
+        |  SELECT id AS media_id,
+        |    CAST(sum(CAST(bit AS BIGINT) << pos) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY id),
+        |pairs AS (
+        |  SELECT a.media_id AS ida, b.media_id AS idb
+        |  FROM hs a JOIN hs b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 2)
+        |SELECT h.media_id, h.dhash,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_near
+        |FROM hs h LEFT JOIN (
+        |  SELECT media_id, count(*) AS n FROM (
+        |    SELECT ida AS media_id FROM pairs
+        |    UNION ALL SELECT idb FROM pairs)
+        |  GROUP BY 1) c USING (media_id)""".stripMargin,
 
     // every sample recomputed from the generator's closed form
     // v(j) = ((id + 7919·j) mod 65536) − 32768
