@@ -1,0 +1,31 @@
+// SparkSessionExtensions entry-point drive: run with
+//   /opt/spark/bin/spark-shell --master 'local[4]' \
+//     --conf spark.ui.enabled=false \
+//     --conf spark.sql.session.timeZone=UTC \
+//     --conf spark.sql.shuffle.partitions=4 \
+//     --conf spark.sql.extensions=graft.plans.GraftExtensions \
+//     --jars target/scala-2.13/timeseriesstoragespark_2.13-0.1.0.jar \
+//     -I tools/drive_extensions.scala <<< ""
+// Proves the rule injects through the standard extensions config — the
+// production wiring where users never touch `experimental` — and that
+// registered rollups serve user SQL transparently in such a session.
+import graft.functions.TimeKernel.ts
+import graft.operators.Rollups
+import graft.plans.RollupRouting
+import org.apache.spark.sql.functions.{col, count, lit}
+import spark.implicits._
+val evDir = java.nio.file.Files.createTempDirectory("drive-extev").toString
+Seq((1L, ts("2024-01-05T10:05"), "click", 2.0), (2L, ts("2024-01-05T10:06"), "view", 3.0), (3L, ts("2024-01-06T11:06"), "click", 4.0)).toDF("event_id", "ts", "event_type", "value").write.mode("overwrite").parquet(evDir)
+val ev = spark.read.parquet(evDir)
+val rollDir = java.nio.file.Files.createTempDirectory("drive-extroll").toString
+Rollups.materializePartials(ev, Seq("event_type"), rollDir)
+// NOTE: no RollupRouting.install — the GraftExtensions conf must have
+// injected the rule at session build
+RollupRouting.register(spark, ev, Rollups.read(spark, rollDir), Seq("event_type"))
+ev.createOrReplaceTempView("events_ext")
+val q = spark.sql("SELECT event_type, count(*) AS n FROM events_ext GROUP BY 1")
+assert(q.queryExecution.executedPlan.toString.contains(rollDir), "extensions-injected rule did not route")
+val rows = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+assert(rows == Set(("click", 2L), ("view", 1L)), s"routed rows: $rows")
+println("DRIVE-EXT-OK " + rows)
+sys.exit(0)
