@@ -701,9 +701,18 @@ final class TimeSeriesService(
       start: Timestamp, finish: Timestamp): DataFrame = {
     val (fact, dim, grouping) = route(factId, dimId, filters)
     val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
-    val scanned = Timeseries.scan(prepare(fact.id, grouping), slice,
-      grouping, filters, start, finish)
-    Timeseries.sliceBuckets(scanned, fact, slice, grouping)
+    rollupStore.get((fact.id, grouping)) match {
+      // a registered internal store holds exactly these rows — serve
+      // them instead of re-aggregating raw events into the same shape
+      // (external stores skip: service-local events would be missing)
+      case Some(RollupReg(path, false, _)) =>
+        Rollups.sliceSeries(Rollups.read(spark, path), fact, slice,
+          grouping, filters, start, finish)
+      case _ =>
+        val scanned = Timeseries.scan(prepare(fact.id, grouping), slice,
+          grouping, filters, start, finish)
+        Timeseries.sliceBuckets(scanned, fact, slice, grouping)
+    }
   }
 
   // ---- internals -------------------------------------------------------

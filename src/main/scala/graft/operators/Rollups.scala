@@ -441,6 +441,21 @@ object Rollups {
       .where(eq)
   }
 
+  /** The finest-granularity read served FROM the store:
+    * [[Timeseries.sliceBuckets]]'s shape directly from slice partials
+    * — pruned scan + partial-merge (appended/maintained stores may
+    * hold several rows per key; a one-shot materialization is already
+    * one row per key and the merge is a cheap no-op aggregation).
+    * What [[graft.TimeSeriesService.getSliceSeries]] serves when a
+    * store is registered: the slice read IS the rollup contents, so
+    * compute-on-read would re-aggregate raw events only to
+    * reconstruct exactly these rows. */
+  def sliceSeries(rollup: DataFrame, fact: FactDef, sliceMinutes: Int,
+      grouping: Seq[String], filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp): DataFrame =
+    compactFrame(scanPartials(rollup, sliceMinutes, grouping, filters,
+      start, finish))
+
   def run(rollup: DataFrame, fact: FactDef, sliceMinutes: Int,
       grouping: Seq[String], filters: Map[String, Option[String]],
       start: Timestamp, finish: Timestamp, step: Step,

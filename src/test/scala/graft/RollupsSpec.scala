@@ -249,6 +249,32 @@ class RollupsSpec extends SparkTestBase {
       Option(ts("2024-03-02T00:00")) -> 2L)))
   }
 
+  test("getSliceSeries serves registered stores, identical to raw") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("clicks", FactType.Counter, slice = 15)
+    svc.defineDimension("dim", facts = Set("clicks"))
+    svc.newFact("clicks", ts("2024-03-01T10:05"), 3L, Map("dim" -> "a"))
+    svc.newFact("clicks", ts("2024-03-01T10:10"), 2L, Map("dim" -> "a"))
+    svc.newFact("clicks", ts("2024-03-01T11:40"), 4L, Map("dim" -> "b"))
+    def slices = svc.getSliceSeries("clicks", "dim",
+      Map("dim" -> Some("a")),
+      ts("2024-03-01T10:00"), ts("2024-03-01T12:00"))
+    val raw = slices.collect().map(_.toSeq).toSet
+    val base = Files.createTempDirectory("svc-sliceserve").toString
+    svc.materializeRollups(base)
+    val served = slices
+    val paths = served.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    assert(paths.exists(_.contains(base)), s"not store-served: $paths")
+    assert(served.collect().map(_.toSeq).toSet == raw)
+  }
+
   test("attachRollups: a restarted service serves from the found store") {
     val svc = new TimeSeriesService(spark)
     svc.defineFact("clicks", FactType.Counter, slice = 15)
