@@ -640,6 +640,80 @@ object Dedup {
       .withColumn("dup_frac_e4", expr("(10000 * n_dup_spans) DIV n_spans"))
   }
 
+  /** POSITIONAL span hashes (no distinct): one 60-bit hash per w-token
+    * window in document order — [[shingleStrings]] keeps the SET for
+    * membership ops; removal needs every position. Docs shorter than
+    * `w` yield one whole-doc span at position 0. */
+  def spanHashesPositional(text: String, w: Int): Array[Long] = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length >= w)
+      toks.sliding(w).map(s => md5Hash60(s.mkString(" "))).toArray
+    else Array(md5Hash60(toks.mkString(" ")))
+  }
+
+  /** SPAN-LEVEL dedup REMOVAL — the sub-document form of exact
+    * substring deduplication (the "dedup training data" operation at
+    * span granularity): every `w`-token window whose corpus document
+    * frequency is ≥ `minDf` is a duplicated span, and every token
+    * covered by one is CUT from its document; what remains re-joins
+    * with single spaces. Detection's twin is [[duplicatedSpanStats]];
+    * this is the rewrite.
+    *
+    * Scale shape (the rareTokenStats head/tail split): positional
+    * span hashes explode to (id, pos, hash) pairs; the Zipf head —
+    * spans in more than `hotDocFrac` of docs, pigeonhole-bounded by
+    * spans-per-doc / hotDocFrac regardless of corpus size — flags its
+    * occurrences through a BROADCAST semi join (row-local), and only
+    * the tail flags through a shuffle whose per-key multiplicity is
+    * bounded by the hot cut. Flagged positions re-aggregate per doc
+    * (sorted, bounded by the doc's own span count) and a row-local
+    * kernel rebuilds the text with a single merged-interval sweep.
+    * Bodies shuffle exactly once (the final id join); span hashes are
+    * 8-byte longs throughout.
+    *
+    * @return (idCol, clean_text, n_tokens, n_removed) */
+  def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      w: Int = 8, minDf: Long = 2L, hotDocFrac: Double = 0.001): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pos = df.select(col(idCol).cast(LongType), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, spanHashesPositional(t, w))
+      }).toDF("id", "hs")
+      .select(col("id"), posexplode(col("hs")).as(Seq("pos", "sh")))
+    val dfTable = pos.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val hot = dfTable.crossJoin(broadcast(n))
+      .where(col("__df") >=
+        greatest(lit(minDf), ceil(col("__n") * lit(hotDocFrac))))
+      .select(col("sh"))
+    val dupTail = dfTable.where(col("__df") >= minDf).select(col("sh"))
+    val flagged = pos.join(broadcast(hot), Seq("sh"), "left_semi")
+      .unionByName(
+        pos.join(broadcast(hot), Seq("sh"), "left_anti")
+          .join(dupTail, Seq("sh"), "left_semi"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("fp"))
+    df.select(col(idCol).cast(LongType).as("id"), col(textCol).as("__t"))
+      .join(flagged, Seq("id"), "left")
+      .as[(Long, String, Option[Seq[Int]])]
+      .mapPartitions(_.map { case (id, t, fpOpt) =>
+        val toks = t.trim.split("\\s+")
+        val fp = fpOpt.getOrElse(Seq.empty)
+        val covered = new Array[Boolean](toks.length)
+        fp.foreach { p =>
+          var i = p
+          val end = math.min(toks.length - 1, p + w - 1)
+          while (i <= end) { covered(i) = true; i += 1 }
+        }
+        val kept = toks.indices.filterNot(covered).map(toks)
+        (id, kept.mkString(" "), toks.length.toLong,
+          (toks.length - kept.length).toLong)
+      }).toDF("id", "clean_text", "n_tokens", "n_removed")
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Full md5 hex (32 chars) — JVM replica of Spark/DuckDB `md5()`. */
   def md5Hex(s: String): String = {
     val d = md5Local.get()

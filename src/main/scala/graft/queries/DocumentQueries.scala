@@ -712,6 +712,16 @@ object DocumentQueries {
           sum(col("n_kept")).as("sum_kept_lines"))
     }),
 
+    // SPAN-LEVEL dedup REMOVAL (sub-document exact-substring dedup —
+    // the "dedup training data" rewrite at span granularity): tokens
+    // covered by any corpus-duplicated 8-token window are CUT; the
+    // digest output keeps the rebuilt text oracle-hashable
+    "dedup_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(docs(s, dir), "text", "doc_id",
+          w = 8, minDf = 2L)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_tokens"), col("n_removed"))),
+
     // the STREAMING scrub twin: the same row-local scrub chain
     // (augment → normalize → PII count/redact) replayed as a bounded
     // file stream with an append sink — stateless, so batch ≡ stream
@@ -1693,6 +1703,41 @@ object DocumentQueries {
 
     // the composed oracle: the boilerplate-clean CTE over the doubly
     // augmented text, PII-redacted, profiled per source
+    // positional spans (no distinct), df-flagged, coverage via an
+    // interval join, kept tokens re-joined in order and md5'd
+    "dedup_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, toks, CASE WHEN len(toks) >= 8
+        |    THEN list_transform(range(1, len(toks) - 6),
+        |           i -> array_to_string(toks[i:i+7], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END AS spans
+        |  FROM t),
+        |ex AS (
+        |  SELECT doc_id, unnest(range(len(spans))) AS p,
+        |    unnest(list_transform(spans,
+        |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sh
+        |  FROM sp),
+        |dfc AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) >= 2),
+        |fl AS (SELECT DISTINCT e.doc_id, e.p FROM ex e JOIN dfc USING (sh)),
+        |tokpos AS (
+        |  SELECT doc_id, unnest(range(len(toks))) AS ti, unnest(toks) AS tok
+        |  FROM t),
+        |cov AS (
+        |  SELECT DISTINCT tp.doc_id, tp.ti
+        |  FROM tokpos tp JOIN fl
+        |    ON fl.doc_id = tp.doc_id AND tp.ti BETWEEN fl.p AND fl.p + 7)
+        |SELECT tp.doc_id,
+        |  md5(coalesce(string_agg(tok, ' ' ORDER BY tp.ti)
+        |    FILTER (WHERE cov.ti IS NULL), '')) AS clean_md5,
+        |  count(*) AS n_tokens,
+        |  CAST(count(cov.ti) AS BIGINT) AS n_removed
+        |FROM tokpos tp LEFT JOIN cov
+        |  ON cov.doc_id = tp.doc_id AND cov.ti = tp.ti
+        |GROUP BY tp.doc_id""".stripMargin,
+
     // batch recompute of the streaming scrub chain: augment →
     // normalize (3-pass regex, space-trim) → redact/count — stateless
     // row algebra, so stream output must equal this exactly

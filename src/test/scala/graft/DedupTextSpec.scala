@@ -423,6 +423,36 @@ class DedupTextSpec extends SparkTestBase {
     assert(all.forall { case (_, e4) => e4 == 10000L })
   }
 
+  test("removeDuplicatedSpans cuts covered tokens, keeps the rest in order") {
+    // an 8-token boilerplate sentence planted in two docs; unique
+    // prose around it survives, the shared window (and every token it
+    // covers) is cut from BOTH docs
+    val boiler = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"epsilon $boiler zeta"),
+      (3L, "unique prose with no duplication at all here"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .removeDuplicatedSpans(corpus, "text", "doc_id", w = 8, minDf = 2L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("alpha beta gamma delta", 12L, 8L)), got(1L))
+    assert(got(2L) == (("epsilon zeta", 10L, 8L)), got(2L))
+    assert(got(3L) == (("unique prose with no duplication at all here",
+      8L, 0L)), got(3L))
+    // whole-doc duplication (short docs) removes everything
+    val shorts = Seq((1L, "same tiny doc"), (2L, "same tiny doc"),
+      (3L, "another tiny doc")).toDF("doc_id", "text")
+    val g2 = graft.operators.Dedup
+      .removeDuplicatedSpans(shorts, "text", "doc_id", w = 8, minDf = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(g2(1L) == (("", 3L)) && g2(2L) == (("", 3L)))
+    assert(g2(3L) == (("another tiny doc", 0L)))
+  }
+
   test("topTermsApprox: heavy hitter survives MG decrement churn, " +
       "exact counts, equals the exact operator") {
     // 500 docs: 40% carry the hot token, every doc carries a unique
