@@ -207,6 +207,97 @@ object Timeseries {
           / count(lit(1)).over(w)).cast(LongType))
   }
 
+  /** Counter rate (beyond-reference; the PromQL `increase` read): per
+    * series, the per-bucket increase of a CUMULATIVE gauge sampled into
+    * the series, with monotonic-counter reset handling — when the gauge
+    * goes DOWN the source counter restarted, so the whole current
+    * reading is the increase (the extrapolation-free Prometheus rule).
+    * `rate_e4` = increase × 10⁴ / `stepSeconds`, floored. The first
+    * bucket of a series has no predecessor: increase is NULL
+    * (unknowable, not zero).
+    *
+    * Scale shape: ONE series partitioning serves the lag; window state
+    * is a single row. Inputs are already-collapsed series (KB per
+    * series), never raw events. */
+  def counterRate(series: DataFrame, grouping: Seq[String],
+      stepSeconds: Long, valueCol: String = "value"): DataFrame = {
+    require(stepSeconds >= 1, "stepSeconds must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grouping.map(col): _*)
+      .orderBy(col("bucket"))
+    val prev = lag(col(valueCol), 1).over(w)
+    val inc = when(prev.isNull, lit(null).cast(LongType))
+      .when(col(valueCol) >= prev, col(valueCol) - prev)
+      .otherwise(col(valueCol))
+    series
+      .withColumn("increase", inc)
+      // increase ≥ 0 and ≪ 2^43, so the double product is exact and
+      // floor matches the oracle's identical double computation
+      .withColumn("rate_e4",
+        floor(col("increase") * lit(10000.0) / lit(stepSeconds))
+          .cast(LongType))
+  }
+
+  /** Linear-interpolation gap fill (beyond-reference; the TSDB
+    * `fill(linear)` read, vs [[fillRange]]'s `fill(constant)`): over
+    * the dense calendar grid, buckets with no observations take the
+    * straight line between the nearest observed neighbours.
+    * Integer-exact ×100 via epoch-second positions:
+    * `value_e2 = floor(100·(pv·(nt−t) + nv·(t−pt)) / (nt−pt))` — the
+    * weighted mean form, no float slope accumulating error across a
+    * gap. Leading/trailing edges (no neighbour on one side) take the
+    * filler. `src` labels each row `obs` / `interp` / `edge`.
+    *
+    * Scale shape: the grid explode reuses [[fillRange]]'s join-free
+    * per-series map (missing buckets surface as NULL, not filler), and
+    * ONE series partitioning serves both neighbour scans — window
+    * state is one struct each direction, not the series. Series with
+    * no observation in range stay absent, like fillRange. */
+  def interpolateFill(collapsed: DataFrame, grouping: Seq[String],
+      start: Timestamp, finish: Timestamp, step: Step,
+      filler: Long = 0L): DataFrame = {
+    val grid = TimeKernel.timeRange(start, finish, step)
+    val dims = grouping.map(col)
+    if (grid.isEmpty)
+      return collapsed.select(dims :+ col("bucket") :+
+        lit(0L).as("value_e2") :+ lit("obs").as("src"): _*).limit(0)
+    val withMap = collapsed
+      .groupBy(dims: _*)
+      .agg(map_from_entries(collect_list(struct(col("bucket"),
+        struct(col("value"))))).as("__m"))
+    val sparse = withMap
+      .select(dims :+ col("__m") :+ explode(typedlit(grid)).as("bucket"): _*)
+      .select(dims :+ col("bucket") :+
+        element_at(col("__m"), col("bucket")).getField("value")
+          .as("__v"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dims: _*).orderBy(col("bucket"))
+    val wPrev = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wNext = w.rowsBetween(1,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val t = unix_timestamp(col("bucket"))
+    val obs = when(col("__v").isNotNull, struct(t.as("t"), col("__v").as("v")))
+    val pv = last(obs, ignoreNulls = true).over(wPrev)
+    val nv = first(obs, ignoreNulls = true).over(wNext)
+    val num = pv.getField("v") * (nv.getField("t") - t) +
+      nv.getField("v") * (t - pv.getField("t"))
+    val den = nv.getField("t") - pv.getField("t")
+    sparse
+      .withColumn("value_e2",
+        when(col("__v").isNotNull, col("__v") * lit(100L))
+          .when(pv.isNotNull && nv.isNotNull,
+            // all terms ≥ 0 and ≪ 2^53: the double quotient is exact
+            // enough that floor matches the oracle's identical form
+            floor(num * lit(100.0) / den).cast(LongType))
+          .otherwise(lit(filler * 100L)))
+      .withColumn("src",
+        when(col("__v").isNotNull, lit("obs"))
+          .when(pv.isNotNull && nv.isNotNull, lit("interp"))
+          .otherwise(lit("edge")))
+      .drop("__v")
+  }
+
   /** Histogram pipeline (O21, completed beyond the reference): counts per
     * (series × hist_bucket lower bound) over the scan range. With a
     * calendar `step`, one histogram per (series × time bucket) — the

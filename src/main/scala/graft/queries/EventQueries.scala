@@ -193,6 +193,42 @@ object EventQueries {
           ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour),
         Seq("event_type"), k = 4)),
 
+    // counter rate over a cumulative gauge: the filled hourly series
+    // accumulated into a monotonic counter with injected wrap-arounds
+    // (mod 100) — the Prometheus-scrape shape — then per-bucket
+    // increase with the reset rule (gauge down ⇒ increase = gauge)
+    "ts_rate" -> ((s, dir) => {
+      val filled = Timeseries.run(prep(s, dir, withUser = false, one,
+          Some(("2024-01-05T00:00", "2024-01-07T00:00"))), countFact, 15,
+        Seq("event_type"), Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val gauge = filled
+        .withColumn("gauge", (sum(col("value")).over(w) % lit(100L))
+          .cast(LongType))
+        .drop("value")
+      Timeseries.counterRate(gauge, Seq("event_type"), 3600L, "gauge")
+    }),
+
+    // linear-interpolation gap fill on a deliberately SPARSE series
+    // (purchase × one user bucket, hourly over a week): unobserved
+    // grid buckets take the neighbour line, not a constant
+    "ts_interp_fill" -> ((s, dir) => {
+      val prepared = prep(s, dir, withUser = true, one,
+        Some(("2024-01-05T00:00", "2024-01-12T00:00")))
+      val scanned = Timeseries.scan(prepared, 15,
+        Seq("event_type", "user_bucket"),
+        Map("event_type" -> Some("purchase"), "user_bucket" -> Some("3")),
+        ts("2024-01-05T00:00"), ts("2024-01-12T00:00"))
+      val coll = Timeseries.collapse(scanned, countFact,
+        Seq("event_type", "user_bucket"), Step.Hour, 0)
+      Timeseries.interpolateFill(coll, Seq("event_type", "user_bucket"),
+        ts("2024-01-05T00:00"), ts("2024-01-12T00:00"), Step.Hour)
+    }),
+
     // the SERVICE façade end-to-end under the oracle gate: catalog DDL
     // (O3/O4) → bulk ingest of canonical events (O11) → routed
     // getTimeseries (O20). Must produce byte-identical results to the
@@ -1195,6 +1231,87 @@ object EventQueries {
          |FROM filled
          |WINDOW w AS (PARTITION BY event_type ORDER BY bucket
          |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // the fill oracle accumulated into a wrapping gauge, then the
+    // reset-aware increase; both sides compute rate_e4 in the same
+    // double expression over identical integers, so floor agrees
+    "ts_rate" ->
+      s"""WITH filled AS (
+         |${fillOracle(
+             where = "event_type = 'click'",
+             bucketExpr = "date_trunc('hour', ts)",
+             gridStart = "2024-01-05 00:00:00",
+             gridStop = "2024-01-06 23:00:00",
+             gridStep = "1 HOUR",
+             loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00"))}
+         |),
+         |gauge AS (
+         |  SELECT event_type, bucket,
+         |    CAST(sum(value) OVER (PARTITION BY event_type ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) % 100
+         |      AS BIGINT) AS gauge
+         |  FROM filled),
+         |lagged AS (
+         |  SELECT event_type, bucket, gauge,
+         |    lag(gauge) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+         |  FROM gauge),
+         |inc AS (
+         |  SELECT event_type, bucket, gauge,
+         |    CASE WHEN prev IS NULL THEN NULL
+         |         WHEN gauge >= prev THEN gauge - prev
+         |         ELSE gauge END AS increase
+         |  FROM lagged)
+         |SELECT event_type, bucket, gauge, increase,
+         |  CAST(floor(increase * 10000.0 / 3600) AS BIGINT) AS rate_e4
+         |FROM inc""".stripMargin,
+
+    // sparse hourly series → dense grid with NULL holes → neighbour
+    // structs via IGNORE NULLS windows → the same weighted-mean double
+    // expression over identical integers as the Spark side
+    "ts_interp_fill" ->
+      s"""WITH scanned AS (
+         |  SELECT event_type, CAST(user_id % 10 AS VARCHAR) AS user_bucket,
+         |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         |    count(*) AS v
+         |  FROM events
+         |  WHERE event_type = 'purchase'
+         |    AND CAST(user_id % 10 AS VARCHAR) = '3'
+         |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
+         |    AND ts < TIMESTAMP '${hi("2024-01-12T00:00")}'
+         |  GROUP BY ALL),
+         |grid AS (
+         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+         |    TIMESTAMP '2024-01-11 23:00:00', INTERVAL 1 HOUR)) AS bucket),
+         |series AS (SELECT DISTINCT event_type, user_bucket FROM scanned),
+         |sparse AS (
+         |  SELECT s.event_type, s.user_bucket, g.bucket, c.v
+         |  FROM series s CROSS JOIN grid g
+         |  LEFT JOIN scanned c ON c.event_type = s.event_type
+         |    AND c.user_bucket = s.user_bucket AND c.bucket = g.bucket),
+         |nb AS (
+         |  SELECT event_type, user_bucket, bucket, v,
+         |    CAST(epoch(bucket) AS BIGINT) AS t,
+         |    last_value(CASE WHEN v IS NOT NULL THEN
+         |        struct_pack(t := CAST(epoch(bucket) AS BIGINT), v := v)
+         |      END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type, user_bucket ORDER BY bucket
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN
+         |        struct_pack(t := CAST(epoch(bucket) AS BIGINT), v := v)
+         |      END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type, user_bucket ORDER BY bucket
+         |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+         |  FROM sparse)
+         |SELECT event_type, user_bucket, bucket,
+         |  CASE WHEN v IS NOT NULL THEN v * 100
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |         CAST(floor((pv.v * (nv.t - t) + nv.v * (t - pv.t))
+         |           * 100.0 / (nv.t - pv.t)) AS BIGINT)
+         |       ELSE 0 END AS value_e2,
+         |  CASE WHEN v IS NOT NULL THEN 'obs'
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+         |       ELSE 'edge' END AS src
+         |FROM nb""".stripMargin,
 
     // identical to ts_counter_hour_fill: the service façade must be
     // indistinguishable from the operator pipeline

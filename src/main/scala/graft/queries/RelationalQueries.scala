@@ -118,6 +118,51 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q4 shape: EXISTS-style priority check — orders in a
+    // quarter with at least one returned lineitem, counted per
+    // priority. The left_semi join materializes only order keys on
+    // the probe side; lineitem never widens the output
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = read(s, dir, "orders")
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      val returned = read(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R").select(col("l_orderkey"))
+      ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q6 shape: pure filtered scan aggregation — every predicate
+    // (shipdate year, discount band, quantity cap) pushes into the
+    // parquet reader; the whole query is one codegen'd scan + one
+    // scalar agg, the pushdown-showcase query
+    "q6_forecast_revenue" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(round(col("l_extendedprice") * col("l_discount") * 10000)
+            .cast(LongType)).as("revenue_e4"),
+          count(lit(1)).as("n_rows"))),
+
+    // TPC-H Q14 shape: promo revenue share — lineitem × part on
+    // partkey over one ship month. part is UNHINTED (it grows with
+    // SF like customer — AQE broadcasts while it fits); the month
+    // filter pre-shrinks the fact side before the join
+    "q14_promo_revenue" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-09-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00")))
+      li.join(read(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revE4).otherwise(lit(0L)))
+            .cast(LongType).as("promo_e4"),
+          sum(revE4).as("total_e4"))
+    }),
+
     // window function: top-3 orders per customer, deterministic tie-break
     "topk_orders_per_customer" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -231,6 +276,36 @@ object RelationalQueries {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY total_qty DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY ALL""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS promo_e4,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_e4
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
 
     "topk_orders_per_customer" ->
       """SELECT o_custkey, o_orderkey,

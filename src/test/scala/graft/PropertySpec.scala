@@ -82,6 +82,65 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("counterRate: reset rule, first-bucket NULL, exact rate_e4") {
+    val rows = Seq(
+      ("d", ts("2024-02-01T00:00"), 10L),
+      ("d", ts("2024-02-01T01:00"), 17L),  // +7
+      ("d", ts("2024-02-01T02:00"), 3L),   // reset: increase = 3
+      ("d", ts("2024-02-01T03:00"), 3L),   // flat: +0
+      ("e", ts("2024-02-01T00:00"), 5L))   // other series: own first NULL
+      .toDF("dim", "bucket", "gauge")
+    val got = Timeseries.counterRate(rows, Seq("dim"), 3600L, "gauge")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got(("d", ts("2024-02-01T00:00"))) == ((None, None)))
+    assert(got(("d", ts("2024-02-01T01:00"))) ==
+      ((Some(7L), Some(7L * 10000L / 3600L))))
+    assert(got(("d", ts("2024-02-01T02:00"))) ==
+      ((Some(3L), Some(3L * 10000L / 3600L))))
+    assert(got(("d", ts("2024-02-01T03:00"))) == ((Some(0L), Some(0L))))
+    assert(got(("e", ts("2024-02-01T00:00"))) == ((None, None)))
+  }
+
+  test("interpolateFill: exact neighbour line, obs passthrough, edges") {
+    // observed hourly buckets 01:00=100 and 04:00=40 inside a
+    // 00:00..06:00 grid: 02:00 and 03:00 interpolate the line, 00:00
+    // and 05:00 are edges (filler), observed rows pass through ×100
+    val coll = Seq(
+      ("d", ts("2024-02-01T01:00"), 100L),
+      ("d", ts("2024-02-01T04:00"), 40L))
+      .toDF("dim", "bucket", "value")
+    val got = Timeseries.interpolateFill(coll, Seq("dim"),
+      ts("2024-02-01T00:00"), ts("2024-02-01T06:00"), Step.Hour,
+      filler = 7L)
+      .collect()
+      .map(r => r.getTimestamp(1) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.size == 6)
+    assert(got(ts("2024-02-01T00:00")) == ((700L, "edge")))
+    assert(got(ts("2024-02-01T01:00")) == ((10000L, "obs")))
+    // line 100 → 40 over 3 h: 02:00 = 80, 03:00 = 60
+    assert(got(ts("2024-02-01T02:00")) == ((8000L, "interp")))
+    assert(got(ts("2024-02-01T03:00")) == ((6000L, "interp")))
+    assert(got(ts("2024-02-01T04:00")) == ((4000L, "obs")))
+    assert(got(ts("2024-02-01T05:00")) == ((700L, "edge")))
+    // non-integer slope floors: 10 → 11 over 2 h ⇒ midpoint 10.5 → 1050
+    val coll2 = Seq(
+      ("d", ts("2024-02-01T00:00"), 10L),
+      ("d", ts("2024-02-01T02:00"), 11L)).toDF("dim", "bucket", "value")
+    val got2 = Timeseries.interpolateFill(coll2, Seq("dim"),
+      ts("2024-02-01T00:00"), ts("2024-02-01T03:00"), Step.Hour)
+      .collect().map(r => r.getTimestamp(1) -> r.getLong(2)).toMap
+    assert(got2(ts("2024-02-01T01:00")) == 1050L)
+    // empty grid (start >= finish): zero rows, stable schema
+    assert(Timeseries.interpolateFill(coll2, Seq("dim"),
+      ts("2024-02-01T00:00"), ts("2024-02-01T00:00"), Step.Hour)
+      .count() == 0L)
+  }
+
   test("histPercentiles: threshold cut matches a scala cumulative scan") {
     val rnd = new Random(11)
     val hist = (for (d <- Seq("a", "b"); b <- 0 until 10)
