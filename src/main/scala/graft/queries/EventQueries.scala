@@ -845,6 +845,16 @@ object EventQueries {
         .where(col("user_id") >= 0L)
         .select(col("user_id"), col("session_start"), col("n_events"))),
 
+    // streaming twin of range_click_purchase_1h: a STREAM-STREAM
+    // interval self-join (clicks × purchases branches of one replayed
+    // stream, symmetric hash join with watermark-bounded state) —
+    // must emit exactly the batch band join's pairs, so it shares
+    // that oracle verbatim
+    "stream_click_attrib" -> ((s, dir) =>
+      s.read.parquet(streamedAttribution(s, dir))
+        .where(col("user_id") >= 0L)
+        .select(col("click_id"), col("user_id"), col("purchase_id"))),
+
     // streaming twin of event_user_features: same watermark-gated
     // ordered drain as stream_anomalies — the tie-complete RANGE count
     // is exact because a whole second drains at once
@@ -1039,6 +1049,30 @@ object EventQueries {
           Seq((-2L, ts("2100-06-01T00:00"))).toDF("user_id", "ts")),
         graft.streaming.StreamingIngest.sessionizeStream(_, gapMinutes = 30,
           watermarkDelay = "0 seconds"))
+    })
+
+  /** stream_click_attrib's matched-pair parquet, built once per
+    * (session, sf dir). */
+  private val streamAttribDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Replay the sf events through
+    * [[graft.streaming.StreamingIngest.attributionStream]] via
+    * [[replayThroughState]] and return the matched-pair parquet path.
+    * Sentinels carry a non-click/purchase event_type, so they advance
+    * the watermark (evicting join state) without ever matching. */
+  private def streamedAttribution(s: SparkSession, dir: String): String =
+    streamAttribDirs.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      replayThroughState(s, "streamattrib",
+        events(s, dir).select(col("event_id").cast(LongType),
+          col("user_id").cast(LongType), col("event_type"), col("ts")),
+        Seq(Seq((-1L, -1L, "__sentinel", ts("2100-01-01T00:00")))
+            .toDF("event_id", "user_id", "event_type", "ts"),
+          Seq((-2L, -2L, "__sentinel", ts("2100-06-01T00:00")))
+            .toDF("event_id", "user_id", "event_type", "ts")),
+        graft.streaming.StreamingIngest.attributionStream(_,
+          windowSeconds = 3600L, watermarkDelay = "0 seconds"))
     })
 
   /** Shared bounded-replay choreography for the stateful streaming
@@ -1583,6 +1617,14 @@ object EventQueries {
       loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
 
     "range_click_purchase_1h" ->
+      """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    // identical to range_click_purchase_1h: the stream-stream interval
+    // join must emit exactly the batch band join's pairs
+    "stream_click_attrib" ->
       """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'

@@ -240,6 +240,43 @@ object StreamingIngest {
       .drop("__content_key")
   }
 
+  /** Mode 6: STREAM-STREAM interval join — the streaming twin of
+    * [[graft.operators.RangeJoin.band]]'s click→purchase attribution
+    * read. Clicks and purchases are two event-type branches of one
+    * incoming stream (a streaming self-join); each side carries its
+    * own watermark, and the join condition bounds purchase time to
+    * [click, click + windowSeconds) — the event-time range constraint
+    * Spark's symmetric hash join needs to EVICT state: click-side rows
+    * age out `windowSeconds` past the watermark (a later matching
+    * purchase is provably impossible), purchase-side rows at the
+    * watermark itself. Inner join ⇒ each matched pair emits in the
+    * micro-batch where the later row arrives; no end-of-stream flush
+    * is needed for output, only for state cleanup.
+    *
+    * Output columns (click_id, user_id, purchase_id) match the batch
+    * operator's driver query, so both serve the SAME oracle. Scale:
+    * state is bounded by events inside the watermark+window horizon
+    * per key — never the stream's history. */
+  def attributionStream(events: DataFrame, windowSeconds: Long,
+      watermarkDelay: String): DataFrame = {
+    require(windowSeconds > 0, "window must be positive")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <
+          col("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("purchase_id"))
+  }
+
   /** An open (not yet gap-closed) session interval in streaming state.
     * Bounds are epoch MICROSECONDS: `Timestamp.getTime` is
     * millisecond-truncating, and a session_start emitted at ms

@@ -158,6 +158,41 @@ class StreamingSpec extends SparkTestBase {
     assert(batchSessions == got.map(s => (s._1, s._2, s._4)))
   }
 
+  test("stream-stream attribution join: cross-batch matches, window bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String, Timestamp)]
+    val joined = StreamingIngest.attributionStream(
+      source.toDF().toDF("event_id", "user_id", "event_type", "ts"),
+      windowSeconds = 3600L, watermarkDelay = "1 hour")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("attrib_test")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // batch 1: a click, and one same-batch purchase inside the window
+    source.addData(
+      (1L, 7L, "click", ts("2024-01-01T10:00")),
+      (2L, 7L, "purchase", ts("2024-01-01T10:30")))
+    q.processAllAvailable()
+    // batch 2: a LATER purchase for the same click — the click must
+    // still be in join state from batch 1 (cross-micro-batch match);
+    // plus boundary probes: exactly +1h is OUTSIDE (exclusive upper),
+    // equal timestamps are INSIDE (inclusive lower), other user never
+    source.addData(
+      (3L, 7L, "purchase", ts("2024-01-01T10:59")),
+      (4L, 7L, "purchase", ts("2024-01-01T11:00")),
+      (5L, 7L, "purchase", ts("2024-01-01T10:00")),
+      (6L, 8L, "purchase", ts("2024-01-01T10:15")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attrib_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 7L, 2L), (1L, 7L, 3L), (1L, 7L, 5L)),
+      s"got $got")
+  }
+
   test("streaming-maintained rollup serves getTimeseries; compaction preserves") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Rollups
