@@ -316,6 +316,102 @@ object Rollups {
         .as("value"))
   }
 
+  /** APPROXIMATE quantile partials: one KLL sketch
+    * (DataSketches `KllLongsSketch`) per (dims…, slice bucket) — the
+    * scale path for VALUE-DISTRIBUTION reads where the exact options
+    * both break down: exact percentiles need a per-series sort of raw
+    * events, and histogram partials ([[histogramPartials]]) need the
+    * bucket layout declared up front. A KLL partial is ~3 KB at the
+    * default k=200 (~±1.65% normalized rank error) at ANY per-slice
+    * cardinality, needs no a-priori value range, and sketches MERGE
+    * losslessly — any calendar collapse stays a partial-merge
+    * ([[collapseKllQuantiles]]).
+    *
+    * Shape: per-partition sketch build in one `mapPartitions` pass
+    * (the manual map-side combine — only (key × partition) sketch
+    * blobs ever shuffle, never values), then a per-key merge. Like
+    * [[sketchPartials]], approximation is strictly OPT-IN at the call
+    * site and deliberately NOT registrable with the routing rule.
+    * Sketch compaction draws random bits, so two builds can differ at
+    * the error margin — gate reads with a rank-band verdict (the
+    * `ts_pct_sketch` driver query pins ±5 rank points), never with
+    * byte equality. */
+  def kllPartials(raw: DataFrame, dims: Seq[String], tsCol: String = "ts",
+      valueCol: String = "value", sliceMinutes: Int = 15,
+      k: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllLongsSketch
+    import org.apache.datasketches.memory.Memory
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val keyed = raw.select(
+        array(dims.map(d => col(d).cast("string")): _*).as("ks"),
+        TimeKernel.sliceFloor(col(tsCol), sliceMinutes).as("bucket"),
+        col(valueCol).cast("long").as("v"))
+      .as[(Seq[String], Timestamp, Long)]
+    val partial = keyed.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap
+        .empty[(Seq[String], Timestamp), KllLongsSketch]
+      it.foreach { case (ks, b, v) =>
+        m.getOrElseUpdate((ks, b),
+          KllLongsSketch.newHeapInstance(k)).update(v)
+      }
+      m.iterator.map { case ((ks, b), sk) => (ks, b, sk.toByteArray) }
+    }
+    val merged = partial
+      .groupByKey { case (ks, b, _) => (ks, b) }
+      .mapGroups { (key: (Seq[String], Timestamp),
+          it: Iterator[(Seq[String], Timestamp, Array[Byte])]) =>
+        val sk = KllLongsSketch.newHeapInstance(k)
+        it.foreach { case (_, _, bytes) =>
+          sk.merge(KllLongsSketch.heapify(Memory.wrap(bytes)))
+        }
+        (key._1, key._2, sk.toByteArray)
+      }
+      .toDF("ks", "bucket", "sketch")
+    merged.select(dims.zipWithIndex.map { case (d, i) =>
+      col("ks")(i).as(d) } :+ col("bucket") :+ col("sketch"): _*)
+  }
+
+  /** Collapse KLL partials to a calendar bucket and read quantile
+    * estimates: merge the slice sketches per (dims…, calendar bucket),
+    * then one `est_p<q>` LONG column per requested percentile
+    * (inclusive-rank rule — the estimate is always one of the inserted
+    * values). Merge cost is O(rollup rows), never O(events). */
+  def collapseKllQuantiles(rollup: DataFrame, grouping: Seq[String],
+      qs: Seq[Int], step: Step, offsetHours: Int = 0,
+      k: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllLongsSketch
+    import org.apache.datasketches.memory.Memory
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      "percentiles must be in 1..100")
+    val spark = rollup.sparkSession
+    import spark.implicits._
+    val keyed = rollup.select(
+        array(grouping.map(d => col(d).cast("string")): _*).as("ks"),
+        TimeKernel.timeDimension(col("bucket"), step, offsetHours)
+          .as("bucket"),
+        col("sketch"))
+      .as[(Seq[String], Timestamp, Array[Byte])]
+    val qsLocal = qs
+    val est = keyed
+      .groupByKey { case (ks, b, _) => (ks, b) }
+      .mapGroups { (key: (Seq[String], Timestamp),
+          it: Iterator[(Seq[String], Timestamp, Array[Byte])]) =>
+        val sk = KllLongsSketch.newHeapInstance(k)
+        it.foreach { case (_, _, bytes) =>
+          sk.merge(KllLongsSketch.heapify(Memory.wrap(bytes)))
+        }
+        (key._1, key._2, qsLocal.map(q => sk.getQuantile(q / 100.0)))
+      }
+      .toDF("ks", "bucket", "est")
+    val outCols: Seq[Column] =
+      grouping.zipWithIndex.map { case (d, i) => col("ks")(i).as(d) } ++
+        Seq(col("bucket")) ++
+        qsLocal.zipWithIndex.map { case (q, i) =>
+          col("est")(i).as(s"est_p$q") }
+    est.select(outCols: _*)
+  }
+
   /** Materialize [[sketchPartials]] partitioned by the bucket's date —
     * the standing store form: a year of per-slice sketches for a
     * billion-cardinality fact is ~35k × 4 KB per series, where exact

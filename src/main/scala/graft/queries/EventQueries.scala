@@ -754,6 +754,50 @@ object EventQueries {
             .as("within_5pct"))
     }),
 
+    // the KLL quantile-sketch scale path under a deterministic gate:
+    // per-slice KllLongsSketch partials merge to daily sketches, and
+    // each estimated percentile's RANK interval [count(<est),
+    // count(<=est)] must intersect ±5 rank points around the target —
+    // k=200 gives ~±1.65% rank error, so the verdict is stable while
+    // the estimate itself may vary at the margin between runs (sketch
+    // compaction draws random bits). Output = exact index-selection
+    // percentiles + verdicts, so the frame hashes deterministically.
+    "ts_pct_sketch" -> ((s, dir) => {
+      import graft.operators.Rollups
+      val raw = events(s, dir)
+        .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+        .withColumn("cents", cents)
+      val partials = Rollups.kllPartials(raw, Seq("event_type"),
+        valueCol = "cents")
+      val est = Rollups.collapseKllQuantiles(partials, Seq("event_type"),
+        Seq(50, 90, 99), Step.Day)
+      val daily = raw.select(col("event_type"),
+        date_trunc("day", col("ts")).as("bucket"), col("cents"))
+      def ok(q: Int) = {
+        val e = col(s"est_p$q")
+        val nLt = sum(when(col("cents") < e, 1L).otherwise(0L))
+        val nLe = sum(when(col("cents") <= e, 1L).otherwise(0L))
+        val n = count(lit(1))
+        ((nLt * lit(100L) <= lit(q + 5L) * n) &&
+          (nLe * lit(100L) >= lit(q - 5L) * n)).as(s"ok$q")
+      }
+      val verdicts = daily.join(est, Seq("event_type", "bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(ok(50), ok(90), ok(99))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("bucket"))
+      val rk = daily
+        .withColumn("rn", row_number().over(w.orderBy(col("cents"))))
+        .withColumn("n", count(lit(1)).over(w))
+      def pick(q: Int) = max(when(
+        col("rn") === floor((col("n") - 1L) * q / lit(100L)) + 1L,
+        col("cents"))).as(s"p$q")
+      rk.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("n")).as("n_rows"), pick(50), pick(90), pick(99))
+        .join(verdicts, Seq("event_type", "bucket"))
+    }),
+
     // the STREAMING-maintained sketch store under the same gate: the
     // file-stream replay appends batch-local sketches, the read-side
     // union dedupes values across batches AND slices, and the daily
@@ -1759,6 +1803,28 @@ object EventQueries {
         |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+
+    // exact index-selection percentiles over the same scan, verdicts
+    // pinned TRUE — the sketch estimates must land in the rank band
+    "ts_pct_sketch" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-10 00:00:00'),
+        |rk AS (
+        |  SELECT event_type, bucket, cents,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, bucket) AS n
+        |  FROM t)
+        |SELECT event_type, bucket, CAST(max(n) AS BIGINT) AS n_rows,
+        |  max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN cents END) AS p50,
+        |  max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN cents END) AS p90,
+        |  max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN cents END) AS p99,
+        |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+        |FROM rk GROUP BY event_type, bucket""".stripMargin,
 
     // exact over the complete replayed history + the pinned verdict
     "ts_stream_distinct_sketch" ->

@@ -344,6 +344,46 @@ class RollupsSpec extends SparkTestBase {
     }
   }
 
+  test("kll partials: small-set estimates are EXACT, slices merge losslessly") {
+    // below k=200 retained items a KLL sketch stores every value, so
+    // quantile reads are exact — the merge across slices/partitions is
+    // what's under test, not the approximation
+    val raw = (0 until 150).map { i =>
+      // two days, values 1..150 in scrambled slice/partition order
+      ("s" + (i % 2), ts(f"2024-01-${1 + (i / 2) % 2}%02dT${i % 24}%02d:${(i * 13) % 60}%02d"),
+        (1L + (i * 101) % 150))
+    }.toDF("dim", "ts", "value").repartition(7)
+    val partials = Rollups.kllPartials(raw, Seq("dim"))
+    // shape: one BINARY sketch per (dim, slice)
+    assert(partials.columns.toSeq == Seq("dim", "bucket", "sketch"))
+    val est = Rollups.collapseKllQuantiles(partials, Seq("dim"),
+      Seq(50, 100), Step.NoStep)
+    val got = est.collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // exact per-dim quantiles computed scala-side (inclusive rank rule:
+    // smallest item whose rank/n >= q)
+    val byDim = (0 until 150).map(i =>
+      ("s" + (i % 2), 1L + (i * 101) % 150)).groupBy(_._1)
+    for ((d, rows) <- byDim) {
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.size
+      def q(p: Double) = sorted(math.ceil(p * n).toInt - 1)
+      assert(got(d) == ((q(0.5), q(1.0))), s"dim $d: ${got(d)}")
+    }
+    // calendar collapse: per-day estimates cover each day's values only
+    val byDay = Rollups.collapseKllQuantiles(partials, Seq("dim"),
+      Seq(100), Step.Day).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    assert(byDay.size == 4)
+    for (((d, day), mx) <- byDay) {
+      val want = (0 until 150)
+        .filter(i => "s" + (i % 2) == d &&
+          1 + (i / 2) % 2 == day.toLocalDateTime.getDayOfMonth)
+        .map(i => 1L + (i * 101) % 150).max
+      assert(mx == want, s"$d $day")
+    }
+  }
+
   test("rollup parquet is date-partitioned for partition pruning") {
     val dir = Files.createTempDirectory("rollup").toString
     Rollups.materialize(rawCounter, counterFact, 15, Seq("dim"), dir)
