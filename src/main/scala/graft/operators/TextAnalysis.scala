@@ -170,6 +170,45 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus bigram language model (beyond-reference; the n-gram LM
+    * count step of classic LM training and LM-based quality scoring):
+    * corpus counts of consecutive token pairs, each with its context
+    * count (occurrences of `w1` as a bigram head) and the conditional
+    * probability `cond_e6 = floor(10⁶·n_pair/n_ctx)` — P(w2|w1) in
+    * parts-per-million, the same double expression the oracle
+    * computes over identical integers. Top-`k` by pair count,
+    * deterministic tie-break.
+    *
+    * Scale shape: the pair explode is the shingle explode (row-local),
+    * then ONE hash aggregation on (w1, w2) keys; the context count
+    * falls out of the PAIR table by a window sum over w1 — the
+    * occurrence stream is never re-scanned or joined (the
+    * [[tfIdfTopTerms]] df-from-tf trick on the bigram plane). The
+    * window partitioning sees the Zipf head (w1 = "the" gathers many
+    * distinct successors) but its input is the AGGREGATED pair table,
+    * whose per-key multiplicity is bounded by vocabulary, not
+    * occurrences. */
+  def bigramLm(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val t = tokens(col(textCol))
+    val pairCol = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairCounts = df.select(explode(pairCol).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val byHead = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"))
+    pairCounts
+      .withColumn("n_ctx", sum(col("n_pair")).over(byHead))
+      .withColumn("cond_e6",
+        floor(col("n_pair") * lit(1000000.0) / col("n_ctx")).cast(LongType))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** BPE-ish subword count: runs of letters, runs of digits, or single
     * other non-space characters — the shape of a byte-pair pre-tokenizer
     * split, as a codegen'd regexp. */

@@ -349,6 +349,13 @@ object DocumentQueries {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // corpus bigram LM counts: top-40 consecutive-token pairs with
+    // context counts and ppm conditional probabilities — the n-gram
+    // LM training-count step, context counts window-summed from the
+    // aggregated pair table (never re-joining occurrences)
+    "text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(docs(s, dir), "text", k = 40)),
+
     // the bounded-memory heavy-hitters form of the same top-50:
     // per-partition Misra-Gries summaries → broadcast candidate set →
     // exact recount. The vocabulary never shuffles whole; the result
@@ -1209,6 +1216,28 @@ object DocumentQueries {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 50""".stripMargin,
+
+    // consecutive pairs per doc, corpus pair counts, window context
+    // counts, the same ppm double expression over identical integers
+    "text_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i ->
+        |    struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+        |  FROM toks WHERE len(t) >= 2),
+        |pc AS (
+        |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+        |  FROM pairs GROUP BY 1, 2),
+        |cx AS (
+        |  SELECT w1, w2, n_pair,
+        |    CAST(sum(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_ctx
+        |  FROM pc)
+        |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, n_ctx,
+        |  CAST(floor(n_pair * 1000000.0 / n_ctx) AS BIGINT) AS cond_e6
+        |FROM cx
+        |ORDER BY n_pair DESC, w1, w2
+        |LIMIT 40""".stripMargin,
 
     // heavy-hitters twin: exact-recounted candidates must reproduce
     // the exact top-50 verbatim

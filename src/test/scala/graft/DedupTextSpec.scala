@@ -453,6 +453,26 @@ class DedupTextSpec extends SparkTestBase {
     assert(g2(3L) == (("another tiny doc", 0L)))
   }
 
+  test("bigramLm: exact pair/context counts, ppm conditionals, short docs skip") {
+    val docs = Seq(
+      (1L, "a b a b c"),   // pairs: (a,b) (b,a) (a,b) (b,c)
+      (2L, "a b"),         // pair: (a,b)
+      (3L, "x"),           // <2 tokens: contributes nothing
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLm(docs, "text", k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // heads: a → 3 pairs (all (a,b)); b → 2 pairs ((b,a), (b,c))
+    assert(got == Map(
+      ("a", "b") -> ((3L, 3L, 1000000L)),
+      ("b", "a") -> ((1L, 2L, 500000L)),
+      ("b", "c") -> ((1L, 2L, 500000L))), s"got $got")
+    // top-k cut is deterministic under count ties: (w1, w2) order
+    val top2 = TextAnalysis.bigramLm(docs, "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(top2 == Seq(("a", "b"), ("b", "a")))
+  }
+
   test("topTermsApprox: heavy hitter survives MG decrement churn, " +
       "exact counts, equals the exact operator") {
     // 500 docs: 40% carry the hot token, every doc carries a unique
