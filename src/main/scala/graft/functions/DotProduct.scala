@@ -95,15 +95,20 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(dotInfo._1, dotInfo._2, dotInfo._3)
+    SqlSurface.register(spark)
+  }
 
   /** Column API over the registered function. */
   def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotInfo)
+    ext.injectFunction(SqlSurface.sliceInfo)
+    ext.injectFunction(SqlSurface.weekInfo)
+  }
 }

@@ -420,6 +420,24 @@ object EventQueries {
       Timeseries.sliceBuckets(scanned, countFact, 15, Seq("event_type"))
     }),
 
+    // the SQL text surface: the same slice bucketing as ts_slice_15m,
+    // but expressed entirely in spark.sql through the REGISTERED
+    // graft_slice session function (plus the non-ISO graft_week as a
+    // second grouping column) — the BI-tool/notebook consumption path
+    // of the engine's time kernel, still codegen'd built-ins
+    "ts_sql_surface" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      events(s, dir).createOrReplaceTempView("graft_events_sql")
+      s.sql(s"""
+        SELECT event_type, graft_slice(ts, 15) AS bucket,
+               graft_week(ts) AS week_bucket, count(*) AS value
+        FROM graft_events_sql
+        WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '${lo("2024-01-10T00:00")}'
+          AND ts < TIMESTAMP '${hi("2024-01-11T00:00")}'
+        GROUP BY 1, 2, 3""")
+    }),
+
     // O13 routing: filter on the parent dim routes to the hierarchy path
     "ts_routing_hier" -> ((s, dir) => {
       val filters: Map[String, Option[String]] = Map("event_type" -> Some("view"))
@@ -1546,6 +1564,20 @@ object EventQueries {
     "ts_slice_15m" ->
       s"""SELECT event_type,
          |  make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS bucket,
+         |  count(*) AS value
+         |FROM events
+         |WHERE event_type = 'purchase'
+         |  AND ts >= TIMESTAMP '${lo("2024-01-10T00:00")}'
+         |  AND ts < TIMESTAMP '${hi("2024-01-11T00:00")}'
+         |GROUP BY ALL""".stripMargin,
+
+    // slice floor as epoch arithmetic, the reference week as
+    // date − isodow days (isodow: Mon=1..Sun=7, same as Joda)
+    "ts_sql_surface" ->
+      s"""SELECT event_type,
+         |  make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS bucket,
+         |  CAST(CAST(ts AS DATE) - CAST(isodow(ts) AS INTEGER) AS TIMESTAMP)
+         |    AS week_bucket,
          |  count(*) AS value
          |FROM events
          |WHERE event_type = 'purchase'

@@ -242,4 +242,43 @@ class PlanAuditSpec extends SparkTestBase {
     // and the artifact column never reaches the result schema
     assert(!df.columns.contains("__event_date"))
   }
+
+  test("q6 scan-aggregate: every predicate pushed, schema pruned to 4 cols") {
+    // plan strings elide scan metadata at 100 chars by default — widen
+    // so the full PushedFilters list is assertable
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan("q6_forecast_revenue")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    // all three predicate families reach the parquet reader
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(l_discount"), p.take(3000))
+    assert(p.contains("LessThan(l_quantity"), p.take(3000))
+    // column pruning: only the 4 referenced columns are read
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(read.contains), read)
+    assert(!read.contains("l_orderkey") && !read.contains("l_comment"), read)
+  }
+
+  test("bigram LM: context counts come from a window, never an occurrence join") {
+    val p = plan("text_bigram_lm")
+    // one hash aggregation on pair keys + one window over the
+    // aggregated pair table — a join would mean the occurrence stream
+    // was re-scanned (the Zipf-head skew shape rareTokenStats had)
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("interpolation fill: both neighbour scans share ONE window exchange") {
+    val p = plan("ts_interp_fill")
+    // per-series map agg + grid explode + neighbour windows: the two
+    // directional scans must ride a single series partitioning — a
+    // second window exchange would double the shuffle at scale
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges\n" + p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    // and never a global (single-partition) sort
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+  }
 }

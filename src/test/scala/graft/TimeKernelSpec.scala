@@ -81,4 +81,42 @@ class TimeKernelSpec extends SparkTestBase {
       .select(TimeKernel.basicDateTime(col("ts"))).head().getString(0)
     assert(s === "20140321T090000.000Z")
   }
+
+  test("SQL-surface mirrors equal the Column kernels over a sweep") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // a timestamp sweep crossing hours, days, a week boundary (incl. a
+    // Sunday — the non-ISO week's trickiest day), odd minutes/seconds
+    val sweep = (0 until 400).map(i =>
+      Timestamp.from(ts("2023-12-30T21:17:11").toInstant
+        .plusSeconds(i * 3937L)))
+    val df = sweep.toDF("ts")
+    df.createOrReplaceTempView("sql_surface_sweep")
+    for (slice <- Seq(1, 7, 15, 25, 60)) {
+      val viaSql = spark.sql(
+        s"SELECT graft_slice(ts, $slice) FROM sql_surface_sweep")
+        .collect().map(_.getTimestamp(0)).toSeq
+      val viaKernel = df.select(TimeKernel.sliceFloor(col("ts"), slice))
+        .collect().map(_.getTimestamp(0)).toSeq
+      assert(viaSql == viaKernel, s"slice $slice")
+      // and against the driver-side twin
+      assert(viaKernel == sweep.map(TimeKernel.sliceFloorLocal(_, slice)))
+    }
+    val weekSql = spark.sql("SELECT graft_week(ts) FROM sql_surface_sweep")
+      .collect().map(_.getTimestamp(0)).toSeq
+    val weekKernel = df.select(TimeKernel.weekFloor(col("ts")))
+      .collect().map(_.getTimestamp(0)).toSeq
+    assert(weekSql == weekKernel)
+    // golden: Sunday 2023-12-31 maps to the PREVIOUS Sunday
+    val sunday = spark.sql(
+      "SELECT graft_week(TIMESTAMP '2023-12-31 10:00:00')")
+      .head().getTimestamp(0)
+    assert(sunday == ts("2023-12-24T00:00"))
+    // non-literal minutes is a loud error, not a silent misparse
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_slice(ts, minute(ts) % 60 + 1) " +
+        "FROM sql_surface_sweep").collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
 }

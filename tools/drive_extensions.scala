@@ -3,7 +3,7 @@
 //     --conf spark.ui.enabled=false \
 //     --conf spark.sql.session.timeZone=UTC \
 //     --conf spark.sql.shuffle.partitions=4 \
-//     --conf spark.sql.extensions=graft.plans.GraftExtensions \
+//     --conf spark.sql.extensions=graft.GraftExtensions \
 //     --jars target/scala-2.13/timeseriesstoragespark_2.13-0.1.0.jar \
 //     -I tools/drive_extensions.scala <<< ""
 // Proves the rule injects through the standard extensions config — the
@@ -27,5 +27,11 @@ val q = spark.sql("SELECT event_type, count(*) AS n FROM events_ext GROUP BY 1")
 assert(q.queryExecution.executedPlan.toString.contains(rollDir), "extensions-injected rule did not route")
 val rows = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
 assert(rows == Set(("click", 2L), ("view", 1L)), s"routed rows: $rows")
+// the umbrella extensions also inject the SQL-surface functions —
+// resolvable from plain SQL text with no register() call
+val fn = spark.sql("SELECT graft_slice(TIMESTAMP '2014-03-21 16:46:30', 15), graft_week(TIMESTAMP '2023-12-31 10:00:00'), graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head
+assert(fn.getTimestamp(0) == ts("2014-03-21T16:45"), s"graft_slice: $fn")
+assert(fn.getTimestamp(1) == ts("2023-12-24T00:00"), s"graft_week: $fn")
+assert(fn.getDouble(2) == 11.0, s"graft_dot: $fn")
 println("DRIVE-EXT-OK " + rows)
 sys.exit(0)
