@@ -195,6 +195,45 @@ object Dedup {
         col("sz_a"), col("sz_b"))
   }
 
+  /** Directed near-CONTAINMENT pairs — the quote/subset detector, the
+    * asymmetric companion of [[jaccardPairs]]: containment of A in B is
+    * `|A∩B| / |A|`, which scores HIGH when a short document is quoted
+    * wholesale inside a long one — exactly the case symmetric Jaccard
+    * misses (the big union drowns the overlap). Same df-capped
+    * inverted shingle index and candidate generation as the Jaccard
+    * kernel form; a pair survives when its SMALLER side is at least
+    * `thresholdE4` contained — integer-exact
+    * `10000·common ≥ thresholdE4·least(sz_a, sz_b)` — and both
+    * directed containments ship ×10⁴ (floored, the oracle's identical
+    * double expression). */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int, thresholdE4: Int, maxDf: Long = 1000L): DataFrame = {
+    val hs = shingleHashKernel(df, textCol, idCol, k).cache()
+    val ex = hs.select(col("id"), explode(col("hs")).as("sh"))
+    val sizes = hs.select(col("id"), size(col("hs")).cast(LongType).as("sz"))
+    val keep = ex.groupBy("sh").agg(count(lit(1)).as("df_"))
+      .where(col("df_") <= maxDf).select("sh")
+    val filtered = ex.join(keep, Seq("sh"))
+    val pairs = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .where(lit(10000L) * col("common") >=
+        lit(thresholdE4.toLong) * least(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("sz_a"), col("sz_b"),
+        floor(col("common") * lit(10000.0) / col("sz_a"))
+          .cast(LongType).as("cont_a_e4"),
+        floor(col("common") * lit(10000.0) / col("sz_b"))
+          .cast(LongType).as("cont_b_e4"))
+  }
+
   /** INCREMENTAL near-dup detection: Jaccard pairs between a NEW batch
     * and an EXISTING corpus only — the daily-ingest shape of a
     * production dedup, where the corpus has already been deduped and

@@ -154,6 +154,13 @@ object DocumentQueries {
       Dedup.jaccardPairsPostingKernel(docs(s, dir), "text", "doc_id", k = 3,
         thresholdE4 = 5000)),
 
+    // the asymmetric quote/subset detector: pairs whose SMALLER side
+    // is >= 70% shingle-contained in the other — catches wholesale
+    // quotation that symmetric Jaccard's union term drowns
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "text", "doc_id", k = 3,
+        thresholdE4 = 7000)),
+
     // MinHash + LSH (16 hashes, 4 bands) verified at j >= 0.5
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairsKernel(docs(s, dir), "text", "doc_id")),
@@ -907,6 +914,29 @@ object DocumentQueries {
         |      FROM documents GROUP BY text) c USING (text)""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardPairsSql,
+
+    // jaccardPairsSql's index with the containment threshold and the
+    // directed ratios — same shingle hashes, same candidate pairs
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id,
+         |  unnest(list_transform(shset,
+         |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+         |  FROM sh),
+         |sizes AS (SELECT doc_id, len(shset) AS sz FROM sh),
+         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM ex a JOIN keep USING (s) JOIN ex b USING (s)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b, p.common, sa.sz AS sz_a, sb.sz AS sz_b,
+         |  CAST(floor(p.common * 10000.0 / sa.sz) AS BIGINT) AS cont_a_e4,
+         |  CAST(floor(p.common * 10000.0 / sb.sz) AS BIGINT) AS cont_b_e4
+         |FROM pairs p
+         |JOIN sizes sa ON sa.doc_id = p.id_a
+         |JOIN sizes sb ON sb.doc_id = p.id_b
+         |WHERE 10000 * p.common >= 7000 * least(sa.sz, sb.sz)""".stripMargin,
 
     // the split twin of jaccardPairsSql: probe side = doc_id % 5 = 4,
     // index side = the rest, df cap computed on the INDEX side only

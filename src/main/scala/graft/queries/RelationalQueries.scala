@@ -163,6 +163,20 @@ object RelationalQueries {
           sum(revE4).as("total_e4"))
     }),
 
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join so zero-order customers keep their bucket, then a second
+    // aggregation over the (SF-sized → tiny) per-customer counts; the
+    // expensive first join shuffles once on custkey
+    "q13_order_distribution" -> ((s, dir) => {
+      val perCust = read(s, dir, "customer")
+        .join(read(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
     // window function: top-3 orders per customer, deterministic tie-break
     "topk_orders_per_customer" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -306,6 +320,15 @@ object RelationalQueries {
         |JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
 
     "topk_orders_per_customer" ->
       """SELECT o_custkey, o_orderkey,

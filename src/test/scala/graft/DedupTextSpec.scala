@@ -453,6 +453,31 @@ class DedupTextSpec extends SparkTestBase {
     assert(g2(3L) == (("another tiny doc", 0L)))
   }
 
+  test("containmentPairs: catches the quote Jaccard misses, exact ratios") {
+    // doc 1 is quoted WHOLESALE inside doc 2, which is ~4× longer:
+    // containment(1→2) = 100%, but Jaccard ≈ 1/4 — below any sensible
+    // near-dup threshold. doc 3 is unrelated.
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val host = quote + " " + (1 to 24).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, host), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "text", "doc_id",
+        k = 3, thresholdE4 = 9000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // 6 shingles of the quote (8 tokens, k=3), all present in the host
+    assert(cont.keySet == Set((1L, 2L)), s"got ${cont.keySet}")
+    val (common, szA, szB, contA, contB) = cont((1L, 2L))
+    assert(common == 6L && szA == 6L)
+    assert(contA == 10000L, s"cont_a_e4 $contA") // fully contained
+    assert(contB == (common * 10000L) / szB)
+    // symmetric Jaccard at a typical 50% near-dup threshold finds NO
+    // pair here — the union term drowns the quote
+    assert(Dedup.jaccardPairsKernel(docs, "text", "doc_id",
+      k = 3, thresholdE4 = 5000).count() == 0L)
+  }
+
   test("bigramLm: exact pair/context counts, ppm conditionals, short docs skip") {
     val docs = Seq(
       (1L, "a b a b c"),   // pairs: (a,b) (b,a) (a,b) (b,c)
