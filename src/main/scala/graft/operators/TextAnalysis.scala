@@ -190,12 +190,16 @@ object TextAnalysis {
     * occurrences. */
   def bigramLm(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val t = tokens(col(textCol))
+    // tokenize into a REAL projected column first: a lambda body that
+    // referenced the split(...) expression directly would re-evaluate
+    // the tokenizer on every element_at — O(tokens²) per document
+    val t = col("__t")
     val pairCol = when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1), i =>
         struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val pairCounts = df.select(explode(pairCol).as("p"))
+    val pairCounts = df.select(tokens(col(textCol)).as("__t"))
+      .select(explode(pairCol).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_pair"))

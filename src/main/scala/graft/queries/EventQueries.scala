@@ -782,38 +782,29 @@ object EventQueries {
     // percentiles + verdicts, so the frame hashes deterministically.
     "ts_pct_sketch" -> ((s, dir) => {
       import graft.operators.Rollups
-      val raw = events(s, dir)
-        .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
-          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
-        .withColumn("cents", cents)
+      val raw = pctSketchRaw(s, dir)
       val partials = Rollups.kllPartials(raw, Seq("event_type"),
         valueCol = "cents")
       val est = Rollups.collapseKllQuantiles(partials, Seq("event_type"),
         Seq(50, 90, 99), Step.Day)
-      val daily = raw.select(col("event_type"),
-        date_trunc("day", col("ts")).as("bucket"), col("cents"))
-      def ok(q: Int) = {
-        val e = col(s"est_p$q")
-        val nLt = sum(when(col("cents") < e, 1L).otherwise(0L))
-        val nLe = sum(when(col("cents") <= e, 1L).otherwise(0L))
-        val n = count(lit(1))
-        ((nLt * lit(100L) <= lit(q + 5L) * n) &&
-          (nLe * lit(100L) >= lit(q - 5L) * n)).as(s"ok$q")
-      }
-      val verdicts = daily.join(est, Seq("event_type", "bucket"))
-        .groupBy(col("event_type"), col("bucket"))
-        .agg(ok(50), ok(90), ok(99))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"), col("bucket"))
-      val rk = daily
-        .withColumn("rn", row_number().over(w.orderBy(col("cents"))))
-        .withColumn("n", count(lit(1)).over(w))
-      def pick(q: Int) = max(when(
-        col("rn") === floor((col("n") - 1L) * q / lit(100L)) + 1L,
-        col("cents"))).as(s"p$q")
-      rk.groupBy(col("event_type"), col("bucket"))
-        .agg(max(col("n")).as("n_rows"), pick(50), pick(90), pick(99))
-        .join(verdicts, Seq("event_type", "bucket"))
+      pctSketchGate(s, dir, est)
+    }),
+
+    // the STREAMING-maintained KLL store under the same gate: the
+    // file-stream replay appends batch-local quantile sketches, the
+    // read-side merge unifies the distribution across batches AND
+    // slices, and each daily estimate must land in the same ±5
+    // rank-point band around the exact percentile — sharing
+    // ts_pct_sketch's oracle verbatim
+    "ts_stream_pct_sketch" -> ((s, dir) => {
+      import graft.operators.Rollups
+      val path = maintainedKllRollup(s, dir)
+      val est = Rollups.collapseKllQuantiles(
+          Rollups.read(s, path).drop("bucket_date", "__batch_id"),
+          Seq("event_type"), Seq(50, 90, 99), Step.Day)
+        .where(col("bucket") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+          && col("bucket") < lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+      pctSketchGate(s, dir, est)
     }),
 
     // the STREAMING-maintained sketch store under the same gate: the
@@ -1111,6 +1102,76 @@ object EventQueries {
           Seq((-2L, ts("2100-06-01T00:00"))).toDF("user_id", "ts")),
         graft.streaming.StreamingIngest.sessionizeStream(_, gapMinutes = 30,
           watermarkDelay = "0 seconds"))
+    })
+
+  /** The KLL percentile gate's raw scan (one week, integral cents). */
+  private def pctSketchRaw(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+        && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+      .withColumn("cents", cents)
+
+  /** Shared deterministic gate for the KLL percentile reads (batch
+    * partials and the streaming-maintained store): exact
+    * index-selection percentiles per (event_type, day), joined with
+    * rank-band verdicts for the estimate frame — each `est_p<q>`'s
+    * rank interval [count(<est), count(≤est)] must intersect ±5 rank
+    * points around q. Output is estimate-free, so it hashes
+    * deterministically despite sketch randomness. */
+  private def pctSketchGate(s: SparkSession, dir: String,
+      est: DataFrame): DataFrame = {
+    val daily = pctSketchRaw(s, dir).select(col("event_type"),
+      date_trunc("day", col("ts")).as("bucket"), col("cents"))
+    def ok(q: Int) = {
+      val e = col(s"est_p$q")
+      val nLt = sum(when(col("cents") < e, 1L).otherwise(0L))
+      val nLe = sum(when(col("cents") <= e, 1L).otherwise(0L))
+      val n = count(lit(1))
+      ((nLt * lit(100L) <= lit(q + 5L) * n) &&
+        (nLe * lit(100L) >= lit(q - 5L) * n)).as(s"ok$q")
+    }
+    val verdicts = daily.join(est, Seq("event_type", "bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(ok(50), ok(90), ok(99))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("bucket"))
+    val rk = daily
+      .withColumn("rn", row_number().over(w.orderBy(col("cents"))))
+      .withColumn("n", count(lit(1)).over(w))
+    def pick(q: Int) = max(when(
+      col("rn") === floor((col("n") - 1L) * q / lit(100L)) + 1L,
+      col("cents"))).as(s"p$q")
+    rk.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("n")).as("n_rows"), pick(50), pick(90), pick(99))
+      .join(verdicts, Seq("event_type", "bucket"))
+  }
+
+  /** ts_stream_pct_sketch's streaming-maintained KLL store, built once
+    * per (session, sf dir) by replaying the events parquet as a
+    * bounded file stream of cents-valued samples. */
+  private def maintainedKllRollup(s: SparkSession, dir: String): String =
+    streamRollupDirs.getOrElseUpdate((s, s"$dir#kll"), {
+      import graft.streaming.StreamingIngest
+      val base = java.nio.file.Files.createTempDirectory("graft_streamkll")
+        .toString
+      val rollPath = s"$base/rollup"
+      val schema = graft.sources.EventSource
+        .adaptiveSchema(s, s"$dir/events.parquet")
+      val stream = graft.sources.EventSource.normalizeEventTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+        .select(lit("value_pct").as("fact"), col("ts"),
+          round(col("value") * 100).cast(LongType).as("value"),
+          map(lit("event_type"), col("event_type")).as("categories"))
+      val q = StreamingIngest
+        .maintainKllRollup(stream, "value_pct", Seq("event_type"), rollPath)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      rollPath
     })
 
   /** stream_click_attrib's matched-pair parquet, built once per
@@ -1840,6 +1901,29 @@ object EventQueries {
     // pinned TRUE — the sketch estimates must land in the rank band
     "ts_pct_sketch" ->
       """WITH t AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-10 00:00:00'),
+        |rk AS (
+        |  SELECT event_type, bucket, cents,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, bucket) AS n
+        |  FROM t)
+        |SELECT event_type, bucket, CAST(max(n) AS BIGINT) AS n_rows,
+        |  max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN cents END) AS p50,
+        |  max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN cents END) AS p90,
+        |  max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN cents END) AS p99,
+        |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+        |FROM rk GROUP BY event_type, bucket""".stripMargin,
+
+    // identical to ts_pct_sketch: the streaming-maintained KLL store's
+    // cross-batch merged estimates face the same exact percentiles and
+    // rank-band verdicts
+    "ts_stream_pct_sketch" ->
+      s"""WITH t AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
         |    CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events

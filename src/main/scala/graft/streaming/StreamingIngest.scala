@@ -190,6 +190,38 @@ object StreamingIngest {
         ()
       }
 
+  /** The KLL twin of [[maintainSketchRollup]] on the quantile plane:
+    * per-micro-batch value-distribution sketch partials
+    * ([[graft.operators.Rollups.kllPartials]]) land in the batch's
+    * idempotent directory; the read side
+    * ([[graft.operators.Rollups.collapseKllQuantiles]]) merges
+    * sketches across batches AND slices in one pass, so a calendar
+    * bucket whose values arrived in different micro-batches reads as
+    * one distribution. Zero streaming state (plain per-batch
+    * aggregation); store growth is sketch-sized (~3 KB per series ×
+    * slice × batch) at any value cardinality. */
+  def maintainKllRollup(stream: DataFrame, factId: String,
+      dims: Seq[String], path: String, sliceMinutes: Int = 15,
+      k: Int = 200): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentBatchWrite(path, batchId,
+            batch.sparkSession.sessionState.newHadoopConf()) { outDir =>
+          val dimCols = dims.map(d => col("categories").getItem(d).as(d))
+          val prepared = batch
+            .where(col("fact") === lit(factId))
+            .select(dimCols :+ col("ts") :+ col("value"): _*)
+          graft.operators.Rollups
+            .kllPartials(prepared, dims, sliceMinutes = sliceMinutes, k = k)
+            .withColumn("bucket_date", to_date(col("bucket")))
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(outDir)
+        }
+        ()
+      }
+
   /** Start mode-2 into an in-memory sink (testing / small pipelines). */
   def startToMemory(agged: DataFrame, queryName: String): StreamingQuery =
     agged.writeStream
