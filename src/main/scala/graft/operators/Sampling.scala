@@ -99,6 +99,38 @@ object Sampling {
     (sampled, rates)
   }
 
+  /** Temperature-scaled source rebalancing (the `n^α` mixing rule of
+    * multilingual/multi-source LM training — downweight huge sources
+    * without flattening the mixture) at α = 0.5: target sizes ∝
+    * √n_s, realized by pure downsampling with the SMALLEST source
+    * kept whole — `rateE4_s = min(10⁴, floor(10⁴·√n_min / √n_s))`.
+    * α is FIXED at 0.5 deliberately: `sqrt` is IEEE-754
+    * correctly-rounded, so Spark, the JVM driver, and the DuckDB
+    * oracle compute bit-identical rates — a general `pow(n, α)` is
+    * only faithfully-rounded and could flip a floor boundary between
+    * libms. No float summation appears anywhere (rates derive from
+    * pairwise min/divide only), for the same reason.
+    *
+    * Membership is the same (id, seed) hash as [[stratifiedSample]]
+    * — partitioning-independent, nested under rate changes. The
+    * per-source counts are one O(#strata) driver aggregation, like
+    * [[mixToTarget]]; returned rates make the decision auditable. */
+  def mixByTemperatureSqrt(df: DataFrame, idCol: String, stratumCol: String,
+      seed: Int = 42): (DataFrame, Map[String, Int]) = {
+    val counts = df
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return (df.where(lit(false)), Map.empty)
+    val nMin = counts.values.min
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(10000L,
+        math.floor(10000.0 * math.sqrt(nMin.toDouble) /
+          math.sqrt(n.toDouble)).toLong).toInt
+    }
+    (stratifiedSample(df, idCol, stratumCol, rates, defaultE4 = 0, seed),
+      rates)
+  }
+
   /** Deterministic per-group fixed-size sample: the `k` rows of each
     * group with the SMALLEST seeded content hash — a hash reservoir.
     * Uniform within the group (the hash is uniform in the id),

@@ -624,6 +624,18 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // temperature mixing at α=0.5: per-source keep rates
+    // floor(1e4·√n_min/√n_s) — smallest source whole, big sources
+    // √-downweighted; the oracle recomputes rates from counts with
+    // the same IEEE-exact sqrt expression and the same hash membership
+    "mix_temperature_profile" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val (mixed, _) = Sampling.mixByTemperatureSqrt(docs(s, dir),
+        "doc_id", "source")
+      mixed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // sharded corpus export, gated end to end: actually WRITE the
     // 16-shard layout (one file per shard dir), read it back, profile
     // per shard — the oracle recomputes membership from the closed-form
@@ -1705,6 +1717,22 @@ object DocumentQueries {
         |      FROM cnt JOIN w USING (source)),
         |r AS (SELECT source, least(10000, t.t * w.w // c) AS rate
         |      FROM cnt JOIN w USING (source), t)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN r ON r.source = d.source
+        |WHERE CAST('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)),
+        |    1, 15) AS BIGINT) % 10000 < r.rate
+        |GROUP BY 1""".stripMargin,
+
+    // rates from counts with the identical 10000.0*sqrt/sqrt floor
+    "mix_temperature_profile" ->
+      """WITH cnt AS (
+        |  SELECT source, count(*) AS c FROM documents GROUP BY source),
+        |mn AS (SELECT min(c) AS nmin FROM cnt),
+        |r AS (SELECT source,
+        |    least(10000, CAST(floor(10000.0 * sqrt(CAST(mn.nmin AS DOUBLE))
+        |      / sqrt(CAST(c AS DOUBLE))) AS BIGINT)) AS rate
+        |  FROM cnt, mn)
         |SELECT d.source, count(*) AS n_docs,
         |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
         |FROM documents d JOIN r ON r.source = d.source

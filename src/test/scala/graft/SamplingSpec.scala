@@ -74,4 +74,34 @@ class SamplingSpec extends SparkTestBase {
       Sampling.splitColumn(col("id"), Seq("a" -> 9000, "b" -> 2000))
     }
   }
+
+  test("mixByTemperatureSqrt: sqrt-law rates, smallest source kept whole") {
+    // counts 100 / 400 / 900 → rates 10000 / 5000 / 3333 (exact sqrt
+    // ratios: 1, 1/2, 1/3 floored at e4)
+    val docs = ((0 until 100).map(i => (i.toLong, "small")) ++
+      (0 until 400).map(i => (1000L + i, "mid")) ++
+      (0 until 900).map(i => (10000L + i, "big")))
+      .toDF("doc_id", "source")
+    val (mixed, rates) = Sampling.mixByTemperatureSqrt(docs, "doc_id", "source")
+    assert(rates == Map("small" -> 10000, "mid" -> 5000, "big" -> 3333),
+      s"rates $rates")
+    val kept = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest source is untouched; others are real subsets near n·rate
+    assert(kept("small") == 100L)
+    assert(kept("mid") < 400L && kept("big") < 900L)
+    // membership is the stratifiedSample hash: recompute one source
+    val expectMid = docs.where(col("source") === "mid")
+      .collect().map(_.getLong(0))
+      .count(id => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"42:$id".getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16) % 10000 < 5000
+      })
+    assert(kept("mid") == expectMid.toLong)
+    // empty input → empty result, no rates
+    val (e, er) = Sampling.mixByTemperatureSqrt(docs.limit(0), "doc_id", "source")
+    assert(e.count() == 0L && er.isEmpty)
+  }
 }
