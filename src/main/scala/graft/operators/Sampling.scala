@@ -157,6 +157,26 @@ object Sampling {
       .where(col("sample_rank") <= k)
   }
 
+  /** LEAKAGE-SAFE split assignment: the train/val/test hash is
+    * computed on a provided GROUP label — canonically the near-dup
+    * component from [[Dedup.connectedComponents]] — instead of the
+    * row id, so every member of a duplicate cluster lands in the SAME
+    * split and a near-copy of an eval document can never leak into
+    * train (the contamination mode a per-doc split hash cannot
+    * prevent: two 95%-identical docs hash independently). Same
+    * nested hash-range machinery as [[splitColumn]]; cost is one join
+    * on the label frame (labels are one row per doc, AQE
+    * broadcast-or-shuffle sized). Output keeps the label as
+    * `split_group` — the auditable unit of assignment. */
+  def splitByGroup(df: DataFrame, idCol: String, groups: DataFrame,
+      groupIdCol: String, groupLabelCol: String,
+      fractionsE4: Seq[(String, Int)], seed: Int = 42): DataFrame =
+    df.join(
+        groups.select(col(groupIdCol).as(idCol),
+          col(groupLabelCol).as("split_group")),
+        Seq(idCol))
+      .withColumn("split", splitColumn(col("split_group"), fractionsE4, seed))
+
   /** Assign each row to a named split by cumulative hash ranges, e.g.
     * `Seq("train" -> 9000, "val" -> 500, "test" -> 500)` (basis points,
     * must sum to ≤ 10000; a shortfall leaves rows unassigned → null). */

@@ -176,6 +176,23 @@ object DocumentQueries {
         jaccardPairsArtifact(s, dir), "id_a", "id_b")
     }),
 
+    // leakage-safe train/val/test: the split hash rides the near-dup
+    // COMPONENT label, so a duplicate pair can never straddle train
+    // and eval — profiled per split; n_clusters counts assignment
+    // units (a cluster appears in exactly one split by construction)
+    "split_leakage_profile" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val d = docs(s, dir)
+      val comp = Dedup.connectedComponents(d.select(col("doc_id")), "doc_id",
+        jaccardPairsArtifact(s, dir), "id_a", "id_b")
+      Sampling.splitByGroup(d, "doc_id", comp, "doc_id", "component",
+          Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("split_group")).as("n_clusters"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // the same cluster collapse via alternating star contraction
     // (O(log² n) rounds regardless of component diameter — the
     // adversarial-depth twin of the min-label propagation above);
@@ -1001,6 +1018,33 @@ object DocumentQueries {
          |  UNION
          |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
          |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin,
+
+    // the clusters CTE closed recursively, then the split hash on the
+    // COMPONENT label — same md5 ranges as the other split oracles
+    "split_leakage_profile" ->
+      s"""WITH RECURSIVE jp AS (
+         |$jaccardPairsSql
+         |),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM jp
+         |        UNION ALL SELECT id_b AS a, id_a AS b FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+         |comp AS (SELECT a AS doc_id, min(b) AS component
+         |         FROM reach GROUP BY a),
+         |sp AS (
+         |  SELECT d.doc_id, d.n_chars, c.component,
+         |    CAST('0x' || substr(md5('42:' || CAST(c.component AS VARCHAR)),
+         |      1, 15) AS BIGINT) % 10000 AS h
+         |  FROM documents d JOIN comp c USING (doc_id))
+         |SELECT CASE WHEN h < 8000 THEN 'train'
+         |            WHEN h < 9000 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  count(DISTINCT component) AS n_clusters,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM sp GROUP BY 1""".stripMargin,
 
     // the clusters CTE (same recursive closure) joined to the quality
     // CTE; kept member = row_number 1 under (quality DESC, doc_id)

@@ -75,6 +75,34 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("splitByGroup: cluster members share a split; per-doc hashing would not") {
+    import graft.operators.Dedup
+    // 200 docs in 100 two-member clusters (component = even id)
+    val docs = (0 until 200).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (0 until 100).map(i => (2L * i, 2L * i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+      pairs, "id_a", "id_b")
+    val split = Sampling.splitByGroup(docs, "doc_id", comp, "doc_id",
+        "component", Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      .select(col("doc_id"), col("split_group"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(split.length == 200)
+    // the invariant: one split per component, always
+    val perComp = split.groupBy(_._2).map { case (_, rows) =>
+      rows.map(_._3).distinct.size }
+    assert(perComp.forall(_ == 1), "a cluster straddled splits")
+    // and the hazard is REAL: per-doc hashing separates at least one
+    // of these pairs (if it never did, the test would prove nothing)
+    val perDoc = docs
+      .withColumn("split", Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+      .toMap
+    val straddled = (0 until 100).count(i =>
+      perDoc(2L * i) != perDoc(2L * i + 1))
+    assert(straddled > 0, "fixture never exercised the leakage hazard")
+  }
+
   test("mixByTemperatureSqrt: sqrt-law rates, smallest source kept whole") {
     // counts 100 / 400 / 900 → rates 10000 / 5000 / 3333 (exact sqrt
     // ratios: 1, 1/2, 1/3 floored at e4)
