@@ -259,6 +259,26 @@ object TextAnalysis {
     }
   }
 
+  /** Line-level language segmentation (the multilingual-document
+    * detector): [[langId]] per non-blank LINE instead of per document
+    * — a code-switching page (boilerplate in one language, content in
+    * another) identifies per segment where the doc-level vote returns
+    * whichever language owns more stopwords. Per doc: line counts,
+    * identified-line counts, distinct identified languages, and a
+    * `multilingual` flag (≥2 languages). Row-local explode + ONE
+    * per-doc aggregation; the language vote never leaves the line. */
+  def lineLangStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
+      .where(trim(col("line")) =!= "")
+      .withColumn("llang", langId(col("line")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("llang") =!= "und", 1)).as("n_lang_lines"),
+        count_distinct(when(col("llang") =!= "und", col("llang")))
+          .as("n_langs"))
+      .withColumn("multilingual", col("n_langs") >= 2)
+
   /** Integer-exact quality components: chars, tokens, English-stopword
     * hits, punctuation (non-alphanumeric-space) chars. */
   def nChars(text: Column): Column = length(text).cast(LongType)

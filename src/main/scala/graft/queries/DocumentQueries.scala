@@ -641,6 +641,12 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // line-level language segmentation: langId per non-blank line,
+    // per-doc distinct-language profile + multilingual flag — the
+    // code-switching detector the doc-level vote can't express
+    "text_line_langs" -> ((s, dir) =>
+      TextAnalysis.lineLangStats(docs(s, dir), "doc_id", "text")),
+
     // temperature mixing at α=0.5: per-source keep rates
     // floor(1e4·√n_min/√n_s) — smallest source whole, big sources
     // √-downweighted; the oracle recomputes rates from counts with
@@ -1767,6 +1773,37 @@ object DocumentQueries {
         |WHERE CAST('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)),
         |    1, 15) AS BIGINT) % 10000 < r.rate
         |GROUP BY 1""".stripMargin,
+
+    // per-line toks → the same stopword-vote CASE as text_stats, then
+    // one per-doc aggregation
+    "text_line_langs" -> {
+      val langCase = TextAnalysis.stopwords.map(_._1)
+        .map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      val scores = TextAnalysis.stopwords.map(_._1)
+        .map(l => s"${hits(l)} AS s_$l").mkString(",\n    ")
+      s"""WITH lines AS (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+         |  FROM documents),
+         |toklines AS (
+         |  SELECT doc_id, string_split_regex(trim(l), '\\s+') AS toks
+         |  FROM lines WHERE trim(l) <> ''),
+         |scored AS (
+         |  SELECT doc_id, $langCase AS llang
+         |  FROM (
+         |    SELECT doc_id, ${TextAnalysis.stopwords.map(s => "s_" + s._1)
+             .mkString(", ")},
+         |      greatest(${TextAnalysis.stopwords.map(s => "s_" + s._1)
+             .mkString(", ")}) AS best
+         |    FROM (SELECT doc_id, $scores FROM toklines)))
+         |SELECT doc_id, count(*) AS n_lines,
+         |  count(CASE WHEN llang <> 'und' THEN 1 END) AS n_lang_lines,
+         |  count(DISTINCT CASE WHEN llang <> 'und' THEN llang END)
+         |    AS n_langs,
+         |  count(DISTINCT CASE WHEN llang <> 'und' THEN llang END) >= 2
+         |    AS multilingual
+         |FROM scored GROUP BY doc_id""".stripMargin
+    },
 
     // rates from counts with the identical 10000.0*sqrt/sqrt floor
     "mix_temperature_profile" ->

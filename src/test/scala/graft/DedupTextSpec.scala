@@ -453,6 +453,24 @@ class DedupTextSpec extends SparkTestBase {
     assert(g2(3L) == (("another tiny doc", 0L)))
   }
 
+  test("lineLangStats: per-line votes, blank lines skipped, multilingual flag") {
+    val docs = Seq(
+      // English line + German line + a blank + an unidentifiable line
+      (1L, "the cat is of the house\nder hund ist von der strasse\n\nxyzzy qwerty"),
+      (2L, "the dog is in the park\nthe end of the story"),  // en only
+      (3L, "\n\n  \n")).toDF("doc_id", "text")               // all blank
+    val got = TextAnalysis.lineLangStats(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // doc 1: 3 non-blank lines, 2 identified (en + de), multilingual
+    assert(got(1L) == ((3L, 2L, 2L, true)), s"doc1 ${got(1L)}")
+    // doc 2: 2 lines, both en, one distinct language
+    assert(got(2L) == ((2L, 2L, 1L, false)), s"doc2 ${got(2L)}")
+    // doc 3: all-blank doc contributes no rows at all
+    assert(!got.contains(3L))
+  }
+
   test("containmentPairs: catches the quote Jaccard misses, exact ratios") {
     // doc 1 is quoted WHOLESALE inside doc 2, which is ~4× longer:
     // containment(1→2) = 100%, but Jaccard ≈ 1/4 — below any sensible
