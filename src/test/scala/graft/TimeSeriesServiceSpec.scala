@@ -464,4 +464,27 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(loaded.facts === svc.catalog.facts)
     assert(loaded.dimensions === svc.catalog.dimensions)
   }
+
+  test("typed Dataset surface agrees with the nested-map adapter") {
+    val svc = freshService()
+    val df = svc.getTimeseries("signups", "dependency_user",
+      Map("dependency" -> None),
+      ts("2014-03-21T09:00"), ts("2014-03-21T13:00"), Step.Hour)
+    val dims = Seq("dependency", "dependency_user")
+    val points = ResultShape.typed(df, dims)
+    // typed lambdas over the distributed Dataset — the Dataset[T] path
+    val juanele = points
+      .filter(_.series("dependency_user") == "juanele")
+      .collect()
+    assert(juanele.forall(_.series == Map("dependency" -> "31",
+      "dependency_user" -> "juanele")))
+    // same content as the reference-shape adapter, point for point
+    val viaTyped = points.collect()
+      .groupBy(_.series)
+      .map { case (k, ps) => k -> ps.map(p => p.bucket -> p.value).toMap }
+    assert(viaTyped == pivot(df, dims))
+    // and the values survive a typed aggregation
+    assert(points.filter(_.value > 0).collect().map(_.value).sum ==
+      df.agg(org.apache.spark.sql.functions.sum("value")).head.getLong(0))
+  }
 }
