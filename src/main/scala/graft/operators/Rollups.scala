@@ -255,6 +255,34 @@ object Rollups {
         col(valueCol).as("dval"): _*)
       .agg(count(lit(1L)).as("value"))
 
+  /** Coarsen DISTINCT tall partials to DAY grain — the hierarchical
+    * tier on the distinct plane: one row per (dims…, day, value)
+    * where the slice tier holds up to 96, built FROM the slice
+    * partials (never re-reading raw). The compaction factor is the
+    * slices-per-day a value recurs in — highest exactly for the
+    * sticky values (daily-active users) a distinct read targets.
+    * Occurrence counts sum so the tier stays further coarsenable;
+    * COUNT DISTINCT itself only needs the retained value rows. */
+  def coarsenDistinctPartialsToDay(partials: DataFrame): DataFrame = {
+    require(partials.columns.contains("dval") &&
+      partials.columns.contains("value"), "not a distinct-partials frame")
+    val dims = partials.columns.filterNot(c =>
+      Set("bucket", "bucket_date", "dval", "value").contains(c))
+    partials
+      .groupBy(dims.map(col) :+
+        date_trunc("day", col("bucket")).as("bucket") :+ col("dval"): _*)
+      .agg(sum(col("value")).as("value"))
+  }
+
+  /** Materialize the distinct day tier from an existing slice-partials
+    * frame, date-partitioned like every rollup store. */
+  def materializeDistinctDayPartials(partials: DataFrame, path: String): Unit =
+    coarsenDistinctPartialsToDay(partials)
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(path)
+
   /** Materialize [[distinctPartials]] partitioned by the bucket's date. */
   def materializeDistinctPartials(raw: DataFrame, dims: Seq[String],
       path: String, tsCol: String = "ts", valueCol: String = "value",

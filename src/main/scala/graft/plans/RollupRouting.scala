@@ -131,6 +131,22 @@ object RollupRouting {
     registerImpl(spark, raw, rollup, dims, tsCol, valueCol,
       sliceMinutes = DayGrainMinutes, distinctVals = false)
 
+  /** Register a DAY-grain DISTINCT tier
+    * ([[graft.operators.Rollups.coarsenDistinctPartialsToDay]] shape)
+    * for `raw`: COUNT DISTINCT with day+ truncation and
+    * midnight-aligned bounds serves from one row per (dims, day,
+    * value) instead of one per (dims, slice, value) — up to 96× fewer
+    * rows for values that recur through the day (exactly the
+    * daily-active-user shape a distinct read targets). Hour
+    * truncations and sub-day bounds structurally cannot ride this
+    * tier, same as the scalar day tier; the null-keeping requirement
+    * of [[registerDistinct]] applies identically. */
+  def registerDistinctDayGrain(spark: SparkSession, raw: DataFrame,
+      rollup: DataFrame, dims: Seq[String], tsCol: String = "ts",
+      valueCol: String = "value"): Unit =
+    registerImpl(spark, raw, rollup, dims, tsCol, valueCol,
+      sliceMinutes = DayGrainMinutes, distinctVals = true)
+
   /** Sentinel grain for day-tier entries (24 × 60). */
   private[plans] val DayGrainMinutes = 1440
 

@@ -120,6 +120,28 @@ object EventQueries {
       out
     })
 
+  /** Day-grain DISTINCT tier over [[ensureRoutedDistinct]]'s tall
+    * partials, built and registered once per (session, sf dir): with
+    * both distinct tiers live, day+ COUNT DISTINCT queries serve from
+    * one row per (dims, day, value). */
+  private val routedDistinctDayDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ensureRoutedDistinctDay(s: SparkSession, dir: String): Unit = {
+    ensureRoutedDistinct(s, dir)
+    routedDistinctDayDirs.getOrElseUpdate((s, dir), {
+      import graft.operators.Rollups
+      import graft.plans.RollupRouting
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_ddaypartials").toString
+      Rollups.materializeDistinctDayPartials(
+        Rollups.read(s, routedDistinctDirs((s, dir))), out)
+      RollupRouting.registerDistinctDayGrain(s, events(s, dir),
+        Rollups.read(s, out), Seq("event_type"), valueCol = "user_id")
+      out
+    })
+    ()
+  }
+
   /** Day-grain tier over [[ensureRouted]]'s slice partials, built and
     * registered once per (session, sf dir): with both tiers live, the
     * rule serves day+ queries from ~96× fewer rows. */
@@ -746,6 +768,19 @@ object EventQueries {
         .agg(count_distinct(col("user_id")).as("uniq_users"))
     }),
 
+    // COUNT DISTINCT on the hierarchical DAY tier: with both distinct
+    // tiers registered, the same day-grouped plan must ride the
+    // coarser store (one row per dims × day × value — up to 96× fewer
+    // rows; RollupRoutingSpec pins the tier choice) and stay exact
+    "ts_routed_distinct_day" -> ((s, dir) => {
+      val raw = events(s, dir)
+      ensureRoutedDistinctDay(s, dir)
+      raw.where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count_distinct(col("user_id")).as("uniq_users"))
+    }),
+
     // APPROXIMATE distinct via HLL sketch partials — the scale path
     // for unique-per-event values where exact tall partials would be
     // as big as the event stream (SCALE.md §8). Per-slice sketches
@@ -1345,6 +1380,16 @@ object EventQueries {
     // routed ≡ raw for count distinct: the oracle computes straight
     // from raw events, the Spark side is served from the partials
     "ts_routed_distinct" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |  count(DISTINCT user_id) AS uniq_users
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // identical to ts_routed_distinct: the day tier must not change
+    // the answer, only the store it reads
+    "ts_routed_distinct_day" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
         |  count(DISTINCT user_id) AS uniq_users
         |FROM events

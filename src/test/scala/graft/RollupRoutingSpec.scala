@@ -304,6 +304,50 @@ class RollupRoutingSpec extends SparkTestBase {
     } finally RollupRouting.clear(spark)
   }
 
+  test("distinct day tier: day COUNT DISTINCT rides it, hour stays on slices") {
+    val sliceDir = java.nio.file.Files
+      .createTempDirectory("graft_rt_dsl").toString
+    Rollups.materializeDistinctPartials(raw, Seq("event_type"), sliceDir,
+      valueCol = "user_id")
+    val dayDir = java.nio.file.Files
+      .createTempDirectory("graft_rt_dday").toString
+    Rollups.materializeDistinctDayPartials(
+      Rollups.read(spark, sliceDir), dayDir)
+    def dayQ: DataFrame = raw
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("b"))
+      .agg(countDistinct(col("user_id")).as("u"))
+    def hourQ: DataFrame = raw
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
+      .agg(countDistinct(col("user_id")).as("u"))
+    val expDay = dayQ.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val expHour = hourQ.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    RollupRouting.install(spark)
+    RollupRouting.registerDistinct(spark, raw, Rollups.read(spark, sliceDir),
+      Seq("event_type"), valueCol = "user_id")
+    RollupRouting.registerDistinctDayGrain(spark, raw,
+      Rollups.read(spark, dayDir), Seq("event_type"), valueCol = "user_id")
+    try {
+      // day truncation: the coarse tier wins and the count stays exact
+      // (a user active in many slices of one day counts once)
+      val pDay = scannedPaths(dayQ)
+      assert(pDay.exists(_.contains(dayDir)), s"day not on day tier: $pDay")
+      assert(!pDay.exists(_.contains(sliceDir)),
+        s"day query wrongly on slice tier: $pDay")
+      assert(dayQ.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+        == expDay)
+      // hour truncation cannot ride day buckets — slice tier serves
+      val pHour = scannedPaths(hourQ)
+      assert(pHour.exists(_.contains(sliceDir)) &&
+        !pHour.exists(_.contains(dayDir)), s"hour mis-tiered: $pHour")
+      assert(hourQ.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+        == expHour)
+    } finally RollupRouting.clear(spark)
+  }
+
   test("count-by-histogram-bucket routes onto histogram tall partials") {
     import graft.model.{FactDef, FactType}
     import graft.operators.Timeseries
