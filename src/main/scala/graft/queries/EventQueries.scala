@@ -933,6 +933,20 @@ object EventQueries {
         .where(col("user_id") >= 0L)
         .select(col("user_id"), col("session_start"), col("n_events"))),
 
+    // ordered funnel over the raw stream: signup → later click →
+    // later purchase, earliest-qualifying-event rule; one user_id
+    // partitioning serves all three monotonically-shrinking stages
+    "event_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(events(s, dir), "user_id", "ts", Seq(
+        "signup" -> (col("event_type") === "signup"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))),
+
+    // cohort retention matrix: users by first-seen day × day offset,
+    // each user once per cell — the day-N retention read
+    "event_cohort_retention" -> ((s, dir) =>
+      graft.operators.Funnel.cohortRetention(events(s, dir), "user_id", "ts")),
+
     // streaming twin of range_click_purchase_1h: a STREAM-STREAM
     // interval self-join (clicks × purchases branches of one replayed
     // stream, symmetric hash join with watermark-bounded state) —
@@ -1803,6 +1817,43 @@ object EventQueries {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    // chained earliest-qualifying CTEs, one per stage
+    "event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS q FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS q FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.q GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS q FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.q GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'click',
+        |  (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
+        |  (SELECT count(*) FROM s3)""".stripMargin,
+
+    // first-seen day per user, then distinct (user, activity day)
+    // cells per cohort × offset
+    "event_cohort_retention" ->
+      """WITH fst AS (
+        |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+        |    AS cohort_day
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+        |  FROM events)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, a.d) AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM act a JOIN fst f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // identical to range_click_purchase_1h: the stream-stream interval
     // join must emit exactly the batch band join's pairs
