@@ -947,6 +947,20 @@ object EventQueries {
     "event_cohort_retention" -> ((s, dir) =>
       graft.operators.Funnel.cohortRetention(events(s, dir), "user_id", "ts")),
 
+    // streaming twin of event_funnel: per-user stage advancements from
+    // the watermark-gated ordered drain, aggregated by stage — must
+    // reproduce the batch funnel counts verbatim (same oracle)
+    "stream_funnel" -> ((s, dir) => {
+      val names = Seq("signup", "click", "purchase")
+      s.read.parquet(streamedFunnel(s, dir))
+        .where(col("user_id") >= 0L)
+        .groupBy(col("stage_idx"))
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", element_at(typedlit(names),
+          (col("stage_idx") + 1L).cast("int")))
+        .select(col("stage_idx"), col("stage"), col("n_users"))
+    }),
+
     // streaming twin of range_click_purchase_1h: a STREAM-STREAM
     // interval self-join (clicks × purchases branches of one replayed
     // stream, symmetric hash join with watermark-bounded state) —
@@ -1221,6 +1235,24 @@ object EventQueries {
         .start()
       q.awaitTermination()
       rollPath
+    })
+
+  /** stream_funnel's stage-advancement parquet, built once per
+    * (session, sf dir). */
+  private val streamFunnelDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def streamedFunnel(s: SparkSession, dir: String): String =
+    streamFunnelDirs.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      replayThroughState(s, "streamfunnel",
+        events(s, dir).select(col("user_id").cast(LongType), col("ts"),
+          col("event_id").cast(LongType), col("event_type")),
+        Seq(Seq((-1L, ts("2100-01-01T00:00"), -1L, "__sentinel"))
+            .toDF("user_id", "ts", "event_id", "event_type"),
+          Seq((-2L, ts("2100-06-01T00:00"), -2L, "__sentinel"))
+            .toDF("user_id", "ts", "event_id", "event_type")),
+        graft.streaming.StreamingIngest.funnelStream(_,
+          Seq("signup", "click", "purchase"), watermarkDelay = "0 seconds"))
     })
 
   /** stream_click_attrib's matched-pair parquet, built once per
@@ -1820,6 +1852,27 @@ object EventQueries {
 
     // chained earliest-qualifying CTEs, one per stage
     "event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS q FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS q FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.q GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS q FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.q GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'click',
+        |  (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
+        |  (SELECT count(*) FROM s3)""".stripMargin,
+
+    // identical to event_funnel: the streamed stage advancements,
+    // aggregated, must equal the batch funnel
+    "stream_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS q FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),

@@ -387,6 +387,78 @@ object StreamingIngest {
       }
   }
 
+  /** An event awaiting its watermark in streaming funnel state (µs
+    * timestamps: stage qualification compares strict ts order, which
+    * must match the batch twin's microsecond-exact `>`). */
+  case class PendingFunnelEv(us: Long, eventId: Long, etype: String)
+
+  /** Per-user streaming funnel state: watermark-gated pending events +
+    * the qualifying time (µs) of every stage reached so far. `reached`
+    * is ≤ |stages| longs and NEVER removed — dropping it after
+    * completion would let a later event replay stage 0. */
+  case class FunnelBuf(pending: Seq[PendingFunnelEv], reached: Seq[Long])
+
+  /** A stage advancement, emitted exactly once per (user, stage) —
+    * qualifying times are monotone per user, so append mode fits. */
+  case class FunnelHit(user_id: Long, stage_idx: Long, ts: Timestamp)
+
+  /** STREAMING twin of [[graft.operators.Funnel.funnel]] for
+    * event-type stages: per user, emit (stage_idx, qualifying ts) the
+    * moment a stage is reached — stage 0 on the user's first matching
+    * event, stage i on the first event of type `stages(i)` STRICTLY
+    * after the stage i−1 qualifying time. Same watermark-gated
+    * ordered drain as [[anomalyStream]] (a whole floor-second drains
+    * at once, in (ts, event id) order), so the incremental chain of
+    * earliest-qualifying times is exactly the batch computation —
+    * an out-of-order arrival inside the horizon slots into its true
+    * position before anything later is processed. Aggregating the
+    * sink by stage reproduces the batch funnel counts verbatim.
+    * State per user: pending (watermark-bounded) + ≤ |stages|
+    * qualifying times. */
+  def funnelStream(events: DataFrame, stages: Seq[String],
+      watermarkDelay: String): Dataset[FunnelHit] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def toUs(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def toTs(us: Long): Timestamp =
+      Timestamp.from(java.time.Instant.ofEpochSecond(
+        math.floorDiv(us, 1000000L), math.floorMod(us, 1000000L) * 1000L))
+    val stagesLocal = stages
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val st = if (state.exists) state.get else FunnelBuf(Nil, Nil)
+          val incoming = rows.map(r =>
+            PendingFunnelEv(toUs(r._2), r._3, r._4)).toSeq
+          // final once the whole floor-second passed the watermark —
+          // same gate as anomalyStream, in µs
+          val (ready, rest) = (st.pending ++ incoming).partition(e =>
+            (math.floorDiv(e.us, 1000000L) + 1L) * 1000L <= wmMs)
+          var reached = st.reached.toVector
+          val hits = Seq.newBuilder[FunnelHit]
+          ready.sortBy(e => (e.us, e.eventId)).foreach { e =>
+            val i = reached.length
+            if (i < stagesLocal.length && e.etype == stagesLocal(i) &&
+              (i == 0 || e.us > reached(i - 1))) {
+              reached = reached :+ e.us
+              hits += FunnelHit(user, i.toLong, toTs(e.us))
+            }
+          }
+          state.update(FunnelBuf(rest, reached))
+          if (rest.nonEmpty) state.setTimeoutTimestamp(wmMs + 1L)
+          hits.result().iterator
+      }
+  }
+
   /** An event awaiting its watermark in streaming anomaly state. */
   case class PendingObs(sec: Long, eventId: Long, x: Long)
 

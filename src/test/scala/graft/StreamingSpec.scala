@@ -193,6 +193,48 @@ class StreamingSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("streaming funnel: late click slots before the purchase (ordered drain)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Long, String)]
+    val hits = StreamingIngest.funnelStream(
+      source.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      stages = Seq("signup", "click", "purchase"),
+      watermarkDelay = "1 hour")
+    val q = hits.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("funnel_test")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // batch 1: signup and purchase arrive; the qualifying click is
+    // MISSING so far — an unordered incremental funnel would discard
+    // the purchase here and never recover
+    source.addData(
+      (7L, ts("2024-01-01T10:00"), 1L, "signup"),
+      (7L, ts("2024-01-01T10:30"), 3L, "purchase"))
+    q.processAllAvailable()
+    // batch 2: the click arrives LATE but inside the 1 h horizon
+    source.addData((7L, ts("2024-01-01T10:10"), 2L, "click"))
+    q.processAllAvailable()
+    // advance the watermark past everything, then one more batch so
+    // the event-time timeout drains the gated events
+    source.addData((99L, ts("2024-01-01T20:00"), 90L, "signup"))
+    q.processAllAvailable()
+    source.addData((98L, ts("2024-01-01T20:01"), 91L, "signup"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_test")
+      .where(org.apache.spark.sql.functions.col("user_id") === 7L)
+      .collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2))).toSet
+    // all three stages reached, in true event-time order
+    assert(got == Set(
+      (0L, ts("2024-01-01T10:00")),
+      (1L, ts("2024-01-01T10:10")),
+      (2L, ts("2024-01-01T10:30"))), s"got $got")
+  }
+
   test("streaming-maintained rollup serves getTimeseries; compaction preserves") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Rollups
