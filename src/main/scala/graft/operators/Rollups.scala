@@ -309,6 +309,32 @@ object Rollups {
         histCol.as("hist_bucket"): _*)
       .agg(count(lit(1L)).as("value"))
 
+  /** Coarsen HISTOGRAM tall partials to DAY grain — counts re-sum
+    * losslessly per (dims…, day, hist_bucket), built FROM the slice
+    * partials; compaction is the slices-per-day each bucket receives
+    * events in (up to 96×). */
+  def coarsenHistogramPartialsToDay(partials: DataFrame): DataFrame = {
+    require(partials.columns.contains("hist_bucket") &&
+      partials.columns.contains("value"), "not a histogram-partials frame")
+    val dims = partials.columns.filterNot(c =>
+      Set("bucket", "bucket_date", "hist_bucket", "value").contains(c))
+    partials
+      .groupBy(dims.map(col) :+
+        date_trunc("day", col("bucket")).as("bucket") :+
+        col("hist_bucket"): _*)
+      .agg(sum(col("value")).as("value"))
+  }
+
+  /** Materialize the histogram day tier from an existing
+    * slice-partials frame, date-partitioned like every rollup store. */
+  def materializeHistogramDayPartials(partials: DataFrame,
+      path: String): Unit =
+    coarsenHistogramPartialsToDay(partials)
+      .withColumn("bucket_date", to_date(col("bucket")))
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(path)
+
   /** APPROXIMATE distinct partials: one HLL sketch (DataSketches
     * HllSketch via `hll_sketch_agg`) per (dims…, slice bucket) — the
     * scale alternative to [[distinctPartials]] for facts whose values

@@ -191,6 +191,22 @@ object RollupRouting {
     registerImpl(spark, raw, rollup, dims, tsCol, valueCol, sliceMinutes,
       distinctVals = false, histCol = Some(histCol))
 
+  /** Register a DAY-grain HISTOGRAM tier
+    * ([[graft.operators.Rollups.coarsenHistogramPartialsToDay]]
+    * shape): `count(*) GROUP BY histBucket(value)` plans with day+
+    * truncation (or no time grouping) and midnight-aligned bounds
+    * serve from one row per (dims, day, hist_bucket) — counts are
+    * sums of sums at any grain, so the coarse tier is exact wherever
+    * it is reachable; hour truncations and sub-day bounds fall back
+    * exactly like the other day tiers. */
+  def registerHistogramDayGrain(spark: SparkSession, raw: DataFrame,
+      rollup: DataFrame, dims: Seq[String],
+      histCol: org.apache.spark.sql.Column, tsCol: String = "ts",
+      valueCol: String = "value"): Unit =
+    registerImpl(spark, raw, rollup, dims, tsCol, valueCol,
+      sliceMinutes = DayGrainMinutes, distinctVals = false,
+      histCol = Some(histCol))
+
   private def registerImpl(spark: SparkSession, raw: DataFrame,
       rollup: DataFrame, dims: Seq[String], tsCol: String,
       valueCol: String, sliceMinutes: Int, distinctVals: Boolean,

@@ -879,6 +879,21 @@ object EventQueries {
         .agg(count(one).as("value"))
     }),
 
+    // histogram on the hierarchical DAY tier: per-day histogram series
+    // with midnight-aligned bounds, both histogram tiers registered —
+    // the plan must ride the (dims × day × hist_bucket) store
+    // (RollupRoutingSpec pins the tier choice) and stay exact
+    "ts_routed_hist_day" -> ((s, dir) => {
+      import graft.operators.Timeseries
+      val raw = events(s, dir)
+      ensureRoutedHistDay(s, dir)
+      raw.where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"),
+          Timeseries.histBucket(histFact))
+        .agg(count(one).as("value"))
+    }),
+
     // the raw-scan FALLBACK: a time bound NOT on a slice boundary
     // (…00:07:00 with 15-minute slices) makes the rollup unable to
     // answer exactly — the rule must leave the plan on raw events
@@ -1166,6 +1181,27 @@ object EventQueries {
         graft.streaming.StreamingIngest.sessionizeStream(_, gapMinutes = 30,
           watermarkDelay = "0 seconds"))
     })
+
+  /** Day-grain histogram tier over [[ensureRoutedHist]]'s tall
+    * partials, built and registered once per (session, sf dir). */
+  private val routedHistDayDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ensureRoutedHistDay(s: SparkSession, dir: String): Unit = {
+    ensureRoutedHist(s, dir)
+    routedHistDayDirs.getOrElseUpdate((s, dir), {
+      import graft.operators.{Rollups, Timeseries}
+      import graft.plans.RollupRouting
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_hdaypartials").toString
+      Rollups.materializeHistogramDayPartials(
+        Rollups.read(s, routedHistDirs((s, dir))), out)
+      RollupRouting.registerHistogramDayGrain(s, events(s, dir),
+        Rollups.read(s, out), Seq("event_type"),
+        Timeseries.histBucket(histFact))
+      out
+    })
+    ()
+  }
 
   /** The KLL percentile gate's raw scan (one week, integral cents). */
   private def pctSketchRaw(s: SparkSession, dir: String): DataFrame =
@@ -2109,6 +2145,16 @@ object EventQueries {
          |WHERE ts >= TIMESTAMP '${lo("2024-01-01T00:00")}'
          |  AND ts < TIMESTAMP '${hi("2024-01-31T00:00")}'
          |GROUP BY ALL""".stripMargin,
+
+    // the day-tier histogram must be exactly the raw per-day histogram
+    "ts_routed_hist_day" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |  CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) * 20 AS hist_bucket,
+        |  count(*) AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY ALL""".stripMargin,
 
     "ts_routed_unaligned" ->
       """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,

@@ -387,6 +387,51 @@ class RollupRoutingSpec extends SparkTestBase {
     } finally RollupRouting.clear(spark)
   }
 
+  test("histogram day tier: day series ride it, hour stays on slices") {
+    import graft.model.{FactDef, FactType}
+    import graft.operators.Timeseries
+    val hFact = FactDef("vh", FactType.Histogram, sliceMinutes = 15,
+      start = Some(0L), end = Some(200L), step = Some(20L))
+    val sliceDir = java.nio.file.Files
+      .createTempDirectory("graft_rt_hsl").toString
+    Rollups.materializeHistogramPartials(raw, Seq("event_type"),
+      Timeseries.histBucket(hFact), sliceDir)
+    val dayDir = java.nio.file.Files
+      .createTempDirectory("graft_rt_hday").toString
+    Rollups.materializeHistogramDayPartials(
+      Rollups.read(spark, sliceDir), dayDir)
+    def dayQ: DataFrame = raw
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("b"),
+        Timeseries.histBucket(hFact))
+      .agg(count(lit(1)).as("value"))
+    def hourQ: DataFrame = raw
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"),
+        Timeseries.histBucket(hFact))
+      .agg(count(lit(1)).as("value"))
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val (expDay, expHour) = (key(dayQ), key(hourQ))
+    RollupRouting.install(spark)
+    RollupRouting.registerHistogram(spark, raw,
+      Rollups.read(spark, sliceDir), Seq("event_type"),
+      Timeseries.histBucket(hFact))
+    RollupRouting.registerHistogramDayGrain(spark, raw,
+      Rollups.read(spark, dayDir), Seq("event_type"),
+      Timeseries.histBucket(hFact))
+    try {
+      val pDay = scannedPaths(dayQ)
+      assert(pDay.exists(_.contains(dayDir)), s"day not on day tier: $pDay")
+      assert(!pDay.exists(_.contains(sliceDir)),
+        s"day query wrongly on slice tier: $pDay")
+      assert(key(dayQ) == expDay)
+      val pHour = scannedPaths(hourQ)
+      assert(pHour.exists(_.contains(sliceDir)) &&
+        !pHour.exists(_.contains(dayDir)), s"hour mis-tiered: $pHour")
+      assert(key(hourQ) == expHour)
+    } finally RollupRouting.clear(spark)
+  }
+
   test("distinct routing preserves NULL dimension and NULL value groups") {
     // a raw GROUP BY dim emits the NULL-dim group; a routed plan served
     // from null-dropping partials (the service write path's semantics)
