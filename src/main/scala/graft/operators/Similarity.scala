@@ -116,6 +116,131 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** PRODUCT QUANTIZATION training (PQ — the FAISS-style memory scale
+    * path past int8's 4×): split the `dim` dimensions into `m`
+    * contiguous subspaces and k-means each subspace to `ks` centroids
+    * via [[kmeansFit]] (deterministic seeding/stopping, so the
+    * codebook is a pure function of the corpus). Returns the codebook
+    * as `m × ks × (dim/m)` doubles — the ONE bounded driver-side
+    * collect of this pipeline (dim × ks doubles total, the same
+    * bounded-centroid footprint as the IVF index), broadcast back as
+    * literals at encode/serve time. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      ks: Int, dotFn: (Column, Column) => Column = dot,
+      maxIter: Int = 6): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && ks > 1, "need m >= 1 subspaces and ks >= 2 codes")
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)
+          .as("__sv"))
+      kmeansFit(sliced, idCol, "__sv", ks, maxIter = maxIter,
+          dotFn = dotFn)
+        .orderBy(col("part"))
+        .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    }
+  }
+
+  /** PQ encode: each vector becomes `m` codes (the best-dot centroid
+    * per subspace, first-index tie-break) — `dim` floats shrink to
+    * `m` bytes (64-dim float32 → 8 bytes at m=8: 32×), which is the
+    * difference between a trillion-vector corpus needing a float
+    * scan and its codes fitting hot storage. Row-local column
+    * algebra; each of the m×ks subspace dots is its own expression
+    * evaluated once per row (no higher-order lambda re-evaluation). */
+  def pqEncode(corpus: DataFrame, vecCol: String,
+      codebook: Seq[Seq[Seq[Double]]],
+      encodeDotFn: (Column, Column) => Column = l2Score()): DataFrame = {
+    val m = codebook.size
+    val sub = codebook.head.head.size
+    val v = col(vecCol).cast("array<double>")
+    val codes = (0 until m).map { j =>
+      val sims = array(codebook(j).map(c =>
+        encodeDotFn(slice(v, j * sub + 1, sub), typedlit(c))): _*)
+      (array_position(sims, array_max(sims)) - 1L).cast("int")
+    }
+    corpus.withColumn("pq_codes", array(codes: _*))
+  }
+
+  /** PQ SHORTLIST + EXACT RERANK — the production PQ serving shape:
+    * ADC over the codes selects `candidates` ≫ k cheap approximate
+    * neighbours per query (no float touches the corpus), then ONLY
+    * those candidate vectors are fetched and exactly re-scored for
+    * the final top-k. Cost: a code scan + |queries|×candidates exact
+    * dots, instead of |corpus| exact dots; the candidate fetch is a
+    * broadcast semi join on ids (the shortlist is bounded by
+    * construction). Result quality = exact top-k whenever the ADC
+    * shortlist covers it — gate with the int8-style in-plan recall
+    * verdict, never assume identity. */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebook: Seq[Seq[Seq[Double]]], k: Int,
+      candidates: Int, dotFn: (Column, Column) => Column = dot,
+      encodeDotFn: (Column, Column) => Column = l2Score()): DataFrame = {
+    require(candidates >= k, "shortlist must be at least k")
+    val shortlist = pqTopK(corpus, queries, idCol, vecCol, codebook,
+      candidates, dotFn, encodeDotFn)
+      .select(col("query_id"), col("neighbor_id"))
+    val cand = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotFn(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Minimum-L2 assignment as a max-score function: argmin ||x−c||² =
+    * argmax (x·c − |c|²/2) (the |x|² term is constant per row). Use as
+    * the `dotFn` of [[kmeansFit]]/[[pqTrain]]/[[pqEncode]] to make
+    * them EUCLIDEAN k-means/coding — the metric PQ reconstruction
+    * error is defined in; pure-dot assignment measurably halves PQ
+    * recall on unnormalized embeddings. */
+  def l2Score(dotFn: (Column, Column) => Column = dot)
+      : (Column, Column) => Column =
+    (a, b) => dotFn(a, b) - dotFn(b, b) * lit(0.5)
+
+  /** PQ/ADC top-k: asymmetric distance computation — per QUERY, an
+    * m × ks table of subspace dots is computed once (query side is
+    * small; the codebook rides as literals), and a corpus row's
+    * approximate dot is then `m` TABLE LOOKUPS on its codes: at serve
+    * time no float multiply ever touches a corpus vector, and the
+    * scan reads `pq_codes` instead of the embedding column. Ranks by
+    * the ADC score (deterministic id tie-break); recall vs exact is
+    * the quantization trade — gate it explicitly like int8
+    * (`ann_pq_topk` pins recall in-plan against the exact top-k). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebook: Seq[Seq[Seq[Double]]], k: Int,
+      dotFn: (Column, Column) => Column = dot,
+      encodeDotFn: (Column, Column) => Column = l2Score()): DataFrame = {
+    val m = codebook.size
+    val sub = codebook.head.head.size
+    val qv = col(vecCol).cast("array<double>")
+    val qtab = array((0 until m).map(j =>
+      array(codebook(j).map(c =>
+        dotFn(slice(qv, j * sub + 1, sub), typedlit(c))): _*)): _*)
+    val q = queries.select(col(idCol).as("query_id"), qtab.as("__qtab"))
+    val c = pqEncode(corpus, vecCol, codebook, encodeDotFn)
+      .select(col(idCol).as("neighbor_id"), col("pq_codes"))
+    val score = aggregate(
+      zip_with(col("pq_codes"), col("__qtab"),
+        (code, tab) => element_at(tab, code + 1)),
+      lit(0.0), _ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), score.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Near-duplicate pairs: all (a < b) with cosine ≥ threshold, as a
     * broadcast nested-loop join with the threshold folded into the
     * join condition — the dot product (pass the codegen'd

@@ -60,6 +60,11 @@ object EmbeddingQueries {
   private val kmeansIndexes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** PQ codebooks (m × ks × sub doubles), trained once per
+    * (session, corpus dir) — deterministic, so reuse is safe. */
+  private val pqCodebooks = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[Seq[Seq[Double]]]]
+
   /** Build the k-means IVF index artifacts: seed centroids = vecs
     * 0..9, one assignment pass, one Lloyd centroid refinement;
     * `assign` + `centroids` parquet under a fresh temp dir. */
@@ -197,6 +202,39 @@ object EmbeddingQueries {
         .agg(collect_set(col("neighbor_id")).as("qn"))
       val perQuery = Window.partitionBy(col("query_id"))
       exact.join(quant, Seq("query_id"))
+        .withColumn("__hit",
+          when(array_contains(col("qn"), col("neighbor_id")), 1L)
+            .otherwise(0L))
+        .withColumn("__hits", sum(col("__hit")).over(perQuery))
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (col("__hits") >= 3L).as("recall_ok"))
+    }),
+
+    // PRODUCT-QUANTIZED search in its production serving shape: L2
+    // codebooks (16 subspaces × 16 codes — 64-dim float32 becomes 16
+    // small codes), ADC shortlist of 100 over the codes (no float
+    // touches the corpus), exact rerank of the candidates only. The
+    // codebook is a pure function of the corpus (deterministic
+    // kmeansFit per subspace); recall pinned IN-PLAN like int8 (≥3 of
+    // 5 exact neighbors per query — measured coverage is complete at
+    // this corpus, the band absorbs fixture regeneration drift).
+    "ann_pq_rerank" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val qs = e.where(col("vec_id") < 10)
+      val dotN: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = GraftFunctions.dotNative
+      val cb = pqCodebooks.getOrElseUpdate((s, dir),
+        Similarity.pqTrain(e, "vec_id", "embedding", m = 16, ks = 16,
+          dotFn = Similarity.l2Score(dotN)))
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+        k = 5, dotFn = dotN)
+      val pq = Similarity.pqRerankTopK(e, qs, "vec_id", "embedding", cb,
+          k = 5, candidates = 100, dotFn = dotN,
+          encodeDotFn = Similarity.l2Score(dotN))
+        .groupBy(col("query_id"))
+        .agg(collect_set(col("neighbor_id")).as("qn"))
+      val perQuery = Window.partitionBy(col("query_id"))
+      exact.join(pq, Seq("query_id"))
         .withColumn("__hit",
           when(array_contains(col("qn"), col("neighbor_id")), 1L)
             .otherwise(0L))
@@ -365,6 +403,10 @@ object EmbeddingQueries {
 
     // exact top-k plus the pinned-at-TRUE quantization recall verdict
     "ann_int8_topk" ->
+      s"SELECT *, TRUE AS recall_ok FROM ($topkOracle)",
+
+    // same gate for the PQ shortlist + exact-rerank path
+    "ann_pq_rerank" ->
       s"SELECT *, TRUE AS recall_ok FROM ($topkOracle)",
 
     "ann_ivf_kmeans_topk" -> kmeansIvfOracle,

@@ -117,6 +117,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(res(incr) == res(full), "append changed answers")
   }
 
+  test("PQ: codes well-formed and deterministic; full-shortlist rerank exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = e.count().toInt
+    val l2 = Similarity.l2Score()
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ks = 8,
+      dotFn = l2)
+    // codebook shape + determinism (pure function of the corpus)
+    assert(cb.size == 8 && cb.forall(_.size == 8) &&
+      cb.forall(_.forall(_.size == 8)))
+    val cb2 = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ks = 8,
+      dotFn = l2)
+    assert(cb == cb2, "codebook training is nondeterministic")
+    // codes: length m, every code in [0, ks)
+    val codes = Similarity.pqEncode(e, "embedding", cb, l2)
+      .select(col("pq_codes")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.size == 8 && c.forall(x => x >= 0 && x < 8)))
+    // degeneracy contract (the IVF nProbe=all analogue): with the
+    // shortlist as wide as the corpus, rerank IS the exact search
+    val q = e.where(col("vec_id") < 3)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(Similarity.pqRerankTopK(e, q, "vec_id", "embedding", cb,
+        k = 4, candidates = n, encodeDotFn = l2)) ==
+      key(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 4)))
+  }
+
   test("kmeansFit: converges to a Lloyd fixed point, deterministically") {
     // two well-separated 3-d clusters: convergence must land centroids
     // on the cluster means and a FURTHER Lloyd step must not move them
