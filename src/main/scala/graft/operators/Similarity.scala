@@ -196,6 +196,88 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Write the IVF-PQ serving store: the corpus with PQ codes BESIDE
+    * the raw vector, laid out as `part=` directories by its IVF
+    * assignment. The two scale levers compose — a probe set prunes
+    * whole partitions before any byte is read, and the ADC candidate
+    * stage then projects ONLY `(id, pq_codes)`, so parquet column
+    * pruning keeps the float embeddings on disk until the final
+    * rerank fetch touches just the shortlisted rows. */
+  def writeIvfPqCorpus(corpus: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String, codebook: Seq[Seq[Seq[Double]]],
+      path: String,
+      encodeDotFn: (Column, Column) => Column = l2Score()): Unit =
+    pqEncode(corpus, vecCol, codebook, encodeDotFn)
+      .join(assigned, Seq(idCol))
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+
+  /** IVF-PQ serve (the FAISS IVF-PQ read path): centroid probe →
+    * `part=` PARTITION FILTER → ADC shortlist over the codes (the
+    * scan reads `pq_codes`, never the embedding column) → exact
+    * rerank fetching only the shortlisted vectors. Approximation
+    * comes from both levers (unprobed partitions + code quantization)
+    * — gate with the in-plan recall verdict like the other
+    * approximate searches. */
+  def ivfPqTopKFromStore(storePath: String, index: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int,
+      candidates: Int,
+      dotFn: (Column, Column) => Column = dot): DataFrame = {
+    require(candidates >= k, "shortlist must be at least k")
+    val m = codebook.size
+    val sub = codebook.head.head.size
+    val spark = queries.sparkSession
+    val d = dotFn
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("part"))
+    val probes = q
+      .join(broadcast(index.select(col("part"), col("centroid"))))
+      .select(col("query_id"), col("qv"), col("part"),
+        d(col("qv"), col("centroid")).as("csim"))
+      .withColumn("prank", row_number().over(probeW))
+      .where(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("part"))
+    // bounded driver collect (|q| × nProbe ids) — buys the partition
+    // filter, same contract as ivfTopKFromStore
+    val probedParts = probes.select(col("part").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val qvd = col("qv").cast("array<double>")
+    val qtab = array((0 until m).map(j =>
+      array(codebook(j).map(c =>
+        d(slice(qvd, j * sub + 1, sub), typedlit(c))): _*)): _*)
+    val qWithTab = probes.select(col("query_id"),
+      col("part").cast("long").as("part"), qtab.as("__qtab"))
+    val codes = spark.read.parquet(storePath)
+      .where(col("part").isin(probedParts: _*))
+      .select(col(idCol).as("neighbor_id"), col("pq_codes"),
+        col("part").cast("long").as("part"))
+    val adc = aggregate(
+      zip_with(col("pq_codes"), col("__qtab"),
+        (code, tab) => element_at(tab, code + 1)),
+      lit(0.0), _ + _)
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id"))
+    val shortlist = codes.join(broadcast(qWithTab), Seq("part"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("asim"))
+      .withColumn("srank", row_number().over(sw))
+      .where(col("srank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val fetch = spark.read.parquet(storePath)
+      .where(col("part").isin(probedParts: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    fetch.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        d(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Minimum-L2 assignment as a max-score function: argmin ||x−c||² =
     * argmax (x·c − |c|²/2) (the |x|² term is constant per row). Use as
     * the `dotFn` of [[kmeansFit]]/[[pqTrain]]/[[pqEncode]] to make

@@ -243,6 +243,41 @@ object EmbeddingQueries {
           (col("__hits") >= 3L).as("recall_ok"))
     }),
 
+    // the full IVF-PQ serving read: centroid probes prune part= dirs,
+    // the ADC stage scans (id, pq_codes) only — the embedding column
+    // stays on disk until the rerank fetches the 100 shortlisted rows.
+    // Both approximation levers live (5 of 10 partitions probed +
+    // 16×16 codes); recall pinned in-plan (≥3/5, measured min 4/5).
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val qs = e.where(col("vec_id") < 10)
+      val dotN: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = GraftFunctions.dotNative
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+      val cb = pqCodebooks.getOrElseUpdate((s, dir),
+        Similarity.pqTrain(e, "vec_id", "embedding", m = 16, ks = 16,
+          dotFn = Similarity.l2Score(dotN)))
+      val store = s"$built/store_pq"
+      if (!new java.io.File(store).exists())
+        Similarity.writeIvfPqCorpus(e, s.read.parquet(s"$built/assign"),
+          "vec_id", "embedding", cb, store, Similarity.l2Score(dotN))
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+        k = 5, dotFn = dotN)
+      val pq = Similarity.ivfPqTopKFromStore(store,
+          s.read.parquet(s"$built/centroids"), qs, "vec_id", "embedding",
+          cb, k = 5, nProbe = 5, candidates = 100, dotFn = dotN)
+        .groupBy(col("query_id"))
+        .agg(collect_set(col("neighbor_id")).as("qn"))
+      val perQuery = Window.partitionBy(col("query_id"))
+      exact.join(pq, Seq("query_id"))
+        .withColumn("__hit",
+          when(array_contains(col("qn"), col("neighbor_id")), 1L)
+            .otherwise(0L))
+        .withColumn("__hits", sum(col("__hit")).over(perQuery))
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (col("__hits") >= 3L).as("recall_ok"))
+    }),
+
     // INCREMENTAL index maintenance — the daily-ingest ANN shape: the
     // standing corpus is laid out once, a new batch (vec_id % 7 == 3)
     // assigns to the FROZEN centroid index and APPENDS into the same
@@ -407,6 +442,10 @@ object EmbeddingQueries {
 
     // same gate for the PQ shortlist + exact-rerank path
     "ann_pq_rerank" ->
+      s"SELECT *, TRUE AS recall_ok FROM ($topkOracle)",
+
+    // and for the full IVF-PQ serving read
+    "ann_ivfpq_topk" ->
       s"SELECT *, TRUE AS recall_ok FROM ($topkOracle)",
 
     "ann_ivf_kmeans_topk" -> kmeansIvfOracle,

@@ -261,6 +261,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!read.contains("l_orderkey") && !read.contains("l_comment"), read)
   }
 
+  test("IVF-PQ: probes prune part= dirs; the ADC scan never reads embeddings") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan("ann_ivfpq_topk")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    // the probe set must land as a partition filter on the store
+    assert("PartitionFilters: \\[[^\\]]*part".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    // the candidate stage projects (id, pq_codes): its scan's schema
+    // must NOT include the float embedding column — that is the IO win
+    // the code layout exists for
+    val schemas = "ReadSchema: [^\n]*".r.findAllIn(p).toSeq
+    val codeScans = schemas.filter(_.contains("pq_codes"))
+    assert(codeScans.nonEmpty, schemas.mkString("\n"))
+    assert(codeScans.forall(!_.contains("embedding")),
+      codeScans.mkString("\n"))
+  }
+
   test("bigram LM: context counts come from a window, never an occurrence join") {
     val p = plan("text_bigram_lm")
     // one hash aggregation on pair keys + one window over the
