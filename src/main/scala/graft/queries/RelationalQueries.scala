@@ -177,6 +177,28 @@ object RelationalQueries {
         .agg(count(lit(1)).as("custdist"))
     }),
 
+    // TPC-H Q17 shape: small-quantity revenue — lineitems of one
+    // brand's parts whose quantity is under 20% of that part's average
+    // quantity (the correlated-subquery pattern as an aggregate
+    // self-join on partkey). Quantities are integer-valued doubles, so
+    // the per-part average is an exact-integer sum over a count —
+    // deterministic across partial-aggregation orders, which is what
+    // lets a float threshold survive the hash compare.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val brandParts = read(s, dir, "part")
+        .where(col("p_brand") === "Brand#4").select(col("p_partkey"))
+      val li = read(s, dir, "lineitem")
+        .join(brandParts, col("l_partkey") === col("p_partkey"))
+      val avgQ = li.groupBy(col("l_partkey"))
+        .agg(avg(col("l_quantity")).as("aq"))
+      li.join(avgQ, Seq("l_partkey"))
+        .where(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast(LongType))
+            .as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // window function: top-3 orders per customer, deterministic tie-break
     "topk_orders_per_customer" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -320,6 +342,20 @@ object RelationalQueries {
         |JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH bl AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#4'),
+        |aq AS (
+        |  SELECT l_partkey, avg(l_quantity) AS aq FROM bl GROUP BY 1)
+        |SELECT
+        |  CAST(sum(CAST(round(bl.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  count(*) AS n_rows
+        |FROM bl JOIN aq USING (l_partkey)
+        |WHERE bl.l_quantity < 0.2 * aq.aq""".stripMargin,
 
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist
