@@ -114,5 +114,29 @@ println("DRIVE-OK-layout-profile " + zback + " " + prof)
 val tt = TextAnalysis.topTermsApprox(docsDf, "text", 1).collect().head
 assert(tt.getString(0) == "a" && tt.getLong(1) == 2L, s"topTermsApprox: $tt")
 println("DRIVE-OK-heavyhitters " + tt)
+// 8. round-8 surface: rate + interpolation reads, funnel, PQ rerank,
+//    temperature mixing, SQL-surface functions
+val gaugeDf = Seq(("d", ts("2024-02-01T00:00"), 10L), ("d", ts("2024-02-01T01:00"), 17L), ("d", ts("2024-02-01T02:00"), 3L)).toDF("dim", "bucket", "gauge")
+val rateRows = Timeseries.counterRate(gaugeDf, Seq("dim"), 3600L, "gauge").orderBy("bucket").collect()
+assert(rateRows.map(r => Option(r.get(3))).toSeq == Seq(None, Some(7L), Some(3L)), s"rate: ${rateRows.mkString(",")}")
+val interp = Timeseries.interpolateFill(Seq(("d", ts("2024-02-01T01:00"), 100L), ("d", ts("2024-02-01T04:00"), 40L)).toDF("dim", "bucket", "value"), Seq("dim"), ts("2024-02-01T00:00"), ts("2024-02-01T06:00"), Step.Hour).orderBy("bucket").collect().map(_.getLong(2)).toSeq
+assert(interp == Seq(0L, 10000L, 8000L, 6000L, 4000L, 0L), s"interp: $interp")
+println("DRIVE-OK-rate-interp " + rateRows.mkString(",") + " / " + interp)
+val funEv = Seq((1L, "signup", ts("2024-01-01T10:00")), (1L, "click", ts("2024-01-01T11:00")), (1L, "purchase", ts("2024-01-01T12:00")), (2L, "click", ts("2024-01-01T09:00")), (2L, "signup", ts("2024-01-01T10:00"))).toDF("user_id", "event_type", "ts")
+val fun = graft.operators.Funnel.funnel(funEv, "user_id", "ts", Seq("signup" -> (col("event_type") === "signup"), "click" -> (col("event_type") === "click"), "purchase" -> (col("event_type") === "purchase"))).collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+assert(fun == Map("signup" -> 2L, "click" -> 1L, "purchase" -> 1L), s"funnel: $fun")
+println("DRIVE-OK-funnel " + fun)
+val cbD = Similarity.pqTrain(vecs, "vec_id", "embedding", m = 2, ks = 2)
+val pqr = Similarity.pqRerankTopK(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding", cbD, k = 1, candidates = vecs.count().toInt).collect()
+assert(pqr.length == 1 && pqr.head.getLong(1) == 1L, s"pq rerank: ${pqr.toSeq}")
+println("DRIVE-OK-pq " + pqr.head)
+val mixDocs = ((0 until 16).map(i => (i.toLong, "big")) ++ (0 until 4).map(i => (100L + i, "small"))).toDF("doc_id", "source")
+val (mixed, mrates) = graft.operators.Sampling.mixByTemperatureSqrt(mixDocs, "doc_id", "source")
+assert(mrates == Map("small" -> 10000, "big" -> 5000), s"temp rates: $mrates")
+println("DRIVE-OK-tempmix " + mrates)
+graft.functions.GraftFunctions.register(spark)
+val sqlFn = spark.sql("SELECT graft_slice(TIMESTAMP '2014-03-21 16:46:30', 15), graft_week(TIMESTAMP '2023-12-31 10:00:00')").head
+assert(sqlFn.getTimestamp(0) == ts("2014-03-21T16:45") && sqlFn.getTimestamp(1) == ts("2023-12-24T00:00"), s"sql surface: $sqlFn")
+println("DRIVE-OK-sqlsurface " + sqlFn)
 println("DRIVE-OK-ALL")
 sys.exit(0)
