@@ -483,6 +483,33 @@ object Dedup {
     * final labels (caller owns the handle's lifecycle).
     *
     * @return (idCol, component) — component = min id reachable */
+  /** INCREMENTAL cluster maintenance — [[jaccardPairsAgainst]]'s shape
+    * lifted to the LABEL plane: fold a new batch's near-dup pairs into
+    * EXISTING component labels without regenerating or re-closing the
+    * old corpus's pair set. Old labels are connectivity certificates
+    * (every converged cluster is a depth-1 star around its min id), so
+    * min-label propagation over (id—component star edges) ∪ (new
+    * pairs) yields EXACTLY the labels a full recompute over (old
+    * pairs ∪ new pairs) would — including the hard case where one new
+    * edge MERGES two old clusters (both stars re-label to the joint
+    * min; spec-pinned). Cost: convergence depth is set by the NEW
+    * edges' induced diameter — the old side contributes depth-1 stars
+    * — and old×old pairs never exist again. `nodes` must cover old
+    * and new ids. */
+  def connectedComponentsIncremental(nodes: DataFrame, idCol: String,
+      oldLabels: DataFrame, labelIdCol: String, labelCompCol: String,
+      newPairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val stars = oldLabels
+      .select(col(labelIdCol).cast(LongType).as("__a"),
+        col(labelCompCol).cast(LongType).as("__b"))
+      .where(col("__a") =!= col("__b"))
+    val edges = stars.unionByName(newPairs
+      .select(col(aCol).cast(LongType).as("__a"),
+        col(bCol).cast(LongType).as("__b")))
+    connectedComponents(nodes, idCol, edges, "__a", "__b", maxRounds)
+  }
+
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {

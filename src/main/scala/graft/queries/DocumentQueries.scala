@@ -176,6 +176,31 @@ object DocumentQueries {
         jaccardPairsArtifact(s, dir), "id_a", "id_b")
     }),
 
+    // the daily dedup-merge lifecycle end to end: labels exist for the
+    // standing corpus; a new batch (doc_id % 5 = 4) contributes
+    // batch×corpus pairs (the incremental index probe) plus
+    // batch-internal pairs, and the label fold must equal the full
+    // recompute's closure — old×old pairs are never regenerated
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isBatch = col("doc_id") % 5 === 4
+      val old = d.where(!isBatch)
+      val batch = d.where(isBatch)
+      val oldPairs = Dedup.jaccardPairsPostingKernel(old, "text", "doc_id",
+        k = 3, thresholdE4 = 5000)
+      val oldLabels = Dedup.connectedComponents(old.select(col("doc_id")),
+        "doc_id", oldPairs, "id_a", "id_b")
+      val incPairs = Dedup.jaccardPairsAgainst(batch, old, "text", "doc_id",
+          k = 3, thresholdE4 = 5000)
+        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+      val batchPairs = Dedup.jaccardPairsPostingKernel(batch, "text",
+          "doc_id", k = 3, thresholdE4 = 5000)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponentsIncremental(d.select(col("doc_id")),
+        "doc_id", oldLabels, "doc_id", "component",
+        incPairs.unionByName(batchPairs), "id_a", "id_b")
+    }),
+
     // leakage-safe train/val/test: the split hash rides the near-dup
     // COMPONENT label, so a duplicate pair can never straddle train
     // and eval — profiled per split; n_clusters counts assignment
@@ -1019,6 +1044,60 @@ object DocumentQueries {
          |),
          |sym AS (SELECT id_a AS a, id_b AS b FROM jp
          |        UNION ALL SELECT id_b AS a, id_a AS b FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
+         |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin,
+
+    // the three scope-correct pair sets (old×old with the old-corpus
+    // df cap, batch×old with the index-side cap, batch×batch with the
+    // batch cap) closed together — the incremental label fold must
+    // reach this exact partition
+    "dedup_clusters_incremental" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |ex AS (SELECT doc_id,
+         |  unnest(list_transform(shset,
+         |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+         |  FROM sh),
+         |nw AS (SELECT * FROM ex WHERE doc_id % 5 = 4),
+         |old AS (SELECT * FROM ex WHERE doc_id % 5 <> 4),
+         |sizes AS (SELECT doc_id, len(shset) AS sz FROM sh),
+         |keep_old AS (SELECT s FROM old GROUP BY s HAVING count(*) <= 1000),
+         |keep_new AS (SELECT s FROM nw GROUP BY s HAVING count(*) <= 1000),
+         |p_old AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM old a JOIN keep_old USING (s) JOIN old b USING (s)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp_old AS (
+         |  SELECT p.id_a, p.id_b FROM p_old p
+         |  JOIN sizes sa ON sa.doc_id = p.id_a
+         |  JOIN sizes sb ON sb.doc_id = p.id_b
+         |  WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)),
+         |p_inc AS (
+         |  SELECT n.doc_id AS id_a, o.doc_id AS id_b, count(*) AS common
+         |  FROM nw n JOIN keep_old USING (s) JOIN old o USING (s)
+         |  GROUP BY 1, 2),
+         |jp_inc AS (
+         |  SELECT p.id_a, p.id_b FROM p_inc p
+         |  JOIN sizes sa ON sa.doc_id = p.id_a
+         |  JOIN sizes sb ON sb.doc_id = p.id_b
+         |  WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)),
+         |p_new AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM nw a JOIN keep_new USING (s) JOIN nw b USING (s)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp_new AS (
+         |  SELECT p.id_a, p.id_b FROM p_new p
+         |  JOIN sizes sa ON sa.doc_id = p.id_a
+         |  JOIN sizes sb ON sb.doc_id = p.id_b
+         |  WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)),
+         |allp AS (
+         |  SELECT id_a, id_b FROM jp_old
+         |  UNION ALL SELECT id_a, id_b FROM jp_inc
+         |  UNION ALL SELECT id_a, id_b FROM jp_new),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM allp
+         |        UNION ALL SELECT id_b AS a, id_a AS b FROM allp),
          |reach AS (
          |  SELECT doc_id AS a, doc_id AS b FROM documents
          |  UNION

@@ -453,6 +453,29 @@ class DedupTextSpec extends SparkTestBase {
     assert(g2(3L) == (("another tiny doc", 0L)))
   }
 
+  test("incremental CC: label fold == full recompute, incl. cluster MERGE") {
+    // old corpus: clusters {1,2}, {10,11}, singleton {20}
+    val oldNodes = Seq(1L, 2L, 10L, 11L, 20L).toDF("id")
+    val oldPairs = Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val oldLabels = Dedup.connectedComponents(oldNodes, "id",
+      oldPairs, "id_a", "id_b")
+    // new batch {30, 31}: 30 pairs with BOTH 2 and 11 — one batch
+    // bridges the two old clusters (the case a naive "assign new docs
+    // to an existing label" scheme gets wrong); 31 is near 20 only
+    val newPairs = Seq((30L, 2L), (30L, 11L), (31L, 20L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val allNodes = Seq(1L, 2L, 10L, 11L, 20L, 30L, 31L).toDF("id")
+    val inc = Dedup.connectedComponentsIncremental(allNodes, "id",
+        oldLabels, "id", "component", newPairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(allNodes, "id",
+        oldPairs.unionByName(newPairs), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"inc $inc vs full $full")
+    // everything merged transitively into one component rooted at 1
+    assert(inc.values.toSet == Set(1L), s"got $inc")
+  }
+
   test("lineLangStats: per-line votes, blank lines skipped, multilingual flag") {
     val docs = Seq(
       // English line + German line + a blank + an unidentifiable line
