@@ -213,6 +213,47 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** LM-based document quality scoring (the CCNet-style "score text by
+    * a language model" filter, on the [[bigramLm]] counts): each
+    * document's consecutive-pair stream is scored by the corpus
+    * bigram conditionals — `mean_cond_e6 = floor(Σ cnt·cond_e6 / Σ
+    * cnt)` over its pairs, an integer-exact perplexity proxy
+    * (monotone in the arithmetic mean of P(w2|w1); fluent text scores
+    * high, gibberish scores ~0). Pairs outside the top-`lmK` LM take
+    * conditional 0 — the fixed-vocabulary backoff a production LM
+    * filter uses, which also makes the broadcast bounded.
+    *
+    * Scale shape: per-doc pairs AGGREGATE to (id, w1, w2, cnt) before
+    * any join (multiplicity bounded by doc vocabulary, the
+    * tfIdf/rare-token shape), and the LM rides a BROADCAST join (≤
+    * lmK rows by construction) — the Zipf-hot pairs ("of the") never
+    * become shuffle keys. Output: (id, n_pairs, n_lm_pairs,
+    * mean_cond_e6). Docs shorter than 2 tokens are absent (no
+    * pairs). */
+  def bigramLmScore(df: DataFrame, textCol: String, idCol: String,
+      lmK: Int): DataFrame = {
+    val lm = bigramLm(df, textCol, lmK)
+      .select(col("w1"), col("w2"), col("cond_e6"))
+    val t = col("__t")
+    val pairCol = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val docPairs = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(pairCol).as("p"))
+      .groupBy(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    docPairs
+      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_pairs"),
+        sum(when(col("cond_e6").isNotNull, col("cnt")).otherwise(0L))
+          .as("n_lm_pairs"),
+        floor(sum(col("cnt") * coalesce(col("cond_e6"), lit(0L)))
+          / sum(col("cnt"))).cast(LongType).as("mean_cond_e6"))
+  }
+
   /** BPE-ish subword count: runs of letters, runs of digits, or single
     * other non-space characters — the shape of a byte-pair pre-tokenizer
     * split, as a codegen'd regexp. */

@@ -666,6 +666,13 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // LM-based quality scoring (the CCNet-style filter): each doc's
+    // pair stream scored by the corpus bigram LM (top-1000, 0-backoff
+    // outside it) — integer-exact perplexity proxy, LM broadcast
+    "text_lm_quality" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(docs(s, dir), "text", "doc_id",
+        lmK = 1000)),
+
     // line-level language segmentation: langId per non-blank line,
     // per-doc distinct-language profile + multilingual flag — the
     // code-switching detector the doc-level vote can't express
@@ -1852,6 +1859,38 @@ object DocumentQueries {
         |WHERE CAST('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)),
         |    1, 15) AS BIGINT) % 10000 < r.rate
         |GROUP BY 1""".stripMargin,
+
+    // the LM CTE (same top-1000 cut) left-joined to per-doc pair
+    // counts; the same double division over identical integers
+    "text_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |prs AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
+        |    struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+        |  FROM toks WHERE len(t) >= 2),
+        |pc AS (
+        |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+        |  FROM prs GROUP BY 1, 2),
+        |cx AS (
+        |  SELECT w1, w2, n_pair,
+        |    CAST(sum(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_ctx
+        |  FROM pc),
+        |lm AS (
+        |  SELECT w1, w2,
+        |    CAST(floor(n_pair * 1000000.0 / n_ctx) AS BIGINT) AS cond_e6
+        |  FROM cx ORDER BY n_pair DESC, w1, w2 LIMIT 1000),
+        |dp AS (
+        |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS cnt
+        |  FROM prs GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN lm.cond_e6 IS NOT NULL THEN cnt ELSE 0 END)
+        |    AS BIGINT) AS n_lm_pairs,
+        |  CAST(floor(CAST(sum(cnt * coalesce(lm.cond_e6, 0)) AS BIGINT)
+        |    * 1.0 / CAST(sum(cnt) AS BIGINT)) AS BIGINT) AS mean_cond_e6
+        |FROM dp LEFT JOIN lm USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin,
 
     // per-line toks → the same stopword-vote CASE as text_stats, then
     // one per-doc aggregation

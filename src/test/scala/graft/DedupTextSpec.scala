@@ -453,6 +453,24 @@ class DedupTextSpec extends SparkTestBase {
     assert(g2(3L) == (("another tiny doc", 0L)))
   }
 
+  test("bigramLmScore: common-pair text scores high, out-of-LM text zero") {
+    // corpus pairs: (a,b)×5, (b,a)×3 dominate; doc 3's pairs are all
+    // singletons and fall outside the top-2 LM → 0-backoff
+    val docs = Seq(
+      (1L, "a b a b a b"),   // 5 pairs, all in the LM
+      (2L, "a b a b"),       // 3 pairs, all in the LM
+      (3L, "x y z w"))       // 3 pairs, none in the LM
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "text", "doc_id", lmK = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // ctx(a) = 5 all (a,b); ctx(b) = 3 all (b,a) ⇒ both cond = 10⁶
+    assert(got(1L) == ((5L, 5L, 1000000L)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((3L, 3L, 1000000L)), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((3L, 0L, 0L)), s"doc3 ${got(3L)}")
+  }
+
   test("incremental CC: label fold == full recompute, incl. cluster MERGE") {
     // old corpus: clusters {1,2}, {10,11}, singleton {20}
     val oldNodes = Seq(1L, 2L, 10L, 11L, 20L).toDF("id")
