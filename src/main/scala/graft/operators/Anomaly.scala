@@ -90,4 +90,37 @@ object Anomaly {
       .withColumn("base_sum", s.cast("long"))
       .withColumn("is_anomaly", n >= minN && lhs > rhs)
   }
+
+  /** Exponentially-weighted trailing mean (EWMA, α = 1/2) — the
+    * smoothing companion to [[trailingZFlags]]'s flat baseline: recent
+    * observations dominate, so the smoothed series tracks level shifts
+    * a plain moving average lags on.
+    *
+    * Exactness: with α = 1/2 the weights over the trailing `w`-row
+    * frame are powers of two, so the weighted numerator is a HORNER
+    * FOLD over the frame's values (`acc·2 + x`, oldest → newest) and
+    * the denominator is `2^len − 1` — both exact longs, no float
+    * accumulation anywhere. Only the final `1e4·num/den` ratio is a
+    * double (exactly-representable operands both engines divide
+    * identically), floored to an e4 integer. Short leading frames
+    * (series start) use the same rule over the rows that exist, so
+    * the first observation's EWMA is itself.
+    *
+    * Scale shape: the ONE per-entity hash partitioning every
+    * per-entity pass shares; the frame is ROWS-bounded (O(w) state
+    * per open frame); the fold is row-local over a ≤`w`-element
+    * array. `w` is capped at 62 so `2^len` stays in a long.
+    *
+    * @return input columns + `ewma_e4` (×10⁴, floored) */
+  def ewma(df: DataFrame, entityCol: Column, orderCols: Seq[Column],
+      valueCol: Column, w: Int = 8): DataFrame = {
+    require(w >= 1 && w <= 62, s"ewma window must be in [1, 62], got $w")
+    val frame = Window.partitionBy(entityCol).orderBy(orderCols: _*)
+      .rowsBetween(-(w - 1).toLong, 0L)
+    val l = collect_list(valueCol.cast("long")).over(frame)
+    val num = aggregate(l, lit(0L), (acc, x) => acc * lit(2L) + x)
+    val den = aggregate(l, lit(0L), (acc, _) => acc * lit(2L) + lit(1L))
+    df.withColumn("ewma_e4",
+      floor((lit(10000.0) * num) / den).cast("long"))
+  }
 }

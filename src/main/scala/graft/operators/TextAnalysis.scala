@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Text-analysis scalar operators for the training-data-pipeline
   * surface: language-ID, quality scoring, token counting, document
@@ -498,6 +498,81 @@ object TextAnalysis {
       .where(col("rk") <= topK)
       .select(col(idCol), col("rk").cast(LongType).as("rk"), col("token"),
         col("tf"), col("df"), col("score_e6"))
+  }
+
+  /** Okapi BM25 full-text retrieval: top-`k` documents per query from
+    * a fixed query set, scored with the Lucene-shifted idf
+    * `ln((N-df+0.5)/(df+0.5) + 1)` (always ≥ 0, so adding a matched
+    * term never lowers a score) and the standard saturated tf
+    * `tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`.
+    *
+    * Scale shape — the ad-hoc search path (no persisted index):
+    * the query set's term universe broadcasts, and the `isin` filter
+    * prunes the exploded token stream MAP-SIDE, so the only (id,
+    * token) pairs that ever shuffle are occurrences of query terms —
+    * the tf aggregate is |matching docs|·|terms|-bounded no matter
+    * how large the corpus. Document frequency falls out of the tf
+    * rows (no distinct pass, the [[tfIdfTopTerms]] trick), corpus
+    * stats (N, Σdl) join as a broadcast 1-row frame, and the final
+    * per-query top-k is one window with k rows of state per query.
+    * A standing query workload would amortize the corpus scan into a
+    * persisted (token → postings) layout exactly like
+    * [[graft.operators.Similarity]]'s IVF store; this form is the
+    * one-shot scan-time variant.
+    *
+    * Determinism: each (doc, term) contribution is floored to an e6
+    * integer BEFORE the cross-term sum, so the per-doc score is an
+    * exact integer sum — no float-summation-order hazard between
+    * engines. All fractional constants (0.5, 0.25, 0.75, 1.2, 2.2)
+    * are written identically on both sides, and the double expression
+    * tree is association-identical to the oracle SQL.
+    *
+    * @param queries (query_id, terms) — the broadcastable query set.
+    * @return (query_id, rk 1..k, idCol, n_terms, score_e6), ties
+    *   broken by doc id so the cut is deterministic. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(String, Seq[String])], topK: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    val qPairs = queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => (qid, t))
+    }
+    val terms = qPairs.map(_._2).distinct
+    val qDf = qPairs.toDF("query_id", "token")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val dl = toks.select(col(idCol),
+      size(col("__toks")).cast(LongType).as("__dl"))
+    val tf = toks
+      .select(col(idCol), explode(col("__toks")).as("token"))
+      .where(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    val avgdl = col("__sumdl").cast(DoubleType) / col("__n")
+    val idf = log(
+      (((col("__n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))) +
+        lit(1.0))
+    val den = col("tf") +
+      lit(k1) * (lit(1.0 - b) + (lit(b) * col("__dl")) / avgdl)
+    val contrib = tf.join(dfTable, Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("score_e6",
+        floor((lit(1000000.0) * idf) * ((col("tf") * lit(k1 + 1.0)) / den))
+          .cast(LongType))
+    val perQuery = contrib.join(broadcast(qDf), Seq("token"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_e6")).as("score_e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_e6").desc, col(idCol).asc)
+    perQuery.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("query_id"), col("rk").cast(LongType).as("rk"),
+        col(idCol), col("n_terms"), col("score_e6"))
   }
 
   /** Content fingerprint: md5 of the whitespace-normalized text —

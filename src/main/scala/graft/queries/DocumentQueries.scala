@@ -452,6 +452,19 @@ object DocumentQueries {
       TextAnalysis.tfIdfTopTerms(docs(s, dir), "text", "doc_id",
         topK = 3)),
 
+    // BM25 full-text retrieval: top-5 docs per query for a 3-query
+    // set — the query-term universe broadcasts and prunes the token
+    // stream map-side, so only query-term occurrences ever shuffle;
+    // per-term contributions are e6-floored integers BEFORE the
+    // cross-term sum (no float-order hazard)
+    "text_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), "text", "doc_id",
+        queries = Seq(
+          "q_hash_join" -> Seq("hash", "join"),
+          "q_window_scan" -> Seq("window", "sort", "scan"),
+          "q_stream" -> Seq("stream", "batch", "spark")),
+        topK = 5)),
+
     // repetition quality rule (Gopher/C4-style): per-doc fraction of
     // duplicated word 3-grams, integer-exact (kernel form; the
     // declarative repetitionE4 is the spec-pinned semantic reference)
@@ -1521,6 +1534,53 @@ object DocumentQueries {
         |  FROM scored)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, df, score_e6
         |FROM ranked WHERE rk <= 3""".stripMargin,
+
+    // identical double tree (CAST-to-DOUBLE fractional literals, same
+    // association as the Column expression); per-term e6 floors sum as
+    // exact integers so cross-term order can't flip a score
+    "text_bm25_topk" ->
+      """WITH q(query_id, token) AS (VALUES
+        |    ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
+        |    ('q_window_scan', 'window'), ('q_window_scan', 'sort'),
+        |    ('q_window_scan', 'scan'),
+        |    ('q_stream', 'stream'), ('q_stream', 'batch'),
+        |    ('q_stream', 'spark')),
+        |tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |dlt AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tk
+        |  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dlt),
+        |co AS (
+        |  SELECT f.doc_id, f.token,
+        |    CAST(floor(
+        |      (CAST(1000000.0 AS DOUBLE) *
+        |        ln((((s.n - d.df) + CAST(0.5 AS DOUBLE))
+        |              / (d.df + CAST(0.5 AS DOUBLE))) + CAST(1.0 AS DOUBLE)))
+        |      * ((f.tf * CAST(2.2 AS DOUBLE)) /
+        |         (f.tf + CAST(1.2 AS DOUBLE) *
+        |           (CAST(0.25 AS DOUBLE) +
+        |             (CAST(0.75 AS DOUBLE) * l.dl)
+        |               / (CAST(s.sumdl AS DOUBLE) / s.n)))))
+        |      AS BIGINT) AS score_e6
+        |  FROM tf f JOIN dfq d USING (token)
+        |  JOIN dlt l ON l.doc_id = f.doc_id CROSS JOIN st s),
+        |perq AS (
+        |  SELECT q.query_id, c.doc_id, count(*) AS n_terms,
+        |    CAST(sum(c.score_e6) AS BIGINT) AS score_e6
+        |  FROM co c JOIN q ON q.token = c.token GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_e6 DESC, doc_id) AS rk
+        |  FROM perq)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score_e6
+        |FROM ranked WHERE rk <= 5""".stripMargin,
 
     "text_repetition" ->
       """SELECT doc_id,

@@ -710,6 +710,22 @@ object EventQueries {
           col("n_base"), col("base_sum"))
     }),
 
+    // EWMA smoothing (α = 1/2, trailing 8 rows) per user series — the
+    // level-tracking companion to the flat moving average; Horner-fold
+    // powers-of-two weights keep numerator/denominator exact longs,
+    // one per-entity partitioning, O(w) frame state
+    "event_ewma" -> ((s, dir) => {
+      import graft.operators.Anomaly
+      val e = events(s, dir)
+        .where(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("sec"), cents.as("value_cents"))
+      Anomaly.ewma(e, col("user_id"),
+          Seq(col("sec"), col("event_id")), col("value_cents"), w = 8)
+        .select(col("event_id"), col("user_id"), col("value_cents"),
+          col("ewma_e4"))
+    }),
+
     // Catalyst rollup routing (SURVEY §4's custom-Rule upgrade of
     // `best-grouping`): a plain DataFrame aggregate over raw events is
     // transparently rewritten by graft.plans.RollupRouteRule to scan
@@ -2016,6 +2032,25 @@ object EventQueries {
         |  CAST(sm AS BIGINT) AS base_sum
         |FROM w
         |WHERE n >= 8 AND (n*x - sm)*(n*x - sm) > 9*(n*sxx - sm*sm)""".stripMargin,
+
+    // Horner fold ≡ Σ l[i]·2^(len−i) (1-based); numerator/denominator
+    // exact BIGINTs, one double division with identical operands
+    "event_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+        |         CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE user_id < 40),
+        |w AS (
+        |  SELECT event_id, user_id, x,
+        |    list(x) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+        |  FROM e)
+        |SELECT event_id, user_id, x AS value_cents,
+        |  CAST(floor((CAST(10000.0 AS DOUBLE) *
+        |      list_sum(list_transform(range(1, len(l) + 1),
+        |        i -> l[i] * ((1::BIGINT) << (len(l) - i))))) /
+        |    (((1::BIGINT) << len(l)) - 1)) AS BIGINT) AS ewma_e4
+        |FROM w""".stripMargin,
 
     // the streaming twin serves the SAME oracle as the batch windows
     "stream_user_features" ->

@@ -199,6 +199,108 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"))
     }),
 
+    // TPC-H Q7 shape: volume shipping between two nations — the
+    // bidirectional nation-pair filter composes under both dimension
+    // joins; nation/supplier broadcast, customer UNHINTED (scales
+    // with SF), lineitem shuffles once on orderkey
+    "q7_nation_volume" -> ((s, dir) => {
+      val nations = Seq("NATION_10", "NATION_11", "NATION_12", "NATION_20")
+      val nat = read(s, dir, "nation")
+        .where(col("n_name").isin(nations: _*))
+      val sup = read(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = read(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val li = read(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      li.join(read(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg(sum(revE4).as("revenue_e4"))
+    }),
+
+    // TPC-H Q12 shape: shipping-priority profile — join + conditional
+    // aggregation (CASE inside SUM); the date window pre-shrinks the
+    // fact side before the single orderkey shuffle
+    "q12_priority_shipping" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      li.join(read(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+
+    // TPC-H Q15 shape: top supplier by quarter revenue — agg, then a
+    // scalar MAX over the agg joined back (the view + subquery
+    // pattern); revenue is integral e4 so the max gate is exact
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = read(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revE4).as("total_e4"))
+      val top = rev.agg(max(col("total_e4")).as("__max"))
+      rev.crossJoin(broadcast(top))
+        .where(col("total_e4") === col("__max"))
+        .join(broadcast(read(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_e4"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive multi-attribute predicate (OR of
+    // brand × size × quantity bands) spanning the lineitem × part
+    // join — the OR must evaluate post-join, but each disjunct's
+    // single-table conjuncts (quantity cap, size floor) still push
+    // into the scans as derived range filters
+    "q19_banded_revenue" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      li.join(read(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" &&
+            col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" &&
+            col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(revE4).as("revenue_e4"), count(lit(1)).as("n_rows"))
+    }),
+
+    // TPC-H Q22 shape: idle above-average customers — a scalar AVG
+    // subquery (broadcast 1-row) gating the dimension, then an
+    // anti-join against recent orders; balances stay in integral
+    // cents so the average threshold is an exact-integer division
+    "q22_idle_balances" -> ((s, dir) => {
+      val cust = read(s, dir, "customer")
+        .withColumn("bal_cents",
+          round(col("c_acctbal") * 100).cast(LongType))
+      val thr = cust.where(col("bal_cents") > 0)
+        .agg((sum(col("bal_cents")).cast("double") / count(lit(1)))
+          .as("__avg"))
+      val recent = read(s, dir, "orders")
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(thr))
+        .where(col("bal_cents") > col("__avg"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("bal_cents")).as("total_cents"))
+    }),
+
     // window function: top-3 orders per customer, deterministic tie-break
     "topk_orders_per_customer" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -356,6 +458,77 @@ object RelationalQueries {
         |  count(*) AS n_rows
         |FROM bl JOIN aq USING (l_partkey)
         |WHERE bl.l_quantity < 0.2 * aq.aq""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_10', 'NATION_11', 'NATION_12', 'NATION_20')
+        |  AND cn.n_name IN ('NATION_10', 'NATION_11', 'NATION_12', 'NATION_20')
+        |  AND sn.n_name <> cn.n_name
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY ALL""".stripMargin,
+
+    "q12_priority_shipping" ->
+      """SELECT l.l_linestatus,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, rev.total_e4
+        |FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |WHERE rev.total_e4 = (SELECT max(total_e4) FROM rev)""".stripMargin,
+
+    "q19_banded_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n_rows
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE
+        |  (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |    AND l.l_quantity BETWEEN 1 AND 11)
+        |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        |    AND l.l_quantity BETWEEN 10 AND 20)
+        |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_idle_balances" ->
+      """WITH cb AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |thr AS (
+        |  SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*) AS avg_cents
+        |  FROM cb WHERE bal_cents > 0)
+        |SELECT cb.c_mktsegment, count(*) AS n_custs,
+        |  CAST(sum(cb.bal_cents) AS BIGINT) AS total_cents
+        |FROM cb CROSS JOIN thr
+        |WHERE cb.bal_cents > thr.avg_cents
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = cb.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
 
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist

@@ -104,4 +104,37 @@ class AnomalySpec extends SparkTestBase {
       .select(col("event_id")).collect().map(_.getLong(0)).toSet
     assert(flagged === Set(99L))
   }
+
+  test("ewma: Horner-fold weights match the closed form, per entity") {
+    import spark.implicits._
+    // user 1: values 100, 200, 400 → EWMAs (α=1/2, w=3):
+    //   t0: 100/1                       → 1_000_000 e4 / 1 = 1e4·100
+    //   t1: (2·100+200)/3               → floor(1e4·400/3)
+    //   t2: (4·100+2·200+400)/7         → floor(1e4·1200/7)
+    // user 2 must not contaminate user 1's frames
+    val df = Seq(
+      (1L, 1L, 10L, 100L), (2L, 1L, 20L, 200L), (3L, 1L, 30L, 400L),
+      (4L, 2L, 5L, 999L))
+      .toDF("event_id", "user_id", "sec", "cents")
+    val got = Anomaly.ewma(df, col("user_id"),
+        Seq(col("sec"), col("event_id")), col("cents"), w = 3)
+      .select(col("event_id"), col("ewma_e4"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 100L * 10000)
+    assert(got(2L) === math.floor(10000.0 * 400 / 3).toLong)
+    assert(got(3L) === math.floor(10000.0 * 1200 / 7).toLong)
+    assert(got(4L) === 999L * 10000)
+  }
+
+  test("ewma window slides: a row beyond w drops out of the fold") {
+    import spark.implicits._
+    val df = (1 to 5).map(i => (i.toLong, 1L, i.toLong, 100L * i))
+      .toDF("event_id", "user_id", "sec", "cents")
+    val got = Anomaly.ewma(df, col("user_id"),
+        Seq(col("sec"), col("event_id")), col("cents"), w = 2)
+      .select(col("event_id"), col("ewma_e4"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // at t5 only (400, 500) are in frame: floor(1e4·(2·400+500)/3)
+    assert(got(5L) === math.floor(10000.0 * 1300 / 3).toLong)
+  }
 }

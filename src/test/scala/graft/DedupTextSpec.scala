@@ -627,4 +627,32 @@ class DedupTextSpec extends SparkTestBase {
     val built = TextAnalysis.buildVocab(corpus, "text", k = 2)
     assert(built == Map("the" -> 1L, "brown" -> 2L), s"got $built")
   }
+
+  test("bm25TopK ranks term-matching docs and matches the closed form") {
+    val got = TextAnalysis.bm25TopK(corpus, "text", "doc_id",
+        queries = Seq(
+          "q_fox" -> Seq("fox", "jumps"),
+          "q_none" -> Seq("zebra")),
+        topK = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // zebra appears nowhere → no rows for q_none
+    assert(!got.exists(_._1 == "q_none"))
+    val fox = got.filter(_._1 == "q_fox").sortBy(_._2)
+    // docs 1/2 match both terms, doc 3 only "fox"; two-term matches
+    // outrank the one-term match, ties broken by doc id
+    assert(fox.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    assert(fox.map(_._4).toSeq == Seq(2L, 2L, 1L))
+    assert(fox(0)._5 == fox(1)._5 && fox(0)._5 > fox(2)._5)
+    // closed form for doc 1's score: N=5, dl=9, avgdl=35/5 (9+9+9+7+1);
+    // fox: df=3, tf=1; jumps: df=2, tf=1 — per-term e6 floors summed
+    val n = 5L; val avgdl = 35.0 / 5
+    def term(df: Long, tf: Long, dl: Long): Long = {
+      val idf = math.log((((n - df) + 0.5) / (df + 0.5)) + 1.0)
+      val den = tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)
+      math.floor((1000000.0 * idf) * ((tf * 2.2) / den)).toLong
+    }
+    assert(fox(0)._5 == term(3, 1, 9) + term(2, 1, 9))
+  }
 }
