@@ -534,13 +534,8 @@ object TextAnalysis {
       queries: Seq[(String, Seq[String])], topK: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     require(queries.nonEmpty, "bm25TopK needs at least one query")
-    val qPairs = queries.flatMap { case (qid, ts) =>
-      ts.distinct.map(t => (qid, t))
-    }
-    val terms = qPairs.map(_._2).distinct
-    val qDf = qPairs.toDF("query_id", "token")
+    val terms = queries.flatMap(_._2).distinct
     val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val dl = toks.select(col(idCol),
       size(col("__toks")).cast(LongType).as("__dl"))
@@ -551,14 +546,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val dfTable = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    val postings = tf.join(dfTable, Seq("token")).join(dl, Seq(idCol))
+    bm25Score(postings, stats, idCol, queries, topK, k1, b)
+  }
+
+  /** Shared BM25 scorer over a postings frame `(idCol, token, tf,
+    * __dl, df)` + a 1-row stats frame `(__n, __sumdl)` — the scoring
+    * tail of [[bm25TopK]] and [[bm25TopKFromIndex]], kept single so
+    * the scan-time and indexed forms cannot drift. */
+  private def bm25Score(postings: DataFrame, stats: DataFrame,
+      idCol: String, queries: Seq[(String, Seq[String])], topK: Int,
+      k1: Double, b: Double): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qDf = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "token")
     val avgdl = col("__sumdl").cast(DoubleType) / col("__n")
     val idf = log(
       (((col("__n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))) +
         lit(1.0))
     val den = col("tf") +
       lit(k1) * (lit(1.0 - b) + (lit(b) * col("__dl")) / avgdl)
-    val contrib = tf.join(dfTable, Seq("token"))
-      .join(dl, Seq(idCol))
+    val contrib = postings
       .crossJoin(broadcast(stats))
       .withColumn("score_e6",
         floor((lit(1000000.0) * idf) * ((col("tf") * lit(k1 + 1.0)) / den))
@@ -573,6 +583,77 @@ object TextAnalysis {
       .where(col("rk") <= topK)
       .select(col("query_id"), col("rk").cast(LongType).as("rk"),
         col(idCol), col("n_terms"), col("score_e6"))
+  }
+
+  /** Build the PERSISTED postings index for [[bm25TopKFromIndex]] —
+    * the standing-query-workload scale path the scan-time
+    * [[bm25TopK]] documents. Layout (the text plane's analogue of
+    * the IVF serving store, `Similarity.buildIvfStore`):
+    *
+    *   path/postings/part=<b>/  — (token, id, tf, dl, df) rows,
+    *     bucketed by the content-addressed md5 hash of the token, so
+    *     a query's terms prune to |terms| `part=` directories before
+    *     any posting is read;
+    *   path/stats/ — one row (n_docs, sum_dl, n_buckets): the corpus
+    *     constants every query needs, plus the bucket count pinned
+    *     INTO the store so build and probe can never disagree on the
+    *     hash modulus.
+    *
+    * df is denormalized onto each posting row at build time (it
+    * falls out of the tf aggregation — no distinct pass), so query
+    * time does no df join at all. The df table join here is on
+    * (id, token)-distinct pairs, never raw occurrences — the
+    * [[rareTokenStats]] de-skew shape. */
+  def buildTextIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    val tf = toks
+      .select(col("id"), size(col("__toks")).cast(LongType).as("dl"),
+        explode(col("__toks")).as("token"))
+      .groupBy(col("id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dfTable, Seq("token"))
+      .withColumn("part",
+        pmod(conv(substring(md5(col("token")), 1, 15), 16, 10)
+          .cast(LongType), lit(nBuckets.toLong)))
+      .select(col("part"), col("token"), col("id"), col("tf"),
+        col("dl"), col("df"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$path/postings")
+    df.agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast(LongType)).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets.toLong))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 served from a [[buildTextIndex]] store: the corpus is never
+    * scanned — the query terms' md5 buckets become a `part=`
+    * PARTITION FILTER (|terms|-bounded directory list, pruned from
+    * the partition index before any row is read), the in-bucket
+    * `isin` keeps only exact term matches, and df/dl/corpus stats
+    * come from the store. Result-identical to [[bm25TopK]] over the
+    * indexed corpus (same scorer, spec-pinned), so the driver query
+    * shares the scan-time oracle. The 1-row stats read is the only
+    * driver-side action (same bounded footprint as the IVF probe-id
+    * collect). */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: Seq[(String, Seq[String])], topK: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKFromIndex needs at least one query")
+    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val nBuckets = statsRow.getLong(statsRow.fieldIndex("n_buckets"))
+    val terms = queries.flatMap(_._2).distinct
+    val buckets = terms.map(t => Dedup.md5Hash60(t) % nBuckets).distinct
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("part").isin(buckets: _*)) // prunes part= dirs
+      .where(col("token").isin(terms: _*))
+      .select(col("id"), col("token"), col("tf"),
+        col("dl").as("__dl"), col("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs").as("__n"), col("sum_dl").as("__sumdl"))
+    bm25Score(postings, stats, "id", queries, topK, k1, b)
   }
 
   /** Content fingerprint: md5 of the whitespace-normalized text —

@@ -29,6 +29,21 @@ object DocumentQueries {
   private val shardDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** BM25 postings store, built once per (session, corpus dir) — the
+    * deployment shape: the index is an offline ARTIFACT, queries are
+    * served from it with partition-pruned reads. Same bench-harness
+    * memoization caveats as [[pairsDirs]]. */
+  private val textIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def textIndexDir(s: SparkSession, dir: String): String =
+    textIndexDirs.getOrElseUpdate((s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_bm25idx")
+      deleteOnExit(p)
+      TextAnalysis.buildTextIndex(docs(s, dir), "text", "doc_id",
+        p.toString, nBuckets = 64)
+      p.toString
+    })
+
   /** Streaming scrub output, built once per (session, sf dir): the
     * documents table replayed as a bounded file stream through the
     * ROW-LOCAL scrub chain (augment → normalize → PII count/redact) —
@@ -464,6 +479,19 @@ object DocumentQueries {
           "q_window_scan" -> Seq("window", "sort", "scan"),
           "q_stream" -> Seq("stream", "batch", "spark")),
         topK = 5)),
+
+    // the SAME queries served from the persisted postings index: the
+    // corpus is never scanned — query-term md5 buckets prune `part=`
+    // directories, df/dl/stats come from the store; shares the
+    // scan-time oracle (indexed ≡ scan-time, also spec-pinned)
+    "text_bm25_indexed" -> ((s, dir) =>
+      TextAnalysis.bm25TopKFromIndex(s, textIndexDir(s, dir),
+        queries = Seq(
+          "q_hash_join" -> Seq("hash", "join"),
+          "q_window_scan" -> Seq("window", "sort", "scan"),
+          "q_stream" -> Seq("stream", "batch", "spark")),
+        topK = 5)
+        .withColumnRenamed("id", "doc_id")),
 
     // repetition quality rule (Gopher/C4-style): per-doc fraction of
     // duplicated word 3-grams, integer-exact (kernel form; the
@@ -985,6 +1013,52 @@ object DocumentQueries {
        |JOIN sizes sa ON sa.doc_id = p.id_a
        |JOIN sizes sb ON sb.doc_id = p.id_b
        |WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)""".stripMargin
+
+  /** Shared by the scan-time and indexed BM25 queries (indexed ≡
+    * scan-time by construction — one scorer, spec-pinned). */
+  private val bm25Sql: String =
+    """WITH q(query_id, token) AS (VALUES
+      |    ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
+      |    ('q_window_scan', 'window'), ('q_window_scan', 'sort'),
+      |    ('q_window_scan', 'scan'),
+      |    ('q_stream', 'stream'), ('q_stream', 'batch'),
+      |    ('q_stream', 'spark')),
+      |tk AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |dlt AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM tk
+      |  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1, 2),
+      |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dlt),
+      |co AS (
+      |  SELECT f.doc_id, f.token,
+      |    CAST(floor(
+      |      (CAST(1000000.0 AS DOUBLE) *
+      |        ln((((s.n - d.df) + CAST(0.5 AS DOUBLE))
+      |              / (d.df + CAST(0.5 AS DOUBLE))) + CAST(1.0 AS DOUBLE)))
+      |      * ((f.tf * CAST(2.2 AS DOUBLE)) /
+      |         (f.tf + CAST(1.2 AS DOUBLE) *
+      |           (CAST(0.25 AS DOUBLE) +
+      |             (CAST(0.75 AS DOUBLE) * l.dl)
+      |               / (CAST(s.sumdl AS DOUBLE) / s.n)))))
+      |      AS BIGINT) AS score_e6
+      |  FROM tf f JOIN dfq d USING (token)
+      |  JOIN dlt l ON l.doc_id = f.doc_id CROSS JOIN st s),
+      |perq AS (
+      |  SELECT q.query_id, c.doc_id, count(*) AS n_terms,
+      |    CAST(sum(c.score_e6) AS BIGINT) AS score_e6
+      |  FROM co c JOIN q ON q.token = c.token GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_e6 DESC, doc_id) AS rk
+      |  FROM perq)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score_e6
+      |FROM ranked WHERE rk <= 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1538,49 +1612,9 @@ object DocumentQueries {
     // identical double tree (CAST-to-DOUBLE fractional literals, same
     // association as the Column expression); per-term e6 floors sum as
     // exact integers so cross-term order can't flip a score
-    "text_bm25_topk" ->
-      """WITH q(query_id, token) AS (VALUES
-        |    ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
-        |    ('q_window_scan', 'window'), ('q_window_scan', 'sort'),
-        |    ('q_window_scan', 'scan'),
-        |    ('q_stream', 'stream'), ('q_stream', 'batch'),
-        |    ('q_stream', 'spark')),
-        |tk AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |dlt AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, token, count(*) AS tf FROM tk
-        |  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1, 2),
-        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dlt),
-        |co AS (
-        |  SELECT f.doc_id, f.token,
-        |    CAST(floor(
-        |      (CAST(1000000.0 AS DOUBLE) *
-        |        ln((((s.n - d.df) + CAST(0.5 AS DOUBLE))
-        |              / (d.df + CAST(0.5 AS DOUBLE))) + CAST(1.0 AS DOUBLE)))
-        |      * ((f.tf * CAST(2.2 AS DOUBLE)) /
-        |         (f.tf + CAST(1.2 AS DOUBLE) *
-        |           (CAST(0.25 AS DOUBLE) +
-        |             (CAST(0.75 AS DOUBLE) * l.dl)
-        |               / (CAST(s.sumdl AS DOUBLE) / s.n)))))
-        |      AS BIGINT) AS score_e6
-        |  FROM tf f JOIN dfq d USING (token)
-        |  JOIN dlt l ON l.doc_id = f.doc_id CROSS JOIN st s),
-        |perq AS (
-        |  SELECT q.query_id, c.doc_id, count(*) AS n_terms,
-        |    CAST(sum(c.score_e6) AS BIGINT) AS score_e6
-        |  FROM co c JOIN q ON q.token = c.token GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score_e6 DESC, doc_id) AS rk
-        |  FROM perq)
-        |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score_e6
-        |FROM ranked WHERE rk <= 5""".stripMargin,
+    "text_bm25_topk" -> bm25Sql,
+
+    "text_bm25_indexed" -> bm25Sql,
 
     "text_repetition" ->
       """SELECT doc_id,

@@ -655,4 +655,30 @@ class DedupTextSpec extends SparkTestBase {
     }
     assert(fox(0)._5 == term(3, 1, 9) + term(2, 1, 9))
   }
+
+  test("bm25TopKFromIndex ≡ bm25TopK over the indexed corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx_spec")
+    try {
+      TextAnalysis.buildTextIndex(corpus, "text", "doc_id",
+        dir.toString, nBuckets = 8)
+      val qs = Seq("q_fox" -> Seq("fox", "jumps"), "q_dog" -> Seq("dog"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val scan = rows(TextAnalysis.bm25TopK(corpus, "text", "doc_id",
+        qs, topK = 4))
+      val idx = rows(TextAnalysis.bm25TopKFromIndex(spark, dir.toString,
+        qs, topK = 4).withColumnRenamed("id", "doc_id"))
+      assert(idx == scan, s"indexed=$idx scan=$scan")
+      // and the probe really prunes: only the query terms' buckets read
+      val plan = TextAnalysis.bm25TopKFromIndex(spark, dir.toString,
+        qs, topK = 4).queryExecution.executedPlan.toString
+      assert(plan.contains("part"), plan.take(500))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
