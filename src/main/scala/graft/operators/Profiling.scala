@@ -36,4 +36,55 @@ object Profiling {
           col("n_distinct"), col("min_val"), col("max_val"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Token-distribution drift between two corpus snapshots — the
+    * data-drift monitor a continuously-ingesting training pipeline
+    * runs between yesterday's corpus and today's (or between a source
+    * and the mixture): per-token KL contribution
+    * `p·ln(p/q)` over the combined top-`k` vocabulary, with add-one
+    * (Laplace) smoothing so a token absent on one side contributes a
+    * finite penalty instead of ∞. Σ over the rows is the (truncated,
+    * smoothed) KL divergence D(A ‖ B).
+    *
+    * Exactness: token counts and totals are exact longs; `p`, `q`
+    * are single divisions of exactly-representable operands; each
+    * token's contribution floors to an e9 integer so the consumer's
+    * Σ is an exact integer sum — deterministic against the DuckDB
+    * oracle (ln precedent: [[TextAnalysis.tfIdfTopTerms]]).
+    *
+    * Scale shape: one (token) aggregation per side (map-side
+    * combined), an outer join on the ≤2·distinct-token key space,
+    * a distributed TakeOrdered for the top-k cut (never a global
+    * single-partition window), and 1-row broadcast totals. The
+    * vocabulary size V that the smoothing needs is the actual cut
+    * size, joined in as a broadcast count — both engines derive it
+    * from the same cut, so build and oracle cannot disagree.
+    *
+    * @return top-k rows (token, cnt_a, cnt_b, kl_e9), the combined
+    *   count (desc, token asc) cut. */
+  def tokenDrift(dfA: DataFrame, dfB: DataFrame, textCol: String,
+      k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    def tf(df: DataFrame) = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val ta = tf(dfA).withColumnRenamed("cnt", "cnt_a")
+    val tb = tf(dfB).withColumnRenamed("cnt", "cnt_b")
+    val joined = ta.join(tb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val top = joined
+      .orderBy((col("cnt_a") + col("cnt_b")).desc, col("token").asc)
+      .limit(k)
+    val totals = joined.agg(sum(col("cnt_a")).as("__tot_a"),
+      sum(col("cnt_b")).as("__tot_b"))
+    val vocab = top.agg(count(lit(1)).as("__v"))
+    val p = (col("cnt_a") + lit(1.0)) / (col("__tot_a") + col("__v"))
+    val q = (col("cnt_b") + lit(1.0)) / (col("__tot_b") + col("__v"))
+    top.crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
+      .withColumn("kl_e9",
+        floor((lit(1000000000.0) * p) * log(p / q)).cast(LongType))
+      .select(col("token"), col("cnt_a"), col("cnt_b"), col("kl_e9"))
+  }
 }

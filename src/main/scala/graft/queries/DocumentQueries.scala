@@ -493,6 +493,17 @@ object DocumentQueries {
         topK = 5)
         .withColumnRenamed("id", "doc_id")),
 
+    // corpus drift monitor: token-distribution KL contributions
+    // between the low-numbered and high-numbered source halves —
+    // the yesterday-vs-today check of a continuously-ingesting
+    // pipeline; exact counts, e9-floored per-token contributions
+    "drift_sources" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      graft.operators.Profiling.tokenDrift(
+        d.where(srcNum < 10), d.where(srcNum >= 10), "text", k = 50)
+    }),
+
     // repetition quality rule (Gopher/C4-style): per-doc fraction of
     // duplicated word 3-grams, integer-exact (kernel form; the
     // declarative repetitionE4 is the spec-pinned semantic reference)
@@ -1615,6 +1626,38 @@ object DocumentQueries {
     "text_bm25_topk" -> bm25Sql,
 
     "text_bm25_indexed" -> bm25Sql,
+
+    // Laplace-smoothed KL contributions over the combined top-k cut;
+    // identical double tree, e9 floors
+    "drift_sources" ->
+      """WITH da AS (
+        |  SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) < 10),
+        |db AS (
+        |  SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) >= 10),
+        |ta AS (SELECT token, count(*) AS cnt_a FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM da)
+        |  GROUP BY 1),
+        |tb AS (SELECT token, count(*) AS cnt_b FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM db)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ta.token, tb.token) AS token,
+        |    coalesce(ta.cnt_a, 0) AS cnt_a, coalesce(tb.cnt_b, 0) AS cnt_b
+        |  FROM ta FULL OUTER JOIN tb ON ta.token = tb.token),
+        |top AS (
+        |  SELECT * FROM j ORDER BY (cnt_a + cnt_b) DESC, token ASC LIMIT 50),
+        |tot AS (
+        |  SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+        |         CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM j),
+        |v AS (SELECT count(*) AS v FROM top)
+        |SELECT token, cnt_a, cnt_b,
+        |  CAST(floor(
+        |    (CAST(1000000000.0 AS DOUBLE) *
+        |      ((cnt_a + CAST(1.0 AS DOUBLE)) / (tot_a + v)))
+        |    * ln(((cnt_a + CAST(1.0 AS DOUBLE)) / (tot_a + v))
+        |         / ((cnt_b + CAST(1.0 AS DOUBLE)) / (tot_b + v))))
+        |    AS BIGINT) AS kl_e9
+        |FROM top CROSS JOIN tot CROSS JOIN v""".stripMargin,
 
     "text_repetition" ->
       """SELECT doc_id,

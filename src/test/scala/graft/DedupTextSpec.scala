@@ -656,6 +656,22 @@ class DedupTextSpec extends SparkTestBase {
     assert(fox(0)._5 == term(3, 1, 9) + term(2, 1, 9))
   }
 
+  test("tokenDrift: identical corpora drift zero; one-sided tokens penalize") {
+    import graft.operators.Profiling
+    val same = Profiling.tokenDrift(corpus, corpus, "text", k = 100)
+      .collect()
+    // p == q for every token → ln(1) = 0 → every contribution 0
+    assert(same.nonEmpty && same.forall(_.getLong(3) == 0L))
+    // a token present only in A gets a POSITIVE contribution (p > q)
+    val a = corpus.where(col("doc_id") === 4L) // unique-word doc
+    val b = corpus.where(col("doc_id") =!= 4L)
+    val drift = Profiling.tokenDrift(a, b, "text", k = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(drift("completely") > 0L)
+    // and a token only in B reads negative from A's perspective
+    assert(drift("fox") < 0L)
+  }
+
   test("bm25TopKFromIndex ≡ bm25TopK over the indexed corpus") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx_spec")
     try {
