@@ -599,33 +599,63 @@ object TextAnalysis {
     *     INTO the store so build and probe can never disagree on the
     *     hash modulus.
     *
-    * df is denormalized onto each posting row at build time (it
-    * falls out of the tf aggregation — no distinct pass), so query
-    * time does no df join at all. The df table join here is on
-    * (id, token)-distinct pairs, never raw occurrences — the
-    * [[rareTokenStats]] de-skew shape. */
+    * df is NOT stored: every posting row of a token lives in that
+    * token's one bucket, so a query's pruned read necessarily sees
+    * ALL postings of each queried term and recovers df exactly with
+    * one |terms|-bounded aggregation. That is what makes the index
+    * APPENDABLE ([[appendToTextIndex]]) — a denormalized df would go
+    * stale on the first append and force a full rewrite. */
   def buildTextIndex(df: DataFrame, textCol: String, idCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
-    val tf = toks
-      .select(col("id"), size(col("__toks")).cast(LongType).as("dl"),
-        explode(col("__toks")).as("token"))
-      .groupBy(col("id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val dfTable = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(dfTable, Seq("token"))
-      .withColumn("part",
-        pmod(conv(substring(md5(col("token")), 1, 15), 16, 10)
-          .cast(LongType), lit(nBuckets.toLong)))
-      .select(col("part"), col("token"), col("id"), col("tf"),
-        col("dl"), col("df"))
-      .write.mode("overwrite").partitionBy("part")
-      .parquet(s"$path/postings")
+    writePostings(df, textCol, idCol, path, nBuckets, overwrite = true)
     df.agg(count(lit(1)).as("n_docs"),
         sum(size(tokens(col(textCol))).cast(LongType)).as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets.toLong))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Incrementally index a NEW batch of documents into an existing
+    * [[buildTextIndex]] store — the daily-ingest shape (the text
+    * plane's mirror of `Similarity`'s incremental IVF maintenance
+    * and `Dedup.jaccardPairsAgainst`): cost scales with the batch,
+    * never the corpus. New postings append under their `part=`
+    * directories; the 1-row stats advance by the batch's counts
+    * (the old row is read driver-side first, so the overwrite is
+    * safe). The batch MUST be new doc ids — re-appending an already
+    * indexed doc double-counts it, exactly like re-ingesting a batch
+    * into any append-only store. */
+  def appendToTextIndex(newDocs: DataFrame, textCol: String,
+      idCol: String, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val old = spark.read.parquet(s"$path/stats").head()
+    val nBuckets = old.getLong(old.fieldIndex("n_buckets"))
+    writePostings(newDocs, textCol, idCol, path, nBuckets.toInt,
+      overwrite = false)
+    newDocs.agg(
+        (count(lit(1)) + lit(old.getLong(old.fieldIndex("n_docs"))))
+          .as("n_docs"),
+        (sum(size(tokens(col(textCol))).cast(LongType)) +
+          lit(old.getLong(old.fieldIndex("sum_dl")))).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  private def writePostings(df: DataFrame, textCol: String,
+      idCol: String, path: String, nBuckets: Int,
+      overwrite: Boolean): Unit = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    toks
+      .select(col("id"), size(col("__toks")).cast(LongType).as("dl"),
+        explode(col("__toks")).as("token"))
+      .groupBy(col("id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("part",
+        pmod(conv(substring(md5(col("token")), 1, 15), 16, 10)
+          .cast(LongType), lit(nBuckets.toLong)))
+      .select(col("part"), col("token"), col("id"), col("tf"), col("dl"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("part").parquet(s"$path/postings")
   }
 
   /** BM25 served from a [[buildTextIndex]] store: the corpus is never
@@ -646,11 +676,15 @@ object TextAnalysis {
     val nBuckets = statsRow.getLong(statsRow.fieldIndex("n_buckets"))
     val terms = queries.flatMap(_._2).distinct
     val buckets = terms.map(t => Dedup.md5Hash60(t) % nBuckets).distinct
-    val postings = spark.read.parquet(s"$path/postings")
+    val matched = spark.read.parquet(s"$path/postings")
       .where(col("part").isin(buckets: _*)) // prunes part= dirs
       .where(col("token").isin(terms: _*))
-      .select(col("id"), col("token"), col("tf"),
-        col("dl").as("__dl"), col("df"))
+    // df recovered exactly from the pruned read (a token's bucket
+    // holds ALL its postings); |terms|-bounded aggregation
+    val dfTable = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val postings = matched
+      .select(col("id"), col("token"), col("tf"), col("dl").as("__dl"))
+      .join(dfTable, Seq("token"))
     val stats = spark.read.parquet(s"$path/stats")
       .select(col("n_docs").as("__n"), col("sum_dl").as("__sumdl"))
     bm25Score(postings, stats, "id", queries, topK, k1, b)

@@ -672,11 +672,15 @@ class DedupTextSpec extends SparkTestBase {
     assert(drift("fox") < 0L)
   }
 
-  test("bm25TopKFromIndex ≡ bm25TopK over the indexed corpus") {
+  test("bm25TopKFromIndex ≡ bm25TopK, including after incremental append") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx_spec")
     try {
-      TextAnalysis.buildTextIndex(corpus, "text", "doc_id",
-        dir.toString, nBuckets = 8)
+      // build on the even half, APPEND the odd half — the served
+      // index must be indistinguishable from a full one-shot build
+      TextAnalysis.buildTextIndex(corpus.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", dir.toString, nBuckets = 8)
+      TextAnalysis.appendToTextIndex(corpus.where(col("doc_id") % 2 === 1),
+        "text", "doc_id", dir.toString)
       val qs = Seq("q_fox" -> Seq("fox", "jumps"), "q_dog" -> Seq("dog"))
       def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),

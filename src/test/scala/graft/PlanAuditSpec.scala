@@ -214,6 +214,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("BM25 postings store: query-term buckets prune part= directories") {
+    val p = plan("text_bm25_indexed")
+    // the terms' md5 buckets must reach the postings store as a
+    // PARTITION filter — a data filter on part would full-scan the
+    // index at corpus scale
+    assert("PartitionFilters: \\[[^\\]]*part".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    // and the exact-term filter pushes into the pruned parquet read
+    assert(p.contains("PushedFilters"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("spilled event store: time range prunes whole date partitions") {
     import spark.implicits._
     import graft.functions.TimeKernel.ts
