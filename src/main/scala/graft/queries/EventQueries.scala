@@ -710,6 +710,54 @@ object EventQueries {
           col("n_base"), col("base_sum"))
     }),
 
+    // CUBE fan-out (the 2ᵈ companion of B18's GROUPING SETS): all four
+    // (event_type × day) marginals in ONE pass — Spark's Expand feeds
+    // a single hash aggregation, no per-marginal rescans; grouping()
+    // flags disambiguate data NULLs from roll-up rows
+    "events_cube" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("day", col("ts").cast("date").cast("string"))
+        .cube(col("event_type"), col("day"))
+        .agg(
+          grouping(col("event_type")).cast(LongType).as("g_type"),
+          grouping(col("day")).cast(LongType).as("g_day"),
+          count(lit(1)).as("n_events"),
+          sum(cents).as("sum_cents"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit("ALL")).as("day"),
+          col("g_type"), col("g_day"), col("n_events"), col("sum_cents"))),
+
+    // per-series lag-1 autocovariance (is the series trending or
+    // mean-reverting?): pairs via one window lag, then the exact
+    // cross-multiplied population covariance n·Σxy − Σx·Σy in
+    // decimal(38,0) — the Anomaly.trailingZFlags arithmetic — with
+    // ONE double conversion at the end (both engines round the same
+    // exact integer to the same double)
+    "series_autocov" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("sec"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("event_type"), col("ts").cast("long").as("sec"),
+          col("event_id"), cents.as("x"))
+        .withColumn("xprev", lag(col("x"), 1).over(w))
+        .where(col("xprev").isNotNull)
+      val agg = pairs.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(dec) * col("xprev").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("xprev").cast(dec)).as("sy"))
+      val covd = (col("n_pairs").cast(dec) * col("sxy") -
+        col("sx") * col("sy")).cast(DoubleType)
+      val nd = col("n_pairs").cast(DoubleType)
+      agg.select(col("event_type"), col("n_pairs"),
+        floor(lit(100.0) * (covd / (nd * nd))).cast(LongType)
+          .as("autocov_e2"))
+    }),
+
     // EWMA smoothing (α = 1/2, trailing 8 rows) per user series — the
     // level-tracking companion to the flat moving average; Horner-fold
     // powers-of-two weights keep numerator/denominator exact longs,
@@ -2032,6 +2080,39 @@ object EventQueries {
         |  CAST(sm AS BIGINT) AS base_sum
         |FROM w
         |WHERE n >= 8 AND (n*x - sm)*(n*x - sm) > 9*(n*sxx - sm*sm)""".stripMargin,
+
+    "events_cube" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(day, 'ALL') AS day,
+        |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+        |  CAST(grouping(day) AS BIGINT) AS g_day,
+        |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e GROUP BY CUBE(event_type, day)""".stripMargin,
+
+    // exact HUGEINT cross-products, one double conversion at the end
+    "series_autocov" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS sec, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type, x, lag(x) OVER (PARTITION BY event_type
+        |    ORDER BY sec, event_id) AS xprev
+        |  FROM e),
+        |a AS (
+        |  SELECT event_type, count(*) AS n_pairs, sum(x * xprev) AS sxy,
+        |         sum(x) AS sx, sum(xprev) AS sy
+        |  FROM p WHERE xprev IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_pairs,
+        |  CAST(floor(CAST(100.0 AS DOUBLE) *
+        |    (CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |      (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE))))
+        |    AS BIGINT) AS autocov_e2
+        |FROM a""".stripMargin,
 
     // Horner fold ≡ Σ l[i]·2^(len−i) (1-based); numerator/denominator
     // exact BIGINTs, one double division with identical operands
