@@ -493,6 +493,26 @@ object DocumentQueries {
         topK = 5)
         .withColumnRenamed("id", "doc_id")),
 
+    // exact phrase search (the match primitive BM25's bag-of-words
+    // scoring can't express): per (doc, phrase) the count of exact
+    // bigram occurrences — row-local gram algebra, no shuffle at all
+    // beyond the scan; overlapping matches count individually
+    "phrase_hits" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val grams = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      docs(s, dir)
+        .select(col("doc_id"), grams.as("__g"),
+          explode(array(lit("hash join"), lit("batch batch"),
+            lit("window window"))).as("phrase"))
+        .withColumn("n_hits",
+          size(filter(col("__g"), g => g === col("phrase"))).cast("long"))
+        .where(col("n_hits") > 0)
+        .select(col("doc_id"), col("phrase"), col("n_hits"))
+    }),
+
     // corpus drift monitor: token-distribution KL contributions
     // between the low-numbered and high-numbered source halves —
     // the yesterday-vs-today check of a continuously-ingesting
@@ -1626,6 +1646,22 @@ object DocumentQueries {
     "text_bm25_topk" -> bm25Sql,
 
     "text_bm25_indexed" -> bm25Sql,
+
+    "phrase_hits" ->
+      """WITH ph(phrase) AS (VALUES
+        |    ('hash join'), ('batch batch'), ('window window')),
+        |tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |  FROM tk)
+        |SELECT doc_id, phrase,
+        |  CAST(len(list_filter(grams, x -> x = phrase)) AS BIGINT) AS n_hits
+        |FROM g CROSS JOIN ph
+        |WHERE len(list_filter(grams, x -> x = phrase)) > 0""".stripMargin,
 
     // Laplace-smoothed KL contributions over the combined top-k cut;
     // identical double tree, e9 floors

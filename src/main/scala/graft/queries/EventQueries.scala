@@ -665,6 +665,42 @@ object EventQueries {
         Seq(("event_id", "purchase_id")))
     }),
 
+    // multi-touch attribution (first / last / linear) per purchase:
+    // the band join (one bucketed equality shuffle, never a per-key
+    // cartesian) collects each purchase's trailing-hour clicks; two
+    // orderings of ONE purchase partitioning pick the first/last
+    // touch, and the linear split is an exact e4 floor — composes
+    // B15b's range join into the marketing read a funnel store serves
+    "attribution_touch" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts"), col("ts").as("click_ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          cents.as("pcents"))
+      val touches = RangeJoin.band(clicks, purchases, Seq("user_id"),
+        "ts", windowSeconds = 3600,
+        Seq("click_id", "user_id", "click_ts"),
+        Seq(("event_id", "purchase_id"), ("pcents", "purchase_cents")))
+      val wAsc = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("click_ts").asc, col("click_id").asc)
+      val wDesc = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("click_ts").desc, col("click_id").desc)
+      touches
+        .withColumn("rna", row_number().over(wAsc))
+        .withColumn("rnd", row_number().over(wDesc))
+        .groupBy(col("purchase_id"), col("user_id"), col("purchase_cents"))
+        .agg(count(lit(1)).as("n_touches"),
+          max(when(col("rna") === 1, col("click_id"))).as("first_click_id"),
+          max(when(col("rnd") === 1, col("click_id"))).as("last_click_id"))
+        .withColumn("linear_attr_e4",
+          floor((lit(10000.0) * col("purchase_cents")) / col("n_touches"))
+            .cast(LongType))
+    }),
+
     // gap-based sessionization (30-minute inactivity) via the built-in
     // session_window — stateful event analytics the reference lacks
     "event_sessions" -> ((s, dir) =>
@@ -2080,6 +2116,36 @@ object EventQueries {
         |  CAST(sm AS BIGINT) AS base_sum
         |FROM w
         |WHERE n >= 8 AND (n*x - sm)*(n*x - sm) > 9*(n*sxx - sm*sm)""".stripMargin,
+
+    "attribution_touch" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(round(value * 100) AS BIGINT) AS cents, event_type
+        |  FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts, cents
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT c.click_id, p.purchase_id, p.user_id, p.cents, c.cts
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 3600 SECOND),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY cts ASC, click_id ASC) AS rna,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY cts DESC, click_id DESC) AS rnd
+        |  FROM t)
+        |SELECT purchase_id, user_id, cents AS purchase_cents,
+        |  count(*) AS n_touches,
+        |  CAST(max(CASE WHEN rna = 1 THEN click_id END) AS BIGINT)
+        |    AS first_click_id,
+        |  CAST(max(CASE WHEN rnd = 1 THEN click_id END) AS BIGINT)
+        |    AS last_click_id,
+        |  CAST(floor((CAST(10000.0 AS DOUBLE) * cents) / count(*))
+        |    AS BIGINT) AS linear_attr_e4
+        |FROM r GROUP BY purchase_id, user_id, cents""".stripMargin,
 
     "events_cube" ->
       """WITH e AS (

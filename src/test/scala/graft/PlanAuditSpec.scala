@@ -214,6 +214,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("attribution: banded equality join, no cartesian, one window family") {
+    val p = plan("attribution_touch")
+    // the trailing-hour touch collection must ride the bucketed
+    // equality join — a per-key cartesian or range BNLJ would explode
+    // at clickstream scale
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("cube fan-out: one Expand feeds one aggregation pass") {
+    val p = plan("events_cube")
+    assert(p.contains("Expand"), p.take(2000))
+    // Expand + partial/final agg = a single exchange; per-marginal
+    // rescans would show several
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
+  }
+
+  test("ewma/autocov: one per-entity partitioning, no joins") {
+    for (q <- Seq("event_ewma", "series_autocov")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n" + p.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        s"$q shuffles more than entity+agg:\n" + p.take(3000))
+    }
+  }
+
   test("BM25 postings store: query-term buckets prune part= directories") {
     val p = plan("text_bm25_indexed")
     // the terms' md5 buckets must reach the postings store as a
