@@ -603,47 +603,56 @@ object TextAnalysis {
     * token's one bucket, so a query's pruned read necessarily sees
     * ALL postings of each queried term and recovers df exactly with
     * one |terms|-bounded aggregation. That is what makes the index
-    * APPENDABLE ([[appendToTextIndex]]) — a denormalized df would go
-    * stale on the first append and force a full rewrite. */
+    * APPENDABLE ([[appendToTextIndex]]) and streaming-maintainable
+    * (`StreamingIngest.maintainTextIndex`) — a denormalized df would
+    * go stale on the first append and force a full rewrite.
+    *
+    * Each ingested batch owns a `__batch_id=<n>` directory under
+    * BOTH `postings/` (then `part=` inside it) and `stats/` (one
+    * 1-row parquet per batch) — the same per-batch-overwrite
+    * idempotency contract as the streaming-maintained rollup stores:
+    * replaying a batch overwrites its own directories and nothing
+    * else. Readers sum the stats rows and treat `__batch_id` as just
+    * another partition column; `part=` pruning is unaffected. A
+    * store is maintained EITHER by build/append batches OR by one
+    * streaming query — not both at once (batch-id namespaces would
+    * collide, exactly as with any per-batch-dir store). */
   def buildTextIndex(df: DataFrame, textCol: String, idCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    writePostings(df, textCol, idCol, path, nBuckets, overwrite = true)
-    df.agg(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col(textCol))).cast(LongType)).as("sum_dl"))
-      .withColumn("n_buckets", lit(nBuckets.toLong))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    writePostingsBatch(df, textCol, idCol, path, nBuckets, batchId = 0L)
   }
 
   /** Incrementally index a NEW batch of documents into an existing
     * [[buildTextIndex]] store — the daily-ingest shape (the text
     * plane's mirror of `Similarity`'s incremental IVF maintenance
     * and `Dedup.jaccardPairsAgainst`): cost scales with the batch,
-    * never the corpus. New postings append under their `part=`
-    * directories; the 1-row stats advance by the batch's counts
-    * (the old row is read driver-side first, so the overwrite is
-    * safe). The batch MUST be new doc ids — re-appending an already
-    * indexed doc double-counts it, exactly like re-ingesting a batch
-    * into any append-only store. */
+    * never the corpus. The batch lands in the next `__batch_id`
+    * directory (prior ids listed driver-side from `stats/` —
+    * bounded by the batch count, like any partition listing). The
+    * batch MUST be new doc ids — re-appending an already indexed doc
+    * double-counts it, exactly like re-ingesting a batch into any
+    * append-only store. */
   def appendToTextIndex(newDocs: DataFrame, textCol: String,
       idCol: String, path: String): Unit = {
     val spark = newDocs.sparkSession
-    val old = spark.read.parquet(s"$path/stats").head()
-    val nBuckets = old.getLong(old.fieldIndex("n_buckets"))
-    writePostings(newDocs, textCol, idCol, path, nBuckets.toInt,
-      overwrite = false)
-    newDocs.agg(
-        (count(lit(1)) + lit(old.getLong(old.fieldIndex("n_docs"))))
-          .as("n_docs"),
-        (sum(size(tokens(col(textCol))).cast(LongType)) +
-          lit(old.getLong(old.fieldIndex("sum_dl")))).as("sum_dl"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val stats = spark.read.parquet(s"$path/stats")
+    val nbs = stats.select(col("n_buckets")).distinct().collect()
+      .map(_.getLong(0))
+    require(nbs.length == 1,
+      s"inconsistent n_buckets across index batches: ${nbs.mkString(",")}")
+    // partition-column type is discovery-inferred (int) — cast
+    val next = stats.agg(max(col("__batch_id").cast(LongType)))
+      .head().getLong(0) + 1L
+    writePostingsBatch(newDocs, textCol, idCol, path, nbs.head.toInt, next)
   }
 
-  private def writePostings(df: DataFrame, textCol: String,
-      idCol: String, path: String, nBuckets: Int,
-      overwrite: Boolean): Unit = {
+  /** One batch's postings + stats, written idempotently: overwrite of
+    * the batch's own `__batch_id=` directories, nothing else touched
+    * (replay-safe — the contract `StreamingIngest.maintainTextIndex`
+    * relies on). */
+  private[graft] def writePostingsBatch(df: DataFrame, textCol: String,
+      idCol: String, path: String, nBuckets: Int, batchId: Long): Unit = {
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
     toks
       .select(col("id"), size(col("__toks")).cast(LongType).as("dl"),
@@ -654,8 +663,13 @@ object TextAnalysis {
         pmod(conv(substring(md5(col("token")), 1, 15), 16, 10)
           .cast(LongType), lit(nBuckets.toLong)))
       .select(col("part"), col("token"), col("id"), col("tf"), col("dl"))
-      .write.mode(if (overwrite) "overwrite" else "append")
-      .partitionBy("part").parquet(s"$path/postings")
+      .write.mode("overwrite")
+      .partitionBy("part").parquet(s"$path/postings/__batch_id=$batchId")
+    df.agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast(LongType)).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets.toLong))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/stats/__batch_id=$batchId")
   }
 
   /** BM25 served from a [[buildTextIndex]] store: the corpus is never
@@ -672,8 +686,14 @@ object TextAnalysis {
       path: String, queries: Seq[(String, Seq[String])], topK: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "bm25TopKFromIndex needs at least one query")
-    val statsRow = spark.read.parquet(s"$path/stats").head()
-    val nBuckets = statsRow.getLong(statsRow.fieldIndex("n_buckets"))
+    val statsAll = spark.read.parquet(s"$path/stats")
+    // per-batch stats rows: the modulus must agree across batches
+    // (bounded driver read — one value per ingested batch)
+    val nbs = statsAll.select(col("n_buckets")).distinct().collect()
+      .map(_.getLong(0))
+    require(nbs.length == 1,
+      s"inconsistent n_buckets across index batches: ${nbs.mkString(",")}")
+    val nBuckets = nbs.head
     val terms = queries.flatMap(_._2).distinct
     val buckets = terms.map(t => Dedup.md5Hash60(t) % nBuckets).distinct
     val matched = spark.read.parquet(s"$path/postings")
@@ -685,8 +705,8 @@ object TextAnalysis {
     val postings = matched
       .select(col("id"), col("token"), col("tf"), col("dl").as("__dl"))
       .join(dfTable, Seq("token"))
-    val stats = spark.read.parquet(s"$path/stats")
-      .select(col("n_docs").as("__n"), col("sum_dl").as("__sumdl"))
+    val stats = statsAll
+      .agg(sum(col("n_docs")).as("__n"), sum(col("sum_dl")).as("__sumdl"))
     bm25Score(postings, stats, "id", queries, topK, k1, b)
   }
 

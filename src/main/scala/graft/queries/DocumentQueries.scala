@@ -44,6 +44,30 @@ object DocumentQueries {
       p.toString
     })
 
+  /** STREAMING-maintained BM25 index: the documents table replayed as
+    * a bounded file stream through
+    * `StreamingIngest.maintainTextIndex` — per-micro-batch postings +
+    * stats directories, zero streaming state. Served identically to
+    * the batch-built index (and shares the scan-time oracle). */
+  private def streamedTextIndexDir(s: SparkSession, dir: String): String =
+    textIndexDirs.getOrElseUpdate((s, s"$dir#stream"), {
+      val base = java.nio.file.Files.createTempDirectory("graft_bm25stream")
+      deleteOnExit(base)
+      val idx = s"$base/index"
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = graft.streaming.StreamingIngest
+        .maintainTextIndex(stream, "text", "doc_id", idx, nBuckets = 64)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      idx
+    })
+
   /** Streaming scrub output, built once per (session, sf dir): the
     * documents table replayed as a bounded file stream through the
     * ROW-LOCAL scrub chain (augment → normalize → PII count/redact) —
@@ -486,6 +510,18 @@ object DocumentQueries {
     // scan-time oracle (indexed ≡ scan-time, also spec-pinned)
     "text_bm25_indexed" -> ((s, dir) =>
       TextAnalysis.bm25TopKFromIndex(s, textIndexDir(s, dir),
+        queries = Seq(
+          "q_hash_join" -> Seq("hash", "join"),
+          "q_window_scan" -> Seq("window", "sort", "scan"),
+          "q_stream" -> Seq("stream", "batch", "spark")),
+        topK = 5)
+        .withColumnRenamed("id", "doc_id")),
+
+    // the streaming-maintained index serves the SAME oracle: per
+    // micro-batch postings/stats dirs written by foreachBatch with
+    // zero streaming state, indistinguishable at query time
+    "stream_bm25_indexed" -> ((s, dir) =>
+      TextAnalysis.bm25TopKFromIndex(s, streamedTextIndexDir(s, dir),
         queries = Seq(
           "q_hash_join" -> Seq("hash", "join"),
           "q_window_scan" -> Seq("window", "sort", "scan"),
@@ -1646,6 +1682,8 @@ object DocumentQueries {
     "text_bm25_topk" -> bm25Sql,
 
     "text_bm25_indexed" -> bm25Sql,
+
+    "stream_bm25_indexed" -> bm25Sql,
 
     "phrase_hits" ->
       """WITH ph(phrase) AS (VALUES

@@ -222,6 +222,28 @@ object StreamingIngest {
         ()
       }
 
+  /** Streaming-maintained BM25 postings index: each micro-batch of
+    * documents lands as one `__batch_id=` postings + stats pair via
+    * [[graft.operators.TextAnalysis.writePostingsBatch]] — the text
+    * plane's maintained store beside the rollup/sketch maintainers
+    * above. Zero streaming state (plain per-batch aggregation);
+    * replaying a batch after a checkpoint restart overwrites its own
+    * directories and nothing else, so delivery is effectively-once.
+    * The serving side (`TextAnalysis.bm25TopKFromIndex`) sums the
+    * per-batch stats rows and prunes `part=` directories exactly as
+    * for a batch-built index — a query cannot tell how the store was
+    * maintained. Same contract as every per-batch-dir store: new doc
+    * ids only; one maintainer per store path. */
+  def maintainTextIndex(stream: DataFrame, textCol: String,
+      idCol: String, path: String, nBuckets: Int = 64): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextAnalysis.writePostingsBatch(
+          batch, textCol, idCol, path, nBuckets, batchId)
+        ()
+      }
+
   /** Start mode-2 into an in-memory sink (testing / small pipelines). */
   def startToMemory(agged: DataFrame, queryName: String): StreamingQuery =
     agged.writeStream

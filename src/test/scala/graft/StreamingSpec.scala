@@ -327,6 +327,47 @@ class StreamingSpec extends SparkTestBase {
     assert(query() == first)
   }
 
+  test("streaming-maintained BM25 index == scan-time; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a hash join beats a sort merge join on small builds"),
+      (3L, "the fox likes hash tables"),
+      (4L, "window functions sort within partitions"))
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25s").toString
+    def runOnce(): Unit = {
+      val source = MemoryStream[(Long, String)]
+      val q = StreamingIngest.maintainTextIndex(
+          source.toDF().toDF("doc_id", "text"), "text", "doc_id",
+          s"$path/idx", nBuckets = 8)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-bm25ck").toString)
+        .start()
+      source.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      source.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    val qs = Seq("q1" -> Seq("hash", "join"), "q2" -> Seq("fox"))
+    def served() = TextAnalysis
+      .bm25TopKFromIndex(spark, s"$path/idx", qs, topK = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val scan = TextAnalysis.bm25TopK(corpus.toDF("doc_id", "text"),
+        "text", "doc_id", qs, topK = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val first = served()
+    assert(first == scan, s"served=$first scan=$scan")
+    // a full replay (fresh checkpoint, same batch ids) must overwrite
+    // its own batch dirs and change nothing — effectively-once
+    runOnce()
+    assert(served() == first)
+  }
+
   test("external rollup + direct service writes: both histories served") {
     implicit val sqlCtx = spark.sqlContext
     val fact = FactDef("signups", FactType.Counter, sliceMinutes = 10)
