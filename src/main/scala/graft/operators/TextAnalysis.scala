@@ -656,13 +656,18 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
     toks
       .select(col("id"), size(col("__toks")).cast(LongType).as("dl"),
-        explode(col("__toks")).as("token"))
+        posexplode(col("__toks")).as(Seq("pos", "token")))
       .groupBy(col("id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      // POSITIONAL postings: sorted in-doc positions make the index
+      // serve exact phrase queries ([[phraseHitsFromIndex]]), not just
+      // bag-of-words scores; sort_array pins the collect order
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast(LongType))).as("positions"))
       .withColumn("part",
         pmod(conv(substring(md5(col("token")), 1, 15), 16, 10)
           .cast(LongType), lit(nBuckets.toLong)))
-      .select(col("part"), col("token"), col("id"), col("tf"), col("dl"))
+      .select(col("part"), col("token"), col("id"), col("tf"), col("dl"),
+        col("positions"))
       .write.mode("overwrite")
       .partitionBy("part").parquet(s"$path/postings/__batch_id=$batchId")
     df.agg(count(lit(1)).as("n_docs"),
@@ -708,6 +713,53 @@ object TextAnalysis {
     val stats = statsAll
       .agg(sum(col("n_docs")).as("__n"), sum(col("sum_dl")).as("__sumdl"))
     bm25Score(postings, stats, "id", queries, topK, k1, b)
+  }
+
+  /** Exact PHRASE search served from the positional postings of a
+    * [[buildTextIndex]] store — the corpus is never scanned. Each
+    * phrase term's bucket prunes to a `part=` directory; candidate
+    * start positions then narrow by an `array_intersect` FOLD over
+    * the phrase's terms (`candidates(i) = (candidates(i−1)+1) ∩
+    * positions(termᵢ)`), so an n-term phrase is n−1 equi-joins on
+    * the doc id over |phrase docs|-bounded inputs — no gram
+    * materialization, no corpus scan. `n_hits` counts match
+    * positions, overlapping occurrences individually — identical
+    * semantics to the scan-time gram counting (shared oracle).
+    *
+    * @param phrases whitespace-separated multi-token phrases.
+    * @return (id, phrase, n_hits), matches only. */
+  def phraseHitsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phraseHitsFromIndex needs phrases")
+    val phraseTerms = phrases.map(p => p -> p.trim.split("\\s+").toSeq)
+    require(phraseTerms.forall(_._2.length >= 2),
+      "phrases must have at least 2 tokens")
+    val statsAll = spark.read.parquet(s"$path/stats")
+    val nbs = statsAll.select(col("n_buckets")).distinct().collect()
+      .map(_.getLong(0))
+    require(nbs.length == 1,
+      s"inconsistent n_buckets across index batches: ${nbs.mkString(",")}")
+    val terms = phraseTerms.flatMap(_._2).distinct
+    val buckets = terms.map(t => Dedup.md5Hash60(t) % nbs.head).distinct
+    val matched = spark.read.parquet(s"$path/postings")
+      .where(col("part").isin(buckets: _*)) // prunes part= dirs
+      .where(col("token").isin(terms: _*))
+      .select(col("id"), col("token"), col("positions"))
+    phraseTerms.map { case (ph, ts) =>
+      val start = matched.where(col("token") === ts.head)
+        .select(col("id"), col("positions").as("__cand"))
+      val folded = ts.zipWithIndex.drop(1).foldLeft(start) {
+        case (acc, (t, i)) =>
+          acc.join(matched.where(col("token") === t)
+              .select(col("id"), col("positions").as(s"__p$i")), Seq("id"))
+            .withColumn("__cand", array_intersect(
+              transform(col("__cand"), p => p + lit(1L)), col(s"__p$i")))
+            .drop(s"__p$i")
+      }
+      folded.select(col("id"), lit(ph).as("phrase"),
+          size(col("__cand")).cast(LongType).as("n_hits"))
+        .where(col("n_hits") > 0)
+    }.reduce(_.unionByName(_))
   }
 
   /** Content fingerprint: md5 of the whitespace-normalized text —

@@ -549,6 +549,15 @@ object DocumentQueries {
         .select(col("doc_id"), col("phrase"), col("n_hits"))
     }),
 
+    // the SAME phrases served from the positional postings index —
+    // candidate start positions narrow by an array_intersect fold,
+    // no corpus scan, no gram materialization; shares the scan-time
+    // oracle
+    "phrase_hits_indexed" -> ((s, dir) =>
+      TextAnalysis.phraseHitsFromIndex(s, textIndexDir(s, dir),
+        Seq("hash join", "batch batch", "window window"))
+        .withColumnRenamed("id", "doc_id")),
+
     // corpus drift monitor: token-distribution KL contributions
     // between the low-numbered and high-numbered source halves —
     // the yesterday-vs-today check of a continuously-ingesting
@@ -1080,6 +1089,24 @@ object DocumentQueries {
        |JOIN sizes sa ON sa.doc_id = p.id_a
        |JOIN sizes sb ON sb.doc_id = p.id_b
        |WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)""".stripMargin
+
+  /** Shared by the scan-time and index-served phrase queries
+    * (positional-postings fold ≡ gram counting — spec-pinned). */
+  private val phraseSql: String =
+    """WITH ph(phrase) AS (VALUES
+      |    ('hash join'), ('batch batch'), ('window window')),
+      |tk AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1]) AS grams
+      |  FROM tk)
+      |SELECT doc_id, phrase,
+      |  CAST(len(list_filter(grams, x -> x = phrase)) AS BIGINT) AS n_hits
+      |FROM g CROSS JOIN ph
+      |WHERE len(list_filter(grams, x -> x = phrase)) > 0""".stripMargin
 
   /** Shared by the scan-time and indexed BM25 queries (indexed ≡
     * scan-time by construction — one scorer, spec-pinned). */
@@ -1685,21 +1712,9 @@ object DocumentQueries {
 
     "stream_bm25_indexed" -> bm25Sql,
 
-    "phrase_hits" ->
-      """WITH ph(phrase) AS (VALUES
-        |    ('hash join'), ('batch batch'), ('window window')),
-        |tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, len(toks)),
-        |      i -> toks[i] || ' ' || toks[i+1]) AS grams
-        |  FROM tk)
-        |SELECT doc_id, phrase,
-        |  CAST(len(list_filter(grams, x -> x = phrase)) AS BIGINT) AS n_hits
-        |FROM g CROSS JOIN ph
-        |WHERE len(list_filter(grams, x -> x = phrase)) > 0""".stripMargin,
+    "phrase_hits" -> phraseSql,
+
+    "phrase_hits_indexed" -> phraseSql,
 
     // Laplace-smoothed KL contributions over the combined top-k cut;
     // identical double tree, e9 floors

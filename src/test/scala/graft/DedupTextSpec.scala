@@ -694,6 +694,25 @@ class DedupTextSpec extends SparkTestBase {
       val plan = TextAnalysis.bm25TopKFromIndex(spark, dir.toString,
         qs, topK = 4).queryExecution.executedPlan.toString
       assert(plan.contains("part"), plan.take(500))
+      // positional postings: the index-served phrase fold counts the
+      // same (overlapping) occurrences as scan-time gram counting —
+      // "the quick" occurs in docs 1/2/3; "the lazy" likewise; a
+      // 3-term phrase exercises the multi-step fold
+      val phrases = Seq("the quick", "quick brown fox", "lazy dog")
+      val fromIdx = TextAnalysis.phraseHitsFromIndex(spark, dir.toString,
+          phrases)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val grams3 = corpus.collect().flatMap { r =>
+        val toks = r.getString(1).trim.split("\\s+")
+        phrases.map { ph =>
+          val pts = ph.split(" ")
+          val n = toks.sliding(pts.length)
+            .count(w => w.sameElements(pts))
+          (r.getLong(0), ph, n.toLong)
+        }
+      }.filter(_._3 > 0).toSet
+      assert(fromIdx == grams3, s"idx=$fromIdx scan=$grams3")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq
