@@ -68,6 +68,42 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** HYBRID retrieval rerank — the two-stage RAG/search pattern:
+    * a cheap lexical recall stage (e.g. BM25 over the postings index)
+    * produces a per-query candidate list; this stage reranks the
+    * candidates by embedding cosine against the query's vector.
+    * Precision of dense similarity at the cost of scoring only
+    * |queries|·|candidates| pairs — the corpus's vectors are touched
+    * ONLY for candidate ids (a semi-join-shaped probe into the
+    * vector store), never scanned.
+    *
+    * Scale shape: query vectors broadcast (|queries| rows); the
+    * candidate list is topN-bounded per query, so the vector join
+    * input is small on one side and key-pruned on the other; one
+    * window per query id for the final cut.
+    *
+    * @param candidates (queryIdCol, idCol, carried...) — stage-1 output
+    * @param corpusVecs (idCol, vecCol) — the vector store
+    * @param queryVecs  (queryIdCol, vecCol) — one vector per query
+    * @return candidates' columns + `rank` (1..k by cosine desc, id) */
+  def hybridRerank(candidates: DataFrame, corpusVecs: DataFrame,
+      queryVecs: DataFrame, queryIdCol: String, idCol: String,
+      vecCol: String, k: Int,
+      dotFn: (Column, Column) => Column = dot): DataFrame = {
+    val d = dotFn
+    val q = queryVecs.select(col(queryIdCol), col(vecCol).as("__qv"))
+    val c = corpusVecs.select(col(idCol), col(vecCol).as("__cv"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__sim").desc, col(idCol))
+    candidates
+      .join(c, Seq(idCol))
+      .join(broadcast(q), Seq(queryIdCol))
+      .withColumn("__sim", d(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("__qv", "__cv", "__sim")
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column: per
     * vector, `scale = max|x| / 127` and `q_i = round(x_i / scale)` —
     * 4× less memory/IO than float32 (the difference between a vector

@@ -549,6 +549,37 @@ object DocumentQueries {
         .select(col("doc_id"), col("phrase"), col("n_hits"))
     }),
 
+    // HYBRID retrieval (the two-stage RAG/search pattern): BM25 over
+    // the postings index recalls 20 lexical candidates per query,
+    // then embedding cosine against the query's mapped vector reranks
+    // to the final 5 — dense precision priced at |queries|·|cands|
+    // dot products, the corpus vectors probed by candidate id only
+    "hybrid_search" -> ((s, dir) => {
+      import graft.functions.GraftFunctions
+      import graft.operators.Similarity
+      import s.implicits._
+      GraftFunctions.register(s)
+      val cands = TextAnalysis.bm25TopKFromIndex(s, textIndexDir(s, dir),
+          queries = Seq(
+            "q_hash_join" -> Seq("hash", "join"),
+            "q_window_scan" -> Seq("window", "sort", "scan"),
+            "q_stream" -> Seq("stream", "batch", "spark")),
+          topK = 20)
+        .withColumnRenamed("id", "doc_id")
+        .select(col("query_id"), col("doc_id"), col("score_e6"))
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val qv = Seq(("q_hash_join", 0L), ("q_window_scan", 1L),
+          ("q_stream", 2L))
+        .toDF("query_id", "qvec_id")
+        .join(emb, col("qvec_id") === col("vec_id"))
+        .select(col("query_id"), col("embedding"))
+      val cv = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      Similarity.hybridRerank(cands, cv, qv, "query_id", "doc_id",
+          "embedding", k = 5, dotFn = GraftFunctions.dotNative)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_e6"))
+    }),
+
     // the SAME phrases served from the positional postings index —
     // candidate start positions narrow by an array_intersect fold,
     // no corpus scan, no gram materialization; shares the scan-time
@@ -1154,7 +1185,34 @@ object DocumentQueries {
       |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score_e6
       |FROM ranked WHERE rk <= 5""".stripMargin
 
+  /** Hybrid retrieval oracle: the SAME bm25 chain (candidates rk ≤ 20)
+    * reranked by embedding cosine against the query's mapped vector —
+    * stage-1 lexical recall, stage-2 dense precision. */
+  private val hybridSql: String = {
+    val chain = bm25Sql
+      .substring(0, bm25Sql.lastIndexOf("SELECT query_id")).trim + ",\n"
+    chain +
+      """cand AS (SELECT query_id, doc_id, score_e6 FROM ranked
+        |         WHERE rk <= 20),
+        |qm(query_id, qvec_id) AS (VALUES
+        |    ('q_hash_join', 0), ('q_window_scan', 1), ('q_stream', 2)),
+        |qv AS (SELECT qm.query_id, CAST(e.embedding AS DOUBLE[]) AS v
+        |       FROM qm JOIN embeddings e ON e.vec_id = qm.qvec_id),
+        |cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings),
+        |rr AS (
+        |  SELECT c.query_id, c.doc_id, c.score_e6,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_dot_product(qv.v, cv.v) DESC, c.doc_id) AS rank
+        |  FROM cand c JOIN cv ON cv.doc_id = c.doc_id
+        |  JOIN qv ON qv.query_id = c.query_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_e6
+        |FROM rr WHERE rank <= 5""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "hybrid_search" -> hybridSql,
+
     "dedup_exact" ->
       """SELECT d.doc_id, c.canonical_id
         |FROM documents d

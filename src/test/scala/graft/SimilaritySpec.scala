@@ -227,4 +227,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.map(r => r.getInt(2)).toSet == Set(1, 2, 3, 4, 5) ||
       rows.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
   }
+
+  test("hybridRerank: cosine order within candidates only, carried cols kept") {
+    import spark.implicits._
+    // candidates for one query: docs 1, 2, 3 (doc 4 deliberately NOT
+    // a candidate even though its vector is the query itself)
+    val cands = Seq(("q1", 1L, 100L), ("q1", 2L, 90L), ("q1", 3L, 80L))
+      .toDF("query_id", "doc_id", "score_e6")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7f, 0.7f)), (4L, Array(0.0f, 1.0f)))
+      .toDF("doc_id", "embedding")
+    val qv = Seq(("q1", Array(0.0f, 1.0f))).toDF("query_id", "embedding")
+    val got = Similarity.hybridRerank(cands, vecs, qv,
+        "query_id", "doc_id", "embedding", k = 2)
+      .select(col("rank"), col("doc_id"), col("score_e6"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // cosine flips bm25's order: doc 2 (sim 1.0) > doc 3 (0.7) > doc 1
+    // (0.0); doc 4 never appears (not recalled); score_e6 carried
+    assert(got == Set((1, 2L, 90L), (2, 3L, 80L)), s"got $got")
+  }
 }
