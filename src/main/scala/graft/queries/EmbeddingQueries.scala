@@ -185,6 +185,58 @@ object EmbeddingQueries {
         dotFn = GraftFunctions.dotNative)
     }),
 
+    // retrieval-quality EVALUATION (the recall@k gate an ANN rollout
+    // needs): per query, how many of the exact top-5 the served IVF
+    // path returned — both sides are existing operators, the metric
+    // is one key-equality join + count, exact integers
+    "ann_recall_persisted" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+      val store = s"$built/store"
+      if (!new java.io.File(store).exists()) {
+        Similarity.writeIvfCorpus(e, s.read.parquet(s"$built/assign"),
+          "vec_id", store)
+      }
+      val approx = Similarity.ivfTopKFromStore(store,
+        s.read.parquet(s"$built/centroids"), e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 3,
+        dotFn = GraftFunctions.dotNative)
+      val exact = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, dotFn = GraftFunctions.dotNative)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L))
+      approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_e4", (col("n_hits") * lit(2000L)).cast("long"))
+    }),
+
+    // SEMANTIC decontamination (the embedding-plane twin of the
+    // shingle-based eval gate): corpus vectors whose cosine to ANY
+    // eval vector crosses the threshold are flagged with hit count
+    // and best-matching eval id — the eval side broadcasts, the
+    // corpus is never re-shuffled (same posture as Decontaminate)
+    "decontaminate_semantic" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val eval = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("__ev"))
+      val corpus = e.where(col("vec_id") >= 10)
+        .select(col("vec_id"), col("embedding"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("__sim").desc, col("eval_id"))
+      corpus.join(broadcast(eval),
+          GraftFunctions.dotNative(col("embedding"), col("__ev")) >= 0.4)
+        .withColumn("__sim",
+          GraftFunctions.dotNative(col("embedding"), col("__ev")))
+        .withColumn("__rn", row_number().over(w))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_eval_hits"),
+          max(when(col("__rn") === 1, col("eval_id"))).as("best_eval_id"))
+    }),
+
     // int8-QUANTIZED search beside the float path: 4× memory/IO
     // reduction with recall pinned IN-PLAN against the exact top-5
     // (≥3 of 5 exact neighbors must appear in the quantized top-5 per
@@ -431,6 +483,40 @@ object EmbeddingQueries {
     // identical ranking contract for the partitioned-store serving
     // layout: layout changes what is read, never the answer
     "ann_ivf_persisted" -> kmeansIvfOracle,
+
+    // the two existing oracles composed: exact ∩ served per query
+    "ann_recall_persisted" ->
+      s"""WITH ex AS ($topkOracle),
+         |ap AS ($kmeansIvfOracle)
+         |SELECT ap.query_id,
+         |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 2000 AS BIGINT) AS recall_e4
+         |FROM ap LEFT JOIN ex
+         |  ON ex.query_id = ap.query_id
+         | AND ex.neighbor_id = ap.neighbor_id
+         |GROUP BY 1""".stripMargin,
+
+    "decontaminate_semantic" ->
+      """WITH ev AS (
+        |  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |j AS (
+        |  SELECT c.vec_id, ev.eval_id, list_dot_product(c.v, ev.v) AS sim
+        |  FROM c CROSS JOIN ev
+        |  WHERE list_dot_product(c.v, ev.v) >= 0.4),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, eval_id) AS rn
+        |  FROM j)
+        |SELECT vec_id, count(*) AS n_eval_hits,
+        |  CAST(max(CASE WHEN rn = 1 THEN eval_id END) AS BIGINT)
+        |    AS best_eval_id
+        |FROM r GROUP BY 1""".stripMargin,
 
     // the incrementally-appended store must answer IDENTICALLY to the
     // full build under the same frozen centroids

@@ -764,6 +764,24 @@ object EventQueries {
           coalesce(col("day"), lit("ALL")).as("day"),
           col("g_type"), col("g_day"), col("n_events"), col("sum_cents"))),
 
+    // PIVOT (the BI cross-tab surface): daily event counts spread
+    // into one column per event type — explicit value list, so Spark
+    // skips the extra distinct-scan pass and the plan is one
+    // aggregation; zero-filled like any cross-tab
+    "events_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("day", col("ts").cast("date").cast("string"))
+        .groupBy(col("day"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("day"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))),
+
     // per-series lag-1 autocovariance (is the series trending or
     // mean-reverting?): pairs via one window lag, then the exact
     // cross-multiplied population covariance n·Σxy − Σx·Σy in
@@ -2158,6 +2176,15 @@ object EventQueries {
         |  CAST(grouping(day) AS BIGINT) AS g_day,
         |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM e GROUP BY CUBE(event_type, day)""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
 
     // exact HUGEINT cross-products, one double conversion at the end
     "series_autocov" ->
