@@ -138,5 +138,30 @@ graft.functions.GraftFunctions.register(spark)
 val sqlFn = spark.sql("SELECT graft_slice(TIMESTAMP '2014-03-21 16:46:30', 15), graft_week(TIMESTAMP '2023-12-31 10:00:00')").head
 assert(sqlFn.getTimestamp(0) == ts("2014-03-21T16:45") && sqlFn.getTimestamp(1) == ts("2023-12-24T00:00"), s"sql surface: $sqlFn")
 println("DRIVE-OK-sqlsurface " + sqlFn)
+// 9. round-8 retrieval plane: BM25 (scan + appendable positional index),
+//    phrase fold, hybrid rerank, EWMA, token drift
+val irDocs = Seq((1L, "spark hash join beats sort merge join"), (2L, "the window sort spills"), (3L, "hash tables everywhere hash hash")).toDF("doc_id", "text")
+val bm = TextAnalysis.bm25TopK(irDocs, "text", "doc_id", Seq("q" -> Seq("hash", "join")), topK = 3).orderBy("rk").collect()
+assert(bm.length == 2 && bm.head.getLong(2) == 1L, s"bm25: ${bm.toSeq}")
+val idxDir = java.nio.file.Files.createTempDirectory("drive-bm25").toString
+TextAnalysis.buildTextIndex(irDocs.where(col("doc_id") < 3), "text", "doc_id", idxDir, nBuckets = 4)
+TextAnalysis.appendToTextIndex(irDocs.where(col("doc_id") === 3), "text", "doc_id", idxDir)
+val bmIdx = TextAnalysis.bm25TopKFromIndex(spark, idxDir, Seq("q" -> Seq("hash", "join")), topK = 3).orderBy("rk").collect()
+assert(bmIdx.map(r => (r.getLong(2), r.getLong(4))).toSeq == bm.map(r => (r.getLong(2), r.getLong(4))).toSeq, s"indexed != scan: ${bmIdx.toSeq} vs ${bm.toSeq}")
+val phr = TextAnalysis.phraseHitsFromIndex(spark, idxDir, Seq("hash join")).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+assert(phr == Map(1L -> 1L), s"phrase: $phr")
+println("DRIVE-OK-bm25 " + bm.map(_.getLong(2)).mkString(",") + " phrase=" + phr)
+val hybC = Seq(("q", 1L, 50L), ("q", 2L, 40L)).toDF("query_id", "doc_id", "score_e6")
+val hybV = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("doc_id", "embedding")
+val hybQ = Seq(("q", Array(0.0f, 1.0f))).toDF("query_id", "embedding")
+val hyb = Similarity.hybridRerank(hybC, hybV, hybQ, "query_id", "doc_id", "embedding", k = 1).collect()
+assert(hyb.length == 1 && hyb.head.getAs[Long]("doc_id") == 2L, s"hybrid: ${hyb.toSeq}")
+println("DRIVE-OK-hybrid " + hyb.head)
+val ewDf = Seq((1L, 1L, 1L, 100L), (2L, 1L, 2L, 200L)).toDF("event_id", "user_id", "sec", "cents")
+val ew = graft.operators.Anomaly.ewma(ewDf, col("user_id"), Seq(col("sec"), col("event_id")), col("cents"), w = 4).orderBy("sec").collect().map(_.getAs[Long]("ewma_e4")).toSeq
+assert(ew == Seq(1000000L, math.floor(10000.0 * 400 / 3).toLong), s"ewma: $ew")
+val dr = graft.operators.Profiling.tokenDrift(irDocs, irDocs, "text", k = 10).collect()
+assert(dr.nonEmpty && dr.forall(_.getLong(3) == 0L), "self-drift must be zero")
+println("DRIVE-OK-ewma-drift " + ew + " drift0=" + dr.length)
 println("DRIVE-OK-ALL")
 sys.exit(0)
