@@ -64,12 +64,21 @@ object Profiling {
     *   count (desc, token asc) cut. */
   def tokenDrift(dfA: DataFrame, dfB: DataFrame, textCol: String,
       k: Int = 100): DataFrame = {
-    import org.apache.spark.sql.types.LongType
     def tf(df: DataFrame) = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val ta = tf(dfA).withColumnRenamed("cnt", "cnt_a")
-    val tb = tf(dfB).withColumnRenamed("cnt", "cnt_b")
+    tokenDriftFromCounts(tf(dfA), tf(dfB), k)
+  }
+
+  /** Drift scored from per-side `(token, cnt)` frames — the shared
+    * tail of [[tokenDrift]] and [[tokenDriftFromIndex]], kept single
+    * so the corpus-scan and index-derived forms cannot diverge in
+    * their double arithmetic. */
+  def tokenDriftFromCounts(ta0: DataFrame, tb0: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val ta = ta0.withColumnRenamed("cnt", "cnt_a")
+    val tb = tb0.withColumnRenamed("cnt", "cnt_b")
     val joined = ta.join(tb, Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
@@ -86,5 +95,29 @@ object Profiling {
       .withColumn("kl_e9",
         floor((lit(1000000000.0) * p) * log(p / q)).cast(LongType))
       .select(col("token"), col("cnt_a"), col("cnt_b"), col("kl_e9"))
+  }
+
+  /** Token drift derived FROM a BM25 postings index
+    * (`TextAnalysis.buildTextIndex` layout) — the retrieval store
+    * doubles as the drift-monitoring substrate: per-side token counts
+    * are one `sum(tf)` aggregation over the chosen `__batch_id`
+    * partitions (partition-pruned), no corpus re-scan, no
+    * re-tokenization. With batches that mirror two ingest snapshots
+    * this is the yesterday-vs-today check for free.
+    *
+    * @param batchesA/`batchesB` `__batch_id` partition values for
+    *   each side (e.g. yesterday's batches vs today's). */
+  def tokenDriftFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchesA: Seq[Long], batchesB: Seq[Long],
+      k: Int = 100): DataFrame = {
+    require(batchesA.nonEmpty && batchesB.nonEmpty,
+      "both drift sides need at least one batch")
+    require(batchesA.toSet.intersect(batchesB.toSet).isEmpty,
+      "drift sides must not share batches")
+    val posts = spark.read.parquet(s"$path/postings")
+    def side(ids: Seq[Long]) = posts
+      .where(col("__batch_id").cast("long").isin(ids: _*))
+      .groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    tokenDriftFromCounts(side(batchesA), side(batchesB), k)
   }
 }

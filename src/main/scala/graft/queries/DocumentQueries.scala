@@ -44,6 +44,22 @@ object DocumentQueries {
       p.toString
     })
 
+  /** Two-batch index whose batches mirror `drift_sources`' split
+    * (batch 0 = low-numbered sources, batch 1 = the rest) — lets the
+    * index-derived drift query share the corpus-scan oracle. */
+  private def splitTextIndexDir(s: SparkSession, dir: String): String =
+    textIndexDirs.getOrElseUpdate((s, s"$dir#split"), {
+      val p = java.nio.file.Files.createTempDirectory("graft_bm25split")
+      deleteOnExit(p)
+      val d = docs(s, dir)
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      TextAnalysis.buildTextIndex(d.where(srcNum < 10), "text", "doc_id",
+        p.toString, nBuckets = 64)
+      TextAnalysis.appendToTextIndex(d.where(srcNum >= 10), "text",
+        "doc_id", p.toString)
+      p.toString
+    })
+
   /** STREAMING-maintained BM25 index: the documents table replayed as
     * a bounded file stream through
     * `StreamingIngest.maintainTextIndex` — per-micro-batch postings +
@@ -600,6 +616,14 @@ object DocumentQueries {
         d.where(srcNum < 10), d.where(srcNum >= 10), "text", k = 50)
     }),
 
+    // the SAME drift derived FROM the postings index: per-side token
+    // counts are one sum(tf) over the chosen __batch_id partitions —
+    // the retrieval store doubles as the drift-monitoring substrate,
+    // no corpus re-scan, no re-tokenization; shares the scan oracle
+    "drift_from_index" -> ((s, dir) =>
+      graft.operators.Profiling.tokenDriftFromIndex(
+        s, splitTextIndexDir(s, dir), Seq(0L), Seq(1L), k = 50)),
+
     // repetition quality rule (Gopher/C4-style): per-doc fraction of
     // duplicated word 3-grams, integer-exact (kernel form; the
     // declarative repetitionE4 is the spec-pinned semantic reference)
@@ -1120,6 +1144,38 @@ object DocumentQueries {
        |JOIN sizes sa ON sa.doc_id = p.id_a
        |JOIN sizes sb ON sb.doc_id = p.id_b
        |WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)""".stripMargin
+
+  /** Shared by the corpus-scan and index-derived drift queries (one
+    * scoring tail — `Profiling.tokenDriftFromCounts`). */
+  private val driftSql: String =
+    """WITH da AS (
+      |  SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) < 10),
+      |db AS (
+      |  SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) >= 10),
+      |ta AS (SELECT token, count(*) AS cnt_a FROM (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM da)
+      |  GROUP BY 1),
+      |tb AS (SELECT token, count(*) AS cnt_b FROM (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM db)
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(ta.token, tb.token) AS token,
+      |    coalesce(ta.cnt_a, 0) AS cnt_a, coalesce(tb.cnt_b, 0) AS cnt_b
+      |  FROM ta FULL OUTER JOIN tb ON ta.token = tb.token),
+      |top AS (
+      |  SELECT * FROM j ORDER BY (cnt_a + cnt_b) DESC, token ASC LIMIT 50),
+      |tot AS (
+      |  SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+      |         CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM j),
+      |v AS (SELECT count(*) AS v FROM top)
+      |SELECT token, cnt_a, cnt_b,
+      |  CAST(floor(
+      |    (CAST(1000000000.0 AS DOUBLE) *
+      |      ((cnt_a + CAST(1.0 AS DOUBLE)) / (tot_a + v)))
+      |    * ln(((cnt_a + CAST(1.0 AS DOUBLE)) / (tot_a + v))
+      |         / ((cnt_b + CAST(1.0 AS DOUBLE)) / (tot_b + v))))
+      |    AS BIGINT) AS kl_e9
+      |FROM top CROSS JOIN tot CROSS JOIN v""".stripMargin
 
   /** Shared by the scan-time and index-served phrase queries
     * (positional-postings fold ≡ gram counting — spec-pinned). */
@@ -1776,35 +1832,9 @@ object DocumentQueries {
 
     // Laplace-smoothed KL contributions over the combined top-k cut;
     // identical double tree, e9 floors
-    "drift_sources" ->
-      """WITH da AS (
-        |  SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) < 10),
-        |db AS (
-        |  SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) >= 10),
-        |ta AS (SELECT token, count(*) AS cnt_a FROM (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM da)
-        |  GROUP BY 1),
-        |tb AS (SELECT token, count(*) AS cnt_b FROM (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM db)
-        |  GROUP BY 1),
-        |j AS (
-        |  SELECT coalesce(ta.token, tb.token) AS token,
-        |    coalesce(ta.cnt_a, 0) AS cnt_a, coalesce(tb.cnt_b, 0) AS cnt_b
-        |  FROM ta FULL OUTER JOIN tb ON ta.token = tb.token),
-        |top AS (
-        |  SELECT * FROM j ORDER BY (cnt_a + cnt_b) DESC, token ASC LIMIT 50),
-        |tot AS (
-        |  SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
-        |         CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM j),
-        |v AS (SELECT count(*) AS v FROM top)
-        |SELECT token, cnt_a, cnt_b,
-        |  CAST(floor(
-        |    (CAST(1000000000.0 AS DOUBLE) *
-        |      ((cnt_a + CAST(1.0 AS DOUBLE)) / (tot_a + v)))
-        |    * ln(((cnt_a + CAST(1.0 AS DOUBLE)) / (tot_a + v))
-        |         / ((cnt_b + CAST(1.0 AS DOUBLE)) / (tot_b + v))))
-        |    AS BIGINT) AS kl_e9
-        |FROM top CROSS JOIN tot CROSS JOIN v""".stripMargin,
+    "drift_sources" -> driftSql,
+
+    "drift_from_index" -> driftSql,
 
     "text_repetition" ->
       """SELECT doc_id,
