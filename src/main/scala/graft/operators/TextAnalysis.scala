@@ -647,6 +647,38 @@ object TextAnalysis {
     writePostingsBatch(newDocs, textCol, idCol, path, nbs.head.toInt, next)
   }
 
+  /** Compact a [[buildTextIndex]] store into a FRESH directory — the
+    * small-file fix after many appended / streamed micro-batches
+    * (each leaves its own `__batch_id=` directory pair). The whole
+    * history lands as batch 0 of the output store with bounded file
+    * count, stats collapse to one summed row, and serving/append
+    * semantics are unchanged (appends continue at batch 1). Same
+    * crash-safe contract as the event-store compaction: the output is
+    * a fresh path and reads re-point — a store being read is never
+    * rewritten in place. Doc-id disjointness across batches (the
+    * append contract) is what makes this a pure re-layout: no two
+    * batches carry postings for the same (id, token). */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, targetFiles: Int = 8): Unit = {
+    require(inPath != outPath,
+      "compact writes a fresh directory (crash-safe swap), not in place")
+    val statsAll = spark.read.parquet(s"$inPath/stats")
+    val nbs = statsAll.select(col("n_buckets")).distinct().collect()
+      .map(_.getLong(0))
+    require(nbs.length == 1,
+      s"inconsistent n_buckets across index batches: ${nbs.mkString(",")}")
+    spark.read.parquet(s"$inPath/postings")
+      .drop("__batch_id")
+      .coalesce(targetFiles)
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$outPath/postings/__batch_id=0")
+    statsAll
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nbs.head))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outPath/stats/__batch_id=0")
+  }
+
   /** One batch's postings + stats, written idempotently: overwrite of
     * the batch's own `__batch_id=` directories, nothing else touched
     * (replay-safe — the contract `StreamingIngest.maintainTextIndex`

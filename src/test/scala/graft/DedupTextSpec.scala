@@ -713,6 +713,36 @@ class DedupTextSpec extends SparkTestBase {
         }
       }.filter(_._3 > 0).toSet
       assert(fromIdx == grams3, s"idx=$fromIdx scan=$grams3")
+      // compaction: whole history re-lands as batch 0 in a fresh
+      // store — identical answers, fewer files, appends still work
+      val cdir = java.nio.file.Files.createTempDirectory("bm25idx_cmp")
+      try {
+        TextAnalysis.compactTextIndex(spark, dir.toString, cdir.toString,
+          targetFiles = 1)
+        def files(p: String) = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+            .iterator().asScala.count(_.toString.endsWith(".parquet"))
+        }
+        assert(rows(TextAnalysis.bm25TopKFromIndex(spark, cdir.toString,
+          qs, topK = 4).withColumnRenamed("id", "doc_id")) == scan)
+        assert(files(s"$cdir/postings") < files(s"$dir/postings"),
+          "compaction must reduce the postings file count")
+        // append into the compacted store continues at batch 1
+        import spark.implicits._
+        TextAnalysis.appendToTextIndex(
+          Seq((99L, "a fox epilogue")).toDF("doc_id", "text"),
+          "text", "doc_id", cdir.toString)
+        val dogNow = TextAnalysis.bm25TopKFromIndex(spark, cdir.toString,
+            Seq("q_fox" -> Seq("fox")), topK = 10)
+          .collect().map(_.getLong(2)).toSet
+        assert(dogNow.contains(99L), s"appended doc missing: $dogNow")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(cdir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq
