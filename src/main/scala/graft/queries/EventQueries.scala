@@ -1113,6 +1113,15 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("n_prev_1h"),
           col("secs_since_prev"))),
 
+    // streaming twin of event_ewma: the same gated ordered drain —
+    // the Horner frame is exact because a whole second drains at
+    // once; shares the batch oracle verbatim
+    "stream_ewma" -> ((s, dir) =>
+      s.read.parquet(streamedEwma(s, dir))
+        .where(col("user_id") >= 0L)
+        .select(col("event_id"), col("user_id"), col("value_cents"),
+          col("ewma_e4"))),
+
     // streaming twin of event_anomalies: events replay as a bounded
     // file stream through StreamingIngest.anomalyStream (watermark-
     // gated in-order processing over flatMapGroupsWithState ring
@@ -1524,6 +1533,27 @@ object EventQueries {
           minN = 8, k = 3, watermarkDelay = "0 seconds"))
     })
 
+  /** stream_ewma's smoothed-observation parquet, built once per
+    * (session, sf dir) — batch twin's user subset (< 40) applied on
+    * the input side; sentinel users (-1/-2) advance the watermark and
+    * are filtered from the served output. */
+  private val streamEwmaDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def streamedEwma(s: SparkSession, dir: String): String =
+    streamEwmaDirs.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      replayThroughState(s, "streamewma",
+        events(s, dir).where(col("user_id") < 40)
+          .select(col("user_id").cast(LongType), col("ts"),
+            col("event_id").cast(LongType), cents.as("value_cents")),
+        Seq(Seq((-1L, ts("2100-01-01T00:00"), -1L, 0L))
+            .toDF("user_id", "ts", "event_id", "value_cents"),
+          Seq((-2L, ts("2100-06-01T00:00"), -2L, 0L))
+            .toDF("user_id", "ts", "event_id", "value_cents")),
+        graft.streaming.StreamingIngest.ewmaStream(_, w = 8,
+          watermarkDelay = "0 seconds"))
+    })
+
   // ---------------------------------------------------------------- oracles
 
   /** Zero-fill oracle template: scan → collapse → series × grid left join.
@@ -1546,6 +1576,25 @@ object EventQueries {
        |FROM series s CROSS JOIN grid g
        |LEFT JOIN scanned c USING ($dimNames, bucket)""".stripMargin
   }
+
+  /** Shared by the batch and streaming EWMA queries (ordered drain ≡
+    * window frame). */
+  private val ewmaSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+      |         CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events WHERE user_id < 40),
+      |w AS (
+      |  SELECT event_id, user_id, x,
+      |    list(x) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+      |  FROM e)
+      |SELECT event_id, user_id, x AS value_cents,
+      |  CAST(floor((CAST(10000.0 AS DOUBLE) *
+      |      list_sum(list_transform(range(1, len(l) + 1),
+      |        i -> l[i] * ((1::BIGINT) << (len(l) - i))))) /
+      |    (((1::BIGINT) << len(l)) - 1)) AS BIGINT) AS ewma_e4
+      |FROM w""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ts_counter_hour_fill" -> fillOracle(
@@ -2209,22 +2258,9 @@ object EventQueries {
 
     // Horner fold ≡ Σ l[i]·2^(len−i) (1-based); numerator/denominator
     // exact BIGINTs, one double division with identical operands
-    "event_ewma" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
-        |         CAST(round(value * 100) AS BIGINT) AS x
-        |  FROM events WHERE user_id < 40),
-        |w AS (
-        |  SELECT event_id, user_id, x,
-        |    list(x) OVER (PARTITION BY user_id ORDER BY sec, event_id
-        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
-        |  FROM e)
-        |SELECT event_id, user_id, x AS value_cents,
-        |  CAST(floor((CAST(10000.0 AS DOUBLE) *
-        |      list_sum(list_transform(range(1, len(l) + 1),
-        |        i -> l[i] * ((1::BIGINT) << (len(l) - i))))) /
-        |    (((1::BIGINT) << len(l)) - 1)) AS BIGINT) AS ewma_e4
-        |FROM w""".stripMargin,
+    "event_ewma" -> ewmaSql,
+
+    "stream_ewma" -> ewmaSql,
 
     // the streaming twin serves the SAME oracle as the batch windows
     "stream_user_features" ->

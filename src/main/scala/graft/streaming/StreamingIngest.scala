@@ -575,6 +575,60 @@ object StreamingIngest {
       }
   }
 
+  /** Per-entity streaming EWMA state: watermark-gated pending events
+    * plus the last `w−1` processed values (the next observation's
+    * trailing frame). Bounded by (watermark horizon, w). */
+  case class EwmaBuf(pending: Seq[PendingObs], ring: Seq[Long])
+
+  /** One smoothed observation, emitted exactly once. Column names
+    * match the batch `event_ewma` surface. */
+  case class EwmaObs(event_id: Long, user_id: Long, value_cents: Long,
+      ewma_e4: Long)
+
+  /** Streaming EWMA twin of `Anomaly.ewma` (α = 1/2, trailing-`w`
+    * frame): the same watermark-gated ordered drain as
+    * [[anomalyStream]] — an event processes once its whole
+    * floor-second passes the watermark, in (sec, event id) order, so
+    * the Horner fold sees exactly the batch window's frame. State is
+    * O(w + pending) per entity; arithmetic is the batch twin's exact
+    * long fold with one double division. */
+  def ewmaStream(events: DataFrame, w: Int,
+      watermarkDelay: String): Dataset[EwmaObs] = {
+    require(w >= 1 && w <= 62, s"ewma window must be in [1, 62], got $w")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value_cents").cast("long"))
+      .as[(Long, Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaBuf, EwmaObs](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val st = if (state.exists) state.get else EwmaBuf(Nil, Nil)
+          val incoming = rows.map { r =>
+            PendingObs(math.floorDiv(r._2.getTime, 1000L), r._3, r._4)
+          }.toSeq
+          val (ready, rest) = (st.pending ++ incoming)
+            .partition(e => (e.sec + 1L) * 1000L <= wmMs)
+          var ring = st.ring.toVector
+          val out = Seq.newBuilder[EwmaObs]
+          ready.sortBy(e => (e.sec, e.eventId)).foreach { e =>
+            val frame = (ring :+ e.x).takeRight(w)
+            val num = frame.foldLeft(0L)((acc, x) => acc * 2L + x)
+            val den = (1L << frame.length) - 1L
+            out += EwmaObs(e.eventId, user, e.x,
+              math.floor((10000.0 * num) / den).toLong)
+            ring = frame.takeRight(w - 1)
+          }
+          state.update(EwmaBuf(rest, ring))
+          if (rest.nonEmpty) state.setTimeoutTimestamp(wmMs + 1L)
+          out.result().iterator
+      }
+  }
+
   /** An event awaiting its watermark in streaming feature state. */
   case class PendingFeat(sec: Long, eventId: Long)
 

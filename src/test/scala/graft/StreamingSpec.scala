@@ -715,6 +715,47 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set((7L, 5L, 502L)), s"got $got")
   }
 
+  test("ewma stream survives kill+restart; frame matches the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Long, Long)]
+    val (ck, out) = (tmp("graft-eck"), tmp("graft-eout"))
+    def startQ() = StreamingIngest.ewmaStream(
+        source.toDF().toDF("user_id", "ts", "event_id", "value_cents"),
+        w = 3, watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    def e(id: Long, sec: Int, x: Long) =
+      (1L, ts(f"2024-01-01T10:00:$sec%02d"), id, x)
+    val q1 = startQ()
+    source.addData(e(1, 1, 100), e(2, 2, 200))
+    q1.processAllAvailable()
+    // event 3 is in flight when the query dies; event 4 arrives only
+    // after restart and must see the recovered ring (200, 400)
+    source.addData(e(3, 3, 400))
+    q1.stop()
+    val q2 = startQ()
+    source.addData(e(4, 4, 800))
+    q2.processAllAvailable()
+    source.addData((99L, ts("2024-01-01T20:00"), 99L, 0L))
+    q2.processAllAvailable()
+    source.addData((98L, ts("2024-01-01T20:01"), 98L, 0L))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .where(col("user_id") === 1L)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("ewma_e4"))
+      .toMap
+    // batch-fold expectations over the UNION of pre/post-restart data:
+    // t1: 100; t2: (2·100+200)/3; t3: (4·100+2·200+400)/7;
+    // t4 frame slides to (200,400,800): (4·200+2·400+800)/7
+    assert(got == Map(
+      1L -> 1000000L,
+      2L -> math.floor(10000.0 * 400 / 3).toLong,
+      3L -> math.floor(10000.0 * 1200 / 7).toLong,
+      4L -> math.floor(10000.0 * 2400 / 7).toLong), s"got $got")
+  }
+
   test("user features survive kill+restart from checkpoint (same oracle)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp, Long)]
