@@ -764,6 +764,40 @@ object EventQueries {
           coalesce(col("day"), lit("ALL")).as("day"),
           col("g_type"), col("g_day"), col("n_events"), col("sum_cents"))),
 
+    // rolling 7-day active users (the WAU product metric): each
+    // (user, day) DISTINCT pair fans out to the ≤7 reporting days its
+    // activity supports, then one exact count-distinct per day — the
+    // fan-out is bounded by 7 × |user-day pairs| (already
+    // deduplicated), never by raw event volume
+    "rolling_wau" -> ((s, dir) => {
+      val du = events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      val days = du.select(col("day")).distinct()
+      du.select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+    }),
+
+    // UNPIVOT (melt) back to long form: the cross-tab's inverse —
+    // zero cells become explicit (day, type, 0) rows, the shape a
+    // modeling pipeline wants after a BI-style pivot
+    "events_unpivot" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("day", col("ts").cast("date").cast("string"))
+        .groupBy(col("day"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+        .unpivot(Array(col("day")),
+          Array(col("click"), col("view"), col("purchase"),
+            col("signup"), col("error")),
+          "event_type", "n_events")),
+
     // PIVOT (the BI cross-tab surface): daily event counts spread
     // into one column per event type — explicit value list, so Spark
     // skips the extra distinct-scan pass and the plan is one
@@ -2225,6 +2259,34 @@ object EventQueries {
         |  CAST(grouping(day) AS BIGINT) AS g_day,
         |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM e GROUP BY CUBE(event_type, day)""".stripMargin,
+
+    "rolling_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |fan AS (
+        |  SELECT du.user_id,
+        |    du.day + to_days(CAST(o.off AS INT)) AS day
+        |  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o)
+        |SELECT CAST(CAST(f.day AS DATE) AS VARCHAR) AS day,
+        |  count(DISTINCT f.user_id) AS wau
+        |FROM fan f JOIN days d ON d.day = f.day
+        |GROUP BY 1""".stripMargin,
+
+    "events_unpivot" ->
+      """WITH d AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+        |  FROM events),
+        |t(event_type) AS (VALUES
+        |  ('click'), ('view'), ('purchase'), ('signup'), ('error')),
+        |c AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d.day, t.event_type,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        |FROM d CROSS JOIN t
+        |LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type""".stripMargin,
 
     "events_pivot" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
