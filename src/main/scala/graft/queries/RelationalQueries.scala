@@ -225,6 +225,43 @@ object RelationalQueries {
         .agg(sum(revE4).as("revenue_e4"))
     }),
 
+    // TPC-H Q8 shape: national market share — one star join feeds a
+    // per-year conditional revenue split; the share ratio is the only
+    // double (two exact longs divided once, identically both engines)
+    "q8_market_share" -> ((s, dir) => {
+      val asia = read(s, dir, "nation")
+        .join(broadcast(read(s, dir, "region")
+          .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val cust = read(s, dir, "customer")
+        .join(broadcast(asia), col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"))
+      val promo = read(s, dir, "part").where(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val ord = read(s, dir, "orders")
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      val supNation = read(s, dir, "supplier")
+        .join(broadcast(read(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      read(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_10", revE4)
+            .otherwise(lit(0L))).as("nation_e4"),
+          sum(revE4).as("total_e4"))
+        .withColumn("share_e6",
+          floor(lit(1000000.0) *
+            (col("nation_e4").cast("double") / col("total_e4").cast("double")))
+            .cast(LongType))
+    }),
+
     // TPC-H Q12 shape: shipping-priority profile — join + conditional
     // aggregation (CASE inside SUM); the date window pre-shrinks the
     // fact side before the single orderkey shuffle
@@ -475,6 +512,31 @@ object RelationalQueries {
         |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY ALL""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_10'
+        |    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS nation_e4,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_e4,
+        |  CAST(floor(CAST(1000000.0 AS DOUBLE) *
+        |    (CAST(sum(CASE WHEN sn.n_name = 'NATION_10'
+        |       THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+        |       ELSE 0 END) AS DOUBLE)
+        |     / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE)))
+        |    AS BIGINT) AS share_e6
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
 
     "q12_priority_shipping" ->
       """SELECT l.l_linestatus,
