@@ -185,6 +185,39 @@ object EmbeddingQueries {
         dotFn = GraftFunctions.dotNative)
     }),
 
+    // HARD-NEGATIVE mining (contrastive-training data prep): per
+    // query doc, the top-3 most-similar candidates that are NOT
+    // positives — near-identical vectors (cosine ≥ 0.95) and exact
+    // text duplicates are excluded, leaving the
+    // close-but-wrong examples a contrastive loss needs. Brute-force
+    // pair scoring here (oracle-exact); at corpus scale the candidate
+    // stage swaps for the IVF store probe, exclusion unchanged
+    "hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val txt = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("__cv"))
+      val sim = GraftFunctions.dotNative(col("__qv"), col("__cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__sim").desc, col("cand_id"))
+      c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+        .withColumn("__sim", sim)
+        .where(col("__sim") < 0.95)
+        .join(txt.select(col("doc_id").as("query_id"),
+          col("text").as("__qt")), Seq("query_id"))
+        .join(txt.select(col("doc_id").as("cand_id"),
+          col("text").as("__ct")), Seq("cand_id"))
+        .where(col("__qt") =!= col("__ct"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("query_id"), col("rk").cast("long").as("rk"),
+          col("cand_id"))
+    }),
+
     // retrieval-quality EVALUATION (the recall@k gate an ANN rollout
     // needs): per query, how many of the exact top-5 the served IVF
     // path returned — both sides are existing operators, the metric
@@ -483,6 +516,26 @@ object EmbeddingQueries {
     // identical ranking contract for the partitioned-store serving
     // layout: layout changes what is read, never the answer
     "ann_ivf_persisted" -> kmeansIvfOracle,
+
+    "hard_negatives" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         list_dot_product(q.v, c.v) AS sim
+        |  FROM q JOIN c ON c.vec_id <> q.vec_id),
+        |ok AS (
+        |  SELECT p.* FROM pairs p
+        |  JOIN documents a ON a.doc_id = p.query_id
+        |  JOIN documents b ON b.doc_id = p.cand_id
+        |  WHERE p.sim < 0.95 AND a.text <> b.text),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, cand_id) AS rk
+        |  FROM ok)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk, cand_id
+        |FROM r WHERE rk <= 3""".stripMargin,
 
     // the two existing oracles composed: exact ∩ served per query
     "ann_recall_persisted" ->
