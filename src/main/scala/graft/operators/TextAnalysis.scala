@@ -647,6 +647,19 @@ object TextAnalysis {
     writePostingsBatch(newDocs, textCol, idCol, path, nbs.head.toInt, next)
   }
 
+  /** Corpus top-`k` terms served FROM a [[buildTextIndex]] store:
+    * `Σ tf` per token over the postings — the (id, token)-aggregated
+    * tf table already materialized, so the corpus is neither
+    * re-scanned nor re-tokenized (the vocabulary step falls out of
+    * the retrieval index, like [[graft.operators.Profiling
+    * .tokenDriftFromIndex]]'s drift). Distributed TakeOrdered cut. */
+  def topTermsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int): DataFrame =
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("token")).agg(sum(col("tf")).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Compact a [[buildTextIndex]] store into a FRESH directory — the
     * small-file fix after many appended / streamed micro-batches
     * (each leaves its own `__batch_id=` directory pair). The whole

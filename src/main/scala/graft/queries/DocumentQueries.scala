@@ -469,6 +469,14 @@ object DocumentQueries {
     "vocab_top_terms_approx" -> ((s, dir) =>
       TextAnalysis.topTermsApprox(docs(s, dir), "text", k = 50)),
 
+    // the SAME top-50 served from the STREAMING-maintained postings
+    // index: Σ tf per token over the already-aggregated postings — no
+    // corpus re-scan, no re-tokenization; the vocabulary build falls
+    // out of the retrieval store (shares the exact oracle)
+    "vocab_from_index" -> ((s, dir) =>
+      TextAnalysis.topTermsFromIndex(s, streamedTextIndexDir(s, dir),
+        k = 50)),
+
     // tokenization against the learned vocab: corpus top-50 terms get
     // ids 1..50, everything else maps to unk=0 — the id-mapping step a
     // trainer consumes. Row-local map-literal lookup (no join, no
@@ -1145,6 +1153,16 @@ object DocumentQueries {
        |JOIN sizes sb ON sb.doc_id = p.id_b
        |WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)""".stripMargin
 
+  /** Shared by the exact scan, MG heavy-hitters, and index-served
+    * vocabulary queries. */
+  private val vocabSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 50""".stripMargin
+
   /** Shared by the corpus-scan and index-derived drift queries (one
     * scoring tail — `Profiling.tokenDriftFromCounts`). */
   private val driftSql: String =
@@ -1682,13 +1700,9 @@ object DocumentQueries {
         |  CAST(strlen(text) AS BIGINT) AS frame_bytes
         |FROM documents WHERE strlen(text) > 0""".stripMargin,
 
-    "vocab_top_terms" ->
-      """SELECT token, count(*) AS n
-        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
-        |      FROM documents)
-        |GROUP BY token
-        |ORDER BY n DESC, token
-        |LIMIT 50""".stripMargin,
+    "vocab_top_terms" -> vocabSql,
+
+    "vocab_from_index" -> vocabSql,
 
     // consecutive pairs per doc, corpus pair counts, window context
     // counts, the same ppm double expression over identical integers
@@ -1714,13 +1728,7 @@ object DocumentQueries {
 
     // heavy-hitters twin: exact-recounted candidates must reproduce
     // the exact top-50 verbatim
-    "vocab_top_terms_approx" ->
-      """SELECT token, count(*) AS n
-        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
-        |      FROM documents)
-        |GROUP BY token
-        |ORDER BY n DESC, token
-        |LIMIT 50""".stripMargin,
+    "vocab_top_terms_approx" -> vocabSql,
 
     // the same top-50 vocab (count desc, term asc → ids 1..50), token
     // ids re-derived by per-token left join, digest over the ordered
