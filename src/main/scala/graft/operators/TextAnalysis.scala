@@ -647,6 +647,43 @@ object TextAnalysis {
     writePostingsBatch(newDocs, textCol, idCol, path, nbs.head.toInt, next)
   }
 
+  /** Ordered PROXIMITY search from positional postings: per doc, the
+    * number of `(p₁, p₂)` position pairs with `term1` at `p₁`,
+    * `term2` at `p₂`, and `0 < p₂ − p₁ ≤ slop` — the "A near B"
+    * query between exact phrase (`slop = 1` ≡ adjacency) and
+    * bag-of-words. Same probe shape as [[phraseHitsFromIndex]]: two
+    * `part=`-pruned posting reads, one doc-id equi-join, then a
+    * row-local nested count over the two (sorted, in-doc) position
+    * arrays. */
+  def proximityHitsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, term1: String, term2: String, slop: Int): DataFrame = {
+    require(slop >= 1, s"slop must be >= 1, got $slop")
+    require(term1 != term2, "proximity terms must differ")
+    val statsAll = spark.read.parquet(s"$path/stats")
+    val nbs = statsAll.select(col("n_buckets")).distinct().collect()
+      .map(_.getLong(0))
+    require(nbs.length == 1,
+      s"inconsistent n_buckets across index batches: ${nbs.mkString(",")}")
+    val buckets = Seq(term1, term2)
+      .map(t => Dedup.md5Hash60(t) % nbs.head).distinct
+    val matched = spark.read.parquet(s"$path/postings")
+      .where(col("part").isin(buckets: _*)) // prunes part= dirs
+      .where(col("token").isin(term1, term2))
+      .select(col("id"), col("token"), col("positions"))
+    val a = matched.where(col("token") === term1)
+      .select(col("id"), col("positions").as("__pa"))
+    val b = matched.where(col("token") === term2)
+      .select(col("id"), col("positions").as("__pb"))
+    a.join(b, Seq("id"))
+      .select(col("id"),
+        aggregate(col("__pb"), lit(0L), (acc, pb) =>
+          acc + size(filter(col("__pa"),
+            pa => pb > pa && pb - pa <= lit(slop.toLong)))
+            .cast(LongType))
+          .as("n_hits"))
+      .where(col("n_hits") > 0)
+  }
+
   /** Corpus top-`k` terms served FROM a [[buildTextIndex]] store:
     * `Σ tf` per token over the postings — the (id, token)-aggregated
     * tf table already materialized, so the corpus is neither

@@ -613,6 +613,14 @@ object DocumentQueries {
         Seq("hash join", "batch batch", "window window"))
         .withColumnRenamed("id", "doc_id")),
 
+    // ordered proximity search ("hash near join", slop 3) from the
+    // positional postings — between exact phrase and bag-of-words;
+    // two pruned posting reads, one id join, row-local pair count
+    "proximity_hits" -> ((s, dir) =>
+      TextAnalysis.proximityHitsFromIndex(s, textIndexDir(s, dir),
+        "hash", "join", slop = 3)
+        .withColumnRenamed("id", "doc_id")),
+
     // corpus drift monitor: token-distribution KL contributions
     // between the low-numbered and high-numbered source halves —
     // the yesterday-vs-today check of a continuously-ingesting
@@ -1837,6 +1845,23 @@ object DocumentQueries {
     "phrase_hits" -> phraseSql,
 
     "phrase_hits_indexed" -> phraseSql,
+
+    // position pairs via generate_subscripts; 1-based vs the index's
+    // 0-based positions cancels in the difference
+    "proximity_hits" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |         generate_subscripts(toks, 1) AS p
+        |  FROM tk),
+        |a AS (SELECT doc_id, p FROM pos WHERE token = 'hash'),
+        |b AS (SELECT doc_id, p FROM pos WHERE token = 'join')
+        |SELECT a.doc_id, count(*) AS n_hits
+        |FROM a JOIN b ON b.doc_id = a.doc_id
+        |  AND b.p > a.p AND b.p - a.p <= 3
+        |GROUP BY 1""".stripMargin,
 
     // Laplace-smoothed KL contributions over the combined top-k cut;
     // identical double tree, e9 floors
