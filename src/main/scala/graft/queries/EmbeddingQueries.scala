@@ -391,6 +391,44 @@ object EmbeddingQueries {
         dotFn = GraftFunctions.dotNative)
     }),
 
+    // the STREAMING-maintained IVF store: embeddings replay as a file
+    // stream; each micro-batch assigns to the frozen centroids and
+    // lands in its own __batch_id= dir (replay-idempotent, zero
+    // state); served identically to the batch-built store, so it
+    // shares the same oracle — the vector-plane mirror of the
+    // streaming-maintained text index
+    "stream_ann_ivf" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+      val store = s"$built/store_stream"
+      if (!new java.io.File(store).exists()) {
+        val base = tempIndexDir("graft_sivf")
+        val schema = e.schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(dir)
+        // the store layout is defined by the SEED assignment (exactly
+        // like writeIvfCorpus over $built/assign); the refined
+        // centroids only drive probe selection at query time
+        val init = e.where(col("vec_id") < 10)
+          .select(col("vec_id").cast("long").as("part"),
+            col("embedding").cast("array<double>").as("centroid"))
+        val q = graft.streaming.StreamingIngest.maintainIvfStore(
+            stream, init, "vec_id",
+            "embedding", store, GraftFunctions.dotNative)
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      Similarity.ivfTopKFromStore(store,
+        s.read.parquet(s"$built/centroids"), e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 3,
+        dotFn = GraftFunctions.dotNative)
+    }),
+
     // LSH-bucketed near-dup pairs — the hash-bucket scale path beside
     // IVF: sign-bit buckets from seeded hyperplanes (row-local), pair
     // candidates only within a bucket, exact-verified at cosine >= 0.4.
@@ -574,6 +612,10 @@ object EmbeddingQueries {
     // the incrementally-appended store must answer IDENTICALLY to the
     // full build under the same frozen centroids
     "ann_ivf_incremental" -> kmeansIvfOracle,
+
+    // centroid-defined assignment: batch boundaries cannot change the
+    // index, so the streamed store serves the same ranking
+    "stream_ann_ivf" -> kmeansIvfOracle,
 
     // exact top-k plus the pinned-at-TRUE quantization recall verdict
     "ann_int8_topk" ->

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -241,6 +241,31 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.TextAnalysis.writePostingsBatch(
           batch, textCol, idCol, path, nBuckets, batchId)
+        ()
+      }
+
+  /** Streaming-maintained IVF vector store — the vector-plane mirror
+    * of [[maintainTextIndex]]: each micro-batch of embeddings assigns
+    * to the FROZEN (offline-built) centroid index and lands under its
+    * own `__batch_id=` directory, `part=`-partitioned inside. Zero
+    * streaming state; replays overwrite their own batch dirs
+    * (effectively-once). The index is centroid-defined, so batch
+    * boundaries cannot change any assignment — a query over the store
+    * (`Similarity.ivfTopKFromStore`) sees exactly what a full rebuild
+    * under the same centroids would produce, and the probe's `part=`
+    * partition filter prunes across all batch directories. */
+  def maintainIvfStore(stream: DataFrame, index: DataFrame, idCol: String,
+      vecCol: String, path: String,
+      dotFn: (Column, Column) => Column = graft.operators.Similarity.dot)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val assigned = graft.operators.Similarity
+          .assignToCentroids(batch, index, idCol, vecCol, dotFn)
+        batch.join(assigned, Seq(idCol))
+          .write.mode("overwrite").partitionBy("part")
+          .parquet(s"$path/__batch_id=$batchId")
         ()
       }
 
