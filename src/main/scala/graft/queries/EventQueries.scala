@@ -764,6 +764,35 @@ object EventQueries {
           coalesce(col("day"), lit("ALL")).as("day"),
           col("g_type"), col("g_day"), col("n_events"), col("sum_cents"))),
 
+    // time-series SIMILARITY search ("which entities behave like this
+    // one?"): per-user daily count series, zero-filled over the dense
+    // (user × day) grid, ranked by EXACT integer squared euclidean
+    // distance to the query user's series — no float normalization,
+    // so the ranking is deterministic. Grid size is |users|·|days|
+    // (linear in entities, never event volume); the query series
+    // broadcasts
+    "series_similarity" -> ((s, dir) => {
+      val cnt = events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      val users = cnt.select(col("user_id")).distinct()
+      val days = cnt.select(col("day")).distinct()
+      val dense = users.crossJoin(days)
+        .join(cnt, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val q = dense.where(col("user_id") === 7)
+        .select(col("day"), col("c").as("qc"))
+      dense.where(col("user_id") =!= 7)
+        .join(broadcast(q), Seq("day"))
+        .groupBy(col("user_id"))
+        .agg(sum((col("c") - col("qc")) * (col("c") - col("qc")))
+          .as("dist2"))
+        .orderBy(col("dist2").asc, col("user_id"))
+        .limit(5)
+    }),
+
     // rolling 7-day active users (the WAU product metric): each
     // (user, day) DISTINCT pair fans out to the ≤7 reporting days its
     // activity supports, then one exact count-distinct per day — the
@@ -2259,6 +2288,25 @@ object EventQueries {
         |  CAST(grouping(day) AS BIGINT) AS g_day,
         |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM e GROUP BY CUBE(event_type, day)""".stripMargin,
+
+    "series_similarity" ->
+      """WITH cnt AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |users AS (SELECT DISTINCT user_id FROM cnt),
+        |days AS (SELECT DISTINCT day FROM cnt),
+        |dense AS (
+        |  SELECT u.user_id, d.day, coalesce(c.c, 0) AS c
+        |  FROM users u CROSS JOIN days d
+        |  LEFT JOIN cnt c ON c.user_id = u.user_id AND c.day = d.day),
+        |q AS (SELECT day, c AS qc FROM dense WHERE user_id = 7)
+        |SELECT user_id,
+        |  CAST(sum((dense.c - q.qc) * (dense.c - q.qc)) AS BIGINT) AS dist2
+        |FROM dense JOIN q USING (day)
+        |WHERE user_id <> 7
+        |GROUP BY 1
+        |ORDER BY dist2 ASC, user_id ASC
+        |LIMIT 5""".stripMargin,
 
     "rolling_wau" ->
       """WITH du AS (
