@@ -24,6 +24,34 @@ object Sampling {
       seed: Int = 42): DataFrame =
     df.where(hashE4(col(idCol), seed) < keepE4)
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    * A-ES): the top-`k` rows by key `ln(u) / w`, where `u ∈ (0, 1]`
+    * is the row's deterministic md5 uniform and `w` its positive
+    * weight — each row's inclusion probability is proportional to
+    * its weight, the quality-weighted corpus-selection step between
+    * uniform hash sampling and the greedy best-first budget cut.
+    *
+    * Determinism: `u = (h+1)/2⁶⁰` from the shared md5 machinery
+    * (both engines divide the same exact long by the same exact
+    * power-of-two), the key floors to an e9 integer, ties break by
+    * id. Content-addressed like every sampler here: membership is a
+    * pure function of (id, seed, weight), independent of
+    * partitioning. The top-k cut is a distributed TakeOrdered — no
+    * global sort, no single-partition window.
+    *
+    * @return input rows + `wkey_e9`, the k winners. */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Int = 42): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (Dedup.seededHash(col(idCol).cast("string"), seed) + lit(1L))
+      .cast("double") / lit(1152921504606846976L) // 2^60
+    val key = floor(lit(1000000000.0) * (log(u) / col(weightCol)))
+      .cast("long")
+    df.withColumn("wkey_e9", key)
+      .orderBy(col("wkey_e9").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-stratum deterministic sampling — the corpus-balancing step of
     * a training-data pipeline (downsample over-represented languages /
     * sources to a target mix): each stratum value gets its own keep

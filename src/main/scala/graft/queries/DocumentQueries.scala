@@ -621,6 +621,15 @@ object DocumentQueries {
         "hash", "join", slop = 3)
         .withColumnRenamed("id", "doc_id")),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis):
+    // top-20 docs with inclusion probability ∝ n_chars — the
+    // quality-weighted selection between uniform hash sampling and
+    // the greedy budget cut; content-addressed, TakeOrdered cut
+    "sample_weighted_topk" -> ((s, dir) =>
+      graft.operators.Sampling.weightedTopK(
+          docs(s, dir), "doc_id", "n_chars", k = 20)
+        .select(col("doc_id"), col("n_chars"), col("wkey_e9"))),
+
     // corpus drift monitor: token-distribution KL contributions
     // between the low-numbered and high-numbered source halves —
     // the yesterday-vs-today check of a continuously-ingesting
@@ -1845,6 +1854,17 @@ object DocumentQueries {
     "phrase_hits" -> phraseSql,
 
     "phrase_hits_indexed" -> phraseSql,
+
+    // same exact long / 2^60 double, same ln, e9 floor, id tie-break
+    "sample_weighted_topk" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(floor(CAST(1000000000.0 AS DOUBLE) *
+        |    (ln(CAST(CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |           AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976)
+        |     / n_chars)) AS BIGINT) AS wkey_e9
+        |FROM documents
+        |ORDER BY wkey_e9 DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
 
     // position pairs via generate_subscripts; 1-based vs the index's
     // 0-based positions cancels in the difference

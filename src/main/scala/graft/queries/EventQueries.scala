@@ -764,6 +764,33 @@ object EventQueries {
           coalesce(col("day"), lit("ALL")).as("day"),
           col("g_type"), col("g_day"), col("n_events"), col("sum_cents"))),
 
+    // cross-series LEAD/LAG profile ("do clicks lead purchases?"):
+    // daily click and purchase series zero-filled on the shared day
+    // grid, exact integer cross-covariance numerator n·Σxy − Σx·Σy
+    // at every lag in −3..3 — the correlation-structure read an
+    // attribution model starts from; all-exact longs, no ranking of
+    // floats anywhere
+    "series_lag_profile" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+      val days = e.select(col("day")).distinct()
+      def daily(t: String) = days
+        .join(e.where(col("event_type") === t)
+          .groupBy(col("day")).agg(count(lit(1)).as("c")),
+          Seq("day"), "left")
+        .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+      val a = daily("click").select(col("day"), col("c").as("ca"))
+      val b = daily("purchase").select(col("day").as("bday"),
+        col("c").as("cb"))
+      a.select(col("day"), col("ca"),
+          explode(sequence(lit(-3), lit(3))).as("lag"))
+        .join(b, date_add(col("day"), col("lag")) === col("bday"))
+        .groupBy(col("lag").cast("long").as("lag"))
+        .agg(count(lit(1)).as("n_days"),
+          (count(lit(1)) * sum(col("ca") * col("cb")) -
+            sum(col("ca")) * sum(col("cb"))).as("cov_num"))
+    }),
+
     // time-series SIMILARITY search ("which entities behave like this
     // one?"): per-user daily count series, zero-filled over the dense
     // (user × day) grid, ranked by EXACT integer squared euclidean
@@ -2288,6 +2315,30 @@ object EventQueries {
         |  CAST(grouping(day) AS BIGINT) AS g_day,
         |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM e GROUP BY CUBE(event_type, day)""".stripMargin,
+
+    "series_lag_profile" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM e),
+        |a AS (
+        |  SELECT d.day, coalesce(x.c, 0) AS ca FROM days d
+        |  LEFT JOIN (SELECT day, count(*) AS c FROM e
+        |             WHERE event_type = 'click' GROUP BY 1) x
+        |    ON x.day = d.day),
+        |b AS (
+        |  SELECT d.day AS bday, coalesce(x.c, 0) AS cb FROM days d
+        |  LEFT JOIN (SELECT day, count(*) AS c FROM e
+        |             WHERE event_type = 'purchase' GROUP BY 1) x
+        |    ON x.day = d.day),
+        |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+        |j AS (
+        |  SELECT l.lag, a.ca, b.cb
+        |  FROM a CROSS JOIN lags l
+        |  JOIN b ON b.bday = a.day + to_days(CAST(l.lag AS INT)))
+        |SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n_days,
+        |  CAST(count(*) * sum(ca * cb) - sum(ca) * sum(cb) AS BIGINT)
+        |    AS cov_num
+        |FROM j GROUP BY 1""".stripMargin,
 
     "series_similarity" ->
       """WITH cnt AS (
