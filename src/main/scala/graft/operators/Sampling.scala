@@ -47,7 +47,12 @@ object Sampling {
       .cast("double") / lit(1152921504606846976L) // 2^60
     val key = floor(lit(1000000000.0) * (log(u) / col(weightCol)))
       .cast("long")
-    df.withColumn("wkey_e9", key)
+    // w ≤ 0 makes ln(u)/w meaningless (±∞ keys would silently win or
+    // lose the cut) — fail loudly per row instead
+    val guarded = when(col(weightCol) > 0, key).otherwise(
+      raise_error(concat(lit(s"weightedTopK: non-positive weight in " +
+        s"'$weightCol' for id "), col(idCol).cast("string"))))
+    df.withColumn("wkey_e9", guarded)
       .orderBy(col("wkey_e9").desc, col(idCol))
       .limit(k)
   }

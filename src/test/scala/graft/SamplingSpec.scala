@@ -132,4 +132,29 @@ class SamplingSpec extends SparkTestBase {
     val (e, er) = Sampling.mixByTemperatureSqrt(docs.limit(0), "doc_id", "source")
     assert(e.count() == 0L && er.isEmpty)
   }
+
+  test("weightedTopK: keys match the closed form; w<=0 raises loudly") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L), (2L, 1000L), (3L, 500L), (4L, 1L))
+      .toDF("doc_id", "w")
+    val got = Sampling.weightedTopK(rows, "doc_id", "w", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def key(id: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42:$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+      math.floor(1e9 * (math.log((h + 1).toDouble / (1L << 60)) / w)).toLong
+    }
+    val all = Seq(1L -> 10L, 2L -> 1000L, 3L -> 500L, 4L -> 1L)
+      .map { case (id, w) => id -> key(id, w) }
+    val expect = all.sortBy { case (id, k) => (-k, id) }.take(2).toMap
+    assert(got == expect, s"got $got expect $expect")
+    // a zero weight must fail the job, not silently win/lose the cut
+    val bad = rows.unionByName(Seq((5L, 0L)).toDF("doc_id", "w"))
+    val err = intercept[Exception] {
+      Sampling.weightedTopK(bad, "doc_id", "w", k = 2).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
