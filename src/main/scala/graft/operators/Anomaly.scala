@@ -111,6 +111,11 @@ object Anomaly {
     * per open frame); the fold is row-local over a ≤`w`-element
     * array. `w` is capped at 62 so `2^len` stays in a long.
     *
+    * `valueCol` must be non-null: `collect_list` silently drops null
+    * elements, which would shrink the frame without shrinking the
+    * ROWS window — filter or coalesce nulls upstream (the driver
+    * queries use scaled cents, never null).
+    *
     * @return input columns + `ewma_e4` (×10⁴, floored) */
   def ewma(df: DataFrame, entityCol: Column, orderCols: Seq[Column],
       valueCol: Column, w: Int = 8): DataFrame = {

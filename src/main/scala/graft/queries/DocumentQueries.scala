@@ -641,6 +641,15 @@ object DocumentQueries {
         d.where(srcNum < 10), d.where(srcNum >= 10), "text", k = 50)
     }),
 
+    // index observability: the per-batch stats rows ARE the ingest
+    // ledger — batch id, docs, token mass — read straight off the
+    // store's 1-row-per-batch stats partitions (bounded by batch
+    // count, no postings touched)
+    "index_batches" -> ((s, dir) =>
+      s.read.parquet(s"${splitTextIndexDir(s, dir)}/stats")
+        .select(col("__batch_id").cast("long").as("batch_id"),
+          col("n_docs"), col("sum_dl"))),
+
     // the SAME drift derived FROM the postings index: per-side token
     // counts are one sum(tf) over the chosen __batch_id partitions —
     // the retrieval store doubles as the drift-monitoring substrate,
@@ -1854,6 +1863,17 @@ object DocumentQueries {
     "phrase_hits" -> phraseSql,
 
     "phrase_hits_indexed" -> phraseSql,
+
+    // batch 0 = low-numbered sources, batch 1 = the rest (the split
+    // index's construction); stats rows must equal the per-side
+    // corpus doc/token-mass totals
+    "index_batches" ->
+      """SELECT CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |    THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS sum_dl
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // same exact long / 2^60 double, same ln, e9 floor, id tie-break
     "sample_weighted_topk" ->
