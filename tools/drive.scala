@@ -163,5 +163,11 @@ assert(ew == Seq(1000000L, math.floor(10000.0 * 400 / 3).toLong), s"ewma: $ew")
 val dr = graft.operators.Profiling.tokenDrift(irDocs, irDocs, "text", k = 10).collect()
 assert(dr.nonEmpty && dr.forall(_.getLong(3) == 0L), "self-drift must be zero")
 println("DRIVE-OK-ewma-drift " + ew + " drift0=" + dr.length)
+// 10. round-8 session-2: proximity fold, weighted sampling, streamed stores
+val prox = TextAnalysis.proximityHitsFromIndex(spark, idxDir, "hash", "tables", slop = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+assert(prox == Map(3L -> 1L), s"proximity: $prox")
+val wtk = graft.operators.Sampling.weightedTopK(Seq((1L, 10L), (2L, 1000L), (3L, 500L)).toDF("doc_id", "w"), "doc_id", "w", k = 2).collect().map(_.getLong(0)).toSet
+assert(wtk.size == 2 && wtk.subsetOf(Set(1L, 2L, 3L)), s"weighted: $wtk")
+println("DRIVE-OK-proximity-weighted " + prox + " " + wtk)
 println("DRIVE-OK-ALL")
 sys.exit(0)
