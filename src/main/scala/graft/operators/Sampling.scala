@@ -132,6 +132,39 @@ object Sampling {
     (sampled, rates)
   }
 
+  /** Deterministic UPSAMPLING to per-stratum epoch rates — the other
+    * half of data mixing (downsampling alone can't give a scarce,
+    * high-quality source more than one epoch): `ratesE4/10⁴` is the
+    * target epoch count per stratum, realized as `floor(rate)` whole
+    * copies of every row plus one extra copy for the rows whose
+    * (id, seed) hash falls under the fractional remainder — so a
+    * 2.5-epoch source repeats every row twice and half its rows (a
+    * deterministic, content-addressed half) a third time.
+    *
+    * Each emitted row carries `copy_idx` (0-based) so downstream
+    * shuffles/packing can separate epochs. Row-local explode — no
+    * shuffle, no driver state; expected output size is exactly
+    * `Σ n_s · rate_s`. Rates below 10⁴ are rejected — downsample
+    * with [[stratifiedSample]]/[[mixToTarget]] instead, keeping the
+    * two directions composable and each loud about its domain. */
+  def upsampleToRates(df: DataFrame, idCol: String, stratumCol: String,
+      ratesE4: Map[String, Int], defaultE4: Int = 10000,
+      seed: Int = 42): DataFrame = {
+    require((ratesE4.values ++ Seq(defaultE4)).forall(_ >= 10000),
+      "upsample rates are >= 10000 basis points (1.0 epochs); " +
+        "downsample with stratifiedSample/mixToTarget")
+    val rate = ratesE4.foldLeft(lit(defaultE4)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    val whole = (rate / lit(10000)).cast("int")
+    val frac = rate % lit(10000)
+    val copies = whole +
+      when(hashE4(col(idCol), seed) < frac, lit(1)).otherwise(lit(0))
+    df.withColumn("copy_idx",
+        explode(sequence(lit(0), copies - lit(1))))
+      .withColumn("copy_idx", col("copy_idx").cast("long"))
+  }
+
   /** Temperature-scaled source rebalancing (the `n^α` mixing rule of
     * multilingual/multi-source LM training — downweight huge sources
     * without flattening the mixture) at α = 0.5: target sizes ∝

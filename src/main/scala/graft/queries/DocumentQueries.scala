@@ -621,6 +621,17 @@ object DocumentQueries {
         "hash", "join", slop = 3)
         .withColumnRenamed("id", "doc_id")),
 
+    // deterministic UPSAMPLING (the other half of data mixing): src0
+    // runs 2.5 epochs, src1 1.5, the rest 1.0 — whole copies per row
+    // plus a content-addressed fractional remainder, profiled per
+    // source; row-local explode, no shuffle before the profile
+    "mix_upsample_profile" -> ((s, dir) =>
+      graft.operators.Sampling.upsampleToRates(docs(s, dir), "doc_id",
+          "source", Map("src0" -> 25000, "src1" -> 15000))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("doc_id")).as("n_docs"))),
+
     // weighted sampling without replacement (Efraimidis–Spirakis):
     // top-20 docs with inclusion probability ∝ n_chars — the
     // quality-weighted selection between uniform hash sampling and
@@ -1874,6 +1885,23 @@ object DocumentQueries {
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
         |    AS sum_dl
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // whole copies + hash-gated fractional remainder, same md5 hash
+    "mix_upsample_profile" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source = 'src0' THEN 25000
+        |         WHEN source = 'src1' THEN 15000
+        |         ELSE 10000 END AS rate,
+        |    CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 10000 AS h
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(sum(rate // 10000 +
+        |    CASE WHEN h < rate % 10000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rows,
+        |  count(*) AS n_docs
+        |FROM r GROUP BY 1""".stripMargin,
 
     // same exact long / 2^60 double, same ln, e9 floor, id tie-break
     "sample_weighted_topk" ->
