@@ -240,6 +240,29 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("hybrid rerank: candidate-bounded joins, no cartesian") {
+    val p = plan("hybrid_search")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the query-vector side must broadcast (|queries| rows)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("series similarity/lag: dense-grid cross joins broadcast the small side") {
+    for (q <- Seq("series_similarity", "series_lag_profile")) {
+      val p = plan(q)
+      // the |entities| × |days| grid must be a broadcast NLJ with the
+      // tiny calendar side shipped — a CartesianProduct would pair
+      // partitions of two large sides
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(2000))
+    }
+  }
+
+  test("rolling WAU: fan-out rides distinct user-day pairs, no cartesian") {
+    val p = plan("rolling_wau")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Expand") || p.contains("distinct"), p.take(3000))
+  }
+
   test("BM25 postings store: query-term buckets prune part= directories") {
     val p = plan("text_bm25_indexed")
     // the terms' md5 buckets must reach the postings store as a
