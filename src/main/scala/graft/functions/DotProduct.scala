@@ -98,16 +98,22 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(dotInfo._1, dotInfo._2, dotInfo._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(EwmaE4.info._1, EwmaE4.info._2, EwmaE4.info._3)
     SqlSurface.register(spark)
   }
 
-  /** Column API over the registered function. */
+  /** Column API over the registered functions. */
   def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Fused codegen EWMA fold ([[EwmaE4]]); requires [[register]]. */
+  def ewmaE4Native(arr: Column): Column = call_function("graft_ewma_e4", arr)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotInfo)
+    ext.injectFunction(EwmaE4.info)
     ext.injectFunction(SqlSurface.sliceInfo)
     ext.injectFunction(SqlSurface.weekInfo)
   }

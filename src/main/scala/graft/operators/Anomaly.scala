@@ -116,16 +116,29 @@ object Anomaly {
     * ROWS window — filter or coalesce nulls upstream (the driver
     * queries use scaled cents, never null).
     *
+    * @param foldFn frame-array → e4 column. The default is the
+    *   composed higher-order fold (no registration needed);
+    *   [[graft.functions.GraftFunctions.ewmaE4Native]] is the fused
+    *   codegen form (the DotProduct rationale — the HOF pair is
+    *   CodegenFallback), bit-identical by construction and
+    *   spec-pinned equivalent.
     * @return input columns + `ewma_e4` (×10⁴, floored) */
   def ewma(df: DataFrame, entityCol: Column, orderCols: Seq[Column],
-      valueCol: Column, w: Int = 8): DataFrame = {
+      valueCol: Column, w: Int = 8,
+      foldFn: Column => Column = ewmaFoldHof): DataFrame = {
     require(w >= 1 && w <= 62, s"ewma window must be in [1, 62], got $w")
     val frame = Window.partitionBy(entityCol).orderBy(orderCols: _*)
       .rowsBetween(-(w - 1).toLong, 0L)
     val l = collect_list(valueCol.cast("long")).over(frame)
+    df.withColumn("ewma_e4", foldFn(l))
+  }
+
+  /** The composed (higher-order-function) Horner fold — the default
+    * `foldFn` of [[ewma]] and the semantic reference its codegen twin
+    * is pinned against. */
+  def ewmaFoldHof(l: Column): Column = {
     val num = aggregate(l, lit(0L), (acc, x) => acc * lit(2L) + x)
     val den = aggregate(l, lit(0L), (acc, _) => acc * lit(2L) + lit(1L))
-    df.withColumn("ewma_e4",
-      floor((lit(10000.0) * num) / den).cast("long"))
+    floor((lit(10000.0) * num) / den).cast("long")
   }
 }

@@ -908,12 +908,16 @@ object EventQueries {
     // one per-entity partitioning, O(w) frame state
     "event_ewma" -> ((s, dir) => {
       import graft.operators.Anomaly
+      graft.functions.GraftFunctions.register(s)
       val e = events(s, dir)
         .where(col("user_id") < 40)
         .select(col("event_id"), col("user_id"),
           col("ts").cast("long").as("sec"), cents.as("value_cents"))
+      // fused codegen fold (graft_ewma_e4) — the HOF pair is the
+      // spec-pinned semantic reference
       Anomaly.ewma(e, col("user_id"),
-          Seq(col("sec"), col("event_id")), col("value_cents"), w = 8)
+          Seq(col("sec"), col("event_id")), col("value_cents"), w = 8,
+          foldFn = graft.functions.GraftFunctions.ewmaE4Native)
         .select(col("event_id"), col("user_id"), col("value_cents"),
           col("ewma_e4"))
     }),

@@ -126,6 +126,25 @@ class AnomalySpec extends SparkTestBase {
     assert(got(4L) === 999L * 10000)
   }
 
+  test("ewma: fused codegen fold ≡ higher-order fold on random series") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map(i =>
+        (i.toLong, (i % 13).toLong, i.toLong, rnd.nextLong() % 1000000L))
+      .toDF("event_id", "user_id", "sec", "cents")
+    def run(fold: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Anomaly.ewma(df, col("user_id"),
+          Seq(col("sec"), col("event_id")), col("cents"), w = 8,
+          foldFn = fold)
+        .select(col("event_id"), col("ewma_e4"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = run(Anomaly.ewmaFoldHof)
+    val native = run(graft.functions.GraftFunctions.ewmaE4Native)
+    assert(hof == native)
+    assert(hof.size == 400)
+  }
+
   test("ewma window slides: a row beyond w drops out of the fold") {
     import spark.implicits._
     val df = (1 to 5).map(i => (i.toLong, 1L, i.toLong, 100L * i))
