@@ -33,5 +33,7 @@ val fn = spark.sql("SELECT graft_slice(TIMESTAMP '2014-03-21 16:46:30', 15), gra
 assert(fn.getTimestamp(0) == ts("2014-03-21T16:45"), s"graft_slice: $fn")
 assert(fn.getTimestamp(1) == ts("2023-12-24T00:00"), s"graft_week: $fn")
 assert(fn.getDouble(2) == 11.0, s"graft_dot: $fn")
+val ew = spark.sql("SELECT graft_ewma_e4(array(100L, 200L))").head.getLong(0)
+assert(ew == 1333333L, s"graft_ewma_e4: $ew")
 println("DRIVE-EXT-OK " + rows)
 sys.exit(0)
