@@ -656,6 +656,36 @@ class DedupTextSpec extends SparkTestBase {
     assert(fox(0)._5 == term(3, 1, 9) + term(2, 1, 9))
   }
 
+  test("bm25: unknown query terms contribute nothing, in both regimes") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_unk")
+    try {
+      TextAnalysis.buildTextIndex(corpus, "text", "doc_id",
+        dir.toString, nBuckets = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // a term absent from the corpus must not change scores, ranks,
+      // or n_terms — and an all-unknown query returns no rows
+      val withUnk = Seq("q" -> Seq("fox", "zzz_not_a_token"))
+      val without = Seq("q" -> Seq("fox"))
+      assert(rows(TextAnalysis.bm25TopK(corpus, "text", "doc_id",
+          withUnk, topK = 5)) ==
+        rows(TextAnalysis.bm25TopK(corpus, "text", "doc_id",
+          without, topK = 5)))
+      assert(rows(TextAnalysis.bm25TopKFromIndex(spark, dir.toString,
+          withUnk, topK = 5)) ==
+        rows(TextAnalysis.bm25TopKFromIndex(spark, dir.toString,
+          without, topK = 5)))
+      assert(TextAnalysis.bm25TopKFromIndex(spark, dir.toString,
+        Seq("q" -> Seq("zzz_not_a_token")), topK = 5).count() == 0L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("tokenDrift: identical corpora drift zero; one-sided tokens penalize") {
     import graft.operators.Profiling
     val same = Profiling.tokenDrift(corpus, corpus, "text", k = 100)
