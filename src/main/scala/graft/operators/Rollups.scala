@@ -45,6 +45,38 @@ object Rollups {
       grouping)
   }
 
+  /** Consistency AUDIT of a counter rollup store against its raw
+    * events — the read-repair check a production TSDB runs after
+    * incidents (partial writes, replayed batches, manual surgery):
+    * recompute the slice partials from raw, collapse BOTH sides to
+    * one value per (grouping, bucket) key (a maintained store may
+    * legitimately hold several re-aggregable partial rows per key),
+    * and full-outer-diff. Output is the per-date audit summary:
+    * bucket count and mismatch count (keys missing on either side
+    * count as mismatches).
+    *
+    * One shuffle per side on the same (grouping, bucket) key plus the
+    * diff join — O(series × slices), never event volume, and the
+    * store side is partition-prunable by date if the caller
+    * pre-filters. Counter facts only (the one-column value shape);
+    * average/histogram/distinct stores audit per value column the
+    * same way — compose over [[collapsePartials]] if needed. */
+  def audit(store: DataFrame, raw: DataFrame, fact: FactDef,
+      sliceMinutes: Int, grouping: Seq[String]): DataFrame = {
+    require(fact.ftype == graft.model.FactType.Counter,
+      s"Rollups.audit covers Counter facts, got ${fact.ftype}")
+    val key = grouping.map(col) :+ col("bucket")
+    val sSide = store.groupBy(key: _*).agg(sum(col("value")).as("__vs"))
+    val rSide = build(raw, fact, sliceMinutes, grouping)
+      .groupBy(key: _*).agg(sum(col("value")).as("__vr"))
+    sSide.join(rSide, grouping :+ "bucket", "full_outer")
+      .select(to_date(col("bucket")).cast("string").as("bucket_date"),
+        when(col("__vs").isNull || col("__vr").isNull ||
+          col("__vs") =!= col("__vr"), 1L).otherwise(0L).as("__bad"))
+      .groupBy(col("bucket_date"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("__bad")).as("n_mismatched"))
+  }
+
   /** Materialize to parquet, partitioned by the bucket's date for
     * partition-pruned range scans. */
   def materialize(prepared: DataFrame, fact: FactDef, sliceMinutes: Int,

@@ -1230,6 +1230,27 @@ object EventQueries {
     // materialized-rollup read path: build slice partials, serve the
     // hourly query FROM the rollup — result must hash-match the same
     // oracle as the raw-events pipeline (re-aggregability, SURVEY §4)
+    // rollup consistency AUDIT (the read-repair check after
+    // incidents): recompute slice partials from raw, collapse both
+    // sides per key, full-outer-diff — per date, bucket count and
+    // mismatches (zero on a healthy store; RollupsSpec pins that a
+    // corrupted row IS flagged)
+    "rollup_audit" -> ((s, dir) => {
+      import graft.operators.Rollups
+      val out = rollupDirs.getOrElseUpdate((s, dir), {
+        val d = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+        Rollups.materialize(
+          prep(s, dir, withUser = false, one,
+            Some(("2024-01-05T00:00", "2024-01-07T00:00"))),
+          countFact, 15, Seq("event_type"), d)
+        d
+      })
+      Rollups.audit(Rollups.read(s, out),
+        prep(s, dir, withUser = false, one,
+          Some(("2024-01-05T00:00", "2024-01-07T00:00"))),
+        countFact, 15, Seq("event_type"))
+    }),
+
     "ts_rollup_hour_fill" -> ((s, dir) => {
       import graft.operators.Rollups
       val out = rollupDirs.getOrElseUpdate((s, dir), {
@@ -2586,6 +2607,22 @@ object EventQueries {
 
     // identical to ts_counter_hour_fill: the rollup path must be
     // indistinguishable from compute-on-read
+    // healthy store: per date the distinct (event_type, slice) bucket
+    // count with zero mismatches — the range mirrors eventsRanged's
+    // [floor(start), floor(finish)+slice) window
+    "rollup_audit" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    make_timestamp((epoch_us(ts) // 1000000 // 900 * 900) * 1000000)
+        |      AS bucket
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-07 00:15:00'),
+        |b AS (SELECT event_type, bucket FROM e GROUP BY 1, 2)
+        |SELECT CAST(CAST(bucket AS DATE) AS VARCHAR) AS bucket_date,
+        |  count(*) AS n_buckets, CAST(0 AS BIGINT) AS n_mismatched
+        |FROM b GROUP BY 1""".stripMargin,
+
     "ts_rollup_hour_fill" -> fillOracle(
       where = "event_type = 'click'",
       bucketExpr = "date_trunc('hour', ts)",

@@ -30,6 +30,30 @@ class RollupsSpec extends SparkTestBase {
   private def collectSorted(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
     df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
 
+  test("audit: healthy store is clean; a corrupted partial is flagged") {
+    val store = Rollups.build(rawCounter, counterFact, 15, Seq("dim"))
+    val clean = Rollups.audit(store, rawCounter, counterFact, 15, Seq("dim"))
+      .collect()
+    assert(clean.nonEmpty)
+    assert(clean.map(_.getAs[Long]("n_mismatched")).sum == 0L, clean.toSeq)
+    // flip one partial's value — exactly the single-bucket corruption
+    // a partial write or manual surgery leaves behind
+    val firstBucket = store.orderBy(col("dim"), col("bucket"))
+      .head.getAs[java.sql.Timestamp]("bucket")
+    val corrupted = store.withColumn("value",
+      when(col("bucket") === firstBucket && col("dim") === "s0",
+        col("value") + 1L).otherwise(col("value")))
+    val bad = Rollups.audit(corrupted, rawCounter, counterFact, 15,
+        Seq("dim")).collect()
+    assert(bad.map(_.getAs[Long]("n_mismatched")).sum >= 1L, bad.toSeq)
+    // and a MISSING key (dropped partition) is also a mismatch
+    val dropped = store.where(!(col("dim") === "s0" &&
+      col("bucket") === firstBucket))
+    val miss = Rollups.audit(dropped, rawCounter, counterFact, 15,
+        Seq("dim")).collect()
+    assert(miss.map(_.getAs[Long]("n_mismatched")).sum >= 1L, miss.toSeq)
+  }
+
   test("counter: rollup-served query == raw-events query (day step + fill)") {
     val dir = Files.createTempDirectory("rollup").toString
     Rollups.materialize(rawCounter, counterFact, 15, Seq("dim"), dir)
