@@ -621,6 +621,23 @@ object DocumentQueries {
         "hash", "join", slop = 3)
         .withColumnRenamed("id", "doc_id")),
 
+    // per-source dedup-rate report (the data-quality dashboard row a
+    // curation pipeline watches per ingest source): docs, exact-dup
+    // survivors, and the duplicate fraction ×10⁴ — one md5 hash agg,
+    // bodies never shuffle
+    "dedup_rate_by_source" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__k", md5(col("text")))
+        .withColumn("__rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__k")).orderBy(col("doc_id"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_canonical"))
+        .withColumn("dup_e4",
+          floor(lit(10000.0) * (col("n_docs") - col("n_canonical")) /
+            col("n_docs")).cast("long"))),
+
     // deterministic UPSAMPLING (the other half of data mixing): src0
     // runs 2.5 epochs, src1 1.5, the rest 1.0 — whole copies per row
     // plus a content-addressed fractional remainder, profiled per
@@ -1885,6 +1902,18 @@ object DocumentQueries {
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
         |    AS sum_dl
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_rate_by_source" ->
+      """WITH k AS (SELECT doc_id, source, md5(text) AS k FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k
+        |        ORDER BY doc_id) AS rn FROM k)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_canonical,
+        |  CAST(floor(CAST(10000.0 AS DOUBLE) *
+        |    (count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END))
+        |    / count(*)) AS BIGINT) AS dup_e4
+        |FROM r GROUP BY 1""".stripMargin,
 
     // whole copies + hash-gated fractional remainder, same md5 hash
     "mix_upsample_profile" ->

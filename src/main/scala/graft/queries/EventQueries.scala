@@ -764,6 +764,22 @@ object EventQueries {
           coalesce(col("day"), lit("ALL")).as("day"),
           col("g_type"), col("g_day"), col("n_events"), col("sum_cents"))),
 
+    // event-type AFFINITY (market-basket-lite): for every unordered
+    // type pair, how many users performed both — the co-occurrence
+    // read behind "users who X also Y". The self-join runs on the
+    // (user, type)-DISTINCT pairs (≤ |users|·|types| rows), never raw
+    // events, and output is |types|² small
+    "event_type_affinity" -> ((s, dir) => {
+      val ut = events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val a = ut.withColumnRenamed("event_type", "type_a")
+      val b = ut.withColumnRenamed("event_type", "type_b")
+      a.join(b, Seq("user_id"))
+        .where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // cross-series LEAD/LAG profile ("do clicks lead purchases?"):
     // daily click and purchase series zero-filled on the shared day
     // grid, exact integer cross-covariance numerator n·Σxy − Σx·Σy
@@ -2340,6 +2356,15 @@ object EventQueries {
         |  CAST(grouping(day) AS BIGINT) AS g_day,
         |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM e GROUP BY CUBE(event_type, day)""".stripMargin,
+
+    "event_type_affinity" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
 
     "series_lag_profile" ->
       """WITH e AS (
