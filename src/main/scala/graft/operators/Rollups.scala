@@ -77,6 +77,27 @@ object Rollups {
       .agg(count(lit(1)).as("n_buckets"), sum(col("__bad")).as("n_mismatched"))
   }
 
+  /** [[audit]] for TALL partial stores (Distinct `dval` /
+    * Histogram `hist_bucket` rows): identical recompute-and-diff with
+    * the tall column joining the key — per-date tall-row and
+    * mismatch counts. */
+  def auditTall(store: DataFrame, raw: DataFrame, fact: FactDef,
+      sliceMinutes: Int, grouping: Seq[String], tallCol: String): DataFrame = {
+    require(store.columns.contains(tallCol),
+      s"store has no tall column '$tallCol'")
+    val keyNames = grouping ++ Seq("bucket", tallCol)
+    val key = keyNames.map(col)
+    val sSide = store.groupBy(key: _*).agg(sum(col("value")).as("__vs"))
+    val rSide = build(raw, fact, sliceMinutes, grouping)
+      .groupBy(key: _*).agg(sum(col("value")).as("__vr"))
+    sSide.join(rSide, keyNames, "full_outer")
+      .select(to_date(col("bucket")).cast("string").as("bucket_date"),
+        when(col("__vs").isNull || col("__vr").isNull ||
+          col("__vs") =!= col("__vr"), 1L).otherwise(0L).as("__bad"))
+      .groupBy(col("bucket_date"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__bad")).as("n_mismatched"))
+  }
+
   /** Materialize to parquet, partitioned by the bucket's date for
     * partition-pruned range scans. */
   def materialize(prepared: DataFrame, fact: FactDef, sliceMinutes: Int,

@@ -492,6 +492,17 @@ object EventQueries {
     // counting: values retained at slice granularity keep any
     // calendar collapse exact at O(rollup) scan cost. Shares
     // ts_distinct_day's oracle: the two paths must be identical.
+    // the tall-partials audit: same recompute-and-diff over the
+    // DISTINCT store's (series, slice, dval) keys
+    "rollup_audit_distinct" -> ((s, dir) => {
+      import graft.operators.Rollups
+      val raw = prep(s, dir, withUser = false, col("user_id"),
+        Some(("2024-01-05T00:00", "2024-01-12T00:00")))
+      val store = Rollups.build(raw, distinctFact, 15, Seq("event_type"))
+      Rollups.auditTall(store, raw, distinctFact, 15,
+        Seq("event_type"), "dval")
+    }),
+
     "ts_distinct_rollup" -> ((s, dir) => {
       import graft.operators.Rollups
       val partials = Rollups.build(prep(s, dir, withUser = false,
@@ -2632,6 +2643,19 @@ object EventQueries {
 
     // identical to ts_counter_hour_fill: the rollup path must be
     // indistinguishable from compute-on-read
+    "rollup_audit_distinct" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |    make_timestamp((epoch_us(ts) // 1000000 // 900 * 900) * 1000000)
+        |      AS bucket
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-12 00:15:00'),
+        |b AS (SELECT event_type, bucket, user_id FROM e GROUP BY 1, 2, 3)
+        |SELECT CAST(CAST(bucket AS DATE) AS VARCHAR) AS bucket_date,
+        |  count(*) AS n_rows, CAST(0 AS BIGINT) AS n_mismatched
+        |FROM b GROUP BY 1""".stripMargin,
+
     // healthy store: per date the distinct (event_type, slice) bucket
     // count with zero mismatches — the range mirrors eventsRanged's
     // [floor(start), floor(finish)+slice) window
