@@ -58,21 +58,32 @@ object Rollups {
     * One shuffle per side on the same (grouping, bucket) key plus the
     * diff join — O(series × slices), never event volume, and the
     * store side is partition-prunable by date if the caller
-    * pre-filters. Counter facts only (the one-column value shape);
-    * average/histogram/distinct stores audit per value column the
-    * same way — compose over [[collapsePartials]] if needed. */
+    * pre-filters. Scalar-partial facts (Counter's `value`, Average's
+    * `(counter, total)` pair — every partial column must match);
+    * tall distinct/histogram stores use [[auditTall]]. */
   def audit(store: DataFrame, raw: DataFrame, fact: FactDef,
       sliceMinutes: Int, grouping: Seq[String]): DataFrame = {
-    require(fact.ftype == graft.model.FactType.Counter,
-      s"Rollups.audit covers Counter facts, got ${fact.ftype}")
+    import graft.model.FactType
+    val valueCols: Seq[String] = fact.ftype match {
+      case FactType.Counter => Seq("value")
+      case FactType.Average => Seq("counter", "total")
+      case other => throw new IllegalArgumentException(
+        s"Rollups.audit covers scalar-partial facts (Counter/Average); " +
+          s"use auditTall for $other")
+    }
     val key = grouping.map(col) :+ col("bucket")
-    val sSide = store.groupBy(key: _*).agg(sum(col("value")).as("__vs"))
-    val rSide = build(raw, fact, sliceMinutes, grouping)
-      .groupBy(key: _*).agg(sum(col("value")).as("__vr"))
+    def side(df: DataFrame, tag: String) = df.groupBy(key: _*)
+      .agg(valueCols.map(c => sum(col(c)).as(s"__${tag}_$c")).head,
+        valueCols.map(c => sum(col(c)).as(s"__${tag}_$c")).tail: _*)
+    val sSide = side(store, "s")
+    val rSide = side(build(raw, fact, sliceMinutes, grouping), "r")
+    val bad = valueCols.map(c =>
+        col(s"__s_$c").isNull || col(s"__r_$c").isNull ||
+          col(s"__s_$c") =!= col(s"__r_$c"))
+      .reduce(_ || _)
     sSide.join(rSide, grouping :+ "bucket", "full_outer")
       .select(to_date(col("bucket")).cast("string").as("bucket_date"),
-        when(col("__vs").isNull || col("__vr").isNull ||
-          col("__vs") =!= col("__vr"), 1L).otherwise(0L).as("__bad"))
+        when(bad, 1L).otherwise(0L).as("__bad"))
       .groupBy(col("bucket_date"))
       .agg(count(lit(1)).as("n_buckets"), sum(col("__bad")).as("n_mismatched"))
   }

@@ -52,6 +52,20 @@ class RollupsSpec extends SparkTestBase {
     val miss = Rollups.audit(dropped, rawCounter, counterFact, 15,
         Seq("dim")).collect()
     assert(miss.map(_.getAs[Long]("n_mismatched")).sum >= 1L, miss.toSeq)
+    // average stores audit BOTH partial columns: a total-only skew
+    // (same counter) must still flag
+    val avgStore = Rollups.build(rawAvg, avgFact, 15, Seq("dim"))
+    val avgClean = Rollups.audit(avgStore, rawAvg, avgFact, 15, Seq("dim"))
+      .collect()
+    assert(avgClean.map(_.getAs[Long]("n_mismatched")).sum == 0L)
+    val firstAvg = avgStore.orderBy(col("dim"), col("bucket"))
+      .head.getAs[java.sql.Timestamp]("bucket")
+    val skewed = avgStore.withColumn("total",
+      when(col("bucket") === firstAvg && col("dim") === "h0",
+        col("total") + 1L).otherwise(col("total")))
+    val avgBad = Rollups.audit(skewed, rawAvg, avgFact, 15, Seq("dim"))
+      .collect()
+    assert(avgBad.map(_.getAs[Long]("n_mismatched")).sum >= 1L, avgBad.toSeq)
   }
 
   test("counter: rollup-served query == raw-events query (day step + fill)") {
