@@ -100,6 +100,12 @@ object GraftFunctions {
       .registerFunction(dotInfo._1, dotInfo._2, dotInfo._3)
     spark.sessionState.functionRegistry
       .registerFunction(EwmaE4.info._1, EwmaE4.info._2, EwmaE4.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(BloomProbe.aggInfo._1, BloomProbe.aggInfo._2,
+        BloomProbe.aggInfo._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(BloomProbe.mightInfo._1, BloomProbe.mightInfo._2,
+        BloomProbe.mightInfo._3)
     SqlSurface.register(spark)
   }
 
@@ -114,6 +120,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotInfo)
     ext.injectFunction(EwmaE4.info)
+    ext.injectFunction(BloomProbe.aggInfo)
+    ext.injectFunction(BloomProbe.mightInfo)
     ext.injectFunction(SqlSurface.sliceInfo)
     ext.injectFunction(SqlSurface.weekInfo)
   }

@@ -55,6 +55,53 @@ object Decontaminate {
       .where(col("hits") >= minHits)
   }
 
+  /** Bloom-prefiltered contamination report — IDENTICAL output to
+    * [[overlapReport]], different scale regime. [[overlapReport]]
+    * broadcasts the eval shingle set exactly; once eval suites grow to
+    * ~10⁸ distinct shingles that broadcast is ~1 GB of longs per
+    * executor. Here the eval set is compressed into one of Spark's own
+    * Bloom filters (~10 bits/element at fpp=1% — 60× smaller), and the
+    * 100 TB training scan is gated by a row-local, codegen'd
+    * `might_contain` probe BEFORE any join: only true overlaps plus
+    * the fpp-sized sliver of false positives ever leave their input
+    * partitions. Survivors are then verified EXACTLY against the real
+    * shingle set (AQE sizes that join — the survivor side is tiny), so
+    * false positives cannot reach the report and the result is
+    * bit-equal to the exact operator; the shared oracle pins it.
+    *
+    * Driver-side cost: one scalar count over the SMALL side (sizing)
+    * and one collected Bloom filter (`nBits/8` bytes, bounded by
+    * construction).
+    */
+  def bloomOverlapReport(train: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, k: Int = 3, minHits: Long = 1L,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomProbe
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val evalSh = Dedup.shingleHashKernel(evalDocs, textCol, idCol, k)
+      .select(explode(col("hs")).as("sh"))
+      .distinct()
+    val nItems = math.max(evalSh.count(), 1L)
+    val bfRow = evalSh
+      .agg(BloomProbe.bloomAgg(xxhash64(col("sh")), nItems,
+        BloomProbe.bitsFor(nItems, fpp)).as("bf"))
+      .head
+    val trainEx = Dedup.shingleHashKernel(train, textCol, idCol, k)
+      .select(col("id"), explode(col("hs")).as("sh"))
+    if (bfRow.isNullAt(0)) {
+      // empty eval corpus → nothing can overlap
+      trainEx.select(col("id"), lit(0L).as("hits")).where(lit(false))
+    } else {
+      val bf = lit(bfRow.getAs[Array[Byte]]("bf"))
+      trainEx
+        .where(BloomProbe.mightContain(bf, xxhash64(col("sh"))))
+        .join(evalSh, "sh") // exact verify — survivors only, AQE-sized
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("hits"))
+        .where(col("hits") >= minHits)
+    }
+  }
+
   /** The clean view: `train` with contaminated docs removed (broadcast
     * anti-join against the report's id set — the report is bounded by
     * the eval corpus's reach, far smaller than the training corpus). */

@@ -837,6 +837,19 @@ object DocumentQueries {
         .select(col("id").as("doc_id"), col("hits"))
     }),
 
+    // Bloom-prefiltered decontamination: the row-local might_contain
+    // gate + exact verify must reproduce the exact operator bit-for-bit
+    // (same oracle text as decontaminate_overlap) — false positives
+    // may pass the Bloom probe but can never reach the report
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.bloomOverlapReport(
+        d.where(col("doc_id") % 25 =!= 0),
+        d.where(col("doc_id") % 25 === 0),
+        "text", "doc_id")
+        .select(col("id").as("doc_id"), col("hits"))
+    }),
+
     // the clean view after decontamination, profiled per source —
     // exercises the anti-join drop path end-to-end
     "decontaminate_clean_profile" -> ((s, dir) => {
@@ -2207,6 +2220,20 @@ object DocumentQueries {
     // same md5-hashed shingle space as the dedup oracles: eval slice =
     // doc_id % 25 = 0; hits = distinct shared shingles per training doc
     "decontaminate_overlap" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id,
+         |  unnest(list_transform(shset,
+         |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+         |  FROM sh),
+         |ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 25 = 0)
+         |SELECT e.doc_id, count(*) AS hits
+         |FROM ex e JOIN ev USING (s)
+         |WHERE e.doc_id % 25 <> 0
+         |GROUP BY 1""".stripMargin,
+
+    // the Bloom prefilter is semantics-preserving: SAME oracle as the
+    // exact overlap report
+    "decontaminate_bloom" ->
       s"""WITH $shingleCte,
          |ex AS (SELECT doc_id,
          |  unnest(list_transform(shset,

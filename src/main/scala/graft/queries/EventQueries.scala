@@ -929,6 +929,43 @@ object EventQueries {
           .as("autocov_e2"))
     }),
 
+    // per-series linear trend (is traffic growing, and how fast?):
+    // daily counts per event type, then closed-form OLS over the day
+    // index — slope and intercept both from the exact cross-products
+    // n·Σxy − Σx·Σy and Σy·Σx² − Σx·Σxy in decimal(38,0), ONE double
+    // division each at the very end (the series_autocov discipline).
+    // Two shuffles total (day grouping, then per-type fold of ≤365
+    // rows/type/year) — no window, no sort; at 100 TB the first
+    // aggregation is the only one that sees event-scale data
+    "series_trend" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val dec = DecimalType(38, 0)
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("ts").cast("long") / 86400L).cast(LongType)
+            .as("day_idx"))
+        .agg(count(lit(1)).as("y"))
+      val agg = daily.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_days"),
+        sum(col("day_idx").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("day_idx").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("day_idx").cast(dec) * col("day_idx").cast(dec))
+          .as("sxx"))
+      val den = (col("n_days").cast(dec) * col("sxx") -
+        col("sx") * col("sx")).cast(DoubleType)
+      val slopeNum = (col("n_days").cast(dec) * col("sxy") -
+        col("sx") * col("sy")).cast(DoubleType)
+      val interNum = (col("sy") * col("sxx") -
+        col("sx") * col("sxy")).cast(DoubleType)
+      agg.where(col("n_days") >= 2)
+        .select(col("event_type"), col("n_days"),
+          floor(lit(1000000.0) * (slopeNum / den)).cast(LongType)
+            .as("slope_e6"),
+          floor(lit(100.0) * (interNum / den)).cast(LongType)
+            .as("intercept_e2"))
+    }),
+
     // EWMA smoothing (α = 1/2, trailing 8 rows) per user series — the
     // level-tracking companion to the flat moving average; Horner-fold
     // powers-of-two weights keep numerator/denominator exact longs,
@@ -2477,6 +2514,31 @@ object EventQueries {
         |      (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE))))
         |    AS BIGINT) AS autocov_e2
         |FROM a""".stripMargin,
+
+    // closed-form OLS from exact HUGEINT cross-products; the two
+    // double divisions use identical exact operands on both engines
+    "series_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor((epoch_us(ts) // 1000000) / 86400) AS BIGINT)
+        |      AS day_idx,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    sum(day_idx) AS sx, sum(y) AS sy,
+        |    sum(day_idx * y) AS sxy, sum(day_idx * day_idx) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CAST(floor(CAST(1000000.0 AS DOUBLE) *
+        |    (CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |     CAST(n_days * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+        |    AS slope_e6,
+        |  CAST(floor(CAST(100.0 AS DOUBLE) *
+        |    (CAST(sy * sxx - sx * sxy AS DOUBLE) /
+        |     CAST(n_days * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+        |    AS intercept_e2
+        |FROM a WHERE n_days >= 2""".stripMargin,
 
     // Horner fold ≡ Σ l[i]·2^(len−i) (1-based); numerator/denominator
     // exact BIGINTs, one double division with identical operands

@@ -338,6 +338,37 @@ object RelationalQueries {
           sum(col("bal_cents")).as("total_cents"))
     }),
 
+    // TPC-H Q21 shape: suppliers who kept orders waiting — the classic
+    // EXISTS + NOT-EXISTS double self-join on the fact table, rewritten
+    // as ONE per-order aggregate (n_supps, n_fault_supps): a lineitem
+    // qualifies iff its order has ≥2 suppliers and exactly one faulting
+    // supplier (itself). At 100 TB this replaces two shuffled fact-side
+    // self-joins with a single orderkey groupBy + one re-join — the
+    // fact table shuffles twice total instead of four times, and the
+    // per-order aggregate is two small longs per order. The synthetic
+    // lineitem has no receipt/commit dates, so "fault" is the return
+    // flag; the shape (multi-supplier order, sole guilty party) is Q21's.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_fault_supps"))
+      val fOrders = read(s, dir, "orders")
+        .where(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      li.where(col("l_returnflag") === "R")
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .where(col("n_supps") >= 2 && col("n_fault_supps") === 1)
+        .join(broadcast(read(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    }),
+
     // window function: top-3 orders per customer, deterministic tie-break
     "topk_orders_per_customer" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -600,6 +631,25 @@ object RelationalQueries {
         |  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
         |  GROUP BY 1)
         |GROUP BY 1""".stripMargin,
+
+    // Independently-written correlated-subquery form (the literal Q21
+    // text) — validates the aggregate rewrite, not just the numbers.
+    "q21_waiting_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE l1.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 20""".stripMargin,
 
     "topk_orders_per_customer" ->
       """SELECT o_custkey, o_orderkey,
