@@ -780,6 +780,25 @@ object EventQueries {
     // read behind "users who X also Y". The self-join runs on the
     // (user, type)-DISTINCT pairs (≤ |users|·|types| rows), never raw
     // events, and output is |types|² small
+    // salted fact×dimension join (the hot-key layout fix): events are
+    // naturally skewed per user (power users are hot keys at corpus
+    // scale), customer is the SF-growing dimension that outgrows
+    // broadcast — SkewJoin salts the fact side across 8 sub-keys and
+    // replicates the dimension ×8, so no reducer owns a whole hot key.
+    // Salting is result-invisible: the oracle is the PLAIN join SQL,
+    // and ScaleSpec pins salted ≡ unsalted + the fan-out itself
+    "events_salted_enrich" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), cents.as("value_cents"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedInnerJoin(
+          e, cust, Seq("user_id"), col("event_id"), buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("sum_cents"))
+    }),
+
     "event_type_affinity" -> ((s, dir) => {
       val ut = events(s, dir)
         .select(col("user_id"), col("event_type")).distinct()
@@ -947,6 +966,44 @@ object EventQueries {
         .agg(count(lit(1)).as("y"))
       val agg = daily.groupBy(col("event_type")).agg(
         count(lit(1)).as("n_days"),
+        sum(col("day_idx").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("day_idx").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("day_idx").cast(dec) * col("day_idx").cast(dec))
+          .as("sxx"))
+      val den = (col("n_days").cast(dec) * col("sxx") -
+        col("sx") * col("sx")).cast(DoubleType)
+      val slopeNum = (col("n_days").cast(dec) * col("sxy") -
+        col("sx") * col("sy")).cast(DoubleType)
+      val interNum = (col("sy") * col("sxx") -
+        col("sx") * col("sxy")).cast(DoubleType)
+      agg.where(col("n_days") >= 2)
+        .select(col("event_type"), col("n_days"),
+          floor(lit(1000000.0) * (slopeNum / den)).cast(LongType)
+            .as("slope_e6"),
+          floor(lit(100.0) * (interNum / den)).cast(LongType)
+            .as("intercept_e2"))
+    }),
+
+    // the SAME trend fit served from the materialized day-tier rollup:
+    // the user writes a plain daily count(*) aggregate over raw events
+    // and the routing rule swaps in the day partials — the OLS fold
+    // then runs over O(types × days) rollup rows, so at 100 TB the
+    // trend never scans an event. Shares series_trend's oracle: routed
+    // ≡ raw is the gate (day_idx from the UTC day bucket is the same
+    // floor(epoch/86400) integer)
+    "series_trend_routed" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val dec = DecimalType(38, 0)
+      val raw = routedRaw(s, dir)
+      ensureRoutedDay(s, dir)
+      val daily = raw
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(one).as("y"))
+        .withColumn("day_idx", (col("day").cast("long") / 86400L)
+          .cast(LongType))
+      val agg = daily.groupBy(col("event_type")).agg(
+        count(one).as("n_days"),
         sum(col("day_idx").cast(dec)).as("sx"),
         sum(col("y").cast(dec)).as("sy"),
         sum(col("day_idx").cast(dec) * col("y").cast(dec)).as("sxy"),
@@ -2405,6 +2462,16 @@ object EventQueries {
         |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM e GROUP BY CUBE(event_type, day)""".stripMargin,
 
+    // salting is a pure partitioning trick — the oracle is the plain
+    // inner join, no salt anywhere
+    "events_salted_enrich" ->
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+
     "event_type_affinity" ->
       """WITH ut AS (
         |  SELECT DISTINCT user_id, event_type FROM events)
@@ -2518,6 +2585,30 @@ object EventQueries {
     // closed-form OLS from exact HUGEINT cross-products; the two
     // double divisions use identical exact operands on both engines
     "series_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor((epoch_us(ts) // 1000000) / 86400) AS BIGINT)
+        |      AS day_idx,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    sum(day_idx) AS sx, sum(y) AS sy,
+        |    sum(day_idx * y) AS sxy, sum(day_idx * day_idx) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CAST(floor(CAST(1000000.0 AS DOUBLE) *
+        |    (CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |     CAST(n_days * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+        |    AS slope_e6,
+        |  CAST(floor(CAST(100.0 AS DOUBLE) *
+        |    (CAST(sy * sxx - sx * sxy AS DOUBLE) /
+        |     CAST(n_days * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+        |    AS intercept_e2
+        |FROM a WHERE n_days >= 2""".stripMargin,
+
+    // the routed twin serves the SAME oracle — routed ≡ raw is the gate
+    "series_trend_routed" ->
       """WITH daily AS (
         |  SELECT event_type,
         |    CAST(floor((epoch_us(ts) // 1000000) / 86400) AS BIGINT)

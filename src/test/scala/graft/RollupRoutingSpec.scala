@@ -304,6 +304,35 @@ class RollupRoutingSpec extends SparkTestBase {
     } finally RollupRouting.clear(spark)
   }
 
+  test("composition above a routed aggregate still routes (trend fold)") {
+    // the series_trend_routed shape: a second aggregation + arithmetic
+    // stacked ON TOP of the routable daily count — transformUp rewrites
+    // the inner Aggregate regardless of what consumes it
+    def trendQ: DataFrame = {
+      val daily = raw
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("day_idx", (col("day").cast("long") / 86400L).cast("long"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sy"),
+          sum(col("day_idx") * col("y")).as("sxy"))
+    }
+    val expected = trendQ.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    withRouting {
+      val p = scannedPaths(trendQ)
+      assert(p.exists(_.contains(rollupDir)),
+        s"inner daily aggregate not routed under composition: $p")
+      assert(!p.exists(_.contains("events")),
+        s"raw events still scanned: $p")
+      val got = trendQ.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, "routed trend fold diverged from raw")
+    }
+  }
+
   test("distinct day tier: day COUNT DISTINCT rides it, hour stays on slices") {
     val sliceDir = java.nio.file.Files
       .createTempDirectory("graft_rt_dsl").toString

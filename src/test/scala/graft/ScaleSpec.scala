@@ -89,4 +89,34 @@ class ScaleSpec extends SparkTestBase {
     // stage would emit ~1.25e11 rows and the test could never pass)
     assert(pairs == Set((1L, 3L)), s"pairs: ${pairs.take(10)}")
   }
+
+  test("salted join at 1e6 rows, one key at 50%: result equals the " +
+      "plain join and the hot key fans across every salt bucket") {
+    import graft.operators.SkewJoin
+    // fact: 1e6 rows, half on key 0 (the hot key), rest uniform over
+    // 1..999; dim: 1000 keys with a payload
+    val fact = spark.range(1000000L).select(col("id").as("row_id"),
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(pmod(col("id"), lit(999L)) + 1L).as("k"))
+    val dim = spark.range(1000L).select(col("id").as("k"),
+      (col("id") * 7L).as("payload"))
+    val buckets = 16
+    val salted = SkewJoin.saltedInnerJoin(
+      fact, dim, Seq("k"), col("row_id"), buckets)
+    val plain = fact.join(dim, "k")
+    // exactness: same aggregate fingerprint over all columns
+    def fp(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(lit(1)), sum(col("row_id")), sum(col("payload")),
+        sum(col("k") * col("payload"))).head.toSeq
+    assert(fp(salted) == fp(plain), "salted join changed the result")
+    // layout: the hot key's rows actually spread over ALL buckets —
+    // recompute the salt assignment the operator uses and count
+    // distinct salts for k=0
+    val hotSalts = fact.where(col("k") === 0L)
+      .select(pmod(xxhash64(col("row_id")), lit(buckets.toLong))
+        .cast("int").as("s"))
+      .distinct().count()
+    assert(hotSalts == buckets.toLong,
+      s"hot key used $hotSalts of $buckets salt buckets")
+  }
 }
