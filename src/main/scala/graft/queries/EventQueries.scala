@@ -780,6 +780,24 @@ object EventQueries {
     // read behind "users who X also Y". The self-join runs on the
     // (user, type)-DISTINCT pairs (≤ |users|·|types| rows), never raw
     // events, and output is |types|² small
+    // Bloom-pregated semi-join (the key-set filter for sets past
+    // broadcast range): keep only events of BUILDING-segment customers
+    // — the fact side is gated by a row-local might_contain probe
+    // before the exact semi-join, so the shuffle moves ~|matches|
+    // instead of the whole fact table. Exactly the plain semi-join
+    // (the oracle is the plain EXISTS text)
+    "events_bloom_semijoin" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"), col("user_id"), cents.as("value_cents"))
+      val keys = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("user_id"))
+      graft.operators.BloomJoin.bloomSemiJoin(e, keys, Seq("user_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("sum_cents"))
+    }),
+
     // salted fact×dimension join (the hot-key layout fix): events are
     // naturally skewed per user (power users are hot keys at corpus
     // scale), customer is the SF-growing dimension that outgrows
@@ -2461,6 +2479,19 @@ object EventQueries {
         |  CAST(grouping(day) AS BIGINT) AS g_day,
         |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM e GROUP BY CUBE(event_type, day)""".stripMargin,
+
+    // the Bloom pregate is semantics-preserving — the oracle is the
+    // plain semi-join, no filter anywhere
+    "events_bloom_semijoin" ->
+      """SELECT e.event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events e
+        |WHERE EXISTS (
+        |  SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = e.user_id
+        |    AND c.c_mktsegment = 'BUILDING')
+        |GROUP BY 1""".stripMargin,
 
     // salting is a pure partitioning trick — the oracle is the plain
     // inner join, no salt anywhere

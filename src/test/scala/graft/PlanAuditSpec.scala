@@ -359,4 +359,28 @@ class PlanAuditSpec extends SparkTestBase {
     // and never a global (single-partition) sort
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))
   }
+
+  test("bloom semi-join: row-local might_contain gates the fact scan " +
+      "below the exact join") {
+    val p = plan("events_bloom_semijoin")
+    // the probe must appear as a plain Filter expression (codegen'd,
+    // pre-shuffle), and the exact join must still exist above it
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("Join LeftSemi") max p.indexOf("LeftSemi")
+    // executed plans print top-down: the join line precedes the
+    // deeper filter line
+    assert(joinAt < probeAt,
+      s"probe not below the exact join:\n" + p.take(3000))
+  }
+
+  test("bloom decontamination: the probe filter sits below the verify " +
+      "join and admits every true hit") {
+    val p = plan("decontaminate_bloom")
+    assert(p.contains("might_contain"), p.take(3000))
+    // the exact verify join still runs (exactness is restored there)
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
 }

@@ -119,4 +119,25 @@ class ScaleSpec extends SparkTestBase {
     assert(hotSalts == buckets.toLong,
       s"hot key used $hotSalts of $buckets salt buckets")
   }
+
+  test("bloom semi-join equals the plain semi-join, duplicates and " +
+      "multi-key tuples included") {
+    import graft.operators.BloomJoin
+    // fact with duplicate keys and rows that must NOT match; key side
+    // with duplicate entries (distinct'd internally)
+    val fact = spark.range(100000L).select(col("id").as("row_id"),
+      pmod(col("id"), lit(977L)).as("k1"),
+      pmod(col("id"), lit(13L)).as("k2"))
+    val keys = spark.range(4000L).select(
+      pmod(col("id"), lit(977L)).as("k1"), // dup tuples on purpose
+      pmod(col("id"), lit(13L)).as("k2"))
+    val got = BloomJoin.bloomSemiJoin(fact, keys, Seq("k1", "k2"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = fact.join(keys.distinct(), Seq("k1", "k2"), "left_semi")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, s"sizes ${got.size} vs ${want.size}")
+    // empty key set → empty result, not an error
+    assert(BloomJoin.bloomSemiJoin(fact, keys.where(lit(false)),
+      Seq("k1", "k2")).count() == 0L)
+  }
 }
