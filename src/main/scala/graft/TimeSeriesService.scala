@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TimeKernel
@@ -447,6 +447,56 @@ final class TimeSeriesService(
       storeDir = Some(outDir)
       invalidateRollups(None)
     }
+
+  /** Right-to-erasure (the OTHER mandatory production lifecycle op,
+    * beside retention): rewrite the on-disk event store WITHOUT the
+    * rows matching `condition` — e.g. one user's events for a GDPR/
+    * CCPA deletion request — and drop every service-materialized
+    * rollup so reads immediately fall back to compute-on-read over
+    * the scrubbed store (re-run [[materializeRollups]] to restore
+    * served rollups; they rebuild without the erased rows).
+    *
+    * Same swap contract as [[compactEventStore]]: the scrubbed store
+    * is written to a FRESH `outDir` (a crash mid-rewrite leaves the
+    * live store untouched; retiring the old directory — the one still
+    * holding the erased rows — is the caller's deployment step, and
+    * for a deletion request it is NOT optional). Replay idempotency
+    * survives structurally: the seen-batch set is retained, so a
+    * pre-erasure batch id redelivered afterwards is skipped rather
+    * than re-applied — a replay can never resurrect erased rows.
+    *
+    * Scope: raw events and service-materialized rollups. EXTERNAL
+    * rollups (retention-made or user-registered) are aggregated
+    * partials whose raw inputs may no longer exist; they are left in
+    * place under the standard anonymized-aggregate position — callers
+    * whose compliance posture rejects that must keep subject
+    * identifiers out of retained groupings (or expire with a horizon
+    * that precedes the deletion window).
+    *
+    * NULL semantics: rows where `condition` evaluates to NULL (e.g. a
+    * missing dimension on an `isin` match) are KEPT — null is "not
+    * the erased subject", the same guard the write path applies to
+    * incomplete grouping paths.
+    *
+    * @return number of rows erased (the deletion-request audit figure)
+    */
+  def eraseEvents(condition: Column, outDir: String): Long = {
+    require(storeDir.isDefined,
+      "eraseEvents: no on-disk event store (the in-memory union " +
+        "predates the spill threshold — ingest past it first)")
+    require(buffer.isEmpty && bulk.isEmpty,
+      "eraseEvents: flush pending in-memory events first (they would " +
+        "bypass the scrub)")
+    val erase = coalesce(condition, lit(false))
+    val store = spark.read.parquet(storeDir.get).drop("__batch_id")
+    val erased = store.where(erase).count()
+    store.where(!erase)
+      .write.mode("overwrite").partitionBy("__event_date")
+      .parquet(s"$outDir/__batch_id=scrubbed")
+    storeDir = Some(outDir)
+    invalidateRollups(None)
+    erased
+  }
 
   /** Event-store retention (the production TSDB lifecycle): roll the
     * history OLDER than `horizon`'s UTC date into retained slice

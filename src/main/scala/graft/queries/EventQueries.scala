@@ -321,6 +321,34 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T23:45"), Step.Day)
     }),
 
+    // right-to-erasure end-to-end: ingest → spill → erase one user
+    // bucket (GDPR deletion request) → the served series must equal
+    // compute-over-surviving-events exactly (the oracle filters the
+    // subject out of raw); replay protection and rollup invalidation
+    // are spec-pinned in TimeSeriesServiceSpec
+    "ts_erasure_serve" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s, spillDepth = 2)
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineDimension("event_type", facts = Set("events_count"))
+      def day(d: Int) = events(s, dir)
+        .where(col("ts") >= lit(java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"))
+          && col("ts") < lit(java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")))
+        .select(lit("events_count").as("fact"), col("ts"),
+          lit(1L).as("value"),
+          map(lit("event_type"), col("event_type"),
+            lit("user_bucket"), pmod(col("user_id"), lit(5)).cast("string"))
+            .as("categories"))
+      svc.ingest(day(5)); svc.ingest(day(6)); svc.ingest(day(7))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_erase").toString
+      svc.eraseEvents(
+        element_at(col("categories"), "user_bucket") === "3", out)
+      svc.getTimeseries("events_count", "event_type",
+        Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-07T23:45"), Step.Day)
+    }),
+
     // O16 + :all sentinel: step none -> NULL bucket, routed hierarchy
     "ts_counter_none" -> ((s, dir) =>
       Timeseries.run(prep(s, dir, withUser = true, one,
@@ -2042,6 +2070,15 @@ object EventQueries {
     // still produce exactly this from the retained partials
     "ts_retention_serve" -> fillOracle(
       where = "event_type = 'click'",
+      bucketExpr = "date_trunc('day', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-07 00:00:00",
+      gridStep = "1 DAY",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T23:45")),
+
+    // the oracle deletes the subject from raw — served-after-erasure
+    // must equal computed-over-survivors
+    "ts_erasure_serve" -> fillOracle(
+      where = "event_type = 'click' AND user_id % 5 <> 3",
       bucketExpr = "date_trunc('day', ts)",
       gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-07 00:00:00",
       gridStep = "1 DAY",

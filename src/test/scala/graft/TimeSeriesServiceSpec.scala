@@ -432,6 +432,54 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(daily() == after, s"repeat retention changed results: ${daily()}")
   }
 
+  test("erasure removes the subject's rows, survives replays, and " +
+      "reads recompute without them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce => _, col, element_at}
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("signups", FactType.Counter, slice = 15)
+    svc.defineDimension("dependency", facts = Set("signups"))
+    def frame(user: String, v: Long) = Seq(graft.model.Event("signups",
+      ts("2014-03-21T09:15"), v,
+      Map("dependency" -> "31", "user" -> user))).toDF()
+    def total(): Long = pivot(svc.getTimeseries("signups", "dependency",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00"), Step.NoStep),
+      Seq("dependency"))(Map("dependency" -> "31"))(None)
+    // cross the spill threshold: alice twice (batch-tagged), bob many
+    svc.ingest(frame("alice", 1L), batchId = 7L)
+    for (_ <- 0 until 40) svc.ingest(frame("bob", 1L))
+    svc.ingest(frame("alice", 1L), batchId = 9L)
+    assert(total() == 42L)
+    val isAlice = element_at(col("categories"), "user") === "alice"
+    val out = java.nio.file.Files
+      .createTempDirectory("svc-erase").toString
+    // erased-row audit count, and reads no longer see the subject
+    assert(svc.eraseEvents(isAlice, out) == 2L)
+    assert(total() == 40L)
+    assert(svc.eventStoreDir.contains(out))
+    // a replayed pre-erasure batch id cannot resurrect the rows
+    svc.ingest(frame("alice", 1L), batchId = 7L)
+    assert(total() == 40L)
+    // erasing a subject with no rows is a 0-count no-op
+    val out2 = java.nio.file.Files
+      .createTempDirectory("svc-erase2").toString
+    assert(svc.eraseEvents(
+      element_at(col("categories"), "user") === "carol", out2) == 0L)
+    assert(total() == 40L)
+    // NULL condition rows are KEPT (missing category ≠ the subject)
+    svc.ingest(frame("dave", 3L).drop("categories")
+      .withColumn("categories",
+        org.apache.spark.sql.functions.map(
+          org.apache.spark.sql.functions.lit("dependency"),
+          org.apache.spark.sql.functions.lit("31"))))
+    val out3 = java.nio.file.Files
+      .createTempDirectory("svc-erase3").toString
+    assert(svc.eraseEvents(
+      element_at(col("categories"), "user") === "bob", out3) == 40L)
+    assert(total() == 3L)
+  }
+
   test("replayed ingest batches are idempotent pre- and post-spill") {
     import spark.implicits._
     val svc = new TimeSeriesService(spark)
