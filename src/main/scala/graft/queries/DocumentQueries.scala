@@ -118,6 +118,32 @@ object DocumentQueries {
       q.awaitTermination()
       out
     })
+  private val streamDeconDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  /** Replay documents.parquet as a file stream of TRAINING docs
+    * (doc_id % 25 ≠ 0) through the streaming decontamination pipeline
+    * once per (session, sf dir); returns the per-batch report store. */
+  private def streamedDecon(s: SparkSession, dir: String): String =
+    streamDeconDirs.getOrElseUpdate((s, dir), {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_streamdecon").toString
+      val out = s"$base/out"
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .where(col("doc_id") % 25 =!= 0)
+      val evalDocs = docs(s, dir).where(col("doc_id") % 25 === 0)
+      val q = graft.streaming.StreamingIngest.decontaminateStream(
+          stream, evalDocs, "text", "doc_id", out)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      out
+    })
+
   private val jsonlDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val orcDirs =
@@ -847,6 +873,17 @@ object DocumentQueries {
         d.where(col("doc_id") % 25 =!= 0),
         d.where(col("doc_id") % 25 === 0),
         "text", "doc_id")
+        .select(col("id").as("doc_id"), col("hits"))
+    }),
+
+    // STREAMING decontamination (continuous-ingest hygiene): the
+    // training docs arrive as a file stream, each micro-batch is
+    // Bloom-pregated against the static eval filter and exact-verified
+    // — the unioned per-batch reports must equal the batch operator
+    // (same oracle as decontaminate_overlap/decontaminate_bloom)
+    "stream_decontaminate" -> ((s, dir) => {
+      val path = streamedDecon(s, dir)
+      s.read.parquet(path)
         .select(col("id").as("doc_id"), col("hits"))
     }),
 
@@ -2220,6 +2257,20 @@ object DocumentQueries {
     // same md5-hashed shingle space as the dedup oracles: eval slice =
     // doc_id % 25 = 0; hits = distinct shared shingles per training doc
     "decontaminate_overlap" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id,
+         |  unnest(list_transform(shset,
+         |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+         |  FROM sh),
+         |ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 25 = 0)
+         |SELECT e.doc_id, count(*) AS hits
+         |FROM ex e JOIN ev USING (s)
+         |WHERE e.doc_id % 25 <> 0
+         |GROUP BY 1""".stripMargin,
+
+    // the streaming twin unions per-batch reports into the SAME
+    // answer — shares the batch oracle text
+    "stream_decontaminate" ->
       s"""WITH $shingleCte,
          |ex AS (SELECT doc_id,
          |  unnest(list_transform(shset,

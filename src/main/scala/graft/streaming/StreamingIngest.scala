@@ -269,6 +269,70 @@ object StreamingIngest {
         ()
       }
 
+  /** Streaming benchmark decontamination — the continuous-ingest twin
+    * of [[graft.operators.Decontaminate.bloomOverlapReport]]: each
+    * micro-batch of incoming training documents is shingled row-locally,
+    * pregated by a Bloom filter of the eval corpus built ONCE before
+    * the stream starts (a static literal in every batch plan — no
+    * per-batch eval work, no stream-stream join), and survivors are
+    * verified exactly against the persisted eval shingle set. Per-doc
+    * hit counts are batch-local (a doc's shingles all come from its one
+    * row), so each batch writes its own complete report rows into a
+    * deterministic `__batch_id=` dir — overwrite mode makes replays
+    * idempotent, the engine's standard streaming-sink contract. The
+    * union of the per-batch dirs IS the batch operator's report
+    * (spec-pinned; the driver query shares the batch oracle).
+    *
+    * @return the configured writer — caller sets checkpoint/trigger
+    *   and starts (the [[maintainIvfStore]] contract)
+    */
+  def decontaminateStream(stream: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, outPath: String,
+      k: Int = 3, minHits: Long = 1L,
+      fpp: Double = 0.01): DataStreamWriter[Row] = {
+    import graft.functions.BloomProbe
+    import graft.operators.Dedup
+    val spark = evalDocs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    // eval side reduced once, up front: distinct shingle hashes
+    // persisted (micro-batches re-read longs, never re-shingle the
+    // eval corpus), plus the Bloom pregate as a driver-held literal
+    // sibling of outPath, NOT inside it — the report read discovers
+    // outPath's __batch_id= partition dirs and must not trip over a
+    // foreign-schema subdirectory
+    val evalDir = s"${outPath}__eval"
+    Dedup.shingleHashKernel(evalDocs, textCol, idCol, k)
+      .select(explode(col("hs")).as("sh")).distinct()
+      .write.mode("overwrite").parquet(evalDir)
+    val evalSh = spark.read.parquet(evalDir)
+    val nItems = math.max(evalSh.count(), 1L)
+    val bfRow = evalSh
+      .agg(BloomProbe.bloomAgg(xxhash64(col("sh")), nItems,
+        BloomProbe.bitsFor(nItems, fpp)).as("bf"))
+      .head
+    val bf = if (bfRow.isNullAt(0)) None
+      else Some(lit(bfRow.getAs[Array[Byte]]("bf")))
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ex = Dedup.shingleHashKernel(batch, textCol, idCol, k)
+          .select(col("id"), explode(col("hs")).as("sh"))
+        val report = bf match {
+          case None => // empty eval corpus: nothing can overlap
+            ex.select(col("id"), lit(0L).as("hits")).where(lit(false))
+          case Some(filter) =>
+            ex.where(BloomProbe.mightContain(filter, xxhash64(col("sh"))))
+              .join(evalSh, "sh")
+              .groupBy(col("id"))
+              .agg(count(lit(1)).as("hits"))
+              .where(col("hits") >= minHits)
+        }
+        report.write.mode("overwrite")
+          .parquet(s"$outPath/__batch_id=$batchId")
+        ()
+      }
+  }
+
   /** Start mode-2 into an in-memory sink (testing / small pipelines). */
   def startToMemory(agged: DataFrame, queryName: String): StreamingQuery =
     agged.writeStream

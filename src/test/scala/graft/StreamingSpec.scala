@@ -368,6 +368,51 @@ class StreamingSpec extends SparkTestBase {
     assert(served() == first)
   }
 
+  test("streaming decontamination: per-batch reports union to the " +
+      "batch report; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Decontaminate
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a story about the lazy dog sleeping all day"),
+      (3L, "completely unrelated words appear here today friends"),
+      (4L, "the quick brown fox naps"))
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-sdecon").toString + "/out"
+    def runOnce(): Unit = {
+      val source = MemoryStream[(Long, String)]
+      val q = StreamingIngest.decontaminateStream(
+          source.toDF().toDF("doc_id", "text"), evalDocs,
+          "text", "doc_id", out)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-sdeconck").toString)
+        .start()
+      source.addData(train.take(2): _*)
+      q.processAllAvailable()
+      source.addData(train.drop(2): _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    def got(): Map[Long, Long] = spark.read.parquet(out)
+      .select(col("id"), col("hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Decontaminate.overlapReport(
+        train.toDF("doc_id", "text"), evalDocs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got() == batch, s"stream=${got()} batch=$batch")
+    // doc 4 arrived in batch 1 with two shared shingles — the report
+    // is cross-batch complete, not just first-batch
+    assert(got().contains(4L))
+    // full replay (fresh checkpoint, same batch ids): deterministic
+    // __batch_id= dirs overwrite themselves — effectively-once
+    runOnce()
+    assert(got() == batch)
+  }
+
   test("external rollup + direct service writes: both histories served") {
     implicit val sqlCtx = spark.sqlContext
     val fact = FactDef("signups", FactType.Counter, sliceMinutes = 10)
