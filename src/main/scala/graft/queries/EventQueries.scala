@@ -994,6 +994,41 @@ object EventQueries {
           .as("autocov_e2"))
     }),
 
+    // TIME-WEIGHTED average per series (the irregular-sampling TSDB
+    // read): each sample holds its value until the next one, so the
+    // mean must weight by holding time, not sample count — a
+    // burst of 100 readings in one minute must not drown 23 quiet
+    // hours. One window lead per series gives the holding interval
+    // (the last sample holds until the window end), then
+    // twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (end − t₀) with the integral in exact
+    // decimal(38,0) cents·seconds and ONE terminal double division —
+    // single entity partitioning, no self-join, O(1) state per row
+    "series_twa" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val dec = DecimalType(38, 0)
+      val hiSec = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+        .toInstant.getEpochSecond
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val e = events(s, dir)
+        .where(col("user_id") < 40 && col("ts") <
+          lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("sec"), cents.as("v"))
+        .withColumn("nxt",
+          coalesce(lead(col("sec"), 1).over(w), lit(hiSec)))
+      val agg = e.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_samples"),
+        min(col("sec")).as("t0"),
+        sum(col("v").cast(dec) *
+          (col("nxt") - col("sec")).cast(dec)).as("integral"))
+      agg.select(col("user_id"), col("n_samples"),
+        floor(lit(100.0) * (col("integral").cast(DoubleType) /
+          (lit(hiSec) - col("t0")).cast(DoubleType)))
+          .cast(LongType).as("twa_e2"))
+    }),
+
     // per-series linear trend (is traffic growing, and how fast?):
     // daily counts per event type, then closed-form OLS over the day
     // index — slope and intercept both from the exact cross-products
@@ -2648,6 +2683,31 @@ object EventQueries {
         |    (CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
         |      (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE))))
         |    AS BIGINT) AS autocov_e2
+        |FROM a""".stripMargin,
+
+    // exact HUGEINT cents·seconds integral, one terminal double
+    // division with identical operands on both engines
+    "series_twa" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE user_id < 40 AND ts < TIMESTAMP '2024-02-01 00:00:00'),
+        |hold AS (
+        |  SELECT user_id, v, sec,
+        |    coalesce(lead(sec) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id),
+        |      epoch(TIMESTAMP '2024-02-01 00:00:00')) AS nxt
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_samples, min(sec) AS t0,
+        |    sum(v * (nxt - sec)) AS integral
+        |  FROM hold GROUP BY 1)
+        |SELECT user_id, n_samples,
+        |  CAST(floor(CAST(100.0 AS DOUBLE) *
+        |    (CAST(integral AS DOUBLE) /
+        |     CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') - t0 AS DOUBLE)))
+        |    AS BIGINT) AS twa_e2
         |FROM a""".stripMargin,
 
     // closed-form OLS from exact HUGEINT cross-products; the two
