@@ -1159,6 +1159,42 @@ object DocumentQueries {
     // exact length percentiles per source (index-selection semantics:
     // value at sorted position floor((n-1)·p/100), ties broken by
     // doc_id — integer-exact, one shuffle)
+    // cross-source QUALITY CALIBRATION (quantile normalization): a
+    // global "top quality" cut on raw scores is dominated by whichever
+    // source's scorer runs generous — mapping each doc to its
+    // within-source percentile rank makes scores comparable, the
+    // standard curation step before a cross-source budget cut. One
+    // window per source (rank + size ride the same partitioning), the
+    // two top-100 cuts are TakeOrdered (per-partition top-k merge,
+    // never a global window/sort), output = per-source selection
+    // profile raw vs calibrated
+    "quality_calibrated_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val scored = TextAnalysis.statsKernel(d, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("quality_e4"))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val bySrc = Window.partitionBy(col("source"))
+        .orderBy(col("quality_e4"), col("doc_id"))
+      val ranked = scored
+        .withColumn("rn", row_number().over(bySrc))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("cal_e4", when(col("n") === 1, lit(0L))
+          .otherwise(floor(lit(10000L) * (col("rn") - 1) / (col("n") - 1))
+            .cast("long")))
+      val topRaw = scored
+        .orderBy(col("quality_e4").desc, col("doc_id")).limit(100)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_top_raw"))
+      val topCal = ranked
+        .orderBy(col("cal_e4").desc, col("doc_id")).limit(100)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_top_cal"))
+      topRaw.join(topCal, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_top_raw"), lit(0L)).as("n_top_raw"),
+          coalesce(col("n_top_cal"), lit(0L)).as("n_top_cal"))
+    }),
+
     "length_percentiles" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val nt = docs(s, dir).select(col("source"), col("doc_id"),
@@ -2664,6 +2700,36 @@ object DocumentQueries {
 
     // index-selection percentiles: value at rank floor((n-1)·p/100)+1
     // in (token count, doc_id) order
+    // shares textStatsSql verbatim; the double division uses exact
+    // integer operands on both engines
+    "quality_calibrated_mix" ->
+      s"""WITH st AS ($textStatsSql),
+         |sc AS (
+         |  SELECT d.doc_id, d.source, st.quality_e4
+         |  FROM documents d JOIN st USING (doc_id)),
+         |rk AS (
+         |  SELECT source, doc_id, quality_e4,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality_e4, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM sc),
+         |cal AS (
+         |  SELECT source, doc_id,
+         |    CASE WHEN n = 1 THEN 0
+         |      ELSE CAST(floor((rn - 1) * 10000.0 / (n - 1)) AS BIGINT)
+         |    END AS cal_e4
+         |  FROM rk),
+         |traw AS (SELECT source FROM sc
+         |  ORDER BY quality_e4 DESC, doc_id LIMIT 100),
+         |tcal AS (SELECT source FROM cal
+         |  ORDER BY cal_e4 DESC, doc_id LIMIT 100)
+         |SELECT source,
+         |  coalesce(r.n, 0) AS n_top_raw,
+         |  coalesce(c.n, 0) AS n_top_cal
+         |FROM (SELECT source, count(*) AS n FROM traw GROUP BY 1) r
+         |FULL OUTER JOIN (SELECT source, count(*) AS n FROM tcal
+         |  GROUP BY 1) c USING (source)""".stripMargin,
+
     "length_percentiles" ->
       """WITH t AS (
         |  SELECT source, doc_id,
