@@ -31,29 +31,77 @@ object Funnel {
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val spark = events.sparkSession
-    // fold: qualified_i = (user, t_i = min ts of a stage-i event > t_{i-1})
-    val frames = stages.zipWithIndex.foldLeft(
-      List.empty[(String, DataFrame)]) { case (acc, ((name, pred), i)) =>
-      val matching = events.where(pred)
-        .select(col(userCol), col(tsCol).as("__t"))
-      val qualified = acc match {
-        case Nil =>
-          matching.groupBy(col(userCol)).agg(min(col("__t")).as("__q"))
-        case (_, prev) :: _ =>
-          matching
-            .join(prev.select(col(userCol), col("__q").as("__prev")),
-              Seq(userCol))
-            .where(col("__t") > col("__prev"))
-            .groupBy(col(userCol)).agg(min(col("__t")).as("__q"))
-      }
-      (name, qualified) :: acc
+    qualFrames(events, userCol, tsCol, stages).zipWithIndex
+      .map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_users"))
+      }.reduce(_.unionByName(_))
+  }
+
+  /** Per-stage qualifying frames `(user, __q = qualifying time)` —
+    * the funnel fold: qualified_i = min ts of a stage-i event strictly
+    * after the user's stage-(i−1) qualifying time. Shared by
+    * [[funnel]] (counts) and [[stageLatencies]] (timings). */
+  private def qualFrames(events: DataFrame, userCol: String,
+      tsCol: String, stages: Seq[(String, Column)])
+      : List[(String, DataFrame)] =
+    stages.foldLeft(List.empty[(String, DataFrame)]) {
+      case (acc, (name, pred)) =>
+        val matching = events.where(pred)
+          .select(col(userCol), col(tsCol).as("__t"))
+        val qualified = acc match {
+          case Nil =>
+            matching.groupBy(col(userCol)).agg(min(col("__t")).as("__q"))
+          case (_, prev) :: _ =>
+            matching
+              .join(prev.select(col(userCol), col("__q").as("__prev")),
+                Seq(userCol))
+              .where(col("__t") > col("__prev"))
+              .groupBy(col(userCol)).agg(min(col("__t")).as("__q"))
+        }
+        (name, qualified) :: acc
     }.reverse
-    frames.zipWithIndex.map { case ((name, df), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
-          col("n_users"))
+
+  /** Step latencies: for each consecutive stage pair, the distribution
+    * of seconds between the user's qualifying times — the
+    * "where does the funnel stall" read. Percentiles are EXACT
+    * discontinuous quantiles via the shared rank trick (value at row
+    * `⌊(n−1)·p/100⌋+1` per step, deterministic `(latency, user)`
+    * tie-break) — no interpolated doubles, so the result hash-matches
+    * any engine. One window partitioning on the step name; input is
+    * per-user qualifying rows (already ≤ one per user per stage),
+    * never raw events. Output: (stage_idx, step, n_users, p50_secs,
+    * p90_secs). */
+  def stageLatencies(events: DataFrame, userCol: String, tsCol: String,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.size >= 2, "stageLatencies needs at least two stages")
+    import org.apache.spark.sql.expressions.Window
+    val frames = qualFrames(events, userCol, tsCol, stages)
+    val pairs = frames.sliding(2).zipWithIndex.map {
+      case (List((na, fa), (nb, fb)), i) =>
+        fa.select(col(userCol), col("__q").as("__qa"))
+          .join(fb.select(col(userCol), col("__q").as("__qb")),
+            Seq(userCol))
+          .select(lit((i + 1).toLong).as("stage_idx"),
+            lit(s"$na->$nb").as("step"), col(userCol),
+            (col("__qb").cast(LongType) - col("__qa").cast(LongType))
+              .as("lat_secs"))
+      case other => throw new IllegalStateException(
+        s"sliding(2) emitted ${other._1.size} frames")
     }.reduce(_.unionByName(_))
+    val byStep = Window.partitionBy(col("step"))
+      .orderBy(col("lat_secs"), col(userCol))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(byStep))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("step"))))
+    def pick(p: Int) =
+      max(when(col("rn") === floor((col("n") - 1) * p / lit(100)) + 1,
+        col("lat_secs")))
+    ranked.groupBy(col("stage_idx"), col("step"))
+      .agg(max(col("n")).as("n_users"), pick(50).as("p50_secs"),
+        pick(90).as("p90_secs"))
   }
 
   /** Cohort retention matrix: users grouped by their FIRST-seen day

@@ -1371,6 +1371,17 @@ object EventQueries {
         "click" -> (col("event_type") === "click"),
         "purchase" -> (col("event_type") === "purchase")))),
 
+    // funnel step latencies: exact p50/p90 seconds between each
+    // consecutive qualifying-time pair — where the funnel stalls, not
+    // just where it narrows; rank-picked discrete quantiles (no
+    // interpolated doubles), per-user rows only
+    "funnel_latency" -> ((s, dir) =>
+      graft.operators.Funnel.stageLatencies(events(s, dir), "user_id",
+        "ts", Seq(
+          "signup" -> (col("event_type") === "signup"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))),
+
     // cohort retention matrix: users by first-seen day × day offset,
     // each user once per cell — the day-N retention read
     "event_cohort_retention" -> ((s, dir) =>
@@ -2398,6 +2409,43 @@ object EventQueries {
         |  (SELECT count(*) FROM s2)
         |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
         |  (SELECT count(*) FROM s3)""".stripMargin,
+
+    // same qualifying-time CTEs as the funnel; rank-picked discrete
+    // quantiles over exact integer seconds
+    "funnel_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS q FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS q FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.q GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS q FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.q GROUP BY 1),
+        |lat AS (
+        |  SELECT 1 AS stage_idx, 'signup->click' AS step, s2.user_id,
+        |    epoch_us(s2.q) // 1000000 - epoch_us(s1.q) // 1000000
+        |      AS lat_secs
+        |  FROM s2 JOIN s1 USING (user_id)
+        |  UNION ALL
+        |  SELECT 2, 'click->purchase', s3.user_id,
+        |    epoch_us(s3.q) // 1000000 - epoch_us(s2.q) // 1000000
+        |  FROM s3 JOIN s2 USING (user_id)),
+        |rk AS (
+        |  SELECT stage_idx, step, lat_secs,
+        |    row_number() OVER (PARTITION BY step
+        |      ORDER BY lat_secs, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY step) AS n
+        |  FROM lat)
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, step,
+        |  CAST(max(n) AS BIGINT) AS n_users,
+        |  max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN lat_secs END)
+        |    AS p50_secs,
+        |  max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN lat_secs END)
+        |    AS p90_secs
+        |FROM rk GROUP BY 1, 2""".stripMargin,
 
     // identical to event_funnel: the streamed stage advancements,
     // aggregated, must equal the batch funnel

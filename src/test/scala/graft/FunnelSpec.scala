@@ -67,4 +67,34 @@ class FunnelSpec extends SparkTestBase {
       (ts("2024-01-02T00:00"), 0L) -> 1L,
       (ts("2024-01-02T00:00"), 1L) -> 1L), s"got $got")
   }
+
+  test("stageLatencies: exact discrete p50/p90 over qualifying-time gaps") {
+    // four users complete signup→click with gaps 60, 120, 180, 240
+    // minutes; only users 1 and 2 purchase (gaps 30 and 60 min).
+    def u(id: Long, sMin: Int, cMin: Int, pMin: Int = -1) = {
+      val base = Seq(
+        (id, "signup", ts(f"2024-01-01T00:$sMin%02d")),
+        (id, "click", ts(f"2024-01-01T0${cMin / 60}%d:${cMin % 60}%02d")))
+      if (pMin < 0) base
+      else base :+ ((id, "purchase",
+        ts(f"2024-01-01T0${pMin / 60}%d:${pMin % 60}%02d")))
+    }
+    val ev = (u(1L, 0, 60, 90) ++ u(2L, 0, 120, 180) ++
+      u(3L, 0, 180) ++ u(4L, 0, 240))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.stageLatencies(ev, "user_id", "ts", Seq(
+        "signup" -> (col("event_type") === "signup"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+      .collect()
+      .map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // signup→click gaps sorted: 3600,7200,10800,14400; n=4 →
+    // p50 at row (3*50)/100+1 = 2 → 7200; p90 at row (3*90)/100+1=3
+    // → 10800. click→purchase gaps: 1800,3600; p50 row 1 → 1800,
+    // p90 row 1 → 1800.
+    assert(got == Map(
+      "signup->click" -> ((4L, 7200L, 10800L)),
+      "click->purchase" -> ((2L, 1800L, 1800L))), s"got $got")
+  }
 }
