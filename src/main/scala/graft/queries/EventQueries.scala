@@ -994,6 +994,36 @@ object EventQueries {
           .as("autocov_e2"))
     }),
 
+    // weekly SEASONALITY profile: per (event type, day-of-week), how
+    // far the mean daily count sits from the series' overall daily
+    // mean — the "is Monday special" read that the trend fit cannot
+    // answer. The deviation (s·n_days − sy·n)/(n·n_days) keeps both
+    // cross-products in exact decimal(38,0) with ONE terminal double
+    // division; day-of-week alignment pinned to DuckDB's 0=Sunday
+    // (Spark dayofweek−1). Two aggregations over daily counts — only
+    // the first sees event-scale data
+    "series_seasonality" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val dec = DecimalType(38, 0)
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(one).as("y"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(count(one).as("n_days"), sum(col("y")).as("sy"))
+      val byDow = daily
+        .groupBy(col("event_type"),
+          (dayofweek(col("d")) - 1).cast(LongType).as("dow"))
+        .agg(count(one).as("n"), sum(col("y")).as("sw"))
+      byDow.join(tot, Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("n"),
+          floor(lit(10000.0) *
+            ((col("sw").cast(dec) * col("n_days").cast(dec) -
+              col("sy").cast(dec) * col("n").cast(dec)).cast(DoubleType) /
+             (col("n").cast(dec) * col("n_days").cast(dec))
+               .cast(DoubleType)))
+            .cast(LongType).as("dev_e4"))
+    }),
+
     // TIME-WEIGHTED average per series (the irregular-sampling TSDB
     // read): each sample holds its value until the next one, so the
     // mean must weight by holding time, not sample count — a
@@ -2732,6 +2762,25 @@ object EventQueries {
         |      (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE))))
         |    AS BIGINT) AS autocov_e2
         |FROM a""".stripMargin,
+
+    // exact HUGEINT cross-products, one terminal double division;
+    // dayofweek is 0=Sunday on both sides (Spark shifts by −1)
+    "series_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, count(*) AS n_days, sum(y) AS sy
+        |  FROM daily GROUP BY 1),
+        |bd AS (
+        |  SELECT event_type, CAST(dayofweek(d) AS BIGINT) AS dow,
+        |    count(*) AS n, sum(y) AS sw
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT bd.event_type, bd.dow, bd.n,
+        |  CAST(floor(CAST(10000.0 AS DOUBLE) *
+        |    (CAST(bd.sw * tot.n_days - tot.sy * bd.n AS DOUBLE) /
+        |     CAST(bd.n * tot.n_days AS DOUBLE))) AS BIGINT) AS dev_e4
+        |FROM bd JOIN tot USING (event_type)""".stripMargin,
 
     // exact HUGEINT cents·seconds integral, one terminal double
     // division with identical operands on both engines
