@@ -994,6 +994,41 @@ object EventQueries {
           .as("autocov_e2"))
     }),
 
+    // WINSORIZATION profile (outlier clipping, the standard cleaning
+    // step before value aggregates): per event type, clip values to
+    // the exact discrete [p01, p99] band — rank-picked bounds (the
+    // length_percentiles trick, no interpolated doubles), then one
+    // pass re-aggregates clipped vs raw sums and the clip counts. Two
+    // window functions on ONE event_type partitioning + one join of
+    // the 5-row bounds table back onto events (broadcast)
+    "events_winsorized" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("event_type"), col("event_id"), cents.as("v"))
+      val byV = Window.partitionBy(col("event_type"))
+        .orderBy(col("v"), col("event_id"))
+      val ranked = e
+        .withColumn("rn", row_number().over(byV))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      def pick(p: Int) =
+        max(when(col("rn") === floor((col("n") - 1) * p / lit(100)) + 1,
+          col("v")))
+      val bounds = ranked.groupBy(col("event_type"))
+        .agg(pick(1).as("lo"), pick(99).as("hi"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_type"), col("v"), col("lo"), col("hi"),
+          greatest(col("lo"), least(col("hi"), col("v"))).as("w"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("v") < col("lo"), 1L).otherwise(0L))
+            .as("n_clipped_lo"),
+          sum(when(col("v") > col("hi"), 1L).otherwise(0L))
+            .as("n_clipped_hi"),
+          sum(col("v")).as("sum_raw_cents"),
+          sum(col("w")).as("sum_wins_cents"))
+    }),
+
     // weekly SEASONALITY profile: per (event type, day-of-week), how
     // far the mean daily count sits from the series' overall daily
     // mean — the "is Monday special" read that the trend fit cannot
@@ -2762,6 +2797,34 @@ object EventQueries {
         |      (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE))))
         |    AS BIGINT) AS autocov_e2
         |FROM a""".stripMargin,
+
+    // rank-picked exact percentile bounds, integer clip arithmetic
+    "events_winsorized" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |b AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = (n - 1) * 1 // 100 + 1 THEN v END) AS lo,
+        |    max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN v END) AS hi
+        |  FROM rk GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN e.v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_lo,
+        |  CAST(sum(CASE WHEN e.v > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_hi,
+        |  CAST(sum(e.v) AS BIGINT) AS sum_raw_cents,
+        |  CAST(sum(greatest(b.lo, least(b.hi, e.v))) AS BIGINT)
+        |    AS sum_wins_cents
+        |FROM e JOIN b USING (event_type)
+        |GROUP BY 1""".stripMargin,
 
     // exact HUGEINT cross-products, one terminal double division;
     // dayofweek is 0=Sunday on both sides (Spark shifts by −1)
