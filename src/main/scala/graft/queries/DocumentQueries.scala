@@ -257,6 +257,22 @@ object DocumentQueries {
         jaccardPairsArtifact(s, dir), "id_a", "id_b")
     }),
 
+    // cluster-SIZE distribution (the dedup yield curve): how many
+    // components of each member count — the number that tells you
+    // whether duplication is a few mega-clusters (template spam, one
+    // canonical survives thousands) or a long tail of pairs; two
+    // count-only aggregations over the component labels, O(sizes)
+    // output
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.connectedComponents(d.select(col("doc_id")), "doc_id",
+          jaccardPairsArtifact(s, dir), "id_a", "id_b")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // the daily dedup-merge lifecycle end to end: labels exist for the
     // standing corpus; a new batch (doc_id % 5 = 4) contributes
     // batch×corpus pairs (the incremental index probe) plus
@@ -1495,6 +1511,24 @@ object DocumentQueries {
          |  UNION
          |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
          |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin,
+
+    // same reachability closure, collapsed twice to the size histogram
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE jp AS (
+         |$jaccardPairsSql
+         |),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM jp
+         |        UNION ALL SELECT id_b AS a, id_a AS b FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+         |comp AS (SELECT a AS doc_id, min(b) AS component
+         |         FROM reach GROUP BY a),
+         |sz AS (SELECT component, count(*) AS cluster_size
+         |       FROM comp GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
 
     // algorithm-independent result: the star-contraction variant must
     // produce the identical component partition
