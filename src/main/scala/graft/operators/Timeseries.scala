@@ -347,6 +347,29 @@ object Timeseries {
       .agg(min(col("hist_bucket")).as("value"))
   }
 
+  /** Inverse of [[histPercentiles]]: the CDF read — for each requested
+    * bucket lower bound, the share of observations (×10⁴, floored) in
+    * buckets at or below it. "What fraction of requests were under
+    * 100 ms" served from maintained histogram partials, O(buckets)
+    * input, never raw events. Requested values below the lowest
+    * populated bucket are absent from the output (their cumulative
+    * set is empty), mirroring the percentile read's convention. The
+    * single division is two exact longs, identical on any engine. */
+  def histCdf(hist: DataFrame, grouping: Seq[String],
+      values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "histCdf needs at least one value")
+    val byS = org.apache.spark.sql.expressions.Window
+      .partitionBy(grouping.map(col): _*)
+    hist
+      .withColumn("__tot", sum(col("value")).over(byS))
+      .select(grouping.map(col) :+ col("hist_bucket") :+ col("value") :+
+        col("__tot") :+ explode(typedlit(values)).as("at_value"): _*)
+      .where(col("hist_bucket") <= col("at_value"))
+      .groupBy(grouping.map(col) :+ col("at_value"): _*)
+      .agg(floor(lit(10000L) * sum(col("value")) / max(col("__tot")))
+        .cast(org.apache.spark.sql.types.LongType).as("cdf_e4"))
+  }
+
   /** Slice-bucket view (O7 at query granularity): the scan with its
     * slice bucket materialized, for callers that want the finest
     * pre-aggregated granularity rather than a calendar collapse. */

@@ -383,6 +383,18 @@ object EventQueries {
           ts("2024-01-01T00:00"), ts("2024-01-31T00:00")),
         Seq("event_type"), Seq(50L, 90L, 95L, 99L))),
 
+    // CDF from the histogram (the inverse read of ts_hist_pct): share
+    // of observations at-or-below each requested bucket bound — "what
+    // fraction of values were under 100" — served from the same
+    // partials, exact long division
+    "ts_hist_cdf" -> ((s, dir) =>
+      Timeseries.histCdf(
+        Timeseries.runHistogram(prep(s, dir, withUser = false, col("value"),
+            Some(("2024-01-01T00:00", "2024-01-31T00:00"))),
+          histFact, 15, Seq("event_type"), Map.empty,
+          ts("2024-01-01T00:00"), ts("2024-01-31T00:00")),
+        Seq("event_type"), Seq(40L, 100L, 160L))),
+
     // O21 served from MATERIALIZED partials: the same histogram query
     // re-aggregated from tall (series × slice × hist_bucket) rollup
     // rows instead of raw events — count re-aggregability makes the
@@ -992,6 +1004,43 @@ object EventQueries {
       agg.select(col("event_type"), col("n_pairs"),
         floor(lit(100.0) * (covd / (nd * nd))).cast(LongType)
           .as("autocov_e2"))
+    }),
+
+    // MAD robust-outlier profile: median and median-absolute-deviation
+    // per event type, both EXACT discrete medians via the rank trick
+    // (low median, deterministic tie-break) — the robust twin of the
+    // z-score anomaly flags: one 50%-outlier burst shifts a mean/stddev
+    // gate but leaves med/MAD standing. Outlier convention: integer
+    // compare |v − med| > 5·MAD (no 1.4826 normal-consistency float).
+    // Two rank windows on ONE event_type partitioning + count-only
+    // final aggregation
+    "events_mad_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("event_type"), col("event_id"), cents.as("v"))
+      def medOf(df: DataFrame, valueCol: String, outName: String) = {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col(valueCol), col("event_id"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("rn") === floor((col("n") - 1) * 50 / lit(100)) + 1,
+            col(valueCol))).as(outName))
+      }
+      val med = medOf(e, "v", "med_cents")
+      val absDev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("ad", abs(col("v") - col("med_cents")))
+      val mad = medOf(absDev, "ad", "mad_cents")
+      e.join(broadcast(med), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("med_cents")).as("med_cents"),
+          max(col("mad_cents")).as("mad_cents"),
+          sum(when(abs(col("v") - col("med_cents")) >
+            lit(5L) * col("mad_cents"), 1L).otherwise(0L))
+            .as("n_outliers"))
     }),
 
     // WINSORIZATION profile (outlier clipping, the standard cleaning
@@ -2256,6 +2305,28 @@ object EventQueries {
          |WHERE cum * 100 >= tot * p.pct
          |GROUP BY 1, 2""".stripMargin,
 
+    // the inverse read: cumulative share at each requested bound
+    "ts_hist_cdf" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(LEAST(GREATEST(FLOOR(value / 20), 0), 9) AS BIGINT) * 20
+         |      AS hist_bucket,
+         |    count(*) AS value
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '${lo("2024-01-01T00:00")}'
+         |    AND ts < TIMESTAMP '${hi("2024-01-31T00:00")}'
+         |  GROUP BY ALL),
+         |t AS (
+         |  SELECT event_type, hist_bucket, value,
+         |    sum(value) OVER (PARTITION BY event_type) AS tot
+         |  FROM h)
+         |SELECT event_type, CAST(v.at_value AS BIGINT) AS at_value,
+         |  CAST(floor(10000.0 * sum(value) / max(tot)) AS BIGINT)
+         |    AS cdf_e4
+         |FROM t CROSS JOIN (SELECT unnest([40, 100, 160]) AS at_value) v
+         |WHERE hist_bucket <= v.at_value
+         |GROUP BY 1, 2""".stripMargin,
+
     // rollup-served twin: identical result by count re-aggregability
     "ts_hist_rollup" ->
       s"""SELECT event_type,
@@ -2797,6 +2868,43 @@ object EventQueries {
         |      (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE))))
         |    AS BIGINT) AS autocov_e2
         |FROM a""".stripMargin,
+
+    // exact low-median rank picks; pure integer outlier compare
+    "events_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |r1 AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |med AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN v END)
+        |      AS med_cents
+        |  FROM r1 GROUP BY 1),
+        |r2 AS (
+        |  SELECT e.event_type, abs(e.v - med.med_cents) AS ad,
+        |    row_number() OVER (PARTITION BY e.event_type
+        |      ORDER BY abs(e.v - med.med_cents), e.event_id) AS rn,
+        |    count(*) OVER (PARTITION BY e.event_type) AS n
+        |  FROM e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN ad END)
+        |      AS mad_cents
+        |  FROM r2 GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  max(med.med_cents) AS med_cents,
+        |  max(mad.mad_cents) AS mad_cents,
+        |  CAST(sum(CASE WHEN abs(e.v - med.med_cents) >
+        |    5 * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY 1""".stripMargin,
 
     // rank-picked exact percentile bounds, integer clip arithmetic
     "events_winsorized" ->
