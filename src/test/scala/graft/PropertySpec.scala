@@ -407,4 +407,37 @@ class PropertySpec extends SparkTestBase {
     assert(once.groupBy(col("dim"), col("bucket")).count()
       .agg(max("count")).head().getLong(0) == 1L)
   }
+
+  test("salted inner join ≡ plain join; bloom semi-join ≡ plain semi " +
+      "on random frames (incl. high-fpp stress)") {
+    import graft.operators.{BloomJoin, SkewJoin}
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new Random(seed)
+      // fact: duplicate keys, keys with no dim partner
+      val fact = (0 until 5000).map(i =>
+        (i.toLong, rnd.nextInt(200).toLong, rnd.nextInt(1000).toLong))
+        .toDF("row_id", "k", "v")
+      // dim: duplicate rows per key (salting must preserve the
+      // one-row-per-dim-match multiplicity), keys with no fact partner
+      val dim = (0 until 300).map(_ =>
+        (rnd.nextInt(400).toLong, rnd.nextInt(50).toLong))
+        .toDF("k", "p")
+      val buckets = 1 + rnd.nextInt(16)
+      def fp(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+        df.agg(count(lit(1)), sum(col("row_id")), sum(col("v")),
+          sum(col("k") * col("p"))).head().toSeq
+      assert(fp(SkewJoin.saltedInnerJoin(fact, dim, Seq("k"),
+          col("row_id"), buckets)) == fp(fact.join(dim, "k")),
+        s"salted != plain at seed=$seed buckets=$buckets")
+      // fpp 0.3: force real false positives through the exact verify
+      for (fpp <- Seq(0.3, 0.01)) {
+        val got = BloomJoin.bloomSemiJoin(fact, dim, Seq("k"), fpp)
+          .select(col("row_id")).collect().map(_.getLong(0)).sorted.toSeq
+        val want = fact.join(dim.select("k").distinct(), Seq("k"),
+            "left_semi")
+          .select(col("row_id")).collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == want, s"bloom != semi at seed=$seed fpp=$fpp")
+      }
+    }
+  }
 }
