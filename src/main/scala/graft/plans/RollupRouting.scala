@@ -567,7 +567,13 @@ final case class RollupRouteRule(spark: SparkSession)
         case TimestampNTZType => tsE match {
           case c: Cast =>
             c.dataType == TimestampType && c.child.semanticEquals(t)
-          case _ => false
+          // a registration DIRECTLY on an NTZ column (e.g. a parquet
+          // ship-date with no zone): the user bound stays NTZ. The
+          // session is pinned UTC (apply() bails otherwise), so NTZ
+          // wall micros equal LTZ epoch micros and the bound can be
+          // re-issued against the LTZ bucket unchanged.
+          case _ =>
+            tsE.dataType == TimestampNTZType && t.semanticEquals(tsE)
         }
         case _ => false
       }

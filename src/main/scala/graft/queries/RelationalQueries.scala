@@ -26,6 +26,10 @@ object RelationalQueries {
     round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
       .cast(LongType)
 
+  /** q1 revenue-MV registration, once per (session, sf dir). */
+  private val q1MvDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: single-pass grouped scan aggregation
     "q1_pricing_summary" -> ((s, dir) =>
@@ -338,6 +342,38 @@ object RelationalQueries {
           sum(col("bal_cents")).as("total_cents"))
     }),
 
+    // the routing rule crossing into the RELATIONAL plane: a revenue
+    // materialized view over lineitem (slice partials keyed on
+    // (returnflag, linestatus), bucketed by ship date) registered with
+    // the SAME Catalyst rule that serves event rollups — the user
+    // writes a plain filtered GROUP BY over lineitem and the rewrite
+    // swaps in the MV, so at 100 TB the pricing summary scans
+    // O(flags × statuses × days) partial rows, never a lineitem. The
+    // oracle computes from raw lineitem: routed ≡ raw is the gate
+    "q1_routed_mv" -> ((s, dir) => {
+      import graft.operators.Rollups
+      import graft.plans.RollupRouting
+      val li = read(s, dir, "lineitem").withColumn("rev_e4", revE4)
+      val dims = Seq("l_returnflag", "l_linestatus")
+      q1MvDirs.getOrElseUpdate((s, dir), {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_mv_q1").toString
+        Rollups.materializePartials(li, dims, out,
+          tsCol = "l_shipdate", valueCol = "rev_e4")
+        RollupRouting.install(s)
+        RollupRouting.register(s, li, Rollups.read(s, out), dims,
+          tsCol = "l_shipdate", valueCol = "rev_e4")
+        out
+      })
+      li.where(col("l_shipdate") <
+          lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("count_order"),
+          sum(col("rev_e4")).as("sum_disc_e4"),
+          min(col("rev_e4")).as("min_disc_e4"),
+          max(col("rev_e4")).as("max_disc_e4"))
+    }),
+
     // TPC-H Q21 shape: suppliers who kept orders waiting — the classic
     // EXISTS + NOT-EXISTS double self-join on the fact table, rewritten
     // as ONE per-order aggregate (n_supps, n_fault_supps): a lineitem
@@ -631,6 +667,17 @@ object RelationalQueries {
         |  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
         |  GROUP BY 1)
         |GROUP BY 1""".stripMargin,
+
+    // routed ≡ raw is the gate: the oracle never sees the MV
+    "q1_routed_mv" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS count_order,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+        |  CAST(min(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS min_disc_e4,
+        |  CAST(max(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS max_disc_e4
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
 
     // Independently-written correlated-subquery form (the literal Q21
     // text) — validates the aggregate rewrite, not just the numbers.

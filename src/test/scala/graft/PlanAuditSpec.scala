@@ -360,6 +360,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))
   }
 
+  test("q1 revenue MV: the routed pricing summary never scans lineitem") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val df = SparkEntry.queries("q1_routed_mv")(spark, sf)
+    df.collect()
+    val paths = df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    assert(paths.exists(_.contains("graft_mv_q1")),
+      s"MV not scanned: $paths")
+    assert(!paths.exists(_.contains("lineitem")),
+      s"raw lineitem still scanned: $paths")
+  }
+
   test("bloom semi-join: row-local might_contain gates the fact scan " +
       "below the exact join") {
     val p = plan("events_bloom_semijoin")
