@@ -405,6 +405,47 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // numeric-pair CORRELATION profile (the dataset-card association
+    // read): Pearson r between quantity, price cents, and discount
+    // bps over one single-pass aggregation — every Σx/Σx²/Σxy stays
+    // exact decimal(38,0); r's numerator and the two variance factors
+    // convert to double ONCE each and the sqrt is IEEE
+    // correctly-rounded, so both engines floor the same e6 value. No
+    // second scan, no window: one map-side-combined aggregate row
+    "lineitem_corr" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val dec = DecimalType(38, 0)
+      val li = read(s, dir, "lineitem").select(
+        col("l_quantity").cast(LongType).as("q"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("p"),
+        round(col("l_discount") * 10000).cast(LongType).as("d"))
+      def sd(c: Column) = sum(c.cast(dec))
+      val agg = li.agg(
+        count(lit(1)).as("n"),
+        sd(col("q")).as("sq"), sd(col("p")).as("sp"), sd(col("d")).as("sd"),
+        sd(col("q") * col("q")).as("sqq"),
+        sd(col("p") * col("p")).as("spp"),
+        sd(col("d") * col("d")).as("sdd"),
+        sd(col("q") * col("p")).as("sqp"),
+        sd(col("q") * col("d")).as("sqd"),
+        sd(col("p") * col("d")).as("spd"))
+      def corrE6(sxy: Column, sx: Column, sy: Column,
+          sxx: Column, syy: Column) = {
+        val n = col("n").cast(dec)
+        val num = (n * sxy - sx * sy).cast(DoubleType)
+        val vx = (n * sxx - sx * sx).cast(DoubleType)
+        val vy = (n * syy - sy * sy).cast(DoubleType)
+        floor(lit(1000000.0) * (num / sqrt(vx * vy))).cast(LongType)
+      }
+      agg.select(col("n"),
+        corrE6(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp"))
+          .as("corr_qty_price_e6"),
+        corrE6(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd"))
+          .as("corr_qty_disc_e6"),
+        corrE6(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd"))
+          .as("corr_price_disc_e6"))
+    }),
+
     // window function: top-3 orders per customer, deterministic tie-break
     "topk_orders_per_customer" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -697,6 +738,34 @@ object RelationalQueries {
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey
         |LIMIT 20""".stripMargin,
+
+    // exact HUGEINT moments; one double conversion per factor, IEEE
+    // sqrt — identical floors on both engines
+    "lineitem_corr" ->
+      """WITH e AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(round(l_discount * 10000) AS BIGINT) AS d
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT count(*) AS n, sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+        |    sum(q * q) AS sqq, sum(p * p) AS spp, sum(d * d) AS sdd,
+        |    sum(q * p) AS sqp, sum(q * d) AS sqd, sum(p * d) AS spd
+        |  FROM e)
+        |SELECT n,
+        |  CAST(floor(1000000.0 * (CAST(n * sqp - sq * sp AS DOUBLE) /
+        |    sqrt(CAST(n * sqq - sq * sq AS DOUBLE) *
+        |         CAST(n * spp - sp * sp AS DOUBLE)))) AS BIGINT)
+        |    AS corr_qty_price_e6,
+        |  CAST(floor(1000000.0 * (CAST(n * sqd - sq * sd AS DOUBLE) /
+        |    sqrt(CAST(n * sqq - sq * sq AS DOUBLE) *
+        |         CAST(n * sdd - sd * sd AS DOUBLE)))) AS BIGINT)
+        |    AS corr_qty_disc_e6,
+        |  CAST(floor(1000000.0 * (CAST(n * spd - sp * sd AS DOUBLE) /
+        |    sqrt(CAST(n * spp - sp * sp AS DOUBLE) *
+        |         CAST(n * sdd - sd * sd AS DOUBLE)))) AS BIGINT)
+        |    AS corr_price_disc_e6
+        |FROM a""".stripMargin,
 
     "topk_orders_per_customer" ->
       """SELECT o_custkey, o_orderkey,
