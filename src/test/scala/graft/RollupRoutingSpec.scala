@@ -304,6 +304,52 @@ class RollupRoutingSpec extends SparkTestBase {
     } finally RollupRouting.clear(spark)
   }
 
+  test("fuzz: random aggregate shapes never change results, routed or not") {
+    // metamorphic property for the flagship rule: whatever random
+    // combination of grouping keys, aggregate set, and (possibly
+    // unaligned) time bounds the user writes, installing the rule may
+    // only swap the SCAN — the rows must be identical. The rule's own
+    // mechanics (when it routes, which tier) are pinned by the
+    // deterministic tests; this pins that it is SEMANTICS-PRESERVING
+    // under shapes nobody hand-wrote.
+    import scala.util.Random
+    def runShape(rnd: Random): DataFrame = {
+      val base = raw
+      val bounded =
+        if (rnd.nextBoolean()) {
+          val lo = f"2024-01-${3 + rnd.nextInt(4)}%02d " +
+            (if (rnd.nextBoolean()) "00:00:00"
+             else f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")
+          base.where(col("ts") >= lit(java.sql.Timestamp.valueOf(lo)))
+        } else base
+      val groups = Seq(
+        Seq(col("event_type")),
+        Seq(date_trunc("day", col("ts")).as("b")),
+        Seq(col("event_type"), date_trunc("hour", col("ts")).as("b")),
+        Seq.empty[org.apache.spark.sql.Column])(rnd.nextInt(4))
+      val aggs = Random.javaRandomToRandom(new java.util.Random(rnd.nextInt()))
+        .shuffle(Seq(
+          count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"),
+          avg(col("value")).as("av")))
+        .take(1 + rnd.nextInt(4))
+      if (groups.isEmpty) bounded.agg(aggs.head, aggs.tail: _*)
+      else bounded.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(_.toSeq.map {
+        case d: Double => f"$d%.6f" // float-summed partials: tolerance
+        case x => String.valueOf(x)
+      }.mkString("|")).sorted.toSeq
+    for (seed <- 1 to 12) {
+      val expected = canon(runShape(new Random(seed)).collect())
+      val got = withRouting {
+        canon(runShape(new Random(seed)).collect())
+      }
+      assert(got == expected, s"seed $seed diverged")
+    }
+  }
+
   test("composition above a routed aggregate still routes (trend fold)") {
     // the series_trend_routed shape: a second aggregation + arithmetic
     // stacked ON TOP of the routable daily count — transformUp rewrites
