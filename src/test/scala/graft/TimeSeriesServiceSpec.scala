@@ -480,6 +480,47 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(total() == 3L)
   }
 
+  test("erasure after retention: raw scrubbed, retained aggregates keep " +
+      "the documented anonymized history") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, element_at}
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("signups", FactType.Counter, slice = 15)
+    svc.defineDimension("dependency", facts = Set("signups"))
+    // 2 users × 4 days; cross the spill threshold
+    for (i <- 0 until 40; u <- Seq("alice", "bob"))
+      svc.ingest(Seq(graft.model.Event("signups",
+        ts(f"2014-03-${10 + i % 4}%02dT09:${i % 60}%02d"), 1L,
+        Map("dependency" -> "31", "user" -> u))).toDF())
+    def daily() = pivot(svc.getTimeseries("signups", "dependency",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-10T00:00"), ts("2014-03-14T00:00"), Step.Day),
+      Seq("dependency"))(Map("dependency" -> "31"))
+    val before = daily()
+    val base = java.nio.file.Files
+      .createTempDirectory("svc-retain-erase").toString
+    // age out days 10-11, then erase alice
+    svc.expireEvents(ts("2014-03-12T00:00"), base)
+    val out = java.nio.file.Files
+      .createTempDirectory("svc-erase-raw").toString
+    val erased = svc.eraseEvents(
+      element_at(col("categories"), "user") === "alice", out)
+    // only alice's REMAINING raw rows (days 12-13) could be erased:
+    // 40 ingests × 2 users over 4 days → 10 alice rows per day
+    assert(erased == 20L, s"erased $erased")
+    val after = daily()
+    // aged days keep the retained (anonymized-aggregate) totals…
+    assert(after(Some(ts("2014-03-10T00:00"))) ==
+      before(Some(ts("2014-03-10T00:00"))))
+    assert(after(Some(ts("2014-03-11T00:00"))) ==
+      before(Some(ts("2014-03-11T00:00"))))
+    // …while the raw window drops exactly alice's share
+    assert(after(Some(ts("2014-03-12T00:00"))) ==
+      before(Some(ts("2014-03-12T00:00"))) - 10L)
+    assert(after(Some(ts("2014-03-13T00:00"))) ==
+      before(Some(ts("2014-03-13T00:00"))) - 10L)
+  }
+
   test("replayed ingest batches are idempotent pre- and post-spill") {
     import spark.implicits._
     val svc = new TimeSeriesService(spark)
