@@ -346,11 +346,14 @@ final class TimeSeriesService(
       .when(col("ts").isNull, "null_ts")
       .when(col("value").isNull, "null_value")
       .when(!col("fact").isin(knownFacts: _*), "undefined_fact")
-    val bad = events.withColumn("__reason", reason)
-      .where(col("__reason").isNotNull)
-    bad.write.mode("append").parquet(quarantineDir)
-    ingest(events.where(col("fact").isNotNull && col("ts").isNotNull &&
-      col("value").isNotNull && col("fact").isin(knownFacts: _*)))
+    // both branches derive from the ONE `reason` expression — a new
+    // corruption class added to the when-chain is automatically
+    // excluded from ingest (a hand-mirrored valid predicate could
+    // drift and double-route a row to quarantine AND the store)
+    val flagged = events.withColumn("__reason", reason)
+    flagged.where(col("__reason").isNotNull)
+      .write.mode("append").parquet(quarantineDir)
+    ingest(flagged.where(col("__reason").isNull).drop("__reason"))
   }
 
   /** [[ingest]] with an at-least-once delivery identity (a foreachBatch

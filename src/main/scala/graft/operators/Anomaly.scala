@@ -139,6 +139,11 @@ object Anomaly {
   def ewmaFoldHof(l: Column): Column = {
     val num = aggregate(l, lit(0L), (acc, x) => acc * lit(2L) + x)
     val den = aggregate(l, lit(0L), (acc, _) => acc * lit(2L) + lit(1L))
-    floor((lit(10000.0) * num) / den).cast("long")
+    // empty frame (all-null values collapsed by collect_list despite
+    // the documented contract) → NULL, matching the codegen twin —
+    // without the guard this branch would emit floor(0/0 = NaN) → 0
+    // and the two foldFns would disagree exactly on dirty data
+    when(size(l) === 0, lit(null).cast("long"))
+      .otherwise(floor((lit(10000.0) * num) / den).cast("long"))
   }
 }

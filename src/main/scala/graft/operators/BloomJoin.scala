@@ -47,7 +47,10 @@ object BloomJoin {
     require(keys.nonEmpty, "bloomSemiJoin needs at least one key")
     graft.functions.GraftFunctions.register(big.sparkSession)
     val keyCols = keys.map(col)
-    val smallKeys = small.select(keyCols: _*).distinct()
+    // materialize the distinct key set ONCE (eager local checkpoint):
+    // the sizing count, the Bloom aggregate, and the exact verify join
+    // below would otherwise each recompute the distinct from scratch
+    val smallKeys = small.select(keyCols: _*).distinct().localCheckpoint(true)
     val nItems = math.max(smallKeys.count(), 1L)
     val bfRow = smallKeys
       .agg(BloomProbe.bloomAgg(xxhash64(keyCols: _*), nItems,

@@ -78,9 +78,14 @@ object Decontaminate {
       fpp: Double = 0.01): DataFrame = {
     import graft.functions.BloomProbe
     graft.functions.GraftFunctions.register(train.sparkSession)
+    // materialize the eval shingle set ONCE (eager local checkpoint):
+    // sizing count, Bloom aggregate, and the exact verify join all
+    // reuse it — without this the shingling+distinct runs three times
+    // (the streaming twin persists to parquet for the same reason)
     val evalSh = Dedup.shingleHashKernel(evalDocs, textCol, idCol, k)
       .select(explode(col("hs")).as("sh"))
       .distinct()
+      .localCheckpoint(true)
     val nItems = math.max(evalSh.count(), 1L)
     val bfRow = evalSh
       .agg(BloomProbe.bloomAgg(xxhash64(col("sh")), nItems,

@@ -719,27 +719,32 @@ object Dedup {
 
   /** SPAN-LEVEL dedup REMOVAL — the sub-document form of exact
     * substring deduplication (the "dedup training data" operation at
-    * span granularity): every `w`-token window whose corpus document
-    * frequency is ≥ `minDf` is a duplicated span, and every token
-    * covered by one is CUT from its document; what remains re-joins
-    * with single spaces. Detection's twin is [[duplicatedSpanStats]];
-    * this is the rewrite.
+    * span granularity): every `w`-token window with ≥ `minDf` corpus
+    * OCCURRENCES is a duplicated span, and every token covered by one
+    * is CUT from its document; what remains re-joins with single
+    * spaces. Occurrence count — NOT per-document frequency — is the
+    * exact-substring dedup rule: a span pasted twice into ONE document
+    * is just as duplicated as one shared by two documents, and both
+    * are cut (deliberately different from [[duplicatedSpanStats]],
+    * whose detection report counts each doc's DISTINCT spans).
     *
     * Scale shape (the rareTokenStats head/tail split): positional
     * span hashes explode to (id, pos, hash) pairs; the Zipf head —
-    * spans in more than `hotDocFrac` of docs, pigeonhole-bounded by
-    * spans-per-doc / hotDocFrac regardless of corpus size — flags its
-    * occurrences through a BROADCAST semi join (row-local), and only
-    * the tail flags through a shuffle whose per-key multiplicity is
-    * bounded by the hot cut. Flagged positions re-aggregate per doc
-    * (sorted, bounded by the doc's own span count) and a row-local
-    * kernel rebuilds the text with a single merged-interval sweep.
-    * Bodies shuffle exactly once (the final id join); span hashes are
-    * 8-byte longs throughout.
+    * spans holding more than `hotSpanFrac` of ALL span occurrences,
+    * pigeonhole-bounded by 1/hotSpanFrac keys regardless of corpus
+    * size — flags its occurrences through a BROADCAST semi join
+    * (row-local), and only the tail flags through a shuffle whose
+    * per-key multiplicity is bounded by the hot cut. The split is
+    * performance-only: hot ⊆ duplicated, so the flagged set (and the
+    * result) is independent of the threshold. Flagged positions
+    * re-aggregate per doc (sorted, bounded by the doc's own span
+    * count) and a row-local kernel rebuilds the text with a single
+    * merged-interval sweep. Bodies shuffle exactly once (the final id
+    * join); span hashes are 8-byte longs throughout.
     *
     * @return (idCol, clean_text, n_tokens, n_removed) */
   def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
-      w: Int = 8, minDf: Long = 2L, hotDocFrac: Double = 0.001): DataFrame = {
+      w: Int = 8, minDf: Long = 2L, hotSpanFrac: Double = 0.0001): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val pos = df.select(col(idCol).cast(LongType), col(textCol))
@@ -749,10 +754,13 @@ object Dedup {
       }).toDF("id", "hs")
       .select(col("id"), posexplode(col("hs")).as(Seq("pos", "sh")))
     val dfTable = pos.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
-    val n = df.agg(count(lit(1)).as("__n"))
+    // hot threshold on TOTAL span occurrences (same unit as __df): at
+    // most 1/hotSpanFrac spans can each hold ≥ n_occ·hotSpanFrac
+    // occurrences, so the broadcast set is bounded by construction.
+    val n = pos.agg(count(lit(1)).as("__n"))
     val hot = dfTable.crossJoin(broadcast(n))
       .where(col("__df") >=
-        greatest(lit(minDf), ceil(col("__n") * lit(hotDocFrac))))
+        greatest(lit(minDf), ceil(col("__n") * lit(hotSpanFrac))))
       .select(col("sh"))
     val dupTail = dfTable.where(col("__df") >= minDf).select(col("sh"))
     val flagged = pos.join(broadcast(hot), Seq("sh"), "left_semi")

@@ -289,7 +289,15 @@ object Rollups {
     val hiDayExcl = hiExcl.minusNanos(1000).atZone(utc).toLocalDate.plusDays(1)
     val lo = Timestamp.from(loDay.atStartOfDay(utc).toInstant)
     val hi = Timestamp.from(hiDayExcl.atStartOfDay(utc).toInstant)
-    val window = read(spark, slicePath).drop("bucket_date")
+    // Restate the bucket range on the store's partition column first:
+    // date is monotone in bucket, so whole bucket_date directories
+    // outside the window prune from the partition index — without
+    // this the "O(window)" refresh silently scans the store's entire
+    // history (the between is day-inclusive; the bucket range below
+    // trims the edge days exactly).
+    val window = read(spark, slicePath)
+      .where(col("bucket_date").between(to_date(lit(lo)), to_date(lit(hi))))
+      .drop("bucket_date")
       .where(col("bucket") >= lit(lo) && col("bucket") < lit(hi))
     coarsenFactPartialsToDay(window, fact, grouping)
       .withColumn("bucket_date", to_date(col("bucket")))
@@ -485,9 +493,9 @@ object Rollups {
         }
         (key._1, key._2, sk.toByteArray)
       }
-      .toDF("ks", "bucket", "sketch")
+      .toDF("ks", "bucket", "qsketch")
     merged.select(dims.zipWithIndex.map { case (d, i) =>
-      col("ks")(i).as(d) } :+ col("bucket") :+ col("sketch"): _*)
+      col("ks")(i).as(d) } :+ col("bucket") :+ col("qsketch"): _*)
   }
 
   /** Collapse KLL partials to a calendar bucket and read quantile
@@ -508,7 +516,7 @@ object Rollups {
         array(grouping.map(d => col(d).cast("string")): _*).as("ks"),
         TimeKernel.timeDimension(col("bucket"), step, offsetHours)
           .as("bucket"),
-        col("sketch"))
+        col("qsketch"))
       .as[(Seq[String], Timestamp, Array[Byte])]
     val qsLocal = qs
     val est = keyed
@@ -576,6 +584,12 @@ object Rollups {
     * ([[graft.TimeSeriesService.expireEvents]]): unioned partial
     * frames from different stores compact into one. */
   private[graft] def compactFrame(df: DataFrame): DataFrame = {
+    // KLL quantile partials (`qsketch`, [[kllPartials]]) are a
+    // DIFFERENT sketch family from the HLL distinct partials below —
+    // Spark has no SQL merge aggregate for them, so they take the
+    // typed merge path. The two names must stay distinct: feeding a
+    // KLL blob to `hll_union_agg` is a runtime heapify failure.
+    if (df.columns.contains("qsketch")) return compactKllFrame(df)
     val measures: Map[String, Column => Column] = Map(
       "value" -> (c => sum(c)), "counter" -> (c => sum(c)),
       "total" -> (c => sum(c)), "cnt" -> (c => sum(c)),
@@ -584,12 +598,46 @@ object Rollups {
       // binary sketch as a key would silently break compaction)
       "sketch" -> (c => hll_union_agg(c, lit(false))))
     val present = df.columns.filter(measures.contains)
+    require(present.nonEmpty,
+      s"compactFrame: no known measure column in ${df.columns.mkString(",")}")
     // bucket_date is re-derived; __batch_id is maintainRollup's
     // idempotency partition — both are storage artifacts, not keys.
     val keys = df.columns.filterNot(c =>
       measures.contains(c) || c == "bucket_date" || c == "__batch_id")
     val aggs = present.map(c => measures(c)(col(c)).as(c))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[compactFrame]]'s KLL branch: merge `qsketch` blobs per key set
+    * (dims are strings by [[kllPartials]] construction; `bucket` is
+    * the slice timestamp). Lossless for quantile reads — KLL merge is
+    * the sketch's own combine — so a streaming-maintained KLL store's
+    * per-batch files compact exactly like the scalar partials do. */
+  private def compactKllFrame(df: DataFrame, k: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllLongsSketch
+    import org.apache.datasketches.memory.Memory
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dims = df.columns.filterNot(c =>
+      c == "qsketch" || c == "bucket" || c == "bucket_date" ||
+        c == "__batch_id").toSeq
+    val keyed = df.select(
+        array(dims.map(d => col(d).cast("string")): _*).as("ks"),
+        col("bucket"), col("qsketch"))
+      .as[(Seq[String], Timestamp, Array[Byte])]
+    val merged = keyed
+      .groupByKey { case (ks, b, _) => (ks, b) }
+      .mapGroups { (key: (Seq[String], Timestamp),
+          it: Iterator[(Seq[String], Timestamp, Array[Byte])]) =>
+        val sk = KllLongsSketch.newHeapInstance(k)
+        it.foreach { case (_, _, bytes) =>
+          sk.merge(KllLongsSketch.heapify(Memory.wrap(bytes)))
+        }
+        (key._1, key._2, sk.toByteArray)
+      }
+      .toDF("ks", "bucket", "qsketch")
+    merged.select(dims.zipWithIndex.map { case (d, i) =>
+      col("ks")(i).as(d) } :+ col("bucket") :+ col("qsketch"): _*)
   }
 
   /** Re-aggregate slice partials into a calendar bucket — the rollup

@@ -62,11 +62,17 @@ object Layout {
         unix_timestamp(col(c)).cast("double")
       else col(c).cast("double")
     }
-    // bounded driver data: 2 doubles per clustered column
+    // bounded driver data: 2 doubles per clustered column. min/max
+    // are null for an empty input or an all-null column — degrade
+    // those to the constant domain (code 0) instead of NPE-ing: an
+    // empty ingest day still writes an (empty) store, and an all-null
+    // column simply contributes no discrimination to the code.
     val stats = df.select(numeric.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(c).as(s"mn$i"), max(c).as(s"mx$i")) }: _*).head()
+    def bound(i: Int): Double =
+      if (stats.isNullAt(i)) 0.0 else stats.getDouble(i)
     val normed = numeric.zipWithIndex.map { case (c, i) =>
-      normalize(c, stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bits) }
+      normalize(c, bound(2 * i), bound(2 * i + 1), bits) }
     df.withColumn("__z", morton(normed, bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")

@@ -143,6 +143,18 @@ class AnomalySpec extends SparkTestBase {
     val native = run(graft.functions.GraftFunctions.ewmaE4Native)
     assert(hof == native)
     assert(hof.size == 400)
+
+    // the folds must also agree OFF the documented contract: an empty
+    // frame (all values null → collect_list collapses it) is NULL in
+    // both, not codegen-NULL vs HOF floor(0/0 = NaN) → 0
+    val emptyFrame = Seq(Seq.empty[Long], Seq(3L, 5L)).toDF("l")
+    val pair = emptyFrame.select(
+        Anomaly.ewmaFoldHof(col("l")).as("hof"),
+        graft.functions.GraftFunctions.ewmaE4Native(col("l")).as("native"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(pair.toSeq == Seq((None, None),
+      (Some(math.floor(10000.0 * 11 / 3).toLong),
+        Some(math.floor(10000.0 * 11 / 3).toLong))))
   }
 
   test("ewma window slides: a row beyond w drops out of the fold") {

@@ -63,4 +63,25 @@ class LayoutSpec extends SparkTestBase {
         r.getAs[java.sql.Timestamp]("ts"))).sorted.toSeq
     assert(z == orig)
   }
+
+  test("empty input and all-null z-columns write cleanly (no NPE)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-zedge").toString
+    // an empty ingest day must still produce an (empty) store
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "event_id")
+    Layout.writeZOrdered(empty, Seq("user_id", "event_id"), s"$base/empty", 4)
+    assert(spark.read.parquet(s"$base/empty").count() == 0)
+    // an all-null clustered column degrades to zero discrimination,
+    // not a crash; content round-trips losslessly
+    val nullCol = Seq((1L, 7L), (2L, 8L), (3L, 9L))
+      .toDF("event_id", "keep")
+      .withColumn("user_id", org.apache.spark.sql.functions
+        .lit(null).cast("long"))
+    Layout.writeZOrdered(nullCol, Seq("user_id", "event_id"),
+      s"$base/nullcol", 2)
+    val back = spark.read.parquet(s"$base/nullcol")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("keep")))
+      .sorted.toSeq
+    assert(back == Seq((1L, 7L), (2L, 8L), (3L, 9L)))
+  }
 }

@@ -392,8 +392,10 @@ class RollupsSpec extends SparkTestBase {
         (1L + (i * 101) % 150))
     }.toDF("dim", "ts", "value").repartition(7)
     val partials = Rollups.kllPartials(raw, Seq("dim"))
-    // shape: one BINARY sketch per (dim, slice)
-    assert(partials.columns.toSeq == Seq("dim", "bucket", "sketch"))
+    // shape: one BINARY sketch per (dim, slice) — named `qsketch`, NOT
+    // `sketch`: compactFrame dispatches merges by column name and the
+    // HLL union would fail to heapify a KLL blob
+    assert(partials.columns.toSeq == Seq("dim", "bucket", "qsketch"))
     val est = Rollups.collapseKllQuantiles(partials, Seq("dim"),
       Seq(50, 100), Step.NoStep)
     val got = est.collect()
@@ -420,6 +422,26 @@ class RollupsSpec extends SparkTestBase {
         .map(i => 1L + (i * 101) % 150).max
       assert(mx == want, s"$d $day")
     }
+
+    // compaction of a KLL store (the streaming-maintained shape: one
+    // partial per (key, slice, batch) plus storage-artifact columns)
+    // merges to one row per (key, slice) and preserves quantile reads
+    // EXACTLY here: merging a sketch with itself doubles every value's
+    // multiplicity, which leaves inclusive-rank quantiles of this
+    // exact-mode sketch unchanged
+    val asStore = partials
+      .withColumn("bucket_date", org.apache.spark.sql.functions.to_date(col("bucket")))
+    val twoBatches = asStore.withColumn("__batch_id",
+        org.apache.spark.sql.functions.lit("b0"))
+      .unionByName(asStore.withColumn("__batch_id",
+        org.apache.spark.sql.functions.lit("b1")))
+    val compacted = Rollups.compactFrame(twoBatches)
+    assert(compacted.columns.toSeq == Seq("dim", "bucket", "qsketch"))
+    assert(compacted.count() == partials.count())
+    val estC = Rollups.collapseKllQuantiles(compacted, Seq("dim"),
+      Seq(50, 100), Step.NoStep).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(estC == got)
   }
 
   test("rollup parquet is date-partitioned for partition pruning") {
