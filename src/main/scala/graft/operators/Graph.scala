@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-analysis centrality — the graph plane's ranking companion to
+  * the connected-components clustering in [[Dedup]].
+  *
+  * Why it belongs in a training-data engine: link centrality is the
+  * classic web-corpus QUALITY WEIGHT — crawl curation ranks hosts by
+  * (Page)Rank-style scores and samples/filters documents by them, the
+  * same role the content-side quality score
+  * ([[TextAnalysis.qualityScoreE4]]) plays for text. The operator is
+  * graph-generic: any (src, dst, weight) edge frame ranks, e.g. the
+  * per-user event-type transition graph the driver query derives.
+  *
+  * Exactness: ranks are INTEGER fixed-point (×10⁹) and every step is
+  * integer arithmetic — per-edge contribution `(rank·w) DIV out_w`,
+  * damping `(d·Σ) DIV 100` — so results are independent of partition
+  * count, summation order, and engine (a float PageRank sums doubles
+  * in shuffle order and never hash-compares across engines; this one
+  * is bit-reproducible, and the deliberate DIV truncation is part of
+  * the contract). Dangling nodes (no out-edges) leak their damped
+  * mass rather than redistributing it — fine for a RANKING signal
+  * (order is what matters) and keeps the per-iteration plan to the
+  * two joins below; document-grade PageRank sums are not the goal.
+  *
+  * Scale shape: the edge frame (joined once with per-src out-weights)
+  * is materialized ONCE (eager local checkpoint) and reused by every
+  * iteration; each iteration is one broadcast-or-shuffle hash join of
+  * ranks onto edges (on src) plus one aggregation (on dst) — O(iters)
+  * shuffles total, no growing lineage (per-iteration checkpoints, the
+  * [[Dedup.connectedComponents]] discipline). Rank state is one row
+  * per node, never per edge.
+  */
+object Graph {
+
+  /** Weighted PageRank, integer e9 fixed-point. Node ids are cast to
+    * string (dimension-value convention). Returns (`id`, `rank_e9`)
+    * with one row per node that appears as a src or dst.
+    *
+    * @param dampingE2 damping factor ×100 (85 = the canonical 0.85)
+    */
+  def weightedPageRankE9(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iters: Int, dampingE2: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters in [1,100], got $iters")
+    require(dampingE2 >= 0 && dampingE2 <= 100,
+      s"dampingE2 in [0,100], got $dampingE2")
+    val e = edges.select(
+      col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"),
+      col(wCol).cast("long").as("w"))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // reused every iteration: materialize once, lineage-free
+    val ew = e.join(outw, "src").localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "weightedPageRankE9: empty edge set")
+    val init = 1000000000L / n
+    val base = ((100L - dampingE2) * init) / 100L
+    var rank = nodes.select(col("id"), lit(init).as("rank_e9"))
+    for (_ <- 0 until iters) {
+      val sums = ew
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr("(rank_e9 * w) DIV ow").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      rank = nodes.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"($dampingE2 * coalesce(s, 0L)) DIV 100")).as("rank_e9"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
+}

@@ -868,6 +868,27 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // LINK-ANALYSIS centrality (integer fixed-point weighted PageRank,
+    // graft.operators.Graph) over the per-user event-type TRANSITION
+    // graph: edge (a → b, w) = how often b immediately follows a in
+    // some user's stream. The web-corpus quality-weighting operator
+    // (crawl curation ranks hosts this way) exercised on the fixture's
+    // natural graph; all-integer arithmetic makes the 5-iteration
+    // power method bit-reproducible against the unrolled SQL oracle
+    "events_pagerank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      graft.operators.Graph
+        .weightedPageRankE9(edges, "src", "dst", "w", iters = 5)
+        .withColumnRenamed("id", "event_type")
+    }),
+
     // cross-series LEAD/LAG profile ("do clicks lead purchases?"):
     // daily click and purchase series zero-filled on the shared day
     // grid, exact integer cross-covariance numerator n·Σxy − Σx·Σy
@@ -2767,6 +2788,36 @@ object EventQueries {
         |FROM ut a JOIN ut b ON a.user_id = b.user_id
         |  AND a.event_type < b.event_type
         |GROUP BY 1, 2""".stripMargin,
+
+    // the 5 power iterations unrolled as chained CTEs (standard SQL
+    // forbids aggregation in a recursive term); every step is integer
+    // division (`//`), mirroring the operator's DIV fixed-point
+    "events_pagerank" -> {
+      val iters = (0 until 5).map { k =>
+        s"""r${k + 1} AS (
+           |  SELECT n.id,
+           |    (SELECT ((100 - 85) * i0) // 100 FROM init)
+           |      + (85 * coalesce(s.s, 0)) // 100 AS rank_e9
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum((r.rank_e9 * e.w) // o.ow) AS s
+           |    FROM e JOIN r$k r ON r.id = e.src
+           |    JOIN ow o ON o.src = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT event_type AS src, lead(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM events),
+         |e AS (SELECT src, dst, count(*) AS w FROM seq
+         |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |init AS (SELECT 1000000000 // count(*) AS i0 FROM nodes),
+         |r0 AS (SELECT id, (SELECT i0 FROM init) AS rank_e9 FROM nodes),
+         |$iters
+         |SELECT id AS event_type, CAST(rank_e9 AS BIGINT) AS rank_e9
+         |FROM r5""".stripMargin
+    },
 
     "series_lag_profile" ->
       """WITH e AS (

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkTestBase {
+
+  /** In-memory reference of the integer fixed-point PageRank —
+    * independently written fold the distributed operator must match
+    * exactly (all-integer arithmetic makes "exactly" well-defined). */
+  private def reference(edges: Seq[(String, String, Long)], iters: Int,
+      dampingE2: Long = 85L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val init = 1000000000L / nodes.size
+    val base = ((100L - dampingE2) * init) / 100L
+    var rank = nodes.map(_ -> init).toMap
+    for (_ <- 0 until iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => (rank(s) * w) / outw(s) }.sum
+      }
+      rank = nodes.map(n =>
+        n -> (base + (dampingE2 * in.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(String, String, Long)], iters: Int)
+      : Map[String, Long] = {
+    import spark.implicits._
+    Graph.weightedPageRankE9(
+        edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("two-node cycle is stationary at the uniform rank") {
+    // A⇄B: every iteration maps (r, r) to (base + 0.85·r, base + 0.85·r)
+    // whose fixed point is the uniform 5·10⁸ — and integer arithmetic
+    // holds it exactly from the first step
+    val got = run(Seq(("a", "b", 1L), ("b", "a", 1L)), iters = 7)
+    assert(got == Map("a" -> 500000000L, "b" -> 500000000L))
+  }
+
+  test("star graph: the hub outranks the spokes, spokes tie") {
+    val got = run(
+      Seq(("s1", "hub", 1L), ("s2", "hub", 1L), ("s3", "hub", 1L),
+        ("hub", "s1", 1L), ("hub", "s2", 1L), ("hub", "s3", 1L)),
+      iters = 10)
+    assert(got("hub") > got("s1"))
+    assert(got("s1") == got("s2") && got("s2") == got("s3"))
+  }
+
+  test("random weighted graphs match the in-memory reference exactly") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 5) {
+      val n = 4 + rnd.nextInt(8)
+      val edges = (0 until n * 3).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}",
+          1L + rnd.nextInt(9))
+      }.distinct.map { case (s, d, w) => (s, d, w.toLong) }
+      val iters = 1 + rnd.nextInt(6)
+      assert(run(edges, iters) == reference(edges, iters),
+        s"trial $trial: $edges iters=$iters")
+    }
+  }
+
+  test("dangling nodes rank at base; disconnected sinks still appear") {
+    // c has no out-edges (dangling, leaks mass); d only receives
+    val got = run(Seq(("a", "b", 2L), ("b", "c", 1L), ("a", "d", 1L)),
+      iters = 3)
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    // a receives nothing → exactly base after iteration 1 onward
+    val init = 1000000000L / 4
+    assert(got("a") == (15L * init) / 100L)
+  }
+}
