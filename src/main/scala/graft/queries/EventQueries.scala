@@ -889,6 +889,29 @@ object EventQueries {
         .withColumnRenamed("id", "event_type")
     }),
 
+    // SCD TYPE-2 point-in-time read (graft.operators.Scd): each
+    // user's "level" is their cumulative purchase count — a change
+    // log that builds into validity intervals — and every click joins
+    // the level that was current AT CLICK TIME (not the user's final
+    // level: the no-time-travel-leakage property SCD2 exists for).
+    // Same-instant purchases exercise the supersede collapse
+    "scd_click_level" -> ((s, dir) => {
+      val e = events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changes = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("level", row_number().over(w).cast(LongType))
+      val scd2 = graft.operators.Scd
+        .buildType2(changes, Seq("user_id"), "ts", col("event_id"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      graft.operators.Scd
+        .pointInTime(clicks, scd2, Seq("user_id"), "ts", Seq("level"))
+        .groupBy(coalesce(col("level"), lit(0L)).as("level"))
+        .agg(count(lit(1)).as("n_clicks"))
+    }),
+
     // cross-series LEAD/LAG profile ("do clicks lead purchases?"):
     // daily click and purchase series zero-filled on the shared day
     // grid, exact integer cross-covariance numerator n·Σxy − Σx·Σy
@@ -2818,6 +2841,20 @@ object EventQueries {
          |SELECT id AS event_type, CAST(rank_e9 AS BIGINT) AS rank_e9
          |FROM r5""".stripMargin
     },
+
+    // the interval semantics reduce to "purchases at or before the
+    // click" — the correlated form DuckDB decorrelates into a join
+    "scd_click_level" ->
+      """WITH c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |lv AS (
+        |  SELECT c.user_id, c.ts,
+        |    (SELECT count(*) FROM p
+        |     WHERE p.user_id = c.user_id AND p.ts <= c.ts) AS level
+        |  FROM c)
+        |SELECT level, count(*) AS n_clicks FROM lv GROUP BY 1""".stripMargin,
 
     "series_lag_profile" ->
       """WITH e AS (
