@@ -43,6 +43,43 @@ object Graph {
     */
   def weightedPageRankE9(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iters: Int, dampingE2: Int = 85): DataFrame = {
+    val (ew, nodes, n) = prepare(edges, srcCol, dstCol, wCol, iters, dampingE2)
+    val init = 1000000000L / n
+    val base = ((100L - dampingE2) * init) / 100L
+    iterate(ew, nodes, lit(init), lit(base), iters, dampingE2)
+  }
+
+  /** PERSONALIZED PageRank: restart mass goes to the `seeds` node set
+    * (uniformly) instead of to every node — ranks become proximity to
+    * the seeds through the link structure. This is the seed-expansion
+    * curation pattern: hand-pick known-good sources, rank the rest of
+    * the graph by how strongly the seeds flow into it, harvest the
+    * high-rank frontier. Same integer fixed-point contract as
+    * [[weightedPageRankE9]]; seeds absent from the graph still receive
+    * their restart mass (they just pass nothing on). */
+  def personalizedPageRankE9(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, seeds: Seq[String], iters: Int,
+      dampingE2: Int = 85): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRankE9 needs seed nodes")
+    val (ew, nodes0, _) =
+      prepare(edges, srcCol, dstCol, wCol, iters, dampingE2)
+    // seeds are part of the node set even if the edge frame never
+    // mentions them (restart mass must have somewhere to land)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nodes = nodes0.union(seeds.toDF("id")).distinct().localCheckpoint(true)
+    val init = 1000000000L / seeds.size
+    val seedBase = ((100L - dampingE2) * init) / 100L
+    val isSeed = col("id").isin(seeds: _*)
+    iterate(ew, nodes,
+      when(isSeed, lit(init)).otherwise(lit(0L)),
+      when(isSeed, lit(seedBase)).otherwise(lit(0L)),
+      iters, dampingE2)
+  }
+
+  private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iters: Int, dampingE2: Int)
+      : (DataFrame, DataFrame, Long) = {
     require(iters >= 1 && iters <= 100, s"iters in [1,100], got $iters")
     require(dampingE2 >= 0 && dampingE2 <= 100,
       s"dampingE2 in [0,100], got $dampingE2")
@@ -58,10 +95,17 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     val n = nodes.count()
-    require(n > 0, "weightedPageRankE9: empty edge set")
-    val init = 1000000000L / n
-    val base = ((100L - dampingE2) * init) / 100L
-    var rank = nodes.select(col("id"), lit(init).as("rank_e9"))
+    require(n > 0, "pageRank: empty edge set")
+    (ew, nodes, n)
+  }
+
+  /** The shared power iteration: rank' = base(id) + d·Σ in-flow, all
+    * integer. `initOf`/`baseOf` are per-node column expressions over
+    * the node frame (uniform for global rank, seed-gated for the
+    * personalized form). */
+  private def iterate(ew: DataFrame, nodes: DataFrame, initOf: org.apache.spark.sql.Column,
+      baseOf: org.apache.spark.sql.Column, iters: Int, dampingE2: Int): DataFrame = {
+    var rank = nodes.select(col("id"), initOf.as("rank_e9"))
     for (_ <- 0 until iters) {
       val sums = ew
         .join(rank.withColumnRenamed("id", "src"), "src")
@@ -70,7 +114,7 @@ object Graph {
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
       rank = nodes.join(sums, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) +
+          (baseOf +
             expr(s"($dampingE2 * coalesce(s, 0L)) DIV 100")).as("rank_e9"))
         .localCheckpoint(true)
     }

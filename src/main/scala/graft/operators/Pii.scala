@@ -57,4 +57,33 @@ object Pii {
       countMatches(t, Ipv4Re).as("n_ips"),
       length(redact(t)).cast(LongType).as("clean_len"))
   }
+
+  /** K-ANONYMITY suppression for released aggregates — the other half
+    * of the privacy plane next to redaction and right-to-erasure:
+    * a published statistic over a quasi-identifier combination must
+    * not be re-identifiable, so any group backed by FEWER than `k`
+    * distinct contributors is withheld entirely (suppression, the
+    * standard k-anonymity release gate). The contributor count is
+    * exact by necessity — the guarantee is about people, not rows —
+    * and is released alongside the measures so auditors can check the
+    * gate held.
+    *
+    * Scale shape: one hash aggregation on the quasi-identifier key
+    * (the distinct-contributor count rides the same shuffle via a
+    * two-level partial — Spark plans count(DISTINCT) with a
+    * partial-dedup expand, never a per-group set collect); the filter
+    * is post-aggregate and row-local.
+    *
+    * Output: quasiIds… + `n_contributors` + the named measures. */
+  def kAnonymousAggregate(rows: DataFrame, quasiIds: Seq[String],
+      contributorCol: String, k: Long,
+      measures: Seq[(String, Column)]): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier")
+    val aggs = countDistinct(col(contributorCol)).as("n_contributors") +:
+      measures.map { case (n, c) => c.as(n) }
+    rows.groupBy(quasiIds.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("n_contributors") >= k)
+  }
 }

@@ -889,6 +889,38 @@ object EventQueries {
         .withColumnRenamed("id", "event_type")
     }),
 
+    // PERSONALIZED PageRank seeded at 'signup': restart mass lands on
+    // the seed only, so ranks measure PROXIMITY to signups through the
+    // transition structure — the seed-expansion curation read
+    // ("what does the good stuff link to?"); same integer contract
+    "events_ppr_signup" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      graft.operators.Graph.personalizedPageRankE9(
+          edges, "src", "dst", "w", seeds = Seq("signup"), iters = 5)
+        .withColumnRenamed("id", "event_type")
+    }),
+
+    // K-ANONYMITY release gate (graft.operators.Pii): daily per-
+    // (event_type, user_bucket) spend stats are released only when
+    // backed by ≥5 distinct users — the suppression rule that keeps a
+    // published aggregate non-re-identifying; the fixture exercises
+    // both branches (~1/3 of cells suppress at k=5)
+    "events_kanon_release" -> ((s, dir) => {
+      val rows = events(s, dir).select(col("event_type"),
+        date_trunc("day", col("ts")).as("day"), userBucket,
+        col("user_id"), cents.as("c"))
+      graft.operators.Pii.kAnonymousAggregate(rows,
+        Seq("event_type", "day", "user_bucket"), "user_id", k = 5,
+        Seq("n_events" -> count(lit(1)), "sum_cents" -> sum(col("c"))))
+    }),
+
     // SCD TYPE-2 point-in-time read (graft.operators.Scd): each
     // user's "level" is their cumulative purchase count — a change
     // log that builds into validity intervals — and every click joins
@@ -2841,6 +2873,51 @@ object EventQueries {
          |SELECT id AS event_type, CAST(rank_e9 AS BIGINT) AS rank_e9
          |FROM r5""".stripMargin
     },
+
+    // personalized variant: same unrolled CTEs, restart mass gated to
+    // the 'signup' seed (|seeds| = 1 → i0 = 10⁹)
+    "events_ppr_signup" -> {
+      val iters = (0 until 5).map { k =>
+        s"""r${k + 1} AS (
+           |  SELECT n.id,
+           |    (CASE WHEN n.id = 'signup'
+           |       THEN (SELECT ((100 - 85) * i0) // 100 FROM init)
+           |       ELSE 0 END)
+           |      + (85 * coalesce(s.s, 0)) // 100 AS rank_e9
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum((r.rank_e9 * e.w) // o.ow) AS s
+           |    FROM e JOIN r$k r ON r.id = e.src
+           |    JOIN ow o ON o.src = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT event_type AS src, lead(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM events),
+         |e AS (SELECT src, dst, count(*) AS w FROM seq
+         |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e
+         |          UNION SELECT 'signup'),
+         |init AS (SELECT CAST(1000000000 AS BIGINT) // 1 AS i0),
+         |r0 AS (SELECT id, CASE WHEN id = 'signup'
+         |         THEN (SELECT i0 FROM init) ELSE 0 END AS rank_e9
+         |       FROM nodes),
+         |$iters
+         |SELECT id AS event_type, CAST(rank_e9 AS BIGINT) AS rank_e9
+         |FROM r5""".stripMargin
+    },
+
+    "events_kanon_release" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(user_id % 10 AS VARCHAR) AS user_bucket,
+        |  count(DISTINCT user_id) AS n_contributors,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |HAVING count(DISTINCT user_id) >= 5""".stripMargin,
 
     // the interval semantics reduce to "purchases at or before the
     // click" — the correlated form DuckDB decorrelates into a join

@@ -65,6 +65,47 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  /** Personalized reference: restart mass only on the seed set. */
+  private def referencePersonalized(edges: Seq[(String, String, Long)],
+      seeds: Seq[String], iters: Int,
+      dampingE2: Long = 85L): Map[String, Long] = {
+    val nodes =
+      ((edges.map(_._1) ++ edges.map(_._2)).distinct ++ seeds).distinct.sorted
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val init = 1000000000L / seeds.size
+    val base = ((100L - dampingE2) * init) / 100L
+    var rank = nodes.map(n =>
+      n -> (if (seeds.contains(n)) init else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => (rank(s) * w) / outw(s) }.sum
+      }
+      rank = nodes.map(n =>
+        n -> ((if (seeds.contains(n)) base else 0L) +
+          (dampingE2 * in.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("personalized: mass stays near the seed, off-graph seed accepted") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L),
+      ("b", "a", 3L))
+    def runP(seeds: Seq[String], iters: Int) =
+      Graph.personalizedPageRankE9(edges.toDF("src", "dst", "w"),
+          "src", "dst", "w", seeds, iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = runP(Seq("a"), 4)
+    assert(got == referencePersonalized(edges, Seq("a"), 4))
+    // seed proximity: a (the seed) holds the most rank
+    assert(got("a") > got("b") && got("a") > got("c"))
+    // a seed the edge frame never mentions still appears with its
+    // restart mass (and only that — nothing flows to it)
+    val off = runP(Seq("zz"), 3)
+    assert(off == referencePersonalized(edges, Seq("zz"), 3))
+    assert(off("zz") == (15L * 1000000000L) / 100L)
+  }
+
   test("dangling nodes rank at base; disconnected sinks still appear") {
     // c has no out-edges (dangling, leaks mass); d only receives
     val got = run(Seq(("a", "b", 2L), ("b", "c", 1L), ("a", "d", 1L)),

@@ -41,6 +41,19 @@ class ScrubbingSpec extends SparkTestBase {
     assert(r.getAs[Long]("clean_len") == clean.length.toLong)
   }
 
+  test("kAnonymousAggregate suppresses small groups by CONTRIBUTORS, not rows") {
+    // group "a": 2 users × 3 rows (6 rows, 2 contributors → suppressed
+    // at k=3 even though rows ≥ k); group "b": 3 users → released
+    val rows = (Seq.tabulate(6)(i => ("a", (i % 2).toLong, 10L)) ++
+      Seq(("b", 10L, 1L), ("b", 11L, 2L), ("b", 12L, 4L)))
+      .toDF("g", "uid", "v")
+    val got = Pii.kAnonymousAggregate(rows, Seq("g"), "uid", k = 3,
+        Seq("n_rows" -> count(lit(1)), "sum_v" -> sum(col("v"))))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_contributors"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("sum_v"))).toSeq
+    assert(got == Seq(("b", 3L, 3L, 7L)))
+  }
+
   test("Boilerplate.strip drops df>=minDf lines, preserves order, keeps empty docs") {
     val docs = Seq(
       (1L, "HEADER\nbody one\nmiddle\nFOOTER"),
