@@ -31,6 +31,25 @@ object RelationalQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DATA-QUALITY release gate (graft.operators.Quality): declared
+    // constraints → exact violation report. The row-local checks ride
+    // ONE fused aggregation; uniqueness gets its own key agg and the
+    // FK an anti-join. The list deliberately mixes passing invariants
+    // of the fixture (pk, fk, not-null) with failing ones (l_orderkey
+    // alone is not unique; quantities do reach 50) so both statuses
+    // are exercised
+    "quality_report" -> ((s, dir) => {
+      import graft.operators.Quality
+      val li = read(s, dir, "lineitem")
+      val ord = read(s, dir, "orders")
+      Quality.report(li, Seq(
+        Quality.NotNull("l_orderkey"),
+        Quality.Satisfies("quantity_le_49", col("l_quantity") <= 49),
+        Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+        Quality.Unique(Seq("l_orderkey")),
+        Quality.ForeignKey("l_orderkey", ord, "o_orderkey", "orders")))
+    }),
+
     // TPC-H Q1 shape: single-pass grouped scan aggregation
     "q1_pricing_summary" -> ((s, dir) =>
       read(s, dir, "lineitem")
@@ -496,6 +515,41 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // each constraint recomputed independently; null predicate values
+    // count as violations (unknown does not pass a gate), uniqueness
+    // counts surplus rows per key (null keys participate), the FK
+    // uses NOT EXISTS so reference duplicates cannot multiply counts
+    "quality_report" ->
+      """WITH v AS (
+        |  SELECT 'not_null(l_orderkey)' AS "check",
+        |    CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END)
+        |      AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'satisfies(quantity_le_49)',
+        |    CAST(count(CASE WHEN NOT coalesce(l_quantity <= 49, false)
+        |      THEN 1 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)',
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |      AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey)',
+        |    CAST(count(*) - count(DISTINCT (l_orderkey)) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'foreign_key(l_orderkey->orders.o_orderkey)',
+        |    CAST(count(CASE WHEN l.l_orderkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM orders o
+        |                      WHERE o.o_orderkey = l.l_orderkey)
+        |      THEN 1 END) AS BIGINT)
+        |  FROM lineitem l)
+        |SELECT "check", violations,
+        |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM v""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
