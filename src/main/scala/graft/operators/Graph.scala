@@ -83,10 +83,15 @@ object Graph {
     require(iters >= 1 && iters <= 100, s"iters in [1,100], got $iters")
     require(dampingE2 >= 0 && dampingE2 <= 100,
       s"dampingE2 in [0,100], got $dampingE2")
+    // non-positive weights are meaningless for a random surfer and a
+    // node whose edges are ALL zero-weight would divide by zero in
+    // the contribution term — dropped up front (it then ranks as
+    // dangling, the same thing a zero-out-mass node is)
     val e = edges.select(
-      col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst"),
-      col(wCol).cast("long").as("w"))
+        col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .where(col("w") > 0)
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // reused every iteration: materialize once, lineage-free
     val ew = e.join(outw, "src").localCheckpoint(true)

@@ -49,6 +49,15 @@ object Quality {
     * significant (sort/compare by `check`). */
   def report(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "Quality.report: no constraints")
+    // check labels are spliced into a stack() expression — keep them
+    // to identifier-safe characters so a label can't break (or
+    // inject into) the generated SQL
+    val safe = "[A-Za-z0-9_.$-]+".r
+    constraints.foreach {
+      case NotNull(c) => require(safe.matches(c), s"unsafe column: $c")
+      case Satisfies(n, _) => require(safe.matches(n), s"unsafe name: $n")
+      case _ => ()
+    }
     val rowLocal: Seq[(String, Column)] = constraints.collect {
       case NotNull(c) =>
         s"not_null($c)" -> col(c).isNull

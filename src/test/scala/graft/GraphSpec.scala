@@ -115,4 +115,16 @@ class GraphSpec extends SparkTestBase {
     val init = 1000000000L / 4
     assert(got("a") == (15L * init) / 100L)
   }
+
+  test("zero-weight edges are dropped (no division by zero)") {
+    // c's only out-edge has weight 0 → c is effectively dangling;
+    // the zero edge must not reach the contribution division
+    val withZero = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L),
+      ("c", "a", 0L))
+    val without = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L))
+    // after the drop the graphs are identical (c stays in the node
+    // set as b's target) — ranks must match the clean graph exactly
+    assert(run(withZero, 4) == reference(without, 4))
+    assert(run(withZero, 4) == run(without, 4))
+  }
 }

@@ -400,4 +400,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Join") || p.contains("BroadcastHashJoin"),
       p.take(3000))
   }
+
+  test("quality gate: N row-local checks fuse into ONE scan-aggregate") {
+    import org.apache.spark.sql.functions.{col, length}
+    import graft.operators.Quality
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val rep = Quality.report(li, Seq(
+      Quality.NotNull("l_orderkey"),
+      Quality.NotNull("l_shipdate"),
+      Quality.Satisfies("qty_pos", col("l_quantity") > 0),
+      Quality.Satisfies("flag_1ch", length(col("l_returnflag")) === 1)))
+    // four checks, one pass: exactly one leaf scan in the plan —
+    // adding row-local constraints must add agg columns, never scans
+    val leaves = rep.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1, rep.queryExecution.optimizedPlan.toString)
+    assert(rep.collect().forall(_.getString(2) == "pass"))
+  }
 }
