@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture APPLY — the MERGE/upsert table-maintenance
+  * operator: a log of keyed changes (upserts and deletes, ordered by
+  * a sequence) collapses onto an optional base snapshot into the
+  * current state of the table. The lakehouse compaction loop is
+  * exactly repeated [[applyChanges]]: yesterday's state + today's
+  * log → today's state, and the operator is COMPOSITIONAL — snapshot
+  * at any cut + the remaining log gives bit-identical state to
+  * replaying the full log (the driver query pins this end to end).
+  *
+  * Scale shape: one hash partition on the table key (union + window
+  * row_number, the last-writer-wins pick), no joins — the snapshot
+  * rides the same shuffle as the log, deletes are a row-local filter
+  * after the pick. Determinism: the sequence columns must totally
+  * order each key's changes (pass a tiebreaker — e.g. (ts, change_id)
+  * — when timestamps can collide); snapshot rows rank below every
+  * change (nulls-last descending), which is the only correct place
+  * for them since a snapshot is by definition older than the log
+  * being applied.
+  */
+object Cdc {
+
+  /** @param snapshot base state (keys + payload, unique per key) or
+    *   None for a from-scratch build
+    * @param changes  change log carrying keys, payload, `seqCols`,
+    *   and `opCol` (non-null)
+    * @param payload  columns the state carries (besides the keys)
+    * @param seqCols  change order within a key, later wins; must be
+    *   non-null in `changes`
+    * @param deleteOp `opCol` value marking a delete; anything else
+    *   upserts
+    * @return current state: keys ++ payload, one row per live key */
+  def applyChanges(snapshot: Option[DataFrame], changes: DataFrame,
+      keys: Seq[String], payload: Seq[String], seqCols: Seq[String],
+      opCol: String, deleteOp: String = "D"): DataFrame = {
+    require(seqCols.nonEmpty, "applyChanges needs sequence columns")
+    val outCols = keys ++ payload
+    val c = changes.select(
+      (outCols.map(col) :+ col(opCol).as("__op")) ++
+        seqCols.zipWithIndex.map { case (s, i) => col(s).as(s"__seq$i") }: _*)
+    val all = snapshot match {
+      case Some(base) =>
+        val b = base.select(
+          (outCols.map(col) :+ lit("U").as("__op")) ++
+            seqCols.indices.map(i =>
+              lit(null).cast(c.schema(s"__seq$i").dataType).as(s"__seq$i")): _*)
+        c.unionByName(b)
+      case None => c
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(seqCols.indices.map(i => col(s"__seq$i").desc_nulls_last): _*)
+    all.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("__op") =!= deleteOp)
+      .select(outCols.map(col): _*)
+  }
+}

@@ -889,6 +889,30 @@ object EventQueries {
         .withColumnRenamed("id", "event_type")
     }),
 
+    // CDC APPLY (graft.operators.Cdc — the MERGE/upsert maintenance
+    // loop): events replay as a change log keyed by user ('error' =
+    // delete, anything else upserts the user's latest activity), and
+    // the query runs the COMPACTION shape — state snapshotted at a
+    // mid-history cut, then the remaining log applied on top — which
+    // must be bit-identical to replaying the full log (the oracle
+    // computes the full-history state directly)
+    "cdc_user_state" -> ((s, dir) => {
+      import graft.operators.Cdc
+      val ops = events(s, dir)
+        .select(col("user_id"), col("event_type"), cents.as("last_cents"),
+          col("ts"), col("event_id"))
+        .withColumn("op",
+          when(col("event_type") === "error", "D").otherwise("U"))
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00"))
+      val snap = Cdc.applyChanges(None, ops.where(col("ts") < cut),
+        Seq("user_id"), Seq("event_type", "last_cents"),
+        Seq("ts", "event_id"), "op")
+      Cdc.applyChanges(Some(snap), ops.where(col("ts") >= cut),
+          Seq("user_id"), Seq("event_type", "last_cents"),
+          Seq("ts", "event_id"), "op")
+        .withColumnRenamed("event_type", "last_type")
+    }),
+
     // PERSONALIZED PageRank seeded at 'signup': restart mass lands on
     // the seed only, so ranks measure PROXIMITY to signups through the
     // transition structure — the seed-expansion curation read
@@ -2873,6 +2897,18 @@ object EventQueries {
          |SELECT id AS event_type, CAST(rank_e9 AS BIGINT) AS rank_e9
          |FROM r5""".stripMargin
     },
+
+    // full-history last-writer state: the snapshot-at-cut composition
+    // the Spark side runs must collapse to exactly this
+    "cdc_user_state" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS last_cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, last_cents
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     // personalized variant: same unrolled CTEs, restart mass gated to
     // the 'signup' seed (|seeds| = 1 → i0 = 10⁹)
