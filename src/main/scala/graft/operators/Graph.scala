@@ -43,7 +43,11 @@ object Graph {
     */
   def weightedPageRankE9(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iters: Int, dampingE2: Int = 85): DataFrame = {
-    val (ew, nodes, n) = prepare(edges, srcCol, dstCol, wCol, iters, dampingE2)
+    val (ew, nodes) = prepare(edges, srcCol, dstCol, wCol, iters, dampingE2)
+    // the count is global rank's own need (init mass is 1e9/n); the
+    // personalized form sizes by its seed set and never pays this job
+    val n = nodes.count()
+    require(n > 0, "weightedPageRankE9: empty edge set")
     val init = 1000000000L / n
     val base = ((100L - dampingE2) * init) / 100L
     iterate(ew, nodes, lit(init), lit(base), iters, dampingE2)
@@ -60,26 +64,32 @@ object Graph {
   def personalizedPageRankE9(edges: DataFrame, srcCol: String,
       dstCol: String, wCol: String, seeds: Seq[String], iters: Int,
       dampingE2: Int = 85): DataFrame = {
-    require(seeds.nonEmpty, "personalizedPageRankE9 needs seed nodes")
-    val (ew, nodes0, _) =
-      prepare(edges, srcCol, dstCol, wCol, iters, dampingE2)
-    // seeds are part of the node set even if the edge frame never
-    // mentions them (restart mass must have somewhere to land)
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val nodes = nodes0.union(seeds.toDF("id")).distinct().localCheckpoint(true)
-    val init = 1000000000L / seeds.size
+    // a duplicated seed must not silently split the restart mass —
+    // the contract is a seed SET (mass is per distinct node)
+    val seedSet = seeds.distinct
+    require(seedSet.nonEmpty, "personalizedPageRankE9 needs seed nodes")
+    val (ew, nodes0) = prepare(edges, srcCol, dstCol, wCol,
+      iters, dampingE2, seedUnion = seedSet)
+    // an EMPTY (or all-zero-weight) graph is legal here: the seeds
+    // alone carry their restart mass, nothing flows — no node count
+    // is needed since mass is sized by the seed set
+    val init = 1000000000L / seedSet.size
     val seedBase = ((100L - dampingE2) * init) / 100L
-    val isSeed = col("id").isin(seeds: _*)
-    iterate(ew, nodes,
+    val isSeed = col("id").isin(seedSet: _*)
+    iterate(ew, nodes0,
       when(isSeed, lit(init)).otherwise(lit(0L)),
       when(isSeed, lit(seedBase)).otherwise(lit(0L)),
       iters, dampingE2)
   }
 
+  /** Shared setup: the checkpointed out-weighted edge frame and the
+    * checkpointed node set (graph nodes ∪ `seedUnion` — seeds are part
+    * of the node set even if the edge frame never mentions them:
+    * restart mass must have somewhere to land). One materialization
+    * per frame, no counting. */
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
-      wCol: String, iters: Int, dampingE2: Int)
-      : (DataFrame, DataFrame, Long) = {
+      wCol: String, iters: Int, dampingE2: Int,
+      seedUnion: Seq[String] = Nil): (DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 100, s"iters in [1,100], got $iters")
     require(dampingE2 >= 0 && dampingE2 <= 100,
       s"dampingE2 in [0,100], got $dampingE2")
@@ -95,13 +105,16 @@ object Graph {
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // reused every iteration: materialize once, lineage-free
     val ew = e.join(outw, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val graphNodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint(true)
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty edge set")
-    (ew, nodes, n)
+    val nodes =
+      (if (seedUnion.isEmpty) graphNodes
+       else graphNodes.union(seedUnion.toDF("id")))
+        .distinct()
+        .localCheckpoint(true)
+    (ew, nodes)
   }
 
   /** The shared power iteration: rank' = base(id) + d·Σ in-flow, all

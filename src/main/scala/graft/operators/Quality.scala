@@ -58,17 +58,22 @@ object Quality {
       case Satisfies(n, _) => require(safe.matches(n), s"unsafe name: $n")
       case _ => ()
     }
+    // duplicate declarations of the same check are one check (a
+    // machine-generated constraint list easily repeats itself; two
+    // identically-aliased agg columns would be an ambiguous reference)
     val rowLocal: Seq[(String, Column)] = constraints.collect {
       case NotNull(c) =>
         s"not_null($c)" -> col(c).isNull
       case Satisfies(n, p) =>
         s"satisfies($n)" -> !coalesce(p, lit(false))
-    }
+    }.distinctBy(_._1)
     val fused: Option[DataFrame] =
       if (rowLocal.isEmpty) None
       else {
+        // coalesce: sum() over an EMPTY batch is NULL, and an empty
+        // batch has zero violations, not a failed gate
         val aggs = rowLocal.map { case (n, violated) =>
-          sum(when(violated, 1L).otherwise(0L)).as(n) }
+          coalesce(sum(when(violated, 1L).otherwise(0L)), lit(0L)).as(n) }
         val one = df.agg(aggs.head, aggs.tail: _*)
         val stackArgs = rowLocal
           .map { case (n, _) => s"'$n', `$n`" }.mkString(", ")
@@ -77,17 +82,17 @@ object Quality {
       }
     val keyed: Seq[DataFrame] = constraints.collect {
       case Unique(cols) =>
-        df.groupBy(cols.map(col): _*)
-          .agg(count(lit(1)).as("__cnt"))
-          .agg(coalesce(sum(col("__cnt") - 1L), lit(0L)).as("violations"))
-          .select(lit(s"unique(${cols.mkString(",")})").as("check"),
-            col("violations"))
+        s"unique(${cols.mkString(",")})" ->
+          df.groupBy(cols.map(col): _*)
+            .agg(count(lit(1)).as("__cnt"))
+            .agg(coalesce(sum(col("__cnt") - 1L), lit(0L)).as("violations"))
       case ForeignKey(c, ref, rc, rn) =>
-        df.where(col(c).isNotNull)
-          .join(ref.select(col(rc).as(c)).distinct(), Seq(c), "left_anti")
-          .agg(count(lit(1)).as("violations"))
-          .select(lit(s"foreign_key($c->$rn.$rc)").as("check"),
-            col("violations"))
+        s"foreign_key($c->$rn.$rc)" ->
+          df.where(col(c).isNotNull)
+            .join(ref.select(col(rc).as(c)).distinct(), Seq(c), "left_anti")
+            .agg(count(lit(1)).as("violations"))
+    }.distinctBy(_._1).map { case (label, frame) =>
+      frame.select(lit(label).as("check"), col("violations"))
     }
     (fused.toSeq ++ keyed)
       .reduce(_.unionByName(_))

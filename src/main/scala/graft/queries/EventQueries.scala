@@ -56,6 +56,54 @@ object EventQueries {
   private val userBucket: Column =
     (col("user_id") % 10).cast(StringType).as("user_bucket")
 
+  /** The per-user event-type TRANSITION graph both PageRank queries
+    * rank: edge (a → b, w) = how often b immediately follows a in
+    * some user's stream (ordered by ts, then event_id for same-second
+    * determinism). One derivation — the global and personalized
+    * queries must never diverge on what the graph IS. */
+  private def transitionEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+
+  /** Unrolled 5-iteration integer-PageRank oracle over the transition
+    * graph — ONE arithmetic for both query oracles; the node set,
+    * init, r0, and per-step restart-mass expressions are injected
+    * (uniform vs seed-gated). */
+  private def pageRankOracleSql(nodesSql: String, initSql: String,
+      r0Sql: String, stepBaseSql: String): String = {
+    val iters = (0 until 5).map { k =>
+      s"""r${k + 1} AS (
+         |  SELECT n.id,
+         |    $stepBaseSql
+         |      + (85 * coalesce(s.s, 0)) // 100 AS rank_e9
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum((r.rank_e9 * e.w) // o.ow) AS s
+         |    FROM e JOIN r$k r ON r.id = e.src
+         |    JOIN ow o ON o.src = e.src
+         |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type AS src, lead(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |e AS (SELECT src, dst, count(*) AS w FROM seq
+       |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+       |nodes AS ($nodesSql),
+       |init AS ($initSql),
+       |r0 AS ($r0Sql),
+       |$iters
+       |SELECT id AS event_type, CAST(rank_e9 AS BIGINT) AS rank_e9
+       |FROM r5""".stripMargin
+  }
+
   /** Prepared frame for the Timeseries pipeline: grouping dims + ts +
     * value; when the query range is known it is pushed onto the raw
     * nanos column ([[eventsRanged]]) for parquet row-group pruning. */
@@ -870,24 +918,15 @@ object EventQueries {
 
     // LINK-ANALYSIS centrality (integer fixed-point weighted PageRank,
     // graft.operators.Graph) over the per-user event-type TRANSITION
-    // graph: edge (a → b, w) = how often b immediately follows a in
-    // some user's stream. The web-corpus quality-weighting operator
-    // (crawl curation ranks hosts this way) exercised on the fixture's
-    // natural graph; all-integer arithmetic makes the 5-iteration
-    // power method bit-reproducible against the unrolled SQL oracle
-    "events_pagerank" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val edges = events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("src"))
-        .withColumn("dst", lead(col("src"), 1).over(w))
-        .where(col("dst").isNotNull)
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    // graph. The web-corpus quality-weighting operator (crawl curation
+    // ranks hosts this way) exercised on the fixture's natural graph;
+    // all-integer arithmetic makes the 5-iteration power method
+    // bit-reproducible against the unrolled SQL oracle
+    "events_pagerank" -> ((s, dir) =>
       graft.operators.Graph
-        .weightedPageRankE9(edges, "src", "dst", "w", iters = 5)
-        .withColumnRenamed("id", "event_type")
-    }),
+        .weightedPageRankE9(transitionEdges(s, dir),
+          "src", "dst", "w", iters = 5)
+        .withColumnRenamed("id", "event_type")),
 
     // CDC APPLY (graft.operators.Cdc — the MERGE/upsert maintenance
     // loop): events replay as a change log keyed by user ('error' =
@@ -917,19 +956,11 @@ object EventQueries {
     // the seed only, so ranks measure PROXIMITY to signups through the
     // transition structure — the seed-expansion curation read
     // ("what does the good stuff link to?"); same integer contract
-    "events_ppr_signup" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val edges = events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("src"))
-        .withColumn("dst", lead(col("src"), 1).over(w))
-        .where(col("dst").isNotNull)
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    "events_ppr_signup" -> ((s, dir) =>
       graft.operators.Graph.personalizedPageRankE9(
-          edges, "src", "dst", "w", seeds = Seq("signup"), iters = 5)
-        .withColumnRenamed("id", "event_type")
-    }),
+          transitionEdges(s, dir), "src", "dst", "w",
+          seeds = Seq("signup"), iters = 5)
+        .withColumnRenamed("id", "event_type")),
 
     // K-ANONYMITY release gate (graft.operators.Pii): daily per-
     // (event_type, user_bucket) spend stats are released only when
@@ -2871,32 +2902,12 @@ object EventQueries {
     // the 5 power iterations unrolled as chained CTEs (standard SQL
     // forbids aggregation in a recursive term); every step is integer
     // division (`//`), mirroring the operator's DIV fixed-point
-    "events_pagerank" -> {
-      val iters = (0 until 5).map { k =>
-        s"""r${k + 1} AS (
-           |  SELECT n.id,
-           |    (SELECT ((100 - 85) * i0) // 100 FROM init)
-           |      + (85 * coalesce(s.s, 0)) // 100 AS rank_e9
-           |  FROM nodes n LEFT JOIN (
-           |    SELECT e.dst AS id, sum((r.rank_e9 * e.w) // o.ow) AS s
-           |    FROM e JOIN r$k r ON r.id = e.src
-           |    JOIN ow o ON o.src = e.src
-           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH seq AS (
-         |  SELECT event_type AS src, lead(event_type) OVER (
-         |    PARTITION BY user_id ORDER BY ts, event_id) AS dst
-         |  FROM events),
-         |e AS (SELECT src, dst, count(*) AS w FROM seq
-         |      WHERE dst IS NOT NULL GROUP BY 1, 2),
-         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
-         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-         |init AS (SELECT 1000000000 // count(*) AS i0 FROM nodes),
-         |r0 AS (SELECT id, (SELECT i0 FROM init) AS rank_e9 FROM nodes),
-         |$iters
-         |SELECT id AS event_type, CAST(rank_e9 AS BIGINT) AS rank_e9
-         |FROM r5""".stripMargin
-    },
+    "events_pagerank" -> pageRankOracleSql(
+      nodesSql = "SELECT src AS id FROM e UNION SELECT dst FROM e",
+      initSql =
+        "SELECT CAST(1000000000 AS BIGINT) // count(*) AS i0 FROM nodes",
+      r0Sql = "SELECT id, (SELECT i0 FROM init) AS rank_e9 FROM nodes",
+      stepBaseSql = "(SELECT ((100 - 85) * i0) // 100 FROM init)"),
 
     // full-history last-writer state: the snapshot-at-cut composition
     // the Spark side runs must collapse to exactly this
@@ -2912,40 +2923,18 @@ object EventQueries {
 
     // personalized variant: same unrolled CTEs, restart mass gated to
     // the 'signup' seed (|seeds| = 1 → i0 = 10⁹)
-    "events_ppr_signup" -> {
-      val iters = (0 until 5).map { k =>
-        s"""r${k + 1} AS (
-           |  SELECT n.id,
-           |    (CASE WHEN n.id = 'signup'
-           |       THEN (SELECT ((100 - 85) * i0) // 100 FROM init)
-           |       ELSE 0 END)
-           |      + (85 * coalesce(s.s, 0)) // 100 AS rank_e9
-           |  FROM nodes n LEFT JOIN (
-           |    SELECT e.dst AS id, sum((r.rank_e9 * e.w) // o.ow) AS s
-           |    FROM e JOIN r$k r ON r.id = e.src
-           |    JOIN ow o ON o.src = e.src
-           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH seq AS (
-         |  SELECT event_type AS src, lead(event_type) OVER (
-         |    PARTITION BY user_id ORDER BY ts, event_id) AS dst
-         |  FROM events),
-         |e AS (SELECT src, dst, count(*) AS w FROM seq
-         |      WHERE dst IS NOT NULL GROUP BY 1, 2),
-         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
-         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e
-         |          UNION SELECT 'signup'),
-         |init AS (SELECT CAST(1000000000 AS BIGINT) // 1 AS i0),
-         |r0 AS (SELECT id, CASE WHEN id = 'signup'
-         |         THEN (SELECT i0 FROM init) ELSE 0 END AS rank_e9
-         |       FROM nodes),
-         |$iters
-         |SELECT id AS event_type, CAST(rank_e9 AS BIGINT) AS rank_e9
-         |FROM r5""".stripMargin
-    },
+    "events_ppr_signup" -> pageRankOracleSql(
+      nodesSql = "SELECT src AS id FROM e UNION SELECT dst FROM e " +
+        "UNION SELECT 'signup'",
+      initSql = "SELECT CAST(1000000000 AS BIGINT) // 1 AS i0",
+      r0Sql = "SELECT id, CASE WHEN id = 'signup' " +
+        "THEN (SELECT i0 FROM init) ELSE 0 END AS rank_e9 FROM nodes",
+      stepBaseSql = "(CASE WHEN n.id = 'signup' THEN " +
+        "(SELECT ((100 - 85) * i0) // 100 FROM init) ELSE 0 END)"),
 
     "events_kanon_release" ->
-      """SELECT event_type, date_trunc('day', ts) AS day,
+      """SELECT event_type,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |  CAST(user_id % 10 AS VARCHAR) AS user_bucket,
         |  count(DISTINCT user_id) AS n_contributors,
         |  count(*) AS n_events,

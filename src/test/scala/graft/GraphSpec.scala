@@ -104,6 +104,21 @@ class GraphSpec extends SparkTestBase {
     val off = runP(Seq("zz"), 3)
     assert(off == referencePersonalized(edges, Seq("zz"), 3))
     assert(off("zz") == (15L * 1000000000L) / 100L)
+    // a duplicated seed must NOT split the restart mass — seeds are a
+    // set, so Seq("a","a") ranks exactly like Seq("a")
+    assert(runP(Seq("a", "a"), 4) == runP(Seq("a"), 4))
+  }
+
+  test("personalized on an EMPTY graph: seeds keep their restart mass") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    val got = Graph.personalizedPageRankE9(empty, "src", "dst", "w",
+        Seq("s1", "s2"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // |seeds| = 2 → init 5·10⁸ each; no edges → every iteration
+    // re-lands only the damped restart base
+    val base = (15L * (1000000000L / 2)) / 100L
+    assert(got == Map("s1" -> base, "s2" -> base))
   }
 
   test("dangling nodes rank at base; disconnected sinks still appear") {

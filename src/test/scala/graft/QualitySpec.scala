@@ -35,6 +35,27 @@ class QualitySpec extends SparkTestBase {
     assert(rep("foreign_key(k1->ref.rk)") == ((1L, "fail")))
   }
 
+  test("empty batch passes every check; duplicate constraints collapse") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "t")
+    // an empty batch has ZERO violations, not a failed gate (sum over
+    // no rows is NULL — must coalesce, for keyed and fused alike)
+    val rep = Quality.report(empty, Seq(
+        Quality.NotNull("id"),
+        Quality.Satisfies("t_short", length(col("t")) <= 5),
+        Quality.Unique(Seq("id"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rep.length == 3)
+    assert(rep.forall { case (_, v, st) => v == 0L && st == "pass" })
+    // a machine-generated list repeating a check is one check, not an
+    // ambiguous-reference crash
+    val dup = Quality.report(Seq((1L, "x")).toDF("id", "t"), Seq(
+        Quality.NotNull("id"), Quality.NotNull("id"),
+        Quality.Unique(Seq("id")), Quality.Unique(Seq("id"))))
+      .collect()
+    assert(dup.length == 2)
+  }
+
   test("clean frame passes every check; null predicate is a violation") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "t")
