@@ -72,6 +72,19 @@ object EventQueries {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
   }
 
+  /** Full-history last-writer CDC state — the one oracle both the
+    * batch snapshot-composition query and the streaming maintained-
+    * state twin must hash-match. */
+  private val cdcStateOracle: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS last_cents,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type AS last_type, last_cents
+      |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
   /** Unrolled 5-iteration integer-PageRank oracle over the transition
     * graph — ONE arithmetic for both query oracles; the node set,
     * init, r0, and per-step restart-mass expressions are injected
@@ -949,6 +962,18 @@ object EventQueries {
       Cdc.applyChanges(Some(snap), ops.where(col("ts") >= cut),
           Seq("user_id"), Seq("event_type", "last_cents"),
           Seq("ts", "event_id"), "op")
+        .withColumnRenamed("event_type", "last_type")
+    }),
+
+    // the STREAMING-maintained CDC state table under the same oracle:
+    // the change log replays as two micro-batches, each applying onto
+    // the previous committed state VERSION (v=0 → v=1); the final
+    // version must equal the batch operator's full-replay state —
+    // lateness rides the SEQUENCE columns, so the arrival split is
+    // semantically invisible
+    "stream_cdc_user_state" -> ((s, dir) => {
+      val path = streamedCdcState(s, dir)
+      graft.streaming.StreamingIngest.readState(s, path)
         .withColumnRenamed("event_type", "last_type")
     }),
 
@@ -2015,6 +2040,52 @@ object EventQueries {
           windowSeconds = 3600L, watermarkDelay = "0 seconds"))
     })
 
+  /** stream_cdc_user_state's maintained-state path, built once per
+    * (session, sf dir): the event change log lands as TWO parquet
+    * files (split mid-history) so the file stream replays it as two
+    * micro-batches through
+    * [[graft.streaming.StreamingIngest.maintainState]] — a real
+    * v=0 → v=1 version chain, not a single-apply degenerate. */
+  private val streamCdcDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def streamedCdcState(s: SparkSession, dir: String): String =
+    streamCdcDirs.getOrElseUpdate((s, dir), {
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val base = Files.createTempDirectory("graft_streamcdc").toString
+      val landing = s"$base/landing"
+      Files.createDirectories(Paths.get(landing))
+      val ops = events(s, dir)
+        .select(col("user_id"), col("event_type"), cents.as("last_cents"),
+          col("ts"), col("event_id"))
+        .withColumn("op",
+          when(col("event_type") === "error", "D").otherwise("U"))
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00"))
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dest = Paths.get(landing, s"$name.parquet")
+        Files.move(Paths.get(part), dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis()
+      land(ops.where(col("ts") < cut), "f1", t0)
+      land(ops.where(col("ts") >= cut), "f2", t0 + 60000L)
+      val stream = s.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      val q = graft.streaming.StreamingIngest
+        .maintainState(stream, Seq("user_id"),
+          Seq("event_type", "last_cents"), Seq("ts", "event_id"), "op",
+          s"$base/state")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s"$base/state"
+    })
+
   /** Shared bounded-replay choreography for the stateful streaming
     * twins (`stream_sessions` / `stream_user_features` /
     * `stream_anomalies`). Lands `f1` (the real-events projection) and
@@ -2910,16 +2981,10 @@ object EventQueries {
       stepBaseSql = "(SELECT ((100 - 85) * i0) // 100 FROM init)"),
 
     // full-history last-writer state: the snapshot-at-cut composition
-    // the Spark side runs must collapse to exactly this
-    "cdc_user_state" ->
-      """WITH ranked AS (
-        |  SELECT user_id, event_type,
-        |    CAST(round(value * 100) AS BIGINT) AS last_cents,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events)
-        |SELECT user_id, event_type AS last_type, last_cents
-        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // (batch) and the two-batch maintained version chain (stream)
+    // must both collapse to exactly this
+    "cdc_user_state" -> cdcStateOracle,
+    "stream_cdc_user_state" -> cdcStateOracle,
 
     // personalized variant: same unrolled CTEs, restart mass gated to
     // the 'signup' seed (|seeds| = 1 → i0 = 10⁹)

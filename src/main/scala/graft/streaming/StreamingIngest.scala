@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -243,6 +243,63 @@ object StreamingIngest {
           batch, textCol, idCol, path, nBuckets, batchId)
         ()
       }
+
+  /** Streaming-maintained CDC STATE TABLE — the continuous form of
+    * [[graft.operators.Cdc.applyChanges]]'s compaction loop: each
+    * micro-batch of keyed changes applies onto the previous COMMITTED
+    * state version and writes a full new version directory
+    * (`v=<batchId>`); [[readState]] serves the highest committed
+    * version. Replay safety is structural on two levels: a replayed
+    * batch recomputes from the version BELOW its own id (its own
+    * possibly-partial crash output is ignored and overwritten), and
+    * CDC apply is itself idempotent — re-applying the same changes
+    * under last-writer-wins cannot alter the state.
+    *
+    * Each version is the FULL state (reads never chase deltas — one
+    * plain parquet scan at any version count); superseded `v=` dirs
+    * are the caller's GC step, like retiring pre-erasure stores. No
+    * watermark and no streaming state: lateness is handled by the
+    * SEQUENCE columns, not arrival time — a late change with an old
+    * sequence number simply loses the per-key pick, exactly as in the
+    * batch operator. */
+  def maintainState(stream: DataFrame, keys: Seq[String],
+      payload: Seq[String], seqCols: Seq[String], opCol: String,
+      path: String, deleteOp: String = "D"): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val prev = latestStateVersion(s, path, below = batchId)
+          .map(v => s.read.parquet(s"$path/v=$v"))
+        graft.operators.Cdc
+          .applyChanges(prev, batch, keys, payload, seqCols, opCol, deleteOp)
+          .write.mode("overwrite").parquet(s"$path/v=$batchId")
+        ()
+      }
+
+  /** The current CDC state: the highest committed version under
+    * `path` (a version is committed once its `_SUCCESS` marker
+    * exists). */
+  def readState(spark: SparkSession, path: String): DataFrame =
+    latestStateVersion(spark, path)
+      .map(v => spark.read.parquet(s"$path/v=$v"))
+      .getOrElse(throw new IllegalStateException(
+        s"readState: no committed state version under $path"))
+
+  private def latestStateVersion(spark: SparkSession, path: String,
+      below: Long = Long.MaxValue): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val vs = fs.listStatus(p).toSeq.collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("v=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+          st.getPath.getName.stripPrefix("v=").toLong
+      }.filter(_ < below)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
 
   /** Streaming-maintained IVF vector store — the vector-plane mirror
     * of [[maintainTextIndex]]: each micro-batch of embeddings assigns

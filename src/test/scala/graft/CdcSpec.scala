@@ -49,6 +49,40 @@ class CdcSpec extends SparkTestBase {
     assert(state(got) == Set((1L, "second")))
   }
 
+  test("maintained state: version chain through a real stream, replay-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("cdc-state").toString
+    val src = MemoryStream[(Long, String, Long, String)]
+    val q = StreamingIngest.maintainState(
+        src.toDF().toDF("id", "v", "seq", "op"),
+        Seq("id"), Seq("v"), Seq("seq"), "op", s"$base/state")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    src.addData((1L, "a", 1L, "U"), (2L, "x", 2L, "U"))
+    q.processAllAvailable()
+    assert(state(StreamingIngest.readState(spark, s"$base/state")) ==
+      Set((1L, "a"), (2L, "x")))
+    src.addData((1L, "b", 3L, "U"), (2L, "_", 4L, "D"))
+    q.processAllAvailable()
+    q.stop()
+    assert(state(StreamingIngest.readState(spark, s"$base/state")) ==
+      Set((1L, "b")))
+    // full versions, not deltas: both dirs committed and readable
+    assert(new java.io.File(s"$base/state/v=0").isDirectory)
+    assert(new java.io.File(s"$base/state/v=1").isDirectory)
+    // crash replay of batch 1 = recompute v=1 FROM v=0 (the version
+    // below its id); last-writer-wins makes it land identically
+    val v0 = spark.read.parquet(s"$base/state/v=0")
+    val replayed = Cdc.applyChanges(Some(v0),
+      Seq((1L, "b", 3L, "U"), (2L, "_", 4L, "D")).toDF("id", "v", "seq", "op"),
+      Seq("id"), Seq("v"), Seq("seq"), "op")
+    assert(state(replayed) ==
+      state(spark.read.parquet(s"$base/state/v=1")))
+  }
+
   test("a change always outranks the snapshot, even at equal payload") {
     import spark.implicits._
     val snap = Seq((1L, "old"), (2L, "keep")).toDF("id", "v")
