@@ -124,7 +124,7 @@ object Graph {
   private def iterate(ew: DataFrame, nodes: DataFrame, initOf: org.apache.spark.sql.Column,
       baseOf: org.apache.spark.sql.Column, iters: Int, dampingE2: Int): DataFrame = {
     var rank = nodes.select(col("id"), initOf.as("rank_e9"))
-    for (_ <- 0 until iters) {
+    for (i <- 1 to iters) {
       val sums = ew
         .join(rank.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"),
@@ -134,7 +134,11 @@ object Graph {
         .select(col("id"),
           (baseOf +
             expr(s"($dampingE2 * coalesce(s, 0L)) DIV 100")).as("rank_e9"))
-        .localCheckpoint(true)
+      // bound lineage WITHOUT an eager job per round: a short chain
+      // (≤10 iterations) executes as one lazy job; longer runs cut
+      // their plan every 10th round — the checkpoint cadence trade
+      // between job-launch overhead and plan depth
+      if (i % 10 == 0 && i < iters) rank = rank.localCheckpoint(true)
     }
     rank
   }
