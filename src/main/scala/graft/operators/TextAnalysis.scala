@@ -114,6 +114,87 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("n_unk"), col("ids_md5"))
   }
 
+  /** BPE MERGE TRAINING — the trainer-side twin of the vocab-mapped
+    * tokenization above: learn the ordered merge table a byte-pair
+    * tokenizer is defined by. The classic word-frequency formulation
+    * (Sennrich et al. 2016, "Neural Machine Translation of Rare
+    * Words with Subword Units"): training cost scales with the
+    * DISTINCT-WORD dictionary, not the corpus — one corpus pass
+    * builds (word, freq), then every iteration runs on that compact
+    * frame. Per merge step: adjacent-symbol pairs explode with their
+    * word frequencies (one aggregation), the most frequent pair wins
+    * (deterministic tie-break: freq desc, then left/right asc — so
+    * the merge table is independent of partitioning), and the merge
+    * applies row-locally (greedy left-to-right, the BPE rule) to the
+    * dictionary for the next round.
+    *
+    * Scale shape: the iterated state is the word dictionary — at
+    * 100 TB of text still ~10⁸ rows of short symbol arrays, three
+    * orders of magnitude under the corpus — checkpointed per step
+    * (O(1) lineage); the per-step driver traffic is ONE argmax row.
+    * O(nMerges) passes by construction; nMerges is a training
+    * hyperparameter (10⁴–10⁵ in production BPE), so the loop is the
+    * honest cost of the algorithm, not an artifact. Deliberately
+    * NOT SQL-expressible (each step's tokenization depends on the
+    * previous step's learned merge — an aggregation inside a
+    * recursion), so the driver records the weaker rows-check; the
+    * spec pins the merge table against a hand-computed reference.
+    *
+    * @return one row per learned merge: (step, left, right, freq) */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 10000, s"nMerges: $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var dict = words.as[(String, Long)]
+      .map { case (w, f) =>
+        (w.map(_.toString).toIndexedSeq :+ "</w>", f) }
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = dict
+        .flatMap { case (syms, f) =>
+          if (syms.length < 2) Iterator.empty
+          else syms.sliding(2).map(p => (p(0), p(1), f))
+        }
+        .toDF("l", "r", "f")
+        .groupBy(col("l"), col("r")).agg(sum(col("f")).as("freq"))
+        .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+        .head(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, f))
+        dict = dict
+          .map { case (syms, freq) => (mergePair(syms, l, r), freq) }
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "freq")
+  }
+
+  /** One greedy left-to-right BPE merge application (the tokenizer
+    * rule: after (l, r) is learned, every non-overlapping adjacent
+    * occurrence becomes the fused symbol, scanning left to right). */
+  private[graft] def mergePair(syms: IndexedSeq[String], l: String,
+      r: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
   /** Approximate heavy-hitters top-`k` terms via per-partition
     * MISRA–GRIES summaries + an exact recount of the merged candidate
     * set — the bounded-memory alternative to the exact

@@ -363,6 +363,18 @@ object DocumentQueries {
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 3)),
 
+    // BPE merge TRAINING (TextAnalysis.bpeTrain — the trainer-side
+    // twin of tokenize_with_vocab): the ordered merge table learned
+    // from the corpus's word-frequency dictionary, 12 steps.
+    // Deliberately has NO SQL oracle (each step's tokenization depends
+    // on the previous learned merge — aggregation inside recursion is
+    // inexpressible in DuckDB SQL), so the driver records the weaker
+    // rows-check; DedupTextSpec pins the merge table against a
+    // hand-computed reference, and determinism is by construction
+    // (exact long counts, total-order tie-break)
+    "bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 12)),
+
     // language-ID + token counting + quality scoring per doc (kernel
     // form of langId/tokenCount/bpeishCount/qualityScoreE4)
     "text_stats" -> ((s, dir) =>

@@ -780,4 +780,30 @@ class DedupTextSpec extends SparkTestBase {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("bpeTrain: hand-computed merge tables, greedy overlap, exhaustion") {
+    import spark.implicits._
+    // aa×2, ab×1 — exercises the </w> tie-break ('<' sorts below 'a'),
+    // merge chaining, and EXHAUSTION (only 4 merges exist; asking for
+    // 6 must stop at 4, not loop)
+    val tiny = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(tiny, "text", nMerges = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, "a", "</w>", 2L), (2, "a", "a</w>", 2L),
+      (3, "a", "b", 1L), (4, "ab", "</w>", 1L)))
+
+    // the classic shape: shared stems merge first, by frequency
+    val classic = Seq((1L, "low lowest low"), (2L, "low")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(classic, "text", nMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(m == Seq((1, "l", "o", 4L), (2, "lo", "w", 4L),
+      (3, "low", "</w>", 3L)))
+
+    // greedy left-to-right overlap: [a,a,a] under (a,a) → [aa, a]
+    assert(TextAnalysis.mergePair(IndexedSeq("a", "a", "a"), "a", "a") ==
+      IndexedSeq("aa", "a"))
+  }
 }
