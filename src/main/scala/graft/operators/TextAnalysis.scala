@@ -180,6 +180,55 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "left", "right", "freq")
   }
 
+  /** BPE tokenization with a learned merge table — the SERVING side
+    * of [[bpeTrain]] (subword-nmt semantics: repeatedly merge the
+    * present pair with the LOWEST learned rank until none applies,
+    * each application greedy left-to-right). The merge table
+    * broadcasts as a rank map (a 50k-merge table is ~1 MB); the walk
+    * is row-local — one pass over input splits, no shuffles beyond
+    * the source read. Unknown characters pass through as themselves
+    * (byte-fallback-style), so tokenization is total.
+    *
+    * Output: (idCol, n_pieces, pieces_md5) — the digest pins every
+    * piece and its order for cross-run comparison. */
+  def bpeTokenize(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rankBc = spark.sparkContext.broadcast(
+      merges.zipWithIndex.toMap)
+    df.select(col(idCol).cast(LongType), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rank = rankBc.value
+        it.map { case (id, text) =>
+          val pieces = text.toLowerCase.split("\\s+")
+            .filter(_.nonEmpty)
+            .flatMap { wd =>
+              var syms: IndexedSeq[String] =
+                wd.map(_.toString).toIndexedSeq :+ "</w>"
+              var done = false
+              while (!done && syms.length > 1) {
+                var best = Int.MaxValue
+                var bl = ""; var br = ""
+                var i = 0
+                while (i < syms.length - 1) {
+                  val rk = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+                  if (rk < best) { best = rk; bl = syms(i); br = syms(i + 1) }
+                  i += 1
+                }
+                if (best == Int.MaxValue) done = true
+                else syms = mergePair(syms, bl, br)
+              }
+              syms
+            }
+          (id, pieces.length.toLong,
+            graft.operators.Dedup.md5Hex(pieces.mkString(" ")))
+        }
+      }
+      .toDF(idCol, "n_pieces", "pieces_md5")
+  }
+
   /** One greedy left-to-right BPE merge application (the tokenizer
     * rule: after (l, r) is learned, every non-overlapping adjacent
     * occurrence becomes the fused symbol, scanning left to right). */

@@ -16,6 +16,23 @@ object DocumentQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** BPE training result shared by `bpe_merges` and `bpe_tokenize`,
+    * computed once per (session, corpus dir): the merge-table frame
+    * (collected — 12 rows) and the ordered (left, right) pairs the
+    * tokenizer consumes. Training is the artifact; serving reuses it. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Seq[(String, String)])]
+  private def trainedBpe(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(String, String)]) =
+    bpeCache.getOrElseUpdate((s, dir), {
+      val m = graft.operators.TextAnalysis
+        .bpeTrain(docs(s, dir), "text", nMerges = 12)
+        .localCheckpoint(true)
+      val pairs = m.orderBy(col("step"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      (m, pairs)
+    })
+
   /** Materialized near-dup pair list, computed once per (session,
     * corpus dir) and persisted to parquet — the pipeline's deployment
     * shape: pair generation is an ARTIFACT consumed by several
@@ -372,8 +389,15 @@ object DocumentQueries {
     // rows-check; DedupTextSpec pins the merge table against a
     // hand-computed reference, and determinism is by construction
     // (exact long counts, total-order tie-break)
-    "bpe_merges" -> ((s, dir) =>
-      TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 12)),
+    "bpe_merges" -> ((s, dir) => trainedBpe(s, dir)._1),
+
+    // the SERVING side: tokenize the corpus with the learned table
+    // (subword-nmt lowest-rank-first application, row-local walk);
+    // same rows-check rationale as the trainer it depends on
+    "bpe_tokenize" -> ((s, dir) => {
+      val (_, merges) = trainedBpe(s, dir)
+      TextAnalysis.bpeTokenize(docs(s, dir), "text", "doc_id", merges)
+    }),
 
     // language-ID + token counting + quality scoring per doc (kernel
     // form of langId/tokenCount/bpeishCount/qualityScoreE4)

@@ -806,4 +806,25 @@ class DedupTextSpec extends SparkTestBase {
     assert(TextAnalysis.mergePair(IndexedSeq("a", "a", "a"), "a", "a") ==
       IndexedSeq("aa", "a"))
   }
+
+  test("bpeTokenize: lowest-rank-first application, unknown chars pass") {
+    import spark.implicits._
+    // merges learned from the classic corpus: (l,o), (lo,w), (low,</w>)
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val df = Seq((1L, "low"), (2L, "lower"), (3L, "xyz low"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenize(df, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // "low" → [low</w>]; "lower" → [low, e, r, </w>] (rank of (l,o)
+    // beats nothing else; (low,</w>) never applies mid-word);
+    // "xyz" has no learned pairs → [x, y, z, </w>]
+    assert(got(1L)._1 == 1L)
+    assert(got(2L)._1 == 4L)
+    assert(got(3L)._1 == 4L + 1L)
+    assert(got(1L)._2 == graft.operators.Dedup.md5Hex("low</w>"))
+    assert(got(2L)._2 == graft.operators.Dedup.md5Hex("low e r </w>"))
+    assert(got(3L)._2 ==
+      graft.operators.Dedup.md5Hex("x y z </w> low</w>"))
+  }
 }

@@ -115,6 +115,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("SCD point-in-time read rides the as-of shape: no interval join") {
+    val p = plan("scd_click_level")
+    // the validity-interval lookup must be the union+window as-of
+    // composition — an interval theta-join would pair per key
+    // quadratically. (The change-log build adds its own windows; the
+    // pin is on JOIN ABSENCE in the lookup, then one final count agg.)
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("grouping-path fan-out is one Expand + one shuffle, no joins") {
     val p = plan("ts_grouping_paths")
     // every grouping path aggregates in ONE pass (Expand feeds a single
