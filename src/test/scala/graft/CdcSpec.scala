@@ -83,6 +83,38 @@ class CdcSpec extends SparkTestBase {
       state(spark.read.parquet(s"$base/state/v=1")))
   }
 
+  test("fuzz: random logs — full replay == reference == snapshot+rest at any cut") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 5) {
+      val n = 20 + rnd.nextInt(30)
+      // seq values drawn 1..n*2 with collisions possible → tiebreak col
+      val log = (0 until n).map { i =>
+        (rnd.nextInt(6).toLong,                     // key
+          s"v$i",                                   // payload
+          (1L + rnd.nextInt(n * 2)),                // seq (collides)
+          i.toLong,                                 // tiebreak (unique)
+          if (rnd.nextInt(4) == 0) "D" else "U")
+      }
+      // in-memory reference: last (seq, tie) wins per key; D removes
+      val ref = log.groupBy(_._1).flatMap { case (k, es) =>
+        val last = es.maxBy(e => (e._3, e._4))
+        if (last._5 == "D") None else Some((k, last._2))
+      }.toSet
+      val df = log.toDF("id", "v", "seq", "tie", "op")
+      val full = Cdc.applyChanges(None, df, Seq("id"), Seq("v"),
+        Seq("seq", "tie"), "op")
+      assert(state(full) == ref, s"trial $trial full")
+      // arbitrary cut on the SEQUENCE (not arrival): snapshot + rest
+      val cut = 1L + rnd.nextInt(n * 2)
+      val snap = Cdc.applyChanges(None, df.where($"seq" <= cut),
+        Seq("id"), Seq("v"), Seq("seq", "tie"), "op")
+      val resumed = Cdc.applyChanges(Some(snap), df.where($"seq" > cut),
+        Seq("id"), Seq("v"), Seq("seq", "tie"), "op")
+      assert(state(resumed) == ref, s"trial $trial cut=$cut")
+    }
+  }
+
   test("a change always outranks the snapshot, even at equal payload") {
     import spark.implicits._
     val snap = Seq((1L, "old"), (2L, "keep")).toDF("id", "v")

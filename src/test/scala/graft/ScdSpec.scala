@@ -54,6 +54,34 @@ class ScdSpec extends SparkTestBase {
       "flip" -> Some("gold"), "open" -> Some("bronze"), "nokey" -> None))
   }
 
+  test("fuzz: pointInTime == brute-force latest-change-at-or-before") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 5) {
+      def t(day: Int): Timestamp = ts(f"2024-01-$day%02dT00:00")
+      val changes = (0 until 25).map { i =>
+        (rnd.nextInt(4).toLong, t(1 + rnd.nextInt(20)), i.toLong, s"a$i")
+      }
+      val facts = (0 until 40).map { i =>
+        (rnd.nextInt(5).toLong, t(1 + rnd.nextInt(25)), i.toLong)
+      }
+      // brute force: the attribute of the latest change with
+      // change.ts <= fact.ts (ties by ord desc), else null
+      val ref = facts.map { case (k, at, fid) =>
+        val cands = changes.filter(c => c._1 == k && !c._2.after(at))
+        fid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(c => (c._2.getTime, c._3))._4))
+      }.toMap
+      val scd2 = Scd.buildType2(
+        changes.toDF("k", "at", "ord", "attr"), Seq("k"), "at", col("ord"))
+      val got = Scd.pointInTime(facts.toDF("k", "at", "fid"), scd2,
+          Seq("k"), "at", Seq("attr"))
+        .collect().map(r => r.getAs[Long]("fid") ->
+          Option(r.getAs[String]("attr"))).toMap
+      assert(got == ref, s"trial $trial")
+    }
+  }
+
   test("pointInTime on a GAPPED hand-maintained table nulls inside the gap") {
     import spark.implicits._
     // validity ends 01-10 but the next version only starts 01-20
