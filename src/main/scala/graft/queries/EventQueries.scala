@@ -965,6 +965,18 @@ object EventQueries {
         .withColumnRenamed("event_type", "last_type")
     }),
 
+    // STREAMING quality monitoring: each micro-batch's violation
+    // report (graft.operators.Quality) lands with its batch id — the
+    // per-batch trend a degrading feed shows up in. The landing split
+    // is the same deterministic mid-history cut the CDC twin uses, so
+    // the oracle recomputes each batch's report exactly
+    "stream_quality_monitor" -> ((s, dir) => {
+      val path = streamedQualityReports(s, dir)
+      s.read.parquet(path)
+        .select(col("batch_id"), col("check"), col("violations"),
+          col("status"))
+    }),
+
     // the STREAMING-maintained CDC state table under the same oracle:
     // the change log replays as two micro-batches, each applying onto
     // the previous committed state VERSION (v=0 → v=1); the final
@@ -2086,6 +2098,49 @@ object EventQueries {
       s"$base/state"
     })
 
+  /** stream_quality_monitor's per-batch report path, built once per
+    * (session, sf dir): same two-file mid-history landing split as
+    * [[streamedCdcState]], through
+    * [[graft.streaming.StreamingIngest.monitorQuality]]. */
+  private val streamQualityDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def streamedQualityReports(s: SparkSession, dir: String): String =
+    streamQualityDirs.getOrElseUpdate((s, dir), {
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      import graft.operators.Quality
+      val base = Files.createTempDirectory("graft_streamqual").toString
+      val landing = s"$base/landing"
+      Files.createDirectories(Paths.get(landing))
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00"))
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dest = Paths.get(landing, s"$name.parquet")
+        Files.move(Paths.get(part), dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis()
+      land(ev.where(col("ts") < cut), "f1", t0)
+      land(ev.where(col("ts") >= cut), "f2", t0 + 60000L)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      val q = graft.streaming.StreamingIngest
+        .monitorQuality(stream, Seq(
+          Quality.NotNull("user_id"),
+          Quality.Satisfies("value_nonneg", col("value") >= 0),
+          Quality.Unique(Seq("event_id"))), s"$base/reports")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s"$base/reports"
+    })
+
   /** Shared bounded-replay choreography for the stateful streaming
     * twins (`stream_sessions` / `stream_user_features` /
     * `stream_anomalies`). Lands `f1` (the real-events projection) and
@@ -2985,6 +3040,33 @@ object EventQueries {
     // must both collapse to exactly this
     "cdc_user_state" -> cdcStateOracle,
     "stream_cdc_user_state" -> cdcStateOracle,
+
+    // per-batch quality reports: the oracle re-derives each batch
+    // from the same deterministic mid-history split and recomputes
+    // every check with the operator's exact semantics (null
+    // predicate = violation; uniqueness = surplus rows per key)
+    "stream_quality_monitor" ->
+      """WITH b AS (
+        |  SELECT *, CAST(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+        |    THEN 0 ELSE 1 END AS BIGINT) AS batch_id
+        |  FROM events),
+        |v AS (
+        |  SELECT batch_id, 'not_null(user_id)' AS "check",
+        |    CAST(count(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT)
+        |      AS violations
+        |  FROM b GROUP BY 1
+        |  UNION ALL
+        |  SELECT batch_id, 'satisfies(value_nonneg)',
+        |    CAST(count(CASE WHEN NOT coalesce(value >= 0, false)
+        |      THEN 1 END) AS BIGINT)
+        |  FROM b GROUP BY 1
+        |  UNION ALL
+        |  SELECT batch_id, 'unique(event_id)',
+        |    CAST(count(*) - count(DISTINCT (event_id)) AS BIGINT)
+        |  FROM b GROUP BY 1)
+        |SELECT batch_id, "check", violations,
+        |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM v""".stripMargin,
 
     // personalized variant: same unrolled CTEs, restart mass gated to
     // the 'signup' seed (|seeds| = 1 → i0 = 10⁹)

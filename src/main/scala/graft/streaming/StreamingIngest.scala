@@ -277,6 +277,29 @@ object StreamingIngest {
         ()
       }
 
+  /** Streaming per-batch QUALITY MONITORING — the time axis of the
+    * declarative gate ([[graft.operators.Quality.report]]): every
+    * micro-batch's violation report lands under its own
+    * `__batch_id=` directory with the batch id as a column, so a
+    * degrading feed shows up as a per-batch trend, not a single
+    * aggregate. Constraints evaluate WITHIN each micro-batch
+    * (uniqueness/referential checks are per-batch by construction —
+    * cross-batch invariants belong to an offline pass over the
+    * store). Replays overwrite their own directory (effectively-once
+    * like every maintained store); an empty batch reports zero
+    * violations and passes. */
+  def monitorQuality(stream: DataFrame,
+      constraints: Seq[graft.operators.Quality.Constraint],
+      path: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Quality.report(batch, constraints)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$path/__batch_id=$batchId")
+        ()
+      }
+
   /** The current CDC state: the highest committed version under
     * `path` (a version is committed once its `_SUCCESS` marker
     * exists). */
