@@ -90,7 +90,7 @@ object Graph {
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iters: Int, dampingE2: Int,
       seedUnion: Seq[String] = Nil): (DataFrame, DataFrame) = {
-    require(iters >= 1 && iters <= 100, s"iters in [1,100], got $iters")
+    require(iters >= 1 && iters <= 1000, s"iters in [1,1000], got $iters")
     require(dampingE2 >= 0 && dampingE2 <= 100,
       s"dampingE2 in [0,100], got $dampingE2")
     // non-positive weights are meaningless for a random surfer and a
@@ -117,6 +117,47 @@ object Graph {
     (ew, nodes)
   }
 
+  /** [[weightedPageRankE9]] iterated to CONVERGENCE — stop when an
+    * iteration moves no rank by more than `tolE9` (absolute, in e9
+    * units), or at `maxIters`. The residual shrinks geometrically at
+    * rate d until it reaches the truncation noise floor: the integer
+    * DIV iteration then ORBITS a tiny limit cycle (measured period
+    * ≤ 3, amplitude a few units — it does NOT reach strict equality
+    * in general), so the tolerance is the honest stopping rule; with
+    * integer deltas the check itself is exact arithmetic and the
+    * whole run stays deterministic. Each probe is one node-sized
+    * join + max aggregate.
+    *
+    * @return (ranks at the stop, iterations actually run; a result
+    *   with iterations == maxIters did not meet the tolerance) */
+  def weightedPageRankE9Converged(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, maxIters: Int = 200,
+      tolE9: Long = 16L, dampingE2: Int = 85): (DataFrame, Int) = {
+    require(tolE9 >= 0, s"tolE9 must be >= 0, got $tolE9")
+    val (ew, nodes) = prepare(edges, srcCol, dstCol, wCol,
+      maxIters, dampingE2)
+    val n = nodes.count()
+    require(n > 0, "weightedPageRankE9Converged: empty edge set")
+    val init = 1000000000L / n
+    val base = ((100L - dampingE2) * init) / 100L
+    var rank = nodes.select(col("id"), lit(init).as("rank_e9"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = step(ew, nodes, rank, lit(base), dampingE2)
+        .localCheckpoint(true)
+      val maxDelta = next
+        .join(rank.withColumnRenamed("rank_e9", "prev"), "id")
+        .agg(max(abs(col("rank_e9") - col("prev"))))
+        .head.getLong(0)
+      converged = maxDelta <= tolE9
+      rank = next
+      it += 1
+    }
+    (rank, it)
+  }
+
   /** The shared power iteration: rank' = base(id) + d·Σ in-flow, all
     * integer. `initOf`/`baseOf` are per-node column expressions over
     * the node frame (uniform for global rank, seed-gated for the
@@ -125,15 +166,7 @@ object Graph {
       baseOf: org.apache.spark.sql.Column, iters: Int, dampingE2: Int): DataFrame = {
     var rank = nodes.select(col("id"), initOf.as("rank_e9"))
     for (i <- 1 to iters) {
-      val sums = ew
-        .join(rank.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"),
-          expr("(rank_e9 * w) DIV ow").as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("s"))
-      rank = nodes.join(sums, Seq("id"), "left")
-        .select(col("id"),
-          (baseOf +
-            expr(s"($dampingE2 * coalesce(s, 0L)) DIV 100")).as("rank_e9"))
+      rank = step(ew, nodes, rank, baseOf, dampingE2)
       // bound lineage WITHOUT an eager job per round: a short chain
       // (≤10 iterations) executes as one lazy job; longer runs cut
       // their plan every 10th round — the checkpoint cadence trade
@@ -141,5 +174,18 @@ object Graph {
       if (i % 10 == 0 && i < iters) rank = rank.localCheckpoint(true)
     }
     rank
+  }
+
+  private def step(ew: DataFrame, nodes: DataFrame, rank: DataFrame,
+      baseOf: org.apache.spark.sql.Column, dampingE2: Int): DataFrame = {
+    val sums = ew
+      .join(rank.withColumnRenamed("id", "src"), "src")
+      .select(col("dst").as("id"),
+        expr("(rank_e9 * w) DIV ow").as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("s"))
+    nodes.join(sums, Seq("id"), "left")
+      .select(col("id"),
+        (baseOf +
+          expr(s"($dampingE2 * coalesce(s, 0L)) DIV 100")).as("rank_e9"))
   }
 }

@@ -131,6 +131,33 @@ class GraphSpec extends SparkTestBase {
     assert(got("a") == (15L * init) / 100L)
   }
 
+  test("convergence driver: stationary graph stops at once; general " +
+      "graph lands on the truncation orbit") {
+    import spark.implicits._
+    // the two-node cycle is stationary from the first step: the
+    // driver detects a zero delta immediately
+    val cyc = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val (r1, it1) = Graph.weightedPageRankE9Converged(cyc, "src", "dst", "w")
+    assert(it1 == 1, s"ran $it1 iterations on a stationary graph")
+    assert(r1.collect().map(x => x.getString(0) -> x.getLong(1)).toMap ==
+      Map("a" -> 500000000L, "b" -> 500000000L))
+    // a graph whose integer iteration orbits a small limit cycle
+    // (period 3, few-unit amplitude — measured): the tolerance rule
+    // must stop well before maxIters, and the result must sit within
+    // a hair of a long fixed-iteration run
+    val g = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L),
+      ("b", "a", 1L)).toDF("src", "dst", "w")
+    val (fix, it2) = Graph.weightedPageRankE9Converged(g, "src", "dst", "w")
+    assert(it2 < 200, "did not converge")
+    val fixM = fix.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val long = Graph.weightedPageRankE9(g, "src", "dst", "w", iters = 100)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    fixM.keys.foreach { k =>
+      assert(math.abs(fixM(k) - long(k)) <= 64L,
+        s"$k: ${fixM(k)} vs ${long(k)}")
+    }
+  }
+
   test("zero-weight edges are dropped (no division by zero)") {
     // c's only out-edge has weight 0 → c is effectively dangling;
     // the zero edge must not reach the contribution division
