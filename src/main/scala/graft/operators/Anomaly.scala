@@ -133,6 +133,72 @@ object Anomaly {
     df.withColumn("ewma_e4", foldFn(l))
   }
 
+  /** Two-sided CUSUM change-point statistics per entity — the DRIFT
+    * detector beside [[trailingZFlags]]'s spike detector: a z-test
+    * sees single outliers, CUSUM accumulates small sustained shifts
+    * away from a known target level until the evidence crosses a
+    * decision threshold (Page 1954's sequential test, the standard
+    * SPC form).
+    *
+    * Semantics (classical tabular CUSUM, all integer):
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − target − slack))   upward shift
+    *   S⁻_t = max(0, S⁻_{t−1} + (target − slack − x_t))   downward shift
+    *   shift flagged when S⁺_t ≥ threshold or S⁻_t ≥ threshold
+    *
+    * The recursion is NOT computed recursively: `max(0, acc + d)` has
+    * the closed form  S_t = C_t − min(0, min_{j≤t} C_j)  over the
+    * prefix sums C of the drift terms, so both statistics are two
+    * window passes (running sum, then running min of that sum) over
+    * ONE per-entity sort — the same shape every per-entity pass in
+    * this module shares, no recursion, no UDAF, no state. That closed
+    * form is also what makes the operator ORACLE-EXACT: the identical
+    * window algebra runs in any ANSI SQL engine, where a recursive
+    * definition would need per-series recursive CTEs.
+    *
+    * Exactness/overflow: inputs are scaled longs (cents); prefix sums
+    * grow at most |x−target−slack|·seriesLength, raising under ANSI on
+    * long overflow (asserted like [[trailingZFlags]]) rather than
+    * wrapping — at cents scale that admits series beyond 10¹⁴ rows.
+    *
+    * Scale shape: one hash partitioning on the entity key, two
+    * same-spec window passes (Spark plans one Sort + one Exchange;
+    * the second pass reuses the first's ordering), O(1) state per
+    * open frame. No join, no collect.
+    *
+    * @param target    known reference level (same scale as valueCol)
+    * @param slack     allowance k — drifts smaller than `slack` per
+    *                  observation never accumulate (noise deadband)
+    * @param threshold decision interval h — flag once a side's
+    *                  statistic reaches it
+    * @return input columns + `s_pos`, `s_neg`, `is_shift` */
+  def cusumFlags(df: DataFrame, entityCol: Column, orderCols: Seq[Column],
+      valueCol: Column, target: Long, slack: Long,
+      threshold: Long): DataFrame = {
+    require(slack >= 0, s"cusum slack must be >= 0, got $slack")
+    require(threshold > 0, s"cusum threshold must be > 0, got $threshold")
+    require(df.sparkSession.sessionState.conf.ansiEnabled,
+      "Anomaly.cusumFlags requires spark.sql.ansi.enabled=true: with " +
+      "ANSI off, a prefix-sum long overflow wraps silently and the " +
+      "statistics (and every downstream alarm) corrupt instead of raising")
+    val w = Window.partitionBy(entityCol).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = valueCol.cast("long")
+    val withPrefix = df
+      .withColumn("graft_cusum_cpos", sum(x - lit(target + slack)).over(w))
+      .withColumn("graft_cusum_cneg", sum(lit(target - slack) - x).over(w))
+    val sPos = col("graft_cusum_cpos") -
+      least(min(col("graft_cusum_cpos")).over(w), lit(0L))
+    val sNeg = col("graft_cusum_cneg") -
+      least(min(col("graft_cusum_cneg")).over(w), lit(0L))
+    withPrefix
+      .withColumn("s_pos", sPos)
+      .withColumn("s_neg", sNeg)
+      .withColumn("is_shift",
+        col("s_pos") >= threshold || col("s_neg") >= threshold)
+      .drop("graft_cusum_cpos", "graft_cusum_cneg")
+  }
+
   /** The composed (higher-order-function) Horner fold — the default
     * `foldFn` of [[ewma]] and the semantic reference its codegen twin
     * is pinned against. */

@@ -1406,6 +1406,27 @@ object EventQueries {
           col("ewma_e4"))
     }),
 
+    // CUSUM change-point detection (graft.operators.Anomaly.cusumFlags
+    // — Page's sequential test): sustained per-user spend drift away
+    // from a 50.00 target accumulates past a 200.00 decision interval
+    // where the z-flagger only sees single spikes. The recursion runs
+    // as its prefix-sum/running-min closed form — two same-sort window
+    // passes, integer-exact, which is also what lets the oracle state
+    // the identical algebra in plain window SQL
+    "event_cusum" -> ((s, dir) => {
+      import graft.operators.Anomaly
+      val e = events(s, dir)
+        .where(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("sec"), cents.as("value_cents"))
+      Anomaly.cusumFlags(e, col("user_id"),
+          Seq(col("sec"), col("event_id")), col("value_cents"),
+          target = 5000L, slack = 1000L, threshold = 20000L)
+        .where(col("is_shift"))
+        .select(col("event_id"), col("user_id"), col("value_cents"),
+          col("s_pos"), col("s_neg"))
+    }),
+
     // Catalyst rollup routing (SURVEY §4's custom-Rule upgrade of
     // `best-grouping`): a plain DataFrame aggregate over raw events is
     // transparently rewritten by graft.plans.RollupRouteRule to scan
@@ -2295,7 +2316,33 @@ object EventQueries {
       |    (((1::BIGINT) << len(l)) - 1)) AS BIGINT) AS ewma_e4
       |FROM w""".stripMargin
 
+  /** CUSUM oracle — the SAME closed form (prefix sums, then running
+    * min) in DuckDB window SQL; constants are target±slack pre-folded
+    * (6000 = target+slack, 4000 = target−slack). */
+  private val cusumSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+      |         CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events WHERE user_id < 40),
+      |c AS (
+      |  SELECT event_id, user_id, sec, x,
+      |    CAST(sum(x - 6000) OVER w AS BIGINT) AS cpos,
+      |    CAST(sum(4000 - x) OVER w AS BIGINT) AS cneg
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (
+      |  SELECT event_id, user_id, x,
+      |    cpos - least(min(cpos) OVER w, 0) AS s_pos,
+      |    cneg - least(min(cneg) OVER w, 0) AS s_neg
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, x AS value_cents, s_pos, s_neg
+      |FROM s WHERE s_pos >= 20000 OR s_neg >= 20000""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "event_cusum" -> cusumSql,
     "ts_counter_hour_fill" -> fillOracle(
       where = "event_type = 'click'",
       bucketExpr = "date_trunc('hour', ts)",

@@ -31,6 +31,25 @@ object RelationalQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MARKET-BASKET frequent pairs (graft.operators.Itemsets —
+    // a-priori): parts co-purchased in ≥3 distinct orders. The Spark
+    // plan prunes to individually-frequent items BEFORE the per-order
+    // self-join (exact by support monotonicity), so the oracle states
+    // the UNPRUNED plain pair count and must still hash-match — the
+    // a-priori theorem is itself under test
+    "basket_frequent_pairs" -> ((s, dir) =>
+      graft.operators.Itemsets.frequentPairs(
+        read(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 3L)),
+
+    // association rules over the same frequent pairs: confidence and
+    // lift as ×10⁴ integers via INTEGRAL division (exact across
+    // engines — no float-quotient drift), both rule directions
+    "basket_rules" -> ((s, dir) =>
+      graft.operators.Itemsets.associationRules(
+        read(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 3L)),
+
     // DATA-QUALITY release gate (graft.operators.Quality): declared
     // constraints → exact violation report. The row-local checks ride
     // ONE fused aggregation; uniqueness gets its own key agg and the
@@ -515,6 +534,37 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // the UNPRUNED pair count — hash-matching the a-priori-pruned
+    // Spark plan is exactly the monotonicity guarantee
+    "basket_frequent_pairs" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |           FROM lineitem)
+        |SELECT a.i AS item_a, b.i AS item_b, count(*) AS support
+        |FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "basket_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |           FROM lineitem),
+        |pairs AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, count(*) AS support
+        |  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |directed AS (
+        |  SELECT item_a AS antecedent, item_b AS consequent, support FROM pairs
+        |  UNION ALL
+        |  SELECT item_b, item_a, support FROM pairs),
+        |isup AS (SELECT i, count(*) AS s FROM bi GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi)
+        |SELECT d.antecedent, d.consequent, d.support,
+        |  (10000 * d.support) // sa.s AS confidence_e4,
+        |  CAST((10000::HUGEINT * d.support * nb.n_baskets)
+        |    // (sa.s::HUGEINT * sc.s) AS BIGINT) AS lift_e4
+        |FROM directed d
+        |JOIN isup sa ON sa.i = d.antecedent
+        |JOIN isup sc ON sc.i = d.consequent
+        |CROSS JOIN nb""".stripMargin,
+
     // each constraint recomputed independently; null predicate values
     // count as violations (unknown does not pass a gate), uniqueness
     // counts surplus rows per key (null keys participate), the FK

@@ -157,6 +157,70 @@ class AnomalySpec extends SparkTestBase {
         Some(math.floor(10000.0 * 11 / 3).toLong))))
   }
 
+  /** Recursive tabular-CUSUM replica: the textbook max(0, acc + d)
+    * recursion the closed-form window algebra must reproduce. */
+  private def cusumReplica(rows: Seq[(Long, Long, Long, Long)],
+      target: Long, slack: Long): Map[Long, (Long, Long)] =
+    rows.groupBy(_._2).flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._1))
+      var sp = 0L; var sn = 0L
+      sorted.map { case (id, _, _, x) =>
+        sp = math.max(0L, sp + (x - target - slack))
+        sn = math.max(0L, sn + (target - slack - x))
+        id -> (sp, sn)
+      }
+    }
+
+  test("cusumFlags: closed form ≡ the textbook recursion (seeded runs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC0505EEDL)
+    for (_ <- 1 to 10) {
+      // drifting regimes: level shifts up/down mid-series so both
+      // statistics rise, reset, and re-accumulate
+      val rows = (0 until 150).map { i =>
+        val level = (i / 30) % 3 match {
+          case 0 => 1000L; case 1 => 2400L; case _ => 200L
+        }
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(50).toLong,
+          level + rnd.nextInt(400) - 200L)
+      }
+      val got = Anomaly.cusumFlags(rows.toDF("event_id", "user_id", "sec", "cents"),
+          col("user_id"), Seq(col("sec"), col("event_id")), col("cents"),
+          target = 1200L, slack = 300L, threshold = 2000L)
+        .select(col("event_id"), col("s_pos"), col("s_neg"), col("is_shift"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toMap
+      val want = cusumReplica(rows, target = 1200L, slack = 300L)
+      assert(got.keySet === want.keySet)
+      want.foreach { case (id, (sp, sn)) =>
+        assert(got(id) === ((sp, sn, sp >= 2000L || sn >= 2000L)),
+          s"event $id")
+      }
+    }
+  }
+
+  test("cusumFlags: sub-slack noise never accumulates, a sustained shift fires") {
+    import spark.implicits._
+    // noise within ±slack of target: every drift term is ≤ 0, both
+    // statistics stay 0; then a sustained +400-over-deadband run
+    // accumulates linearly to the threshold
+    val calm = (0 until 20).map(i => (i.toLong, 1L, i.toLong, 1000L + (i % 2) * 200L - 100L))
+    val shifted = (20 until 30).map(i => (i.toLong, 1L, i.toLong, 1700L))
+    val got = Anomaly.cusumFlags((calm ++ shifted).toDF("event_id", "user_id", "sec", "cents"),
+        col("user_id"), Seq(col("sec"), col("event_id")), col("cents"),
+        target = 1000L, slack = 300L, threshold = 2000L)
+      .select(col("event_id"), col("s_pos"), col("is_shift")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    got.filter(_._1 < 20).foreach { case (_, sp, flag) =>
+      assert(sp === 0L); assert(!flag)
+    }
+    // shift rows: s_pos = 400·(k+1) after k-th shifted row → fires at row 24
+    assert(got.filter(_._1 >= 20).map(g => g._1 -> g._2).toMap ===
+      (20 until 30).map(i => i.toLong -> 400L * (i - 19)).toMap)
+    assert(got.filter(_._3).map(_._1).min === 24L)
+  }
+
   test("ewma window slides: a row beyond w drops out of the fold") {
     import spark.implicits._
     val df = (1 to 5).map(i => (i.toLong, 1L, i.toLong, 100L * i))
