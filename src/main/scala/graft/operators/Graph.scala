@@ -176,6 +176,136 @@ object Graph {
     rank
   }
 
+  /** Per-node TRIANGLE counts and exact local clustering coefficient
+    * over the undirected view of an edge frame — the cohesion metric
+    * beside rank centrality: rank says "how much flows here",
+    * clustering says "how clique-like is the neighborhood" (dense
+    * co-occurrence neighborhoods are the signal behind related-item
+    * blocks and template/boilerplate link farms alike).
+    *
+    * Semantics: edges are symmetrized, self-loops dropped, and each
+    * unordered pair counted once; `triangles(v)` = number of
+    * unordered triangles through v; `cc_e4` = the exact local
+    * clustering coefficient ×10⁴, INTEGRAL-divided
+    * (`10000·2·tri div deg·(deg−1)`, NULL when deg < 2) so it
+    * hash-compares across engines.
+    *
+    * Scale shape — DEGREE-ORDERED ORIENTATION (the classic
+    * compact-forward trick): every undirected edge is directed from
+    * its lower-(degree, id) endpoint to the higher one, which bounds
+    * oriented out-degree by O(√m) on any graph, so the wedge join
+    * (the quadratic stage of naive triangle counting — a hot node's
+    * deg² wedges) is capped at Σ outdeg² = O(m^1.5) with NO skew
+    * blowup on hubs. One self-join on the oriented src builds wedges,
+    * one equi-join against the oriented edges closes them; each
+    * triangle materializes exactly once, then explodes to its 3
+    * corners for the per-node aggregation. Exactly two shuffle joins
+    * + two hash aggs beyond the degree pass.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = sym.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    // orient lower (degree, id) → higher; carry the dst's sort key so
+    // the wedge join can order its two far endpoints without another
+    // degree lookup
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("degree").as("dv")), "v")
+    val oriented = withDeg.select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("src"), col("v").as("dst"),
+            struct(col("dv").as("d"), col("v").as("n")).as("dstKey")))
+          .otherwise(
+            struct(col("v").as("src"), col("u").as("dst"),
+              struct(col("du").as("d"), col("u").as("n")).as("dstKey"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dstKey").as("dstKey"))
+      .localCheckpoint(true)
+    // wedges u→v, u→w with v before w in the orientation order: the
+    // closing edge (if present) is then oriented v→w, so ONE join
+    // closes each triangle exactly once
+    val o2 = oriented.select(col("src"), col("dst").as("w"),
+      col("dstKey").as("wKey"))
+    val wedges = oriented.join(o2, "src")
+      .where(col("dstKey") < col("wKey"))
+      .select(col("src").as("corner"), col("dst").as("x"), col("w").as("y"))
+    val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+    val triangles = wedges.join(closing, Seq("x", "y"))
+    val perNode = triangles
+      .select(explode(array(col("corner"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          expr("(10000L * 2 * coalesce(triangles, 0L)) " +
+            "div (degree * (degree - 1))"))
+          .as("cc_e4"))
+  }
+
+  /** Single-source HOP DISTANCES (unweighted BFS) over directed
+    * edges — the reachability read beside the flow/cohesion metrics:
+    * "how many steps from the seeds does each node sit" is the
+    * seed-expansion radius question (crawl frontiers, contamination
+    * blast radius, referral depth).
+    *
+    * Iterative frontier expansion: the frontier (nodes first reached
+    * last round) joins the edge frame once per round, newly-reached
+    * nodes (anti-joined against everything settled) become the next
+    * frontier. State is one row per SETTLED node and the per-round
+    * join is FRONTIER-sized — never all-pairs, never per-edge state;
+    * rounds are bounded by the graph's diameter (≤ `maxHops`), each
+    * checkpointed so lineage stays O(1). All arithmetic is integer;
+    * the result is unique (min hops is well-defined) so any engine
+    * hash-matches.
+    *
+    * @param undirected treat each edge as traversable both ways (the
+    *        co-occurrence-graph reading); default is directed (the
+    *        transition-graph reading)
+    * @return (`id`, `hops`) for every node reachable within `maxHops`
+    *         (sources at 0; unreachable nodes absent)
+    */
+  def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[String], maxHops: Int,
+      undirected: Boolean = false): DataFrame = {
+    require(sources.nonEmpty, "hopDistances needs at least one source")
+    require(maxHops >= 0 && maxHops <= 10000,
+      s"maxHops in [0,10000], got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val directed = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    val e = (if (undirected)
+        directed.unionAll(directed.select(col("dst").as("src"),
+          col("src").as("dst")))
+      else directed)
+      .distinct()
+      .localCheckpoint(true)
+    var settled = sources.distinct.toDF("id")
+      .select(col("id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = settled
+    var hop = 0L
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = frontier.select(col("id").as("src"))
+        .join(e, "src")
+        .select(col("dst").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .select(col("id"), lit(hop).as("hops"))
+        .localCheckpoint(true)
+      settled = settled.unionAll(frontier).localCheckpoint(true)
+    }
+    settled
+  }
+
   private def step(ew: DataFrame, nodes: DataFrame, rank: DataFrame,
       baseOf: org.apache.spark.sql.Column, dampingE2: Int): DataFrame = {
     val sums = ew

@@ -30,6 +30,23 @@ object RelationalQueries {
   private val q1MvDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** The part CO-PURCHASE graph both graph queries read: one edge per
+    * unordered part pair sharing at least one order. One derivation —
+    * the triangle and hop queries must never diverge on what the
+    * graph IS. Pair duplicates across orders are emitted as-is; the
+    * graph operators dedup (support-weighted variants belong to
+    * [[graft.operators.Itemsets]]). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val bi = read(s, dir, "lineitem")
+      .select(col("l_orderkey").as("b"),
+        col("l_partkey").cast("string").as("i"))
+      .distinct()
+    bi.select(col("b"), col("i").as("pa"))
+      .join(bi.select(col("b"), col("i").as("pb")), Seq("b"))
+      .where(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MARKET-BASKET frequent pairs (graft.operators.Itemsets —
     // a-priori): parts co-purchased in ≥3 distinct orders. The Spark
@@ -49,6 +66,29 @@ object RelationalQueries {
       graft.operators.Itemsets.associationRules(
         read(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minSupport = 3L)),
+
+    // TRIANGLE counts + exact local clustering coefficient
+    // (graft.operators.Graph.triangleStats) on the part co-purchase
+    // graph — orders are cliques, so neighborhood cohesion separates
+    // parts bought in broad mixed baskets from parts in recurring
+    // bundles. The Spark plan degree-orients edges before the wedge
+    // join (out-degree capped at O(√m), no hub skew); the oracle is
+    // the plain unoriented 3-way self-join, so orientation must be
+    // answer-invisible
+    "basket_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleStats(
+        coPurchaseEdges(s, dir), "pa", "pb")),
+
+    // BFS hop distances (graft.operators.Graph.hopDistances) from one
+    // seed part over the same co-purchase graph — the "related
+    // products radius" read (hop 1 = bought together, hop 2 = bought
+    // with something bought together…). Frontier-sized iterative
+    // expansion on the Spark side; the oracle walks a recursive CTE
+    // and min-aggregates hops
+    "basket_hops" -> ((s, dir) =>
+      graft.operators.Graph.hopDistances(
+        coPurchaseEdges(s, dir), "pa", "pb",
+        sources = Seq("42"), maxHops = 6, undirected = true)),
 
     // DATA-QUALITY release gate (graft.operators.Quality): declared
     // constraints → exact violation report. The row-local checks ride
@@ -564,6 +604,50 @@ object RelationalQueries {
         |JOIN isup sa ON sa.i = d.antecedent
         |JOIN isup sc ON sc.i = d.consequent
         |CROSS JOIN nb""".stripMargin,
+
+    // the UNORIENTED 3-way self-join triangle enumeration — the
+    // degree-oriented Spark plan must be answer-invisible
+    "basket_triangles" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b,
+        |             CAST(l_partkey AS VARCHAR) AS i FROM lineitem),
+        |und AS (SELECT DISTINCT least(a.i, c.i) AS u, greatest(a.i, c.i) AS v
+        |        FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i),
+        |tris AS (
+        |  SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+        |  FROM und e1 JOIN und e2 ON e2.u = e1.v
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT a AS id FROM tris
+        |  UNION ALL SELECT b2 FROM tris
+        |  UNION ALL SELECT c FROM tris),
+        |deg AS (
+        |  SELECT id, count(*) AS degree FROM (
+        |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |tcnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY 1)
+        |SELECT d.id, d.degree, coalesce(t.triangles, 0) AS triangles,
+        |  CASE WHEN d.degree >= 2 THEN (10000 * 2 * coalesce(t.triangles, 0))
+        |    // (d.degree * (d.degree - 1)) END AS cc_e4
+        |FROM deg d LEFT JOIN tcnt t USING (id)""".stripMargin,
+
+    // recursive-CTE walk, hop-capped, min hops per node — the
+    // iterative frontier expansion must agree with the declarative
+    // transitive closure
+    "basket_hops" ->
+      """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b,
+        |             CAST(l_partkey AS VARCHAR) AS i FROM lineitem),
+        |und AS (SELECT DISTINCT least(a.i, c.i) AS u, greatest(a.i, c.i) AS v
+        |        FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i),
+        |e AS (SELECT u AS src, v AS dst FROM und
+        |      UNION ALL SELECT v, u FROM und),
+        |walk(id, hops) AS (
+        |  SELECT '42', 0
+        |  UNION
+        |  SELECT e.dst, walk.hops + 1
+        |  FROM walk JOIN e ON e.src = walk.id
+        |  WHERE walk.hops < 6)
+        |SELECT id, CAST(min(hops) AS BIGINT) AS hops
+        |FROM walk GROUP BY 1""".stripMargin,
 
     // each constraint recomputed independently; null predicate values
     // count as violations (unknown does not pass a gate), uniqueness

@@ -169,4 +169,106 @@ class GraphSpec extends SparkTestBase {
     assert(run(withZero, 4) == reference(without, 4))
     assert(run(withZero, 4) == run(without, 4))
   }
+
+  /** Brute-force per-node triangle counts over the undirected
+    * dedup'd edge set — the degree-oriented distributed plan must
+    * reproduce these exactly. */
+  private def triangleReference(edges: Seq[(String, String)])
+      : (Map[String, Long], Map[String, Long]) = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    val deg = adj.map { case (n, ns) => n -> ns.size.toLong }
+    val tri = adj.map { case (n, ns) =>
+      n -> ns.toSeq.combinations(2)
+        .count(p => adj(p(0)).contains(p(1))).toLong
+    }
+    (deg, tri)
+  }
+
+  test("triangleStats matches brute force on random graphs (incl. a hub)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x7121A46L)
+    for (round <- 1 to 4) {
+      // dense enough for real triangles; node 'h' is a deliberate hub
+      // so the degree orientation's skew cap is actually exercised
+      val base = (1 to 120).map(_ =>
+        (s"n${rnd.nextInt(18)}", s"n${rnd.nextInt(18)}"))
+      val hub = (0 until 18).map(i => ("h", s"n$i"))
+      val edges = rnd.shuffle(base ++ hub)
+      val (deg, tri) = triangleReference(edges)
+      val got = Graph.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+      assert(got.keySet === deg.keySet, s"round $round")
+      deg.keys.foreach { n =>
+        val (d, t, cc) = got(n)
+        assert(d === deg(n), s"degree($n) round $round")
+        assert(t === tri(n), s"triangles($n) round $round")
+        val wantCc = if (deg(n) >= 2) Some(10000L * 2 * tri(n) /
+          (deg(n) * (deg(n) - 1))) else None
+        assert(cc === wantCc, s"cc($n) round $round")
+      }
+    }
+  }
+
+  test("triangleStats: a clique and a path, exact small cases") {
+    import spark.implicits._
+    // K4 ∪ path x—y—z: every K4 node has 3 triangles and cc = 1;
+    // y bridges two non-adjacent neighbours (cc = 0)
+    val k4 = Seq("a", "b", "c", "d").combinations(2).map(p => (p(0), p(1))).toSeq
+    val edges = k4 ++ Seq(("x", "y"), ("y", "z"))
+    val got = Graph.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    Seq("a", "b", "c", "d").foreach { n =>
+      assert(got(n) === ((3L, 3L, Some(10000L))))
+    }
+    assert(got("y") === ((2L, 0L, Some(0L))))
+    assert(got("x") === ((1L, 0L, None)))
+    assert(got("z") === ((1L, 0L, None)))
+  }
+
+  test("hopDistances: directed BFS matches Floyd-style reference; cap respected") {
+    import spark.implicits._
+    // a→b→c→d→e chain plus shortcut a→d; f unreachable from a
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("a", "d"), ("f", "a"))
+    val got = Graph.hopDistances(edges.toDF("src", "dst"), "src", "dst",
+        sources = Seq("a"), maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L, "e" -> 2L))
+    // hop cap truncates the frontier, it never mislabels
+    val capped = Graph.hopDistances(edges.toDF("src", "dst"), "src", "dst",
+        sources = Seq("a"), maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped === Map("a" -> 0L, "b" -> 1L, "d" -> 1L))
+  }
+
+  test("hopDistances: undirected mode, multi-source, off-graph seed") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("c", "b"), ("d", "c"))
+    // undirected from d: d=0, c=1, b=2, a=3
+    val und = Graph.hopDistances(edges.toDF("src", "dst"), "src", "dst",
+        sources = Seq("d"), maxHops = 10, undirected = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(und === Map("d" -> 0L, "c" -> 1L, "b" -> 2L, "a" -> 3L))
+    // directed from d reaches only via d→c; b is c's TARGET? no — edge
+    // is (d,c) only, then (c,b): d=0, c=1, b=2; a unreachable
+    val dir = Graph.hopDistances(edges.toDF("src", "dst"), "src", "dst",
+        sources = Seq("d"), maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dir === Map("d" -> 0L, "c" -> 1L, "b" -> 2L))
+    // multi-source with one seed absent from the graph: the off-graph
+    // seed still reports itself at hop 0 (restart-mass convention)
+    val multi = Graph.hopDistances(edges.toDF("src", "dst"), "src", "dst",
+        sources = Seq("a", "zz"), maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(multi === Map("a" -> 0L, "zz" -> 0L, "b" -> 1L))
+  }
 }
