@@ -199,6 +199,74 @@ object Anomaly {
       .drop("graft_cusum_cpos", "graft_cusum_cneg")
   }
 
+  /** HOLT double-exponential smoothing per series — the TREND-aware
+    * level tracker beside [[ewma]]: EWMA follows a level, Holt keeps a
+    * (level, trend) state pair so a steadily climbing series is
+    * predicted ahead instead of lagged behind; `forecast_e4` is the
+    * h-step-ahead linear extrapolation `level + h·trend`, the
+    * capacity-planning read.
+    *
+    * Semantics (α = 1/2, β = 1/4 — power-of-two gains, so the whole
+    * recursion is integer):
+    *
+    *   L_1 = x_1·10⁴,  B_1 = 0
+    *   L_t = ⌊(x_t·10⁴ + L_{t−1} + B_{t−1}) / 2⌋
+    *   B_t = ⌊(L_t − L_{t−1} + 3·B_{t−1}) / 4⌋
+    *
+    * with FLOOR division (negative trends round toward −∞ — both
+    * engines state it as `floor(a / 2.0)`, exact while the operands
+    * stay below 2⁵³, i.e. |value| ≲ 5·10⁸ at the e4 scale — far past
+    * cents-scale money). Unlike [[ewma]]'s ROWS-bounded frame, this
+    * recursion is inherently FULL-HISTORY (state at t depends on
+    * every prior row), so the operator returns the per-series FINAL
+    * state — one row per entity — rather than a per-row column: that
+    * is the serving shape (current level/trend/forecast per series),
+    * and it is what keeps the aggregation a single fold instead of a
+    * quadratic per-row re-fold.
+    *
+    * Scale shape: one hash aggregation on the entity key;
+    * `sort_array(collect_list(...))` holds ONE series in memory per
+    * group (the same bound any per-series state pass has — a series
+    * too big for one executor's heap needs pre-aggregation to a
+    * coarser grain first, cf. the rollup path), then a linear
+    * higher-order fold. No window, no join, no shuffle beyond the one
+    * aggregation exchange.
+    *
+    * `valueCol` must be non-null ([[ewma]]'s contract — collect_list
+    * drops nulls silently).
+    *
+    * @param horizon  forecast steps ahead (h in `level + h·trend`)
+    * @return one row per entity: entity col, `n_obs`, `level_e4`,
+    *         `trend_e4`, `forecast_e4` */
+  def holt(df: DataFrame, entityCol: Column, orderCols: Seq[Column],
+      valueCol: Column, horizon: Int = 1): DataFrame = {
+    require(horizon >= 0 && horizon <= 1000000,
+      s"holt horizon in [0, 1e6], got $horizon")
+    val item = struct(orderCols :+ valueCol.cast("long").as("x"): _*)
+    val init = struct(lit(0L).as("l"), lit(0L).as("b"), lit(0L).as("n"))
+    def stepFn(acc: Column, e: Column): Column = {
+      val x4 = e.getField("x") * lit(10000L)
+      val lPrev = acc.getField("l")
+      val bPrev = acc.getField("b")
+      val n = acc.getField("n")
+      val lNew = floor((x4 + lPrev + bPrev).cast("double") / lit(2.0))
+        .cast("long")
+      val bNew = floor((lNew - lPrev + lit(3L) * bPrev).cast("double") / lit(4.0))
+        .cast("long")
+      when(n === 0L,
+        struct(x4.as("l"), lit(0L).as("b"), lit(1L).as("n")))
+        .otherwise(
+          struct(lNew.as("l"), bNew.as("b"), (n + lit(1L)).as("n")))
+    }
+    df.groupBy(entityCol)
+      .agg(aggregate(sort_array(collect_list(item)), init, stepFn).as("st"))
+      .select(entityCol,
+        col("st.n").as("n_obs"),
+        col("st.l").as("level_e4"),
+        col("st.b").as("trend_e4"),
+        (col("st.l") + lit(horizon.toLong) * col("st.b")).as("forecast_e4"))
+  }
+
   /** The composed (higher-order-function) Horner fold — the default
     * `foldFn` of [[ewma]] and the semantic reference its codegen twin
     * is pinned against. */

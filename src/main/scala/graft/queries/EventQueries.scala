@@ -1406,6 +1406,24 @@ object EventQueries {
           col("ewma_e4"))
     }),
 
+    // HOLT double-exponential smoothing (graft.operators.Anomaly.holt):
+    // per-user (level, trend) state with α=1/2, β=1/4 integer gains
+    // and the 8-step-ahead linear forecast — the trend-aware serving
+    // read EWMA can't give (a climbing series is extrapolated, not
+    // lagged). One hash agg + per-series fold on the Spark side; the
+    // oracle replays the IDENTICAL floor-division recursion as a
+    // recursive CTE, so the fold is pinned step-for-step
+    "series_holt" -> ((s, dir) => {
+      import graft.operators.Anomaly
+      val e = events(s, dir)
+        .where(col("user_id") < 40)
+        .select(col("user_id"), col("ts").cast("long").as("sec"),
+          col("event_id"), cents.as("value_cents"))
+      Anomaly.holt(e, col("user_id"),
+        Seq(col("sec"), col("event_id")), col("value_cents"),
+        horizon = 8)
+    }),
+
     // CUSUM change-point detection (graft.operators.Anomaly.cusumFlags
     // — Page's sequential test): sustained per-user spend drift away
     // from a 50.00 target accumulates past a 200.00 decision interval
@@ -2341,7 +2359,30 @@ object EventQueries {
       |SELECT event_id, user_id, x AS value_cents, s_pos, s_neg
       |FROM s WHERE s_pos >= 20000 OR s_neg >= 20000""".stripMargin
 
+  /** Holt oracle — the SAME integer floor-division recursion replayed
+    * as a recursive CTE (L_t appears twice in B_t's expression; SQL
+    * has no step-local binding). */
+  private val holtSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) // 1000000, event_id) AS rn
+      |  FROM events WHERE user_id < 40),
+      |h(user_id, rn, l, b) AS (
+      |  SELECT user_id, 1, x * 10000, CAST(0 AS BIGINT) FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn,
+      |    CAST(floor((e.x * 10000 + h.l + h.b) / 2.0) AS BIGINT),
+      |    CAST(floor((CAST(floor((e.x * 10000 + h.l + h.b) / 2.0) AS BIGINT)
+      |      - h.l + 3 * h.b) / 4.0) AS BIGINT)
+      |  FROM h JOIN e ON e.user_id = h.user_id AND e.rn = h.rn + 1),
+      |last AS (SELECT user_id, max(rn) AS mx FROM e GROUP BY 1)
+      |SELECT h.user_id, h.rn AS n_obs, h.l AS level_e4, h.b AS trend_e4,
+      |  h.l + 8 * h.b AS forecast_e4
+      |FROM h JOIN last ON h.user_id = last.user_id AND h.rn = last.mx""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "series_holt" -> holtSql,
     "event_cusum" -> cusumSql,
     "ts_counter_hour_fill" -> fillOracle(
       where = "event_type = 'click'",

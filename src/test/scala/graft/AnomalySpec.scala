@@ -221,6 +221,69 @@ class AnomalySpec extends SparkTestBase {
     assert(got.filter(_._3).map(_._1).min === 24L)
   }
 
+  /** JVM replica of the Holt recursion (math.floorDiv — the documented
+    * floor-division semantics the SQL floor(x/2.0) form must equal
+    * inside the 2^53 domain). */
+  private def holtReplica(rows: Seq[(Long, Long, Long, Long)],
+      horizon: Long): Map[Long, (Long, Long, Long, Long)] =
+    rows.groupBy(_._2).map { case (u, es) =>
+      val xs = es.sortBy(e => (e._3, e._1)).map(_._4)
+      var l = xs.head * 10000L; var b = 0L
+      xs.tail.foreach { x =>
+        val ln = Math.floorDiv(x * 10000L + l + b, 2L)
+        b = Math.floorDiv(ln - l + 3L * b, 4L)
+        l = ln
+      }
+      u -> (xs.size.toLong, l, b, l + horizon * b)
+    }
+
+  test("holt: fold ≡ the floor-division recursion, incl. negative trends") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x401757L)
+    for (_ <- 1 to 8) {
+      // regimes that climb, crash, and go negative so the trend (and
+      // its floor division) is exercised on both signs
+      val rows = (0 until 160).map { i =>
+        val drift = ((i / 40) % 4) match {
+          case 0 => 50L * (i % 40); case 1 => 2000L - 90L * (i % 40)
+          case 2 => -1500L; case _ => 0L
+        }
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(60).toLong,
+          drift + rnd.nextInt(300) - 150L)
+      }
+      val got = Anomaly.holt(rows.toDF("event_id", "user_id", "sec", "cents"),
+          col("user_id"), Seq(col("sec"), col("event_id")), col("cents"),
+          horizon = 8)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toMap
+      assert(got === holtReplica(rows, 8L))
+    }
+  }
+
+  test("holt: constant series settles level exactly; linear ramp is tracked") {
+    import spark.implicits._
+    // constant: L stays x·1e4, B stays 0 from the very first step
+    val const = (0 until 12).map(i => (i.toLong, 1L, i.toLong, 700L))
+    val gotC = Anomaly.holt(const.toDF("event_id", "user_id", "sec", "cents"),
+        col("user_id"), Seq(col("sec"), col("event_id")), col("cents"),
+        horizon = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).head
+    assert(gotC === ((700L * 10000, 0L, 700L * 10000)))
+    // ramp x_t = 100·t: the trend must converge NEAR the true slope
+    // (100·1e4 per step) — fixed gains keep a small bias, so pin a
+    // band, and pin the exact value via the replica
+    val ramp = (0 until 60).map(i => (i.toLong, 2L, i.toLong, 100L * i))
+    val gotR = Anomaly.holt(ramp.toDF("event_id", "user_id", "sec", "cents"),
+        col("user_id"), Seq(col("sec"), col("event_id")), col("cents"),
+        horizon = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val want = holtReplica(ramp, 1L)(2L)
+    assert(gotR === ((want._1, want._2, want._3)))
+    assert(math.abs(gotR._3 - 100L * 10000) < 300000L,
+      s"trend ${gotR._3} should sit near the true 1e6 slope")
+  }
+
   test("ewma window slides: a row beyond w drops out of the fold") {
     import spark.implicits._
     val df = (1 to 5).map(i => (i.toLong, 1L, i.toLong, 100L * i))
