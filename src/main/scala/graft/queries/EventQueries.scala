@@ -1750,6 +1750,16 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("value_cents"),
           col("ewma_e4"))),
 
+    // streaming twin of event_cusum: the same gated ordered drain
+    // advances the textbook O(1) recursion per entity (AnomalySpec
+    // pins recursion ≡ the batch closed form), so the flagged drift
+    // rows hash-match the batch window query's oracle verbatim
+    "stream_cusum" -> ((s, dir) =>
+      s.read.parquet(streamedCusum(s, dir))
+        .where(col("user_id") >= 0L)
+        .select(col("event_id"), col("user_id"), col("value_cents"),
+          col("s_pos"), col("s_neg"))),
+
     // streaming twin of event_anomalies: events replay as a bounded
     // file stream through StreamingIngest.anomalyStream (watermark-
     // gated in-order processing over flatMapGroupsWithState ring
@@ -2277,6 +2287,26 @@ object EventQueries {
     * are filtered from the served output. */
   private val streamEwmaDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  /** stream_cusum's flagged-drift parquet, built once per (session,
+    * sf dir). Same landing choreography as [[streamedEwma]]. */
+  private val streamCusumDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def streamedCusum(s: SparkSession, dir: String): String =
+    streamCusumDirs.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      replayThroughState(s, "streamcusum",
+        events(s, dir).where(col("user_id") < 40)
+          .select(col("user_id").cast(LongType), col("ts"),
+            col("event_id").cast(LongType), cents.as("value_cents")),
+        Seq(Seq((-1L, ts("2100-01-01T00:00"), -1L, 0L))
+            .toDF("user_id", "ts", "event_id", "value_cents"),
+          Seq((-2L, ts("2100-06-01T00:00"), -2L, 0L))
+            .toDF("user_id", "ts", "event_id", "value_cents")),
+        graft.streaming.StreamingIngest.cusumStream(_,
+          target = 5000L, slack = 1000L, threshold = 20000L,
+          watermarkDelay = "0 seconds"))
+    })
+
   private def streamedEwma(s: SparkSession, dir: String): String =
     streamEwmaDirs.getOrElseUpdate((s, dir), {
       import s.implicits._
@@ -2384,6 +2414,8 @@ object EventQueries {
   val oracleSql: Map[String, String] = Map(
     "series_holt" -> holtSql,
     "event_cusum" -> cusumSql,
+    // the streaming recursion must land exactly the batch rows
+    "stream_cusum" -> cusumSql,
     "ts_counter_hour_fill" -> fillOracle(
       where = "event_type = 'click'",
       bucketExpr = "date_trunc('hour', ts)",

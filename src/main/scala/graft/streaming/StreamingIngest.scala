@@ -798,6 +798,77 @@ object StreamingIngest {
       }
   }
 
+  /** Per-entity streaming CUSUM state: watermark-gated pending events
+    * plus the two tabular statistics — O(1) beyond the horizon-bounded
+    * pending buffer (the closed form's running sum/min collapse into
+    * the recursion's single accumulator per side). */
+  case class CusumBuf(pending: Seq[PendingObs], sPos: Long, sNeg: Long)
+
+  /** A flagged drift observation, emitted exactly once. Column names
+    * match the batch `event_cusum` surface. */
+  case class ShiftObs(event_id: Long, user_id: Long, value_cents: Long,
+      s_pos: Long, s_neg: Long)
+
+  /** Streaming CUSUM twin of `Anomaly.cusumFlags` (Page's sequential
+    * drift test) — the continuous-monitoring deployment the batch
+    * operator's closed form exists to oracle: per entity the textbook
+    * recursion `S⁺ = max(0, S⁺ + (x − target − slack))` /
+    * `S⁻ = max(0, S⁻ + (target − slack − x))` advances one O(1) state
+    * pair per processed event (AnomalySpec pins recursion ≡ closed
+    * form, so this twin and the batch window algebra are
+    * interchangeable row-for-row and share one oracle).
+    *
+    * Same watermark-gated ordered drain as [[anomalyStream]]: events
+    * buffer until their whole floor-second passes the watermark, then
+    * process in (sec, event id) order — out-of-order arrivals inside
+    * the horizon see exactly the batch prefix. Rows where either
+    * statistic reaches `threshold` are emitted (the batch query's
+    * `is_shift` filter). Input columns: `user_id, ts, event_id,
+    * value_cents`.
+    *
+    * Scale: state per entity = horizon-bounded pending + TWO longs —
+    * the cheapest stateful twin in this module (the anomaly ring keeps
+    * baseN values, EWMA keeps w−1; CUSUM's full history folds into
+    * its accumulators). One stateful shuffle on the entity key. */
+  def cusumStream(events: DataFrame, target: Long, slack: Long,
+      threshold: Long, watermarkDelay: String): Dataset[ShiftObs] = {
+    require(slack >= 0, s"cusum slack must be >= 0, got $slack")
+    require(threshold > 0, s"cusum threshold must be > 0, got $threshold")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value_cents").cast("long"))
+      .as[(Long, Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumBuf, ShiftObs](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val st = if (state.exists) state.get else CusumBuf(Nil, 0L, 0L)
+          val incoming = rows.map { r =>
+            PendingObs(math.floorDiv(r._2.getTime, 1000L), r._3, r._4)
+          }.toSeq
+          val (ready, rest) = (st.pending ++ incoming)
+            .partition(e => (e.sec + 1L) * 1000L <= wmMs)
+          var sPos = st.sPos
+          var sNeg = st.sNeg
+          val out = Seq.newBuilder[ShiftObs]
+          ready.sortBy(e => (e.sec, e.eventId)).foreach { e =>
+            // Math.addExact: the batch twin raises under ANSI on a
+            // prefix-sum overflow instead of wrapping — match it
+            sPos = math.max(0L, Math.addExact(sPos, e.x - target - slack))
+            sNeg = math.max(0L, Math.addExact(sNeg, target - slack - e.x))
+            if (sPos >= threshold || sNeg >= threshold)
+              out += ShiftObs(e.eventId, user, e.x, sPos, sNeg)
+          }
+          state.update(CusumBuf(rest, sPos, sNeg))
+          if (rest.nonEmpty) state.setTimeoutTimestamp(wmMs + 1L)
+          out.result().iterator
+      }
+  }
+
   /** An event awaiting its watermark in streaming feature state. */
   case class PendingFeat(sec: Long, eventId: Long)
 

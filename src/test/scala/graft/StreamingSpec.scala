@@ -801,6 +801,48 @@ class StreamingSpec extends SparkTestBase {
       4L -> math.floor(10000.0 * 2400 / 7).toLong), s"got $got")
   }
 
+  test("cusum stream survives kill+restart; recursion matches the batch closed form") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Long, Long)]
+    val (ck, out) = (tmp("graft-cck"), tmp("graft-cout"))
+    def startQ() = StreamingIngest.cusumStream(
+        source.toDF().toDF("user_id", "ts", "event_id", "value_cents"),
+        target = 100L, slack = 20L, threshold = 200L,
+        watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    def e(id: Long, sec: Int, x: Long) =
+      (1L, ts(f"2024-01-01T10:00:$sec%02d"), id, x)
+    val q1 = startQ()
+    // drift terms (x−120): 80, 80 → S⁺ = 80, 160 (no flag yet)
+    source.addData(e(1, 1, 200), e(2, 2, 200))
+    q1.processAllAvailable()
+    // event 3 is in flight when the query dies: S⁺ must resume at 160
+    source.addData(e(3, 3, 200))
+    q1.stop()
+    val q2 = startQ()
+    // post-restart: S⁺ = 240 at event 3 (flag), 320 at event 4 (flag);
+    // the negative side: a crash to 0 adds (80−x) = 80 per event → S⁻
+    // needs 3 zeros to flag — only the 3rd (event 7) crosses 240≥200
+    source.addData(e(4, 4, 200), e(5, 5, 0), e(6, 6, 0), e(7, 7, 0))
+    q2.processAllAvailable()
+    source.addData((99L, ts("2024-01-01T20:00"), 99L, 100L))
+    q2.processAllAvailable()
+    source.addData((98L, ts("2024-01-01T20:01"), 98L, 100L))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .where(col("user_id") === 1L)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("s_pos"), r.getAs[Long]("s_neg"))).toMap
+    // batch recursion over the union: S⁺ 80,160,240*,320*; then zeros
+    // decay S⁺ 200*,80,0 while S⁻ climbs 80,160,240* — flags at 3,4,5,7
+    assert(got === Map(
+      3L -> (240L, 0L), 4L -> (320L, 0L),
+      5L -> (200L, 80L), 7L -> (0L, 240L)), s"got $got")
+  }
+
   test("user features survive kill+restart from checkpoint (same oracle)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp, Long)]
