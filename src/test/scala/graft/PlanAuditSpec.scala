@@ -410,6 +410,38 @@ class PlanAuditSpec extends SparkTestBase {
       p.take(3000))
   }
 
+  test("cusum: both statistics ride ONE per-entity sort, no joins") {
+    val p = plan("event_cusum")
+    assert(!p.contains("Join"), p.take(2000))
+    // prefix sums + running mins share the (entity, order) window
+    // spec: one hash exchange, one sort — a second sort would mean
+    // the two window passes stopped sharing their partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(3000))
+    assert("Sort ".r.findAllIn(p).size <= 1, p.take(3000))
+  }
+
+  test("holt: one aggregation exchange, no window, no join") {
+    val p = plan("series_holt")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      p.take(3000))
+  }
+
+  test("a-priori pairs: the frequent-item prune is a broadcast semi-join") {
+    val p = plan("basket_frequent_pairs")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("triangles: no cartesian; the degree joins broadcast") {
+    val p = plan("basket_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("quality gate: N row-local checks fuse into ONE scan-aggregate") {
     import org.apache.spark.sql.functions.{col, length}
     import graft.operators.Quality
