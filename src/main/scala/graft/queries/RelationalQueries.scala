@@ -39,7 +39,7 @@ object RelationalQueries {
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val bi = read(s, dir, "lineitem")
       .select(col("l_orderkey").as("b"),
-        col("l_partkey").cast("string").as("i"))
+        col("l_partkey").as("i"))
       .distinct()
     bi.select(col("b"), col("i").as("pa"))
       .join(bi.select(col("b"), col("i").as("pb")), Seq("b"))
@@ -609,7 +609,7 @@ object RelationalQueries {
     // degree-oriented Spark plan must be answer-invisible
     "basket_triangles" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b,
-        |             CAST(l_partkey AS VARCHAR) AS i FROM lineitem),
+        |             l_partkey AS i FROM lineitem),
         |und AS (SELECT DISTINCT least(a.i, c.i) AS u, greatest(a.i, c.i) AS v
         |        FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i),
         |tris AS (
@@ -635,13 +635,13 @@ object RelationalQueries {
     // transitive closure
     "basket_hops" ->
       """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b,
-        |             CAST(l_partkey AS VARCHAR) AS i FROM lineitem),
+        |             l_partkey AS i FROM lineitem),
         |und AS (SELECT DISTINCT least(a.i, c.i) AS u, greatest(a.i, c.i) AS v
         |        FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i),
         |e AS (SELECT u AS src, v AS dst FROM und
         |      UNION ALL SELECT v, u FROM und),
         |walk(id, hops) AS (
-        |  SELECT '42', 0
+        |  SELECT CAST(42 AS BIGINT), 0
         |  UNION
         |  SELECT e.dst, walk.hops + 1
         |  FROM walk JOIN e ON e.src = walk.id
