@@ -69,6 +69,51 @@ object Itemsets {
       .where(col("support") >= minSupport)
   }
 
+  /** All item TRIPLES with basket support ≥ `minSupport` — the level-2
+    * a-priori step: candidate triples extend in-basket pairs that are
+    * themselves frequent, and every one of the triple's THREE sub-pairs
+    * must be frequent before the candidate is counted (monotonicity
+    * again — exact, the unpruned oracle hash-matches). Output:
+    * (item_a, item_b, item_c, support) with item_a < item_b < item_c.
+    *
+    * Scale shape: the frequent-pair set is ≤ pair-rows/minSupport and
+    * broadcasts (same by-construction bound as the item set); the
+    * per-basket extension join runs between the item-pruned basket
+    * stream and itself, and the two pair-level semi-joins strip
+    * candidates BEFORE the counting aggregation — the classic reason
+    * a-priori survives where naive k-way enumeration explodes. */
+  def frequentTriples(baskets: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .where(col("i").isNotNull).distinct()
+    val frequentItems = bi.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minSupport)
+      .select(col("i"))
+    val pruned = bi.join(broadcast(frequentItems), Seq("i"), "left_semi")
+      .localCheckpoint(true)
+    val freqPairs = frequentPairs(baskets, basketCol, itemCol, minSupport)
+      .select(col("item_a"), col("item_b"))
+      .localCheckpoint(true)
+    // in-basket pairs, kept only when the pair is globally frequent
+    val ab = pruned.select(col("b"), col("i").as("item_a"))
+      .join(pruned.select(col("b"), col("i").as("item_b")), Seq("b"))
+      .where(col("item_a") < col("item_b"))
+      .join(broadcast(freqPairs), Seq("item_a", "item_b"), "left_semi")
+    // extend by a third in-basket item; both new sub-pairs must be
+    // frequent too before the candidate reaches the count
+    ab.join(pruned.select(col("b"), col("i").as("item_c")), Seq("b"))
+      .where(col("item_b") < col("item_c"))
+      .join(broadcast(freqPairs.select(col("item_a"),
+        col("item_b").as("item_c"))), Seq("item_a", "item_c"), "left_semi")
+      .join(broadcast(freqPairs.select(col("item_a").as("item_b"),
+        col("item_b").as("item_c"))), Seq("item_b", "item_c"), "left_semi")
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
+
   /** Association rules a→b from the frequent pairs: confidence and
     * lift as EXACT scaled integers (×10⁴, floored) so the result is
     * reproducible bit-for-bit across engines — no float division

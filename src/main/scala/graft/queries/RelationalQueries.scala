@@ -67,6 +67,14 @@ object RelationalQueries {
         read(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minSupport = 3L)),
 
+    // level-2 a-priori: frequent TRIPLES, every sub-pair pruned
+    // against the frequent-pair set before counting — again the
+    // unpruned oracle must hash-match (monotonicity at level 2)
+    "basket_frequent_triples" -> ((s, dir) =>
+      graft.operators.Itemsets.frequentTriples(
+        read(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L)),
+
     // TRIANGLE counts + exact local clustering coefficient
     // (graft.operators.Graph.triangleStats) on the part co-purchase
     // graph — orders are cliques, so neighborhood cohesion separates
@@ -604,6 +612,15 @@ object RelationalQueries {
         |JOIN isup sa ON sa.i = d.antecedent
         |JOIN isup sc ON sc.i = d.consequent
         |CROSS JOIN nb""".stripMargin,
+
+    "basket_frequent_triples" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |           FROM lineitem)
+        |SELECT a.i AS item_a, c.i AS item_b, d.i AS item_c,
+        |  count(*) AS support
+        |FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+        |JOIN bi d ON a.b = d.b AND c.i < d.i
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
 
     // the UNORIENTED 3-way self-join triangle enumeration — the
     // degree-oriented Spark plan must be answer-invisible

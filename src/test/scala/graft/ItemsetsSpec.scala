@@ -75,6 +75,57 @@ class ItemsetsSpec extends SparkTestBase {
     assert(got.size === 2)
   }
 
+  private def bruteForceTriples(rows: Seq[(Long, String)],
+      minSupport: Long): Map[(String, String, String), Long] = {
+    val byBasket = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    byBasket.values.toSeq
+      .flatMap(items => items.toSeq.sorted.combinations(3)
+        .map(t => (t(0), t(1), t(2))))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minSupport).toMap
+  }
+
+  test("frequentTriples matches brute force; level-2 prune is invisible") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 12L, 13L)) {
+      // denser baskets than the pair fixture so real triples recur
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 500).map { _ =>
+        (rnd.nextInt(25).toLong,
+          if (rnd.nextInt(2) == 0) s"hot${rnd.nextInt(5)}"
+          else s"rare${rnd.nextInt(60)}")
+      }
+      val got = Itemsets.frequentTriples(rows.toDF("basket", "item"),
+          "basket", "item", minSupport = 3L)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          r.getLong(3)).toMap
+      val want = bruteForceTriples(rows, 3L)
+      assert(got === want, s"seed $seed")
+      assert(want.nonEmpty, s"seed $seed fixture has no frequent triples")
+    }
+  }
+
+  test("a frequent triple requires all three sub-pairs frequent — and " +
+      "a basket-co-occurring triple of frequent pairs can still miss support") {
+    import spark.implicits._
+    // {a,b,c} together in exactly 1 basket, but each sub-pair frequent
+    // via 2-item baskets: the triple must NOT surface at minSupport 2
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (3L, "b"), (3L, "c"), (4L, "a"), (4L, "c"))
+    val got = Itemsets.frequentTriples(rows.toDF("basket", "item"),
+        "basket", "item", minSupport = 2L)
+    assert(got.count() === 0L)
+    // and the same sets twice over IS a frequent triple
+    val twice = rows ++ Seq((5L, "a"), (5L, "b"), (5L, "c"))
+    val got2 = Itemsets.frequentTriples(twice.toDF("basket", "item"),
+        "basket", "item", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got2.toSeq === Seq(("a", "b", "c", 2L)))
+  }
+
   test("minSupport filters pairs even when both members are frequent") {
     import spark.implicits._
     // a and b each appear 3 times, but only co-occur once
