@@ -1406,6 +1406,25 @@ object EventQueries {
           col("ewma_e4"))
     }),
 
+    // M4 DOWNSAMPLING (graft.operators.Downsample — Jugel et al.,
+    // VLDB'14): per (user, day) retain only the first/last/min/max
+    // rows — the error-free rendering read (a min/max line plot of
+    // the downsample is pixel-identical to the full series). Pure
+    // selection, so the oracle is the same four row_number picks;
+    // ≤ 4 rows per series-bucket regardless of density
+    "series_m4_downsample" -> ((s, dir) => {
+      val e = events(s, dir)
+        .where(col("user_id") < 40)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents.as("value_cents"))
+        .withColumn("bucket", date_trunc("day", col("ts")))
+        .withColumn("sec", col("ts").cast("long"))
+      graft.operators.Downsample.m4(e, col("user_id"), col("bucket"),
+          Seq(col("sec"), col("event_id")), col("value_cents"))
+        .select(col("user_id"), col("bucket"), col("event_id"),
+          col("value_cents"))
+    }),
+
     // HOLT double-exponential smoothing (graft.operators.Anomaly.holt):
     // per-user (level, trend) state with α=1/2, β=1/4 integer gains
     // and the 8-step-ahead linear forecast — the trend-aware serving
@@ -2416,6 +2435,27 @@ object EventQueries {
     "event_cusum" -> cusumSql,
     // the streaming recursion must land exactly the batch rows
     "stream_cusum" -> cusumSql,
+    // the four roles as row_number picks — selection, not synthesis,
+    // so the compare is row-exact
+    "series_m4_downsample" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    event_id, epoch_us(ts) // 1000000 AS sec,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE user_id < 40),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY sec, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY sec DESC, event_id DESC) AS rl,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY x, sec, event_id) AS rmin,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY x DESC, sec, event_id) AS rmax
+        |  FROM e)
+        |SELECT user_id, bucket, event_id, x AS value_cents
+        |FROM r WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1""".stripMargin,
     "ts_counter_hour_fill" -> fillOracle(
       where = "event_type = 'click'",
       bucketExpr = "date_trunc('hour', ts)",
