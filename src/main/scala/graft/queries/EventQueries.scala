@@ -1464,6 +1464,28 @@ object EventQueries {
           col("s_pos"), col("s_neg"))
     }),
 
+    // PLANES COMPOSED: CUSUM drift over a ROLLUP-SERVED daily series —
+    // the aggregate under the window is transparently rewritten by
+    // RollupRouteRule to scan the materialized partials (the
+    // production monitoring shape: the alarm never re-scans raw
+    // history), while the oracle recomputes the identical closed form
+    // from raw events — routing AND the drift algebra must both be
+    // answer-invisible at once
+    "ts_cusum_routed" -> ((s, dir) => {
+      import graft.operators.Anomaly
+      val raw = routedRaw(s, dir)
+      ensureRouted(s, dir)
+      val daily = raw
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"))
+      Anomaly.cusumFlags(daily, col("event_type"), Seq(col("bucket")),
+          col("n_events"), target = 67L, slack = 3L, threshold = 20L)
+        .where(col("is_shift"))
+        .select(col("event_type"), col("bucket"), col("n_events"),
+          col("s_pos"), col("s_neg"))
+    }),
+
     // Catalyst rollup routing (SURVEY §4's custom-Rule upgrade of
     // `best-grouping`): a plain DataFrame aggregate over raw events is
     // transparently rewritten by graft.plans.RollupRouteRule to scan
@@ -2435,6 +2457,29 @@ object EventQueries {
     "event_cusum" -> cusumSql,
     // the streaming recursion must land exactly the batch rows
     "stream_cusum" -> cusumSql,
+    // routed ≡ raw AND recursion ≡ closed form, in one compare
+    "ts_cusum_routed" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket, n_events,
+        |    CAST(sum(n_events - 70) OVER w AS BIGINT) AS cpos,
+        |    CAST(sum(64 - n_events) OVER w AS BIGINT) AS cneg
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT event_type, bucket, n_events,
+        |    cpos - least(min(cpos) OVER w, 0) AS s_pos,
+        |    cneg - least(min(cneg) OVER w, 0) AS s_neg
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, n_events, s_pos, s_neg
+        |FROM s WHERE s_pos >= 20 OR s_neg >= 20""".stripMargin,
+
     // the four roles as row_number picks — selection, not synthesis,
     // so the compare is row-exact
     "series_m4_downsample" ->

@@ -442,6 +442,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("routed cusum: the window's aggregate input scans the partials") {
+    val p = plan("ts_cusum_routed")
+    // the rewrite must fire UNDER the window operators: the daily
+    // series comes from the materialized slice partials (their
+    // 'bucket'/'cnt' columns appear in the scan), never raw events
+    assert(p.contains("graft_partials"), p.take(3000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("quality gate: N row-local checks fuse into ONE scan-aggregate") {
     import org.apache.spark.sql.functions.{col, length}
     import graft.operators.Quality
