@@ -1801,6 +1801,17 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("value_cents"),
           col("s_pos"), col("s_neg"))),
 
+    // streaming Holt state maintenance: the batch operator serves the
+    // final per-series state, the stream emits (level, trend) after
+    // EVERY observation — the oracle's recursive CTE naturally holds
+    // all intermediate states, so the per-event emission is exactly
+    // checkable where the batch surface only exposes the endpoint
+    "stream_holt" -> ((s, dir) =>
+      s.read.parquet(streamedHolt(s, dir))
+        .where(col("user_id") >= 0L)
+        .select(col("event_id"), col("user_id"), col("value_cents"),
+          col("level_e4"), col("trend_e4"))),
+
     // streaming twin of event_anomalies: events replay as a bounded
     // file stream through StreamingIngest.anomalyStream (watermark-
     // gated in-order processing over flatMapGroupsWithState ring
@@ -2328,6 +2339,25 @@ object EventQueries {
     * are filtered from the served output. */
   private val streamEwmaDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  /** stream_holt's per-event state parquet, built once per (session,
+    * sf dir). Same landing choreography as [[streamedEwma]]. */
+  private val streamHoltDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def streamedHolt(s: SparkSession, dir: String): String =
+    streamHoltDirs.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      replayThroughState(s, "streamholt",
+        events(s, dir).where(col("user_id") < 40)
+          .select(col("user_id").cast(LongType), col("ts"),
+            col("event_id").cast(LongType), cents.as("value_cents")),
+        Seq(Seq((-1L, ts("2100-01-01T00:00"), -1L, 0L))
+            .toDF("user_id", "ts", "event_id", "value_cents"),
+          Seq((-2L, ts("2100-06-01T00:00"), -2L, 0L))
+            .toDF("user_id", "ts", "event_id", "value_cents")),
+        graft.streaming.StreamingIngest.holtStream(_,
+          watermarkDelay = "0 seconds"))
+    })
+
   /** stream_cusum's flagged-drift parquet, built once per (session,
     * sf dir). Same landing choreography as [[streamedEwma]]. */
   private val streamCusumDirs =
@@ -2452,8 +2482,30 @@ object EventQueries {
       |  h.l + 8 * h.b AS forecast_e4
       |FROM h JOIN last ON h.user_id = last.user_id AND h.rn = last.mx""".stripMargin
 
+  /** Per-event Holt states — the same recursion as [[holtSql]], but
+    * emitting EVERY rn (the streaming twin's surface) instead of the
+    * series endpoint. */
+  private val holtStreamSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS x,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) // 1000000, event_id) AS rn
+      |  FROM events WHERE user_id < 40),
+      |h(user_id, rn, l, b) AS (
+      |  SELECT user_id, 1, x * 10000, CAST(0 AS BIGINT) FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn,
+      |    CAST(floor((e.x * 10000 + h.l + h.b) / 2.0) AS BIGINT),
+      |    CAST(floor((CAST(floor((e.x * 10000 + h.l + h.b) / 2.0) AS BIGINT)
+      |      - h.l + 3 * h.b) / 4.0) AS BIGINT)
+      |  FROM h JOIN e ON e.user_id = h.user_id AND e.rn = h.rn + 1)
+      |SELECT e.event_id, e.user_id, e.x AS value_cents,
+      |  h.l AS level_e4, h.b AS trend_e4
+      |FROM h JOIN e ON e.user_id = h.user_id AND e.rn = h.rn""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "series_holt" -> holtSql,
+    "stream_holt" -> holtStreamSql,
     "event_cusum" -> cusumSql,
     // the streaming recursion must land exactly the batch rows
     "stream_cusum" -> cusumSql,

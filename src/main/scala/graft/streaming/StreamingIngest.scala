@@ -869,6 +869,62 @@ object StreamingIngest {
       }
   }
 
+  /** Per-entity streaming Holt state: watermark-gated pending events
+    * plus (level, trend, count) — O(1) beyond pending; the batch
+    * operator's full-history fold is exactly this accumulator. */
+  case class HoltBuf(pending: Seq[PendingObs], l: Long, b: Long, n: Long)
+
+  /** One smoothed observation with its post-update state. */
+  case class HoltObs(event_id: Long, user_id: Long, value_cents: Long,
+      level_e4: Long, trend_e4: Long)
+
+  /** Streaming Holt twin of `Anomaly.holt` (α = 1/2, β = 1/4 integer
+    * floor-division recursion): the batch operator serves the FINAL
+    * per-series state; this twin emits the state AFTER EVERY
+    * observation — the continuous-forecasting read ("current level,
+    * trend right now") a capacity dashboard polls. Same watermark-
+    * gated ordered drain as the CUSUM twin; arithmetic is
+    * `Math.floorDiv`, bit-identical to the batch fold's
+    * floor(x / 2.0) inside the documented 2⁵³ domain (AnomalySpec
+    * pins the equality). State per entity: pending + three longs. */
+  def holtStream(events: DataFrame,
+      watermarkDelay: String): Dataset[HoltObs] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value_cents").cast("long"))
+      .as[(Long, Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HoltBuf, HoltObs](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val st = if (state.exists) state.get else HoltBuf(Nil, 0L, 0L, 0L)
+          val incoming = rows.map { r =>
+            PendingObs(math.floorDiv(r._2.getTime, 1000L), r._3, r._4)
+          }.toSeq
+          val (ready, rest) = (st.pending ++ incoming)
+            .partition(e => (e.sec + 1L) * 1000L <= wmMs)
+          var (l, b, n) = (st.l, st.b, st.n)
+          val out = Seq.newBuilder[HoltObs]
+          ready.sortBy(e => (e.sec, e.eventId)).foreach { e =>
+            if (n == 0L) { l = e.x * 10000L; b = 0L }
+            else {
+              val ln = Math.floorDiv(e.x * 10000L + l + b, 2L)
+              b = Math.floorDiv(ln - l + 3L * b, 4L)
+              l = ln
+            }
+            n += 1L
+            out += HoltObs(e.eventId, user, e.x, l, b)
+          }
+          state.update(HoltBuf(rest, l, b, n))
+          if (rest.nonEmpty) state.setTimeoutTimestamp(wmMs + 1L)
+          out.result().iterator
+      }
+  }
+
   /** An event awaiting its watermark in streaming feature state. */
   case class PendingFeat(sec: Long, eventId: Long)
 

@@ -843,6 +843,52 @@ class StreamingSpec extends SparkTestBase {
       5L -> (200L, 80L), 7L -> (0L, 240L)), s"got $got")
   }
 
+  test("holt stream survives kill+restart; states match the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Long, Long)]
+    val (ck, out) = (tmp("graft-hck"), tmp("graft-hout"))
+    def startQ() = StreamingIngest.holtStream(
+        source.toDF().toDF("user_id", "ts", "event_id", "value_cents"),
+        watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    def e(id: Long, sec: Int, x: Long) =
+      (1L, ts(f"2024-01-01T10:00:$sec%02d"), id, x)
+    val q1 = startQ()
+    source.addData(e(1, 1, 100), e(2, 2, 200))
+    q1.processAllAvailable()
+    // event 3 in flight at the kill: the recovered (l, b, n) must
+    // carry the recursion forward, not restart it
+    source.addData(e(3, 3, 400))
+    q1.stop()
+    val q2 = startQ()
+    source.addData(e(4, 4, 800))
+    q2.processAllAvailable()
+    source.addData((99L, ts("2024-01-01T20:00"), 99L, 0L))
+    q2.processAllAvailable()
+    source.addData((98L, ts("2024-01-01T20:01"), 98L, 0L))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .where(col("user_id") === 1L)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("level_e4"), r.getAs[Long]("trend_e4"))).toMap
+    // the floorDiv recursion over the union of pre/post-restart data
+    var (l, b) = (0L, 0L)
+    val want = Seq(1L -> 100L, 2L -> 200L, 3L -> 400L, 4L -> 800L)
+      .zipWithIndex.map { case ((id, x), i) =>
+        if (i == 0) { l = x * 10000L; b = 0L }
+        else {
+          val ln = Math.floorDiv(x * 10000L + l + b, 2L)
+          b = Math.floorDiv(ln - l + 3L * b, 4L)
+          l = ln
+        }
+        id -> (l, b)
+      }.toMap
+    assert(got === want, s"got $got")
+  }
+
   test("user features survive kill+restart from checkpoint (same oracle)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp, Long)]
