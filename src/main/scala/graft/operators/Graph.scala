@@ -203,38 +203,48 @@ object Graph {
     * rows (measured ~8× less traffic on the co-purchase fixture, and
     * the gap widens with density). Each triangle surfaces exactly once
     * (at the edge between its two lowest-ordered corners), then
-    * explodes to its 3 corners for the per-node aggregation. Two
-    * equi-joins of the edge frame against the adjacency table + two
-    * hash aggs beyond the degree pass. Node ids keep their input type
-    * (numeric ids hash/compare/pack far cheaper than strings).
+    * explodes to its 3 corners for the per-node aggregation. The
+    * dedup + degree + adjacency prologue is ONE collect_set
+    * aggregation (sets dedup multi-edges map-side, degree = set size)
+    * instead of the naive distinct-then-count-then-join chain; node
+    * ids keep their input type (numeric ids hash/compare/pack far
+    * cheaper than strings).
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .where(col("a") =!= col("b"))
-    val und = sym.select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
-    val deg = und.select(col("u").as("id"))
-      .unionAll(und.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    // orient lower (degree, id) → higher
-    val withDeg = und
-      .join(deg.select(col("id").as("u"), col("degree").as("du")), "u")
-      .join(deg.select(col("id").as("v"), col("degree").as("dv")), "v")
-    val oriented = withDeg.select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          struct(col("u").as("s"), col("v").as("d")))
-          .otherwise(struct(col("v").as("s"), col("u").as("d"))).as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    // ONE aggregation yields dedup'd full adjacency AND degree at once:
+    // collect_set dedups multi-edges map-side, so the separate
+    // edge-distinct and degree passes of the naive plan collapse into
+    // this shuffle (the edge frame with duplicates shuffles once, as
+    // (id, nbr) pairs both ways).
+    val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
+      .unionAll(edges.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
+      .where(col("id") =!= col("nbr"))
+    val adjFull = sym.groupBy(col("id"))
+      .agg(collect_set(col("nbr")).as("nbrs"))
+      .select(col("id"), col("nbrs"),
+        size(col("nbrs")).cast("long").as("degree"))
+      .localCheckpoint(true)
+    // orient lower (degree, id) → higher: explode the full adjacency
+    // back to edges (each undirected edge appears once per direction;
+    // the strict struct inequality keeps exactly the forward copy) and
+    // look up the NEIGHBOR's degree with one join against the node
+    // table — broadcast while it fits, shuffle otherwise (AQE's call)
+    val degT = adjFull.select(col("id").as("nbr"), col("degree").as("dn"))
+    val fwdE = adjFull.select(col("id"), col("degree"),
+        explode(col("nbrs")).as("nbr"))
+      .join(degT, Seq("nbr"))
+      .where(struct(col("degree"), col("id")) <
+        struct(col("dn"), col("nbr")))
+      .select(col("id").as("src"), col("nbr").as("dst"))
       .localCheckpoint(true)
     // forward adjacency, sorted so array_intersect scans cache-tight
-    val adj = oriented.groupBy(col("src"))
+    val adj = fwdE.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     // per edge u→v: common forward neighbours close one triangle each;
     // a dst with NO forward edges is absent from adj — left join +
     // empty-array default keeps those edges (they just close nothing)
     val empty = array().cast(adj.schema("nbrs").dataType)
-    val triangles = oriented
+    val triangles = fwdE
       .join(adj.withColumnRenamed("nbrs", "srcNbrs"), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("dstNbrs")),
         Seq("dst"), "left")
@@ -244,7 +254,8 @@ object Graph {
     val perNode = triangles
       .select(explode(array(col("src"), col("dst"), col("third"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("id"), "left")
+    adjFull.select(col("id"), col("degree"))
+      .join(perNode, Seq("id"), "left")
       .select(col("id"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         when(col("degree") >= 2,
@@ -259,15 +270,19 @@ object Graph {
     * seed-expansion radius question (crawl frontiers, contamination
     * blast radius, referral depth).
     *
-    * Iterative frontier expansion: the frontier (nodes first reached
-    * last round) joins the edge frame once per round, newly-reached
-    * nodes (anti-joined against everything settled) become the next
-    * frontier. State is one row per SETTLED node and the per-round
-    * join is FRONTIER-sized — never all-pairs, never per-edge state;
-    * rounds are bounded by the graph's diameter (≤ `maxHops`), each
-    * checkpointed so lineage stays O(1). All arithmetic is integer;
-    * the result is unique (min hops is well-defined) so any engine
-    * hash-matches.
+    * Iterative frontier expansion over the ADJACENCY-LIST form: edges
+    * collapse once into one (node, out-neighbor array) row per source
+    * node — collect_set dedups multi-edges in the same aggregation —
+    * and each round joins the (tiny, AQE-broadcast) frontier against
+    * that node-count-sized table and explodes the matched arrays.
+    * Per-round scan cost is O(nodes) rows instead of O(edges) (same
+    * bytes live in the arrays, but only the frontier's rows explode),
+    * which is what makes a 6-round BFS cheaper than one edge-frame
+    * pass, not 6× one. Newly-reached nodes (anti-joined against
+    * everything settled) become the next frontier; rounds are bounded
+    * by the graph's diameter (≤ `maxHops`), each checkpointed so
+    * lineage stays O(1). All arithmetic is integer; the result is
+    * unique (min hops is well-defined) so any engine hash-matches.
     *
     * @param undirected treat each edge as traversable both ways (the
     *        co-occurrence-graph reading); default is directed (the
@@ -288,28 +303,37 @@ object Graph {
     val idType = edges.select(col(srcCol)).schema.head.dataType
     val directed = edges.select(col(srcCol).as("src"),
       col(dstCol).as("dst"))
-    val e = (if (undirected)
+    val sym = if (undirected)
         directed.unionAll(directed.select(col("dst").as("src"),
           col("src").as("dst")))
-      else directed)
-      .distinct()
+      else directed
+    // ONE aggregation replaces the edge-distinct pass AND yields the
+    // adjacency table the rounds probe (collect_set dedups)
+    val adj = sym.groupBy(col("src"))
+      .agg(collect_set(col("dst")).as("nbrs"))
       .localCheckpoint(true)
-    var settled = sources.distinct.toDF("id")
+    var frontier = sources.distinct.toDF("id")
       .select(col("id").cast(idType).as("id"), lit(0L).as("hops"))
       .localCheckpoint(true)
-    var frontier = settled
+    // settled = lazy union of the per-round CHECKPOINTED frontiers —
+    // each node's rows are materialized exactly once (at the round
+    // that reached it) instead of re-checkpointing the whole growing
+    // settled set every round; the union is ≤ maxHops branches of
+    // already-materialized data, so lineage stays O(rounds) flat
+    val rounds = scala.collection.mutable.ArrayBuffer(frontier)
     var hop = 0L
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
+      val settled = rounds.reduce(_ unionAll _)
       frontier = frontier.select(col("id").as("src"))
-        .join(e, "src")
-        .select(col("dst").as("id")).distinct()
+        .join(adj, "src")
+        .select(explode(col("nbrs")).as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
         .select(col("id"), lit(hop).as("hops"))
         .localCheckpoint(true)
-      settled = settled.unionAll(frontier).localCheckpoint(true)
+      rounds += frontier
     }
-    settled
+    rounds.reduce(_ unionAll _)
   }
 
   private def step(ew: DataFrame, nodes: DataFrame, rank: DataFrame,

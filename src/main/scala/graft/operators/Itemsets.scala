@@ -29,16 +29,56 @@ import org.apache.spark.sql.functions._
   * set — bounded by N/minSupport items and therefore broadcastable BY
   * CONSTRUCTION at any corpus size (each frequent item needs
   * `minSupport` distinct baskets, so their count is at most
-  * total-basket-item rows / minSupport) — then ONE equi-join on the
-  * basket key between two already-pruned sides, aggregated with
-  * map-side combine. The per-basket pair blowup is quadratic in the
-  * basket's FREQUENT-item count only; a pathological mega-basket
-  * (say a crawl page listing 10⁶ items) still quadratically explodes
-  * and should be capped upstream — that is a semantic choice
-  * (dropping a basket changes supports), so this operator refuses to
-  * make it silently and documents it instead.
+  * total-basket-item rows / minSupport) — then each basket's
+  * surviving items collect into ONE sorted array and pair generation
+  * is row-local higher-order-function work (no per-basket self-join;
+  * candidate pairs never shuffle, only their counted aggregate does).
+  * The per-basket pair blowup is quadratic in the basket's
+  * FREQUENT-item count only, and it materializes inside a single
+  * exploding row; a pathological mega-basket (say a crawl page
+  * listing 10⁶ items) still quadratically explodes and should be
+  * capped upstream — that is a semantic choice (dropping a basket
+  * changes supports), so this operator refuses to make it silently
+  * and documents it instead (for such data, prune harder or fall
+  * back to a self-join form that at least spreads the blowup across
+  * tasks).
   */
 object Itemsets {
+
+  /** Row-local unordered-pair generation over a sorted item array:
+    * each element pairs with every LATER element, so (item_a < item_b)
+    * holds by construction and every in-basket pair appears exactly
+    * once. Higher-order functions only — stays inside codegen, no
+    * shuffle, no UDF. Per-row cost is C(|items|, 2): the quadratic
+    * blowup lives INSIDE one row here, where the self-join form
+    * spreads it across tasks — fine for human-scale baskets (after
+    * the a-priori prune), the self-join form is the fallback for
+    * degenerate mega-baskets (see the object doc's capping note). */
+  private val pairHof =
+    "flatten(transform(items, (x, i) -> " +
+      "transform(slice(items, i + 2, size(items) - i - 1), " +
+      "y -> struct(x AS item_a, y AS item_b))))"
+
+  /** Distinct (basket, item) stream with each basket's a-priori
+    * surviving items collected into one sorted array — the shared
+    * prologue of pair and triple mining. ONE extra aggregation
+    * (already partitioned: the semi-join preserves the distinct's
+    * hashing on (b, i)... close enough for AQE) replaces the
+    * per-basket self-join downstream. */
+  private def frequentItemArrays(baskets: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long): DataFrame = {
+    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .where(col("i").isNotNull).distinct()
+    // a-priori: only items frequent on their own can appear in a
+    // frequent pair; the set is ≤ |bi|/minSupport rows — broadcast it
+    val frequentItems = bi.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minSupport)
+      .select(col("i"))
+    bi.join(broadcast(frequentItems), Seq("i"), "left_semi")
+      .groupBy(col("b"))
+      .agg(sort_array(collect_set(col("i"))).as("items"))
+  }
 
   /** All unordered item pairs with basket support ≥ `minSupport`,
     * a-priori pruned. Output: (item_a, item_b, support) with
@@ -51,19 +91,9 @@ object Itemsets {
   def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .where(col("i").isNotNull).distinct()
-    // a-priori: only items frequent on their own can appear in a
-    // frequent pair; the set is ≤ |bi|/minSupport rows — broadcast it
-    val frequentItems = bi.groupBy(col("i"))
-      .agg(count(lit(1)).as("n"))
-      .where(col("n") >= minSupport)
-      .select(col("i"))
-    val pruned = bi.join(broadcast(frequentItems), Seq("i"), "left_semi")
-    val a = pruned.select(col("b"), col("i").as("item_a"))
-    val b = pruned.select(col("b"), col("i").as("item_b"))
-    a.join(b, Seq("b"))
-      .where(col("item_a") < col("item_b"))
+    frequentItemArrays(baskets, basketCol, itemCol, minSupport)
+      .select(explode(expr(pairHof)).as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
@@ -78,33 +108,41 @@ object Itemsets {
     *
     * Scale shape: the frequent-pair set is ≤ pair-rows/minSupport and
     * broadcasts (same by-construction bound as the item set); the
-    * per-basket extension join runs between the item-pruned basket
-    * stream and itself, and the two pair-level semi-joins strip
-    * candidates BEFORE the counting aggregation — the classic reason
-    * a-priori survives where naive k-way enumeration explodes. */
+    * in-basket pairs generate row-locally from the basket's sorted
+    * item array, the extension join re-reads the ONE-row-per-basket
+    * array frame (never the per-occurrence stream), and the two
+    * pair-level semi-joins strip candidates BEFORE the counting
+    * aggregation — the classic reason a-priori survives where naive
+    * k-way enumeration explodes. */
   def frequentTriples(baskets: DataFrame, basketCol: String,
       itemCol: String, minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .where(col("i").isNotNull).distinct()
-    val frequentItems = bi.groupBy(col("i"))
-      .agg(count(lit(1)).as("n"))
-      .where(col("n") >= minSupport)
-      .select(col("i"))
-    val pruned = bi.join(broadcast(frequentItems), Seq("i"), "left_semi")
-      .localCheckpoint(true)
-    val freqPairs = frequentPairs(baskets, basketCol, itemCol, minSupport)
+    val basketArr =
+      frequentItemArrays(baskets, basketCol, itemCol, minSupport)
+        .localCheckpoint(true)
+    val freqPairs = basketArr
+      .select(explode(expr(pairHof)).as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
       .select(col("item_a"), col("item_b"))
       .localCheckpoint(true)
-    // in-basket pairs, kept only when the pair is globally frequent
-    val ab = pruned.select(col("b"), col("i").as("item_a"))
-      .join(pruned.select(col("b"), col("i").as("item_b")), Seq("b"))
-      .where(col("item_a") < col("item_b"))
+    // in-basket pairs (row-local gen), kept only when the pair is
+    // globally frequent
+    val ab = basketArr
+      .select(col("b"), explode(expr(pairHof)).as("p"))
+      .select(col("b"), col("p.item_a").as("item_a"),
+        col("p.item_b").as("item_b"))
       .join(broadcast(freqPairs), Seq("item_a", "item_b"), "left_semi")
-    // extend by a third in-basket item; both new sub-pairs must be
-    // frequent too before the candidate reaches the count
-    ab.join(pruned.select(col("b"), col("i").as("item_c")), Seq("b"))
-      .where(col("item_b") < col("item_c"))
+    // extend by a third in-basket item: re-join the ONE-row-per-basket
+    // array frame (not the per-occurrence stream — far fewer rows move)
+    // and explode only the items ordered after item_b; both new
+    // sub-pairs must be frequent too before the candidate reaches the
+    // count
+    ab.join(basketArr, Seq("b"))
+      .select(col("item_a"), col("item_b"),
+        explode(filter(col("items"), y => y > col("item_b"))).as("item_c"))
       .join(broadcast(freqPairs.select(col("item_a"),
         col("item_b").as("item_c"))), Seq("item_a", "item_c"), "left_semi")
       .join(broadcast(freqPairs.select(col("item_a").as("item_b"),

@@ -36,16 +36,23 @@ object RelationalQueries {
     * graph IS. Pair duplicates across orders are emitted as-is; the
     * graph operators dedup (support-weighted variants belong to
     * [[graft.operators.Itemsets]]). */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val bi = read(s, dir, "lineitem")
-      .select(col("l_orderkey").as("b"),
-        col("l_partkey").as("i"))
-      .distinct()
-    bi.select(col("b"), col("i").as("pa"))
-      .join(bi.select(col("b"), col("i").as("pb")), Seq("b"))
-      .where(col("pa") < col("pb"))
-      .select(col("pa"), col("pb"))
-  }
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      // ONE aggregation builds each basket's (dedup'd, sorted) item
+      // array, then pair generation is row-local higher-order-function
+      // work — no per-order self-join, no separate distinct pass. The
+      // per-row cost is C(basket,2): fine wherever baskets are
+      // human-scale (TPC-H orders ≤7 items; retail baskets ~10²); a
+      // corpus with degenerate mega-baskets (>~10⁴ items) should fall
+      // back to the self-join form, which spreads the same quadratic
+      // output across tasks instead of inside one row.
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items) - i - 1), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MARKET-BASKET frequent pairs (graft.operators.Itemsets —
