@@ -200,25 +200,19 @@ object Dedup {
     * `|A∩B| / |A|`, which scores HIGH when a short document is quoted
     * wholesale inside a long one — exactly the case symmetric Jaccard
     * misses (the big union drowns the overlap). Same df-capped
-    * inverted shingle index and candidate generation as the Jaccard
-    * kernel form; a pair survives when its SMALLER side is at least
-    * `thresholdE4` contained — integer-exact
+    * inverted shingle index and candidate counts as the Jaccard
+    * posting-kernel form (shared [[postingPairCounts]] core — the
+    * capped index aggregation and JVM-loop pair emission, never a
+    * posting self-join); a pair survives when its SMALLER side is at
+    * least `thresholdE4` contained — integer-exact
     * `10000·common ≥ thresholdE4·least(sz_a, sz_b)` — and both
     * directed containments ship ×10⁴ (floored, the oracle's identical
     * double expression). */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
-      k: Int, thresholdE4: Int, maxDf: Long = 1000L): DataFrame = {
-    val hs = shingleHashKernel(df, textCol, idCol, k).cache()
-    val ex = hs.select(col("id"), explode(col("hs")).as("sh"))
-    val sizes = hs.select(col("id"), size(col("hs")).cast(LongType).as("sz"))
-    val keep = ex.groupBy("sh").agg(count(lit(1)).as("df_"))
-      .where(col("df_") <= maxDf).select("sh")
-    val filtered = ex.join(keep, Seq("sh"))
-    val pairs = filtered.as("a")
-      .join(filtered.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
+      k: Int, thresholdE4: Int, maxDf: Long = 1000L,
+      packIds: Boolean = true): DataFrame = {
+    val (pairs, sizes) = postingPairCounts(df, textCol, idCol, k, maxDf,
+      packIds, "containmentPairs")
     pairs
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
@@ -359,6 +353,28 @@ object Dedup {
   def jaccardPairsPostingKernel(df: DataFrame, textCol: String, idCol: String,
       k: Int, thresholdE4: Int, maxDf: Long = 1000L,
       packIds: Boolean = true): DataFrame = {
+    val (pairs, sizes) = postingPairCounts(df, textCol, idCol, k, maxDf,
+      packIds, "jaccardPairsPostingKernel")
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .where(lit(10000L) * col("common") >=
+        lit(thresholdE4.toLong) * (col("sz_a") + col("sz_b") - col("common")))
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("sz_a"), col("sz_b"))
+  }
+
+  /** The shared posting-index pair-count core of the kernel forms:
+    * shingle → CappedCollect inverted index → JVM-loop pair emission →
+    * map-side-combined `(id_a, id_b) → common` counts, plus the
+    * per-doc full shingle-set sizes the verify predicates join
+    * against. Every caller applies its own threshold arithmetic on
+    * top (Jaccard's union rule, containment's `least` rule) — the
+    * candidate set and counts are identical across them by
+    * construction. */
+  private def postingPairCounts(df: DataFrame, textCol: String,
+      idCol: String, k: Int, maxDf: Long, packIds: Boolean,
+      caller: String): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val hs = shingleHashKernel(df, textCol, idCol, k).cache()
@@ -376,7 +392,7 @@ object Dedup {
           val a = ids.toArray
           java.util.Arrays.sort(a)
           require(a(0) >= 0 && a(a.length - 1) < (1L << 31),
-            "jaccardPairsPostingKernel(packIds=true) requires ids in " +
+            s"$caller(packIds=true) requires ids in " +
               "[0, 2^31); call with packIds=false for wider id spaces")
           a.indices.iterator.flatMap { i =>
             Iterator.range(i + 1, a.length).map(j => (a(i) << 32) | a(j))
@@ -387,13 +403,7 @@ object Dedup {
             col("common"))
       else
         emitPairs(idx).groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
-      .where(lit(10000L) * col("common") >=
-        lit(thresholdE4.toLong) * (col("sz_a") + col("sz_b") - col("common")))
-      .select(col("id_a"), col("id_b"), col("common"),
-        col("sz_a"), col("sz_b"))
+    (pairs, sizes)
   }
 
   /** [[jaccardPairsKernel]] with PPJoin-style prefix filtering
