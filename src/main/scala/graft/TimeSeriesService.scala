@@ -299,6 +299,81 @@ final class TimeSeriesService(
   def inc(factId: String, ts: Timestamp, categories: Map[String, String]): Unit =
     newFact(factId, ts, 1L, categories)
 
+  /** Point the durable event store at `dir` BEFORE the first ingest,
+    * so batch-identified ingests ([[ingest(events:DataFrame,batchId:Long)*]])
+    * write their `__batch_id=b<id>` partitions from batch ONE — the
+    * precondition for [[eventsAsOf]] time travel. Without it, batches
+    * below the spill depth pool in memory and spill under the shared
+    * anonymous `spill` tag: still idempotent (the `seen` set), but
+    * their per-batch identity is not recoverable from storage. */
+  def attachEventStore(dir: String): Unit = {
+    require(buffer.isEmpty && bulk.isEmpty && storeDir.isEmpty,
+      "attachEventStore: attach before any event is ingested — " +
+        "already-pooled in-memory events would bypass the store")
+    storeDir = Some(dir)
+  }
+
+  /** TIME-TRAVEL read surface: the durable store's events AS OF ingest
+    * batch `maxBatchId` (inclusive) — the reproducibility contract a
+    * training pipeline needs ("rebuild exactly the dataset run 1412
+    * saw") and the debugging one an incident needs ("what did the
+    * series look like before batch 7 landed"). Implementation is pure
+    * partition algebra: the batch watermark becomes an IN filter on
+    * the `__batch_id` partition values, so batches beyond the
+    * watermark prune from the partition index — no byte of excluded
+    * data is read, no tombstones, no log replay; cost scales with the
+    * surviving batches exactly like a normal read.
+    *
+    * Fails loudly when the store holds batch-ANONYMOUS partitions
+    * (`spill`/`compacted`/`scrubbed`, or un-identified `local<n>`
+    * ingests): compaction and scrubbing fold
+    * batches together, so "as of batch N" is no longer decidable
+    * there — retention and time travel are both real lifecycle
+    * features, and a store can honor an as-of contract only up to its
+    * last identity-destroying rewrite. In-memory (buffered/bulk)
+    * events have no batch identity either; they must be absent. */
+  def eventsAsOf(maxBatchId: Long): DataFrame = {
+    val dir = storeDir.getOrElse(throw new IllegalStateException(
+      "eventsAsOf: no durable event store — attachEventStore(dir) " +
+        "before the first batch-identified ingest"))
+    require(buffer.isEmpty && bulk.isEmpty,
+      "eventsAsOf: pending in-memory events have no batch identity; " +
+        "as-of reads cover batch-identified durable history only")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tags = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("__batch_id="))
+      .map(_.stripPrefix("__batch_id="))
+    val anonymous = tags.filterNot(_.matches("b\\d+"))
+    require(anonymous.isEmpty,
+      "eventsAsOf: store contains batch-anonymous partitions " +
+        s"(${anonymous.mkString(", ")}) — as-of is undefined across " +
+        "spilled/compacted/scrubbed history; use attachEventStore + " +
+        "batch-identified ingest end to end")
+    val kept = tags.filter(_.drop(1).toLong <= maxBatchId).toSeq
+    val store = spark.read.parquet(dir)
+    if (kept.isEmpty) store.where(lit(false)).drop("__batch_id")
+    else store.where(col("__batch_id").isin(kept: _*)).drop("__batch_id")
+  }
+
+  /** [[getTimeseries]] pinned to the [[eventsAsOf]] watermark. Always
+    * compute-on-read: registered rollups aggregate the WHOLE ingested
+    * history and carry no batch lineage, so serving an as-of read from
+    * one would silently include post-watermark events. */
+  def getTimeseriesAsOf(factId: String, dimId: String,
+      filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp, maxBatchId: Long,
+      step: Step = Step.NoStep, offsetHours: Int = 0): DataFrame = {
+    val (fact, dim, grouping) = route(factId, dimId, filters)
+    val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
+    val dimCols = grouping.map(d => col("categories").getItem(d).as(d))
+    val prepared = eventsAsOf(maxBatchId)
+      .where(col("fact") === lit(factId))
+      .select(dimCols :+ col("ts") :+ col("value") :+ col("__event_date"): _*)
+    Timeseries.run(prepared, fact, slice, grouping, filters, start,
+      finish, step, offsetHours)
+  }
+
   /** Monotonic tag for post-spill ingests with no external batch
     * identity (plain bulk loads). */
   private var localBatchSeq = 0L

@@ -356,6 +356,33 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
     }),
 
+    // TIME TRAVEL under the driver's gate: three batch-identified
+    // ingests land in the attached durable store; the as-of read at
+    // batch watermark 1 must hash-match the oracle computed over
+    // exactly batches 0-1 (event_id % 3 <= 1) — batch 2's partition
+    // prunes at the partition index and is never read
+    "ts_asof_batch" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineDimension("event_type", facts = Set("events_count"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_asof").toString + "/store"
+      svc.attachEventStore(store)
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+      (0 to 2).foreach { b =>
+        svc.ingest(ev.where(col("event_id") % 3 === b)
+          .select(lit("events_count").as("fact"), col("ts"),
+            lit(1L).as("value"),
+            map(lit("event_type"), col("event_type")).as("categories")),
+          b.toLong)
+      }
+      svc.getTimeseriesAsOf("events_count", "event_type",
+        Map("event_type" -> Some("click")),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), maxBatchId = 1L,
+        Step.Hour)
+    }),
+
     // RETENTION under the driver's correctness gate: three daily
     // batches spill to the on-disk store, the first two days age out
     // into retained partials (raw partitions DELETED), and the
@@ -2734,6 +2761,15 @@ object EventQueries {
     // are excluded — they were quarantined, not ingested
     "ts_lenient_ingest" -> fillOracle(
       where = "event_type = 'click' AND (event_id % 7) NOT IN (0, 1)",
+      bucketExpr = "date_trunc('hour', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
+      gridStep = "1 HOUR",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
+
+    // batches 0-1 only: the as-of watermark excludes batch 2's
+    // events exactly as the partition filter does on the Spark side
+    "ts_asof_batch" -> fillOracle(
+      where = "event_type = 'click' AND (event_id % 3) <= 1",
       bucketExpr = "date_trunc('hour', ts)",
       gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
       gridStep = "1 HOUR",

@@ -352,6 +352,56 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(total() == 45L)
   }
 
+  test("as-of batch time travel: watermark reads match per-batch prefixes") {
+    import spark.implicits._
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("signups", FactType.Counter, slice = 10)
+    svc.defineDimension("dependency", facts = Set("signups"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-asof").toString + "/store"
+    svc.attachEventStore(store)
+    def frame(v: Long) = Seq(graft.model.Event("signups",
+      ts("2014-03-21T09:15"), v, Map("dependency" -> "31"))).toDF()
+    svc.ingest(frame(1L), batchId = 0L)
+    svc.ingest(frame(2L), batchId = 1L)
+    svc.ingest(frame(4L), batchId = 2L)
+    def asOfTotal(b: Long): Long = pivot(svc.getTimeseriesAsOf("signups",
+      "dependency", Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00"), maxBatchId = b),
+      Seq("dependency")).get(Map("dependency" -> "31"))
+      .map(_(None)).getOrElse(0L)
+    assert(asOfTotal(0L) == 1L)
+    assert(asOfTotal(1L) == 3L)
+    assert(asOfTotal(2L) == 7L)
+    assert(asOfTotal(99L) == 7L) // beyond-head watermark = full history
+    // full (non-as-of) read agrees with the complete watermark
+    assert(pivot(svc.getTimeseries("signups", "dependency",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00")),
+      Seq("dependency"))(Map("dependency" -> "31"))(None) == 7L)
+    // a watermark before every batch is an empty (still well-formed) read
+    assert(svc.eventsAsOf(-1L).isEmpty)
+  }
+
+  test("as-of refuses batch-anonymous history and post-ingest attach") {
+    import spark.implicits._
+    val svc = new TimeSeriesService(spark, spillDepth = 1)
+    svc.defineFact("signups", FactType.Counter, slice = 10)
+    svc.defineDimension("dependency", facts = Set("signups"))
+    def frame(v: Long) = Seq(graft.model.Event("signups",
+      ts("2014-03-21T09:15"), v, Map("dependency" -> "31"))).toDF()
+    svc.ingest(frame(1L)) // spills under the anonymous local tag
+    val e = intercept[IllegalArgumentException](svc.eventsAsOf(5L))
+    assert(e.getMessage.contains("batch-anonymous"))
+    val svc2 = new TimeSeriesService(spark, spillDepth = 1)
+    svc2.defineFact("signups", FactType.Counter, slice = 10)
+    svc2.defineDimension("dependency", facts = Set("signups"))
+    svc2.ingest(frame(1L))
+    val e2 = intercept[IllegalArgumentException](svc2.attachEventStore(
+      java.nio.file.Files.createTempDirectory("graft-asof2").toString))
+    assert(e2.getMessage.contains("before any event"))
+  }
+
   test("ingestLenient quarantines corrupt rows, ingests the rest") {
     import spark.implicits._
     val svc = new TimeSeriesService(spark)
