@@ -320,6 +320,35 @@ object Packing {
         col("offset").as("shuffle_pos"))
   }
 
+  /** CURRICULUM ordering — the staged training shuffle: position is
+    * the 0-based rank by (stage asc, seeded 20-bit shuffle hash, id),
+    * so a sequential reader consumes the stages in difficulty order
+    * (the curriculum-learning schedule) while every stage is
+    * internally shuffled exactly like [[shufflePositions]] — a pure
+    * function of (ids, stages, seed) on any cluster and partitioning.
+    * Same distributed two-pass prefix sum, never a global window;
+    * stage and hash share the packed key's priority lane, so the
+    * contract is `0 <= stage < 8` (curriculum schedules are a handful
+    * of phases by design — rebalance the lane split if you genuinely
+    * need more) and `0 <= id < 2^40`, both raised on violation.
+    * Output: (idCol, stage, curriculum_pos). */
+  def curriculumPositions(df: DataFrame, idCol: String, stageCol: String,
+      seed: Int = 42): DataFrame = {
+    val h = pmod(Dedup.seededHash(col(idCol).cast("string"), seed),
+      lit(1L << 20))
+    val stage = col(stageCol).cast("long")
+    val priority = when(stage.between(0L, 7L),
+        stage * (1L << 20) + h)
+      .otherwise(raise_error(concat(
+        lit("curriculumPositions contract: 0 <= stage < 8; got "), stage)))
+    val keyed = df.select(packedKey(priority, col(idCol)).as("bkey"),
+      lit(1L).as("one"))
+    packSequences(keyed, "bkey", "one", capacity = 1L)
+      .select((col("id") % lit(1L << 40)).as(idCol),
+        expr("id DIV " + (1L << 60) + "L").as("stage"),
+        col("offset").as("curriculum_pos"))
+  }
+
   /** Sliding-window document chunking — the embedding/retrieval prep
     * step: each document splits into `window`-token chunks starting
     * every `stride` tokens (overlapping when `stride < window`, the

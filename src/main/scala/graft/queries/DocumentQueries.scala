@@ -853,6 +853,18 @@ object DocumentQueries {
       Packing.shufflePositions(docs(s, dir), "doc_id")
     }),
 
+    // staged curriculum order: stage = length-difficulty bucket
+    // (shorter = easier), read order = stages ascending with the
+    // seeded shuffle inside each stage — the curriculum-learning
+    // schedule as a deterministic (ids, stages, seed) permutation,
+    // via the same prefix sum (no global window)
+    "curriculum_positions" -> ((s, dir) => {
+      import graft.operators.Packing
+      val staged = docs(s, dir).withColumn("stage",
+        least(lit(3L), floor(length(col("text")) / 150).cast("long")))
+      Packing.curriculumPositions(staged, "doc_id", "stage")
+    }),
+
     // per-source hash-reservoir inspection sample: the 3 docs with the
     // smallest seeded hash per source — deterministic, partition-
     // independent, nested in k; output is O(sources × k) at any scale
@@ -2289,6 +2301,17 @@ object DocumentQueries {
         |    CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
         |      AS BIGINT) % 8388608,
         |    doc_id) - 1 AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
+
+    // same seeded hash inside each stage; stages ascend first
+    "curriculum_positions" ->
+      """SELECT doc_id,
+        |  CAST(least(3, length(text) // 150) AS BIGINT) AS stage,
+        |  CAST(row_number() OVER (ORDER BY
+        |    least(3, length(text) // 150),
+        |    CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1048576,
+        |    doc_id) - 1 AS BIGINT) AS curriculum_pos
         |FROM documents""".stripMargin,
 
     // the same seeded md5 hash, ranked per source

@@ -85,6 +85,31 @@ class PackingSpec extends SparkTestBase {
     assert(a.toSeq.sortBy(_._1).map(_._2) != (0L until 200L))
   }
 
+  test("curriculumPositions: stage-major permutation, shuffled within stage") {
+    val rows = (0L until 200L).map(i => (i, i % 4)).toDF("doc_id", "stage")
+    val a = Packing.curriculumPositions(rows, "doc_id", "stage")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a permutation: positions are exactly 0..n-1
+    assert(a.map(_._3).sorted.toSeq == (0L until 200L))
+    // stage is carried through unchanged
+    assert(a.forall { case (id, st, _) => st == id % 4 })
+    // stages are consumed in order: position sequence is stage-sorted
+    val byPos = a.sortBy(_._3).map(_._2)
+    assert(byPos.toSeq == byPos.sorted.toSeq)
+    // within a stage the order is the seeded shuffle, not id order
+    val stage0 = a.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(stage0.toSeq != stage0.sorted.toSeq)
+    // partition-count independent
+    val b = Packing.curriculumPositions(rows.repartition(7), "doc_id", "stage")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSet == b.toSet)
+    // contract: stage out of range raises instead of silently reordering
+    val bad = Seq((1L, 8L)).toDF("doc_id", "stage")
+    val e = intercept[Exception](
+      Packing.curriculumPositions(bad, "doc_id", "stage").collect())
+    assert(e.getMessage.contains("stage"))
+  }
+
   test("packSequencesByGroup == independent packSequences per group") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 600L).map(i =>
