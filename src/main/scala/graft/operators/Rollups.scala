@@ -562,6 +562,57 @@ object Rollups {
       .partitionBy("bucket_date")
       .parquet(path)
 
+  /** ROLLUP ADVISOR — decide which groupings PAY for materialization
+    * before spending the storage: for every candidate grouping, the
+    * rollup's size is `distinct(dims × slice)` rows, so its benefit
+    * is the events-per-slice compaction ratio. All candidates measure
+    * in ONE grouping-sets aggregation over the raw events (Spark
+    * expands each row into its |candidates| grouping combinations —
+    * one shuffle, map-side combined, never one scan per candidate),
+    * then a tiny per-set re-aggregation. At 100 TB this is the
+    * difference between "measure 10 candidate layouts" costing one
+    * pass vs ten.
+    *
+    * Output, one row per candidate: (`grouping` = comma-joined dims,
+    * `n_series_slices` = the would-be rollup's row count, `n_events`,
+    * `compaction_e4` = 10⁴·events/rows, integral). A candidate near
+    * 10⁴ (ratio 1) compacts nothing — its "rollup" is the event
+    * stream re-keyed (the SCALE.md §8 distinct-partials failure mode,
+    * measured here BEFORE it is built). Null dimension values count
+    * as groups, matching [[partials]]' null-keeping semantics. */
+  def adviseRollups(raw: DataFrame, candidates: Seq[Seq[String]],
+      tsCol: String = "ts", sliceMinutes: Int = 15): DataFrame = {
+    require(candidates.nonEmpty && candidates.forall(_.nonEmpty),
+      "adviseRollups needs at least one non-empty candidate grouping")
+    require(candidates.map(_.toSet).distinct.size == candidates.size,
+      "duplicate candidate groupings")
+    val allDims = candidates.flatten.distinct
+    val base = raw.select(allDims.map(col) :+
+      TimeKernel.sliceFloor(col(tsCol), sliceMinutes).as("__bucket"): _*)
+    val gCols = allDims.map(col) :+ col("__bucket")
+    val sets = candidates.map(c => c.map(col) :+ col("__bucket"))
+    val perKey = base.groupingSets(sets, gCols: _*)
+      .agg(count(lit(1)).as("__cnt"), grouping_id().as("__gid"))
+    // grouping_id bit i (from the LEFT of gCols) is set when that
+    // column is aggregated away in the set — recompute each
+    // candidate's id the same way to label the output
+    val n = allDims.length
+    val labelOf = candidates.map { c =>
+      val gid = allDims.zipWithIndex.collect {
+        case (d, i) if !c.contains(d) => 1L << (n - i)
+      }.sum
+      gid -> c.mkString(",")
+    }
+    val labelExpr = labelOf.foldLeft(lit(null).cast("string")) {
+      case (acc, (g, lbl)) => when(col("__gid") === g, lit(lbl)).otherwise(acc)
+    }
+    perKey.groupBy(col("__gid"))
+      .agg(count(lit(1)).as("n_series_slices"), sum(col("__cnt")).as("n_events"))
+      .select(labelExpr.as("grouping"), col("n_series_slices"),
+        col("n_events"),
+        expr("(10000L * n_events) div n_series_slices").as("compaction_e4"))
+  }
+
   /** Compact an append-maintained rollup (multiple partial rows per
     * key, e.g. from [[graft.streaming.StreamingIngest.maintainRollup]]'s
     * per-batch appends) into one row per (dims…, bucket). Partials are

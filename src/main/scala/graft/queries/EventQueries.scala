@@ -1850,6 +1850,19 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("value_cents"),
           col("n_base"), col("base_sum"))),
 
+    // rollup ADVISOR: measure every candidate grouping's would-be
+    // rollup size and compaction ratio in ONE grouping-sets pass over
+    // raw events — the "which layouts pay for their storage" decision
+    // made from data before any store is built
+    "rollup_advisor" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("user_bucket",
+        (col("user_id") % 10).cast("string"))
+      graft.operators.Rollups.adviseRollups(ev,
+        Seq(Seq("event_type"), Seq("user_bucket"),
+          Seq("event_type", "user_bucket")),
+        sliceMinutes = 15)
+    }),
+
     // materialized-rollup read path: build slice partials, serve the
     // hourly query FROM the rollup — result must hash-match the same
     // oracle as the raw-events pipeline (re-aggregability, SURVEY §4)
@@ -3834,6 +3847,30 @@ object EventQueries {
         |SELECT CAST(CAST(bucket AS DATE) AS VARCHAR) AS bucket_date,
         |  count(*) AS n_rows, CAST(0 AS BIGINT) AS n_mismatched
         |FROM b GROUP BY 1""".stripMargin,
+
+    // one UNION ALL branch per candidate: the would-be rollup row
+    // count is the distinct (dims, slice) combinations
+    "rollup_advisor" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(user_id % 10 AS VARCHAR) AS user_bucket,
+        |    make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)
+        |      * 1000000) AS bucket
+        |  FROM events),
+        |tot AS (SELECT COUNT(*) AS n FROM base)
+        |SELECT grouping, n_series_slices, n_events,
+        |  CAST((10000 * n_events) // n_series_slices AS BIGINT)
+        |    AS compaction_e4
+        |FROM (
+        |  SELECT 'event_type' AS grouping, COUNT(*) AS n_series_slices,
+        |    (SELECT n FROM tot) AS n_events
+        |  FROM (SELECT DISTINCT event_type, bucket FROM base)
+        |  UNION ALL
+        |  SELECT 'user_bucket', COUNT(*), (SELECT n FROM tot)
+        |  FROM (SELECT DISTINCT user_bucket, bucket FROM base)
+        |  UNION ALL
+        |  SELECT 'event_type,user_bucket', COUNT(*), (SELECT n FROM tot)
+        |  FROM (SELECT DISTINCT event_type, user_bucket, bucket FROM base)
+        |)""".stripMargin,
 
     // healthy store: per date the distinct (event_type, slice) bucket
     // count with zero mismatches — the range mirrors eventsRanged's

@@ -444,6 +444,30 @@ class RollupsSpec extends SparkTestBase {
     assert(estC == got)
   }
 
+  test("adviseRollups: one pass measures every candidate's compaction") {
+    // 2 dims, 4 slices; dim a has 2 values, dim b has 4 — b's rollup
+    // compacts less than a's, the pair grouping less than either
+    val raw = (for {
+      a <- 0 until 2; b <- 0 until 4; h <- 0 until 4; _ <- 0 until 3
+    } yield ("a" + a, "b" + b, ts(f"2024-01-01T$h%02d:05"), 1L))
+      .toDF("da", "db", "ts", "value")
+    val advice = Rollups.adviseRollups(raw,
+        Seq(Seq("da"), Seq("db"), Seq("da", "db")), sliceMinutes = 60)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // distinct (da, hour-slice) = 2 × 4; (db, slice) = 4 × 4; pair = 8 × 4
+    assert(advice("da") == ((8L, 96L, 10000L * 96 / 8)))
+    assert(advice("db") == ((16L, 96L, 10000L * 96 / 16)))
+    assert(advice("da,db") == ((32L, 96L, 10000L * 96 / 32)))
+    // null dim values count as groups (partials' null-keeping rule)
+    val withNull = raw.withColumn("da",
+      when(col("db") === "b0", lit(null)).otherwise(col("da")))
+    val a2 = Rollups.adviseRollups(withNull, Seq(Seq("da")),
+        sliceMinutes = 60)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a2("da") == 12L) // (null, a0, a1) × 4 slices
+  }
+
   test("rollup parquet is date-partitioned for partition pruning") {
     val dir = Files.createTempDirectory("rollup").toString
     Rollups.materialize(rawCounter, counterFact, 15, Seq("dim"), dir)
