@@ -332,7 +332,19 @@ final class TimeSeriesService(
     * features, and a store can honor an as-of contract only up to its
     * last identity-destroying rewrite. In-memory (buffered/bulk)
     * events have no batch identity either; they must be absent. */
-  def eventsAsOf(maxBatchId: Long): DataFrame = {
+  def eventsAsOf(maxBatchId: Long): DataFrame =
+    eventsInBatchRange(Long.MinValue, maxBatchId)
+
+  /** The DELTA twin of [[eventsAsOf]]: events in batches
+    * `[minBatchId, maxBatchId]` — what an incremental consumer reads
+    * to carry a derived dataset from one watermark to the next
+    * ("give me exactly what landed since my last build") without
+    * rescanning settled history. Same partition algebra and the same
+    * batch-anonymity refusal as the as-of read; `eventsAsOf(w)` ≡
+    * `eventsInBatchRange(MinValue, w)` and the two deltas
+    * `(−∞, w₁]` ∪ `(w₁, w₂]` partition `(−∞, w₂]` exactly
+    * (spec-pinned). */
+  def eventsInBatchRange(minBatchId: Long, maxBatchId: Long): DataFrame = {
     val dir = storeDir.getOrElse(throw new IllegalStateException(
       "eventsAsOf: no durable event store — attachEventStore(dir) " +
         "before the first batch-identified ingest"))
@@ -350,7 +362,10 @@ final class TimeSeriesService(
         s"(${anonymous.mkString(", ")}) — as-of is undefined across " +
         "spilled/compacted/scrubbed history; use attachEventStore + " +
         "batch-identified ingest end to end")
-    val kept = tags.filter(_.drop(1).toLong <= maxBatchId).toSeq
+    val kept = tags.filter { t =>
+      val id = t.drop(1).toLong
+      id >= minBatchId && id <= maxBatchId
+    }.toSeq
     val store = spark.read.parquet(dir)
     if (kept.isEmpty) store.where(lit(false)).drop("__batch_id")
     else store.where(col("__batch_id").isin(kept: _*)).drop("__batch_id")

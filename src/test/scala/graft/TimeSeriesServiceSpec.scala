@@ -381,6 +381,17 @@ class TimeSeriesServiceSpec extends SparkTestBase {
       Seq("dependency"))(Map("dependency" -> "31"))(None) == 7L)
     // a watermark before every batch is an empty (still well-formed) read
     assert(svc.eventsAsOf(-1L).isEmpty)
+    // delta reads partition the as-of exactly: (-inf,0] U (0,2] = (-inf,2]
+    def flat(df: org.apache.spark.sql.DataFrame) = df.select(
+      org.apache.spark.sql.functions.col("fact"),
+      org.apache.spark.sql.functions.col("ts"),
+      org.apache.spark.sql.functions.col("value"),
+      org.apache.spark.sql.functions.col("categories")("dependency"))
+    val both = flat(svc.eventsAsOf(0L))
+      .unionByName(flat(svc.eventsInBatchRange(1L, 2L)))
+    val full = flat(svc.eventsAsOf(2L))
+    assert(both.count() == full.count() &&
+      both.exceptAll(full).isEmpty && full.exceptAll(both).isEmpty)
   }
 
   test("as-of refuses batch-anonymous history and post-ingest attach") {
