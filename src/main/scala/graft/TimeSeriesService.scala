@@ -353,6 +353,9 @@ final class TimeSeriesService(
         "as-of reads cover batch-identified durable history only")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root),
+      s"eventsAsOf: attached event store at $dir holds no ingested " +
+        "batches yet")
     val tags = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("__batch_id="))
       .map(_.stripPrefix("__batch_id="))
