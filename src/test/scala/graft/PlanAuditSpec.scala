@@ -133,6 +133,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("rollup advisor: one scan + one Expand sizes every candidate") {
+    val p = plan("rollup_advisor")
+    // all candidates measure from ONE pass over events: the
+    // grouping-sets Expand feeds the aggregation — a per-candidate
+    // scan or a union of scans would show several FileScans
+    assert(p.contains("Expand"), p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("moving average rides the fill: 2 shuffles, no joins, no range sort") {
     val p = plan("ts_moving_avg")
     // collapse agg + the shared series partitioning for fill/window —
