@@ -853,6 +853,27 @@ object DocumentQueries {
       Packing.shufflePositions(docs(s, dir), "doc_id")
     }),
 
+    // the plan LINTER over three deliberately pathological shapes and
+    // one clean one: the scale-killer rules (cartesian, unconditioned
+    // nested loop, single-partition window, global sort) must each
+    // fire exactly once on their offending plan and never on the
+    // clean aggregate — the output is a constant, so the oracle pins
+    // the linter's verdict exactly
+    "plan_lint_report" -> ((s, dir) => {
+      import graft.plans.PlanLint
+      val d = docs(s, dir)
+      val cross = d.select(col("doc_id"))
+        .crossJoin(d.select(col("doc_id").as("id2")))
+      val win = d.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+      val sorted = d.orderBy(col("doc_id"))
+      val good = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      PlanLint.report(cross).withColumn("plan", lit("cross"))
+        .unionByName(PlanLint.report(win).withColumn("plan", lit("window")))
+        .unionByName(PlanLint.report(sorted).withColumn("plan", lit("sort")))
+        .unionByName(PlanLint.report(good).withColumn("plan", lit("good")))
+    }),
+
     // staged curriculum order: stage = length-difficulty bucket
     // (shorter = easier), read order = stages ascending with the
     // seeded shuffle inside each stage — the curriculum-learning
@@ -2302,6 +2323,14 @@ object DocumentQueries {
         |      AS BIGINT) % 8388608,
         |    doc_id) - 1 AS BIGINT) AS shuffle_pos
         |FROM documents""".stripMargin,
+
+    // the linter's verdict is a constant — pin it literally
+    "plan_lint_report" ->
+      """SELECT * FROM (VALUES
+        |  ('unconditioned-nested-loop', CAST(1 AS BIGINT), 'cross'),
+        |  ('single-partition-window', CAST(1 AS BIGINT), 'window'),
+        |  ('global-sort', CAST(1 AS BIGINT), 'sort'))
+        |AS t(rule, n_findings, plan)""".stripMargin,
 
     // same seeded hash inside each stage; stages ascend first
     "curriculum_positions" ->

@@ -133,6 +133,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("plan linter: each rule fires on its hazard, none on shipped plans") {
+    import graft.plans.PlanLint
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = (0L until 50L).map(i => (i, "s" + (i % 3))).toDF("id", "src")
+    // each pathological shape trips exactly its own rule
+    val cross = d.crossJoin(d.select(col("id").as("id2")))
+    assert(PlanLint.audit(cross).map(_.rule)
+      .exists(r => r == "cartesian-product" || r == "unconditioned-nested-loop"))
+    val win = d.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+    assert(PlanLint.audit(win).map(_.rule)
+      .contains("single-partition-window"))
+    assert(PlanLint.audit(d.orderBy(col("id"))).map(_.rule)
+      .contains("global-sort"))
+    // legitimate shapes stay clean: partitioned window, top-k, join
+    val okWin = d.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+        .orderBy(col("id"))))
+    assert(PlanLint.audit(okWin).isEmpty)
+    assert(PlanLint.audit(d.orderBy(col("id")).limit(5)).isEmpty)
+    assert(PlanLint.audit(
+      d.join(d.select(col("id"), lit(1).as("x")), Seq("id"))).isEmpty)
+    // and the shipped prefix-sum / similarity plans carry no findings —
+    // the conditioned broadcast NLJ the near-dup join uses is NOT the
+    // unconditioned hazard
+    assert(PlanLint.audit(SparkEntry.queries("sample_shuffle_positions")(
+      spark, sf)).isEmpty)
+    assert(PlanLint.audit(SparkEntry.queries("emb_near_pairs")(
+      spark, sf)).isEmpty)
+  }
+
   test("rollup advisor: one scan + one Expand sizes every candidate") {
     val p = plan("rollup_advisor")
     // all candidates measure from ONE pass over events: the
