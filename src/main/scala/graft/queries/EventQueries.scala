@@ -1004,6 +1004,19 @@ object EventQueries {
           col("status"))
     }),
 
+    // WATERMARK-HEALTH observability: per micro-batch, how many rows
+    // arrived older than (prior batches' max event time − 1h)? Batch
+    // 1 sets the mark; batch 2 carries the replayed history and must
+    // count exactly those rows late — the report is a pure function
+    // of batch contents and order, so the oracle states it from the
+    // same split rule
+    "stream_late_profile" -> ((s, dir) => {
+      val path = streamedLateReports(s, dir)
+      s.read.parquet(path)
+        .select(col("__batch_id").cast(LongType).as("batch_id"),
+          col("n_rows"), col("n_late"), col("max_ts"))
+    }),
+
     // the STREAMING-maintained CDC state table under the same oracle:
     // the change log replays as two micro-batches, each applying onto
     // the previous committed state VERSION (v=0 → v=1); the final
@@ -2239,6 +2252,47 @@ object EventQueries {
       s"$base/state"
     })
 
+  /** stream_late_profile's per-batch lateness reports, built once per
+    * (session, sf dir): batch 1 is the pre-cut history MINUS the
+    * replayed ids, batch 2 the post-cut rows PLUS those replays — so
+    * the second batch arrives with genuinely old event times and the
+    * monitor's high-water-mark rule must count exactly them late. */
+  private val streamLateDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def streamedLateReports(s: SparkSession, dir: String): String =
+    streamLateDirs.getOrElseUpdate((s, dir), {
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val base = Files.createTempDirectory("graft_streamlate").toString
+      val landing = s"$base/landing"
+      Files.createDirectories(Paths.get(landing))
+      val ev = events(s, dir).select(col("event_id"), col("ts"))
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      val replayed = col("event_id") % 50 === 0
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dest = Paths.get(landing, s"$name.parquet")
+        Files.move(Paths.get(part), dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis()
+      land(ev.where(col("ts") < cut && !replayed), "f1", t0)
+      land(ev.where(col("ts") >= cut || replayed), "f2", t0 + 60000L)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      val q = graft.streaming.StreamingIngest
+        .monitorLateness(stream, "ts", horizonSec = 3600L,
+          s"$base/reports")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s"$base/reports"
+    })
+
   /** stream_quality_monitor's per-batch report path, built once per
     * (session, sf dir): same two-file mid-history landing split as
     * [[streamedCdcState]], through
@@ -3346,6 +3400,27 @@ object EventQueries {
     // must both collapse to exactly this
     "cdc_user_state" -> cdcStateOracle,
     "stream_cdc_user_state" -> cdcStateOracle,
+
+    // batch 1: pre-cut minus replays, no mark yet, nothing late;
+    // batch 2: post-cut plus replays, late = older than batch 1's
+    // max event time minus the 1h horizon
+    "stream_late_profile" ->
+      """WITH f1 AS (
+        |  SELECT * FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-15 00:00:00' AND event_id % 50 <> 0),
+        |f2 AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' OR event_id % 50 = 0)
+        |SELECT CAST(0 AS BIGINT) AS batch_id,
+        |  (SELECT COUNT(*) FROM f1) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_late,
+        |  (SELECT max(ts) FROM f1) AS max_ts
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        |  (SELECT COUNT(*) FROM f2),
+        |  (SELECT COUNT(*) FROM f2
+        |   WHERE ts < (SELECT max(ts) FROM f1) - INTERVAL 1 HOUR),
+        |  (SELECT max(ts) FROM f2)""".stripMargin,
 
     // per-batch quality reports: the oracle re-derives each batch
     // from the same deterministic mid-history split and recomputes

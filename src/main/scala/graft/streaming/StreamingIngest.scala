@@ -300,6 +300,75 @@ object StreamingIngest {
         ()
       }
 
+  /** Per-batch LATENESS observability — the watermark-health monitor
+    * a production stream needs beside the data-quality one: how much
+    * of each micro-batch arrived with event times older than the
+    * high-water mark the stream had already reached? A rising late
+    * share is the operational signal that a watermark horizon is
+    * about to start dropping rows (or that an upstream replays
+    * history), surfaced as data, not as a silent loss.
+    *
+    * Semantics (deterministic, replay-stable): the high-water mark
+    * entering batch N is max(event ts) over batches < N — the same
+    * quantity Spark's own watermark tracks, minus the wall-clock
+    * trigger coupling, so the report is a pure function of the batch
+    * contents and order. A row is LATE when `ts < hwm − horizonSec`.
+    * Batch 0 has no mark and therefore no late rows. The mark is
+    * re-armed after a restart from the already-written reports
+    * (their recorded `max_ts`), so a resumed monitor judges lateness
+    * against everything the stream committed before the crash;
+    * per-batch reports overwrite their own `__batch_id=` directory
+    * (the idempotent replay discipline every maintained store here
+    * uses). One row per batch: (batch_id, n_rows, n_late, max_ts). */
+  def monitorLateness(stream: DataFrame, tsCol: String, horizonSec: Long,
+      path: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(horizonSec >= 0, "horizonSec must be >= 0")
+    // driver-held high-water mark; Option so batch 0 is "no mark"
+    // rather than epoch-0 (which would spuriously mark nothing late
+    // only for nonnegative timestamps)
+    var hwm: Option[java.sql.Timestamp] = None
+    var armed = false
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!armed) {
+          armed = true
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          // pre-created-but-empty report dirs must not trip schema
+          // inference — re-arm only when committed batch dirs exist
+          val hasReports = fs.exists(p) && fs.listStatus(p)
+            .exists(_.getPath.getName.startsWith("__batch_id="))
+          if (hasReports)
+            hwm = spark.read.parquet(path)
+              .where(col("__batch_id") < batchId)
+              .agg(max(col("max_ts"))).head match {
+                case r if r.isNullAt(0) => None
+                case r => Some(r.getTimestamp(0))
+              }
+        }
+        val lateBound = hwm.map(h =>
+          java.sql.Timestamp.from(h.toInstant.minusSeconds(horizonSec)))
+        val isLate = lateBound
+          .map(b => col(tsCol) < lit(b)).getOrElse(lit(false))
+        val rep = batch.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(when(isLate, 1L).otherwise(0L)), lit(0L))
+              .as("n_late"),
+            max(col(tsCol)).as("max_ts"))
+          .head
+        val spark2 = batch.sparkSession
+        import spark2.implicits._
+        Seq((rep.getLong(0), rep.getLong(1),
+            Option(rep.getTimestamp(2))))
+          .toDF("n_rows", "n_late", "max_ts")
+          .write.mode("overwrite").parquet(s"$path/__batch_id=$batchId")
+        hwm = (hwm.toSeq ++ Option(rep.getTimestamp(2)).toSeq)
+          .sortBy(_.getTime).lastOption
+        ()
+      }
+  }
+
   /** The current CDC state: the highest committed version under
     * `path` (a version is committed once its `_SUCCESS` marker
     * exists). */

@@ -939,6 +939,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("lateness monitor: hwm rule per batch; restart re-arms from reports") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp)]
+    val (ck, rep) = (tmp("graft-lck"), tmp("graft-lrep"))
+    def startQ() = StreamingIngest.monitorLateness(
+        source.toDF().toDF("id", "ts"), "ts", horizonSec = 3600L, rep)
+      .option("checkpointLocation", ck).start()
+    val q1 = startQ()
+    // batch 0: no mark yet -> nothing late even for ancient rows
+    source.addData((1L, ts("2024-01-01T10:00")), (2L, ts("2024-01-01T12:00")))
+    q1.processAllAvailable()
+    // batch 1: mark = 12:00, late bound 11:00 — 10:30 and 09:00 are
+    // late, 13:00 advances the mark
+    source.addData((3L, ts("2024-01-01T10:30")), (4L, ts("2024-01-01T09:00")),
+      (5L, ts("2024-01-01T13:00")))
+    q1.processAllAvailable()
+    q1.stop()
+    // RESTART: a fresh monitor instance must re-arm its mark (13:00)
+    // from the committed reports, not start blind
+    val q2 = startQ()
+    source.addData((6L, ts("2024-01-01T11:30")), (7L, ts("2024-01-01T12:30")))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(rep).collect()
+      .map(r => r.getAs[Long]("__batch_id") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_late"))).toMap
+    assert(got == Map(0L -> ((2L, 0L)), 1L -> ((3L, 2L)), 2L -> ((2L, 1L))))
+  }
+
   test("streaming anomaly flags == batch trailingZFlags, out-of-order safe") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp, Long, Long)]
