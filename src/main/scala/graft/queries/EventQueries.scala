@@ -1004,6 +1004,18 @@ object EventQueries {
           col("status"))
     }),
 
+    // STREAM-STATIC SCD enrichment twin: clicks replayed in two
+    // micro-batches against the offline-built Type-2 purchase-level
+    // dimension — enrichment is row-pure against a static dimension,
+    // so the appended batches aggregate to EXACTLY the batch
+    // pointInTime read (shared oracle verbatim)
+    "stream_scd_click_level" -> ((s, dir) => {
+      val path = streamedScdClicks(s, dir)
+      s.read.parquet(path)
+        .groupBy(coalesce(col("level"), lit(0L)).as("level"))
+        .agg(count(lit(1)).as("n_clicks"))
+    }),
+
     // WATERMARK-HEALTH observability: per micro-batch, how many rows
     // arrived older than (prior batches' max event time − 1h)? Batch
     // 1 sets the mark; batch 2 carries the replayed history and must
@@ -2252,6 +2264,56 @@ object EventQueries {
       s"$base/state"
     })
 
+  /** stream_scd_click_level's enriched-clicks path, built once per
+    * (session, sf dir): the Type-2 dimension builds offline from
+    * purchases exactly as the batch query does; the clicks replay as
+    * two mid-history file batches through
+    * [[graft.streaming.StreamingIngest.enrichPointInTime]]. */
+  private val streamScdDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def streamedScdClicks(s: SparkSession, dir: String): String =
+    streamScdDirs.getOrElseUpdate((s, dir), {
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val base = Files.createTempDirectory("graft_streamscd").toString
+      val landing = s"$base/landing"
+      Files.createDirectories(Paths.get(landing))
+      val e = events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changes = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("level", row_number().over(w).cast(LongType))
+      val scd2 = graft.operators.Scd
+        .buildType2(changes, Seq("user_id"), "ts", col("event_id"))
+        .localCheckpoint(true)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dest = Paths.get(landing, s"$name.parquet")
+        Files.move(Paths.get(part), dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis()
+      land(clicks.where(col("ts") < cut), "f1", t0)
+      land(clicks.where(col("ts") >= cut), "f2", t0 + 60000L)
+      val stream = s.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      val q = graft.streaming.StreamingIngest
+        .enrichPointInTime(stream, scd2, Seq("user_id"), "ts",
+          Seq("level"), s"$base/enriched")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s"$base/enriched"
+    })
+
   /** stream_late_profile's per-batch lateness reports, built once per
     * (session, sf dir): batch 1 is the pre-cut history MINUS the
     * replayed ids, batch 2 the post-cut rows PLUS those replays — so
@@ -3475,6 +3537,20 @@ object EventQueries {
     // the interval semantics reduce to "purchases at or before the
     // click" — the correlated form DuckDB decorrelates into a join
     "scd_click_level" ->
+      """WITH c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |lv AS (
+        |  SELECT c.user_id, c.ts,
+        |    (SELECT count(*) FROM p
+        |     WHERE p.user_id = c.user_id AND p.ts <= c.ts) AS level
+        |  FROM c)
+        |SELECT level, count(*) AS n_clicks FROM lv GROUP BY 1""".stripMargin,
+
+    // identical to scd_click_level: the stream-static enrichment must
+    // be indistinguishable from the batch point-in-time read
+    "stream_scd_click_level" ->
       """WITH c AS (
         |  SELECT user_id, ts FROM events WHERE event_type = 'click'),
         |p AS (

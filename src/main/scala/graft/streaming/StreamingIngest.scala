@@ -369,6 +369,31 @@ object StreamingIngest {
       }
   }
 
+  /** STREAM-STATIC SCD enrichment — the streaming twin of
+    * [[graft.operators.Scd.pointInTime]]: each micro-batch of facts
+    * is enriched with the dimension attributes that were valid AT ITS
+    * EVENT TIME against a static (offline-built) Type-2 dimension.
+    * The enrichment is a pure function of (fact row, dimension
+    * table), so batch boundaries cannot change any output row — a
+    * replayed stream produces exactly what one batch pass over the
+    * union would, which is what lets the driver query share the
+    * batch oracle verbatim. Zero streaming state; per-batch
+    * idempotent overwrite dirs like every maintained store here.
+    * The dimension is static BY CONTRACT: enriching against a
+    * concurrently-rewritten SCD table would tear reads — rebuild the
+    * dimension offline and restart the enrichment to pick it up. */
+  def enrichPointInTime(stream: DataFrame, scd2: DataFrame,
+      keys: Seq[String], factTsCol: String, attrs: Seq[String],
+      path: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Scd
+          .pointInTime(batch, scd2, keys, factTsCol, attrs)
+          .write.mode("overwrite").parquet(s"$path/__batch_id=$batchId")
+        ()
+      }
+
   /** The current CDC state: the highest committed version under
     * `path` (a version is committed once its `_SUCCESS` marker
     * exists). */
