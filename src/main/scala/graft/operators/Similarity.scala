@@ -104,6 +104,33 @@ object Similarity {
       .drop("__qv", "__cv", "__sim")
   }
 
+  /** Per-DIMENSION embedding statistics — the calibration and
+    * normalization profile a vector pipeline reads before it
+    * quantizes or normalizes: count / sum / min / max / sum-of-squares
+    * per vector position, enough for mean-centering, per-dimension
+    * (asymmetric) quantization ranges, and dead/degenerate-dimension
+    * detection (a position whose min = max carries no information and
+    * wastes a byte in every quantized vector). One posexplode + one
+    * map-side-combined aggregation; output is dim-sized regardless of
+    * corpus size. Values are rounded to ×10⁶ integers FIRST so every
+    * downstream sum is exact integer arithmetic (order-independent,
+    * engine-independent — a float sum would hash differently per
+    * partitioning); sums of squares run in decimal(38,0) so a
+    * trillion-vector corpus cannot overflow. */
+  def dimensionProfile(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("pos"),
+        round(col("v") * 1000000d).cast("long").as("v_e6"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_vals"),
+        sum(col("v_e6")).as("sum_e6"),
+        min(col("v_e6")).as("min_e6"),
+        max(col("v_e6")).as("max_e6"),
+        sum((col("v_e6") * col("v_e6")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("sumsq_e12"))
+
   /** Symmetric int8 scalar quantization of an embedding column: per
     * vector, `scale = max|x| / 127` and `q_i = round(x_i / scale)` —
     * 4× less memory/IO than float32 (the difference between a vector

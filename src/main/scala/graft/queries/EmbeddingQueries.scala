@@ -445,6 +445,18 @@ object EmbeddingQueries {
       emb(s, dir).groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_vecs"))),
 
+    // per-DIMENSION calibration profile (mean-centering, asymmetric
+    // quantization ranges, dead-dimension detection): values round to
+    // x10^6 integers BEFORE any sum, so every stat is exact integer
+    // arithmetic and hash-compares across engines; output is
+    // dim-sized at any corpus size
+    // the operator keeps sumsq in decimal(38,0) (overflow-proof at
+    // corpus scale); the gate's projection narrows it to BIGINT,
+    // exact at fixture magnitudes, for a type-stable compare
+    "emb_dim_profile" -> ((s, dir) =>
+      graft.operators.Similarity.dimensionProfile(emb(s, dir), "embedding")
+        .withColumn("sumsq_e12", col("sumsq_e12").cast("long"))),
+
     // FILTERED vector search (the metadata-predicate ANN every
     // retrieval stack needs): exact top-5 restricted to labels < 5 —
     // the predicate composes UNDER the search, reaching the parquet
@@ -665,6 +677,21 @@ object EmbeddingQueries {
 
     "emb_label_counts" ->
       "SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs FROM embeddings GROUP BY 1",
+
+    // same x10^6 element rounding, exact integer sums; sumsq kept as
+    // decimal text on both sides
+    "emb_dim_profile" ->
+      """WITH x AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS v_e6
+        |  FROM embeddings)
+        |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n_vals,
+        |  CAST(sum(v_e6) AS BIGINT) AS sum_e6,
+        |  min(v_e6) AS min_e6, max(v_e6) AS max_e6,
+        |  CAST(sum(CAST(v_e6 AS HUGEINT) * v_e6) AS BIGINT)
+        |    AS sumsq_e12
+        |FROM x GROUP BY 1""".stripMargin,
 
     // the brute-force ranking over the label-filtered corpus only
     "ann_filtered_topk" ->
