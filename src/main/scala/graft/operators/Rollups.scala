@@ -584,6 +584,8 @@ object Rollups {
       tsCol: String = "ts", sliceMinutes: Int = 15): DataFrame = {
     require(candidates.nonEmpty && candidates.forall(_.nonEmpty),
       "adviseRollups needs at least one non-empty candidate grouping")
+    require(candidates.forall(c => c.distinct == c),
+      "a candidate grouping repeats a dimension")
     require(candidates.map(_.toSet).distinct.size == candidates.size,
       "duplicate candidate groupings")
     val allDims = candidates.flatten.distinct
