@@ -849,6 +849,16 @@ object EventQueries {
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"))),
 
+    // gap + MAX-DURATION sessionization (the cap that stops idle
+    // refreshes accreting week-long "sessions"): recursive semantics
+    // — an event's session depends on the running session START — so
+    // the plan is the per-user greedy fold, and the oracle is a
+    // genuine recursive CTE; 12h gap / 24h cap makes both rules fire
+    // on the fixture (~2.6 events/session, cap splits included)
+    "event_sessions_capped" -> ((s, dir) =>
+      graft.operators.Sessions.cappedSessions(events(s, dir), "user_id",
+        "ts", gapMinutes = 720, maxDurationMinutes = 1440)),
+
     // per-entity rolling features (the feature-engineering op of an
     // event-driven training pipeline): for EVERY event, the count of
     // the same user's events in the trailing hour (RANGE frame on
@@ -1776,6 +1786,16 @@ object EventQueries {
         .where(col("user_id") >= 0L)
         .select(col("user_id"), col("session_start"), col("n_events"))),
 
+    // the CAPPED sessionizer's streaming twin: watermark-gated ordered
+    // drain through the same greedy fold (a compressed span cannot be
+    // re-split, so events stay event-level until final) — emitted
+    // sessions must equal the batch fold exactly (shared oracle)
+    "stream_sessions_capped" -> ((s, dir) =>
+      s.read.parquet(streamedCappedSessions(s, dir))
+        .where(col("user_id") >= 0L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))),
+
     // ordered funnel over the raw stream: signup → later click →
     // later purchase, earliest-qualifying-event rule; one user_id
     // partitioning serves all three monotonically-shrinking stages
@@ -2082,6 +2102,23 @@ object EventQueries {
         Seq(Seq((-1L, ts("2100-01-01T00:00"))).toDF("user_id", "ts"),
           Seq((-2L, ts("2100-06-01T00:00"))).toDF("user_id", "ts")),
         graft.streaming.StreamingIngest.sessionizeStream(_, gapMinutes = 30,
+          watermarkDelay = "0 seconds"))
+    })
+
+  /** stream_sessions_capped's drained output, built once per
+    * (session, sf dir): same replay choreography, the capped twin's
+    * gap/cap parameters matching `event_sessions_capped`. */
+  private val streamCappedSessionDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def streamedCappedSessions(s: SparkSession, dir: String): String =
+    streamCappedSessionDirs.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      replayThroughState(s, "streamcap",
+        events(s, dir).select(col("user_id").cast(LongType), col("ts")),
+        Seq(Seq((-1L, ts("2100-01-01T00:00"))).toDF("user_id", "ts"),
+          Seq((-2L, ts("2100-06-01T00:00"))).toDF("user_id", "ts")),
+        graft.streaming.StreamingIngest.cappedSessionStream(_,
+          gapMinutes = 720, maxDurationMinutes = 1440,
           watermarkDelay = "0 seconds"))
     })
 
@@ -3321,6 +3358,45 @@ object EventQueries {
         |  FROM o)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    // the greedy capped fold as a recursive CTE: each event inherits
+    // or restarts the running session start under the same two strict
+    // split rules, then sessions aggregate per (user, start)
+    "event_sessions_capped" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, rn, ts, ts AS sess_start FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.ts,
+        |    CASE WHEN e.ts - s.ts > INTERVAL 720 MINUTE
+        |           OR e.ts - s.sess_start > INTERVAL 1440 MINUTE
+        |      THEN e.ts ELSE s.sess_start END
+        |  FROM ev e JOIN s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, sess_start AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // identical to event_sessions_capped: the drained streaming fold
+    // must be indistinguishable from the batch fold under the oracle
+    "stream_sessions_capped" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, rn, ts, ts AS sess_start FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.ts,
+        |    CASE WHEN e.ts - s.ts > INTERVAL 720 MINUTE
+        |           OR e.ts - s.sess_start > INTERVAL 1440 MINUTE
+        |      THEN e.ts ELSE s.sess_start END
+        |  FROM ev e JOIN s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, sess_start AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     // identical to event_sessions: a streaming sessionization must be
     // indistinguishable from the batch session_window under the oracle

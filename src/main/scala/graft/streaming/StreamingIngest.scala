@@ -672,6 +672,84 @@ object StreamingIngest {
       }
   }
 
+  /** Per-user CAPPED-session streaming state: watermark-gated pending
+    * event times (µs) + the open session triple (`hasOpen` false ⇔
+    * the triple is garbage). Pending is bounded by the watermark
+    * horizon; the open session is three longs. */
+  case class CappedSessBuf(pending: Seq[Long], startUs: Long,
+      prevUs: Long, n: Long, hasOpen: Boolean)
+
+  /** STREAMING twin of [[graft.operators.Sessions.cappedSessions]]
+    * (gap + max-duration). The cap makes the fold order-sensitive in
+    * a way plain gap-merge is not — a session's START decides later
+    * splits, and a compressed (start, end, n) span cannot be re-split
+    * when a late event lands inside it — so this twin uses the
+    * watermark-gated ORDERED DRAIN ([[anomalyStream]]'s discipline):
+    * events buffer until their whole floor-second passes the
+    * watermark, then feed the greedy fold in exact event-time order.
+    * The open session closes once the watermark proves no pending or
+    * future event can still join it (every such event would split by
+    * gap or cap anyway) — late-but-in-horizon arrivals therefore
+    * slot into their true position and the emitted sessions equal
+    * the batch fold's exactly (shared oracle). State per user:
+    * horizon-bounded pending + three longs. */
+  def cappedSessionStream(events: DataFrame, gapMinutes: Int,
+      maxDurationMinutes: Int, watermarkDelay: String)
+      : Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    val capUs = maxDurationMinutes * 60000000L
+    def toUs(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def toTs(us: Long): Timestamp =
+      Timestamp.from(java.time.Instant.ofEpochSecond(
+        math.floorDiv(us, 1000000L), math.floorMod(us, 1000000L) * 1000L))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CappedSessBuf, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val st = if (state.exists) state.get
+            else CappedSessBuf(Nil, 0L, 0L, 0L, hasOpen = false)
+          val incoming = rows.map(r => toUs(r._2)).toSeq
+          val (ready, rest) = (st.pending ++ incoming)
+            .partition(us => (math.floorDiv(us, 1000000L) + 1L) * 1000L <= wmMs)
+          val out = Seq.newBuilder[ClosedSession]
+          var hasOpen = st.hasOpen
+          var start = st.startUs
+          var prev = st.prevUs
+          var n = st.n
+          ready.sorted.foreach { t =>
+            if (!hasOpen) { hasOpen = true; start = t; prev = t; n = 1L }
+            else if (t - prev > gapUs || t - start > capUs) {
+              out += ClosedSession(user, toTs(start), toTs(prev), n)
+              start = t; prev = t; n = 1L
+            } else { prev = t; n += 1L }
+          }
+          // close once NOTHING can still join: the watermark passed the
+          // gap horizon AND every still-pending event would split anyway
+          if (hasOpen && prev + gapUs <= wmUs &&
+              rest.forall(t => t - prev > gapUs || t - start > capUs)) {
+            out += ClosedSession(user, toTs(start), toTs(prev), n)
+            hasOpen = false
+          }
+          if (!hasOpen && rest.isEmpty) state.remove()
+          else {
+            state.update(CappedSessBuf(rest, start, prev, n, hasOpen))
+            if (rest.nonEmpty) state.setTimeoutTimestamp(wmMs + 1L)
+            else state.setTimeoutTimestamp(
+              math.floorDiv(prev + gapUs + 999L, 1000L))
+          }
+          out.result().iterator
+      }
+  }
+
   /** An event awaiting its watermark in streaming funnel state (µs
     * timestamps: stage qualification compares strict ts order, which
     * must match the batch twin's microsecond-exact `>`). */

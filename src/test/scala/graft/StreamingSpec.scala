@@ -939,6 +939,46 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("capped sessions: cap splits, out-of-order joins, kill+restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp)]
+    val (ck, out) = (tmp("graft-cck"), tmp("graft-cout"))
+    def startQ() = StreamingIngest.cappedSessionStream(
+        source.toDF().toDF("user_id", "ts"), gapMinutes = 30,
+        maxDurationMinutes = 60, watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    val q1 = startQ()
+    // user 1: 10:00, 10:25 — in gap; 11:20 is 80 min from start → CAP
+    // splits even though the 55-min gap... exceeds gap too; use 10:50
+    // (25-min gap, 50 min from start, stays) then 11:20 (30-min gap
+    // exactly = stays by gap, but 80 min from start → cap split)
+    source.addData((1L, ts("2024-01-01T10:00")), (1L, ts("2024-01-01T10:25")))
+    q1.processAllAvailable()
+    source.addData((1L, ts("2024-01-01T10:50")))
+    q1.stop()
+    val q2 = startQ() // in-flight row recovered from the source replay
+    // out-of-order: 10:10 is older than 10:50 but inside the horizon —
+    // it must slot INTO the open session, not start one
+    source.addData((1L, ts("2024-01-01T10:10")), (1L, ts("2024-01-01T11:20")))
+    q2.processAllAvailable()
+    // advance the watermark far enough to drain and close everything
+    source.addData((99L, ts("2024-01-02T10:00")))
+    q2.processAllAvailable()
+    source.addData((98L, ts("2024-01-02T20:00")))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out).where(col("user_id") === 1L).collect()
+      .map(r => (r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))).toSet
+    // 10:00, 10:10, 10:25, 10:50 one session (all gaps ≤ 30m, span 50m);
+    // 11:20 = 30m gap from 10:50 (stays by gap) but 80m from 10:00 →
+    // the CAP starts a new session
+    assert(got == Set(
+      (ts("2024-01-01T10:00"), ts("2024-01-01T10:50"), 4L),
+      (ts("2024-01-01T11:20"), ts("2024-01-01T11:20"), 1L)))
+  }
+
   test("lateness monitor: hwm rule per batch; restart re-arms from reports") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp)]
