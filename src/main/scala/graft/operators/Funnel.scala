@@ -29,23 +29,41 @@ object Funnel {
     * Stage predicates are arbitrary `Column`s over the event row, so
     * funnels can mix event types with property conditions. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      stages: Seq[(String, Column)]): DataFrame = {
-    require(stages.nonEmpty, "funnel needs at least one stage")
-    qualFrames(events, userCol, tsCol, stages).zipWithIndex
+      stages: Seq[(String, Column)]): DataFrame =
+    stageCounts(qualFrames(events, userCol, tsCol, stages))
+
+  /** [[funnel]] with a CONVERSION WINDOW: stage i > 0 qualifies only
+    * on an event within `(q_{i−1}, q_{i−1} + windowSec]` — "purchased
+    * within 3 days of the click", the form every attribution report
+    * actually runs (an unbounded funnel credits conversions that had
+    * nothing to do with the journey). The qualifying time is the
+    * earliest IN-WINDOW event; if the user's earliest event after
+    * q_{i−1} already exceeds the window, every later one does too, so
+    * the in-window rule keeps the funnel's earliest-qualifier
+    * monotonicity intact. Same one-partitioning scale shape as
+    * [[funnel]]. */
+  def windowedFunnel(events: DataFrame, userCol: String, tsCol: String,
+      stages: Seq[(String, Column)], windowSec: Long): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    stageCounts(qualFrames(events, userCol, tsCol, stages, Some(windowSec)))
+  }
+
+  private def stageCounts(frames: List[(String, DataFrame)]): DataFrame =
+    frames.zipWithIndex
       .map { case ((name, df), i) =>
         df.agg(count(lit(1)).as("n_users"))
           .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
             col("n_users"))
       }.reduce(_.unionByName(_))
-  }
 
   /** Per-stage qualifying frames `(user, __q = qualifying time)` —
     * the funnel fold: qualified_i = min ts of a stage-i event strictly
-    * after the user's stage-(i−1) qualifying time. Shared by
-    * [[funnel]] (counts) and [[stageLatencies]] (timings). */
+    * after the user's stage-(i−1) qualifying time (and within the
+    * conversion window when one is set). Shared by [[funnel]],
+    * [[windowedFunnel]], and [[stageLatencies]]. */
   private def qualFrames(events: DataFrame, userCol: String,
-      tsCol: String, stages: Seq[(String, Column)])
-      : List[(String, DataFrame)] =
+      tsCol: String, stages: Seq[(String, Column)],
+      windowSec: Option[Long] = None): List[(String, DataFrame)] =
     stages.foldLeft(List.empty[(String, DataFrame)]) {
       case (acc, (name, pred)) =>
         val matching = events.where(pred)
@@ -54,10 +72,16 @@ object Funnel {
           case Nil =>
             matching.groupBy(col(userCol)).agg(min(col("__t")).as("__q"))
           case (_, prev) :: _ =>
+            // interval arithmetic, not unix_micros: works unchanged on
+            // TIMESTAMP and TIMESTAMP_NTZ event times (µs-exact both)
+            val inWindow = windowSec
+              .map(w => col("__t") <=
+                col("__prev") + lit(java.time.Duration.ofSeconds(w)))
+              .getOrElse(lit(true))
             matching
               .join(prev.select(col(userCol), col("__q").as("__prev")),
                 Seq(userCol))
-              .where(col("__t") > col("__prev"))
+              .where(col("__t") > col("__prev") && inWindow)
               .groupBy(col(userCol)).agg(min(col("__t")).as("__q"))
         }
         (name, qualified) :: acc

@@ -1805,6 +1805,18 @@ object EventQueries {
         "click" -> (col("event_type") === "click"),
         "purchase" -> (col("event_type") === "purchase")))),
 
+    // CONVERSION-WINDOW funnel: each stage must land within 3 days of
+    // the previous qualifying time — the attribution-honest variant
+    // (the unbounded funnel above credits month-later conversions);
+    // earliest-in-window qualifying rule, exact µs comparison
+    "event_funnel_windowed" -> ((s, dir) =>
+      graft.operators.Funnel.windowedFunnel(events(s, dir), "user_id", "ts",
+        Seq(
+          "signup" -> (col("event_type") === "signup"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")),
+        windowSec = 3L * 86400L)),
+
     // funnel step latencies: exact p50/p90 seconds between each
     // consecutive qualifying-time pair — where the funnel stalls, not
     // just where it narrows; rank-picked discrete quantiles (no
@@ -3255,6 +3267,28 @@ object EventQueries {
         |  SELECT e.user_id, min(e.ts) AS q FROM events e
         |  JOIN s2 ON s2.user_id = e.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts > s2.q GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'click',
+        |  (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
+        |  (SELECT count(*) FROM s3)""".stripMargin,
+
+    // the same stage CTEs with the window bound on each join
+    "event_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS q FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS q FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.q
+        |    AND e.ts <= s1.q + INTERVAL 3 DAY GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS q FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.q
+        |    AND e.ts <= s2.q + INTERVAL 3 DAY GROUP BY 1)
         |SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage,
         |  (SELECT count(*) FROM s1) AS n_users
         |UNION ALL SELECT CAST(1 AS BIGINT), 'click',
