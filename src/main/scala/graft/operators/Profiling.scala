@@ -21,6 +21,57 @@ import org.apache.spark.sql.types.StringType
   */
 object Profiling {
 
+  /** COUNT-MIN JOIN-SIZE ESTIMATE — plan-time cardinality estimation,
+    * the number the broadcast/salt/bucket decisions at 100 TB hinge
+    * on: |A ⋈ B on k| = Σ_k cntA(k)·cntB(k), estimated from two
+    * depth×width count-min sketches as `min_i Σ_bucket Ai(b)·Bi(b)`
+    * (the classic CMS inner-product estimator — always an
+    * OVERestimate, collisions only add mass; error shrinks as
+    * 1/width). Each side costs one pass building a depth×width counter
+    * table (fixed size regardless of input) instead of the per-key
+    * count-and-join the exact answer needs — at a trillion rows the
+    * sketch is KBs where the exact key profile is another shuffle of
+    * the key universe. Hashes are the same seeded md5 family as
+    * [[Dedup.seededHash]] (seeds 1000+i), so a SQL oracle replicates
+    * the estimate bit-for-bit. Null keys never join and are excluded.
+    *
+    * Also returns the EXACT size (per-key count join — products and
+    * sums in decimal(38,0), overflow-proof) so callers can gate the
+    * estimate; skip reading `exact_rows` when only the estimate is
+    * affordable. Output: ONE row (est_rows, exact_rows). */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, depth: Int = 4, width: Int = 4096): DataFrame = {
+    require(depth >= 1 && depth <= 16 && width >= 2,
+      s"need 1 <= depth <= 16 and width >= 2, got ($depth, $width)")
+    def sketch(df: DataFrame, key: String, cntName: String): DataFrame = {
+      val k = col(key).cast(StringType)
+      val hashes = array((0 until depth).map(i =>
+        pmod(Dedup.seededHash(k, 1000 + i), lit(width.toLong))): _*)
+      df.where(col(key).isNotNull)
+        .select(posexplode(hashes).as(Seq("i", "bkt")))
+        .groupBy(col("i"), col("bkt")).agg(count(lit(1)).as(cntName))
+    }
+    val dec = "decimal(38,0)"
+    val est = sketch(a, aKey, "ca").join(sketch(b, bKey, "cb"),
+        Seq("i", "bkt"))
+      .groupBy(col("i"))
+      .agg(sum((col("ca") * col("cb")).cast(dec)).as("e"))
+      // disjoint sketches (no shared bucket on some depth row) mean a
+      // zero estimate; an empty join overall coalesces to 0 likewise
+      .agg(coalesce(min(col("e")), lit(0).cast(dec)).cast(dec)
+        .as("est_rows"))
+    val ea = a.where(col(aKey).isNotNull)
+      .groupBy(col(aKey).cast(StringType).as("k"))
+      .agg(count(lit(1)).as("ca"))
+    val eb = b.where(col(bKey).isNotNull)
+      .groupBy(col(bKey).cast(StringType).as("k"))
+      .agg(count(lit(1)).as("cb"))
+    val exact = ea.join(eb, Seq("k"))
+      .agg(coalesce(sum((col("ca") * col("cb")).cast(dec)),
+        lit(0).cast(dec)).as("exact_rows"))
+    est.crossJoin(exact)
+  }
+
   /** @return one row per profiled column:
     *   (column, n_rows, n_nulls, n_distinct, min_val, max_val) */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -1805,6 +1805,18 @@ object EventQueries {
         "click" -> (col("event_type") === "click"),
         "purchase" -> (col("event_type") === "purchase")))),
 
+    // plan-time CARDINALITY estimation: the events-by-user self-join
+    // size from two count-min sketches (min over depth rows of the
+    // bucket-product sum — always >= the exact Σ c_u², error ~ 1/width)
+    // beside the exact per-key-count answer; both deterministic, the
+    // oracle restates the same md5 bucket hashes
+    "join_size_profile" -> ((s, dir) => {
+      val e = events(s, dir)
+      graft.operators.Profiling.joinSizeEstimate(e, "user_id", e, "user_id")
+        .select(col("est_rows").cast(LongType).as("est_rows"),
+          col("exact_rows").cast(LongType).as("exact_rows"))
+    }),
+
     // CONVERSION-WINDOW funnel: each stage must land within 3 days of
     // the previous qualifying time — the attribution-honest variant
     // (the unbounded funnel above credits month-later conversions);
@@ -3273,6 +3285,29 @@ object EventQueries {
         |  (SELECT count(*) FROM s2)
         |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
         |  (SELECT count(*) FROM s3)""".stripMargin,
+
+    // same seeded md5 bucket family (seeds 1000..1003), width 4096;
+    // self-join so both sketch sides coincide
+    "join_size_profile" ->
+      """WITH k AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        |  WHERE user_id IS NOT NULL),
+        |h AS (
+        |  SELECT i.i,
+        |    CAST('0x' || substr(md5(CAST(1000 + i.i AS VARCHAR) || ':' || k),
+        |      1, 15) AS BIGINT) % 4096 AS bkt
+        |  FROM k, (SELECT unnest(range(0, 4)) AS i) i),
+        |s AS (SELECT i, bkt, count(*) AS cnt FROM h GROUP BY 1, 2),
+        |est AS (
+        |  SELECT min(e) AS est_rows FROM (
+        |    SELECT i, sum(cnt * cnt) AS e FROM s GROUP BY 1)),
+        |ex AS (
+        |  SELECT sum(c * c) AS exact_rows FROM (
+        |    SELECT count(*) AS c FROM events
+        |    WHERE user_id IS NOT NULL GROUP BY user_id))
+        |SELECT CAST(est_rows AS BIGINT) AS est_rows,
+        |  CAST(exact_rows AS BIGINT) AS exact_rows
+        |FROM est, ex""".stripMargin,
 
     // the same stage CTEs with the window bound on each join
     "event_funnel_windowed" ->
