@@ -207,7 +207,13 @@ object Dedup {
     * least `thresholdE4` contained — integer-exact
     * `10000·common ≥ thresholdE4·least(sz_a, sz_b)` — and both
     * directed containments ship ×10⁴ (floored, the oracle's identical
-    * double expression). */
+    * double expression).
+    *
+    * NOTE: the shared core defaults to packed-id pair keys, which
+    * narrows the accepted id domain to `[0, 2³¹)` (enforced with a
+    * fast, clear failure — never a silent wrong pair); pass
+    * `packIds = false` for wider id spaces, matching the Jaccard
+    * kernel's contract. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int, thresholdE4: Int, maxDf: Long = 1000L,
       packIds: Boolean = true): DataFrame = {

@@ -29,8 +29,10 @@ object Funnel {
     * Stage predicates are arbitrary `Column`s over the event row, so
     * funnels can mix event types with property conditions. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      stages: Seq[(String, Column)]): DataFrame =
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
     stageCounts(qualFrames(events, userCol, tsCol, stages))
+  }
 
   /** [[funnel]] with a CONVERSION WINDOW: stage i > 0 qualifies only
     * on an event within `(q_{i−1}, q_{i−1} + windowSec]` — "purchased
@@ -44,6 +46,7 @@ object Funnel {
     * [[funnel]]. */
   def windowedFunnel(events: DataFrame, userCol: String, tsCol: String,
       stages: Seq[(String, Column)], windowSec: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
     require(windowSec > 0, "windowSec must be positive")
     stageCounts(qualFrames(events, userCol, tsCol, stages, Some(windowSec)))
   }

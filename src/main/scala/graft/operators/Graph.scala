@@ -208,7 +208,13 @@ object Graph {
     * aggregation (sets dedup multi-edges map-side, degree = set size)
     * instead of the naive distinct-then-count-then-join chain; node
     * ids keep their input type (numeric ids hash/compare/pack far
-    * cheaper than strings).
+    * cheaper than strings). The prologue's memory bound is the MAX
+    * DEGREE (one full neighbor set per aggregation buffer — ~8 bytes
+    * per neighbor, so a 10⁷-degree hub costs an 80 MB row); only the
+    * oriented forward arrays downstream enjoy the O(√m) cap. On
+    * graphs with hubs beyond executor-buffer scale, fall back to the
+    * flat-row plan (distinct edges + count-based degrees) before the
+    * orientation — same answer, one extra shuffle (SCALE.md §8).
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // ONE aggregation yields dedup'd full adjacency AND degree at once:
@@ -278,7 +284,11 @@ object Graph {
     * Per-round scan cost is O(nodes) rows instead of O(edges) (same
     * bytes live in the arrays, but only the frontier's rows explode),
     * which is what makes a 6-round BFS cheaper than one edge-frame
-    * pass, not 6× one. Newly-reached nodes (anti-joined against
+    * pass, not 6× one. Like [[triangleStats]]' prologue, the
+    * adjacency build buffers one full neighbor set per node — the
+    * max-degree memory bound (SCALE.md §8); a hub beyond
+    * executor-buffer scale needs the flat edge-frame probe instead.
+    * Newly-reached nodes (anti-joined against
     * everything settled) become the next frontier; rounds are bounded
     * by the graph's diameter (≤ `maxHops`), each checkpointed so
     * lineage stays O(1). All arithmetic is integer; the result is

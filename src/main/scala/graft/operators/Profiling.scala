@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -52,13 +52,22 @@ object Profiling {
         .groupBy(col("i"), col("bkt")).agg(count(lit(1)).as(cntName))
     }
     val dec = "decimal(38,0)"
-    val est = sketch(a, aKey, "ca").join(sketch(b, bKey, "cb"),
+    // cast ONE OPERAND before multiplying — a Long×Long product wraps
+    // silently at ~4e9×4e9 rows per side, exactly the scale this
+    // operator exists for; decimal×long promotes and cannot
+    val prod = (c1: Column, c2: Column) => c1.cast(dec) * c2
+    val sums = sketch(a, aKey, "ca").join(sketch(b, bKey, "cb"),
         Seq("i", "bkt"))
       .groupBy(col("i"))
-      .agg(sum((col("ca") * col("cb")).cast(dec)).as("e"))
-      // disjoint sketches (no shared bucket on some depth row) mean a
-      // zero estimate; an empty join overall coalesces to 0 likewise
-      .agg(coalesce(min(col("e")), lit(0).cast(dec)).cast(dec)
+      .agg(sum(prod(col("ca"), col("cb"))).as("e"))
+    // a depth row whose buckets are DISJOINT across the two sketches
+    // produces no join rows but means a ZERO estimate — the min must
+    // see it, so the per-row sums join back onto the full 0..depth-1
+    // spine (a shared key would collide in every row, so a missing
+    // row also proves the exact size is 0)
+    val spine = a.sparkSession.range(depth).select(col("id").cast("int").as("i"))
+    val est = spine.join(sums, Seq("i"), "left")
+      .agg(min(coalesce(col("e"), lit(0).cast(dec))).cast(dec)
         .as("est_rows"))
     val ea = a.where(col(aKey).isNotNull)
       .groupBy(col(aKey).cast(StringType).as("k"))
@@ -67,7 +76,7 @@ object Profiling {
       .groupBy(col(bKey).cast(StringType).as("k"))
       .agg(count(lit(1)).as("cb"))
     val exact = ea.join(eb, Seq("k"))
-      .agg(coalesce(sum((col("ca") * col("cb")).cast(dec)),
+      .agg(coalesce(sum(prod(col("ca"), col("cb"))),
         lit(0).cast(dec)).as("exact_rows"))
     est.crossJoin(exact)
   }

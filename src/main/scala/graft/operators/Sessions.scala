@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   * or `t − session_start > cap`. An event landing exactly on either
   * boundary stays in the session.
   *
+  * Contract: the entity column must be NUMERIC (cast to long —
+  * the streaming twin's keying convention; a non-numeric id casts
+  * to null and fails the encoder loudly, never a silent regroup).
+  * Hash string ids to longs upstream when needed.
+  *
   * Output: (userCol, session_start, session_end, n_events). */
 object Sessions {
 

@@ -3299,8 +3299,10 @@ object EventQueries {
         |  FROM k, (SELECT unnest(range(0, 4)) AS i) i),
         |s AS (SELECT i, bkt, count(*) AS cnt FROM h GROUP BY 1, 2),
         |est AS (
-        |  SELECT min(e) AS est_rows FROM (
-        |    SELECT i, sum(cnt * cnt) AS e FROM s GROUP BY 1)),
+        |  SELECT min(coalesce(e, 0)) AS est_rows
+        |  FROM (SELECT unnest(range(0, 4)) AS i) sp
+        |  LEFT JOIN (SELECT i, sum(cnt * cnt) AS e FROM s GROUP BY 1) t
+        |    USING (i)),
         |ex AS (
         |  SELECT sum(c * c) AS exact_rows FROM (
         |    SELECT count(*) AS c FROM events

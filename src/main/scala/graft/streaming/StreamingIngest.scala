@@ -733,8 +733,15 @@ object StreamingIngest {
             } else { prev = t; n += 1L }
           }
           // close once NOTHING can still join: the watermark passed the
-          // gap horizon AND every still-pending event would split anyway
-          if (hasOpen && prev + gapUs <= wmUs &&
+          // gap horizon AND every still-pending event would split
+          // anyway. STRICTLY past: the split rule is `t − prev > gap`,
+          // and an on-time event can carry ts == watermark — at
+          // wm == prev+gap such an event still JOINS (gap not
+          // exceeded), so `<=` here would close one event early and
+          // diverge from the batch fold. (The gap-only sessionizer's
+          // `<=` close is correct because ITS merge rule is strict
+          // `<`; the rules invert together.)
+          if (hasOpen && prev + gapUs < wmUs &&
               rest.forall(t => t - prev > gapUs || t - start > capUs)) {
             out += ClosedSession(user, toTs(start), toTs(prev), n)
             hasOpen = false
@@ -743,8 +750,11 @@ object StreamingIngest {
           else {
             state.update(CappedSessBuf(rest, start, prev, n, hasOpen))
             if (rest.nonEmpty) state.setTimeoutTimestamp(wmMs + 1L)
+            // first ms STRICTLY past the gap edge — ceil-to-ms could
+            // land ON the edge, where the close above (correctly)
+            // refuses and the re-armed equal timeout would throw
             else state.setTimeoutTimestamp(
-              math.floorDiv(prev + gapUs + 999L, 1000L))
+              math.floorDiv(prev + gapUs, 1000L) + 1L)
           }
           out.result().iterator
       }
