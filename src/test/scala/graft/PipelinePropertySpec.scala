@@ -168,4 +168,81 @@ class PipelinePropertySpec extends SparkTestBase {
       assert(s2.except(s1).count() == 0, s"seed $seed strip")
     }
   }
+
+  test("capped sessions: distributed fold == sequential reference, any input") {
+    import java.sql.Timestamp
+    for (seed <- Seq(31, 32, 33)) {
+      val rnd = new Random(seed)
+      val gapMin = 1 + rnd.nextInt(120)
+      val capMin = gapMin + rnd.nextInt(300)
+      val base = 1700000000000L
+      val rows = (0 until 400).map { _ =>
+        val user = rnd.nextInt(8).toLong
+        // second-ish steps with occasional exact boundary collisions
+        val t = base + rnd.nextInt(500000).toLong * 1000L
+        (user, new Timestamp(t))
+      }
+      // sequential reference: per user, sort, greedy strict-split fold
+      val expect = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val ts = rs.map(_._2.getTime * 1000L).sorted
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        var start = ts.head; var prev = ts.head; var n = 1L
+        ts.tail.foreach { t =>
+          if (t - prev > gapMin * 60000000L || t - start > capMin * 60000000L) {
+            out += ((u, start, prev, n)); start = t; n = 0L
+          }
+          prev = t; n += 1L
+        }
+        out += ((u, start, prev, n))
+        out
+      }.toSet
+      val got = graft.operators.Sessions.cappedSessions(
+          rows.toDF("user_id", "ts").repartition(1 + rnd.nextInt(7)),
+          "user_id", "ts", gapMin, capMin)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L,
+          r.getTimestamp(2).getTime * 1000L, r.getLong(3))).toSet
+      assert(got == expect, s"seed $seed gap=$gapMin cap=$capMin")
+    }
+  }
+
+  test("join-size estimate: >= exact and within depth*width bound, any input") {
+    import graft.operators.Profiling
+    for (seed <- Seq(41, 42)) {
+      val rnd = new Random(seed)
+      val a = (0 until 300).map(_ => Tuple1(rnd.nextInt(40).toLong))
+        .toDF("k")
+      val b = (0 until 300).map(_ => Tuple1(rnd.nextInt(60).toLong))
+        .toDF("k")
+      val r = Profiling.joinSizeEstimate(a, "k", b, "k",
+        depth = 3, width = 64).head
+      val est = r.getDecimal(0).longValueExact
+      val exact = r.getDecimal(1).longValueExact
+      assert(est >= exact, s"seed $seed: est $est < exact $exact")
+      // disjoint key spaces: exact 0, estimate only collision mass
+      val c = (0 until 100).map(i => Tuple1(1000000L + i)).toDF("k")
+      val r2 = Profiling.joinSizeEstimate(a, "k", c, "k",
+        depth = 3, width = 64).head
+      assert(r2.getDecimal(1).longValueExact == 0L, s"seed $seed disjoint")
+      assert(r2.getDecimal(0).longValueExact >= 0L, s"seed $seed est>=0")
+    }
+  }
+
+  test("curriculum: stage-major permutation for any stage assignment") {
+    for (seed <- Seq(51, 52)) {
+      val rnd = new Random(seed)
+      val n = 150
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(8).toLong))
+      val got = graft.operators.Packing.curriculumPositions(
+          rows.toDF("doc_id", "stage").repartition(1 + rnd.nextInt(5)),
+          "doc_id", "stage", seed = seed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(_._3).sorted.toSeq == (0L until n.toLong), s"seed $seed")
+      val stageOf = rows.toMap
+      assert(got.forall { case (id, st, _) => stageOf(id) == st }, s"seed $seed")
+      val byPos = got.sortBy(_._3).map(_._2)
+      assert(byPos.toSeq == byPos.sorted.toSeq, s"seed $seed stage-major")
+    }
+  }
 }
