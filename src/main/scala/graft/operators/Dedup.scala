@@ -256,9 +256,22 @@ object Dedup {
     * Output: (id_new, id_old, common, sz_new, sz_old). */
   def jaccardPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
       textCol: String, idCol: String, k: Int, thresholdE4: Int,
-      maxDf: Long = 1000L, validateDisjoint: Boolean = false): DataFrame = {
-    val nhs = shingleHashKernel(newDf, textCol, idCol, k).cache()
-    val chs = shingleHashKernel(corpusDf, textCol, idCol, k).cache()
+      maxDf: Long = 1000L, validateDisjoint: Boolean = false): DataFrame =
+    jaccardPairsAgainstFromShingles(
+      shingleHashKernel(newDf, textCol, idCol, k).cache(),
+      shingleHashKernel(corpusDf, textCol, idCol, k).cache(),
+      thresholdE4, maxDf, validateDisjoint)
+
+  /** [[jaccardPairsAgainst]] over PRE-COMPUTED shingle frames
+    * ([[shingleHashKernel]] output) — the composition entry point: a
+    * pipeline that pairs, labels, and folds the same sides
+    * ([[graft.queries.DocumentQueries]]' incremental-clusters
+    * lifecycle) shingles each side ONCE and feeds every stage from
+    * the shared frames instead of re-running the md5 kernel per
+    * operator call. The caller owns the frames' caching/lifecycle. */
+  def jaccardPairsAgainstFromShingles(nhs: DataFrame, chs: DataFrame,
+      thresholdE4: Int, maxDf: Long = 1000L,
+      validateDisjoint: Boolean = false): DataFrame = {
     if (validateDisjoint) {
       val overlap = nhs.select(col("id")).distinct()
         .join(chs.select(col("id")).distinct(), Seq("id")).limit(1)
@@ -358,8 +371,19 @@ object Dedup {
     * same counts). */
   def jaccardPairsPostingKernel(df: DataFrame, textCol: String, idCol: String,
       k: Int, thresholdE4: Int, maxDf: Long = 1000L,
+      packIds: Boolean = true): DataFrame =
+    jaccardPairsPostingKernelFromShingles(
+      shingleHashKernel(df, textCol, idCol, k).cache(),
+      thresholdE4, maxDf, packIds)
+
+  /** [[jaccardPairsPostingKernel]] over a PRE-COMPUTED shingle frame —
+    * same composition entry point as
+    * [[jaccardPairsAgainstFromShingles]]; caller owns the frame's
+    * caching. */
+  def jaccardPairsPostingKernelFromShingles(hs: DataFrame,
+      thresholdE4: Int, maxDf: Long = 1000L,
       packIds: Boolean = true): DataFrame = {
-    val (pairs, sizes) = postingPairCounts(df, textCol, idCol, k, maxDf,
+    val (pairs, sizes) = postingPairCountsHs(hs, maxDf,
       packIds, "jaccardPairsPostingKernel")
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
@@ -380,10 +404,14 @@ object Dedup {
     * construction. */
   private def postingPairCounts(df: DataFrame, textCol: String,
       idCol: String, k: Int, maxDf: Long, packIds: Boolean,
-      caller: String): (DataFrame, DataFrame) = {
-    val spark = df.sparkSession
+      caller: String): (DataFrame, DataFrame) =
+    postingPairCountsHs(shingleHashKernel(df, textCol, idCol, k).cache(),
+      maxDf, packIds, caller)
+
+  private def postingPairCountsHs(hs: DataFrame, maxDf: Long,
+      packIds: Boolean, caller: String): (DataFrame, DataFrame) = {
+    val spark = hs.sparkSession
     import spark.implicits._
-    val hs = shingleHashKernel(df, textCol, idCol, k).cache()
     val sizes = hs.select(col("id"), size(col("hs")).cast(LongType).as("sz"))
     val idx = hs.select(col("id"), explode(col("hs")).as("sh"))
       .as[(Long, Long)]

@@ -298,17 +298,23 @@ object DocumentQueries {
     "dedup_clusters_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
       val isBatch = col("doc_id") % 5 === 4
-      val old = d.where(!isBatch)
-      val batch = d.where(isBatch)
-      val oldPairs = Dedup.jaccardPairsPostingKernel(old, "text", "doc_id",
-        k = 3, thresholdE4 = 5000)
-      val oldLabels = Dedup.connectedComponents(old.select(col("doc_id")),
-        "doc_id", oldPairs, "id_a", "id_b")
-      val incPairs = Dedup.jaccardPairsAgainst(batch, old, "text", "doc_id",
-          k = 3, thresholdE4 = 5000)
+      // each side's shingle frame is computed ONCE and feeds all three
+      // pair stages (old-internal, batch×old probe, batch-internal) —
+      // the md5 kernel never re-runs per operator call
+      val oldHs = Dedup.shingleHashKernel(d.where(!isBatch), "text",
+        "doc_id", k = 3).cache()
+      val batchHs = Dedup.shingleHashKernel(d.where(isBatch), "text",
+        "doc_id", k = 3).cache()
+      val oldPairs = Dedup.jaccardPairsPostingKernelFromShingles(oldHs,
+        thresholdE4 = 5000)
+      val oldLabels = Dedup.connectedComponents(
+        oldHs.select(col("id").as("doc_id")), "doc_id", oldPairs,
+        "id_a", "id_b")
+      val incPairs = Dedup.jaccardPairsAgainstFromShingles(batchHs, oldHs,
+          thresholdE4 = 5000)
         .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
-      val batchPairs = Dedup.jaccardPairsPostingKernel(batch, "text",
-          "doc_id", k = 3, thresholdE4 = 5000)
+      val batchPairs = Dedup
+        .jaccardPairsPostingKernelFromShingles(batchHs, thresholdE4 = 5000)
         .select(col("id_a"), col("id_b"))
       Dedup.connectedComponentsIncremental(d.select(col("doc_id")),
         "doc_id", oldLabels, "doc_id", "component",
