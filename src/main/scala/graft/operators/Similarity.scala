@@ -195,15 +195,78 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    (0 until m).map { j =>
-      val sliced = corpus.select(col(idCol),
-        slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)
-          .as("__sv"))
-      kmeansFit(sliced, idCol, "__sv", ks, maxIter = maxIter,
-          dotFn = dotFn)
-        .orderBy(col("part"))
-        .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // ALL m subspace k-means runs share ONE Lloyd loop: the per-j
+    // independent formulation is m × maxIter sequential Spark jobs
+    // (the dominant wall-clock of the whole PQ pipeline at any corpus
+    // size — job count, not data), where the joint loop is maxIter
+    // jobs over an m×-exploded (id, j, subvector) frame. Semantics per
+    // subspace are [[kmeansFit]]'s exactly: smallest-id seeds,
+    // lower-part tie-break, empty clusters retain their centroid, and
+    // a CONVERGED subspace is FROZEN out of later iterations (so a
+    // sub-tol wobble can't keep nudging it past where the independent
+    // run stopped).
+    val v = col(vecCol).cast("array<double>")
+    val sliced = corpus.select(col(idCol).cast("long").as("id"),
+        posexplode(array((0 until m).map(j =>
+          slice(v, j * sub + 1, sub)): _*)).as(Seq("j", "sv")))
+      .cache()
+    // deterministic seeds: the ks smallest-id vectors, sliced locally
+    val seedRows = corpus
+      .select(col(idCol).cast("long").as("id"), v.as("fv"))
+      .orderBy(col("id")).limit(ks)
+      .collect().map(_.getSeq[Double](1))
+    require(seedRows.nonEmpty, "corpus is empty")
+    val tol = 1e-9
+    // cent(j)(p) = subvector
+    val cent: Array[Array[Seq[Double]]] = Array.tabulate(m)(j =>
+      seedRows.map(fv => fv.slice(j * sub, (j + 1) * sub)).toArray)
+    var active = (0 until m).toSet
+    var iter = 0
+    while (active.nonEmpty && iter < maxIter) {
+      val centDf = active.toSeq.sorted.flatMap(j =>
+          cent(j).zipWithIndex.map { case (cv, p) => (j, p.toLong, cv) })
+        .toDF("j", "part", "cv")
+      val w = Window.partitionBy(col("id"), col("j"))
+        .orderBy(col("__csim").desc, col("part"))
+      val assigned = sliced.where(col("j").isin(active.toSeq: _*))
+        .join(broadcast(centDf), Seq("j"))
+        .select(col("id"), col("j"), col("part"), col("sv"),
+          dotFn(col("sv"), col("cv")).as("__csim"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+      val means = assigned
+        .select(col("j"), col("part"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("part"), col("pos"))
+        .agg(avg(col("x")).as("mv"))
+        .groupBy(col("j"), col("part"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv"))))
+          .as("pm"))
+        .select(col("j"), col("part"),
+          transform(col("pm"), _.getField("mv")).as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2))
+        .toMap
+      val still = scala.collection.mutable.Set.empty[Int]
+      active.foreach { j =>
+        var moved = 0.0
+        (0 until ks).foreach { p =>
+          means.get((j, p.toLong)).foreach { nv =>
+            val d = math.sqrt(cent(j)(p).lazyZip(nv)
+              .map((a, b) => (a - b) * (a - b)).sum)
+            if (d > moved) moved = d
+            cent(j)(p) = nv
+          }
+        }
+        if (moved > tol) still += j
+      }
+      active = still.toSet
+      iter += 1
     }
+    sliced.unpersist()
+    (0 until m).map(j => cent(j).toSeq.map(_.toSeq))
   }
 
   /** PQ encode: each vector becomes `m` codes (the best-dot centroid
