@@ -979,6 +979,53 @@ class StreamingSpec extends SparkTestBase {
       (ts("2024-01-01T11:20"), ts("2024-01-01T11:20"), 1L)))
   }
 
+  test("capped session stream: random in-order batch splits equal the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- Seq(61, 62)) {
+      val rnd = new scala.util.Random(seed)
+      val gapMin = 1 + rnd.nextInt(60)
+      val capMin = gapMin + rnd.nextInt(120)
+      val base = 1700000000000L
+      val rows = (0 until 300).map { _ =>
+        (rnd.nextInt(6).toLong, new Timestamp(
+          base + rnd.nextInt(400000).toLong * 1000L))
+      }
+      val expect = graft.operators.Sessions.cappedSessions(
+          rows.toDF("user_id", "ts"), "user_id", "ts", gapMin, capMin)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3))).toSet
+      // deliver in ts order, cut into random chunks (within-chunk
+      // order shuffled — one micro-batch absorbs any internal
+      // disorder); two far-future sentinels drain the state
+      val sorted = rows.sortBy(_._2.getTime)
+      val nCuts = 2 + rnd.nextInt(3)
+      val cuts = (Seq(0, sorted.length) ++
+        Seq.fill(nCuts)(rnd.nextInt(sorted.length))).distinct.sorted
+      val source = MemoryStream[(Long, Timestamp)]
+      val (ck, out) = (tmp(s"graft-fck$seed"), tmp(s"graft-fout$seed"))
+      val q = StreamingIngest.cappedSessionStream(
+          source.toDF().toDF("user_id", "ts"), gapMin, capMin,
+          watermarkDelay = "0 seconds")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ck).start()
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) {
+          source.addData(rnd.shuffle(sorted.slice(a, b)): _*)
+          q.processAllAvailable()
+        }
+      }
+      source.addData((-1L, ts("2100-01-01T00:00"))); q.processAllAvailable()
+      source.addData((-2L, ts("2100-06-01T00:00"))); q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(out).where(col("user_id") >= 0L)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"),
+          r.getAs[Long]("n_events"))).toSet
+      assert(got == expect, s"seed $seed gap=$gapMin cap=$capMin")
+    }
+  }
+
   test("lateness monitor: hwm rule per batch; restart re-arms from reports") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp)]
