@@ -374,6 +374,49 @@ final class TimeSeriesService(
     else store.where(col("__batch_id").isin(kept: _*)).drop("__batch_id")
   }
 
+  /** DASHBOARD batch read — `get-timeseries` for SEVERAL counter
+    * facts of one dimension in ONE event-store scan: a dashboard
+    * rendering k tiles over the same range otherwise costs k full
+    * scans of the store; here the fact id rides as an extra grouping
+    * column through the same scan → collapse → fill pipeline, so the
+    * result is EXACTLY the union of the per-fact reads (spec-pinned)
+    * at one scan's cost. Counter facts only (mixed partial shapes
+    * cannot share one value column — read other types per fact), and
+    * all facts must agree on the effective slice (the scan's bucket
+    * floor is per-slice). Always compute-on-read: rollup serving
+    * stays per-fact ([[getTimeseries]]).
+    * Output: (routed dims…, `fact`, `bucket`, `value`). */
+  def getTimeseriesMulti(factIds: Seq[String], dimId: String,
+      filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp,
+      step: Step = Step.NoStep, offsetHours: Int = 0): DataFrame = {
+    require(factIds.nonEmpty, "getTimeseriesMulti needs at least one fact")
+    val facts = factIds.map(id => catalog.fact(id).getOrElse(
+      throw new IllegalArgumentException(
+        s"Non existent fact $id specified. Please check your schema.")))
+    require(facts.forall(_.ftype == FactType.Counter),
+      "getTimeseriesMulti serves COUNTER facts; mixed-type dashboards " +
+        "read non-counters per fact (partial shapes differ)")
+    val dim = catalog.dimension(dimId).getOrElse(
+      throw new IllegalArgumentException(
+        s"Non existent dimension $dimId specified. Please check your schema"))
+    val grouping =
+      graft.operators.Timeseries.bestGrouping(dim.groupedBy, dim.id,
+        filters.keySet)
+    val slices = facts.map(f => dim.sliceMinutes.getOrElse(f.sliceMinutes))
+      .distinct
+    require(slices.size == 1,
+      s"getTimeseriesMulti facts disagree on the effective slice: " +
+        s"${factIds.zip(facts.map(f => dim.sliceMinutes.getOrElse(f.sliceMinutes))).mkString(", ")}")
+    val dimCols = grouping.map(d => col("categories").getItem(d).as(d))
+    val prepared = eventsDF
+      .where(col("fact").isin(factIds: _*))
+      .select(dimCols ++ Seq(col("fact"), col("ts"), col("value"),
+        col("__event_date")): _*)
+    graft.operators.Timeseries.run(prepared, facts.head, slices.head,
+      grouping :+ "fact", filters, start, finish, step, offsetHours)
+  }
+
   /** [[getTimeseries]] pinned to the [[eventsAsOf]] watermark. Always
     * compute-on-read: registered rollups aggregate the WHOLE ingested
     * history and carry no batch lineage, so serving an as-of read from

@@ -356,6 +356,30 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
     }),
 
+    // DASHBOARD batch read: two counter facts served from ONE scan —
+    // the fact id rides as a grouping column, so the result must be
+    // exactly the union of the per-fact fills (k tiles, one scan)
+    "ts_multi_fact" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
+      svc.defineFact("purchases_count", FactType.Counter, slice = 15)
+      svc.defineDimension("user_bucket",
+        facts = Set("clicks_count", "purchases_count"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", lit("clicks_count"))
+            .otherwise(lit("purchases_count")).as("fact"),
+          col("ts"), lit(1L).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories"))
+      svc.ingest(ev)
+      svc.getTimeseriesMulti(Seq("clicks_count", "purchases_count"),
+        "user_bucket", Map("user_bucket" -> None),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day)
+    }),
+
     // TIME TRAVEL under the driver's gate: three batch-identified
     // ingests land in the attached durable store; the as-of read at
     // batch watermark 1 must hash-match the oracle computed over
@@ -2955,6 +2979,19 @@ object EventQueries {
       gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
       gridStep = "1 HOUR",
       loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
+
+    // the union of the two per-fact fills, derived with the fact id
+    // as a second series dimension
+    "ts_multi_fact" -> fillOracle(
+      where = "event_type IN ('click', 'purchase')",
+      bucketExpr = "date_trunc('day', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 00:00:00",
+      gridStep = "1 DAY",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00"),
+      dimExprs = "CAST(user_id % 4 AS VARCHAR) AS user_bucket, " +
+        "CASE event_type WHEN 'click' THEN 'clicks_count' " +
+        "ELSE 'purchases_count' END AS fact",
+      dimNames = "user_bucket, fact"),
 
     // batches 0-1 only: the as-of watermark excludes batch 2's
     // events exactly as the partition filter does on the Spark side

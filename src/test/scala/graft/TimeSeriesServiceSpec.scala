@@ -352,6 +352,41 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(total() == 45L)
   }
 
+  test("multi-fact read == union of per-fact reads; type/slice guarded") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("a_count", FactType.Counter, slice = 10)
+    svc.defineFact("b_count", FactType.Counter, slice = 10)
+    svc.defineFact("lat", FactType.Average, slice = 10)
+    svc.defineDimension("dep", facts = Set("a_count", "b_count", "lat"))
+    for (i <- 0 until 8) {
+      svc.newFact(if (i % 2 == 0) "a_count" else "b_count",
+        ts(f"2014-03-21T${9 + i % 3}%02d:1$i"), 1L + i,
+        Map("dep" -> ("d" + (i % 2))))
+    }
+    val multi = svc.getTimeseriesMulti(Seq("a_count", "b_count"), "dep",
+        Map("dep" -> None),
+        ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    val perFact = Seq("a_count", "b_count").flatMap { f =>
+      svc.getTimeseries(f, "dep", Map("dep" -> None),
+          ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+        .withColumn("fact", lit(f))
+        .select(col("dep"), col("fact"), col("bucket"), col("value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+          r.getLong(3)))
+    }.toSet
+    assert(multi == perFact)
+    // non-counter facts refuse
+    val e = intercept[IllegalArgumentException](svc.getTimeseriesMulti(
+      Seq("a_count", "lat"), "dep", Map("dep" -> None),
+      ts("2014-03-21T09:00"), ts("2014-03-21T12:00")))
+    assert(e.getMessage.contains("COUNTER"))
+  }
+
   test("as-of batch time travel: watermark reads match per-batch prefixes") {
     import spark.implicits._
     val svc = new TimeSeriesService(spark)
