@@ -78,7 +78,19 @@ object Profiling {
     val exact = ea.join(eb, Seq("k"))
       .agg(coalesce(sum(prod(col("ca"), col("cb"))),
         lit(0).cast(dec)).as("exact_rows"))
-    est.crossJoin(exact)
+    // combine the two scalar aggregates WITHOUT a join: a 1×1 cross
+    // join would be just as cheap, but it is indistinguishable from
+    // the unbounded hazard to a pre-execution audit (and a
+    // constant-key equi-join folds back into one) — this operator
+    // should pass its own sibling linter ([[graft.plans.PlanLint]]),
+    // so the scalars ride a tagged union into one final aggregation
+    est.select(lit("e").as("__m"), col("est_rows").as("__v"))
+      .unionByName(exact.select(lit("x").as("__m"),
+        col("exact_rows").as("__v")))
+      .agg(max(when(col("__m") === "e", col("__v"))).cast(dec)
+          .as("est_rows"),
+        max(when(col("__m") === "x", col("__v"))).cast(dec)
+          .as("exact_rows"))
   }
 
   /** @return one row per profiled column:
