@@ -104,6 +104,19 @@ object Similarity {
       .drop("__qv", "__cv", "__sim")
   }
 
+  /** Read a persisted centroid index with its row bound made VISIBLE
+    * IN-PLAN: a centroid table is k rows by construction, but a bare
+    * parquet read of it is unbounded to any pre-execution audit
+    * ([[graft.plans.PlanLint]]'s conditionless-broadcast rule, cost
+    * estimators, humans reading the plan) — the no-op `limit`
+    * annotates the contract where the plan can see it. `maxCentroids`
+    * is a CEILING, not a truncation target: the default comfortably
+    * exceeds any IVF breadth this engine builds, and a store that
+    * somehow held more rows would be mis-built anyway. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxCentroids: Int = 65536): DataFrame =
+    spark.read.parquet(path).limit(maxCentroids)
+
   /** Per-DIMENSION embedding statistics — the calibration and
     * normalization profile a vector pipeline reads before it
     * quantizes or normalizes: count / sum / min / max / sum-of-squares

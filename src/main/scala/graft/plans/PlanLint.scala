@@ -1,7 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalTableScanExec, SortExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -21,10 +23,17 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    join condition on an inner/cross join — the cartesian in
   *    broadcast clothing (a CONDITIONED broadcast NLJ is a
   *    legitimate shape — the threshold-in-condition similarity
-  *    joins use it deliberately).
+  *    joins use it deliberately). EXEMPT when the broadcast side is
+  *    provably BOUNDED in-plan (a no-grouping aggregate = exactly one
+  *    row, a driver-literal LocalTableScan, or anything under a
+  *    LIMIT): attaching a 1-row stats frame or fanning a corpus
+  *    against a k-row centroid table is the standard scalar/bounded
+  *    expansion idiom, not a hazard.
   *  - `single-partition-window`: a window function with an empty
   *    PARTITION BY — Spark moves every row to one task; the
-  *    prefix-sum operators exist precisely to avoid this.
+  *    prefix-sum operators exist precisely to avoid this. EXEMPT when
+  *    the window's INPUT is bounded by the same in-plan evidence
+  *    (e.g. ranking the top-k rows AFTER a limit).
   *  - `global-sort`: a global SortExec (a full range-exchange sort
   *    of the whole dataset). Top-k reads compile to
   *    TakeOrderedAndProject (not flagged); a bare `orderBy` without
@@ -40,6 +49,18 @@ object PlanLint {
 
   final case class Finding(rule: String, node: String)
 
+  /** In-plan evidence that a subtree produces a BOUNDED row count:
+    * a no-grouping aggregate (exactly one row), driver-literal rows,
+    * or anything already under a limit/top-k. */
+  private def bounded(p: SparkPlan): Boolean =
+    p.find {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _: LocalTableScanExec => true
+      case _: GlobalLimitExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }.isDefined
+
   def audit(df: DataFrame): Seq[Finding] = {
     val plan = df.queryExecution.sparkPlan
     def name(p: SparkPlan): String = p.nodeName
@@ -48,9 +69,13 @@ object PlanLint {
         Seq(Finding("cartesian-product", name(p)))
       case p: BroadcastNestedLoopJoinExec
           if p.condition.isEmpty && (p.joinType.sql == "INNER" ||
-            p.joinType.sql == "CROSS") =>
+            p.joinType.sql == "CROSS") && !bounded(p.buildSide match {
+              case BuildLeft => p.left
+              case BuildRight => p.right
+            }) =>
         Seq(Finding("unconditioned-nested-loop", name(p)))
-      case p: WindowExec if p.partitionSpec.isEmpty =>
+      case p: WindowExec
+          if p.partitionSpec.isEmpty && !bounded(p.child) =>
         Seq(Finding("single-partition-window", name(p)))
       case p: SortExec if p.global =>
         Seq(Finding("global-sort", name(p)))

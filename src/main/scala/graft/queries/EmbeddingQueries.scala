@@ -52,7 +52,7 @@ object EmbeddingQueries {
         .write.mode("overwrite").parquet(p)
       p
     })
-    s.read.parquet(path)
+    Similarity.readCentroids(s, path)
   }
 
   /** Self-contained (k-means-derived) IVF index: assignment table +
@@ -140,7 +140,10 @@ object EmbeddingQueries {
     "ann_kmeans_partition_sizes" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = emb(s, dir)
-      val init = e.where(col("vec_id") < 10)
+      // the limit is a no-op (the predicate admits exactly 10 rows);
+      // it makes the seed table's bound VISIBLE IN-PLAN, like
+      // Similarity.readCentroids does for persisted indexes
+      val init = e.where(col("vec_id") < 10).limit(10)
         .select(col("vec_id").cast("long").as("part"),
           col("embedding").cast("array<double>").as("centroid"))
       Similarity.assignToCentroids(e, init, "vec_id", "embedding",
@@ -161,7 +164,7 @@ object EmbeddingQueries {
       Similarity.ivfTopK(corpusP, e.where(col("vec_id") < 10),
         "vec_id", "embedding", "part", k = 5, nProbe = 3,
         dotFn = GraftFunctions.dotNative,
-        index = Some(s.read.parquet(s"$built/centroids")))
+        index = Some(graft.operators.Similarity.readCentroids(s, s"$built/centroids")))
     }),
 
     // the SERVING layout of the same index: the corpus persisted as
@@ -180,7 +183,7 @@ object EmbeddingQueries {
           "vec_id", store)
       }
       Similarity.ivfTopKFromStore(store,
-        s.read.parquet(s"$built/centroids"), e.where(col("vec_id") < 10),
+        graft.operators.Similarity.readCentroids(s, s"$built/centroids"), e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 3,
         dotFn = GraftFunctions.dotNative)
     }),
@@ -232,7 +235,7 @@ object EmbeddingQueries {
           "vec_id", store)
       }
       val approx = Similarity.ivfTopKFromStore(store,
-        s.read.parquet(s"$built/centroids"), e.where(col("vec_id") < 10),
+        graft.operators.Similarity.readCentroids(s, s"$built/centroids"), e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 3,
         dotFn = GraftFunctions.dotNative)
       val exact = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10),
@@ -349,7 +352,7 @@ object EmbeddingQueries {
       val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
         k = 5, dotFn = dotN)
       val pq = Similarity.ivfPqTopKFromStore(store,
-          s.read.parquet(s"$built/centroids"), qs, "vec_id", "embedding",
+          graft.operators.Similarity.readCentroids(s, s"$built/centroids"), qs, "vec_id", "embedding",
           cb, k = 5, nProbe = 5, candidates = 100, dotFn = dotN)
         .groupBy(col("query_id"))
         .agg(collect_set(col("neighbor_id")).as("qn"))
@@ -386,7 +389,7 @@ object EmbeddingQueries {
           "vec_id", "embedding", store, GraftFunctions.dotNative)
       }
       Similarity.ivfTopKFromStore(store,
-        s.read.parquet(s"$built/centroids"), e.where(col("vec_id") < 10),
+        graft.operators.Similarity.readCentroids(s, s"$built/centroids"), e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 3,
         dotFn = GraftFunctions.dotNative)
     }),
@@ -424,7 +427,7 @@ object EmbeddingQueries {
         q.awaitTermination()
       }
       Similarity.ivfTopKFromStore(store,
-        s.read.parquet(s"$built/centroids"), e.where(col("vec_id") < 10),
+        graft.operators.Similarity.readCentroids(s, s"$built/centroids"), e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 3,
         dotFn = GraftFunctions.dotNative)
     }),

@@ -137,7 +137,10 @@ class PlanAuditSpec extends SparkTestBase {
     import graft.plans.PlanLint
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val d = (0L until 50L).map(i => (i, "s" + (i % 3))).toDF("id", "src")
+    // spark.range is an unbounded-looking source (RangeExec) — the
+    // bounded-build exemption below must NOT cover it
+    val d = spark.range(50).select(col("id"),
+      concat(lit("s"), col("id") % 3).as("src"))
     // each pathological shape trips exactly its own rule
     val cross = d.crossJoin(d.select(col("id").as("id2")))
     assert(PlanLint.audit(cross).map(_.rule)
@@ -156,6 +159,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(PlanLint.audit(d.orderBy(col("id")).limit(5)).isEmpty)
     assert(PlanLint.audit(
       d.join(d.select(col("id"), lit(1).as("x")), Seq("id"))).isEmpty)
+    // BOUNDED exemptions: attaching a 1-row aggregate, expanding
+    // against a driver-literal table, and ranking a post-limit top-k
+    // are the standard idioms, not hazards
+    assert(PlanLint.audit(
+      d.crossJoin(d.agg(count(lit(1)).as("n")))).isEmpty)
+    val lut = Seq((0L, "a"), (1L, "b")).toDF("m", "v")
+    assert(PlanLint.audit(d.crossJoin(lut)).isEmpty)
+    val topkRank = d.orderBy(col("id").desc).limit(10)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+    assert(PlanLint.audit(topkRank).map(_.rule)
+      .forall(_ == "global-sort") &&
+      !PlanLint.audit(topkRank).map(_.rule)
+        .contains("single-partition-window"))
     // and the shipped prefix-sum / similarity plans carry no findings —
     // the conditioned broadcast NLJ the near-dup join uses is NOT the
     // unconditioned hazard
