@@ -408,6 +408,12 @@ final class TimeSeriesService(
     require(slices.size == 1,
       s"getTimeseriesMulti facts disagree on the effective slice: " +
         s"${factIds.zip(facts.map(f => dim.sliceMinutes.getOrElse(f.sliceMinutes))).mkString(", ")}")
+    // the gap fill uses ONE filler for the whole frame — facts with
+    // different fillers would silently fill each other's gaps wrong
+    require(facts.map(_.filler).distinct.size == 1,
+      s"getTimeseriesMulti facts disagree on the filler: " +
+        s"${factIds.zip(facts.map(_.filler)).mkString(", ")} — " +
+        "read facts with different fillers per fact")
     val dimCols = grouping.map(d => col("categories").getItem(d).as(d))
     val prepared = eventsDF
       .where(col("fact").isin(factIds: _*))

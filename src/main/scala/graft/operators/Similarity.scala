@@ -111,8 +111,12 @@ object Similarity {
     * estimators, humans reading the plan) — the no-op `limit`
     * annotates the contract where the plan can see it. `maxCentroids`
     * is a CEILING, not a truncation target: the default comfortably
-    * exceeds any IVF breadth this engine builds, and a store that
-    * somehow held more rows would be mis-built anyway. */
+    * exceeds any IVF breadth this engine builds. CAVEAT: a store that
+    * somehow held MORE rows is mis-built, and this read would then
+    * serve an arbitrary subset rather than failing — verifying costs
+    * a count job per read, so do that check where stores are BUILT
+    * (or pass a deliberately generous ceiling), not on the hot read
+    * path. */
   def readCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String, maxCentroids: Int = 65536): DataFrame =
     spark.read.parquet(path).limit(maxCentroids)
@@ -218,8 +222,13 @@ object Similarity {
     // subspace are [[kmeansFit]]'s exactly: smallest-id seeds,
     // lower-part tie-break, empty clusters retain their centroid, and
     // a CONVERGED subspace is FROZEN out of later iterations (so a
-    // sub-tol wobble can't keep nudging it past where the independent
-    // run stopped).
+    // sub-tol wobble can't keep nudging it past where the
+    // independent run stopped). Contract: ids must be UNIQUE — a
+    // duplicate id contributes ONE assignment row here (the window
+    // keys on (id, subspace)), where the per-subspace formulation
+    // re-joined the assignment onto every duplicate row with
+    // partition-order-dependent tie behavior; neither semantics is
+    // meaningful for duplicated ids, so dedupe upstream.
     val v = col(vecCol).cast("array<double>")
     val sliced = corpus.select(col(idCol).cast("long").as("id"),
         posexplode(array((0 until m).map(j =>

@@ -49,17 +49,37 @@ object PlanLint {
 
   final case class Finding(rule: String, node: String)
 
-  /** In-plan evidence that a subtree produces a BOUNDED row count:
+  /** In-plan evidence that a subtree's OUTPUT row count is bounded:
     * a no-grouping aggregate (exactly one row), driver-literal rows,
-    * or anything already under a limit/top-k. */
-  private def bounded(p: SparkPlan): Boolean =
-    p.find {
-      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-      case _: LocalTableScanExec => true
-      case _: GlobalLimitExec => true
-      case _: TakeOrderedAndProjectExec => true
-      case _ => false
-    }.isDefined
+    * or a limit/top-k — reached from the ROOT through nodes that
+    * cannot increase row counts (project/filter/sort/exchange/window/
+    * grouped-agg wrappers). The walk must be root-down, not a
+    * whole-subtree search: a bounded node ANYWHERE below (a literal
+    * lookup table joined into a huge frame, a stray limit under a
+    * union) says nothing about the subtree's own output size, and a
+    * find()-style check would silently exempt genuine hazards. */
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.isEmpty || bounded(a.child)
+    case _: LocalTableScanExec => true
+    case _: GlobalLimitExec => true
+    case _: TakeOrderedAndProjectExec => true
+    case other if other.children.length == 1 &&
+        !other.nodeName.contains("Generate") &&
+        !other.nodeName.contains("Expand") &&
+        (other.nodeName.contains("Project") ||
+          other.nodeName.contains("Filter") ||
+          other.nodeName.contains("Sort") ||
+          other.nodeName.contains("Exchange") ||
+          other.nodeName.contains("WholeStageCodegen") ||
+          other.nodeName.contains("InputAdapter") ||
+          other.nodeName.contains("Coalesce") ||
+          other.nodeName.contains("Window") ||
+          other.nodeName.contains("AQEShuffleRead") ||
+          other.nodeName.contains("ColumnarToRow")) =>
+      bounded(other.children.head)
+    case _ => false
+  }
 
   def audit(df: DataFrame): Seq[Finding] = {
     val plan = df.queryExecution.sparkPlan

@@ -173,6 +173,19 @@ class PlanAuditSpec extends SparkTestBase {
       .forall(_ == "global-sort") &&
       !PlanLint.audit(topkRank).map(_.rule)
         .contains("single-partition-window"))
+    // the bounded check is ROOT-DOWN, not a subtree search: a literal
+    // lookup table joined into an unbounded frame does not launder an
+    // unconditioned cross of that frame, and a buried limit in a
+    // union branch does not exempt a global window over the union
+    val enriched = d.join(lut.withColumnRenamed("m", "id"), Seq("id"))
+    assert(PlanLint.audit(d.crossJoin(
+        enriched.select(col("id").as("id2")))).nonEmpty)
+    val unionWithLimit = d.select(col("id"))
+      .unionByName(d.limit(3).select(col("id")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+    assert(PlanLint.audit(unionWithLimit).map(_.rule)
+      .contains("single-partition-window"))
     // and the shipped prefix-sum / similarity plans carry no findings —
     // the conditioned broadcast NLJ the near-dup join uses is NOT the
     // unconditioned hazard
