@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Entity resolution (record linkage) over a noisy string attribute:
+  * token blocking → edit-distance scoring → transitive entity
+  * clusters → canonical value per entity. The classic curation step a
+  * training-data platform runs over crawled metadata (publisher names,
+  * site titles, author strings) before any groupBy on the attribute is
+  * meaningful — "cold anvil" and "old anvil" are one vendor with a
+  * typo, and every per-entity statistic is wrong until they merge.
+  *
+  * The reference engine has no linkage surface (its dimensions are
+  * exact-match categories, `src/time_series_storage/core.clj:35-52`);
+  * this plane is beyond-reference, built from the same bounded-pairs
+  * discipline as [[Dedup]].
+  *
+  * Scale shape — the three levers, in order:
+  *
+  *  1. '''Distinct values first.''' All pairwise work runs over the
+  *     DISTINCT normalized attribute values, never over records: a
+  *     100 TB fact table with a million distinct vendor strings does
+  *     its fuzzy matching on the million, and records rejoin the
+  *     resolved entity by one equality hash join at the end. Pairwise
+  *     cost scales with attribute cardinality, not corpus size.
+  *  2. '''Token blocking with a df cap.''' Candidate pairs must share
+  *     ≥1 whitespace token ([[Dedup]]'s posting-list shape): |values|²
+  *     never materializes. A token shared by more than `maxTokenDf`
+  *     distinct values is dropped as a block key — its pairs are the
+  *     quadratic noise blocks ("inc", "ltd") that dominate runtime and
+  *     match nothing. Recall argument for the `maxDist = 1` default:
+  *     one edit touches at most one token of a multi-token value, so
+  *     every true match still shares each untouched token verbatim and
+  *     survives blocking unless ALL its shared tokens are df-hot.
+  *  3. '''Early-exit scoring.''' The verifier is Spark's codegen'd
+  *     `levenshtein(l, r, threshold)` (returns −1 the moment the
+  *     distance exceeds the bound — O(maxDist·len) per pair, not
+  *     O(len²)), so scoring cost is capped per candidate.
+  *
+  * Entity labels come from [[Dedup.connectedComponents]] over the
+  * value-match graph (node = distinct value, keyed by the value's
+  * minimum record id so labels are stable Long ids), giving the usual
+  * transitive-closure semantics: a chain a~b~c is one entity even when
+  * `dist(a, c) > maxDist`.
+  */
+object EntityResolution {
+
+  /** Normalization applied to the attribute before any comparison:
+    * lowercase, outer whitespace trimmed. Kept deliberately minimal —
+    * domain scrubs (punctuation, legal suffixes) belong upstream. */
+  def normalized(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lower(trim(c))
+
+  /** The distinct normalized values of `valueCol` with a stable Long
+    * node id (the value's minimum record id — deterministic under any
+    * partitioning) and the value's record support. One hash
+    * aggregation on the value; records never carry past this point.
+    * Output: (`value`, `node_id`, `n_records`). */
+  def distinctValues(records: DataFrame, idCol: String,
+      valueCol: String): DataFrame =
+    records
+      .select(col(idCol).cast(LongType).as("__id"),
+        normalized(col(valueCol)).as("value"))
+      .where(col("value").isNotNull && length(col("value")) > 0)
+      .groupBy(col("value"))
+      .agg(min(col("__id")).as("node_id"),
+        count(lit(1)).as("n_records"))
+
+  /** Token-blocked candidate pairs over a distinct-values frame
+    * ([[distinctValues]] output or any frame with a `value` column):
+    * unordered value pairs sharing ≥1 whitespace token whose df is ≤
+    * `maxTokenDf`. Same posting-list join as
+    * [[Dedup.jaccardPairsKernel]] — blocks bound the join fan-out, hot
+    * block keys are dropped, and the pair set is DISTINCT so a pair
+    * sharing k tokens costs one row downstream.
+    * Output: (`val_a`, `val_b`) with `val_a < val_b`. */
+  def candidatePairs(values: DataFrame, maxTokenDf: Long): DataFrame = {
+    val tok = values
+      .select(col("value"),
+        explode(array_distinct(split(col("value"), "\\s+"))).as("t"))
+    val keep = tok.groupBy(col("t"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxTokenDf)
+      .select(col("t"))
+    val a = tok.join(keep, Seq("t")).select(col("t"), col("value").as("val_a"))
+    val b = tok.select(col("t"), col("value").as("val_b"))
+    a.join(b, Seq("t"))
+      .where(col("val_a") < col("val_b"))
+      .select(col("val_a"), col("val_b"))
+      .distinct()
+  }
+
+  /** Scored matches between distinct normalized values of `valueCol`:
+    * token-blocked candidates verified at `levenshtein ≤ maxDist`,
+    * with a length-normalized similarity in basis points —
+    * `sim_e4 = floor(10⁴·(1 − dist / max(len_a, len_b)))`, integral so
+    * the score is exact and engine-independent. The threshold form of
+    * `levenshtein` early-exits above `maxDist` (−1), so the verify
+    * cost per candidate is bounded.
+    * Output: (`val_a`, `val_b`, `dist`, `sim_e4`), `val_a < val_b`. */
+  def matches(records: DataFrame, idCol: String, valueCol: String,
+      maxDist: Int, maxTokenDf: Long): DataFrame =
+    matchesOnValues(distinctValues(records, idCol, valueCol), maxDist,
+      maxTokenDf)
+
+  /** [[matches]] over a pre-built [[distinctValues]] frame (shared by
+    * [[entities]] so the distinct pass runs once). */
+  def matchesOnValues(values: DataFrame, maxDist: Int,
+      maxTokenDf: Long): DataFrame =
+    candidatePairs(values, maxTokenDf)
+      .withColumn("dist",
+        levenshtein(col("val_a"), col("val_b"), maxDist).cast(LongType))
+      .where(col("dist") >= 0) // threshold levenshtein: −1 means > maxDist
+      .withColumn("sim_e4", {
+        // integral numerator (10⁴·(maxlen − dist)) / maxlen: quotients
+        // have denominator ≤ maxlen, so the double division is never
+        // within an ulp of an integer it shouldn't cross — floor is
+        // exact and engine-independent
+        val glen = greatest(length(col("val_a")), length(col("val_b")))
+        floor(lit(10000) * (glen - col("dist")) / glen).cast(LongType)
+      })
+
+  /** Resolved entity per record: records → distinct values → match
+    * graph → [[Dedup.connectedComponents]] → label join back onto the
+    * records. The entity id is the minimum `node_id` (= minimum record
+    * id) reachable in the match graph, so labels are stable across
+    * partitionings and runs. Records shuffle exactly once (the
+    * equality join on the normalized value); all fuzzy work happens at
+    * attribute cardinality.
+    * Output: one row per input record, (`idCol`, `value`, `entity`). */
+  def entities(records: DataFrame, idCol: String, valueCol: String,
+      maxDist: Int, maxTokenDf: Long): DataFrame = {
+    val values = distinctValues(records, idCol, valueCol)
+    val m = matchesOnValues(values, maxDist, maxTokenDf)
+    val ids = values.select(col("value"), col("node_id"))
+    val edges = m
+      .join(ids.withColumnRenamed("value", "val_a")
+        .withColumnRenamed("node_id", "na"), Seq("val_a"))
+      .join(ids.withColumnRenamed("value", "val_b")
+        .withColumnRenamed("node_id", "nb"), Seq("val_b"))
+      .select(col("na"), col("nb"))
+    val labels = Dedup.connectedComponents(
+      values.select(col("node_id")), "node_id", edges, "na", "nb")
+    records
+      .select(col(idCol), normalized(col(valueCol)).as("value"))
+      .where(col("value").isNotNull && length(col("value")) > 0)
+      .join(values.select(col("value"), col("node_id")), Seq("value"))
+      .join(labels.withColumnRenamed("component", "entity"), Seq("node_id"))
+      .select(col(idCol), col("value"), col("entity"))
+  }
+
+  /** Canonical value per resolved entity — the survivorship rule:
+    * highest record support wins, ties broken by the lexicographically
+    * smallest value (deterministic). One window partitioned by entity
+    * over the VALUES frame (attribute cardinality, never records).
+    * Output: (`entity`, `canonical`, `n_values`, `n_records`). */
+  def canonicalValues(records: DataFrame, idCol: String, valueCol: String,
+      maxDist: Int, maxTokenDf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val values = distinctValues(records, idCol, valueCol)
+    val m = matchesOnValues(values, maxDist, maxTokenDf)
+    val ids = values.select(col("value"), col("node_id"))
+    val edges = m
+      .join(ids.withColumnRenamed("value", "val_a")
+        .withColumnRenamed("node_id", "na"), Seq("val_a"))
+      .join(ids.withColumnRenamed("value", "val_b")
+        .withColumnRenamed("node_id", "nb"), Seq("val_b"))
+      .select(col("na"), col("nb"))
+    val labels = Dedup.connectedComponents(
+      values.select(col("node_id")), "node_id", edges, "na", "nb")
+    val byEnt = Window.partitionBy(col("entity"))
+    val ranked = Window.partitionBy(col("entity"))
+      .orderBy(col("n_records").desc, col("value").asc)
+    values
+      .join(labels.withColumnRenamed("component", "entity"), Seq("node_id"))
+      .withColumn("n_values", count(lit(1)).over(byEnt))
+      .withColumn("__tot", sum(col("n_records")).over(byEnt))
+      .withColumn("__rk", row_number().over(ranked))
+      .where(col("__rk") === 1)
+      .select(col("entity"), col("value").as("canonical"),
+        col("n_values"), col("__tot").as("n_records"))
+  }
+}

@@ -586,9 +586,97 @@ object RelationalQueries {
         .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"))
-    }))
+    }),
+
+    // ENTITY RESOLUTION (graft.operators.EntityResolution): fuzzy
+    // matches between distinct part names — token blocking (df-capped
+    // posting join, never |names|²) verified by threshold levenshtein
+    // (early-exit codegen). All pairwise work at attribute
+    // cardinality; the 20k/2M/200M-row part table never pairs.
+    "er_part_matches" -> ((s, dir) =>
+      graft.operators.EntityResolution.matches(
+        read(s, dir, "part"), "p_partkey", "p_name",
+        maxDist = 1, maxTokenDf = 1000)),
+
+    // transitive entity per part record: value-level match graph →
+    // connected components (labels = min partkey reachable) → one
+    // equality join back onto records
+    "er_part_entities" -> ((s, dir) =>
+      graft.operators.EntityResolution.entities(
+        read(s, dir, "part"), "p_partkey", "p_name",
+        maxDist = 1, maxTokenDf = 1000)
+        .withColumnRenamed("p_partkey", "partkey")),
+
+    // survivorship: canonical name per entity (max record support,
+    // tie → lexicographically smallest), sized by value and record
+    // counts — one window at attribute cardinality
+    "er_part_canonical" -> ((s, dir) =>
+      graft.operators.EntityResolution.canonicalValues(
+        read(s, dir, "part"), "p_partkey", "p_name",
+        maxDist = 1, maxTokenDf = 1000)))
+
+  /** Shared ER pipeline head: distinct normalized part names with
+    * min-partkey node ids, token blocking (df ≤ 1000), and the
+    * levenshtein-verified match set — the entity/canonical oracles
+    * extend this with the recursive reachability closure. */
+  private val erHeadSql: String =
+    """names AS (
+      |  SELECT lower(trim(p_name)) AS value, min(p_partkey) AS node_id,
+      |         count(*) AS n_records
+      |  FROM part
+      |  WHERE length(lower(trim(p_name))) > 0
+      |  GROUP BY 1),
+      |tok AS (SELECT value,
+      |  unnest(list_distinct(string_split_regex(value, '\s+'))) AS t
+      |  FROM names),
+      |keep AS (SELECT t FROM tok GROUP BY t HAVING count(*) <= 1000),
+      |cand AS (SELECT DISTINCT a.value AS val_a, b.value AS val_b
+      |  FROM tok a JOIN keep USING (t) JOIN tok b USING (t)
+      |  WHERE a.value < b.value),
+      |m AS (SELECT val_a, val_b,
+      |  CAST(levenshtein(val_a, val_b) AS BIGINT) AS dist
+      |  FROM cand WHERE levenshtein(val_a, val_b) <= 1)""".stripMargin
+
+  /** Reachability closure over the ER match graph → (node_id, entity). */
+  private val erCompSql: String =
+    """e AS (SELECT na.node_id AS a, nb.node_id AS b
+      |  FROM m JOIN names na ON na.value = m.val_a
+      |         JOIN names nb ON nb.value = m.val_b),
+      |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+      |reach AS (SELECT node_id AS a, node_id AS b FROM names
+      |          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+      |comp AS (SELECT a AS node_id, min(b) AS entity FROM reach GROUP BY 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "er_part_matches" ->
+      s"""WITH $erHeadSql
+         |SELECT val_a, val_b, dist,
+         |  CAST(floor(10000 * (greatest(length(val_a), length(val_b)) - dist)
+         |    / greatest(length(val_a), length(val_b))) AS BIGINT) AS sim_e4
+         |FROM m""".stripMargin,
+
+    "er_part_entities" ->
+      s"""WITH RECURSIVE $erHeadSql,
+         |$erCompSql
+         |SELECT p.p_partkey AS partkey, n.value, c.entity
+         |FROM part p
+         |JOIN names n ON n.value = lower(trim(p.p_name))
+         |JOIN comp c ON c.node_id = n.node_id""".stripMargin,
+
+    "er_part_canonical" ->
+      s"""WITH RECURSIVE $erHeadSql,
+         |$erCompSql,
+         |vals AS (SELECT n.value, n.n_records, c.entity
+         |         FROM names n JOIN comp c USING (node_id)),
+         |agg AS (SELECT entity, count(*) AS n_values,
+         |        CAST(sum(n_records) AS BIGINT) AS n_records
+         |        FROM vals GROUP BY 1),
+         |best AS (SELECT entity, value AS canonical, row_number() OVER (
+         |    PARTITION BY entity ORDER BY n_records DESC, value ASC) AS rk
+         |  FROM vals)
+         |SELECT b.entity, b.canonical, a.n_values, a.n_records
+         |FROM best b JOIN agg a USING (entity) WHERE rk = 1""".stripMargin,
+
     // the UNPRUNED pair count — hash-matching the a-priori-pruned
     // Spark plan is exactly the monotonicity guarantee
     "basket_frequent_pairs" ->

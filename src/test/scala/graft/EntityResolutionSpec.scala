@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.EntityResolution
+
+/** Pins [[EntityResolution]]: blocking recall for 1-edit typos, the
+  * df-cap drop, threshold-levenshtein verification, transitive entity
+  * labels, and the survivorship tie-break. */
+class EntityResolutionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def records(rows: (Long, String)*): DataFrame =
+    rows.toDF("id", "name")
+
+  test("matches finds 1-edit pairs and scores them integrally") {
+    val df = records(
+      1L -> "Acme Corp", 2L -> "acme korp", 3L -> "beta llc",
+      4L -> "ACME CORP ")
+    val m = EntityResolution.matches(df, "id", "name", maxDist = 1,
+      maxTokenDf = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // normalization folds 1 and 4 into one value; korp↔corp is dist 1;
+    // sim_e4 = 10⁴·(9−1)/9 = 8888 (floor)
+    assert(m.toSeq == Seq(("acme corp", "acme korp", 1L, 8888L)))
+  }
+
+  test("blocking recall: a 1-edit typo in a multi-token value always pairs") {
+    // one edit touches at most one token — the other survives verbatim
+    val base = Seq("global data systems", "prime metal works",
+      "union freight lines")
+    val typo = base.map(s => s.updated(s.length - 1, 'x'))
+    val df = records((base ++ typo).zipWithIndex.map {
+      case (s, i) => (i.toLong, s)
+    }: _*)
+    val m = EntityResolution.matches(df, "id", "name", maxDist = 1,
+      maxTokenDf = 100).collect()
+    assert(m.length == base.size)
+  }
+
+  test("df cap drops hot block keys: values sharing only a hot token never pair") {
+    // "inc" is shared by every value; with maxTokenDf = 2 it is not a
+    // block key, and no other token is shared — zero candidates even
+    // though some pairs would verify at dist 1
+    val df = records(
+      1L -> "alpha inc", 2L -> "alphq inc", 3L -> "gamma inc",
+      4L -> "delta inc")
+    val capped = EntityResolution.matches(df, "id", "name", maxDist = 1,
+      maxTokenDf = 2).count()
+    assert(capped == 0L)
+    // raising the cap restores the alpha/alphq match
+    val open = EntityResolution.matches(df, "id", "name", maxDist = 1,
+      maxTokenDf = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(open.toSeq == Seq(("alpha inc", "alphq inc")))
+  }
+
+  test("entities are transitive and labeled by min record id") {
+    // chain: "north mill co" ~1~ "north mall co" ~1~ "north mall cq"
+    // (ends are dist 2 apart — only transitivity merges them)
+    val df = records(
+      10L -> "north mill co", 11L -> "north mall co",
+      12L -> "north mall cq", 13L -> "south mill co", 14L -> "north mall co")
+    val e = EntityResolution.entities(df, "id", "name", maxDist = 1,
+      maxTokenDf = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // "south mill co" is dist 2 from "north mill co" — separate entity
+    assert(e(13L) == 13L)
+    assert(Set(10L, 11L, 12L, 14L).map(e) == Set(10L))
+  }
+
+  test("canonical value: record support wins, ties break lexicographically") {
+    val df = records(
+      1L -> "acme corp", 2L -> "acme corp", 3L -> "acme korp",
+      4L -> "zeta ltd", 5L -> "zetq ltd")
+    val c = EntityResolution.canonicalValues(df, "id", "name", maxDist = 1,
+      maxTokenDf = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // acme corp has support 2 > korp's 1; zeta/zetq tie at 1 → "zeta ltd"
+    assert(c.toSeq == Seq(
+      (1L, "acme corp", 2L, 3L), (4L, "zeta ltd", 2L, 2L)))
+  }
+
+  test("null and empty values are dropped, never resolved") {
+    val df = Seq((1L, "acme corp"), (2L, null.asInstanceOf[String]),
+      (3L, "  ")).toDF("id", "name")
+    val e = EntityResolution.entities(df, "id", "name", maxDist = 1,
+      maxTokenDf = 100).collect()
+    assert(e.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}
