@@ -131,6 +131,56 @@ object Dedup {
       .select(col(idCol), col("canonical_id"))
   }
 
+  /** Cross-source overlap matrix — the corpus-curation read "how much
+    * of source A's content also appears in source B": per unordered
+    * source pair, the count of distinct 3-gram shingle hashes both
+    * sources contain, their per-source distinct-shingle totals, and a
+    * containment score `containment_e4 = floor(10⁴·common /
+    * min(sz_a, sz_b))`. The signal that decides which crawl snapshot
+    * to drop and which source mixture double-counts content — doc-level
+    * dedup rates can't see overlap that never produces an exact dup.
+    *
+    * Scale shape: shingles collapse to DISTINCT (source, hash) pairs
+    * before any join — the join input is bounded by
+    * |sources| × |shingle space|, never by corpus size, and each hash
+    * key fans out to at most |sources| rows so the self-join is
+    * skew-proof by construction. The df cap (distinct DOCS containing
+    * the shingle, the [[jaccardPairs]] idiom) drops boilerplate
+    * shingles that every source shares and that carry no curation
+    * signal. Output rows: C(|sources|, 2) at most.
+    *
+    * @param maxDf drop shingles appearing in more than this many docs */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, maxDf: Long): DataFrame = {
+    val ex = shingleHashKernel(df, textCol, idCol, 3)
+      .select(col("id"), explode(col("hs")).as("h"))
+      .distinct()
+    val keep = ex.groupBy(col("h"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select(col("h"))
+    val se = ex.join(keep, Seq("h"))
+      .join(df.select(col(idCol).cast(LongType).as("id"),
+        col(sourceCol).as("source")), Seq("id"))
+      .select(col("source"), col("h"))
+      .distinct()
+    val sz = se.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = se.select(col("h"), col("source").as("src_a"))
+    val b = se.select(col("h"), col("source").as("src_b"))
+    a.join(b, Seq("h"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sz.select(col("source").as("src_a"), col("n").as("sz_a")),
+        Seq("src_a"))
+      .join(sz.select(col("source").as("src_b"), col("n").as("sz_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("common"), col("sz_a"),
+        col("sz_b"),
+        floor(lit(10000) * col("common") / least(col("sz_a"), col("sz_b")))
+          .cast(LongType).as("containment_e4"))
+  }
+
   /** N-gram Jaccard near-dup pairs via a shingle inverted index:
     * explode distinct shingles → self-join per shingle → common-shingle
     * counts → integer-exact threshold test

@@ -709,6 +709,15 @@ object DocumentQueries {
     // curation pipeline watches per ingest source): docs, exact-dup
     // survivors, and the duplicate fraction ×10⁴ — one md5 hash agg,
     // bodies never shuffle
+    // CROSS-SOURCE overlap matrix (graft.operators.Dedup
+    // .sourceOverlapMatrix): distinct-shingle containment per source
+    // pair — join input is DISTINCT (source, hash), bounded by
+    // |sources|×|shingle space| and ≤|sources| rows per hash key, so
+    // the matrix costs the same at any corpus size past saturation
+    "source_overlap_matrix" -> ((s, dir) =>
+      graft.operators.Dedup.sourceOverlapMatrix(
+        docs(s, dir), "text", "doc_id", "source", maxDf = 1000)),
+
     "dedup_rate_by_source" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("__k", md5(col("text")))
@@ -2105,6 +2114,34 @@ object DocumentQueries {
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
         |    AS sum_dl
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "source_overlap_matrix" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END) AS shset
+        |  FROM (SELECT doc_id, source,
+        |          string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |ex AS (SELECT DISTINCT doc_id, source,
+        |  unnest(list_transform(shset,
+        |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS h
+        |  FROM sh),
+        |keep AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM ex)
+        |         GROUP BY h HAVING count(*) <= 1000),
+        |se AS (SELECT DISTINCT source, h FROM ex JOIN keep USING (h)),
+        |sz AS (SELECT source, count(*) AS n FROM se GROUP BY 1),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS common
+        |  FROM se a JOIN se b USING (h)
+        |  WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.common, sa.n AS sz_a, sb.n AS sz_b,
+        |  CAST(floor(10000 * p.common / least(sa.n, sb.n)) AS BIGINT)
+        |    AS containment_e4
+        |FROM pairs p
+        |JOIN sz sa ON sa.source = p.src_a
+        |JOIN sz sb ON sb.source = p.src_b""".stripMargin,
 
     "dedup_rate_by_source" ->
       """WITH k AS (SELECT doc_id, source, md5(text) AS k FROM documents),

@@ -827,4 +827,35 @@ class DedupTextSpec extends SparkTestBase {
     assert(got(3L)._2 ==
       graft.operators.Dedup.md5Hex("x y z </w> low</w>"))
   }
+
+  test("sourceOverlapMatrix counts shared distinct shingles per source pair") {
+    val df = Seq(
+      // A and B share doc 1's content verbatim; C is disjoint
+      (1L, "the quick brown fox jumps over the lazy dog", "A"),
+      (2L, "the quick brown fox jumps over the lazy dog", "B"),
+      (3L, "a wholly different sentence lives in here now", "C"),
+      // duplicate WITHIN A — must not inflate A's distinct size
+      (4L, "the quick brown fox jumps over the lazy dog", "A"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlapMatrix(df, "text", "doc_id", "source", 100)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // 9 tokens → 7 distinct 3-gram shingles per copy
+    assert(m(("A", "B")) == ((7L, 7L, 7L, 10000L)))
+    assert(!m.contains(("A", "C")) && !m.contains(("B", "C")))
+  }
+
+  test("sourceOverlapMatrix df cap drops boilerplate shared by hot docs") {
+    // the shared shingle set appears in 3 docs; cap at 2 removes it
+    val df = Seq(
+      (1L, "common boiler plate line", "A"),
+      (2L, "common boiler plate line", "B"),
+      (3L, "common boiler plate line", "C"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.sourceOverlapMatrix(df, "text", "doc_id", "source", 2)
+      .count() == 0L)
+    assert(Dedup.sourceOverlapMatrix(df, "text", "doc_id", "source", 3)
+      .count() == 3L)
+  }
 }
