@@ -148,6 +148,58 @@ object Similarity {
         sum((col("v_e6") * col("v_e6")).cast("decimal(38,0)"))
           .cast("decimal(38,0)").as("sumsq_e12"))
 
+  /** Per-label embedding outliers — mislabeled-example detection, the
+    * embedding-side data-quality scrub: for each label, the `k`
+    * vectors farthest from the label's centroid. Distances are exact
+    * integers: elements round to ×10⁶ first, and instead of a
+    * fractional mean the score is the n²-scaled squared distance
+    * `d2 = Σ_pos (n·x_e6 − s_e6)²` (s = per-label element sum, n =
+    * label size) — identical ranking to true centroid distance within
+    * a label, zero float drift across engines/partitionings. Summed in
+    * decimal(38,0): safe while n·|x|·10⁶ stays under ~10¹⁸ (a
+    * billion-vector label at unit scale — document-scale labels never
+    * approach it).
+    *
+    * Scale shape: one posexplode aggregation builds the (label, pos)
+    * sum table (labels × dim rows — tiny), which BROADCASTS back onto
+    * the corpus; the per-vector score is then row-local higher-order
+    * arithmetic (zip_with + aggregate, no second explode-shuffle), and
+    * the only remaining exchange is the per-label top-k window.
+    * Output: (`label`, `vec_id`, `d2` as decimal text), k rows per
+    * label, ties broken by id. */
+  def labelOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val base = corpus.select(
+      col(idCol),
+      col(labelCol).cast("long").as("label"),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * 1000000d).cast("long")).as("xe6"))
+    val sums = base
+      .select(col("label"), posexplode(col("xe6")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        p => p.getField("s")).as("sarr"))
+    val counts = base.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val d2 = base
+      .join(broadcast(sums), Seq("label"))
+      .join(broadcast(counts), Seq("label"))
+      .withColumn("d2",
+        aggregate(
+          zip_with(col("xe6"), col("sarr"), (x, s) => {
+            val dlt = (col("n") * x - s).cast("decimal(38,0)")
+            (dlt * dlt).cast("decimal(38,0)")
+          }),
+          lit(0).cast("decimal(38,0)"),
+          (acc, y) => (acc + y).cast("decimal(38,0)")))
+    val ranked = Window.partitionBy(col("label"))
+      .orderBy(col("d2").desc, col(idCol).asc)
+    d2.withColumn("__rk", row_number().over(ranked))
+      .where(col("__rk") <= k)
+      .select(col("label"), col(idCol), col("d2").cast("string").as("d2"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column: per
     * vector, `scale = max|x| / 127` and `q_i = round(x_i / scale)` —
     * 4× less memory/IO than float32 (the difference between a vector

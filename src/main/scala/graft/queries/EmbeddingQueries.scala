@@ -460,6 +460,14 @@ object EmbeddingQueries {
       graft.operators.Similarity.dimensionProfile(emb(s, dir), "embedding")
         .withColumn("sumsq_e12", col("sumsq_e12").cast("long"))),
 
+    // MISLABELED-EXAMPLE detection (Similarity.labelOutliers): per
+    // label, the 5 vectors farthest from the label centroid —
+    // integer-exact n²-scaled distances, centroid sums broadcast,
+    // per-vector scoring row-local (no second explode shuffle)
+    "emb_label_outliers" -> ((s, dir) =>
+      graft.operators.Similarity.labelOutliers(
+        emb(s, dir), "vec_id", "embedding", "label", k = 5)),
+
     // FILTERED vector search (the metadata-predicate ANN every
     // retrieval stack needs): exact top-5 restricted to labels < 5 —
     // the predicate composes UNDER the search, reaching the parquet
@@ -695,6 +703,28 @@ object EmbeddingQueries {
         |  CAST(sum(CAST(v_e6 AS HUGEINT) * v_e6) AS BIGINT)
         |    AS sumsq_e12
         |FROM x GROUP BY 1""".stripMargin,
+
+    // same ×10⁶ rounding, n²-scaled integral distance², HUGEINT sums
+    // → text so both engines hash the exact integer
+    "emb_label_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS xe6
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, label, unnest(xe6) AS v,
+        |        generate_subscripts(xe6, 1) AS pos FROM x),
+        |cs AS (SELECT label, pos, sum(v) AS s FROM u GROUP BY 1, 2),
+        |cn AS (SELECT label, count(*) AS n FROM x GROUP BY 1),
+        |d AS (SELECT u.vec_id, u.label,
+        |    sum(CAST(cn.n * u.v - cs.s AS HUGEINT)
+        |      * CAST(cn.n * u.v - cs.s AS HUGEINT)) AS d2
+        |  FROM u JOIN cs USING (label, pos) JOIN cn USING (label)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id, d2, row_number() OVER (
+        |    PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk FROM d)
+        |SELECT label, vec_id, CAST(d2 AS VARCHAR) AS d2
+        |FROM r WHERE rk <= 5""".stripMargin,
 
     // the brute-force ranking over the label-filtered corpus only
     "ann_filtered_topk" ->

@@ -247,4 +247,34 @@ class SimilaritySpec extends SparkTestBase {
     // (0.0); doc 4 never appears (not recalled); score_e6 carried
     assert(got == Set((1, 2L, 90L), (2, 3L, 80L)), s"got $got")
   }
+
+  test("labelOutliers matches a BigInt brute-force replica and finds the plant") {
+    val rnd = new scala.util.Random(7)
+    // two tight clusters + one planted far point per label
+    val rows = (0 until 2).flatMap { lab =>
+      val base = Array.fill(4)(if (lab == 0) 0.1f else -0.2f)
+      val members = (0 until 9).map { i =>
+        (lab * 100L + i, base.map(v => v + rnd.nextFloat() * 0.01f), lab)
+      }
+      members :+ ((lab * 100L + 99, Array.fill(4)(3f), lab))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelOutliers(df, "vec_id", "embedding", "label", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), BigInt(r.getString(2))))
+    // replica: e6-round, per-label sums, d2 = Σ (n·x − s)²
+    val exp = rows.groupBy(_._3).flatMap { case (lab, ms) =>
+      val xe6 = ms.map { case (id, v, _) =>
+        id -> v.map(x => BigInt(math.round(x.toDouble * 1000000))) }
+      val n = BigInt(ms.size)
+      val s = xe6.map(_._2).transpose.map(_.sum)
+      xe6.map { case (id, v) =>
+        (lab.toLong, id, v.zip(s).map { case (x, si) =>
+          (n * x - si).pow(2) }.sum)
+      }.sortBy(t => (-t._3, t._2)).take(3)
+    }.toSet
+    assert(got.toSet == exp, s"got ${got.toSeq.sortBy(_._1)}")
+    // the planted point is each label's top outlier
+    val top = got.groupBy(_._1).map { case (l, g) => l -> g.maxBy(_._3)._2 }
+    assert(top == Map(0L -> 99L, 1L -> 199L))
+  }
 }
