@@ -58,4 +58,30 @@ object Cdc {
       .where(col("__rn") === 1 && col("__op") =!= deleteOp)
       .select(outCols.map(col): _*)
   }
+
+  /** Snapshot DIFF — the other half of the CDC loop: given two keyed
+    * snapshots (e.g. two crawl dumps of a corpus), classify every key
+    * as `added` (new side only), `removed` (old side only), `changed`
+    * (both sides, different content), or `unchanged`. The read that
+    * decides whether a re-crawl is worth re-processing, and the input
+    * a synthetic change log needs when the upstream system only ships
+    * full dumps.
+    *
+    * Scale shape: content collapses to md5 digests BEFORE the join, so
+    * the full-outer join shuffles 32-byte keys + digests — never the
+    * payloads (the [[Dedup.exact]] discipline); one shuffle on the
+    * key. Output: (keyCol, `status`), one row per key present on
+    * either side. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, contentCol: String): DataFrame = {
+    def digest(df: DataFrame, side: String): DataFrame =
+      df.select(col(keyCol), md5(col(contentCol)).as(side))
+    digest(oldSnap, "__old").join(digest(newSnap, "__new"),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(col("__old") === col("__new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -81,4 +81,41 @@ object Sessions {
       }
       .toDF(userCol, "session_start", "session_end", "n_events")
   }
+
+  /** Next-event training examples — the sequence-model dataset builder:
+    * for every event with at least one predecessor, emit the user's
+    * trailing context (the previous `k` event types, oldest first,
+    * space-joined) plus the time since the previous event, labeled by
+    * the event that actually happened. The standard supervised shape
+    * for next-action / churn / recommendation models built from an
+    * event log.
+    *
+    * Scale shape: ONE hash exchange on the user key serves every
+    * window (trailing-type frame, lag) — the same single-partitioning
+    * discipline as the rolling-feature queries; per-row state is the
+    * bounded k-row frame, never the user's full history. Time gaps are
+    * microsecond-exact integers via `timestampdiff` (works unchanged
+    * on TIMESTAMP and TIMESTAMP_NTZ event times — `unix_micros` would
+    * reject NTZ parquet reads at the library boundary), so the output
+    * is engine-independent. Ordering ties break on the event id.
+    *
+    * Output: (`event_id`, userCol, `prefix`, `gap_us`, `label`) —
+    * first events (empty context) are not examples and are absent. */
+  def nextEventExamples(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val trail = byUser.rowsBetween(-k, -1)
+    events
+      .select(col(idCol), col(userCol), col(tsCol), col(typeCol))
+      .withColumn("prefix",
+        concat_ws(" ", collect_list(col(typeCol)).over(trail)))
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("gap_us",
+        expr(s"timestampdiff(MICROSECOND, __prev_ts, `$tsCol`)"))
+      .where(col("gap_us").isNotNull)
+      .select(col(idCol), col(userCol), col("prefix"), col("gap_us"),
+        col(typeCol).as("label"))
+  }
 }

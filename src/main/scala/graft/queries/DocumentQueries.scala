@@ -709,6 +709,23 @@ object DocumentQueries {
     // curation pipeline watches per ingest source): docs, exact-dup
     // survivors, and the duplicate fraction ×10⁴ — one md5 hash agg,
     // bodies never shuffle
+    // CRAWL-SNAPSHOT diff (graft.operators.Cdc.snapshotDiff): two
+    // simulated dumps of the corpus — the new one drops doc_id%11=0,
+    // revises doc_id%7=3, and gains re-keyed copies of doc_id%13=5 —
+    // classified added/removed/changed/unchanged. Digests join, bodies
+    // never shuffle.
+    "corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val newSnap = d.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 3, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.where(col("doc_id") % 13 === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Cdc.snapshotDiff(d, newSnap, "doc_id", "text")
+        .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+    }),
+
     // CROSS-SOURCE overlap matrix (graft.operators.Dedup
     // .sourceOverlapMatrix): distinct-shingle containment per source
     // pair — join input is DISTINCT (source, hash), bounded by
@@ -2114,6 +2131,24 @@ object DocumentQueries {
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
         |    AS sum_dl
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH oldv AS (SELECT doc_id, text FROM documents),
+        |newv AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 3
+        |    THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 13 = 5),
+        |d AS (
+        |  SELECT CASE
+        |    WHEN o.doc_id IS NULL THEN 'added'
+        |    WHEN n.doc_id IS NULL THEN 'removed'
+        |    WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+        |    ELSE 'changed' END AS status
+        |  FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+        |SELECT status, count(*) AS n_docs FROM d GROUP BY 1""".stripMargin,
 
     "source_overlap_matrix" ->
       """WITH sh AS (

@@ -883,6 +883,14 @@ object EventQueries {
       graft.operators.Sessions.cappedSessions(events(s, dir), "user_id",
         "ts", gapMinutes = 720, maxDurationMinutes = 1440)),
 
+    // SEQUENCE-MODEL training examples (Sessions.nextEventExamples):
+    // per event, the user's previous 3 event types + µs-exact gap,
+    // labeled by what happened — one hash exchange on user_id serves
+    // both window frames
+    "event_next_examples" -> ((s, dir) =>
+      graft.operators.Sessions.nextEventExamples(events(s, dir),
+        "user_id", "ts", "event_type", "event_id", k = 3)),
+
     // per-entity rolling features (the feature-engineering op of an
     // event-driven training pipeline): for EVERY event, the count of
     // the same user's events in the trailing hour (RANGE frame on
@@ -3470,6 +3478,17 @@ object EventQueries {
     // the greedy capped fold as a recursive CTE: each event inherits
     // or restarts the running session start under the same two strict
     // split rules, then sessions aggregate per (user, start)
+    "event_next_examples" ->
+      """SELECT event_id, user_id,
+        |  coalesce(array_to_string(list(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ' '), '') AS prefix,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+        |  event_type AS label
+        |FROM events
+        |QUALIFY gap_us IS NOT NULL""".stripMargin,
+
     "event_sessions_capped" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, ts,

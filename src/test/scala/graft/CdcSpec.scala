@@ -123,4 +123,22 @@ class CdcSpec extends SparkTestBase {
       Seq("seq"), "op")
     assert(state(got) == Set((1L, "new"), (2L, "keep")))
   }
+
+  test("snapshotDiff classifies added / removed / changed / unchanged") {
+    import spark.implicits._
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newS = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("id", "text")
+    val got = Cdc.snapshotDiff(oldS, newS, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff against itself is all-unchanged") {
+    import spark.implicits._
+    val s = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val st = Cdc.snapshotDiff(s, s, "id", "text")
+      .select("status").distinct().collect().map(_.getString(0)).toSeq
+    assert(st == Seq("unchanged"))
+  }
 }

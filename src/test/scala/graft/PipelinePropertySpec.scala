@@ -245,4 +245,35 @@ class PipelinePropertySpec extends SparkTestBase {
       assert(byPos.toSeq == byPos.sorted.toSeq, s"seed $seed stage-major")
     }
   }
+
+  test("next-event examples == sequential per-user replica, any partitioning") {
+    import java.sql.Timestamp
+    for (seed <- Seq(61, 62)) {
+      val rnd = new Random(seed)
+      val types = Array("a", "b", "c")
+      val base = 1700000000000L
+      val rows = (0 until 300).map { i =>
+        (i.toLong, rnd.nextInt(6).toLong,
+          // duplicate timestamps on purpose — id must break the tie
+          new Timestamp(base + rnd.nextInt(200).toLong * 1000L),
+          types(rnd.nextInt(3)))
+      }
+      val k = 1 + rnd.nextInt(4)
+      val expect = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val s = rs.sortBy(r => (r._3.getTime, r._1))
+        s.zipWithIndex.drop(1).map { case ((id, u, ts, tp), i) =>
+          val prefix = s.slice(math.max(0, i - k), i).map(_._4).mkString(" ")
+          val gap = (ts.getTime - s(i - 1)._3.getTime) * 1000L
+          (id, u, prefix, gap, tp)
+        }
+      }.toSet
+      val got = graft.operators.Sessions.nextEventExamples(
+          rows.toDF("event_id", "user_id", "ts", "event_type")
+            .repartition(1 + rnd.nextInt(5)),
+          "user_id", "ts", "event_type", "event_id", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getString(4))).toSet
+      assert(got == expect, s"seed $seed k=$k")
+    }
+  }
 }
