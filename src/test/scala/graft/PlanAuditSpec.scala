@@ -542,4 +542,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(leaves.size == 1, rep.queryExecution.optimizedPlan.toString)
     assert(rep.collect().forall(_.getString(2) == "pass"))
   }
+
+  test("label outliers: centroid sums broadcast; scoring has no second explode") {
+    val p = plan("emb_label_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // exactly one Generate (the centroid-sum posexplode); the
+    // per-vector score must stay row-local zip_with/aggregate
+    assert("Generate".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("next-event examples: both window frames share one user exchange") {
+    val p = plan("event_next_examples")
+    // one hashpartitioning exchange on user_id serves collect_list+lag
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("entity resolution: fuzzy work never touches the records table twice") {
+    val p = plan("er_part_matches")
+    // no cartesian anywhere; the match set comes off the token posting
+    // join over DISTINCT values
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("levenshtein"), p.take(2000))
+  }
 }
