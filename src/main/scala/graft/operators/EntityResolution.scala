@@ -68,6 +68,12 @@ object EntityResolution {
       .agg(min(col("__id")).as("node_id"),
         count(lit(1)).as("n_records"))
 
+  /** The token posting list of a distinct-values frame: one row per
+    * (value, distinct whitespace token). */
+  private def tokens(values: DataFrame): DataFrame =
+    values.select(col("value"),
+      explode(array_distinct(split(col("value"), "\\s+"))).as("t"))
+
   /** Token-blocked candidate pairs over a distinct-values frame
     * ([[distinctValues]] output or any frame with a `value` column):
     * unordered value pairs sharing ≥1 whitespace token whose df is ≤
@@ -77,9 +83,7 @@ object EntityResolution {
     * sharing k tokens costs one row downstream.
     * Output: (`val_a`, `val_b`) with `val_a < val_b`. */
   def candidatePairs(values: DataFrame, maxTokenDf: Long): DataFrame = {
-    val tok = values
-      .select(col("value"),
-        explode(array_distinct(split(col("value"), "\\s+"))).as("t"))
+    val tok = tokens(values)
     val keep = tok.groupBy(col("t"))
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxTokenDf)
@@ -90,6 +94,33 @@ object EntityResolution {
       .where(col("val_a") < col("val_b"))
       .select(col("val_a"), col("val_b"))
       .distinct()
+  }
+
+  /** Blocking-quality profile — the observability read that tunes
+    * `maxTokenDf` BEFORE paying for a bad blocking run: one row with
+    * the distinct-value count, block-key (token) count, how many block
+    * keys the df cap dropped, the surviving candidate-pair count, and
+    * the blocking reduction in basis points of the all-pairs count
+    * (`reduction_e4 = floor(10⁴·candidates / C(n_values, 2))` — the
+    * fraction of the quadratic work the blocker actually does; near
+    * 10⁴ means the blocking is useless, near 0 means it prunes hard).
+    * Every aggregate is a count over frames the ER run needs anyway;
+    * the 1-row combine is a bounded cross join. */
+  def blockingProfile(records: DataFrame, idCol: String, valueCol: String,
+      maxTokenDf: Long): DataFrame = {
+    val values = distinctValues(records, idCol, valueCol)
+    val dfc = tokens(values).groupBy(col("t"))
+      .agg(count(lit(1)).as("c"))
+    val nValues = values.agg(count(lit(1)).as("n_values"))
+    val tokStats = dfc.agg(count(lit(1)).as("n_tokens"),
+      sum(when(col("c") > maxTokenDf, 1L).otherwise(0L)).as("n_hot"))
+    val nCand = candidatePairs(values, maxTokenDf)
+      .agg(count(lit(1)).as("n_candidates"))
+    nValues.crossJoin(tokStats).crossJoin(nCand)
+      .select(col("n_values"), col("n_tokens"), col("n_hot"),
+        col("n_candidates"),
+        expr("10000 * n_candidates DIV (n_values * (n_values - 1) DIV 2)")
+          .as("reduction_e4"))
   }
 
   /** Scored matches between distinct normalized values of `valueCol`:

@@ -607,6 +607,12 @@ object RelationalQueries {
         maxDist = 1, maxTokenDf = 1000)
         .withColumnRenamed("p_partkey", "partkey")),
 
+    // blocking observability: the read that tunes maxTokenDf before
+    // paying for a bad blocking run — counts only, 1-row output
+    "er_block_profile" -> ((s, dir) =>
+      graft.operators.EntityResolution.blockingProfile(
+        read(s, dir, "part"), "p_partkey", "p_name", maxTokenDf = 1000)),
+
     // survivorship: canonical name per entity (max record support,
     // tie → lexicographically smallest), sized by value and record
     // counts — one window at attribute cardinality
@@ -654,6 +660,19 @@ object RelationalQueries {
          |  CAST(floor(10000 * (greatest(length(val_a), length(val_b)) - dist)
          |    / greatest(length(val_a), length(val_b))) AS BIGINT) AS sim_e4
          |FROM m""".stripMargin,
+
+    "er_block_profile" ->
+      s"""WITH $erHeadSql,
+         |dfc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         |nv AS (SELECT count(*) AS n_values FROM names),
+         |ts AS (SELECT count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN c > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hot FROM dfc),
+         |nc AS (SELECT count(*) AS n_candidates FROM cand)
+         |SELECT nv.n_values, ts.n_tokens, ts.n_hot, nc.n_candidates,
+         |  (10000 * nc.n_candidates)
+         |    // ((nv.n_values * (nv.n_values - 1)) // 2) AS reduction_e4
+         |FROM nv, ts, nc""".stripMargin,
 
     "er_part_entities" ->
       s"""WITH RECURSIVE $erHeadSql,

@@ -83,6 +83,23 @@ class EntityResolutionSpec extends SparkTestBase {
       (1L, "acme corp", 2L, 3L), (4L, "zeta ltd", 2L, 2L)))
   }
 
+  test("blockingProfile counts blocks, hot drops, and the reduction ratio") {
+    // 4 values; "inc" hot at cap 2 (df 4) → only the alpha/alphq and
+    // gamma/gamow pairs survive via their distinctive tokens... none
+    // share one, so candidates = 0; with cap 100, all C(4,2)=6 pair
+    val df = records(
+      1L -> "alpha inc", 2L -> "alphq inc", 3L -> "gamma inc",
+      4L -> "delta inc")
+    val capped = EntityResolution.blockingProfile(df, "id", "name", 2)
+      .collect().head
+    assert((capped.getLong(0), capped.getLong(1), capped.getLong(2),
+      capped.getLong(3), capped.getLong(4)) == ((4L, 5L, 1L, 0L, 0L)))
+    val open = EntityResolution.blockingProfile(df, "id", "name", 100)
+      .collect().head
+    assert((open.getLong(2), open.getLong(3), open.getLong(4)) ==
+      ((0L, 6L, 10000L)))
+  }
+
   test("null and empty values are dropped, never resolved") {
     val df = Seq((1L, "acme corp"), (2L, null.asInstanceOf[String]),
       (3L, "  ")).toDF("id", "name")
