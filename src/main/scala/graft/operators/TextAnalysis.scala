@@ -1082,4 +1082,48 @@ object TextAnalysis {
         val (lang, _, _, q) = statsJvm(t); (k, lang, q)
       }).toDF(keyCol, "lang_pred", "quality_e4")
   }
+
+  /** DEFLATE size of a UTF-8 string at a fixed compression level —
+    * deterministic for a given zlib build (one Deflater per batch,
+    * reset between rows). */
+  private def deflateJvm(bytes: Array[Byte],
+      d: java.util.zip.Deflater): Long = {
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    n
+  }
+
+  /** Compression-ratio quality signal — the Gopher-rule heuristic "text
+    * that deflates too well is repetitive boilerplate; text that barely
+    * deflates is noise/binary": per document, the raw UTF-8 byte count,
+    * the DEFLATE (level 6) byte count, and
+    * `ratio_e4 = floor(10⁴·compressed / raw)`. Natural prose lands in a
+    * mid band; spam pages, dumps, and minified blobs land outside it —
+    * the filter is `ratio_e4 BETWEEN lo AND hi` downstream.
+    *
+    * Row-local mapPartitions kernel (one Deflater reused per batch —
+    * the [[Multimodal]] binary-codec pattern; no SQL-expressible twin,
+    * so the driver entry is a rows-only check and the spec pins the
+    * semantics: repetition compresses, noise doesn't). Output:
+    * (id, `n_bytes`, `n_deflate`, `ratio_e4`); empty docs get ratio 0. */
+  def compressionStats(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6)
+        it.map { case (id, t) =>
+          val raw = Option(t).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val comp = if (raw.isEmpty) 0L else deflateJvm(raw, d)
+          val ratio = if (raw.isEmpty) 0L else 10000L * comp / raw.length
+          (id, raw.length.toLong, comp, ratio)
+        }
+      }.toDF("id", "n_bytes", "n_deflate", "ratio_e4")
+  }
 }

@@ -709,6 +709,22 @@ object DocumentQueries {
     // curation pipeline watches per ingest source): docs, exact-dup
     // survivors, and the duplicate fraction ×10⁴ — one md5 hash agg,
     // bodies never shuffle
+    // COMPRESSION-RATIO quality (TextAnalysis.compressionStats): the
+    // Gopher-rule deflate heuristic — repetitive boilerplate deflates
+    // hard, noise barely deflates; prose lands mid-band. Row-local
+    // kernel; no SQL twin exists, so this is a rows-only driver entry
+    // (DedupTextSpec pins the semantics).
+    "text_compression_profile" -> ((s, dir) =>
+      graft.operators.TextAnalysis
+        .compressionStats(docs(s, dir), "text", "doc_id")
+        .join(docs(s, dir).select(col("doc_id").as("id"), col("source")),
+          Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          floor(avg(col("ratio_e4"))).cast("long").as("mean_ratio_e4"),
+          min(col("ratio_e4")).as("min_ratio_e4"),
+          max(col("ratio_e4")).as("max_ratio_e4"))),
+
     // CRAWL-SNAPSHOT diff (graft.operators.Cdc.snapshotDiff): two
     // simulated dumps of the corpus — the new one drops doc_id%11=0,
     // revises doc_id%7=3, and gains re-keyed copies of doc_id%13=5 —

@@ -828,6 +828,25 @@ class DedupTextSpec extends SparkTestBase {
       graft.operators.Dedup.md5Hex("x y z </w> low</w>"))
   }
 
+  test("compressionStats: repetition deflates hard, noise barely, empty is 0") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(3)
+    val noise = Array.fill(2000)((33 + rnd.nextInt(94)).toChar).mkString
+    val rep = "lorem ipsum dolor sit amet " * 80
+    val df = Seq((1L, rep), (2L, noise), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionStats(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L)._1 == rep.length && got(3L) == ((0L, 0L, 0L)))
+    assert(got(1L)._3 < 1000, s"repetition compresses hard: ${got(1L)}")
+    assert(got(2L)._3 > 7000, s"noise barely compresses: ${got(2L)}")
+    // determinism: a second run produces identical sizes
+    val again = TextAnalysis.compressionStats(df.repartition(3), "text",
+      "doc_id").collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == got)
+  }
+
   test("sourceOverlapMatrix counts shared distinct shingles per source pair") {
     val df = Seq(
       // A and B share doc 1's content verbatim; C is disjoint
