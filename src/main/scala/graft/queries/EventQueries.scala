@@ -883,6 +883,34 @@ object EventQueries {
       graft.operators.Sessions.cappedSessions(events(s, dir), "user_id",
         "ts", gapMinutes = 720, maxDurationMinutes = 1440)),
 
+    // POINT-IN-TIME training-set assembly — the feature-store read
+    // that must never leak the future: for every purchase (the label
+    // event), the user's trailing-hour click count and the age of the
+    // last click strictly-or-equal before it. ONE union stream, ONE
+    // user exchange, two frames over the same ordering — features come
+    // only from rows at or before the label time by construction.
+    "training_asof_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val secs = col("ts").cast("long")
+      val e = events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), secs.as("s"),
+          col("event_type"),
+          when(col("event_type") === "click", 1L).otherwise(0L)
+            .as("is_click"),
+          cents.as("cents"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("s"))
+      val hour = byUser.rangeBetween(-3600L, 0L)
+      val past = byUser.rangeBetween(Window.unboundedPreceding, 0L)
+      e.withColumn("clicks_1h", sum(col("is_click")).over(hour))
+        .withColumn("last_click_s",
+          max(when(col("is_click") === 1L, col("s"))).over(past))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("clicks_1h"),
+          (col("s") - col("last_click_s")).as("click_gap_s"),
+          col("cents").as("label_cents"))
+    }),
+
     // SEQUENCE-MODEL training examples (Sessions.nextEventExamples):
     // per event, the user's previous 3 event types + µs-exact gap,
     // labeled by what happened — one hash exchange on user_id serves
@@ -3478,6 +3506,25 @@ object EventQueries {
     // the greedy capped fold as a recursive CTE: each event inherits
     // or restarts the running session start under the same two strict
     // split rules, then sessions aggregate per (user, start)
+    "training_asof_features" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s,
+        |    event_type,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT *,
+        |  sum(is_click) OVER (PARTITION BY user_id ORDER BY s
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS clicks_1h,
+        |  max(CASE WHEN is_click = 1 THEN s END) OVER (
+        |    PARTITION BY user_id ORDER BY s
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_click_s
+        |  FROM e)
+        |SELECT event_id, user_id, CAST(clicks_1h AS BIGINT) AS clicks_1h,
+        |  s - last_click_s AS click_gap_s, cents AS label_cents
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
     "event_next_examples" ->
       """SELECT event_id, user_id,
         |  coalesce(array_to_string(list(event_type) OVER (
