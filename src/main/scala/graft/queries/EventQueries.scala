@@ -883,6 +883,21 @@ object EventQueries {
       graft.operators.Sessions.cappedSessions(events(s, dir), "user_id",
         "ts", gapMinutes = 720, maxDurationMinutes = 1440)),
 
+    // CONCURRENCY / occupancy analytics: active sessions per hour.
+    // The duration cap makes the hour fan-out row-local AND bounded
+    // (≤ cap/1h + 1 rows per session) — the interval-overlap count
+    // needs no global timeline sort, just one hash agg on hour
+    "session_hourly_active" -> ((s, dir) => {
+      val sess = graft.operators.Sessions.cappedSessions(events(s, dir),
+        "user_id", "ts", gapMinutes = 720, maxDurationMinutes = 1440)
+      sess
+        .select(explode(sequence(
+          expr("CAST(session_start AS LONG) DIV 3600"),
+          expr("CAST(session_end AS LONG) DIV 3600"))).as("hour_idx"))
+        .groupBy(col("hour_idx"))
+        .agg(count(lit(1)).as("n_active"))
+    }),
+
     // POINT-IN-TIME training-set assembly — the feature-store read
     // that must never leak the future: for every purchase (the label
     // event), the user's trailing-hour click count and the age of the
@@ -3506,6 +3521,26 @@ object EventQueries {
     // the greedy capped fold as a recursive CTE: each event inherits
     // or restarts the running session start under the same two strict
     // split rules, then sessions aggregate per (user, start)
+    "session_hourly_active" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, rn, ts, ts AS sess_start FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.ts,
+        |    CASE WHEN e.ts - s.ts > INTERVAL 720 MINUTE
+        |           OR e.ts - s.sess_start > INTERVAL 1440 MINUTE
+        |      THEN e.ts ELSE s.sess_start END
+        |  FROM ev e JOIN s ON e.user_id = s.user_id AND e.rn = s.rn + 1),
+        |sess AS (SELECT user_id, sess_start, max(ts) AS sess_end
+        |         FROM s GROUP BY 1, 2),
+        |hrs AS (SELECT unnest(generate_series(
+        |    epoch_us(sess_start) // 3600000000,
+        |    epoch_us(sess_end) // 3600000000)) AS hour_idx FROM sess)
+        |SELECT hour_idx, count(*) AS n_active FROM hrs GROUP BY 1""".stripMargin,
+
     "training_asof_features" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s,
