@@ -153,18 +153,14 @@ object EntityResolution {
         floor(lit(10000) * (glen - col("dist")) / glen).cast(LongType)
       })
 
-  /** Resolved entity per record: records → distinct values → match
-    * graph → [[Dedup.connectedComponents]] → label join back onto the
-    * records. The entity id is the minimum `node_id` (= minimum record
-    * id) reachable in the match graph, so labels are stable across
-    * partitionings and runs. Records shuffle exactly once (the
-    * equality join on the normalized value); all fuzzy work happens at
-    * attribute cardinality.
-    * Output: one row per input record, (`idCol`, `value`, `entity`). */
-  def entities(records: DataFrame, idCol: String, valueCol: String,
-      maxDist: Int, maxTokenDf: Long): DataFrame = {
-    val values = distinctValues(records, idCol, valueCol)
-    val m = matchesOnValues(values, maxDist, maxTokenDf)
+  /** Entity label per VALUE node: connected components run ONLY over
+    * the matched subgraph (nodes touched by ≥1 match edge) — an
+    * unmatched value is a singleton entity by construction and needs
+    * no propagation rounds. CC cost scales with the match graph, not
+    * attribute cardinality: a billion distinct values with a thousand
+    * fuzzy matches converge in rounds over two thousand nodes.
+    * Output: (`node_id`, `entity`) for every value. */
+  private def entityLabels(values: DataFrame, m: DataFrame): DataFrame = {
     val ids = values.select(col("value"), col("node_id"))
     val edges = m
       .join(ids.withColumnRenamed("value", "val_a")
@@ -172,13 +168,35 @@ object EntityResolution {
       .join(ids.withColumnRenamed("value", "val_b")
         .withColumnRenamed("node_id", "nb"), Seq("val_b"))
       .select(col("na"), col("nb"))
-    val labels = Dedup.connectedComponents(
-      values.select(col("node_id")), "node_id", edges, "na", "nb")
+    val matched = edges.select(col("na").as("node_id"))
+      .union(edges.select(col("nb").as("node_id")))
+      .distinct()
+    val cc = Dedup.connectedComponents(matched, "node_id", edges, "na", "nb")
+    values.select(col("node_id"))
+      .join(cc.withColumnRenamed("component", "entity"), Seq("node_id"),
+        "left")
+      .select(col("node_id"),
+        coalesce(col("entity"), col("node_id")).as("entity"))
+  }
+
+  /** Resolved entity per record: records → distinct values → match
+    * graph → [[entityLabels]] → label join back onto the records. The
+    * entity id is the minimum `node_id` (= minimum record id)
+    * reachable in the match graph, so labels are stable across
+    * partitionings and runs. Records shuffle exactly once (the
+    * equality join on the normalized value); all fuzzy work happens at
+    * attribute cardinality, and the propagation rounds only over the
+    * matched subgraph.
+    * Output: one row per input record, (`idCol`, `value`, `entity`). */
+  def entities(records: DataFrame, idCol: String, valueCol: String,
+      maxDist: Int, maxTokenDf: Long): DataFrame = {
+    val values = distinctValues(records, idCol, valueCol)
+    val m = matchesOnValues(values, maxDist, maxTokenDf)
     records
       .select(col(idCol), normalized(col(valueCol)).as("value"))
       .where(col("value").isNotNull && length(col("value")) > 0)
       .join(values.select(col("value"), col("node_id")), Seq("value"))
-      .join(labels.withColumnRenamed("component", "entity"), Seq("node_id"))
+      .join(entityLabels(values, m), Seq("node_id"))
       .select(col(idCol), col("value"), col("entity"))
   }
 
@@ -192,20 +210,11 @@ object EntityResolution {
     import org.apache.spark.sql.expressions.Window
     val values = distinctValues(records, idCol, valueCol)
     val m = matchesOnValues(values, maxDist, maxTokenDf)
-    val ids = values.select(col("value"), col("node_id"))
-    val edges = m
-      .join(ids.withColumnRenamed("value", "val_a")
-        .withColumnRenamed("node_id", "na"), Seq("val_a"))
-      .join(ids.withColumnRenamed("value", "val_b")
-        .withColumnRenamed("node_id", "nb"), Seq("val_b"))
-      .select(col("na"), col("nb"))
-    val labels = Dedup.connectedComponents(
-      values.select(col("node_id")), "node_id", edges, "na", "nb")
     val byEnt = Window.partitionBy(col("entity"))
     val ranked = Window.partitionBy(col("entity"))
       .orderBy(col("n_records").desc, col("value").asc)
     values
-      .join(labels.withColumnRenamed("component", "entity"), Seq("node_id"))
+      .join(entityLabels(values, m), Seq("node_id"))
       .withColumn("n_values", count(lit(1)).over(byEnt))
       .withColumn("__tot", sum(col("n_records")).over(byEnt))
       .withColumn("__rk", row_number().over(ranked))

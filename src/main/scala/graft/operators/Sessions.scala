@@ -106,11 +106,13 @@ object Sessions {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(idCol))
-    val trail = byUser.rowsBetween(-k, -1)
+    // k fixed lags instead of a collect_list frame: same prefix
+    // (concat_ws skips the nulls a short history leaves), a fraction
+    // of the window state — no per-row array buffer materializes
+    val lags = (k to 1 by -1).map(i => lag(col(typeCol), i).over(byUser))
     events
       .select(col(idCol), col(userCol), col(tsCol), col(typeCol))
-      .withColumn("prefix",
-        concat_ws(" ", collect_list(col(typeCol)).over(trail)))
+      .withColumn("prefix", concat_ws(" ", lags: _*))
       .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
       .withColumn("gap_us",
         expr(s"timestampdiff(MICROSECOND, __prev_ts, `$tsCol`)"))
