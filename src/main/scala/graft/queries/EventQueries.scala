@@ -934,6 +934,15 @@ object EventQueries {
       graft.operators.Sessions.nextEventExamples(events(s, dir),
         "user_id", "ts", "event_type", "event_id", k = 3)),
 
+    // ONLINE example generation: the streaming twin's watermark-gated
+    // ordered drain must emit exactly the batch window's examples
+    // (shared oracle; sentinels filtered)
+    "stream_next_examples" -> ((s, dir) =>
+      s.read.parquet(streamedNextExamples(s, dir))
+        .where(col("user_id") >= 0L)
+        .select(col("event_id"), col("user_id"), col("prefix"),
+          col("gap_us"), col("label"))),
+
     // per-entity rolling features (the feature-engineering op of an
     // event-driven training pipeline): for EVERY event, the count of
     // the same user's events in the trailing hour (RANGE frame on
@@ -2209,6 +2218,26 @@ object EventQueries {
     * gap/cap parameters matching `event_sessions_capped`. */
   private val streamCappedSessionDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  /** stream_next_examples' replayed output dir, built once per
+    * (session, sf dir). Same landing choreography as the capped
+    * sessions; far-future sentinels push the watermark past every
+    * real event so the drain completes. */
+  private val streamNextExampleDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def streamedNextExamples(s: SparkSession, dir: String): String =
+    streamNextExampleDirs.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      replayThroughState(s, "streamne",
+        events(s, dir).select(col("user_id").cast(LongType), col("ts"),
+          col("event_type"), col("event_id").cast(LongType)),
+        Seq(Seq((-1L, ts("2100-01-01T00:00"), "x", -1L))
+            .toDF("user_id", "ts", "event_type", "event_id"),
+          Seq((-2L, ts("2100-06-01T00:00"), "x", -2L))
+            .toDF("user_id", "ts", "event_type", "event_id")),
+        graft.streaming.StreamingIngest.nextExampleStream(_, k = 3,
+          watermarkDelay = "0 seconds"))
+    })
+
   private def streamedCappedSessions(s: SparkSession, dir: String): String =
     streamCappedSessionDirs.getOrElseUpdate((s, dir), {
       import s.implicits._
@@ -3559,6 +3588,19 @@ object EventQueries {
         |SELECT event_id, user_id, CAST(clicks_1h AS BIGINT) AS clicks_1h,
         |  s - last_click_s AS click_gap_s, cents AS label_cents
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+    // identical to event_next_examples: the ordered drain must be
+    // indistinguishable from the batch window under the oracle
+    "stream_next_examples" ->
+      """SELECT event_id, user_id,
+        |  coalesce(array_to_string(list(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ' '), '') AS prefix,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+        |  event_type AS label
+        |FROM events
+        |QUALIFY gap_us IS NOT NULL""".stripMargin,
 
     "event_next_examples" ->
       """SELECT event_id, user_id,

@@ -679,6 +679,74 @@ object StreamingIngest {
   case class CappedSessBuf(pending: Seq[Long], startUs: Long,
       prevUs: Long, n: Long, hasOpen: Boolean)
 
+  /** An event awaiting its watermark in next-example state. */
+  case class PendingNe(us: Long, id: Long, etype: String)
+
+  /** Per-user next-example state: watermark-bounded pending events +
+    * the last ≤k drained event types (the trailing context) + the last
+    * drained event time. `hasPrev` false ⇔ lastUs is garbage. */
+  case class NeBuf(pending: Seq[PendingNe], recent: Seq[String],
+      lastUs: Long, hasPrev: Boolean)
+
+  /** One emitted training example — identical shape to the batch
+    * [[graft.operators.Sessions.nextEventExamples]] output. */
+  case class NextExample(event_id: Long, user_id: Long, prefix: String,
+      gap_us: Long, label: String)
+
+  /** STREAMING twin of
+    * [[graft.operators.Sessions.nextEventExamples]] — online
+    * training-example generation: the moment an event's floor-second
+    * passes the watermark it is drained in exact (ts, event id) order
+    * and emitted with the user's trailing ≤k event types and the
+    * µs-exact gap since the previous event, labeled by itself. The
+    * watermark-gated ordered drain ([[anomalyStream]]'s discipline)
+    * makes the emitted examples EQUAL the batch window's (shared
+    * oracle): a late-but-in-horizon arrival slots into its true
+    * position before anything after it is processed. State per user:
+    * horizon-bounded pending + ≤k type strings + one long. First
+    * events (no predecessor) are not examples, exactly like batch. */
+  def nextExampleStream(events: DataFrame, k: Int,
+      watermarkDelay: String): Dataset[NextExample] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def toUs(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_type"), col("event_id").cast("long"))
+      .as[(Long, Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[NeBuf, NextExample](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val st = if (state.exists) state.get
+            else NeBuf(Nil, Nil, 0L, hasPrev = false)
+          val incoming = rows.map(r => PendingNe(toUs(r._2), r._4, r._3))
+          val (ready, rest) = (st.pending ++ incoming)
+            .partition(p => (math.floorDiv(p.us, 1000000L) + 1L) * 1000L <= wmMs)
+          val out = Seq.newBuilder[NextExample]
+          var recent = st.recent
+          var last = st.lastUs
+          var hasPrev = st.hasPrev
+          ready.sortBy(p => (p.us, p.id)).foreach { p =>
+            if (hasPrev)
+              out += NextExample(p.id, user, recent.mkString(" "),
+                p.us - last, p.etype)
+            recent = (recent :+ p.etype).takeRight(k)
+            last = p.us
+            hasPrev = true
+          }
+          // the trailing context must survive idle periods — state is
+          // permanent per user (like userFeatureStream), re-invoked on
+          // the key's next data; only drain pending needs a timeout
+          state.update(NeBuf(rest, recent, last, hasPrev))
+          if (rest.nonEmpty) state.setTimeoutTimestamp(wmMs + 1L)
+          out.result().iterator
+      }
+  }
+
   /** STREAMING twin of [[graft.operators.Sessions.cappedSessions]]
     * (gap + max-duration). The cap makes the fold order-sensitive in
     * a way plain gap-merge is not — a session's START decides later

@@ -1026,6 +1026,53 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("next-example stream: random in-order batch splits equal the batch window") {
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- Seq(71, 72)) {
+      val rnd = new scala.util.Random(seed)
+      val types = Array("a", "b", "c")
+      val base = 1700000000000L
+      val rows = (0 until 250).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong,
+          new Timestamp(base + rnd.nextInt(300000).toLong * 1000L),
+          types(rnd.nextInt(3)))
+      }
+      val k = 1 + rnd.nextInt(4)
+      val expect = graft.operators.Sessions.nextEventExamples(
+          rows.toDF("event_id", "user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", "event_id", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getString(4))).toSet
+      val sorted = rows.sortBy(r => (r._3.getTime, r._1))
+      val nCuts = 2 + rnd.nextInt(3)
+      val cuts = (Seq(0, sorted.length) ++
+        Seq.fill(nCuts)(rnd.nextInt(sorted.length))).distinct.sorted
+      val source = MemoryStream[(Long, Long, Timestamp, String)]
+      val (ck, out) = (tmp(s"graft-neck$seed"), tmp(s"graft-neout$seed"))
+      val q = StreamingIngest.nextExampleStream(
+          source.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+          k, watermarkDelay = "0 seconds")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ck).start()
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) {
+          source.addData(rnd.shuffle(sorted.slice(a, b)): _*)
+          q.processAllAvailable()
+        }
+      }
+      source.addData((-1L, -1L, ts("2100-01-01T00:00"), "x"))
+      q.processAllAvailable()
+      source.addData((-2L, -2L, ts("2100-06-01T00:00"), "x"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(out).where(col("user_id") >= 0L)
+        .collect().map(r => (r.getAs[Long]("event_id"),
+          r.getAs[Long]("user_id"), r.getAs[String]("prefix"),
+          r.getAs[Long]("gap_us"), r.getAs[String]("label"))).toSet
+      assert(got == expect, s"seed $seed k=$k")
+    }
+  }
+
   test("lateness monitor: hwm rule per batch; restart re-arms from reports") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp)]
