@@ -200,6 +200,60 @@ object EntityResolution {
       .select(col(idCol), col("value"), col("entity"))
   }
 
+  /** INCREMENTAL resolution — the daily-arrivals path: resolve a new
+    * batch of records against an already-resolved corpus WITHOUT
+    * re-pairing the corpus against itself (the [[Dedup
+    * .jaccardPairsAgainst]] discipline — cost scales with the batch).
+    * Each new value blocks against the corpus token postings (df cap
+    * on CORPUS frequency, so a boilerplate corpus token never explodes
+    * a batch), verifies at `levenshtein ≤ maxDist`, and adopts the
+    * entity of its BEST corpus match (min distance, ties to the
+    * smallest entity id — deterministic); unmatched new values become
+    * singleton entities labeled by their own minimum record id.
+    * Deliberately never merges two existing entities (that is a
+    * full-resolve decision, not an ingest decision — same contract as
+    * incremental dedup never re-pairing old×old).
+    *
+    * @param resolved (`value`, `entity`) for the existing corpus —
+    *   [[entities]] output collapsed to values, or any attached store
+    * @return one row per new record: (idCol, `value`, `entity`) */
+  def resolveIncremental(newRecords: DataFrame, idCol: String,
+      valueCol: String, resolved: DataFrame, maxDist: Int,
+      maxTokenDf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val newValues = distinctValues(newRecords, idCol, valueCol)
+    val corpusValues = resolved.select(col("value")).distinct()
+    val corpusTok = tokens(corpusValues)
+    val keep = corpusTok.groupBy(col("t"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxTokenDf)
+      .select(col("t"))
+    val cand = tokens(newValues.select(col("value")))
+      .withColumnRenamed("value", "val_new")
+      .join(corpusTok.join(keep, Seq("t"))
+        .withColumnRenamed("value", "val_old"), Seq("t"))
+      .select(col("val_new"), col("val_old"))
+      .distinct()
+    val scored = cand
+      .withColumn("dist",
+        levenshtein(col("val_new"), col("val_old"), maxDist).cast(LongType))
+      .where(col("dist") >= 0)
+      .join(resolved.withColumnRenamed("value", "val_old"), Seq("val_old"))
+    val best = Window.partitionBy(col("val_new"))
+      .orderBy(col("dist").asc, col("entity").asc)
+    val assigned = scored
+      .withColumn("__rk", row_number().over(best))
+      .where(col("__rk") === 1)
+      .select(col("val_new").as("value"), col("entity"))
+    newRecords
+      .select(col(idCol), normalized(col(valueCol)).as("value"))
+      .where(col("value").isNotNull && length(col("value")) > 0)
+      .join(newValues.select(col("value"), col("node_id")), Seq("value"))
+      .join(assigned, Seq("value"), "left")
+      .select(col(idCol), col("value"),
+        coalesce(col("entity"), col("node_id")).as("entity"))
+  }
+
   /** Canonical value per resolved entity — the survivorship rule:
     * highest record support wins, ties broken by the lexicographically
     * smallest value (deterministic). One window partitioned by entity

@@ -607,6 +607,24 @@ object RelationalQueries {
         maxDist = 1, maxTokenDf = 1000)
         .withColumnRenamed("p_partkey", "partkey")),
 
+    // INCREMENTAL resolution (the daily-arrivals path): parts with
+    // key%5=0 arrive as a new batch against the corpus resolved over
+    // the rest — batch-vs-corpus blocking only, the corpus never
+    // re-pairs against itself; unmatched values become singletons
+    "er_incremental" -> ((s, dir) => {
+      val part = read(s, dir, "part")
+      val corpus = part.where(col("p_partkey") % 5 =!= 0)
+      val batch = part.where(col("p_partkey") % 5 === 0)
+      val resolved = graft.operators.EntityResolution
+        .entities(corpus, "p_partkey", "p_name", maxDist = 1,
+          maxTokenDf = 1000)
+        .select(col("value"), col("entity")).distinct()
+      graft.operators.EntityResolution.resolveIncremental(
+        batch, "p_partkey", "p_name", resolved, maxDist = 1,
+        maxTokenDf = 1000)
+        .withColumnRenamed("p_partkey", "partkey")
+    }),
+
     // blocking observability: the read that tunes maxTokenDf before
     // paying for a bad blocking run — counts only, 1-row output
     "er_block_profile" -> ((s, dir) =>
@@ -660,6 +678,56 @@ object RelationalQueries {
          |  CAST(floor(10000 * (greatest(length(val_a), length(val_b)) - dist)
          |    / greatest(length(val_a), length(val_b))) AS BIGINT) AS sim_e4
          |FROM m""".stripMargin,
+
+    "er_incremental" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT lower(trim(p_name)) AS value, min(p_partkey) AS node_id
+        |  FROM part
+        |  WHERE p_partkey % 5 <> 0 AND length(lower(trim(p_name))) > 0
+        |  GROUP BY 1),
+        |tok AS (SELECT value,
+        |  unnest(list_distinct(string_split_regex(value, '\s+'))) AS t
+        |  FROM names),
+        |keep AS (SELECT t FROM tok GROUP BY t HAVING count(*) <= 1000),
+        |cand AS (SELECT DISTINCT a.value AS val_a, b.value AS val_b
+        |  FROM tok a JOIN keep USING (t) JOIN tok b USING (t)
+        |  WHERE a.value < b.value),
+        |m AS (SELECT val_a, val_b FROM cand
+        |      WHERE levenshtein(val_a, val_b) <= 1),
+        |e AS (SELECT na.node_id AS a, nb.node_id AS b
+        |  FROM m JOIN names na ON na.value = m.val_a
+        |         JOIN names nb ON nb.value = m.val_b),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |reach AS (SELECT node_id AS a, node_id AS b FROM names
+        |          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+        |comp AS (SELECT a AS node_id, min(b) AS entity FROM reach GROUP BY 1),
+        |resolved AS (SELECT n.value, c.entity
+        |             FROM names n JOIN comp c USING (node_id)),
+        |newrec AS (SELECT p_partkey, lower(trim(p_name)) AS value FROM part
+        |  WHERE p_partkey % 5 = 0 AND length(lower(trim(p_name))) > 0),
+        |newvals AS (SELECT value, min(p_partkey) AS node_id
+        |            FROM newrec GROUP BY 1),
+        |ctok AS (SELECT value,
+        |  unnest(list_distinct(string_split_regex(value, '\s+'))) AS t
+        |  FROM (SELECT DISTINCT value FROM resolved)),
+        |ckeep AS (SELECT t FROM ctok GROUP BY t HAVING count(*) <= 1000),
+        |ntok AS (SELECT value AS val_new,
+        |  unnest(list_distinct(string_split_regex(value, '\s+'))) AS t
+        |  FROM newvals),
+        |cand2 AS (SELECT DISTINCT n.val_new, c.value AS val_old
+        |  FROM ntok n JOIN ckeep USING (t) JOIN ctok c USING (t)),
+        |scored AS (SELECT c2.val_new, c2.val_old,
+        |    levenshtein(c2.val_new, c2.val_old) AS dist, r.entity
+        |  FROM cand2 c2 JOIN resolved r ON r.value = c2.val_old
+        |  WHERE levenshtein(c2.val_new, c2.val_old) <= 1),
+        |best AS (SELECT val_new AS value, entity, row_number() OVER (
+        |    PARTITION BY val_new ORDER BY dist, entity) AS rk FROM scored)
+        |SELECT nr.p_partkey AS partkey, nr.value,
+        |  coalesce(b.entity, nv.node_id) AS entity
+        |FROM newrec nr
+        |JOIN newvals nv USING (value)
+        |LEFT JOIN (SELECT value, entity FROM best WHERE rk = 1) b
+        |  USING (value)""".stripMargin,
 
     "er_block_profile" ->
       s"""WITH $erHeadSql,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.operators.EntityResolution
 
@@ -98,6 +99,39 @@ class EntityResolutionSpec extends SparkTestBase {
       .collect().head
     assert((open.getLong(2), open.getLong(3), open.getLong(4)) ==
       ((0L, 6L, 10000L)))
+  }
+
+  test("resolveIncremental adopts the best entity; unmatched become singletons") {
+    val corpus = records(
+      1L -> "acme corp", 2L -> "acme korp", 3L -> "zeta ltd")
+    val resolved = EntityResolution.entities(corpus, "id", "name", 1, 100)
+      .select(col("value"), col("entity")).distinct()
+    val batch = records(
+      // dist 1 to "acme corp" → adopts the merged acme entity (1)
+      10L -> "acme c0rp",
+      // dist 1 to zeta ltd only
+      11L -> "zetq ltd",
+      // matches nothing — singleton labeled by its own record id
+      12L -> "omega gmbh")
+    val got = EntityResolution.resolveIncremental(batch, "id", "name",
+      resolved, maxDist = 1, maxTokenDf = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 3L, 12L -> 12L), got.toString)
+  }
+
+  test("resolveIncremental never merges two existing entities") {
+    // corpus values exactly 2 apart: separate entities at maxDist 1
+    val corpus = records(1L -> "abcd co", 2L -> "axyd co")
+    val resolved = EntityResolution.entities(corpus, "id", "name", 1, 100)
+      .select(col("value"), col("entity")).distinct()
+    assert(resolved.select("entity").distinct().count() == 2L)
+    // the new value is 1 edit from BOTH — it adopts the smallest
+    // entity and the two corpus entities stay distinct (an ingest
+    // never makes the merge decision)
+    val got = EntityResolution.resolveIncremental(
+      records(10L -> "axcd co"), "id", "name", resolved, 1, 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(10L -> 1L))
   }
 
   test("null and empty values are dropped, never resolved") {
