@@ -443,6 +443,24 @@ object EmbeddingQueries {
         lshPlanes, threshold = 0.4, dotFn = GraftFunctions.dotNative)
     }),
 
+    // ESTIMATOR-QUALITY evaluation, measured in-engine: recall of the
+    // sign-LSH bucketed near-dup pass against the exact pair set at
+    // the same threshold — the number a curation run reads before
+    // trusting the bucketed path at scale. Counts only; 1-row output
+    "emb_lsh_recall" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val exact = Similarity.nearDupPairs(emb(s, dir), "vec_id",
+          "embedding", threshold = 0.4, dotFn = GraftFunctions.dotNative)
+        .agg(count(lit(1)).as("n_exact"))
+      val lsh = Similarity.lshNearDupPairs(emb(s, dir), "vec_id",
+          "embedding", lshPlanes, threshold = 0.4,
+          dotFn = GraftFunctions.dotNative)
+        .agg(count(lit(1)).as("n_lsh"))
+      exact.crossJoin(lsh)
+        .select(col("n_exact"), col("n_lsh"),
+          expr("10000 * n_lsh DIV n_exact").as("recall_e4"))
+    }),
+
     // corpus profile: per-label counts (exact ints)
     "emb_label_counts" -> ((s, dir) =>
       emb(s, dir).groupBy(col("label").cast("long").as("label"))
@@ -684,6 +702,25 @@ object EmbeddingQueries {
          |FROM b a JOIN b b2
          |  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |WHERE list_dot_product(a.v, b2.v) >= 0.4""".stripMargin
+    },
+
+    "emb_lsh_recall" -> {
+      val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
+        val lits = p.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" +\n      ")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM c),
+         |nl AS (SELECT count(*) AS n_lsh FROM b a JOIN b b2
+         |  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |  WHERE list_dot_product(a.v, b2.v) >= 0.4),
+         |ne AS (SELECT count(*) AS n_exact FROM c a CROSS JOIN c b2
+         |  WHERE a.vec_id < b2.vec_id
+         |    AND list_dot_product(a.v, b2.v) >= 0.4)
+         |SELECT ne.n_exact, nl.n_lsh,
+         |  (10000 * nl.n_lsh) // ne.n_exact AS recall_e4
+         |FROM ne, nl""".stripMargin
     },
 
     "emb_label_counts" ->
