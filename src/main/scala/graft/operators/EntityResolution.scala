@@ -96,6 +96,53 @@ object EntityResolution {
       .distinct()
   }
 
+  /** Multi-blocker candidate pairs: token blocks ∪ prefix-`p` blocks ∪
+    * suffix-`p` blocks (marker-prefixed so key spaces cannot collide),
+    * one df cap across all block kinds. Closes [[candidatePairs]]'s
+    * single-token recall gap: a 1-edit typo inside a value's ONLY
+    * token shares no token block, but any single edit at position i
+    * preserves the first `p` chars (i ≥ p) or the last `p`
+    * (i < len−p) — for values of length ≥ 2p+1 one of the two always
+    * survives, so prefix ∪ suffix blocking has FULL 1-edit recall
+    * there (spec-pinned). Cost honesty: prefix/suffix blocks are
+    * hotter than token blocks (alphabet²-ish fan-in), so the df cap
+    * is the lever that keeps them from going quadratic — a dropped
+    * hot block costs recall on that prefix, exactly what
+    * [[blockingProfile]] measures. */
+  def candidatePairsMulti(values: DataFrame, maxBlockDf: Long,
+      p: Int = 2): DataFrame = {
+    val keys = values.select(col("value"), explode(array_union(
+      array_distinct(split(col("value"), "\\s+")),
+      array(concat(lit("^"), expr(s"left(value, $p)")),
+        concat(lit("$"), expr(s"right(value, $p)"))))).as("t"))
+    val keep = keys.groupBy(col("t"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxBlockDf)
+      .select(col("t"))
+    val a = keys.join(keep, Seq("t")).select(col("t"), col("value").as("val_a"))
+    val b = keys.select(col("t"), col("value").as("val_b"))
+    a.join(b, Seq("t"))
+      .where(col("val_a") < col("val_b"))
+      .select(col("val_a"), col("val_b"))
+      .distinct()
+  }
+
+  /** [[matches]] over the multi-blocker candidates — full 1-edit
+    * recall for values of length ≥ 2p+1 (modulo df-capped hot
+    * blocks). Same verification and scoring. */
+  def matchesMulti(records: DataFrame, idCol: String, valueCol: String,
+      maxDist: Int, maxBlockDf: Long, p: Int = 2): DataFrame = {
+    val values = distinctValues(records, idCol, valueCol)
+    candidatePairsMulti(values, maxBlockDf, p)
+      .withColumn("dist",
+        levenshtein(col("val_a"), col("val_b"), maxDist).cast(LongType))
+      .where(col("dist") >= 0)
+      .withColumn("sim_e4", {
+        val glen = greatest(length(col("val_a")), length(col("val_b")))
+        floor(lit(10000) * (glen - col("dist")) / glen).cast(LongType)
+      })
+  }
+
   /** Blocking-quality profile — the observability read that tunes
     * `maxTokenDf` BEFORE paying for a bad blocking run: one row with
     * the distinct-value count, block-key (token) count, how many block

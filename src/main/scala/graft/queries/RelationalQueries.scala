@@ -607,6 +607,15 @@ object RelationalQueries {
         maxDist = 1, maxTokenDf = 1000)
         .withColumnRenamed("p_partkey", "partkey")),
 
+    // multi-blocker form (token ∪ prefix-2 ∪ suffix-2 blocks): full
+    // 1-edit recall even inside single-token values; on this fixture
+    // the match SET must equal the token-blocked one — two blockers,
+    // one truth
+    "er_part_matches_multi" -> ((s, dir) =>
+      graft.operators.EntityResolution.matchesMulti(
+        read(s, dir, "part"), "p_partkey", "p_name",
+        maxDist = 1, maxBlockDf = 1000)),
+
     // INCREMENTAL resolution (the daily-arrivals path): parts with
     // key%5=0 arrive as a new batch against the corpus resolved over
     // the rest — batch-vs-corpus blocking only, the corpus never
@@ -678,6 +687,26 @@ object RelationalQueries {
          |  CAST(floor(10000 * (greatest(length(val_a), length(val_b)) - dist)
          |    / greatest(length(val_a), length(val_b))) AS BIGINT) AS sim_e4
          |FROM m""".stripMargin,
+
+    "er_part_matches_multi" ->
+      s"""WITH names AS (
+         |  SELECT lower(trim(p_name)) AS value FROM part
+         |  WHERE length(lower(trim(p_name))) > 0 GROUP BY 1),
+         |keys AS (
+         |  SELECT value, unnest(list_concat(
+         |    list_distinct(string_split_regex(value, '\\s+')),
+         |    ['^' || left(value, 2), '$$' || right(value, 2)])) AS t
+         |  FROM names),
+         |keep AS (SELECT t FROM keys GROUP BY t HAVING count(*) <= 1000),
+         |cand AS (SELECT DISTINCT a.value AS val_a, b.value AS val_b
+         |  FROM keys a JOIN keep USING (t) JOIN keys b USING (t)
+         |  WHERE a.value < b.value)
+         |SELECT val_a, val_b,
+         |  CAST(levenshtein(val_a, val_b) AS BIGINT) AS dist,
+         |  CAST(floor(10000 * (greatest(length(val_a), length(val_b))
+         |      - levenshtein(val_a, val_b))
+         |    / greatest(length(val_a), length(val_b))) AS BIGINT) AS sim_e4
+         |FROM cand WHERE levenshtein(val_a, val_b) <= 1""".stripMargin,
 
     "er_incremental" ->
       """WITH RECURSIVE names AS (

@@ -101,6 +101,28 @@ class EntityResolutionSpec extends SparkTestBase {
       ((0L, 6L, 10000L)))
   }
 
+  test("multi-blocker: full 1-edit recall inside single-token values") {
+    // single-token values (no whitespace) of length >= 5 with one
+    // substitution at EACH position in turn — token blocking finds
+    // none of these, prefix/suffix blocking must find all
+    val bases = Seq("alphabet", "kryptonite", "wavelength")
+    val rows = bases.zipWithIndex.flatMap { case (s, bi) =>
+      val typos = s.indices.map(i => s.updated(i, 'z'))
+      (s +: typos).zipWithIndex.map { case (v, j) => (bi * 1000L + j, v) }
+    }
+    val df = records(rows: _*)
+    assert(EntityResolution.matches(df, "id", "name", 1, 10000).count()
+      == 0L, "token blocking is blind to single-token typos")
+    val multi = EntityResolution.matchesMulti(df, "id", "name", 1, 10000)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // every (base, typo) pair must be found (typo pairs among
+    // themselves are dist 2 — filtered by verification)
+    bases.foreach { b =>
+      val found = multi.count(p => p._1 == b || p._2 == b)
+      assert(found == b.length, s"$b: $found of ${b.length} typos found")
+    }
+  }
+
   test("resolveIncremental adopts the best entity; unmatched become singletons") {
     val corpus = records(
       1L -> "acme corp", 2L -> "acme korp", 3L -> "zeta ltd")
