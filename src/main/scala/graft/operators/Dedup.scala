@@ -181,6 +181,30 @@ object Dedup {
           .cast(LongType).as("containment_e4"))
   }
 
+  /** Commutative content MANIFEST per group — the O(scan) pre-check
+    * before any cross-snapshot work: per `groupCol`, the doc count,
+    * total bytes, and an order-independent 60-bit digest (sum of
+    * per-doc content hashes mod 2⁶⁰ — commutative, so ANY
+    * partitioning yields the same digest; a Merkle-style equality
+    * check, not a cryptographic commitment). Two snapshots whose
+    * manifests match per group need no [[Cdc.snapshotDiff]] join at
+    * all; a mismatch names exactly which groups to diff. One hash
+    * aggregation; bodies collapse to hashes at the scan.
+    * Output: (groupCol, `n_docs`, `n_chars`, `digest60`). */
+  def contentManifest(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol), length(col(textCol)).cast(LongType).as("__len"),
+        hash60(col(textCol)).as("__h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("n_chars"),
+        // sum of 60-bit values mod 2^60: the partial sums stay inside
+        // a long for any group under ~2^3 rows per overflow step —
+        // fold through pmod by summing in decimal then reducing
+        pmod(sum(col("__h").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .mod(lit(1152921504606846976L).cast("decimal(38,0)"))
+          .cast(LongType), lit(1L << 60)).as("digest60"))
+
   /** N-gram Jaccard near-dup pairs via a shingle inverted index:
     * explode distinct shingles → self-join per shingle → common-shingle
     * counts → integer-exact threshold test

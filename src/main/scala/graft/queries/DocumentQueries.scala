@@ -709,6 +709,13 @@ object DocumentQueries {
     // curation pipeline watches per ingest source): docs, exact-dup
     // survivors, and the duplicate fraction ×10⁴ — one md5 hash agg,
     // bodies never shuffle
+    // Content MANIFEST per source (Dedup.contentManifest): the
+    // O(scan) cross-snapshot pre-check — groups whose (count, chars,
+    // commutative digest) match need no diff join at all
+    "corpus_manifest" -> ((s, dir) =>
+      graft.operators.Dedup.contentManifest(docs(s, dir), "text",
+        "source")),
+
     // COMPRESSION-RATIO quality (TextAnalysis.compressionStats): the
     // Gopher-rule deflate heuristic — repetitive boilerplate deflates
     // hard, noise barely deflates; prose lands mid-band. Row-local
@@ -2146,6 +2153,13 @@ object DocumentQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
         |    AS sum_dl
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "corpus_manifest" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |      AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS digest60
         |FROM documents GROUP BY 1""".stripMargin,
 
     "corpus_diff" ->

@@ -828,6 +828,28 @@ class DedupTextSpec extends SparkTestBase {
       graft.operators.Dedup.md5Hex("x y z </w> low</w>"))
   }
 
+  test("contentManifest: partition-independent digest; any change moves it") {
+    import graft.operators.Dedup
+    val df = Seq((1L, "aaa", "A"), (2L, "bbb", "A"), (3L, "ccc", "B"))
+      .toDF("doc_id", "text", "source")
+    def digest(d: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Long)] =
+      Dedup.contentManifest(d, "text", "source").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val base = digest(df)
+    assert(base("A")._1 == 2L && base("A")._2 == 6L)
+    // commutative: any partitioning/order yields the same digest
+    assert(digest(df.repartition(3).orderBy(col("doc_id").desc)) == base)
+    // a one-char change in one doc moves ONLY that group's digest
+    val changed = digest(Seq((1L, "aaa", "A"), (2L, "bbx", "A"),
+      (3L, "ccc", "B")).toDF("doc_id", "text", "source"))
+    assert(changed("B") == base("B") && changed("A") != base("A"))
+    // digest is the mod-2^60 sum of per-doc hash60 values
+    val expA = (Dedup.md5Hash60("aaa") + Dedup.md5Hash60("bbb")) &
+      ((1L << 60) - 1)
+    assert(base("A")._3 == expA)
+  }
+
   test("compressionStats: repetition deflates hard, noise barely, empty is 0") {
     import graft.operators.TextAnalysis
     val rnd = new scala.util.Random(3)
