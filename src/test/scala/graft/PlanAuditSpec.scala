@@ -561,6 +561,18 @@ class PlanAuditSpec extends SparkTestBase {
       p.take(2000))
   }
 
+  test("source overlap matrix: posting join only — no cartesian, no BNLJ") {
+    val p = plan("source_overlap_matrix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("corpus manifest: one scan, one aggregate, no join") {
+    val p = plan("corpus_manifest")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
   test("entity resolution: fuzzy work never touches the records table twice") {
     val p = plan("er_part_matches")
     // no cartesian anywhere; the match set comes off the token posting
