@@ -16,6 +16,10 @@ object DocumentQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** text_source_profile_cached's cache dir, one per (session, sf dir). */
+  private val resultCacheDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   /** BPE training result shared by `bpe_merges` and `bpe_tokenize`,
     * computed once per (session, corpus dir): the merge-table frame
     * (collected — 12 rows) and the ordered (left, right) pairs the
@@ -847,6 +851,23 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("quality_e4")).as("sum_quality_e4"))),
 
+    // MANIFEST-KEYED result cache (sources/ResultCache): the same
+    // profile served through serveOrCompute — unchanged inputs cost a
+    // manifest scan, not a recompute, and serving must be
+    // answer-invisible (same oracle as the uncached twin)
+    "text_source_profile_cached" -> ((s, dir) => {
+      val cacheDir = resultCacheDirs.getOrElseUpdate((s, dir),
+        java.nio.file.Files.createTempDirectory("graft_rescache").toString)
+      graft.sources.ResultCache.serveOrCompute(s, cacheDir,
+        graft.operators.Dedup.contentManifest(docs(s, dir), "text",
+          "source")) {
+        TextAnalysis.langQualityKernel(docs(s, dir), "text", "source")
+          .groupBy(col("source"), col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("quality_e4")).as("sum_quality_e4"))
+      }
+    }),
+
     // cross-document span duplication (exact-substring dedup signal):
     // per doc, distinct 8-token spans, spans recurring in ANY other
     // doc (corpus df >= 2), and the duplicated fraction — catches
@@ -1570,6 +1591,38 @@ object DocumentQueries {
         |  JOIN qv ON qv.query_id = c.query_id)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_e6
         |FROM rr WHERE rank <= 5""".stripMargin
+  }
+
+  /** Shared by the scan and the manifest-cached twin — one SQL,
+    * two serving paths. */
+  private lazy val textSourceProfileSql: String = {
+      val langCase = TextAnalysis.stopwords.map(_._1)
+        .map(l => s"WHEN ${hits(l)} = best AND best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      val bestExpr = TextAnalysis.stopwords.map(_._1).map(hits)
+        .mkString("greatest(", ", ", ")")
+      s"""SELECT source, lang_pred, count(*) AS n_docs,
+         |  CAST(sum(quality_e4) AS BIGINT) AS sum_quality_e4
+         |FROM (
+         |  SELECT source, $langCase AS lang_pred,
+         |    CAST(floor(
+         |      2500.0 * least(nc / 500.0, 1.0) +
+         |      2500.0 * (nstop / CAST(nt AS DOUBLE)) +
+         |      2500.0 * (1.0 - npunct / CAST(nc AS DOUBLE)) +
+         |      2500.0 * least(((nc - npunct) / CAST(nt AS DOUBLE)) / 10.0, 1.0)
+         |    ) AS BIGINT) AS quality_e4
+         |  FROM (
+         |    SELECT source, toks, $bestExpr AS best,
+         |      len(toks) AS nt,
+         |      CAST(length(text) AS DOUBLE) AS nc,
+         |      CAST(len(list_filter(toks, t -> t IN $allStops)) AS DOUBLE) AS nstop,
+         |      CAST(length(text) -
+         |        length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |        AS npunct
+         |    FROM (SELECT source, text,
+         |            string_split_regex(trim(text), '\\s+') AS toks
+         |          FROM documents)))
+         |GROUP BY 1, 2""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -2322,35 +2375,10 @@ object DocumentQueries {
         |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |      FROM documents)""".stripMargin,
 
-    "text_source_profile" -> {
-      val langCase = TextAnalysis.stopwords.map(_._1)
-        .map(l => s"WHEN ${hits(l)} = best AND best > 0 THEN '$l'")
-        .mkString("CASE ", " ", " ELSE 'und' END")
-      val bestExpr = TextAnalysis.stopwords.map(_._1).map(hits)
-        .mkString("greatest(", ", ", ")")
-      s"""SELECT source, lang_pred, count(*) AS n_docs,
-         |  CAST(sum(quality_e4) AS BIGINT) AS sum_quality_e4
-         |FROM (
-         |  SELECT source, $langCase AS lang_pred,
-         |    CAST(floor(
-         |      2500.0 * least(nc / 500.0, 1.0) +
-         |      2500.0 * (nstop / CAST(nt AS DOUBLE)) +
-         |      2500.0 * (1.0 - npunct / CAST(nc AS DOUBLE)) +
-         |      2500.0 * least(((nc - npunct) / CAST(nt AS DOUBLE)) / 10.0, 1.0)
-         |    ) AS BIGINT) AS quality_e4
-         |  FROM (
-         |    SELECT source, toks, $bestExpr AS best,
-         |      len(toks) AS nt,
-         |      CAST(length(text) AS DOUBLE) AS nc,
-         |      CAST(len(list_filter(toks, t -> t IN $allStops)) AS DOUBLE) AS nstop,
-         |      CAST(length(text) -
-         |        length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-         |        AS npunct
-         |    FROM (SELECT source, text,
-         |            string_split_regex(trim(text), '\\s+') AS toks
-         |          FROM documents)))
-         |GROUP BY 1, 2""".stripMargin
-    },
+    "text_source_profile" -> textSourceProfileSql,
+
+    // cache serving must be answer-invisible: same oracle
+    "text_source_profile_cached" -> textSourceProfileSql,
 
     // 8-gram spans in the same hashed space; df computed count-only
     "text_cross_repetition" ->
