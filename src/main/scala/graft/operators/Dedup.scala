@@ -181,6 +181,59 @@ object Dedup {
           .cast(LongType).as("containment_e4"))
   }
 
+  /** KMV-sketch twin of [[sourceOverlapMatrix]] — the fixed-size scale
+    * path: per source, keep only the k MINIMUM distinct shingle hashes
+    * (a k-minimum-values sketch; hashes are uniform, so the bottom-k
+    * of a set is a uniform sample of it), then estimate each pair's
+    * Jaccard from the sketches alone:
+    * `est = |X ∩ A_k ∩ B_k| / |X|` where X = bottom-k of the sketch
+    * union — the standard KMV estimator, ±O(1/√k). Downstream pair
+    * work and sketch storage become |sources| × k longs regardless of
+    * corpus size, and sketches persist for incremental re-estimation
+    * (bottom-k merges by union+truncate). Fully DETERMINISTIC given
+    * the hash — which is why the estimate itself is oracle-checkable,
+    * not just bounded. Same df cap as the exact matrix so both
+    * operate on the same shingle universe and the estimate is
+    * comparable to the exact containment.
+    * Output: (`src_a`, `src_b`, `n_sketch`, `n_common`,
+    * `jaccard_est_e4`). */
+  def sourceOverlapKmv(df: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, maxDf: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingleHashKernel(df, textCol, idCol, 3)
+      .select(col("id"), explode(col("hs")).as("h"))
+      .distinct()
+    val keep = ex.groupBy(col("h"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select(col("h"))
+    val se = ex.join(keep, Seq("h"))
+      .join(df.select(col(idCol).cast(LongType).as("id"),
+        col(sourceCol).as("source")), Seq("id"))
+      .select(col("source"), col("h"))
+      .distinct()
+    val byMin = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sk = se.withColumn("__rn", row_number().over(byMin))
+      .where(col("__rn") <= k)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("a"))
+    // sketch table is |sources| rows × k longs — the pair join is
+    // bounded by sources², never by corpus size
+    val pairs = sk.select(col("source").as("src_a"), col("a").as("aa"))
+      .crossJoin(sk.select(col("source").as("src_b"), col("a").as("ab")))
+      .where(col("src_a") < col("src_b"))
+    val u = slice(array_sort(array_distinct(concat(col("aa"), col("ab")))),
+      1, k)
+    pairs
+      .withColumn("__x", u)
+      .select(col("src_a"), col("src_b"),
+        size(col("__x")).cast(LongType).as("n_sketch"),
+        size(array_intersect(array_intersect(col("__x"), col("aa")),
+          col("ab"))).cast(LongType).as("n_common"))
+      .withColumn("jaccard_est_e4",
+        expr("10000 * n_common DIV n_sketch"))
+  }
+
   /** Commutative content MANIFEST per group — the O(scan) pre-check
     * before any cross-snapshot work: per `groupCol`, the doc count,
     * total bytes, and an order-independent 60-bit digest (sum of

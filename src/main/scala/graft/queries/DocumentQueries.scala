@@ -762,6 +762,13 @@ object DocumentQueries {
       graft.operators.Dedup.sourceOverlapMatrix(
         docs(s, dir), "text", "doc_id", "source", maxDf = 1000)),
 
+    // fixed-size KMV twin of the overlap matrix: |sources|×k sketch,
+    // estimator deterministic given the hash — the estimate itself is
+    // oracle-checked, not just bounded
+    "source_overlap_kmv" -> ((s, dir) =>
+      graft.operators.Dedup.sourceOverlapKmv(
+        docs(s, dir), "text", "doc_id", "source", maxDf = 1000, k = 256)),
+
     "dedup_rate_by_source" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("__k", md5(col("text")))
@@ -2260,6 +2267,37 @@ object DocumentQueries {
         |FROM pairs p
         |JOIN sz sa ON sa.source = p.src_a
         |JOIN sz sb ON sb.source = p.src_b""".stripMargin,
+
+    "source_overlap_kmv" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END) AS shset
+        |  FROM (SELECT doc_id, source,
+        |          string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |ex AS (SELECT DISTINCT doc_id, source,
+        |  unnest(list_transform(shset,
+        |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS h
+        |  FROM sh),
+        |keep AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM ex)
+        |         GROUP BY h HAVING count(*) <= 1000),
+        |se AS (SELECT DISTINCT source, h FROM ex JOIN keep USING (h)),
+        |rk AS (SELECT source, h, row_number() OVER (
+        |    PARTITION BY source ORDER BY h) AS rn FROM se),
+        |sk AS (SELECT source, list(h ORDER BY h) AS a
+        |       FROM rk WHERE rn <= 256 GROUP BY source),
+        |pr AS (SELECT s1.source AS src_a, s2.source AS src_b,
+        |    (list_sort(list_distinct(list_concat(s1.a, s2.a))))[1:256] AS x,
+        |    s1.a AS aa, s2.a AS ab
+        |  FROM sk s1, sk s2 WHERE s1.source < s2.source)
+        |SELECT src_a, src_b, CAST(len(x) AS BIGINT) AS n_sketch,
+        |  CAST(len(list_intersect(list_intersect(x, aa), ab)) AS BIGINT)
+        |    AS n_common,
+        |  (10000 * len(list_intersect(list_intersect(x, aa), ab)))
+        |    // len(x) AS jaccard_est_e4
+        |FROM pr""".stripMargin,
 
     "dedup_rate_by_source" ->
       """WITH k AS (SELECT doc_id, source, md5(text) AS k FROM documents),

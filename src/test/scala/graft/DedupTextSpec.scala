@@ -828,6 +828,43 @@ class DedupTextSpec extends SparkTestBase {
       graft.operators.Dedup.md5Hex("x y z </w> low</w>"))
   }
 
+  test("sourceOverlapKmv: exact at k >= universe; sane bounds under sketching") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(5)
+    def sentence(n: Int) =
+      Seq.fill(n)("w" + rnd.nextInt(400)).mkString(" ")
+    // A and B share half their docs; C is disjoint vocabulary
+    val shared = Seq.fill(20)(sentence(30))
+    val rows =
+      shared.zipWithIndex.flatMap { case (t, i) =>
+        Seq((i * 2L, t, "A"), (i * 2L + 1, t, "B")) } ++
+      (0 until 20).map(i => (1000L + i, sentence(30), "A")) ++
+      (0 until 20).map(i => (2000L + i, sentence(30), "B")) ++
+      (0 until 20).map(i =>
+        (3000L + i, Seq.fill(30)("z" + rnd.nextInt(400)).mkString(" "), "C"))
+    val df = rows.toDF("doc_id", "text", "source")
+    // k larger than the distinct-shingle universe: estimator is EXACT
+    val exact = Dedup.sourceOverlapMatrix(df, "text", "doc_id", "source",
+      1000).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (10000L * r.getLong(2) /
+          (r.getLong(3) + r.getLong(4) - r.getLong(2)))).toMap
+    val full = Dedup.sourceOverlapKmv(df, "text", "doc_id", "source",
+      1000, k = 100000).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    exact.foreach { case (pair, j) =>
+      assert(math.abs(full(pair) - j) <= 1, s"$pair: ${full(pair)} vs $j")
+    }
+    // sketched at k=256: within KMV error (~1/sqrt(k) ~ 6e2 in e4)
+    val est = Dedup.sourceOverlapKmv(df, "text", "doc_id", "source",
+      1000, k = 256).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    exact.foreach { case (pair, j) =>
+      assert(math.abs(est(pair) - j) <= 1500, s"$pair: ${est(pair)} vs $j")
+    }
+    assert(est(("A", "C")) == 0L || !est.contains(("A", "C")))
+  }
+
   test("contentManifest: partition-independent digest; any change moves it") {
     import graft.operators.Dedup
     val df = Seq((1L, "aaa", "A"), (2L, "bbb", "A"), (3L, "ccc", "B"))
