@@ -57,6 +57,11 @@ object EntityResolution {
     * node id (the value's minimum record id — deterministic under any
     * partitioning) and the value's record support. One hash
     * aggregation on the value; records never carry past this point.
+    * MATERIALIZED eagerly (attribute-cardinality rows by
+    * construction): every downstream ER stage references this frame
+    * repeatedly — posting build, df cap, verify joins, label joins —
+    * and without lineage truncation each reference re-runs the
+    * records aggregation (measured 4.2→1.6 s on `er_incremental`).
     * Output: (`value`, `node_id`, `n_records`). */
   def distinctValues(records: DataFrame, idCol: String,
       valueCol: String): DataFrame =
@@ -67,6 +72,7 @@ object EntityResolution {
       .groupBy(col("value"))
       .agg(min(col("__id")).as("node_id"),
         count(lit(1)).as("n_records"))
+      .localCheckpoint(true)
 
   /** The token posting list of a distinct-values frame: one row per
     * (value, distinct whitespace token). */

@@ -624,10 +624,14 @@ object RelationalQueries {
       val part = read(s, dir, "part")
       val corpus = part.where(col("p_partkey") % 5 =!= 0)
       val batch = part.where(col("p_partkey") % 5 === 0)
+      // attribute-cardinality rows, referenced by blocking AND scoring
+      // AND assignment — eager checkpoint or the corpus-resolve DAG
+      // (CC rounds included) re-executes once per reference
       val resolved = graft.operators.EntityResolution
         .entities(corpus, "p_partkey", "p_name", maxDist = 1,
           maxTokenDf = 1000)
         .select(col("value"), col("entity")).distinct()
+        .localCheckpoint(true)
       graft.operators.EntityResolution.resolveIncremental(
         batch, "p_partkey", "p_name", resolved, maxDist = 1,
         maxTokenDf = 1000)
