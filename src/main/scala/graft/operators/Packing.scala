@@ -381,4 +381,78 @@ object Packing {
   def packProfile(packed: DataFrame): DataFrame =
     packed.groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** T5-style SPAN-CORRUPTION example generation — the
+    * denoising-pretraining dataset shape: per document, a fraction of
+    * token spans is replaced by numbered sentinels in `input`, and
+    * `targets` lists each sentinel followed by the tokens it hides.
+    *
+    * Span selection is DETERMINISTIC and BLOCK-ALIGNED: tokens
+    * partition into fixed blocks of `block`; a block is selected when
+    * `md5(doc_id:blockIdx) mod selectMod == 0`, and a selected block's
+    * first `span` tokens corrupt. Block alignment makes spans
+    * non-overlapping BY CONSTRUCTION — no sequential greedy resolution
+    * — so the whole generator is declarative column algebra (an SQL
+    * oracle replicates it exactly), a pure function of (doc_id, text):
+    * regeneration, any partitioning, any engine produces the same
+    * examples. Corruption rate = (span/block)/selectMod (defaults:
+    * 12.5%).
+    *
+    * Scale shape: one posexplode, ONE hash exchange on the doc id
+    * serving both the sentinel-ordinal window (cumulative selected
+    * blocks) and the ordered re-assembly aggregation; per-doc state is
+    * the token list it already owns. Output: (`doc_id`, `input`,
+    * `targets`, `n_spans`) — docs with no selected block pass through
+    * with empty `targets`. */
+  def spanCorruptionExamples(df: DataFrame, textCol: String,
+      idCol: String, block: Int = 6, span: Int = 3,
+      selectMod: Int = 4): DataFrame = {
+    require(block > 0 && span > 0 && span <= block && selectMod > 0,
+      "need 0 < span <= block and selectMod > 0")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("blk", expr(s"pos DIV $block"))
+      .withColumn("inblk", pmod(col("pos"), lit(block)))
+      .withColumn("sel",
+        pmod(Dedup.hash60(concat(col("doc_id"), lit(":"), col("blk"))),
+          lit(selectMod.toLong)) === 0L)
+    // sentinel ordinal k = cumulative selected blocks up to this one;
+    // a RANGE frame on blk gives every token of a block the same k
+    val byBlk = Window.partitionBy(col("doc_id")).orderBy(col("blk"))
+      .rangeBetween(Window.unboundedPreceding, 0L)
+    val e = tok
+      .withColumn("k",
+        sum(when(col("sel") && col("inblk") === 0L, 1L).otherwise(0L))
+          .over(byBlk))
+      .withColumn("corr", col("sel") && col("inblk") < span)
+      .withColumn("in_tok",
+        when(col("corr") && col("inblk") === 0L,
+          concat(lit("<X"), col("k"), lit(">")))
+          .when(col("corr"), lit(null))
+          .otherwise(col("tok")))
+      .withColumn("tg_tok",
+        when(col("corr") && col("inblk") === 0L,
+          concat(lit("<X"), col("k"), lit("> "), col("tok")))
+          .when(col("corr"), col("tok"))
+          .otherwise(lit(null)))
+    e.groupBy(col("doc_id"))
+      .agg(
+        {
+          val ordered = array_sort(collect_list(struct(col("pos"),
+            col("in_tok").as("i"), col("tg_tok").as("t"))))
+          array_join(transform(
+            filter(ordered, x => x.getField("i").isNotNull),
+            x => x.getField("i")), " ").as("input")
+        },
+        {
+          val ordered = array_sort(collect_list(struct(col("pos"),
+            col("in_tok").as("i"), col("tg_tok").as("t"))))
+          array_join(transform(
+            filter(ordered, x => x.getField("t").isNotNull),
+            x => x.getField("t")), " ").as("targets")
+        },
+        max(col("k")).as("n_spans"))
+  }
 }

@@ -713,6 +713,14 @@ object DocumentQueries {
     // curation pipeline watches per ingest source): docs, exact-dup
     // survivors, and the duplicate fraction ×10⁴ — one md5 hash agg,
     // bodies never shuffle
+    // T5-style SPAN CORRUPTION (Packing.spanCorruptionExamples): the
+    // denoising-pretraining example shape — block-aligned
+    // deterministic spans, so generation is pure column algebra and
+    // the oracle replicates the exact strings
+    "span_corruption_examples" -> ((s, dir) =>
+      graft.operators.Packing.spanCorruptionExamples(
+        docs(s, dir), "text", "doc_id")),
+
     // Content MANIFEST per source (Dedup.contentManifest): the
     // O(scan) cross-snapshot pre-check — groups whose (count, chars,
     // commutative digest) match need no diff join at all
@@ -2214,6 +2222,37 @@ object DocumentQueries {
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
         |    AS sum_dl
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "span_corruption_examples" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |    generate_subscripts(toks, 1) - 1 AS pos
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |b AS (SELECT doc_id, pos, tok, pos // 6 AS blk, pos % 6 AS inblk
+        |      FROM t),
+        |selb AS (SELECT DISTINCT doc_id, blk,
+        |    (CAST('0x' || substr(md5(doc_id || ':' || blk), 1, 15) AS BIGINT)
+        |      % 4 = 0) AS sel
+        |  FROM b),
+        |ordb AS (SELECT doc_id, blk, sel,
+        |    sum(CASE WHEN sel THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY blk) AS k
+        |  FROM selb),
+        |e AS (SELECT b.doc_id, b.pos, b.tok, b.inblk, o.k,
+        |    (o.sel AND b.inblk < 3) AS corr
+        |  FROM b JOIN ordb o USING (doc_id, blk))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE
+        |    WHEN corr AND inblk = 0 THEN '<X' || k || '>'
+        |    WHEN corr THEN NULL ELSE tok END, ' ' ORDER BY pos), '')
+        |    AS input,
+        |  coalesce(string_agg(CASE
+        |    WHEN corr AND inblk = 0 THEN '<X' || k || '> ' || tok
+        |    WHEN corr THEN tok ELSE NULL END, ' ' ORDER BY pos), '')
+        |    AS targets,
+        |  CAST(max(k) AS BIGINT) AS n_spans
+        |FROM e GROUP BY 1""".stripMargin,
 
     "corpus_manifest" ->
       """SELECT source, count(*) AS n_docs,

@@ -162,4 +162,38 @@ class PackingSpec extends SparkTestBase {
       off += i % 97 + 1
     }
   }
+
+  test("span corruption: splicing targets into input reconstructs the doc") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(60))("w" + rnd.nextInt(50))
+        .mkString(" "))
+    }
+    val byId = rows.toMap
+    val got = Packing.spanCorruptionExamples(
+        rows.toDF("doc_id", "text").repartition(3), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.length == rows.length)
+    got.foreach { case (id, input, targets, nSpans) =>
+      // parse targets into sentinel -> span tokens
+      val spans = if (targets.isEmpty) Map.empty[String, Seq[String]]
+        else targets.split("<X").drop(1).map { seg =>
+          val Array(k, rest) = seg.split(">", 2)
+          s"<X$k>" -> rest.trim.split("\\s+").toSeq
+        }.toMap
+      assert(spans.size == nSpans, s"doc $id: ${spans.size} vs $nSpans")
+      val rebuilt = input.split("\\s+").flatMap { t =>
+        if (t.startsWith("<X")) spans(t) else Seq(t)
+      }.mkString(" ")
+      assert(rebuilt == byId(id).trim, s"doc $id round trip")
+    }
+    // selection rate lands near (span/block)/selectMod = 12.5%
+    val totTok = rows.map(_._2.split("\\s+").length).sum
+    val corrTok = got.map { case (id, _, targets, n) =>
+      if (targets.isEmpty) 0
+      else targets.split("\\s+").length - n.toInt }.sum
+    val rate = corrTok.toDouble / totTok
+    assert(rate > 0.04 && rate < 0.25, s"corruption rate $rate")
+  }
 }
