@@ -382,6 +382,40 @@ object Packing {
     packed.groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
 
+  /** FIM (fill-in-the-middle) example generation — the infilling
+    * dataset shape code models train on: each document splits at two
+    * deterministic token cuts into (prefix, middle, suffix), plus the
+    * PSM-ordered training string `<PRE> prefix <SUF> suffix <MID>
+    * middle`. Cuts are hash-derived from the doc id (`hash(id:a)`,
+    * `hash(id:b)` mod n+1, ordered), so the transform is a pure
+    * function of (doc_id, text) — reproducible across regenerations,
+    * engines, partitionings; any of the three parts may be empty,
+    * exactly like the sampled transform it determinizes.
+    *
+    * Scale shape: ZERO shuffles — token split, cut arithmetic, and
+    * slicing are row-local column algebra (no explode, no window).
+    * Output: (`doc_id`, `prefix`, `middle`, `suffix`, `psm`). */
+  def fimExamples(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val arr = split(trim(col(textCol)), "\\s+")
+    val cut = (tag: String) =>
+      pmod(Dedup.hash60(concat(col("doc_id"), lit(s":$tag"))),
+        size(col("__arr")) + 1)
+    df.select(col(idCol).cast("long").as("doc_id"), arr.as("__arr"))
+      .withColumn("__lo", least(cut("a"), cut("b")))
+      .withColumn("__hi", greatest(cut("a"), cut("b")))
+      .select(col("doc_id"),
+        array_join(slice(col("__arr"), lit(1), col("__lo").cast("int")), " ")
+          .as("prefix"),
+        array_join(slice(col("__arr"), col("__lo").cast("int") + 1,
+          (col("__hi") - col("__lo")).cast("int")), " ").as("middle"),
+        array_join(slice(col("__arr"), col("__hi").cast("int") + 1,
+          (size(col("__arr")) - col("__hi")).cast("int")), " ")
+          .as("suffix"))
+      .withColumn("psm", concat_ws(" ", lit("<PRE>"), col("prefix"),
+        lit("<SUF>"), col("suffix"), lit("<MID>"), col("middle")))
+  }
+
   /** T5-style SPAN-CORRUPTION example generation — the
     * denoising-pretraining dataset shape: per document, a fraction of
     * token spans is replaced by numbered sentinels in `input`, and

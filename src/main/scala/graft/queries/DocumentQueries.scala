@@ -713,6 +713,11 @@ object DocumentQueries {
     // curation pipeline watches per ingest source): docs, exact-dup
     // survivors, and the duplicate fraction ×10⁴ — one md5 hash agg,
     // bodies never shuffle
+    // FIM infilling examples (Packing.fimExamples): deterministic
+    // hash-derived cuts, zero shuffles — pure row-local slicing
+    "fim_examples" -> ((s, dir) =>
+      graft.operators.Packing.fimExamples(docs(s, dir), "text", "doc_id")),
+
     // T5-style SPAN CORRUPTION (Packing.spanCorruptionExamples): the
     // denoising-pretraining example shape — block-aligned
     // deterministic spans, so generation is pure column algebra and
@@ -2222,6 +2227,28 @@ object DocumentQueries {
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
         |    AS sum_dl
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "fim_examples" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |    CAST('0x' || substr(md5(doc_id || ':a'), 1, 15) AS BIGINT)
+        |      % (len(toks) + 1) AS ha,
+        |    CAST('0x' || substr(md5(doc_id || ':b'), 1, 15) AS BIGINT)
+        |      % (len(toks) + 1) AS hb
+        |  FROM t),
+        |s AS (SELECT doc_id, toks, n,
+        |    least(ha, hb) AS lo, greatest(ha, hb) AS hi FROM c),
+        |p AS (SELECT doc_id,
+        |    coalesce(array_to_string(toks[1:lo], ' '), '') AS prefix,
+        |    coalesce(array_to_string(toks[lo+1:hi], ' '), '') AS middle,
+        |    coalesce(array_to_string(toks[hi+1:n], ' '), '') AS suffix
+        |  FROM s)
+        |SELECT doc_id, prefix, middle, suffix,
+        |  concat_ws(' ', '<PRE>', prefix, '<SUF>', suffix, '<MID>', middle)
+        |    AS psm
+        |FROM p""".stripMargin,
 
     "span_corruption_examples" ->
       """WITH t AS (

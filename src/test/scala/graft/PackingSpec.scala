@@ -163,6 +163,30 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("fim: prefix+middle+suffix reassembles the doc; cuts deterministic") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))("w" + rnd.nextInt(30))
+        .mkString(" "))
+    }
+    val byId = rows.toMap
+    def run(parts: Int) = Packing.fimExamples(
+        rows.toDF("doc_id", "text").repartition(parts), "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    val got = run(3)
+    got.foreach { case (id, (p, m, sfx, psm)) =>
+      val rebuilt = Seq(p, m, sfx).filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == byId(id).trim, s"doc $id reassembly")
+      assert(psm == s"<PRE> $p <SUF> $sfx <MID> $m", s"doc $id psm")
+    }
+    // pure function of (doc_id, text): partitioning cannot move cuts
+    assert(run(7) == got)
+    // the cuts actually vary across docs (not degenerate)
+    assert(got.values.map(_._2).count(_.nonEmpty) > 10)
+  }
+
   test("span corruption: splicing targets into input reconstructs the doc") {
     val rnd = new scala.util.Random(13)
     val rows = (0 until 40).map { i =>
