@@ -278,6 +278,35 @@ object DocumentQueries {
         jaccardPairsArtifact(s, dir), "id_a", "id_b")
     }),
 
+    // cluster COHESION (the transitivity-gap read that tunes the
+    // threshold): per multi-member component, how many of its C(n,2)
+    // pairs are DIRECT edges (completeness near 10⁴ = clique-like
+    // near-dups; low = chains glued by transitivity — the threshold
+    // is too loose) plus the exact integral similarity mass. Pairs
+    // and labels are the artifacts dedup_clusters already builds.
+    "dedup_cluster_cohesion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = jaccardPairsArtifact(s, dir)
+      val labels = Dedup.connectedComponents(d.select(col("doc_id")),
+        "doc_id", pairs, "id_a", "id_b")
+      val sizes = labels.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .where(col("n_members") > 1)
+      val pj = pairs
+        .join(labels.select(col("doc_id").as("id_a"), col("component")),
+          Seq("id_a"))
+        .withColumn("jacc_e4",
+          expr("10000 * common DIV (sz_a + sz_b - common)"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jacc_e4")).as("sum_jaccard_e4"))
+      sizes.join(pj, Seq("component"))
+        .select(col("component"), col("n_members"), col("n_pairs"),
+          expr("10000 * n_pairs DIV (n_members * (n_members - 1) DIV 2)")
+            .as("completeness_e4"),
+          col("sum_jaccard_e4"))
+    }),
+
     // cluster-SIZE distribution (the dedup yield curve): how many
     // components of each member count — the number that tells you
     // whether duplication is a few mega-clusters (template spam, one
@@ -1716,6 +1745,31 @@ object DocumentQueries {
          |  UNION
          |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
          |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a""".stripMargin,
+
+    "dedup_cluster_cohesion" ->
+      s"""WITH RECURSIVE jp AS (
+         |$jaccardPairsSql
+         |),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM jp
+         |        UNION ALL SELECT id_b AS a, id_a AS b FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+         |comp AS (SELECT a AS doc_id, min(b) AS component
+         |         FROM reach GROUP BY a),
+         |sz AS (SELECT component, count(*) AS n_members FROM comp
+         |       GROUP BY 1 HAVING count(*) > 1),
+         |pj AS (SELECT c.component, count(*) AS n_pairs,
+         |    CAST(sum((10000 * common) // (sz_a + sz_b - common))
+         |      AS BIGINT) AS sum_jaccard_e4
+         |  FROM jp JOIN comp c ON c.doc_id = jp.id_a GROUP BY 1)
+         |SELECT s.component, s.n_members, p.n_pairs,
+         |  (10000 * p.n_pairs)
+         |    // ((s.n_members * (s.n_members - 1)) // 2)
+         |    AS completeness_e4,
+         |  p.sum_jaccard_e4
+         |FROM sz s JOIN pj p USING (component)""".stripMargin,
 
     // same reachability closure, collapsed twice to the size histogram
     "dedup_cluster_sizes" ->
