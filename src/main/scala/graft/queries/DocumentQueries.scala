@@ -20,6 +20,43 @@ object DocumentQueries {
   private val resultCacheDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** stream_manifest's maintained store: the corpus replayed as THREE
+    * micro-batches (doc_id mod 3 split, mtime-ordered landing files),
+    * so the read-side re-aggregation across `__batch_id=` dirs is
+    * genuinely exercised. Built once per (session, sf dir). */
+  private val streamManifestDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def streamedManifest(s: SparkSession, dir: String): String =
+    streamManifestDirs.getOrElseUpdate((s, dir), {
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val base = Files.createTempDirectory("graft_streamman").toString
+      val landing = s"$base/landing"
+      Files.createDirectories(Paths.get(landing))
+      val d = docs(s, dir)
+      val t0 = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val tmp = s"$base/tmp_$i"
+        d.where(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
+          .write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dest = Paths.get(landing, s"f$i.parquet")
+        Files.move(Paths.get(part), dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(t0 + i * 60000L))
+      }
+      val manPath = s"$base/manifest"
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      val q = graft.streaming.StreamingIngest
+        .maintainManifest(stream, "text", "source", manPath)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      manPath
+    })
+
   /** BPE training result shared by `bpe_merges` and `bpe_tokenize`,
     * computed once per (session, corpus dir): the merge-table frame
     * (collected — 12 rows) and the ordered (left, right) pairs the
@@ -761,6 +798,14 @@ object DocumentQueries {
     "corpus_manifest" -> ((s, dir) =>
       graft.operators.Dedup.contentManifest(docs(s, dir), "text",
         "source")),
+
+    // STREAMING manifest maintenance: per-batch manifests land in
+    // idempotent __batch_id= dirs; the read-side re-aggregation is
+    // exact because the digest is a commutative mod-2⁶⁰ sum — must be
+    // bit-identical to the batch manifest (shared oracle)
+    "stream_manifest" -> ((s, dir) =>
+      graft.streaming.StreamingIngest.readManifest(s,
+        streamedManifest(s, dir), "source")),
 
     // COMPRESSION-RATIO quality (TextAnalysis.compressionStats): the
     // Gopher-rule deflate heuristic — repetitive boilerplate deflates
@@ -1674,6 +1719,15 @@ object DocumentQueries {
          |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Shared by the batch scan and the streaming-maintained store —
+    * one SQL, two serving paths. */
+  private val manifestSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(sum(CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+      |      AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS digest60
+      |FROM documents GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "hybrid_search" -> hybridSql,
 
@@ -2335,12 +2389,10 @@ object DocumentQueries {
         |  CAST(max(k) AS BIGINT) AS n_spans
         |FROM e GROUP BY 1""".stripMargin,
 
-    "corpus_manifest" ->
-      """SELECT source, count(*) AS n_docs,
-        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
-        |  CAST(sum(CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
-        |      AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS digest60
-        |FROM documents GROUP BY 1""".stripMargin,
+    "corpus_manifest" -> manifestSql,
+
+    // the streaming-maintained store must be bit-identical
+    "stream_manifest" -> manifestSql,
 
     "corpus_diff" ->
       """WITH oldv AS (SELECT doc_id, text FROM documents),

@@ -155,6 +155,44 @@ object StreamingIngest {
         ()
       }
 
+  /** STREAMING manifest maintenance — the ingest-side half of the
+    * manifest/result-cache loop: per micro-batch, the batch's
+    * per-group content manifest
+    * ([[graft.operators.Dedup.contentManifest]]) lands in an
+    * idempotent `__batch_id=` directory; the read side
+    * ([[readManifest]]) re-aggregates across batches EXACTLY, because
+    * the digest is a commutative mod-2⁶⁰ sum — the re-aggregability
+    * is precisely what that digest design buys. ZERO streaming state
+    * (plain per-batch aggregation), store growth is groups × batches
+    * rows, and replays are idempotent via the batch marker. */
+  def maintainManifest(stream: DataFrame, textCol: String,
+      groupCol: String, path: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentBatchWrite(path, batchId,
+            batch.sparkSession.sessionState.newHadoopConf()) { outDir =>
+          graft.operators.Dedup.contentManifest(batch, textCol, groupCol)
+            .write.mode("overwrite").parquet(outDir)
+        }
+        ()
+      }
+
+  /** Collapse a [[maintainManifest]] store to the corpus manifest:
+    * counts add, digests add mod 2⁶⁰ — bit-identical to the batch
+    * [[graft.operators.Dedup.contentManifest]] over the union of all
+    * ingested batches (shared oracle). */
+  def readManifest(spark: SparkSession, path: String,
+      groupCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        pmod(sum(col("digest60").cast("decimal(38,0)"))
+          .cast("decimal(38,0)")
+          .mod(lit(1152921504606846976L).cast("decimal(38,0)"))
+          .cast("long"), lit(1L << 60)).as("digest60"))
+
   /** The APPROXIMATE-distinct maintained store: per micro-batch,
     * batch-local HLL sketch partials
     * ([[graft.operators.Rollups.sketchPartials]]) land in the batch's

@@ -1073,6 +1073,32 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("maintained manifest across micro-batches == batch manifest") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 60).map(i => (i.toLong, s"doc text $i word${i % 7}",
+      s"s${i % 4}"))
+    val source = MemoryStream[(Long, String, String)]
+    val base = tmp("graft-man")
+    val q = graft.streaming.StreamingIngest.maintainManifest(
+        source.toDF().toDF("doc_id", "text", "source"), "text", "source",
+        s"$base/store")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    rows.grouped(25).foreach { g =>
+      source.addData(g: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = graft.streaming.StreamingIngest
+      .readManifest(spark, s"$base/store", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expect = graft.operators.Dedup.contentManifest(
+        rows.toDF("doc_id", "text", "source"), "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect, "re-aggregated digests bit-identical to batch")
+  }
+
   test("lateness monitor: hwm rule per batch; restart re-arms from reports") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp)]
