@@ -200,6 +200,36 @@ object Similarity {
       .select(col("label"), col(idCol), col("d2").cast("string").as("d2"))
   }
 
+  /** Per-dimension embedding DRIFT between two cohorts (crawl
+    * snapshots, label groups, time windows) — the embedding-side twin
+    * of token drift: for each dimension, both cohorts' counts and
+    * ×10⁶-rounded element sums, plus the cross-multiplied mean shift
+    * `shift_x = sum_a·n_b − sum_b·n_a` (the sign/magnitude of
+    * `mean_a − mean_b` scaled by the exact positive factor n_a·n_b —
+    * all LONG arithmetic, no division, engine-exact). The monitoring
+    * read that catches an encoder change or a population shift before
+    * an IVF/PQ index trained on yesterday's geometry degrades.
+    * One posexplode aggregation; output is dim-sized.
+    * Output: (`pos`, `n_a`, `n_b`, `sum_a_e6`, `sum_b_e6`,
+    * `shift_x`). */
+  def cohortDrift(corpus: DataFrame, vecCol: String,
+      cohortA: Column): DataFrame =
+    corpus
+      .select(cohortA.as("__a"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("__a"), col("pos").cast("long").as("pos"),
+        round(col("v") * 1000000d).cast("long").as("v_e6"))
+      .groupBy(col("pos"))
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__a"), col("v_e6")).otherwise(0L)).as("sum_a_e6"),
+        sum(when(!col("__a"), col("v_e6")).otherwise(0L)).as("sum_b_e6"))
+      .select(col("pos"), col("n_a"), col("n_b"), col("sum_a_e6"),
+        col("sum_b_e6"),
+        (col("sum_a_e6") * col("n_b") - col("sum_b_e6") * col("n_a"))
+          .as("shift_x"))
+
   /** Symmetric int8 scalar quantization of an embedding column: per
     * vector, `scale = max|x| / 127` and `q_i = round(x_i / scale)` —
     * 4× less memory/IO than float32 (the difference between a vector

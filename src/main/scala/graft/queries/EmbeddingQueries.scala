@@ -443,6 +443,13 @@ object EmbeddingQueries {
         lshPlanes, threshold = 0.4, dotFn = GraftFunctions.dotNative)
     }),
 
+    // per-dimension DRIFT between label cohorts (the embedding twin
+    // of token drift — catches encoder/population shifts before a
+    // stale index degrades); cross-multiplied shift, no division
+    "emb_cohort_drift" -> ((s, dir) =>
+      graft.operators.Similarity.cohortDrift(emb(s, dir), "embedding",
+        col("label") < 5)),
+
     // ESTIMATOR-QUALITY evaluation, measured in-engine: recall of the
     // sign-LSH bucketed near-dup pass against the exact pair set at
     // the same threshold — the number a curation run reads before
@@ -703,6 +710,25 @@ object EmbeddingQueries {
          |  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |WHERE list_dot_product(a.v, b2.v) >= 0.4""".stripMargin
     },
+
+    "emb_cohort_drift" ->
+      """WITH x AS (
+        |  SELECT (label < 5) AS a,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS v_e6
+        |  FROM embeddings),
+        |g AS (SELECT CAST(pos AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN a THEN v_e6 ELSE 0 END) AS BIGINT)
+        |      AS sum_a_e6,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE v_e6 END) AS BIGINT)
+        |      AS sum_b_e6
+        |  FROM x GROUP BY 1)
+        |SELECT pos, n_a, n_b, sum_a_e6, sum_b_e6,
+        |  sum_a_e6 * n_b - sum_b_e6 * n_a AS shift_x
+        |FROM g""".stripMargin,
 
     "emb_lsh_recall" -> {
       val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
