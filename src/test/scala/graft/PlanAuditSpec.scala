@@ -573,6 +573,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("fim examples: ZERO exchanges — pure row-local slicing") {
+    val p = plan("fim_examples")
+    assert(!p.contains("Exchange"), p.take(3000))
+  }
+
+  test("span corruption: one doc-id exchange serves window + reassembly") {
+    val p = plan("span_corruption_examples")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, p.take(3000)) // ordinal window + final agg
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("cohort drift: one scan, no join") {
+    val p = plan("emb_cohort_drift")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
   test("entity resolution: fuzzy work never touches the records table twice") {
     val p = plan("er_part_matches")
     // no cartesian anywhere; the match set comes off the token posting
