@@ -898,6 +898,18 @@ object EventQueries {
         .agg(count(lit(1)).as("n_active"))
     }),
 
+    // RFM features (recency / frequency / monetary): the classic
+    // per-entity feature triple — ONE hash agg on user_id, no global
+    // window (quintile scoring at billion-entity scale belongs to the
+    // prefix-sum rank machinery, not an unpartitioned ntile)
+    "user_rfm" -> ((s, dir) =>
+      events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts").cast("long")).as("last_purchase_s"),
+          count(lit(1)).as("n_purchases"),
+          sum(cents).as("total_cents"))),
+
     // POINT-IN-TIME training-set assembly — the feature-store read
     // that must never leak the future: for every purchase (the label
     // event), the user's trailing-hour click count and the age of the
@@ -3569,6 +3581,16 @@ object EventQueries {
         |    epoch_us(sess_start) // 3600000000,
         |    epoch_us(sess_end) // 3600000000)) AS hour_idx FROM sess)
         |SELECT hour_idx, count(*) AS n_active FROM hrs GROUP BY 1""".stripMargin,
+
+    "user_rfm" ->
+      """SELECT user_id,
+        |  CAST(max(epoch_us(ts) // 1000000) AS BIGINT)
+        |    AS last_purchase_s,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
 
     "training_asof_features" ->
       """WITH e AS (
