@@ -443,6 +443,24 @@ object EmbeddingQueries {
         lshPlanes, threshold = 0.4, dotFn = GraftFunctions.dotNative)
     }),
 
+    // cross-MODAL referential integrity: the dataset-assembly gate
+    // that catches a re-embedding job that dropped rows — docs without
+    // vectors, vectors without docs, duplicate vector ids; two
+    // anti-join counts + one dup agg, 1-row output
+    "modal_integrity" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"))
+      val e = emb(s, dir).select(col("vec_id"))
+      val docsOnly = d.join(e, d("doc_id") === e("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("docs_without_vec"))
+      val vecsOnly = e.join(d, e("vec_id") === d("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("vecs_without_doc"))
+      val dups = emb(s, dir).groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_vec_ids"))
+      docsOnly.crossJoin(vecsOnly).crossJoin(dups)
+    }),
+
     // per-dimension DRIFT between label cohorts (the embedding twin
     // of token drift — catches encoder/population shifts before a
     // stale index degrades); cross-multiplied shift, no division
@@ -710,6 +728,18 @@ object EmbeddingQueries {
          |  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |WHERE list_dot_product(a.v, b2.v) >= 0.4""".stripMargin
     },
+
+    "modal_integrity" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents d
+        |   WHERE d.doc_id NOT IN (SELECT vec_id FROM embeddings))
+        |    AS docs_without_vec,
+        |  (SELECT count(*) FROM embeddings e
+        |   WHERE e.vec_id NOT IN (SELECT doc_id FROM documents))
+        |    AS vecs_without_doc,
+        |  (SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM (SELECT vec_id, count(*) AS c FROM embeddings GROUP BY 1))
+        |    AS dup_vec_ids""".stripMargin,
 
     "emb_cohort_drift" ->
       """WITH x AS (
