@@ -172,8 +172,10 @@ object EntityResolution {
     nValues.crossJoin(tokStats).crossJoin(nCand)
       .select(col("n_values"), col("n_tokens"), col("n_hot"),
         col("n_candidates"),
-        expr("10000 * n_candidates DIV (n_values * (n_values - 1) DIV 2)")
-          .as("reduction_e4"))
+        // < 2 values → no pairs exist; 0 avoids an ANSI DIV-by-zero
+        when(col("n_values") >= 2,
+          expr("10000 * n_candidates DIV (n_values * (n_values - 1) DIV 2)"))
+          .otherwise(lit(0L)).as("reduction_e4"))
   }
 
   /** Scored matches between distinct normalized values of `valueCol`:

@@ -483,7 +483,10 @@ object EmbeddingQueries {
         .agg(count(lit(1)).as("n_lsh"))
       exact.crossJoin(lsh)
         .select(col("n_exact"), col("n_lsh"),
-          expr("10000 * n_lsh DIV n_exact").as("recall_e4"))
+          // empty truth set → recall is vacuously total; also avoids
+          // an ANSI DIV-by-zero on a degenerate corpus
+          when(col("n_exact") > 0, expr("10000 * n_lsh DIV n_exact"))
+            .otherwise(lit(10000L)).as("recall_e4"))
     }),
 
     // corpus profile: per-label counts (exact ints)
