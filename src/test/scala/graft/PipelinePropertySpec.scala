@@ -246,6 +246,55 @@ class PipelinePropertySpec extends SparkTestBase {
     }
   }
 
+  test("entity resolution == brute-force union-find replica, any input") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    for (seed <- Seq(81, 82)) {
+      val rnd = new Random(seed)
+      val words = Array("alpha", "bravo", "delta", "metal", "ridge")
+      def value(): String = {
+        val base = Seq.fill(2 + rnd.nextInt(2))(words(rnd.nextInt(5)))
+          .mkString(" ")
+        if (rnd.nextInt(3) == 0) { // one random substitution
+          val i = rnd.nextInt(base.length)
+          if (base(i) == ' ') base else base.updated(i, 'z')
+        } else base
+      }
+      val rows = (0 until 120).map(i => (i.toLong, value()))
+      // replica: distinct values, all-pairs lev<=1, union-find by
+      // min record id (multi-token values: token blocking is
+      // recall-complete for 1-edit pairs, so operator == replica)
+      val vals = rows.groupBy(_._2).map { case (v, rs) =>
+        v -> rs.map(_._1).min }.toSeq
+      val parent = scala.collection.mutable.Map(vals.map(v => v._2 -> v._2): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      for (Seq((va, ia), (vb, ib)) <- vals.combinations(2))
+        if (lev(va, vb) <= 1) {
+          val (ra, rb) = (find(ia), find(ib))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      val valEnt = vals.map { case (v, i) => v -> find(i) }.toMap
+      val expect = rows.map { case (id, v) => id -> valEnt(v) }.toMap
+      val got = graft.operators.EntityResolution.entities(
+          rows.toDF("id", "name").repartition(1 + rnd.nextInt(5)),
+          "id", "name", maxDist = 1, maxTokenDf = 10000)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("next-event examples == sequential per-user replica, any partitioning") {
     import java.sql.Timestamp
     for (seed <- Seq(61, 62)) {
