@@ -246,6 +246,42 @@ class PipelinePropertySpec extends SparkTestBase {
     }
   }
 
+  test("source overlap matrix == brute-force shingle sets, any input") {
+    for (seed <- Seq(91, 92)) {
+      val rnd = new Random(seed)
+      val words = Array.tabulate(60)(i => s"w$i")
+      val rows = (0 until 80).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(12))(words(rnd.nextInt(60)))
+          .mkString(" "), s"s${rnd.nextInt(4)}")
+      }
+      val maxDf = 1 + rnd.nextInt(6)
+      // replica: per doc distinct 3-gram shingles, df cap, per-source
+      // distinct sets, pairwise intersections
+      val docSh = rows.map { case (id, t, src) =>
+        (id, src, graft.operators.Dedup.shingleStrings(t, 3).toSet) }
+      val df = docSh.flatMap(d => d._3.map(_ -> d._1)).groupBy(_._1)
+        .map { case (sh, xs) => sh -> xs.map(_._2).toSet.size }
+      val kept = docSh.map { case (id, src, sh) =>
+        (src, sh.filter(df(_) <= maxDf)) }
+      val bySrc = kept.groupBy(_._1).map { case (s, xs) =>
+        s -> xs.flatMap(_._2).toSet }
+      val expect = bySrc.keys.toSeq.sorted.combinations(2).flatMap {
+        case Seq(a, b) =>
+          val common = (bySrc(a) & bySrc(b)).size.toLong
+          if (common == 0) None
+          else Some((a, b) -> (common, bySrc(a).size.toLong,
+            bySrc(b).size.toLong))
+      }.toMap
+      val got = graft.operators.Dedup.sourceOverlapMatrix(
+          rows.toDF("doc_id", "text", "source")
+            .repartition(1 + rnd.nextInt(5)),
+          "text", "doc_id", "source", maxDf)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == expect, s"seed $seed maxDf=$maxDf")
+    }
+  }
+
   test("entity resolution == brute-force union-find replica, any input") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1)(i => i)
