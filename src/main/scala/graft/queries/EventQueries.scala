@@ -898,6 +898,24 @@ object EventQueries {
         .agg(count(lit(1)).as("n_active"))
     }),
 
+    // Markov TRANSITION matrix over event types (the aggregate view
+    // of the next-event structure: P(next | current) as exact counts
+    // + ×10⁴ integral probabilities): one user exchange for the lag,
+    // one hash agg on the (from, to) pair
+    "event_transition_matrix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type").as("to_type"),
+          lag(col("event_type"), 1).over(byUser).as("from_type"))
+        .where(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_e4", expr("10000 * n DIV " +
+          "sum(n) OVER (PARTITION BY from_type)").cast("long"))
+    }),
+
     // RFM features (recency / frequency / monetary): the classic
     // per-entity feature triple — ONE hash agg on user_id, no global
     // window (quintile scoring at billion-entity scale belongs to the
@@ -3581,6 +3599,19 @@ object EventQueries {
         |    epoch_us(sess_start) // 3600000000,
         |    epoch_us(sess_end) // 3600000000)) AS hour_idx FROM sess)
         |SELECT hour_idx, count(*) AS n_active FROM hrs GROUP BY 1""".stripMargin,
+
+    "event_transition_matrix" ->
+      """WITH t AS (
+        |  SELECT lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |g AS (SELECT from_type, to_type, count(*) AS n FROM t
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST((10000 * n) // sum(n) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS p_e4
+        |FROM g""".stripMargin,
 
     "user_rfm" ->
       """SELECT user_id,
