@@ -71,17 +71,25 @@ object Cdc {
     * the full-outer join shuffles 32-byte keys + digests — never the
     * payloads (the [[Dedup.exact]] discipline); one shuffle on the
     * key. Output: (keyCol, `status`), one row per key present on
-    * either side. */
+    * either side.
+    *
+    * Contract: `keyCol` must be unique within each snapshot (duplicate
+    * keys would fan out multiplicatively through the full-outer join).
+    * NULL content is a real value: md5(null) is coalesced to a sentinel
+    * digest so a present-with-null-text key still registers as present
+    * (never misreported added/removed), and null-on-both-sides compares
+    * equal (`unchanged`) via the null-safe comparison. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       keyCol: String, contentCol: String): DataFrame = {
     def digest(df: DataFrame, side: String): DataFrame =
-      df.select(col(keyCol), md5(col(contentCol)).as(side))
+      df.select(col(keyCol),
+        coalesce(md5(col(contentCol)), lit("<null>")).as(side))
     digest(oldSnap, "__old").join(digest(newSnap, "__new"),
         Seq(keyCol), "full_outer")
       .select(col(keyCol),
         when(col("__old").isNull, lit("added"))
           .when(col("__new").isNull, lit("removed"))
-          .when(col("__old") === col("__new"), lit("unchanged"))
+          .when(col("__old") <=> col("__new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 }

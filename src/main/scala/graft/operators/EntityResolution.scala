@@ -103,8 +103,13 @@ object EntityResolution {
   }
 
   /** Multi-blocker candidate pairs: token blocks ∪ prefix-`p` blocks ∪
-    * suffix-`p` blocks (marker-prefixed so key spaces cannot collide),
-    * one df cap across all block kinds. Closes [[candidatePairs]]'s
+    * suffix-`p` blocks, one df cap across all block kinds. Every block
+    * key is kind-tagged (`t`/`p`/`s` + `` separator), so the
+    * three key spaces are STRICTLY disjoint — a token that happens to
+    * start with `^`/`$` (or contain any marker) can never alias a
+    * prefix/suffix key, and a value's own token can never dedup
+    * against its prefix/suffix key, keeping block df counts identical
+    * between the operator and any set-semantics oracle. Closes [[candidatePairs]]'s
     * single-token recall gap: a 1-edit typo inside a value's ONLY
     * token shares no token block, but any single edit at position i
     * preserves the first `p` chars (i ≥ p) or the last `p`
@@ -118,9 +123,10 @@ object EntityResolution {
   def candidatePairsMulti(values: DataFrame, maxBlockDf: Long,
       p: Int = 2): DataFrame = {
     val keys = values.select(col("value"), explode(array_union(
-      array_distinct(split(col("value"), "\\s+")),
-      array(concat(lit("^"), expr(s"left(value, $p)")),
-        concat(lit("$"), expr(s"right(value, $p)"))))).as("t"))
+      transform(array_distinct(split(col("value"), "\\s+")),
+        t => concat(lit("t"), t)),
+      array(concat(lit("p"), expr(s"left(value, $p)")),
+        concat(lit("s"), expr(s"right(value, $p)"))))).as("t"))
     val keep = keys.groupBy(col("t"))
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxBlockDf)
@@ -269,14 +275,30 @@ object EntityResolution {
     * full-resolve decision, not an ingest decision — same contract as
     * incremental dedup never re-pairing old×old).
     *
+    * ID contract: new-batch record ids must be DISJOINT from the
+    * resolved corpus's entity ids — an unmatched new value becomes a
+    * singleton entity labeled by its own minimum record id, and an
+    * overlapping id would silently fuse that singleton with an
+    * unrelated existing entity. `validateDisjoint = true` enforces the
+    * contract with one anti-join-shaped probe (new node ids × resolved
+    * entity ids, `limit(1)`), the [[Dedup.jaccardPairsAgainst]] guard.
+    *
     * @param resolved (`value`, `entity`) for the existing corpus —
     *   [[entities]] output collapsed to values, or any attached store
     * @return one row per new record: (idCol, `value`, `entity`) */
   def resolveIncremental(newRecords: DataFrame, idCol: String,
       valueCol: String, resolved: DataFrame, maxDist: Int,
-      maxTokenDf: Long): DataFrame = {
+      maxTokenDf: Long, validateDisjoint: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val newValues = distinctValues(newRecords, idCol, valueCol)
+    if (validateDisjoint) {
+      val overlap = newValues.select(col("node_id").as("__id")).distinct()
+        .join(resolved.select(col("entity").as("__id")).distinct(),
+          Seq("__id")).limit(1)
+      require(overlap.isEmpty,
+        "resolveIncremental: new-batch record ids overlap resolved " +
+          "entity ids — singleton labels require disjoint id spaces")
+    }
     val corpusValues = resolved.select(col("value")).distinct()
     val corpusTok = tokens(corpusValues)
     val keep = corpusTok.groupBy(col("t"))

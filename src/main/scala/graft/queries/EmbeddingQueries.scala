@@ -732,13 +732,18 @@ object EmbeddingQueries {
          |WHERE list_dot_product(a.v, b2.v) >= 0.4""".stripMargin
     },
 
+    // NOT EXISTS, not NOT IN: three-valued logic would collapse the
+    // count to 0 on a corpus with any NULL id, while the Spark side's
+    // left_anti joins (null-safe) still count the null-keyed rows
     "modal_integrity" ->
       """SELECT
         |  (SELECT count(*) FROM documents d
-        |   WHERE d.doc_id NOT IN (SELECT vec_id FROM embeddings))
+        |   WHERE NOT EXISTS (SELECT 1 FROM embeddings e2
+        |                     WHERE e2.vec_id = d.doc_id))
         |    AS docs_without_vec,
         |  (SELECT count(*) FROM embeddings e
-        |   WHERE e.vec_id NOT IN (SELECT doc_id FROM documents))
+        |   WHERE NOT EXISTS (SELECT 1 FROM documents d2
+        |                     WHERE d2.doc_id = e.vec_id))
         |    AS vecs_without_doc,
         |  (SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |   FROM (SELECT vec_id, count(*) AS c FROM embeddings GROUP BY 1))
@@ -778,7 +783,8 @@ object EmbeddingQueries {
          |  WHERE a.vec_id < b2.vec_id
          |    AND list_dot_product(a.v, b2.v) >= 0.4)
          |SELECT ne.n_exact, nl.n_lsh,
-         |  (10000 * nl.n_lsh) // ne.n_exact AS recall_e4
+         |  CASE WHEN ne.n_exact > 0 THEN (10000 * nl.n_lsh) // ne.n_exact
+         |       ELSE 10000 END AS recall_e4
          |FROM ne, nl""".stripMargin
     },
 

@@ -634,7 +634,10 @@ object RelationalQueries {
         .localCheckpoint(true)
       graft.operators.EntityResolution.resolveIncremental(
         batch, "p_partkey", "p_name", resolved, maxDist = 1,
-        maxTokenDf = 1000)
+        maxTokenDf = 1000,
+        // batch ids ≡ 0 (mod 5), corpus entity ids ≢ 0 — provably
+        // disjoint, so the contract guard is free to leave on
+        validateDisjoint = true)
         .withColumnRenamed("p_partkey", "partkey")
     }),
 
@@ -697,9 +700,11 @@ object RelationalQueries {
          |  SELECT lower(trim(p_name)) AS value FROM part
          |  WHERE length(lower(trim(p_name))) > 0 GROUP BY 1),
          |keys AS (
-         |  SELECT value, unnest(list_concat(
-         |    list_distinct(string_split_regex(value, '\\s+')),
-         |    ['^' || left(value, 2), '$$' || right(value, 2)])) AS t
+         |  SELECT value, unnest(list_distinct(list_concat(
+         |    list_transform(list_distinct(string_split_regex(value, '\\s+')),
+         |      t -> 't' || chr(1) || t),
+         |    ['p' || chr(1) || left(value, 2),
+         |     's' || chr(1) || right(value, 2)]))) AS t
          |  FROM names),
          |keep AS (SELECT t FROM keys GROUP BY t HAVING count(*) <= 1000),
          |cand AS (SELECT DISTINCT a.value AS val_a, b.value AS val_b

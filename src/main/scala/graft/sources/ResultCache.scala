@@ -31,15 +31,22 @@ object ResultCache {
     val key = manifestKey(manifest)
     val keyPath = Paths.get(cacheDir, "_manifest_digest")
     val resultPath = s"$cacheDir/result"
+    // a hit requires the key AND a committed result (_SUCCESS marker):
+    // a partially-written result dir can never be served
     val hit = Files.exists(keyPath) &&
       new String(Files.readAllBytes(keyPath), StandardCharsets.UTF_8) == key &&
-      Files.exists(Paths.get(resultPath))
+      Files.exists(Paths.get(resultPath, "_SUCCESS"))
     if (hit) (spark.read.parquet(resultPath), true)
     else {
-      compute.write.mode("overwrite").parquet(resultPath)
       Files.createDirectories(Paths.get(cacheDir))
-      // key written AFTER the result: a crash between the two leaves a
-      // stale key absent, never a key pointing at a half-written result
+      // retract the OLD key BEFORE touching the result: a crash while
+      // overwriting can otherwise leave the old key pointing at a new
+      // (possibly half-written) result, which a later manifest flap back
+      // to the old digest would then serve as a false hit
+      Files.deleteIfExists(keyPath)
+      compute.write.mode("overwrite").parquet(resultPath)
+      // key written AFTER the result commits: a crash between the two
+      // leaves the key absent, never a key pointing at a torn result
       Files.write(keyPath, key.getBytes(StandardCharsets.UTF_8))
       (spark.read.parquet(resultPath), false)
     }

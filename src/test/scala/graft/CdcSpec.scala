@@ -141,4 +141,17 @@ class CdcSpec extends SparkTestBase {
       .select("status").distinct().collect().map(_.getString(0)).toSeq
     assert(st == Seq("unchanged"))
   }
+
+  test("snapshotDiff treats NULL content as a value, not as absence") {
+    import spark.implicits._
+    val n: String = null
+    // 1: null→null (unchanged)  2: "b"→null (changed)
+    // 3: null→"c" (changed)     4: present-with-null on old side only
+    val oldS = Seq((1L, n), (2L, "b"), (3L, n), (4L, n)).toDF("id", "text")
+    val newS = Seq((1L, n), (2L, n), (3L, "c")).toDF("id", "text")
+    val got = Cdc.snapshotDiff(oldS, newS, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "changed", 4L -> "removed"))
+  }
 }

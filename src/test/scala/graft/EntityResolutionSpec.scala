@@ -156,6 +156,43 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(got == Map(10L -> 1L))
   }
 
+  test("resolveIncremental validateDisjoint trips on overlapping id spaces") {
+    val corpus = records(1L -> "acme corp", 3L -> "zeta ltd")
+    val resolved = EntityResolution.entities(corpus, "id", "name", 1, 100)
+      .select(col("value"), col("entity")).distinct()
+    // batch record id 1 collides with corpus entity id 1: its
+    // unmatched value would silently fuse with the acme entity
+    val batch = records(1L -> "omega gmbh")
+    val ex = intercept[IllegalArgumentException] {
+      EntityResolution.resolveIncremental(batch, "id", "name", resolved,
+        maxDist = 1, maxTokenDf = 100, validateDisjoint = true).collect()
+    }
+    assert(ex.getMessage.contains("disjoint id spaces"))
+    // disjoint ids pass the guard unchanged
+    val ok = EntityResolution.resolveIncremental(
+      records(10L -> "omega gmbh"), "id", "name", resolved,
+      maxDist = 1, maxTokenDf = 100, validateDisjoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ok == Map(10L -> 10L))
+  }
+
+  test("multi-blocker key spaces are disjoint: ^/$-leading tokens never alias blocks") {
+    // old '^'-marker scheme: the TOKEN "^ab" of value "^ab" equals the
+    // PREFIX key of any value starting "ab" — a cross-kind collision
+    // that perturbs block df counts. Kind-tagged keys make the spaces
+    // strictly disjoint: these two values share no block.
+    val df = records(1L -> "^ab", 2L -> "abzzzz")
+    val cand = EntityResolution.candidatePairsMulti(
+      df.select(col("name").as("value")), maxBlockDf = 1000)
+    assert(cand.count() == 0L,
+      "a token equal to a would-be prefix key must not form a block")
+    // and real prefix blocking still pairs values sharing a prefix
+    val cand2 = EntityResolution.candidatePairsMulti(
+      records(1L -> "alphabet", 2L -> "alphabez")
+        .select(col("name").as("value")), maxBlockDf = 1000)
+    assert(cand2.count() == 1L)
+  }
+
   test("null and empty values are dropped, never resolved") {
     val df = Seq((1L, "acme corp"), (2L, null.asInstanceOf[String]),
       (3L, "  ")).toDF("id", "name")

@@ -42,6 +42,46 @@ class ResultCacheSpec extends SparkTestBase {
     assert(hit4 && computes == 2)
   }
 
+  test("old key is retracted BEFORE recompute: a crash mid-write can't serve stale") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rc3").toString
+    val v1 = corpus((1L, "aaa", "A"))
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Dedup.contentManifest(df, "text", "source")
+    ResultCache.serveOrCompute(spark, dir, manifest(v1))(profile(v1))
+    val keyPath = java.nio.file.Paths.get(dir, "_manifest_digest")
+    assert(java.nio.file.Files.exists(keyPath))
+    // simulate a crash DURING the result overwrite for a changed input:
+    // compute throws after the old key must already be gone
+    val v2 = corpus((1L, "bbb", "A"))
+    intercept[RuntimeException] {
+      ResultCache.serveOrCompute(spark, dir, manifest(v2)) {
+        assert(!java.nio.file.Files.exists(keyPath),
+          "old key must be retracted before the result is touched")
+        throw new RuntimeException("crash mid-compute")
+      }
+    }
+    // after the crash the cache self-heals: the old manifest is a MISS
+    // (its key was retracted — it can never point at a torn result)
+    var recomputed = false
+    ResultCache.serveOrComputeWithStatus(spark, dir, manifest(v1)) {
+      recomputed = true; profile(v1)
+    } match { case (_, hit) => assert(!hit && recomputed) }
+  }
+
+  test("a hit requires a committed result: missing _SUCCESS forces recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rc4").toString
+    val v1 = corpus((1L, "aaa", "A"))
+    val m = Dedup.contentManifest(v1, "text", "source")
+    ResultCache.serveOrCompute(spark, dir, m)(profile(v1))
+    val success = java.nio.file.Paths.get(dir, "result", "_SUCCESS")
+    assert(java.nio.file.Files.exists(success))
+    java.nio.file.Files.delete(success) // torn/uncommitted result dir
+    val (_, hit) = ResultCache.serveOrComputeWithStatus(spark, dir, m) {
+      profile(v1)
+    }
+    assert(!hit, "an uncommitted result dir must never be served")
+  }
+
   test("a doc moving between sources invalidates even at equal totals") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rc2").toString
     val v1 = corpus((1L, "aaa", "A"), (2L, "bbb", "B"))
