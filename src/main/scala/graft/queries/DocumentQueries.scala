@@ -458,18 +458,23 @@ object DocumentQueries {
 
     // BPE merge TRAINING (TextAnalysis.bpeTrain — the trainer-side
     // twin of tokenize_with_vocab): the ordered merge table learned
-    // from the corpus's word-frequency dictionary, 12 steps.
-    // Deliberately has NO SQL oracle (each step's tokenization depends
-    // on the previous learned merge — aggregation inside recursion is
-    // inexpressible in DuckDB SQL), so the driver records the weaker
-    // rows-check; DedupTextSpec pins the merge table against a
-    // hand-computed reference, and determinism is by construction
-    // (exact long counts, total-order tie-break)
+    // from the corpus's word-frequency dictionary, 12 steps. TRAINING
+    // is inexpressible in DuckDB SQL (each step's tokenization depends
+    // on the previous learned merge — aggregation inside recursion),
+    // so the oracle is a GOLDEN pin: the merge table is deterministic
+    // on the fixture (exact long counts, total-order tie-break), and
+    // the pinned values double as the literal merge table the
+    // bpe_tokenize oracle replays. DedupTextSpec additionally pins the
+    // trainer against a hand-computed reference.
     "bpe_merges" -> ((s, dir) => trainedBpe(s, dir)._1),
 
     // the SERVING side: tokenize the corpus with the learned table
-    // (subword-nmt lowest-rank-first application, row-local walk);
-    // same rows-check rationale as the trainer it depends on
+    // (subword-nmt lowest-rank-first application, row-local walk).
+    // Unlike training, SERVING a fixed merge table IS SQL-expressible:
+    // the oracle replays the golden table with a recursive CTE
+    // (lowest-rank present pair per iteration, greedy left-to-right
+    // application folded via list_reduce) — a full algorithmic
+    // replication, not a hash pin.
     "bpe_tokenize" -> ((s, dir) => {
       val (_, merges) = trainedBpe(s, dir)
       TextAnalysis.bpeTokenize(docs(s, dir), "text", "doc_id", merges)
@@ -1728,8 +1733,85 @@ object DocumentQueries {
       |      AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS digest60
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** The golden BPE merge table: bpeTrain(nMerges = 12) on the driver
+    * fixture, deterministic by construction (exact integer pair
+    * counts, (freq desc, left asc, right asc) total-order tie-break).
+    * Shared by the `bpe_merges` pin and the `bpe_tokenize` replay. */
+  private val bpeMergeValues: String =
+    """(1,'e','r',4568), (2,'e','</w>',4473), (3,'n','</w>',2834),
+      |(4,'er','</w>',2779), (5,'o','w',2747), (6,'ow','</w>',2747),
+      |(7,'o','r',2696), (8,'s','t',2676), (9,'h','</w>',1884),
+      |(10,'a','t',1845), (11,'l','u',1831), (12,'i','n',1796)"""
+      .stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "hybrid_search" -> hybridSql,
+
+    // golden pin of the deterministic trainer output (see the query's
+    // comment — training itself is inexpressible in SQL)
+    "bpe_merges" ->
+      s"""SELECT CAST(step AS INT) AS step, "left", "right",
+         |  CAST(freq AS BIGINT) AS freq
+         |FROM (VALUES
+         |$bpeMergeValues
+         |) t(step, "left", "right", freq)""".stripMargin,
+
+    // full algorithmic replication of subword-nmt SERVING over the
+    // golden merge table: per distinct word, iterate "merge the
+    // lowest-ranked present adjacent pair" to fixpoint (recursive CTE
+    // with UNION termination), each application greedy left-to-right
+    // via a list_reduce fold over a chr(31)-delimited accumulator
+    // (fixture is printable ASCII — the delimiter cannot occur in a
+    // token); pieces rejoin doc words by position and digest in order
+    "bpe_tokenize" ->
+      s"""WITH RECURSIVE
+         |branks(rk, l, r) AS (SELECT step, "left", "right" FROM (VALUES
+         |$bpeMergeValues
+         |) t(step, "left", "right", freq)),
+         |rmap AS (SELECT MAP(list(l || chr(31) || r ORDER BY rk),
+         |                    list(rk ORDER BY rk)) AS m FROM branks),
+         |dw AS (SELECT doc_id, w, widx FROM (
+         |   SELECT doc_id,
+         |     unnest(string_split_regex(lower(text), '\\s+')) AS w,
+         |     generate_subscripts(
+         |       string_split_regex(lower(text), '\\s+'), 1) AS widx
+         |   FROM documents) WHERE w <> ''),
+         |words AS (SELECT DISTINCT w FROM dw),
+         |init AS (SELECT w,
+         |  list_append(list_transform(range(1, length(w) + 1),
+         |    i -> substr(w, CAST(i AS INT), 1)), '</w>') AS syms
+         |  FROM words),
+         |it(w, syms) AS (
+         |  SELECT w, syms FROM init
+         |  UNION
+         |  SELECT w,
+         |    CASE WHEN best IS NULL THEN syms
+         |         ELSE string_split(list_reduce(syms, (acc, x) ->
+         |           CASE WHEN x = br AND acc = bl THEN bl || br
+         |                WHEN x = br AND ends_with(acc, chr(31) || bl)
+         |                  THEN left(acc, length(acc) - length(bl))
+         |                       || bl || br
+         |                ELSE acc || chr(31) || x END), chr(31))
+         |    END
+         |  FROM (
+         |    SELECT s.w, s.syms, s.best, rr.l AS bl, rr.r AS br
+         |    FROM (
+         |      SELECT w, syms,
+         |        list_min(list_transform(range(1, len(syms)),
+         |          i -> m[syms[CAST(i AS INT)] || chr(31)
+         |                 || syms[CAST(i AS INT) + 1]][1])) AS best
+         |      FROM it, rmap) s LEFT JOIN branks rr ON rr.rk = s.best)),
+         |fin AS (
+         |  SELECT w, syms FROM it, rmap
+         |  WHERE list_min(list_transform(range(1, len(syms)),
+         |    i -> m[syms[CAST(i AS INT)] || chr(31)
+         |           || syms[CAST(i AS INT) + 1]][1])) IS NULL),
+         |tok AS (SELECT doc_id, widx, syms FROM dw JOIN fin USING (w)),
+         |pieces AS (SELECT doc_id, widx, unnest(syms) AS p,
+         |  generate_subscripts(syms, 1) AS pidx FROM tok)
+         |SELECT doc_id, count(*) AS n_pieces,
+         |  md5(string_agg(p, ' ' ORDER BY widx, pidx)) AS pieces_md5
+         |FROM pieces GROUP BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT d.doc_id, c.canonical_id
