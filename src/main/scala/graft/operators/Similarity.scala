@@ -588,12 +588,21 @@ object Similarity {
     * which keeps everything inside Spark's managed broadcast join.
     */
   def nearDupPairsKernel(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Int = 1 << 20): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val rows = corpus
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
+    // LOUD contract on the driver collect: this kernel is the
+    // per-bucket building block — a corpus past the broadcast envelope
+    // must be bucketed (LSH bands / IVF partitions) before the kernel
+    // runs per bucket, or served by the managed-broadcast nearDupPairs
+    require(rows.length <= maxRows,
+      s"nearDupPairsKernel: ${rows.length} rows exceed maxRows=$maxRows " +
+        "— this driver-collected kernel is the per-bucket building " +
+        "block; bucket first (lshNearDupPairs / IVF partitions) or use " +
+        "nearDupPairs' managed broadcast join")
     val bc = spark.sparkContext.broadcast(rows)
     val n = rows.length
     val tasks = math.max(1, math.min(64, n / 16))

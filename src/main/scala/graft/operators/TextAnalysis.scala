@@ -72,9 +72,19 @@ object TextAnalysis {
     * ride a broadcast join rather than a collected map literal. The
     * ranking window runs over the already-`limit(k)`-bounded frame, so
     * the single-partition sort it implies is k rows, never the corpus
-    * vocabulary. */
-  def buildVocabTable(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    * vocabulary — [[graft.plans.PlanLint]]'s `single-partition-window`
+    * rule exempts exactly this shape (window input bounded by an
+    * in-plan limit; exemption spec-pinned). The explicit `maxK` bound
+    * makes the k-row envelope LOUD: past ~10⁶ entries the one-task
+    * rank is no longer cheap and the id assignment should move to the
+    * distributed prefix-sum machinery ([[graft.operators.Packing]]). */
+  def buildVocabTable(df: DataFrame, textCol: String, k: Int,
+      maxK: Int = 1 << 20): DataFrame = {
     require(k > 0, "k must be positive")
+    require(k <= maxK,
+      s"buildVocabTable: k=$k exceeds maxK=$maxK — the final rank runs " +
+        "in one task over k rows; for larger vocabularies assign ids " +
+        "with the distributed prefix-sum machinery instead")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("token"))
     df.select(explode(tokens(col(textCol))).as("token"))

@@ -1240,30 +1240,36 @@ object EventQueries {
     }),
 
     // time-series SIMILARITY search ("which entities behave like this
-    // one?"): per-user daily count series, zero-filled over the dense
-    // (user × day) grid, ranked by EXACT integer squared euclidean
-    // distance to the query user's series — no float normalization,
-    // so the ranking is deterministic. Grid size is |users|·|days|
-    // (linear in entities, never event volume); the query series
-    // broadcasts
+    // one?"): per-user daily count series ranked by EXACT integer
+    // squared euclidean distance to the query user's series over the
+    // shared day grid — no float normalization, so the ranking is
+    // deterministic. SPARSE algebra, no dense grid: over the zero
+    // -filled grid, dist²(u,q) = Σ_d qc_d² + Σ_{d: c_u,d>0}
+    // ((c−qc)² − qc²) — days where BOTH series are 0 contribute
+    // nothing, user-only days contribute c², query-only days are the
+    // broadcast Σqc² constant corrected on overlap. Cost is the
+    // user-day SPARSE row count (≤ event volume after the first
+    // dedup-agg), never |users|·|days| — at 10⁹ users × 365 days the
+    // dense grid is 3.6e11 rows; this never materializes it
     "series_similarity" -> ((s, dir) => {
       val cnt = events(s, dir)
         .select(col("user_id"), col("ts").cast("date").as("day"))
         .groupBy(col("user_id"), col("day"))
         .agg(count(lit(1)).as("c"))
-      val users = cnt.select(col("user_id")).distinct()
-      val days = cnt.select(col("day")).distinct()
-      val dense = users.crossJoin(days)
-        .join(cnt, Seq("user_id", "day"), "left")
-        .select(col("user_id"), col("day"),
-          coalesce(col("c"), lit(0L)).as("c"))
-      val q = dense.where(col("user_id") === 7)
+      val q = cnt.where(col("user_id") === 7)
         .select(col("day"), col("c").as("qc"))
-      dense.where(col("user_id") =!= 7)
-        .join(broadcast(q), Seq("day"))
+      // Σqc² — the whole-grid constant (zero days contribute 0)
+      val q2 = q.agg(coalesce(sum(col("qc") * col("qc")), lit(0L))
+        .as("__q2"))
+      cnt.where(col("user_id") =!= 7)
+        .join(broadcast(q), Seq("day"), "left")
+        .withColumn("__qc", coalesce(col("qc"), lit(0L)))
         .groupBy(col("user_id"))
-        .agg(sum((col("c") - col("qc")) * (col("c") - col("qc")))
-          .as("dist2"))
+        .agg(sum((col("c") - col("__qc")) * (col("c") - col("__qc"))
+          - col("__qc") * col("__qc")).as("__part"))
+        .crossJoin(broadcast(q2)) // 1-row stats frame
+        .select(col("user_id"),
+          (col("__part") + col("__q2")).as("dist2"))
         .orderBy(col("dist2").asc, col("user_id"))
         .limit(5)
     }),

@@ -924,6 +924,21 @@ class DedupTextSpec extends SparkTestBase {
     assert(!m.contains(("A", "C")) && !m.contains(("B", "C")))
   }
 
+  test("buildVocabTable: PlanLint-clean at k=250k, loud past the maxK bound") {
+    val df = Seq((1L, "a b c a"), (2L, "b c d")).toDF("doc_id", "text")
+    // the rank window runs AFTER limit(k) — PlanLint's bounded-input
+    // exemption must hold even at the BPE-scale k (the project's own
+    // linter can't flag its own operator under user composition)
+    val findings = graft.plans.PlanLint.audit(
+      TextAnalysis.buildVocabTable(df, "text", k = 250000))
+    assert(findings.isEmpty, findings.toString)
+    // and the k-row one-task envelope is a loud contract, not implicit
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.buildVocabTable(df, "text", k = 2000000)
+    }
+    assert(ex.getMessage.contains("prefix-sum"))
+  }
+
   test("sourceOverlapMatrix df cap drops boilerplate shared by hot docs") {
     // the shared shingle set appears in 3 docs; cap at 2 removes it
     val df = Seq(

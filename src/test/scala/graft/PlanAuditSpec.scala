@@ -591,6 +591,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("series similarity is sparse: no dense user×day grid in the plan") {
+    val p = plan("series_similarity")
+    // the distance is computed over the SPARSE user-day rows plus a
+    // broadcast query series and a 1-row Σqc² constant — never a
+    // users.crossJoin(days) dense grid; the only nested-loop join
+    // allowed is the single-row stats combine
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("entity resolution: fuzzy work never touches the records table twice") {
     val p = plan("er_part_matches")
     // no cartesian anywhere; the match set comes off the token posting

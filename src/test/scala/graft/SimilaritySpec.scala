@@ -277,4 +277,20 @@ class SimilaritySpec extends SparkTestBase {
     val top = got.groupBy(_._1).map { case (l, g) => l -> g.maxBy(_._3)._2 }
     assert(top == Map(0L -> 99L, 1L -> 199L))
   }
+
+  test("nearDupPairsKernel: the driver collect fails loud past maxRows") {
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairsKernel(df, "vec_id", "embedding",
+        threshold = 0.9, maxRows = 2).collect()
+    }
+    // the error names the bucketed scale paths
+    assert(ex.getMessage.contains("lshNearDupPairs"))
+    // under the bound the kernel still answers exactly
+    val ok = Similarity.nearDupPairsKernel(df, "vec_id", "embedding",
+      threshold = 0.9, maxRows = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok == Set((1L, 2L)))
+  }
 }
