@@ -374,18 +374,24 @@ final class TimeSeriesService(
     else store.where(col("__batch_id").isin(kept: _*)).drop("__batch_id")
   }
 
-  /** DASHBOARD batch read — `get-timeseries` for SEVERAL counter
-    * facts of one dimension in ONE event-store scan: a dashboard
-    * rendering k tiles over the same range otherwise costs k full
-    * scans of the store; here the fact id rides as an extra grouping
-    * column through the same scan → collapse → fill pipeline, so the
-    * result is EXACTLY the union of the per-fact reads (spec-pinned)
-    * at one scan's cost. Counter facts only (mixed partial shapes
-    * cannot share one value column — read other types per fact), and
-    * all facts must agree on the effective slice (the scan's bucket
-    * floor is per-slice). Always compute-on-read: rollup serving
-    * stays per-fact ([[getTimeseries]]).
-    * Output: (routed dims…, `fact`, `bucket`, `value`). */
+  /** DASHBOARD batch read — `get-timeseries` for SEVERAL facts of one
+    * dimension at one scan's cost: a dashboard rendering k tiles over
+    * the same range otherwise costs k full scans of the store; here
+    * the fact id rides as an extra grouping column through the same
+    * scan → collapse → fill pipeline, so the result is EXACTLY the
+    * union of the per-fact reads (spec-pinned). Serves COUNTER and
+    * AVERAGE facts (histogram/distinct partial shapes stay per-fact
+    * reads); each TYPE group runs one pipeline whose store scan reads
+    * only that group's fact partitions (disjoint row sets — the total
+    * IO of one scan of the requested facts). All facts must agree on
+    * the effective slice (the scan's bucket floor is per-slice).
+    * Always compute-on-read: rollup serving stays per-fact
+    * ([[getTimeseries]]).
+    *
+    * Output: all-counter → (routed dims…, `fact`, `bucket`, `value`);
+    * all-average → (…, `counter`, `total`); MIXED → (…, `value`,
+    * `counter`, `total`) with the non-applicable columns null per row
+    * — the null-padded union of the per-type schemas. */
   def getTimeseriesMulti(factIds: Seq[String], dimId: String,
       filters: Map[String, Option[String]],
       start: Timestamp, finish: Timestamp,
@@ -394,9 +400,11 @@ final class TimeSeriesService(
     val facts = factIds.map(id => catalog.fact(id).getOrElse(
       throw new IllegalArgumentException(
         s"Non existent fact $id specified. Please check your schema.")))
-    require(facts.forall(_.ftype == FactType.Counter),
-      "getTimeseriesMulti serves COUNTER facts; mixed-type dashboards " +
-        "read non-counters per fact (partial shapes differ)")
+    require(facts.forall(f =>
+        f.ftype == FactType.Counter || f.ftype == FactType.Average),
+      "getTimeseriesMulti serves COUNTER and AVERAGE facts; " +
+        "histogram/distinct dashboards read those facts per fact " +
+        "(partial shapes differ)")
     val dim = catalog.dimension(dimId).getOrElse(
       throw new IllegalArgumentException(
         s"Non existent dimension $dimId specified. Please check your schema"))
@@ -408,19 +416,34 @@ final class TimeSeriesService(
     require(slices.size == 1,
       s"getTimeseriesMulti facts disagree on the effective slice: " +
         s"${factIds.zip(facts.map(f => dim.sliceMinutes.getOrElse(f.sliceMinutes))).mkString(", ")}")
-    // the gap fill uses ONE filler for the whole frame — facts with
+    val counters = factIds.zip(facts).filter(_._2.ftype == FactType.Counter)
+    val averages = factIds.zip(facts).filter(_._2.ftype == FactType.Average)
+    // the gap fill uses ONE filler per frame — counter facts with
     // different fillers would silently fill each other's gaps wrong
-    require(facts.map(_.filler).distinct.size == 1,
-      s"getTimeseriesMulti facts disagree on the filler: " +
-        s"${factIds.zip(facts.map(_.filler)).mkString(", ")} — " +
+    // (averages always fill with the (0, 0) partial, filler-free)
+    require(counters.map(_._2.filler).distinct.size <= 1,
+      s"getTimeseriesMulti counter facts disagree on the filler: " +
+        s"${counters.map { case (id, f) => (id, f.filler) }.mkString(", ")} — " +
         "read facts with different fillers per fact")
     val dimCols = grouping.map(d => col("categories").getItem(d).as(d))
-    val prepared = eventsDF
-      .where(col("fact").isin(factIds: _*))
-      .select(dimCols ++ Seq(col("fact"), col("ts"), col("value"),
-        col("__event_date")): _*)
-    graft.operators.Timeseries.run(prepared, facts.head, slices.head,
-      grouping :+ "fact", filters, start, finish, step, offsetHours)
+    def runGroup(group: Seq[(String, graft.model.FactDef)]): DataFrame = {
+      val ids = group.map(_._1)
+      val prepared = eventsDF
+        .where(col("fact").isin(ids: _*))
+        .select(dimCols ++ Seq(col("fact"), col("ts"), col("value"),
+          col("__event_date")): _*)
+      graft.operators.Timeseries.run(prepared, group.head._2, slices.head,
+        grouping :+ "fact", filters, start, finish, step, offsetHours)
+    }
+    (counters, averages) match {
+      case (c, Seq()) => runGroup(c)
+      case (Seq(), a) => runGroup(a)
+      case (c, a) =>
+        val nul = lit(null).cast(org.apache.spark.sql.types.LongType)
+        runGroup(c)
+          .withColumn("counter", nul).withColumn("total", nul)
+          .unionByName(runGroup(a).withColumn("value", nul))
+    }
   }
 
   /** [[getTimeseries]] pinned to the [[eventsAsOf]] watermark. Always

@@ -380,11 +380,35 @@ class TimeSeriesServiceSpec extends SparkTestBase {
           r.getLong(3)))
     }.toSet
     assert(multi == perFact)
-    // non-counter facts refuse
+    // MIXED counter+average: the null-padded union of the per-type
+    // reads — counter rows carry value, average rows carry the
+    // re-aggregable (counter, total) pair
+    for (i <- 0 until 4)
+      svc.newFact("lat", ts(f"2014-03-21T${9 + i % 2}%02d:2$i"),
+        100L + i, Map("dep" -> "d0"))
+    val mixed = svc.getTimeseriesMulti(Seq("a_count", "lat"), "dep",
+        Map("dep" -> None),
+        ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+    val expCnt = svc.getTimeseries("a_count", "dep", Map("dep" -> None),
+        ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+      .collect().map(r => (r.getString(0), "a_count", r.getTimestamp(1),
+        Some(r.get(2)), None, None))
+    val expAvg = svc.getTimeseries("lat", "dep", Map("dep" -> None),
+        ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+      .collect().map(r => (r.getString(0), "lat", r.getTimestamp(1),
+        None, Some(r.get(2)), Some(r.get(3))))
+    assert(mixed == (expCnt ++ expAvg).toSet)
+    // histogram/distinct partial shapes stay per-fact reads
+    svc.defineFact("hist", FactType.Histogram, slice = 10,
+      start = Some(0L), end = Some(50L), step = Some(10L))
+    svc.updateDimension("dep", "hist")
     val e = intercept[IllegalArgumentException](svc.getTimeseriesMulti(
-      Seq("a_count", "lat"), "dep", Map("dep" -> None),
+      Seq("a_count", "hist"), "dep", Map("dep" -> None),
       ts("2014-03-21T09:00"), ts("2014-03-21T12:00")))
-    assert(e.getMessage.contains("COUNTER"))
+    assert(e.getMessage.contains("COUNTER and AVERAGE"))
   }
 
   test("as-of batch time travel: watermark reads match per-batch prefixes") {
