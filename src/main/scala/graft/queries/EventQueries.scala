@@ -705,6 +705,26 @@ object EventQueries {
           sum(col("value_cents")).as("sum_cents"))
     }),
 
+    // DATE-PARTITIONED raw deployment layout (sources/Layout
+    // .writeDatePartitioned): the RAW feed rewritten as event_date=
+    // hive directories — the read states its date bounds beside the
+    // ts predicate (the ingested store's __event_date discipline), so
+    // the unrequested days prune at the PARTITION INDEX, before any
+    // row group opens (plan-audit-pinned PartitionFilters). The
+    // oracle gates losslessness: the ranged aggregate over the
+    // partitioned copy must equal the same aggregate over the raw
+    // fixture.
+    "events_date_partitioned" -> ((s, dir) => {
+      val path = datePartitionedStore(s, dir)
+      s.read.parquet(path)
+        .where(col("event_date") >= lit("2024-01-08").cast("date") &&
+          col("event_date") < lit("2024-01-15").cast("date") &&
+          col("ts") >= lit(ts("2024-01-08T00:00")) &&
+          col("ts") < lit(ts("2024-01-15T00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(one).as("n_events"), sum(cents).as("sum_cents"))
+    }),
+
     // Z-ORDER clustered layout (sources/Layout): events rewritten with
     // (user_id, ts) Morton-interleaved range clustering, so parquet
     // min/max stats stay tight on BOTH columns — a predicate on either
@@ -2215,6 +2235,18 @@ object EventQueries {
       rollPath
     })
 
+  /** Date-partitioned (event_date= hive layout) copy of the RAW
+    * events table, laid out once per (session, sf dir). */
+  private val datePartedDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def datePartitionedStore(s: SparkSession, dir: String): String =
+    datePartedDirs.getOrElseUpdate((s, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_dateparted")
+        .toString + "/events"
+      graft.sources.Layout.writeDatePartitioned(events(s, dir), "ts", out)
+      out
+    })
+
   /** Z-ordered copy of the events table, laid out once per
     * (session, sf dir). */
   private val zorderedDirs =
@@ -3398,6 +3430,19 @@ object EventQueries {
         |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
         |    >= 50 THEN 1 END) AS n_hi
         |FROM events GROUP BY 1""".stripMargin,
+
+    // the date-partitioned copy must aggregate exactly like the raw
+    // fixture over the same ts range (the date bounds on the Spark
+    // side are pruning-only — derived from, and covering, the ts
+    // predicate)
+    "events_date_partitioned" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1""".stripMargin,
 
     // the clustered copy must aggregate exactly like the original
     "events_zorder_roundtrip" ->

@@ -79,4 +79,22 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** The deployment layout for a RAW event feed at 100 TB: one
+    * `event_date=` hive partition directory per calendar day of
+    * `tsCol`, so any time-ranged read that also states its date bounds
+    * prunes whole directories at the partition index — before a single
+    * row group is opened. The in-partition shuffle keys on the date so
+    * each day writes a bounded file count (a day's data is one task
+    * set, not `spark.sql.shuffle.partitions` shards per day).
+    *
+    * Reading discipline (same as the ingested store's `__event_date`):
+    * derive `event_date` bounds from the `ts` predicate and state BOTH
+    * — Spark does not infer partition-column bounds from a predicate
+    * on the timestamp the partition was derived from. */
+  def writeDatePartitioned(df: DataFrame, tsCol: String,
+      path: String): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(path)
 }

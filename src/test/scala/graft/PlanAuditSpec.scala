@@ -285,6 +285,18 @@ class PlanAuditSpec extends SparkTestBase {
       .findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("date-partitioned raw events: date bounds prune event_date= dirs") {
+    val p = plan("events_date_partitioned")
+    // the RAW deployment layout's pruning claim, driven end to end:
+    // the read's date bounds must reach the scan as PARTITION filters
+    // (whole-directory pruning at the partition index), with the ts
+    // bounds still pushed to the row-group level underneath
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(p)
+      .isDefined, p.take(3000))
+    assert(p.contains("PushedFilters"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(ts"), p.take(3000))
+  }
+
   test("persisted IVF store: the probe set prunes part= directories") {
     val p = plan("ann_ivf_persisted")
     // the probe ids must reach the vector store as a PARTITION filter
