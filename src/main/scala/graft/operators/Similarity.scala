@@ -792,14 +792,62 @@ object Similarity {
     *
     * Centroid drift is the documented trade: appended vectors do not
     * move the centroids (frozen index = stable probe semantics);
-    * re-fit with [[kmeansFit]] + full [[writeIvfCorpus]] when drift
-    * accumulates. */
+    * [[refitIvfIndex]] measures the drift and refreshes the index when
+    * it crosses the threshold, and a full [[kmeansFit]] +
+    * [[writeIvfCorpus]] rewrite re-partitions when locality itself has
+    * degraded. */
   def appendIvfCorpus(newBatch: DataFrame, index: DataFrame, idCol: String,
       vecCol: String, path: String,
       dotFn: (Column, Column) => Column = dot): Unit = {
     val assigned = assignToCentroids(newBatch, index, idCol, vecCol, dotFn)
     newBatch.join(assigned, Seq(idCol))
       .write.mode("append").partitionBy("part").parquet(path)
+  }
+
+  /** Centroid DRIFT of a persisted IVF store against its serving
+    * index: per part, the L2 distance between the index's centroid and
+    * the partition's CURRENT mean vector — the number that says how
+    * stale the index is after a run of [[appendIvfCorpus]] batches.
+    * One store scan (the same map-side-combined mean aggregation as
+    * [[centroids]]) joined against the k-row index; parts with no
+    * store rows report no drift (no data moved nothing).
+    * Output: (`part`, `drift`). */
+  def ivfDrift(store: DataFrame, index: DataFrame,
+      vecCol: String): DataFrame =
+    centroids(store.select(col("part").cast("long").as("part"),
+        col(vecCol)), "part", vecCol)
+      .withColumnRenamed("centroid", "__cur")
+      .join(index.select(col("part").cast("long").as("part"),
+        col("centroid").cast("array<double>").as("__idx")), Seq("part"))
+      .select(col("part"),
+        sqrt(aggregate(zip_with(col("__cur"), col("__idx"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)).as("drift"))
+
+  /** The IVF MAINTENANCE trigger — closes the loop
+    * [[appendIvfCorpus]] documents: measure [[ivfDrift]] on the store;
+    * at or below `threshold` the serving index HOLDS (returned
+    * unchanged, no IO); past it the index REFRESHES to the store's
+    * current partition means (one Lloyd mean step — the `part=` layout
+    * stays valid because partition membership is centroid-DEFINED at
+    * assignment time, so refreshing the probe targets never orphans a
+    * stored vector). When locality itself has degraded — drift large
+    * relative to inter-centroid distances — re-partition fully with
+    * [[kmeansFit]] + [[assignToCentroids]] + [[writeIvfCorpus]] to a
+    * NEW path (never in place: the rewrite reads the store it
+    * replaces).
+    *
+    * Driver data: one k-row drift frame (the index envelope).
+    * @return (serving index, whether the trigger fired) */
+  def refitIvfIndex(store: DataFrame, index: DataFrame, vecCol: String,
+      threshold: Double): (DataFrame, Boolean) = {
+    val maxDrift = ivfDrift(store, index, vecCol)
+      .agg(max(col("drift"))).head() match {
+        case r if r.isNullAt(0) => 0.0 // empty store: nothing drifted
+        case r => r.getDouble(0)
+      }
+    if (maxDrift <= threshold) (index, false)
+    else (centroids(store.select(col("part").cast("long").as("part"),
+      col(vecCol)), "part", vecCol), true)
   }
 
   /** [[ivfTopK]] served from a persisted [[writeIvfCorpus]] store:

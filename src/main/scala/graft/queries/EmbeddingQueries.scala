@@ -188,6 +188,34 @@ object EmbeddingQueries {
         dotFn = GraftFunctions.dotNative)
     }),
 
+    // IVF MAINTENANCE loop (Similarity.refitIvfIndex): the store is
+    // served with a STALE index — the raw v0 seed vectors, as if the
+    // Lloyd refresh never shipped — so measured drift (seed vs current
+    // partition mean) crosses the threshold, the trigger FIRES, and
+    // the index refreshes to the store's partition means. The refit
+    // serving must be indistinguishable from the fresh build:
+    // ann_ivf_persisted's oracle, shared verbatim. (The hold side of
+    // the trigger and the drift numbers are SimilaritySpec-pinned.)
+    "ann_ivf_refit" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+      val store = s"$built/store"
+      if (!new java.io.File(store).exists()) {
+        Similarity.writeIvfCorpus(e, s.read.parquet(s"$built/assign"),
+          "vec_id", store)
+      }
+      val stale = e.where(col("vec_id") < 10)
+        .select(col("vec_id").cast("long").as("part"),
+          col("embedding").cast("array<double>").as("centroid"))
+      val (idx, fired) = Similarity.refitIvfIndex(
+        s.read.parquet(store), stale, "embedding", threshold = 1e-6)
+      require(fired, "the stale v0 index must trigger the refit")
+      Similarity.ivfTopKFromStore(store, idx, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 3,
+        dotFn = GraftFunctions.dotNative)
+    }),
+
     // HARD-NEGATIVE mining (contrastive-training data prep): per
     // query doc, the top-3 most-similar candidates that are NOT
     // positives — near-identical vectors (cosine ≥ 0.95) and exact
@@ -623,6 +651,10 @@ object EmbeddingQueries {
     // identical ranking contract for the partitioned-store serving
     // layout: layout changes what is read, never the answer
     "ann_ivf_persisted" -> kmeansIvfOracle,
+
+    // the refit trigger must land the serving index exactly where the
+    // fresh build put it — oracle shared verbatim
+    "ann_ivf_refit" -> kmeansIvfOracle,
 
     "hard_negatives" ->
       """WITH c AS (

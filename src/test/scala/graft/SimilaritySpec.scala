@@ -278,6 +278,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(top == Map(0L -> 99L, 1L -> 199L))
   }
 
+  test("IVF refit trigger: fires past the drift threshold, holds under it") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark2 = spark
+    import spark2.implicits._
+    // a 2-part store whose partition means are (1,0) and (0,1)
+    val store = Seq(
+      (1L, Array(1.0f, 0.0f), 0L), (2L, Array(1.0f, 0.0f), 0L),
+      (3L, Array(0.0f, 1.0f), 1L), (4L, Array(0.0f, 1.0f), 1L))
+      .toDF("vec_id", "embedding", "part")
+    def index(c0: (Double, Double)) = Seq(
+      (0L, Seq(c0._1, c0._2)), (1L, Seq(0.0, 1.0)))
+      .toDF("part", "centroid")
+    // stale index: part 0's centroid sits at (0.6, 0.8) — drift 0.4
+    val staleIdx = index((0.6, 0.8))
+    val drifts = Similarity.ivfDrift(store, staleIdx, "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(drifts(0L) - math.sqrt(0.16 + 0.64)) < 1e-12)
+    assert(drifts(1L) == 0.0)
+    // threshold below the drift: FIRES, index refreshes to the means
+    val (refit, fired) =
+      Similarity.refitIvfIndex(store, staleIdx, "embedding", 0.5)
+    assert(fired)
+    val got = refit.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got == Map(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0)))
+    // threshold above the drift: HOLDS, the same index comes back
+    val (held, fired2) =
+      Similarity.refitIvfIndex(store, staleIdx, "embedding", 1.0)
+    assert(!fired2 && (held eq staleIdx))
+    // and the refreshed index itself holds at any positive threshold
+    val (_, fired3) =
+      Similarity.refitIvfIndex(store, refit, "embedding", 1e-9)
+    assert(!fired3)
+  }
+
   test("nearDupPairsKernel: the driver collect fails loud past maxRows") {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
       (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
