@@ -1073,6 +1073,92 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("funnel stream survives kill+restart; late click still slots in order") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Long, String)]
+    val (ck, out) = (tmp("graft-fck"), tmp("graft-fout"))
+    def startQ() = StreamingIngest.funnelStream(
+        source.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        stages = Seq("signup", "click", "purchase"),
+        watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    val q1 = startQ()
+    // signup and purchase land; the qualifying click is still missing
+    source.addData(
+      (7L, ts("2024-01-01T10:00"), 1L, "signup"),
+      (7L, ts("2024-01-01T10:30"), 3L, "purchase"))
+    q1.processAllAvailable()
+    // the late click is IN FLIGHT (added, never processed) at kill time
+    source.addData((7L, ts("2024-01-01T10:10"), 2L, "click"))
+    q1.stop()
+    val q2 = startQ()
+    // the recovered pending buffer + stage gate must still order the
+    // click BEFORE the purchase; a second user's funnel spans the
+    // restart to pin that fresh state coexists with recovered state
+    source.addData(
+      (8L, ts("2024-01-01T10:20"), 4L, "signup"),
+      (8L, ts("2024-01-01T10:25"), 5L, "click"))
+    q2.processAllAvailable()
+    source.addData((99L, ts("2024-01-01T20:00"), 90L, "signup"))
+    q2.processAllAvailable()
+    source.addData((98L, ts("2024-01-01T20:01"), 91L, "signup"))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .where(col("user_id").isin(7L, 8L))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("stage_idx"),
+        r.getAs[Timestamp]("ts"))).toSet
+    assert(got == Set(
+      (7L, 0L, ts("2024-01-01T10:00")),
+      (7L, 1L, ts("2024-01-01T10:10")),
+      (7L, 2L, ts("2024-01-01T10:30")),
+      (8L, 0L, ts("2024-01-01T10:20")),
+      (8L, 1L, ts("2024-01-01T10:25"))), s"got $got")
+  }
+
+  test("next-example stream survives kill+restart (same batch-window oracle)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Timestamp, String)]
+    val (ck, out) = (tmp("graft-nrck"), tmp("graft-nrout"))
+    def startQ() = StreamingIngest.nextExampleStream(
+        source.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+        k = 2, watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    def e(id: Long, min: Int, t: String) =
+      (id, 1L, ts(f"2024-01-01T10:$min%02d"), t)
+    val rows = Seq(e(1, 0, "a"), e(2, 5, "b"), e(3, 10, "c"),
+      e(4, 15, "a"), e(5, 20, "b"))
+    val q1 = startQ()
+    source.addData(rows(0), rows(1))
+    q1.processAllAvailable()
+    // events 3 and 4 are in flight at kill time
+    source.addData(rows(2), rows(3))
+    q1.stop()
+    val q2 = startQ()
+    // event 5 arrives only after restart and must extend the recovered
+    // per-user ordered history, not restart it
+    source.addData(rows(4))
+    q2.processAllAvailable()
+    source.addData((-1L, -1L, ts("2024-06-01T00:00"), "x"))
+    q2.processAllAvailable()
+    source.addData((-2L, -2L, ts("2024-12-01T00:00"), "x"))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out).where(col("user_id") >= 0L)
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[Long]("user_id"), r.getAs[String]("prefix"),
+        r.getAs[Long]("gap_us"), r.getAs[String]("label"))).toSet
+    val expect = graft.operators.Sessions.nextEventExamples(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", "event_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(got == expect, s"got $got")
+  }
+
   test("maintained manifest across micro-batches == batch manifest") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (0 until 60).map(i => (i.toLong, s"doc text $i word${i % 7}",
