@@ -8,9 +8,41 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through a `noop` datasource write — full
   * materialization of every output column (a bare `count()` lets
   * Spark prune the compute). One warmup query amortizes JVM/classload
-  * + page-cache effects so per-query numbers reflect engine work. */
+  * + page-cache effects so per-query numbers reflect engine work.
+  *
+  * Host-noise adjudication (three consecutive rounds re-litigated
+  * load-contaminated flags): the emitted JSON carries a `host` block —
+  * 1-min load average and a fixed single-thread CPU probe, each
+  * sampled at run start AND end. A probe that slows between samples,
+  * or a load average near/above the core count, says the tail numbers
+  * ran on a contended host; `tools/bench_compare.py --rerun` then
+  * re-times exactly the flagged set in a fresh session before any
+  * flag is believed. */
 object Bench {
+
+  /** Fixed single-thread CPU probe: a deterministic xorshift fold, in
+    * milliseconds. On an idle host this is stable to a few percent;
+    * competing load inflates it proportionally. */
+  private def cpuProbeMs(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < (1 << 26)) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) System.err.println("") // consume x: no dead-code elim
+    dt
+  }
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val probeStart = cpuProbeMs()
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -83,13 +115,55 @@ object Bench {
       val ok = runs.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // lifecycle build/read split: the combined entries above measure
+    // the full lifecycle (the deployment-amortized trade); these twin
+    // timings separate the state mutation from the serve so a read
+    // regression is visible on its own axis
+    val phaseResults = SparkEntry.lifecycleSplits.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .flatMap { case (name, phases) =>
+        def once(): (Double, Double) = {
+          val (build, read) = phases(spark, sfDir)
+          val t0 = System.nanoTime()
+          build()
+          val t1 = System.nanoTime()
+          read().write.format("noop").mode("overwrite").save()
+          val t2 = System.nanoTime()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache()
+          ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+        }
+        val runs =
+          try Seq.fill(passes)(once())
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name phases failed: ${e.getMessage}")
+            Seq.empty
+          }
+        if (runs.isEmpty) Seq.empty
+        else {
+          val b = runs.map(_._1).min
+          val r = runs.map(_._2).min
+          System.err.println(f"[bench] $name build: $b%.3f s read: $r%.3f s")
+          Seq(s"${name}__build" -> b, s"${name}__read" -> r)
+        }
+      }
+
+    val qs = (results ++ phaseResults)
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val prov = tables.map { case (t, (rows, bytes)) =>
       "\"" + t + "\":{\"rows\":" + rows + ",\"bytes\":" + bytes + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tables":$prov,"doc_chars":$docChars}""")
+    val probeEnd = cpuProbeMs()
+    val loadEnd = loadAvg()
+    val cores = Runtime.getRuntime.availableProcessors()
+    val host = s"""{"load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""probe_ms_start":$probeStart,"probe_ms_end":$probeEnd,""" +
+      s""""cores":$cores}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","tables":$prov,"doc_chars":$docChars,"host":$host}""")
     spark.stop()
   }
 }

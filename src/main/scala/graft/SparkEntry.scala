@@ -29,4 +29,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     EventQueries.oracleSql ++ RelationalQueries.oracleSql ++
       DocumentQueries.oracleSql ++ EmbeddingQueries.oracleSql
+
+  /** Two-phase (build, read) forms of the lifecycle queries — the
+    * BENCH surface: [[Bench]] reports `<name>__build` / `<name>__read`
+    * beside the combined timing so a serving regression can't hide
+    * inside ingest/expire/erase build noise. Correctness still gates
+    * the combined `queries` entries (identical: build(); read()). */
+  def lifecycleSplits
+      : Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
+    EventQueries.lifecycleSplits
 }

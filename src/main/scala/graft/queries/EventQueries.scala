@@ -257,6 +257,105 @@ object EventQueries {
 
   // ---------------------------------------------------------------- queries
 
+  /** Two-phase (build, read) decomposition of a lifecycle query: the
+    * BUILD thunk runs the state mutation (ingests, spill, expire,
+    * erase, batch writes) and the READ thunk serves from the built
+    * state. [[graft.Bench]] times the phases separately — these
+    * queries deliberately measure the full lifecycle, and without the
+    * split a real serving regression hides inside build noise (round-8
+    * verdict). The combined `queries` entries stay exactly
+    * `build(); read()`, so the correctness gate is unchanged. */
+  private def asofBatchPhases(s: SparkSession,
+      dir: String): (() => Unit, () => DataFrame) = {
+    import graft.TimeSeriesService
+    val svc = new TimeSeriesService(s)
+    val build = () => {
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineDimension("event_type", facts = Set("events_count"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_asof").toString + "/store"
+      svc.attachEventStore(store)
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+      (0 to 2).foreach { b =>
+        svc.ingest(ev.where(col("event_id") % 3 === b)
+          .select(lit("events_count").as("fact"), col("ts"),
+            lit(1L).as("value"),
+            map(lit("event_type"), col("event_type")).as("categories")),
+          b.toLong)
+      }
+    }
+    val read = () => svc.getTimeseriesAsOf("events_count", "event_type",
+      Map("event_type" -> Some("click")),
+      ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), maxBatchId = 1L,
+      Step.Hour)
+    (build, read)
+  }
+
+  private def lifecycleDay(s: SparkSession, dir: String, d: Int,
+      withUserBucket: Boolean): DataFrame = {
+    val cats =
+      if (withUserBucket)
+        map(lit("event_type"), col("event_type"),
+          lit("user_bucket"), pmod(col("user_id"), lit(5)).cast("string"))
+      else map(lit("event_type"), col("event_type"))
+    events(s, dir)
+      .where(col("ts") >= lit(java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"))
+        && col("ts") < lit(java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")))
+      .select(lit("events_count").as("fact"), col("ts"),
+        lit(1L).as("value"), cats.as("categories"))
+  }
+
+  private def retentionPhases(s: SparkSession,
+      dir: String): (() => Unit, () => DataFrame) = {
+    import graft.TimeSeriesService
+    val svc = new TimeSeriesService(s, spillDepth = 2)
+    val build = () => {
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineDimension("event_type", facts = Set("events_count"))
+      svc.ingest(lifecycleDay(s, dir, 5, withUserBucket = false))
+      svc.ingest(lifecycleDay(s, dir, 6, withUserBucket = false))
+      svc.ingest(lifecycleDay(s, dir, 7, withUserBucket = false))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_retain").toString
+      svc.expireEvents(ts("2024-01-07T00:00"), base)
+      ()
+    }
+    val read = () => svc.getTimeseries("events_count", "event_type",
+      Map("event_type" -> Some("click")),
+      ts("2024-01-05T00:00"), ts("2024-01-07T23:45"), Step.Day)
+    (build, read)
+  }
+
+  private def erasurePhases(s: SparkSession,
+      dir: String): (() => Unit, () => DataFrame) = {
+    import graft.TimeSeriesService
+    val svc = new TimeSeriesService(s, spillDepth = 2)
+    val build = () => {
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineDimension("event_type", facts = Set("events_count"))
+      svc.ingest(lifecycleDay(s, dir, 5, withUserBucket = true))
+      svc.ingest(lifecycleDay(s, dir, 6, withUserBucket = true))
+      svc.ingest(lifecycleDay(s, dir, 7, withUserBucket = true))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_erase").toString
+      svc.eraseEvents(
+        element_at(col("categories"), "user_bucket") === "3", out)
+      ()
+    }
+    val read = () => svc.getTimeseries("events_count", "event_type",
+      Map("event_type" -> Some("click")),
+      ts("2024-01-05T00:00"), ts("2024-01-07T23:45"), Step.Day)
+    (build, read)
+  }
+
+  /** The lifecycle queries' two-phase forms, consumed by
+    * [[graft.Bench]] for separate `__build` / `__read` timings. */
+  val lifecycleSplits
+      : Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
+    Map("ts_asof_batch" -> (asofBatchPhases _),
+      "ts_retention_serve" -> (retentionPhases _),
+      "ts_erasure_serve" -> (erasurePhases _))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O20 full pipeline: hourly collapse + finish-exclusive zero-filled grid
     "ts_counter_hour_fill" -> ((s, dir) =>
@@ -413,25 +512,7 @@ object EventQueries {
     // exactly batches 0-1 (event_id % 3 <= 1) — batch 2's partition
     // prunes at the partition index and is never read
     "ts_asof_batch" -> ((s, dir) => {
-      import graft.TimeSeriesService
-      val svc = new TimeSeriesService(s)
-      svc.defineFact("events_count", FactType.Counter, slice = 15)
-      svc.defineDimension("event_type", facts = Set("events_count"))
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_asof").toString + "/store"
-      svc.attachEventStore(store)
-      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
-      (0 to 2).foreach { b =>
-        svc.ingest(ev.where(col("event_id") % 3 === b)
-          .select(lit("events_count").as("fact"), col("ts"),
-            lit(1L).as("value"),
-            map(lit("event_type"), col("event_type")).as("categories")),
-          b.toLong)
-      }
-      svc.getTimeseriesAsOf("events_count", "event_type",
-        Map("event_type" -> Some("click")),
-        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), maxBatchId = 1L,
-        Step.Hour)
+      val (build, read) = asofBatchPhases(s, dir); build(); read()
     }),
 
     // RETENTION under the driver's correctness gate: three daily
@@ -441,23 +522,7 @@ object EventQueries {
     // over the COMPLETE raw history — aged ranges rollup-served,
     // retained-raw ranges compute-on-read, exactly once each.
     "ts_retention_serve" -> ((s, dir) => {
-      import graft.TimeSeriesService
-      val svc = new TimeSeriesService(s, spillDepth = 2)
-      svc.defineFact("events_count", FactType.Counter, slice = 15)
-      svc.defineDimension("event_type", facts = Set("events_count"))
-      def day(d: Int) = events(s, dir)
-        .where(col("ts") >= lit(java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"))
-          && col("ts") < lit(java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")))
-        .select(lit("events_count").as("fact"), col("ts"),
-          lit(1L).as("value"),
-          map(lit("event_type"), col("event_type")).as("categories"))
-      svc.ingest(day(5)); svc.ingest(day(6)); svc.ingest(day(7))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_retain").toString
-      svc.expireEvents(ts("2024-01-07T00:00"), base)
-      svc.getTimeseries("events_count", "event_type",
-        Map("event_type" -> Some("click")),
-        ts("2024-01-05T00:00"), ts("2024-01-07T23:45"), Step.Day)
+      val (build, read) = retentionPhases(s, dir); build(); read()
     }),
 
     // right-to-erasure end-to-end: ingest → spill → erase one user
@@ -466,26 +531,7 @@ object EventQueries {
     // subject out of raw); replay protection and rollup invalidation
     // are spec-pinned in TimeSeriesServiceSpec
     "ts_erasure_serve" -> ((s, dir) => {
-      import graft.TimeSeriesService
-      val svc = new TimeSeriesService(s, spillDepth = 2)
-      svc.defineFact("events_count", FactType.Counter, slice = 15)
-      svc.defineDimension("event_type", facts = Set("events_count"))
-      def day(d: Int) = events(s, dir)
-        .where(col("ts") >= lit(java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"))
-          && col("ts") < lit(java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")))
-        .select(lit("events_count").as("fact"), col("ts"),
-          lit(1L).as("value"),
-          map(lit("event_type"), col("event_type"),
-            lit("user_bucket"), pmod(col("user_id"), lit(5)).cast("string"))
-            .as("categories"))
-      svc.ingest(day(5)); svc.ingest(day(6)); svc.ingest(day(7))
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_erase").toString
-      svc.eraseEvents(
-        element_at(col("categories"), "user_bucket") === "3", out)
-      svc.getTimeseries("events_count", "event_type",
-        Map("event_type" -> Some("click")),
-        ts("2024-01-05T00:00"), ts("2024-01-07T23:45"), Step.Day)
+      val (build, read) = erasurePhases(s, dir); build(); read()
     }),
 
     // O16 + :all sentinel: step none -> NULL bucket, routed hierarchy
