@@ -285,6 +285,22 @@ class PlanAuditSpec extends SparkTestBase {
       .findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("mixed multi-fact read: two disjoint fact-pruned scans, no join") {
+    val p = plan("ts_multi_mixed")
+    // one pipeline per fact TYPE under a Union, never a join; each
+    // scan carries the ts bounds as pushed filters AND its own type's
+    // fact predicate folded into the scan filter (Catalyst pushes the
+    // isin through the when/otherwise fact mapping), so the two scans
+    // read DISJOINT row sets — together, one scan of the requested
+    // facts
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Union"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size == 2, p.take(3000))
+    assert("GreaterThanOrEqual\\(ts".r.findAllIn(p).size >= 2, p.take(3000))
+    // the per-type complement predicates that make the scans disjoint
+    assert(p.contains("(event_type"), p.take(3000))
+  }
+
   test("date-partitioned raw events: date bounds prune event_date= dirs") {
     val p = plan("events_date_partitioned")
     // the RAW deployment layout's pruning claim, driven end to end:
