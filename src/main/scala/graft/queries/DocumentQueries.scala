@@ -66,9 +66,13 @@ object DocumentQueries {
   private def trainedBpe(s: SparkSession, dir: String)
       : (DataFrame, Seq[(String, String)]) =
     bpeCache.getOrElseUpdate((s, dir), {
+      // bpeTrain returns a DRIVER-LITERAL frame (merges.toSeq.toDF) —
+      // cache it as-is, NEVER checkpointed: a localCheckpoint here
+      // would tie the cached frame to persisted blocks that a later
+      // session-wide unpersist (the bench runs one between queries)
+      // silently destroys, failing every subsequent reuse
       val m = graft.operators.TextAnalysis
         .bpeTrain(docs(s, dir), "text", nMerges = 12)
-        .localCheckpoint(true)
       val pairs = m.orderBy(col("step"))
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       (m, pairs)

@@ -924,6 +924,58 @@ class DedupTextSpec extends SparkTestBase {
     assert(!m.contains(("A", "C")) && !m.contains(("B", "C")))
   }
 
+  test("bpeTrain delta-maintained counts == naive full-recount reference") {
+    // the delta fold must be indistinguishable from recounting every
+    // pair each step — randomized dictionaries over a tiny alphabet
+    // (maximizing merged-symbol string collisions and zero-then-revive
+    // count keys), plus exhaustion (fewer pairs than requested merges)
+    def naive(wordFreq: Seq[(String, Long)],
+        n: Int): Seq[(Int, String, String, Long)] = {
+      var dict = wordFreq.map { case (w, f) =>
+        (w.map(_.toString).toIndexedSeq :+ "</w>", f) }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long)]
+      var step = 1
+      var done = false
+      while (step <= n && !done) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        dict.foreach { case (syms, f) =>
+          if (syms.length >= 2)
+            syms.sliding(2).foreach(p => counts((p(0), p(1))) += f)
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), f) = counts.toSeq
+            .sortBy { case ((l, r), f) => (-f, l, r) }.head
+          out += ((step, l, r, f))
+          dict = dict.map { case (syms, fr) =>
+            (TextAnalysis.mergePair(syms, l, r), fr) }
+          step += 1
+        }
+      }
+      out.toSeq
+    }
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val words = (0 until 40).map { _ =>
+        (1 to (1 + rnd.nextInt(5))).map(_ =>
+          if (rnd.nextBoolean()) "a" else "b").mkString
+      }
+      // corpus text: words with skewed repetition → realistic freqs
+      val text = rnd.shuffle(words.flatMap(w =>
+        Seq.fill(1 + rnd.nextInt(4))(w))).mkString(" ")
+      val df = Seq(Tuple1(text)).toDF("text")
+      val got = TextAnalysis.bpeTrain(df, "text", nMerges = 8)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val freq = text.split(" ").filter(_.nonEmpty)
+        .groupBy(identity).toSeq.map { case (w, g) => (w, g.length.toLong) }
+      assert(got == naive(freq, 8), s"seed $seed")
+    }
+  }
+
   test("buildVocabTable: PlanLint-clean at k=250k, loud past the maxK bound") {
     val df = Seq((1L, "a b c a"), (2L, "b c d")).toDF("doc_id", "text")
     // the rank window runs AFTER limit(k) — PlanLint's bounded-input
