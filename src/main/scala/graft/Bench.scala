@@ -135,12 +135,15 @@ object Bench {
           spark.catalog.clearCache()
           ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
         }
-        val runs =
-          try Seq.fill(passes)(once())
+        // try PER PASS (the combined loop's discipline): a transient
+        // failure on a later pass must not discard earlier passes
+        val runs = Seq.fill(passes) {
+          try Some(once())
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name phases failed: ${e.getMessage}")
-            Seq.empty
+            None
           }
+        }.flatten
         if (runs.isEmpty) Seq.empty
         else {
           val b = runs.map(_._1).min

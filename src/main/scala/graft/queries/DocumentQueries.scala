@@ -1738,9 +1738,18 @@ object DocumentQueries {
       |FROM documents GROUP BY 1""".stripMargin
 
   /** The golden BPE merge table: bpeTrain(nMerges = 12) on the driver
-    * fixture, deterministic by construction (exact integer pair
-    * counts, (freq desc, left asc, right asc) total-order tie-break).
-    * Shared by the `bpe_merges` pin and the `bpe_tokenize` replay. */
+    * CORRECTNESS fixture (/root/testdata/sf0.01 documents),
+    * deterministic by construction (exact integer pair counts,
+    * (freq desc, left asc, right asc) total-order tie-break). Shared
+    * by the `bpe_merges` pin and the `bpe_tokenize` replay.
+    *
+    * FIXTURE-PINNED — the one deliberate exception to "every oracle
+    * recomputes from the data dir" (training is SQL-inexpressible):
+    * at any other SF dir or after a fixture regeneration these two
+    * gates fail LOUDLY as oracle mismatches (pair frequencies scale
+    * with the corpus), which is the intended signal to re-capture the
+    * golden values. Scale soaks must exclude them (tools/soak_sf1.sh
+    * does). */
   private val bpeMergeValues: String =
     """(1,'e','r',4568), (2,'e','</w>',4473), (3,'n','</w>',2834),
       |(4,'er','</w>',2779), (5,'o','w',2747), (6,'ow','</w>',2747),

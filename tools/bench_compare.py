@@ -41,7 +41,12 @@ def load(path):
         tail = d["tail"]
         qs = {m.group(1): float(m.group(2))
               for m in re.finditer(r'"([a-z0-9_]+)":([0-9.]+)', tail)}
-        qs.pop("value", None)
+        # the tail also carries provenance + host-marker fields whose
+        # name:number shape matches the query regex — comparing those
+        # as query timings flags the noise MARKERS as regressions
+        for k in ("value", "rows", "bytes", "doc_chars", "load_start",
+                  "load_end", "probe_ms_start", "probe_ms_end", "cores"):
+            qs.pop(k, None)
         return qs, None, None, None, None
     # raw log: take the last {"metric":...} line
     line = [l for l in text.splitlines() if '"metric"' in l][-1]

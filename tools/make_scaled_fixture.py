@@ -31,12 +31,17 @@ OFFSETS = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
-# the key chain: an FK column strides by ITS REFERENCED table's span
+# the key chain: an FK column strides by ITS REFERENCED table's span.
+# vec_id strides by the DOCUMENTS span: embeddings.vec_id corresponds
+# to documents.doc_id (the cross-modal join key), so replica i's
+# vectors must land beside replica i's documents or every cross-modal
+# query runs over garbled pairs
 STRIDE_SOURCE = {
     "o_custkey": ("customer", "c_custkey"),
     "l_orderkey": ("orders", "o_orderkey"),
     "l_partkey": ("part", "p_partkey"),
     "l_suppkey": ("supplier", "s_suppkey"),
+    "vec_id": ("documents", "doc_id"),
 }
 
 
@@ -56,12 +61,10 @@ def main():
 
     for table, cols in OFFSETS.items():
         t = pq.read_table(f"{src}/{table}.parquet")
-        if not cols or factor == 1:
-            reps = [t] if not cols else [t] * 1
-            if not cols:
-                pq.write_table(t, f"{out}/{table}.parquet")
-                print(f"{table}: dimension table copied ({t.num_rows} rows)")
-                continue
+        if not cols:
+            pq.write_table(t, f"{out}/{table}.parquet")
+            print(f"{table}: dimension table copied ({t.num_rows} rows)")
+            continue
         reps = []
         for i in range(factor):
             r = t
