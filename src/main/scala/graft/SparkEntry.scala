@@ -37,5 +37,5 @@ object SparkEntry {
     * the combined `queries` entries (identical: build(); read()). */
   def lifecycleSplits
       : Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
-    EventQueries.lifecycleSplits
+    EventQueries.lifecycleSplits ++ DocumentQueries.lifecycleSplits
 }

@@ -280,6 +280,55 @@ object DocumentQueries {
     "'NAV HOME ABOUT CONTACT' || chr(10) || text || chr(10) " +
       "|| 'COPYRIGHT ' || source || ' ALL RIGHTS RESERVED'"
 
+  /** Two-phase decomposition of the incremental-clusters lifecycle:
+    * BUILD resolves the standing corpus (shingles → df-capped pairs →
+    * CC labels — the deployment-amortized artifact a real pipeline
+    * persists), READ closes the daily batch against it (batch×corpus
+    * probe + batch-internal pairs + incremental label propagation —
+    * the recurring cost). [[graft.Bench]] times them separately; the
+    * combined `queries` entry stays exactly build(); read(). */
+  private def clustersIncrementalPhases(s: SparkSession,
+      dir: String): (() => Unit, () => DataFrame) = {
+    val d = docs(s, dir)
+    val isBatch = col("doc_id") % 5 === 4
+    var oldHs: DataFrame = null
+    var oldLabels: DataFrame = null
+    val build = () => {
+      // each side's shingle frame is computed ONCE and feeds all three
+      // pair stages (old-internal, batch×old probe, batch-internal) —
+      // the md5 kernel never re-runs per operator call; the standing
+      // artifacts MATERIALIZE here (the build is the thing measured)
+      oldHs = Dedup.shingleHashKernel(d.where(!isBatch), "text",
+        "doc_id", k = 3).localCheckpoint(true)
+      val oldPairs = Dedup.jaccardPairsPostingKernelFromShingles(oldHs,
+        thresholdE4 = 5000)
+      oldLabels = Dedup.connectedComponents(
+        oldHs.select(col("id").as("doc_id")), "doc_id", oldPairs,
+        "id_a", "id_b").localCheckpoint(true)
+      ()
+    }
+    val read = () => {
+      val batchHs = Dedup.shingleHashKernel(d.where(isBatch), "text",
+        "doc_id", k = 3).localCheckpoint(true)
+      val incPairs = Dedup.jaccardPairsAgainstFromShingles(batchHs, oldHs,
+          thresholdE4 = 5000)
+        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+      val batchPairs = Dedup
+        .jaccardPairsPostingKernelFromShingles(batchHs, thresholdE4 = 5000)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponentsIncremental(d.select(col("doc_id")),
+        "doc_id", oldLabels, "doc_id", "component",
+        incPairs.unionByName(batchPairs), "id_a", "id_b")
+    }
+    (build, read)
+  }
+
+  /** The lifecycle queries' two-phase forms, consumed by
+    * [[graft.Bench]] for separate `__build` / `__read` timings. */
+  val lifecycleSplits
+      : Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
+    Map("dedup_clusters_incremental" -> (clustersIncrementalPhases _))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: canonical (min) doc_id per identical text
     "dedup_exact" -> ((s, dir) =>
@@ -370,29 +419,8 @@ object DocumentQueries {
     // batch-internal pairs, and the label fold must equal the full
     // recompute's closure — old×old pairs are never regenerated
     "dedup_clusters_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val isBatch = col("doc_id") % 5 === 4
-      // each side's shingle frame is computed ONCE and feeds all three
-      // pair stages (old-internal, batch×old probe, batch-internal) —
-      // the md5 kernel never re-runs per operator call
-      val oldHs = Dedup.shingleHashKernel(d.where(!isBatch), "text",
-        "doc_id", k = 3).cache()
-      val batchHs = Dedup.shingleHashKernel(d.where(isBatch), "text",
-        "doc_id", k = 3).cache()
-      val oldPairs = Dedup.jaccardPairsPostingKernelFromShingles(oldHs,
-        thresholdE4 = 5000)
-      val oldLabels = Dedup.connectedComponents(
-        oldHs.select(col("id").as("doc_id")), "doc_id", oldPairs,
-        "id_a", "id_b")
-      val incPairs = Dedup.jaccardPairsAgainstFromShingles(batchHs, oldHs,
-          thresholdE4 = 5000)
-        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
-      val batchPairs = Dedup
-        .jaccardPairsPostingKernelFromShingles(batchHs, thresholdE4 = 5000)
-        .select(col("id_a"), col("id_b"))
-      Dedup.connectedComponentsIncremental(d.select(col("doc_id")),
-        "doc_id", oldLabels, "doc_id", "component",
-        incPairs.unionByName(batchPairs), "id_a", "id_b")
+      val (build, read) = clustersIncrementalPhases(s, dir)
+      build(); read()
     }),
 
     // leakage-safe train/val/test: the split hash rides the near-dup
