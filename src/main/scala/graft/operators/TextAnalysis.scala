@@ -124,6 +124,77 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("n_unk"), col("ids_md5"))
   }
 
+  /** Windowed token CO-OCCURRENCE with exact integral LIFT — the
+    * association-mining read of a text corpus (collocations, feature
+    * co-occurrence for taxonomy/embedding sanity checks, phrase-ish
+    * signals without an n-gram index): every unordered token pair
+    * within `window` positions of each other in a document, scored by
+    * `lift_e4 = floor(10⁴ · P(a,b) / (P(a)·P(b)))`
+    * `= (10⁴ · n_ab · N) DIV (n_a · n_b)` — the PMI exponential, kept
+    * in EXACT integer arithmetic (decimal DIV: no float log, no
+    * engine-dependent rounding), so rankings hash-compare across
+    * engines.
+    *
+    * Scale shape: occurrences fan out `window`× on one side and meet
+    * in ONE equi-join on (doc, position) — never a position-band range
+    * join; Zipf-head tokens past `maxDf` (doc frequency) are removed
+    * by a broadcast anti-join BEFORE the pair join (the hot-key
+    * discipline — "the"-like tokens otherwise dominate the shuffle and
+    * score ≈ independence anyway); `minCount` prunes the rare-pair
+    * noise floor that dominates raw lift rankings. Totals (`n_a`,
+    * `n_b`, `N`) are computed over the KEPT occurrences — the analyzed
+    * universe — so probabilities sum to 1 over what was actually
+    * paired. Same-token pairs (a, a) are legal output (a self-lift ≫
+    * 10⁴ flags burst repetition).
+    *
+    * Output: (`tok_a`, `tok_b`, `n_ab`, `n_a`, `n_b`, `lift_e4`),
+    * `tok_a ≤ tok_b`. */
+  def cooccurrenceLift(df: DataFrame, textCol: String, idCol: String,
+      window: Int, maxDf: Long, minCount: Long): DataFrame = {
+    require(window >= 1 && window <= 16, s"window: $window (1..16)")
+    require(minCount >= 1, "minCount must be >= 1")
+    val occ = df
+      .select(col(idCol).as("__doc"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "tok")))
+      .where(length(col("tok")) > 0)
+    val hot = occ.select(col("__doc"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select(col("tok"))
+    val kept = occ.join(broadcast(hot), Seq("tok"), "left_anti")
+    // left side fans out window×: (doc, pos + d, tok) meets the right
+    // occurrence AT pos + d — one hash equi-join carries every offset
+    val fan = kept.select(col("__doc"),
+        explode(sequence(lit(1), lit(window))).as("__d"),
+        col("__pos"), col("tok"))
+      .select(col("__doc"), (col("__pos") + col("__d")).as("__pos"),
+        col("tok").as("__tl"))
+    val pairs = fan
+      .join(kept.select(col("__doc"), col("__pos"),
+        col("tok").as("__tr")), Seq("__doc", "__pos"))
+      .select(least(col("__tl"), col("__tr")).as("tok_a"),
+        greatest(col("__tl"), col("__tr")).as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val totals = kept.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val bigN = kept.agg(count(lit(1)).as("N")) // 1-row stats frame
+    pairs
+      .join(totals.select(col("tok").as("tok_a"), col("n").as("n_a")),
+        Seq("tok_a"))
+      .join(totals.select(col("tok").as("tok_b"), col("n").as("n_b")),
+        Seq("tok_b"))
+      .crossJoin(broadcast(bigN))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        // decimal DIV: exact at any corpus size (10⁴·n_ab·N ≤ 10³⁰
+        // fits DECIMAL(38,0); integer floor semantics match DuckDB's
+        // HUGEINT //)
+        expr("(CAST(10000 AS DECIMAL(38,0)) * n_ab * N) DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b)")
+          .cast(LongType).as("lift_e4"))
+  }
+
   /** BPE MERGE TRAINING — the trainer-side twin of the vocab-mapped
     * tokenization above: learn the ordered merge table a byte-pair
     * tokenizer is defined by. The classic word-frequency formulation

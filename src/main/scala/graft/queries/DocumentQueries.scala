@@ -706,6 +706,18 @@ object DocumentQueries {
       TextAnalysis.tfIdfTopTerms(docs(s, dir), "text", "doc_id",
         topK = 3)),
 
+    // windowed CO-OCCURRENCE lift (collocation mining): top-100 token
+    // pairs within 3 positions by exact integral lift — the pair join
+    // is ONE (doc, position) hash equi-join over a window-fold fan-out
+    // (never a position-band range join), Zipf heads broadcast-anti-
+    // joined out before any pair forms, ranking served as a top-k
+    "text_cooccurrence" -> ((s, dir) =>
+      TextAnalysis.cooccurrenceLift(docs(s, dir), "text", "doc_id",
+          window = 3, maxDf = 1000, minCount = 3)
+        .orderBy(col("lift_e4").desc, col("n_ab").desc, col("tok_a"),
+          col("tok_b"))
+        .limit(100)),
+
     // BM25 full-text retrieval: top-5 docs per query for a 3-query
     // set — the query-term universe broadcasts and prunes the token
     // stream map-side, so only query-term occurrences ever shuffle;
@@ -2413,6 +2425,39 @@ object DocumentQueries {
         |    / count(*)) AS BIGINT) AS rare_e4
         |FROM tk t JOIN dfq d ON d.token = t.token
         |GROUP BY t.doc_id""".stripMargin,
+
+    // same pair universe (0-based positions cancel in differences),
+    // same kept-occurrence totals, HUGEINT // mirroring decimal DIV
+    "text_cooccurrence" ->
+      """WITH docs_t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |pos AS (SELECT doc_id, arr, unnest(range(len(arr))) AS i
+        |        FROM docs_t),
+        |occ AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |    arr[CAST(i AS INT) + 1] AS tok
+        |  FROM pos WHERE length(arr[CAST(i AS INT) + 1]) > 0),
+        |hot AS (SELECT tok FROM (SELECT DISTINCT doc_id, tok FROM occ)
+        |        GROUP BY tok HAVING count(*) > 1000),
+        |kept AS (SELECT * FROM occ
+        |         WHERE tok NOT IN (SELECT tok FROM hot)),
+        |pairs AS (
+        |  SELECT least(a.tok, b.tok) AS tok_a,
+        |    greatest(a.tok, b.tok) AS tok_b, count(*) AS n_ab
+        |  FROM kept a JOIN kept b
+        |    ON a.doc_id = b.doc_id AND b.p BETWEEN a.p + 1 AND a.p + 3
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |tot AS (SELECT tok, count(*) AS n FROM kept GROUP BY 1),
+        |nn AS (SELECT count(*) AS N FROM kept)
+        |SELECT p.tok_a, p.tok_b, p.n_ab, ta.n AS n_a, tb.n AS n_b,
+        |  CAST((10000::HUGEINT * p.n_ab * nn.N)
+        |    // (ta.n::HUGEINT * tb.n) AS BIGINT) AS lift_e4
+        |FROM pairs p
+        |JOIN tot ta ON ta.tok = p.tok_a
+        |JOIN tot tb ON tb.tok = p.tok_b, nn
+        |ORDER BY lift_e4 DESC, n_ab DESC, tok_a, tok_b
+        |LIMIT 100""".stripMargin,
 
     // identical double arithmetic (left-assoc 1e6·tf·ln(N/df), IEEE
     // floor) so the e6 scores and the rank cut match bit-for-bit

@@ -924,6 +924,36 @@ class DedupTextSpec extends SparkTestBase {
     assert(!m.contains(("A", "C")) && !m.contains(("B", "C")))
   }
 
+  test("cooccurrenceLift: window semantics, exact lift, df cap, self-pairs") {
+    // doc: "a b a" — window 1 pairs: (a,b)@(0,1), (a,b)@(1,2) → n_ab=2
+    // totals a=2, b=1, N=3 → lift(a,b) = 10000·2·3 / (2·1) = 30000
+    val d1 = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val w1 = TextAnalysis.cooccurrenceLift(d1, "text", "doc_id",
+      window = 1, maxDf = 10, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(5))).toSet
+    assert(w1 == Set(("a", "b", 2L, 30000L)))
+    // window 2 adds the SELF pair (a,a)@(0,2): lift = 10000·1·3/(2·2)
+    val w2 = TextAnalysis.cooccurrenceLift(d1, "text", "doc_id",
+      window = 2, maxDf = 10, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(5))).toSet
+    assert(w2 == Set(("a", "b", 2L, 30000L), ("a", "a", 1L, 7500L)))
+    // df cap: a token in > maxDf docs never pairs, and the totals
+    // universe excludes it ("x y" survives with N over kept tokens)
+    val d2 = Seq((1L, "the x y"), (2L, "the z"), (3L, "the q"))
+      .toDF("doc_id", "text")
+    val capped = TextAnalysis.cooccurrenceLift(d2, "text", "doc_id",
+      window = 3, maxDf = 2, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // kept universe: x y z q (N=4); only (x,y) is within a window
+    assert(capped == Set(("x", "y", 1L, 1L, 1L, 40000L)))
+    // minCount prunes the rare-pair noise floor
+    assert(TextAnalysis.cooccurrenceLift(d2, "text", "doc_id",
+      window = 3, maxDf = 2, minCount = 2).count() == 0L)
+  }
+
   test("bpeTrain delta-maintained counts == naive full-recount reference") {
     // the delta fold must be indistinguishable from recounting every
     // pair each step — randomized dictionaries over a tiny alphabet

@@ -619,6 +619,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("co-occurrence pairs: one hash equi-join, top-k, never a range join") {
+    val df = SparkEntry.queries("text_cooccurrence")(spark, sf)
+    // the project's own linter is the arbiter: the pair join must be
+    // an EQUI hash join on (doc, position) — a position-band condition
+    // would compile to an unconditioned nested loop the linter bans —
+    // and the only nested loop allowed is the bounded 1-row Σ-stats
+    // combine (the linter's bounded-broadcast exemption)
+    assert(graft.plans.PlanLint.audit(df).isEmpty,
+      graft.plans.PlanLint.audit(df).toString)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // ranking serves as TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("series similarity is sparse: no dense user×day grid in the plan") {
     val p = plan("series_similarity")
     // the distance is computed over the SPARSE user-day rows plus a
