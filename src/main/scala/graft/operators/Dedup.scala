@@ -681,6 +681,46 @@ object Dedup {
     connectedComponents(nodes, idCol, edges, "__a", "__b", maxRounds)
   }
 
+  /** CLONE-IMMUNE near-dup clustering — the production pipeline order
+    * (exact dedup FIRST, near-dup on canonical representatives):
+    * identical contents collapse to their min-id representative, the
+    * shingle/posting/verify machinery runs at DISTINCT-CONTENT
+    * cardinality, and every document inherits its representative's
+    * component. The round-9 SF-1 soak measured why this exists: on a
+    * clone-heavy corpus the all-docs pair kernel does clone² work
+    * (every pair of identical docs is a candidate AND an output), so
+    * its cost grows with the square of duplication; this form's
+    * near-dup cost is INDEPENDENT of clone multiplicity — exact-dup
+    * collapse is one hash aggregation, the only clone-linear steps.
+    *
+    * Semantics (deliberately stated, not an approximation of the
+    * all-docs form): exact-duplicate groups ALWAYS cluster — content
+    * equality is ground truth, never subject to df-cap recall loss —
+    * and `maxDf` counts DISTINCT CONTENTS, so boilerplate shared by
+    * many unique documents still drops while mere cloning can never
+    * starve candidate recall (the all-docs cap has the opposite,
+    * surprising behavior on cloned corpora). Labels are min reachable
+    * representative ids = min doc ids of the merged content groups —
+    * identical to [[connectedComponents]] over the all-docs pair graph
+    * whenever the df caps agree (e.g. any clone-free corpus).
+    * Output: one row per input document, (idCol, `component`). */
+  def clustersCanonical(df: DataFrame, textCol: String, idCol: String,
+      thresholdE4: Int, maxDf: Long = 1000L,
+      shingleK: Int = 3): DataFrame = {
+    val ex = exact(df, textCol, idCol) // (idCol, canonical_id)
+    val reps = df.select(col(idCol), col(textCol))
+      .join(ex.where(col(idCol) === col("canonical_id"))
+        .select(col(idCol)), Seq(idCol), "left_semi")
+    val hs = shingleHashKernel(reps, textCol, idCol, shingleK)
+      .localCheckpoint(true)
+    val pairs = jaccardPairsPostingKernelFromShingles(hs, thresholdE4, maxDf)
+    val labels = connectedComponents(
+      hs.select(col("id").as("canonical_id")), "canonical_id",
+      pairs, "id_a", "id_b")
+    ex.join(labels, Seq("canonical_id"))
+      .select(col(idCol), col("component"))
+  }
+
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {

@@ -368,6 +368,22 @@ object DocumentQueries {
         jaccardPairsArtifact(s, dir), "id_a", "id_b")
     }),
 
+    // CLONE-IMMUNE clustering (Dedup.clustersCanonical — the
+    // production order: exact dedup first, near-dup at distinct-content
+    // cardinality, members inherit their representative's component).
+    // The corpus is clone-AUGMENTED (re-keyed copies of doc_id%13=5)
+    // so the gate exercises the collapse: clones must land in their
+    // original's cluster, and near-dup work never sees them. The SF-1
+    // soak measured the all-docs kernel going clone-quadratic; this
+    // form's pair stage is clone-independent by construction.
+    "dedup_clusters_canonical" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val d = d0.unionByName(d0.where(col("doc_id") % 13 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.clustersCanonical(d, "text", "doc_id", thresholdE4 = 5000,
+        maxDf = 1000)
+    }),
+
     // cluster COHESION (the transitivity-gap read that tunes the
     // threshold): per multi-member component, how many of its C(n,2)
     // pairs are DIRECT edges (completeness near 10⁴ = clique-like
@@ -1920,6 +1936,57 @@ object DocumentQueries {
          |JOIN sizes sa ON sa.doc_id = p.id_new
          |JOIN sizes sb ON sb.doc_id = p.id_old
          |WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)""".stripMargin,
+
+    // exact-group collapse → rep-level pair closure → members inherit:
+    // the full canonical semantics replayed (df caps over DISTINCT
+    // contents, clones joined by content equality, labels = min doc id
+    // of the merged content groups)
+    "dedup_clusters_canonical" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 13 = 5),
+        |canon AS (
+        |  SELECT b.doc_id, c.cid FROM base b
+        |  JOIN (SELECT text, min(doc_id) AS cid FROM base GROUP BY 1) c
+        |    USING (text)),
+        |reps AS (SELECT min(doc_id) AS doc_id, text FROM base
+        |         GROUP BY text),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [array_to_string(toks, ' ')] END) AS shset
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM reps)),
+        |ex AS (SELECT doc_id,
+        |  unnest(list_transform(shset,
+        |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+        |  FROM sh),
+        |sizes AS (SELECT doc_id, len(shset) AS sz FROM sh),
+        |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM ex a JOIN keep USING (s) JOIN ex b USING (s)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT p.id_a, p.id_b FROM pairs p
+        |  JOIN sizes sa ON sa.doc_id = p.id_a
+        |  JOIN sizes sb ON sb.doc_id = p.id_b
+        |  WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM jp
+        |        UNION ALL SELECT id_b AS a, id_a AS b FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM reps
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+        |comp AS (SELECT a AS cid, min(b) AS component
+        |         FROM reach GROUP BY a)
+        |SELECT canon.doc_id, comp.component
+        |FROM canon JOIN comp USING (cid)""".stripMargin,
 
     // transitive closure of the SAME pair set via a recursive CTE:
     // component = min doc_id reachable through near-dup edges

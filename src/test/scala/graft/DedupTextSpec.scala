@@ -924,6 +924,34 @@ class DedupTextSpec extends SparkTestBase {
     assert(!m.contains(("A", "C")) && !m.contains(("B", "C")))
   }
 
+  test("clustersCanonical: clones inherit, near-dup at content cardinality") {
+    // a ≈ b (near-dups), c unique; a is cloned twice — the clones must
+    // join a's cluster purely through the exact-group collapse, and
+    // labels stay the min doc id of the merged content groups
+    val ta = "the quick brown fox jumps over the lazy dog tonight"
+    val tb = "the quick brown fox jumps over the lazy dog today"
+    val df = Seq(
+      (1L, ta), (2L, tb), (3L, "completely unrelated text about ships"),
+      (10L, ta), (20L, ta)).toDF("doc_id", "text")
+    val got = Dedup.clustersCanonical(df, "text", "doc_id",
+        thresholdE4 = 5000, maxDf = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 10L -> 1L, 20L -> 1L),
+      got.toString)
+    // clone-free corpus: identical labels to the all-docs pair closure
+    val clean = df.where(col("doc_id") < 10L)
+    val canonical = Dedup.clustersCanonical(clean, "text", "doc_id",
+        thresholdE4 = 5000, maxDf = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allDocs = Dedup.connectedComponents(clean.select(col("doc_id")),
+        "doc_id",
+        Dedup.jaccardPairsPostingKernelFromShingles(
+          Dedup.shingleHashKernel(clean, "text", "doc_id", 3), 5000, 100),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canonical == allDocs)
+  }
+
   test("cooccurrenceLift: window semantics, exact lift, df cap, self-pairs") {
     // doc: "a b a" — window 1 pairs: (a,b)@(0,1), (a,b)@(1,2) → n_ab=2
     // totals a=2, b=1, N=3 → lift(a,b) = 10000·2·3 / (2·1) = 30000
