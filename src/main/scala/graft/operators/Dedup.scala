@@ -721,6 +721,71 @@ object Dedup {
       .select(col(idCol), col("component"))
   }
 
+  /** [[clustersCanonical]]'s INCREMENTAL twin — the daily-batch close
+    * at distinct-content cardinality (the SF-1 soak measured the
+    * all-docs incremental read going clone-quadratic on BOTH probe
+    * sides; every stage here is clone-independent):
+    *
+    *  1. both sides collapse to content representatives (one hash
+    *     aggregation each — the only clone-linear steps);
+    *  2. batch reps CONTENT-matching a corpus content adopt it by an
+    *     md5-equality edge (exact groups always cluster — ground
+    *     truth, never subject to df-cap recall);
+    *  3. batch reps probe CORPUS reps ([[jaccardPairsAgainstFromShingles]]
+    *     — df caps on corpus-rep frequency, never old×old re-pairing)
+    *     and pair among THEMSELVES ([[jaccardPairsPostingKernelFromShingles]]);
+    *  4. one [[connectedComponentsIncremental]] close over the star
+    *     edges of both sides' canonical maps + the standing labels.
+    *
+    * Like the all-docs incremental form (and unlike
+    * [[graft.operators.EntityResolution.resolveIncremental]]), a batch
+    * bridge MAY merge two standing components — label propagation is
+    * transitive by contract here. Labels equal a full
+    * [[clustersCanonical]] re-resolve over corpus ∪ batch whenever the
+    * df caps agree (spec-pinned; the driver query shares the full
+    * form's oracle verbatim).
+    *
+    * @param corpusLabels (`idCol`, `component`) for the corpus —
+    *   [[clustersCanonical]] output or any persisted store
+    * @return (idCol, `component`) for every corpus AND batch doc */
+  def clustersCanonicalIncremental(newDf: DataFrame, textCol: String,
+      idCol: String, corpusDf: DataFrame, corpusLabels: DataFrame,
+      thresholdE4: Int, maxDf: Long = 1000L,
+      shingleK: Int = 3): DataFrame = {
+    val cCanon = exact(corpusDf, textCol, idCol)
+    val bCanon = exact(newDf, textCol, idCol)
+    def reps(df: DataFrame, canon: DataFrame): DataFrame =
+      df.select(col(idCol), col(textCol))
+        .join(canon.where(col(idCol) === col("canonical_id"))
+          .select(col(idCol)), Seq(idCol), "left_semi")
+    val cReps = reps(corpusDf, cCanon)
+    val bReps = reps(newDf, bCanon)
+    val cHs = shingleHashKernel(cReps, textCol, idCol, shingleK)
+      .localCheckpoint(true)
+    val bHs = shingleHashKernel(bReps, textCol, idCol, shingleK)
+      .localCheckpoint(true)
+    val contentEdges = bReps
+      .select(col(idCol).as("id_a"), md5(col(textCol)).as("__k"))
+      .join(cReps.select(col(idCol).as("id_b"),
+        md5(col(textCol)).as("__k")), Seq("__k"))
+      .select(col("id_a"), col("id_b"))
+    val probeEdges = jaccardPairsAgainstFromShingles(bHs, cHs,
+        thresholdE4, maxDf)
+      .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+    val batchEdges = jaccardPairsPostingKernelFromShingles(bHs,
+        thresholdE4, maxDf)
+      .select(col("id_a"), col("id_b"))
+    val starEdges = cCanon.unionByName(bCanon)
+      .where(col(idCol) =!= col("canonical_id"))
+      .select(col(idCol).as("id_a"), col("canonical_id").as("id_b"))
+    val nodes = corpusDf.select(col(idCol))
+      .unionByName(newDf.select(col(idCol)))
+    connectedComponentsIncremental(nodes, idCol, corpusLabels, idCol,
+      "component",
+      contentEdges.unionByName(probeEdges).unionByName(batchEdges)
+        .unionByName(starEdges), "id_a", "id_b")
+  }
+
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {

@@ -323,11 +323,47 @@ object DocumentQueries {
     (build, read)
   }
 
+  /** The clone-augmented corpus shared by the canonical clustering
+    * gates: originals plus re-keyed copies of doc_id%13=5 (offset
+    * 1000001, so a clone lands in a DIFFERENT doc_id%5 batch class
+    * than its original — the incremental twin's content-adoption
+    * path crosses the batch/corpus split). */
+  private def cloneAugmented(s: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+    d0.unionByName(d0.where(col("doc_id") % 13 === 5)
+      .select((col("doc_id") + 1000001L).as("doc_id"), col("text")))
+  }
+
+  /** Two-phase decomposition of the CANONICAL incremental close:
+    * BUILD resolves the standing corpus with [[Dedup.clustersCanonical]]
+    * (the persisted artifact), READ closes the daily batch at
+    * distinct-content cardinality. Shares the full canonical
+    * re-resolve's oracle verbatim (labels provably equal when the df
+    * caps agree — Dedup.clustersCanonicalIncremental scaladoc). */
+  private def canonicalIncPhases(s: SparkSession,
+      dir: String): (() => Unit, () => DataFrame) = {
+    val base = cloneAugmented(s, dir)
+    val isBatch = col("doc_id") % 5 === 4
+    var corpus: DataFrame = null
+    var labels: DataFrame = null
+    val build = () => {
+      corpus = base.where(!isBatch).localCheckpoint(true)
+      labels = Dedup.clustersCanonical(corpus, "text", "doc_id",
+        thresholdE4 = 5000, maxDf = 1000).localCheckpoint(true)
+      ()
+    }
+    val read = () => Dedup.clustersCanonicalIncremental(
+      base.where(isBatch), "text", "doc_id", corpus, labels,
+      thresholdE4 = 5000, maxDf = 1000)
+    (build, read)
+  }
+
   /** The lifecycle queries' two-phase forms, consumed by
     * [[graft.Bench]] for separate `__build` / `__read` timings. */
   val lifecycleSplits
       : Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
-    Map("dedup_clusters_incremental" -> (clustersIncrementalPhases _))
+    Map("dedup_clusters_incremental" -> (clustersIncrementalPhases _),
+      "dedup_canonical_incremental" -> (canonicalIncPhases _))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: canonical (min) doc_id per identical text
@@ -376,12 +412,20 @@ object DocumentQueries {
     // original's cluster, and near-dup work never sees them. The SF-1
     // soak measured the all-docs kernel going clone-quadratic; this
     // form's pair stage is clone-independent by construction.
-    "dedup_clusters_canonical" -> ((s, dir) => {
-      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
-      val d = d0.unionByName(d0.where(col("doc_id") % 13 === 5)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      Dedup.clustersCanonical(d, "text", "doc_id", thresholdE4 = 5000,
-        maxDf = 1000)
+    "dedup_clusters_canonical" -> ((s, dir) =>
+      Dedup.clustersCanonical(cloneAugmented(s, dir), "text", "doc_id",
+        thresholdE4 = 5000, maxDf = 1000)),
+
+    // the INCREMENTAL canonical close (Dedup.clustersCanonicalIncremental):
+    // corpus resolved once (build phase), the %5=4 batch closes against
+    // it at distinct-content cardinality — content-matched batch docs
+    // adopt by md5 equality (clones cross the split by construction),
+    // novel contents probe corpus reps and pair among themselves. The
+    // result must equal the full canonical re-resolve: oracle shared
+    // verbatim with dedup_clusters_canonical.
+    "dedup_canonical_incremental" -> ((s, dir) => {
+      val (build, read) = canonicalIncPhases(s, dir)
+      build(); read()
     }),
 
     // cluster COHESION (the transitivity-gap read that tunes the
@@ -1602,6 +1646,56 @@ object DocumentQueries {
 
   /** dedup_ngram_jaccard's full oracle — shared with the cluster
     * oracle so both close over the identical pair set. */
+  /** Full canonical-clustering replay (exact-group collapse ->
+    * rep-level pair closure -> members inherit), shared verbatim by
+    * the full and incremental canonical gates. */
+  private lazy val canonicalClustersSql: String =
+    """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000001 AS doc_id, text FROM documents
+        |  WHERE doc_id % 13 = 5),
+        |canon AS (
+        |  SELECT b.doc_id, c.cid FROM base b
+        |  JOIN (SELECT text, min(doc_id) AS cid FROM base GROUP BY 1) c
+        |    USING (text)),
+        |reps AS (SELECT min(doc_id) AS doc_id, text FROM base
+        |         GROUP BY text),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [array_to_string(toks, ' ')] END) AS shset
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM reps)),
+        |ex AS (SELECT doc_id,
+        |  unnest(list_transform(shset,
+        |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
+        |  FROM sh),
+        |sizes AS (SELECT doc_id, len(shset) AS sz FROM sh),
+        |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM ex a JOIN keep USING (s) JOIN ex b USING (s)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT p.id_a, p.id_b FROM pairs p
+        |  JOIN sizes sa ON sa.doc_id = p.id_a
+        |  JOIN sizes sb ON sb.doc_id = p.id_b
+        |  WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM jp
+        |        UNION ALL SELECT id_b AS a, id_a AS b FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM reps
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+        |comp AS (SELECT a AS cid, min(b) AS component
+        |         FROM reach GROUP BY a)
+        |SELECT canon.doc_id, comp.component
+        |FROM canon JOIN comp USING (cid)""".stripMargin
+
   private lazy val jaccardPairsSql: String =
     s"""WITH $shingleCte,
        |ex AS (SELECT doc_id,
@@ -1937,56 +2031,16 @@ object DocumentQueries {
          |JOIN sizes sb ON sb.doc_id = p.id_old
          |WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)""".stripMargin,
 
+    // the incremental close must be indistinguishable from the full
+    // canonical re-resolve — oracle shared verbatim
+    "dedup_canonical_incremental" -> canonicalClustersSql,
+
     // exact-group collapse → rep-level pair closure → members inherit:
     // the full canonical semantics replayed (df caps over DISTINCT
     // contents, clones joined by content equality, labels = min doc id
     // of the merged content groups)
-    "dedup_clusters_canonical" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
-        |  WHERE doc_id % 13 = 5),
-        |canon AS (
-        |  SELECT b.doc_id, c.cid FROM base b
-        |  JOIN (SELECT text, min(doc_id) AS cid FROM base GROUP BY 1) c
-        |    USING (text)),
-        |reps AS (SELECT min(doc_id) AS doc_id, text FROM base
-        |         GROUP BY text),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) >= 3
-        |      THEN list_transform(range(1, len(toks) - 1),
-        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |      ELSE [array_to_string(toks, ' ')] END) AS shset
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |        FROM reps)),
-        |ex AS (SELECT doc_id,
-        |  unnest(list_transform(shset,
-        |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS s
-        |  FROM sh),
-        |sizes AS (SELECT doc_id, len(shset) AS sz FROM sh),
-        |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        |  FROM ex a JOIN keep USING (s) JOIN ex b USING (s)
-        |  WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT p.id_a, p.id_b FROM pairs p
-        |  JOIN sizes sa ON sa.doc_id = p.id_a
-        |  JOIN sizes sb ON sb.doc_id = p.id_b
-        |  WHERE 10000 * p.common >= 5000 * (sa.sz + sb.sz - p.common)),
-        |sym AS (SELECT id_a AS a, id_b AS b FROM jp
-        |        UNION ALL SELECT id_b AS a, id_a AS b FROM jp),
-        |reach AS (
-        |  SELECT doc_id AS a, doc_id AS b FROM reps
-        |  UNION
-        |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
-        |comp AS (SELECT a AS cid, min(b) AS component
-        |         FROM reach GROUP BY a)
-        |SELECT canon.doc_id, comp.component
-        |FROM canon JOIN comp USING (cid)""".stripMargin,
+    "dedup_clusters_canonical" -> canonicalClustersSql,
+
 
     // transitive closure of the SAME pair set via a recursive CTE:
     // component = min doc_id reachable through near-dup edges

@@ -952,6 +952,36 @@ class DedupTextSpec extends SparkTestBase {
     assert(canonical == allDocs)
   }
 
+  test("clustersCanonicalIncremental == full re-resolve; adoption and bridges") {
+    val ta = "the quick brown fox jumps over the lazy dog tonight"
+    val tb = "the quick brown fox jumps over the lazy dog today"
+    val tc = "a completely different story about sailing ships at dawn"
+    val td = "a completely different story about sailing ships at dusk"
+    val corpus = Seq(
+      (1L, ta), (2L, tb),  // near-dup component {1,2}
+      (3L, tc),            // singleton component {3}
+      (5L, td))            // singleton component {5} (≈ tc but unlinked
+                           // only if threshold high — with 5000 they link;
+                           // use them as a standing component {3,5})
+      .toDF("doc_id", "text")
+    val labels = Dedup.clustersCanonical(corpus, "text", "doc_id", 5000, 100)
+    val batch = Seq(
+      (10L, ta),                                   // content ADOPTION → comp 1
+      (11L, "the quick brown fox jumps over the lazy dog forever"), // novel near-dup → comp 1
+      (12L, "an entirely new subject never seen before today okay"), // novel singleton
+      (13L, "an entirely new subject never seen before today yes")) // batch-internal pair with 12
+      .toDF("doc_id", "text")
+    val inc = Dedup.clustersCanonicalIncremental(batch, "text", "doc_id",
+        corpus, labels, thresholdE4 = 5000, maxDf = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.clustersCanonical(corpus.unionByName(batch), "text",
+        "doc_id", thresholdE4 = 5000, maxDf = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"inc $inc vs full $full")
+    assert(inc(10L) == 1L && inc(11L) == 1L) // adoption + novel link
+    assert(inc(12L) == 12L && inc(13L) == 12L) // batch-internal pair
+  }
+
   test("cooccurrenceLift: window semantics, exact lift, df cap, self-pairs") {
     // doc: "a b a" — window 1 pairs: (a,b)@(0,1), (a,b)@(1,2) → n_ab=2
     // totals a=2, b=1, N=3 → lift(a,b) = 10000·2·3 / (2·1) = 30000
