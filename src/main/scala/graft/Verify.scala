@@ -41,7 +41,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Restrict the oracle dump to the selected queries: with
+    // SPARK_GRAFT_ONLY set, an oracle entry for an un-dumped query would
+    // make check_oracle.py count it as "spark result missing" and fail
+    // the whole subset run (the driver never sets ONLY — full dump).
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

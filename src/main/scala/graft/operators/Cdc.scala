@@ -74,7 +74,11 @@ object Cdc {
     * either side.
     *
     * Contract: `keyCol` must be unique within each snapshot (duplicate
-    * keys would fan out multiplicatively through the full-outer join).
+    * keys would fan out multiplicatively through the full-outer join)
+    * — ENFORCED loudly in-plan: each side aggregates by key first (the
+    * aggregation hash-partitions on the key, so the join reuses the
+    * exchange — no extra shuffle) and a duplicate key raises at
+    * runtime instead of silently multiplying rows.
     * NULL content is a real value: md5(null) is coalesced to a sentinel
     * digest so a present-with-null-text key still registers as present
     * (never misreported added/removed), and null-on-both-sides compares
@@ -83,7 +87,13 @@ object Cdc {
       keyCol: String, contentCol: String): DataFrame = {
     def digest(df: DataFrame, side: String): DataFrame =
       df.select(col(keyCol),
-        coalesce(md5(col(contentCol)), lit("<null>")).as(side))
+          coalesce(md5(col(contentCol)), lit("<null>")).as(side))
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("__n"), max(col(side)).as(side))
+        .select(col(keyCol),
+          when(col("__n") === 1, col(side)).otherwise(raise_error(
+            concat(lit(s"snapshotDiff: duplicate key in $side snapshot: "),
+              col(keyCol).cast("string")))).as(side))
     digest(oldSnap, "__old").join(digest(newSnap, "__new"),
         Seq(keyCol), "full_outer")
       .select(col(keyCol),

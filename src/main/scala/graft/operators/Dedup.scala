@@ -223,8 +223,19 @@ object Dedup {
     // ceiling is a NO-OP limit that makes the bound visible in-plan
     // (the readCentroids convention), so the deliberate broadcast
     // fan-out passes PlanLint's bounded-broadcast exemption instead
-    // of compiling to a bannable CartesianProduct
-    val skb = sk.limit(maxSources)
+    // of compiling to a bannable CartesianProduct. The limit is made
+    // provably a no-op by the guard BELOW it: past maxSources sources
+    // the query raises (the nearDupPairsKernel fail-loud contract) —
+    // a silent unordered truncation would nondeterministically sample
+    // DIFFERENT source subsets on the two crossJoin sides
+    val nSrc = sk.agg(count(lit(1)).as("__nsrc")) // 1-row stats frame
+    val skb = sk.crossJoin(broadcast(nSrc))
+      .select(col("source"), when(col("__nsrc") <= maxSources, col("a"))
+        .otherwise(raise_error(concat(
+          lit(s"sourceOverlapKmv: more than $maxSources sources ("),
+          col("__nsrc").cast("string"),
+          lit(") — raise maxSources")))).as("a"))
+      .limit(maxSources)
     val pairs = skb.select(col("source").as("src_a"), col("a").as("aa"))
       .crossJoin(broadcast(
         skb.select(col("source").as("src_b"), col("a").as("ab"))))

@@ -150,16 +150,46 @@ object TextAnalysis {
     * Output: (`tok_a`, `tok_b`, `n_ab`, `n_a`, `n_b`, `lift_e4`),
     * `tok_a ≤ tok_b`. */
   def cooccurrenceLift(df: DataFrame, textCol: String, idCol: String,
-      window: Int, maxDf: Long, minCount: Long): DataFrame = {
+      window: Int, maxDf: Long, minCount: Long): DataFrame =
+    cooccurrenceCore(df, textCol, idCol, window, minCount,
+      dfTable => dfTable.where(col("__df") > maxDf))
+
+  /** [[cooccurrenceLift]] with a FRACTIONAL df cap — the form that
+    * survives a change of corpus size: a token is "hot" (excluded)
+    * when it appears in more than `maxDfFracE4/10⁴` of the documents,
+    * with the cap derived IN-PLAN as `N_docs · maxDfFracE4 DIV 10⁴`
+    * (exact integer arithmetic — no float ceil to drift between
+    * engines). An absolute cap tuned at one SF silently degenerates at
+    * another (every collocation token "hot" at 10× the corpus → empty
+    * result that gates nothing); the fraction keeps the kept-token
+    * universe stable across scale. `maxDfFracE4 = 2000` ≡ "drop tokens
+    * in >20% of docs". */
+  def cooccurrenceLiftFrac(df: DataFrame, textCol: String, idCol: String,
+      window: Int, maxDfFracE4: Long, minCount: Long): DataFrame = {
+    require(maxDfFracE4 >= 1 && maxDfFracE4 <= 10000,
+      s"maxDfFracE4: $maxDfFracE4 (1..10000)")
+    // 1-row stats frame: the corpus size joins broadcast, never collects
+    val nDocs = df.agg(count(lit(1)).as("__ndocs"))
+    cooccurrenceCore(df, textCol, idCol, window, minCount,
+      dfTable => dfTable.crossJoin(broadcast(nDocs))
+        .where(col("__df") >
+          expr(s"__ndocs * ${maxDfFracE4}L DIV 10000L")))
+  }
+
+  /** Shared co-occurrence body; `hotFilter` selects the excluded
+    * Zipf-head rows from the per-token (tok, `__df`) doc-frequency
+    * table. */
+  private def cooccurrenceCore(df: DataFrame, textCol: String,
+      idCol: String, window: Int, minCount: Long,
+      hotFilter: DataFrame => DataFrame): DataFrame = {
     require(window >= 1 && window <= 16, s"window: $window (1..16)")
     require(minCount >= 1, "minCount must be >= 1")
     val occ = df
       .select(col(idCol).as("__doc"),
         posexplode(tokens(col(textCol))).as(Seq("__pos", "tok")))
       .where(length(col("tok")) > 0)
-    val hot = occ.select(col("__doc"), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("__df"))
-      .where(col("__df") > maxDf)
+    val hot = hotFilter(occ.select(col("__doc"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("__df")))
       .select(col("tok"))
     val kept = occ.join(broadcast(hot), Seq("tok"), "left_anti")
     // left side fans out window×: (doc, pos + d, tok) meets the right

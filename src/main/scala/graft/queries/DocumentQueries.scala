@@ -770,10 +770,16 @@ object DocumentQueries {
     // pairs within 3 positions by exact integral lift — the pair join
     // is ONE (doc, position) hash equi-join over a window-fold fan-out
     // (never a position-band range join), Zipf heads broadcast-anti-
-    // joined out before any pair forms, ranking served as a top-k
+    // joined out before any pair forms, ranking served as a top-k.
+    // The df cap is FRACTIONAL (>85% of docs = hot, derived in-plan) —
+    // an absolute cap tuned at one SF degenerates to an empty,
+    // gates-nothing result at 10× the corpus; 85% because the synthetic
+    // fixture's 31-token vocabulary is ALL mid-band (df 40-80% of docs
+    // at every SF), so any lower fraction blanks the result instead of
+    // trimming a Zipf head the fixture doesn't have
     "text_cooccurrence" -> ((s, dir) =>
-      TextAnalysis.cooccurrenceLift(docs(s, dir), "text", "doc_id",
-          window = 3, maxDf = 1000, minCount = 3)
+      TextAnalysis.cooccurrenceLiftFrac(docs(s, dir), "text", "doc_id",
+          window = 3, maxDfFracE4 = 8500, minCount = 3)
         .orderBy(col("lift_e4").desc, col("n_ab").desc, col("tok_a"),
           col("tok_b"))
         .limit(100)),
@@ -919,8 +925,9 @@ object DocumentQueries {
     // COMPRESSION-RATIO quality (TextAnalysis.compressionStats): the
     // Gopher-rule deflate heuristic — repetitive boilerplate deflates
     // hard, noise barely deflates; prose lands mid-band. Row-local
-    // kernel; no SQL twin exists, so this is a rows-only driver entry
-    // (DedupTextSpec pins the semantics).
+    // kernel; DEFLATE is SQL-inexpressible, so the oracle is a golden
+    // pin derived INDEPENDENTLY with Python zlib (see the oracle's
+    // comment); DedupTextSpec pins the semantics.
     "text_compression_profile" -> ((s, dir) =>
       graft.operators.TextAnalysis
         .compressionStats(docs(s, dir), "text", "doc_id")
@@ -2560,7 +2567,8 @@ object DocumentQueries {
         |    arr[CAST(i AS INT) + 1] AS tok
         |  FROM pos WHERE length(arr[CAST(i AS INT) + 1]) > 0),
         |hot AS (SELECT tok FROM (SELECT DISTINCT doc_id, tok FROM occ)
-        |        GROUP BY tok HAVING count(*) > 1000),
+        |        GROUP BY tok HAVING count(*) >
+        |          (SELECT count(*) * 8500 // 10000 FROM documents)),
         |kept AS (SELECT * FROM occ
         |         WHERE tok NOT IN (SELECT tok FROM hot)),
         |pairs AS (
@@ -2682,6 +2690,32 @@ object DocumentQueries {
 
     // the streaming-maintained store must be bit-identical
     "stream_manifest" -> manifestSql,
+
+    // INDEPENDENT golden pin: DuckDB has no DEFLATE, but zlib is zlib —
+    // these values were derived with PYTHON's zlib.compress(utf8, 6)
+    // over the driver CORRECTNESS fixture and verified byte-identical
+    // to java.util.zip.Deflater(6) per document, so the pin is an
+    // out-of-JVM recomputation, not an echo of our own output.
+    // FIXTURE-PINNED like bpe_merges (scale soaks must exclude it):
+    // a regenerated fixture or a zlib version drift fails LOUDLY.
+    "text_compression_profile" ->
+      """SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(mean_ratio_e4 AS BIGINT) AS mean_ratio_e4,
+        |  CAST(min_ratio_e4 AS BIGINT) AS min_ratio_e4,
+        |  CAST(max_ratio_e4 AS BIGINT) AS max_ratio_e4
+        |FROM (VALUES
+        |('src0',25,5263,4159,7164), ('src1',25,5106,4132,7882),
+        |('src10',25,5664,4150,10185), ('src11',25,5134,4161,7500),
+        |('src12',25,5747,4160,9841), ('src13',25,5196,4234,7586),
+        |('src14',25,5698,4202,9275), ('src15',25,5738,4070,10000),
+        |('src16',25,5826,4098,9677), ('src17',25,5362,4176,8241),
+        |('src18',25,5517,4163,9661), ('src19',25,6056,4074,10175),
+        |('src2',25,5436,3980,8765), ('src3',25,5521,4117,8409),
+        |('src4',25,5628,3981,8478), ('src5',25,5700,4198,9701),
+        |('src6',25,5851,4024,9682), ('src7',25,5246,4245,7722),
+        |('src8',25,5846,4276,8247), ('src9',25,5342,4208,9473)
+        |) t(source, n_docs, mean_ratio_e4, min_ratio_e4, max_ratio_e4)"""
+        .stripMargin,
 
     "corpus_diff" ->
       """WITH oldv AS (SELECT doc_id, text FROM documents),

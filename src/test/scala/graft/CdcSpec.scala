@@ -154,4 +154,22 @@ class CdcSpec extends SparkTestBase {
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "changed", 4L -> "removed"))
   }
+
+  test("snapshotDiff raises loudly on a duplicate key (either side)") {
+    import spark.implicits._
+    val ok = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val dup = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("id", "text")
+    val e1 = intercept[Exception] {
+      Cdc.snapshotDiff(dup, ok, "id", "text").collect()
+    }
+    assert(e1.getMessage.contains("duplicate key"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Cdc.snapshotDiff(ok, dup, "id", "text").collect()
+    }
+    assert(e2.getMessage.contains("duplicate key"), e2.getMessage)
+    // the guard costs nothing on the clean path: unique keys unchanged
+    assert(Cdc.snapshotDiff(ok, ok, "id", "text")
+      .select("status").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("unchanged"))
+  }
 }

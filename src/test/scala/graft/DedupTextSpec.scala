@@ -1012,6 +1012,42 @@ class DedupTextSpec extends SparkTestBase {
       window = 3, maxDf = 2, minCount = 2).count() == 0L)
   }
 
+  test("cooccurrenceLiftFrac: in-plan fractional df cap, scale-stable") {
+    val d = Seq((1L, "the x y"), (2L, "the z"), (3L, "the q"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // fracE4=5000 at N=3 docs → cap = 3·5000 DIV 10⁴ = 1 ≡ absolute 1:
+    // "the" (df 3) is hot, x/y/z/q kept
+    assert(rows(TextAnalysis.cooccurrenceLiftFrac(d, "text", "doc_id",
+        window = 3, maxDfFracE4 = 5000, minCount = 1)) ==
+      rows(TextAnalysis.cooccurrenceLift(d, "text", "doc_id",
+        window = 3, maxDf = 1, minCount = 1)))
+    // the scale-stability point: clone the corpus 10× with re-keyed
+    // docs — every df inflates 10× and an absolute cap tuned above
+    // ("the" hot at df>1) now blanks EVERYTHING (df ≥ 10 > 1), while
+    // the fractional cap keeps the same kept-token universe
+    val cloned = (0 until 10).map(i =>
+        d.select((col("doc_id") + i * 100).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    assert(TextAnalysis.cooccurrenceLift(cloned, "text", "doc_id",
+      window = 3, maxDf = 1, minCount = 1).count() == 0L)
+    val frac = TextAnalysis.cooccurrenceLiftFrac(cloned, "text", "doc_id",
+      window = 3, maxDfFracE4 = 5000, minCount = 1)
+    // same pairs as the unit corpus, counts scaled 10× and lift
+    // invariant: n_ab·N/(n_a·n_b) = 10·1·30/(10·10) = the unit value
+    assert(frac.select("tok_a", "tok_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("x", "y")))
+    assert(frac.select("lift_e4").collect().head.getLong(0) == 40000L)
+    // bounds enforced
+    intercept[IllegalArgumentException] {
+      TextAnalysis.cooccurrenceLiftFrac(d, "text", "doc_id",
+        window = 3, maxDfFracE4 = 0, minCount = 1)
+    }
+  }
+
   test("bpeTrain delta-maintained counts == naive full-recount reference") {
     // the delta fold must be indistinguishable from recounting every
     // pair each step — randomized dictionaries over a tiny alphabet

@@ -141,8 +141,13 @@ def main():
         survived = []
         for k in flagged:
             f = q_fresh.get(k)
-            if f is None:
-                print(f"  {k}: no fresh number (skipped)")
+            if f is None or f < 0:
+                # Bench emits -1.0 for a query that FAILED; a crashed or
+                # missing fresh run proves nothing about the regression —
+                # the flag stays (inconclusive), it is never "dissolved".
+                print(f"  {k}: fresh run failed/missing "
+                      f"-> INCONCLUSIVE (flag kept)")
+                survived.append(k)
                 continue
             r = f / q_old[k] if q_old.get(k) else float("inf")
             verdict = "CONFIRMED" if (r >= threshold and f > 1.0) \
