@@ -385,8 +385,16 @@ final class TimeSeriesService(
     * only that group's fact partitions (disjoint row sets — the total
     * IO of one scan of the requested facts). All facts must agree on
     * the effective slice (the scan's bucket floor is per-slice).
-    * Always compute-on-read: rollup serving stays per-fact
-    * ([[getTimeseries]]).
+    *
+    * TIER-ROUTED like the single-fact read: a fact whose (fact,
+    * routed-grouping) rollup is registered serves from the rollup
+    * (pruned partial scan, [[Rollups.run]]) and only the facts
+    * WITHOUT one fall back to the shared raw-event pipeline — the
+    * dashboard is the product's hottest read, and at 100 TB a
+    * fully-registered dashboard must refresh at O(rollup), never
+    * O(events) (PlanAuditSpec pins that an all-registered multi read
+    * compiles to a plan with no event-store scan). Identical results
+    * by re-aggregability, per-fact.
     *
     * Output: all-counter → (routed dims…, `fact`, `bucket`, `value`);
     * all-average → (…, `counter`, `total`); MIXED → (…, `value`,
@@ -435,14 +443,37 @@ final class TimeSeriesService(
       graft.operators.Timeseries.run(prepared, group.head._2, slices.head,
         grouping :+ "fact", filters, start, finish, step, offsetHours)
     }
+    // Per TYPE group: rollup-registered facts serve from their partials
+    // (one pruned rollup scan each, `fact` attached as a literal —
+    // identical to the per-fact tiered read), the rest share one raw
+    // scan. An all-registered dashboard never touches the event store.
+    def runType(group: Seq[(String, graft.model.FactDef)]): DataFrame = {
+      val tiered = group.map { case (id, f) =>
+        (id, f, servableRollup(f, slices.head, grouping, step,
+          offsetHours, start, finish))
+      }
+      val raw = tiered.collect { case (id, f, None) => (id, f) }
+      val frames = tiered.collect { case (id, f, Some(merged)) =>
+        val served = graft.operators.Rollups.run(merged, f, slices.head,
+            grouping, filters, start, finish, step, offsetHours)
+          .withColumn("fact", lit(id))
+        // canonical column order (dims…, fact, bucket?, measures) —
+        // the raw pipeline's shape, where `fact` rides as a grouping
+        // column rather than a trailing literal
+        val rest = served.columns
+          .filterNot(c => grouping.contains(c) || c == "fact")
+        served.select(((grouping :+ "fact") ++ rest).map(col): _*)
+      } ++ (if (raw.nonEmpty) Seq(runGroup(raw)) else Seq.empty)
+      frames.reduce(_.unionByName(_))
+    }
     (counters, averages) match {
-      case (c, Seq()) => runGroup(c)
-      case (Seq(), a) => runGroup(a)
+      case (c, Seq()) => runType(c)
+      case (Seq(), a) => runType(a)
       case (c, a) =>
         val nul = lit(null).cast(org.apache.spark.sql.types.LongType)
-        runGroup(c)
+        runType(c)
           .withColumn("counter", nul).withColumn("total", nul)
-          .unionByName(runGroup(a).withColumn("value", nul))
+          .unionByName(runType(a).withColumn("value", nul))
     }
   }
 

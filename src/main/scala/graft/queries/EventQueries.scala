@@ -506,6 +506,38 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day)
     }),
 
+    // the ROLLUP-SERVED dashboard read: same mixed dashboard as
+    // ts_multi_mixed, but both facts' rollups are materialized first —
+    // the multi read tier-routes EVERY tile onto its registered
+    // partials (here the day tier: midnight bounds, day step) and the
+    // event store is never scanned (PlanAuditSpec pins the plan).
+    // Identical rows by re-aggregability → shares ts_multi_mixed's
+    // oracle verbatim
+    "ts_multi_routed" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
+      svc.defineFact("spend_avg", FactType.Average, slice = 15)
+      svc.defineDimension("user_bucket",
+        facts = Set("clicks_count", "spend_avg"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", lit("clicks_count"))
+            .otherwise(lit("spend_avg")).as("fact"),
+          col("ts"),
+          when(col("event_type") === "click", lit(1L))
+            .otherwise(cents).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories"))
+      svc.ingest(ev)
+      svc.materializeRollups(java.nio.file.Files
+        .createTempDirectory("graft_multi_mv").toString)
+      svc.getTimeseriesMulti(Seq("clicks_count", "spend_avg"),
+        "user_bucket", Map("user_bucket" -> None),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day)
+    }),
+
     // TIME TRAVEL under the driver's gate: three batch-identified
     // ingests land in the attached durable store; the as-of read at
     // batch watermark 1 must hash-match the oracle computed over
@@ -2878,6 +2910,40 @@ object EventQueries {
        |LEFT JOIN scanned c USING ($dimNames, bucket)""".stripMargin
   }
 
+  /** The mixed (counter + average) dashboard oracle — the null-padded
+    * union of the per-type fills. Shared by `ts_multi_mixed`
+    * (compute-on-read) and `ts_multi_routed` (rollup-served): the tier
+    * must change only the store scanned, never a row. */
+  private val multiMixedSql: String =
+    s"""WITH base AS (
+       |  SELECT CAST(user_id % 4 AS VARCHAR) AS user_bucket, event_type,
+       |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE event_type IN ('click', 'purchase')
+       |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
+       |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
+       |cnt AS (SELECT user_bucket, bucket, count(*) AS value
+       |  FROM base WHERE event_type = 'click' GROUP BY ALL),
+       |avgp AS (SELECT user_bucket, bucket,
+       |    count(*) AS counter, sum(cents) AS total
+       |  FROM base WHERE event_type = 'purchase' GROUP BY ALL),
+       |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+       |  TIMESTAMP '2024-01-06', INTERVAL 1 DAY)) AS bucket),
+       |cs AS (SELECT DISTINCT user_bucket FROM cnt),
+       |avs AS (SELECT DISTINCT user_bucket FROM avgp)
+       |SELECT s.user_bucket, 'clicks_count' AS fact, g.bucket,
+       |  coalesce(c.value, 0) AS value,
+       |  CAST(NULL AS BIGINT) AS counter, CAST(NULL AS BIGINT) AS total
+       |FROM cs s CROSS JOIN grid g
+       |LEFT JOIN cnt c USING (user_bucket, bucket)
+       |UNION ALL
+       |SELECT s.user_bucket, 'spend_avg' AS fact, g.bucket,
+       |  CAST(NULL AS BIGINT) AS value,
+       |  coalesce(a.counter, 0) AS counter, coalesce(a.total, 0) AS total
+       |FROM avs s CROSS JOIN grid g
+       |LEFT JOIN avgp a USING (user_bucket, bucket)""".stripMargin
+
   /** Shared by the batch and streaming EWMA queries (ordered drain ≡
     * window frame). */
   private val ewmaSql: String =
@@ -3218,35 +3284,11 @@ object EventQueries {
     // value (0-filled), average rows carry the (counter, total)
     // partial ((0,0)-filled); each type's series set comes from ITS
     // OWN scan (absent series stay absent, per type)
-    "ts_multi_mixed" ->
-      s"""WITH base AS (
-         |  SELECT CAST(user_id % 4 AS VARCHAR) AS user_bucket, event_type,
-         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
-         |    CAST(round(value * 100) AS BIGINT) AS cents
-         |  FROM events
-         |  WHERE event_type IN ('click', 'purchase')
-         |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
-         |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
-         |cnt AS (SELECT user_bucket, bucket, count(*) AS value
-         |  FROM base WHERE event_type = 'click' GROUP BY ALL),
-         |avgp AS (SELECT user_bucket, bucket,
-         |    count(*) AS counter, sum(cents) AS total
-         |  FROM base WHERE event_type = 'purchase' GROUP BY ALL),
-         |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
-         |  TIMESTAMP '2024-01-06', INTERVAL 1 DAY)) AS bucket),
-         |cs AS (SELECT DISTINCT user_bucket FROM cnt),
-         |avs AS (SELECT DISTINCT user_bucket FROM avgp)
-         |SELECT s.user_bucket, 'clicks_count' AS fact, g.bucket,
-         |  coalesce(c.value, 0) AS value,
-         |  CAST(NULL AS BIGINT) AS counter, CAST(NULL AS BIGINT) AS total
-         |FROM cs s CROSS JOIN grid g
-         |LEFT JOIN cnt c USING (user_bucket, bucket)
-         |UNION ALL
-         |SELECT s.user_bucket, 'spend_avg' AS fact, g.bucket,
-         |  CAST(NULL AS BIGINT) AS value,
-         |  coalesce(a.counter, 0) AS counter, coalesce(a.total, 0) AS total
-         |FROM avs s CROSS JOIN grid g
-         |LEFT JOIN avgp a USING (user_bucket, bucket)""".stripMargin,
+    "ts_multi_mixed" -> multiMixedSql,
+
+    // rollup-served ≡ compute-on-read for the mixed dashboard: the
+    // tiers must change only the store that is scanned, never a row
+    "ts_multi_routed" -> multiMixedSql,
 
     // batches 0-1 only: the as-of watermark excludes batch 2's
     // events exactly as the partition filter does on the Spark side

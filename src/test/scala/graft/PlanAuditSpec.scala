@@ -301,6 +301,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("(event_type"), p.take(3000))
   }
 
+  test("rollup-served multi read: the dashboard never scans the event store") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan("ts_multi_routed")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    // with every fact's rollup registered, the product's hottest read
+    // (the k-tile dashboard refresh) is O(rollup): each tile rides its
+    // registered partials (here the hierarchical day tier) and the raw
+    // event store appears NOWHERE in the plan — at 100 TB this is the
+    // difference between reading KBs of partials and a full scan
+    assert(!p.contains("events.parquet"), p.take(3000))
+    assert(p.contains("graft_multi_mv"), p.take(3000))
+    // one pruned rollup scan per fact under the union, never a join
+    assert(!p.contains("Join"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size == 2, p.take(3000))
+  }
+
   test("date-partitioned raw events: date bounds prune event_date= dirs") {
     val p = plan("events_date_partitioned")
     // the RAW deployment layout's pruning claim, driven end to end:

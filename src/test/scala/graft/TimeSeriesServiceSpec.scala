@@ -401,6 +401,31 @@ class TimeSeriesServiceSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), "lat", r.getTimestamp(1),
         None, Some(r.get(2)), Some(r.get(3))))
     assert(mixed == (expCnt ++ expAvg).toSet)
+    // ROLLUP-SERVED multi read: materializing every rollup must not
+    // change a row (re-aggregability — the tier changes only the store
+    // scanned)
+    def mixedRead() = svc.getTimeseriesMulti(Seq("a_count", "lat"), "dep",
+        Map("dep" -> None),
+        ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_multi_spec").toString
+    svc.materializeRollups(tmp)
+    assert(mixedRead() == mixed,
+      "rollup-served multi read diverged from compute-on-read")
+    // PARTIAL registration: a later ingest for ONE fact invalidates
+    // only that fact's rollup — the read becomes the union of a
+    // rollup-served tile and a raw-scan tile, still equal to the
+    // per-fact reads
+    svc.newFact("a_count", ts("2014-03-21T10:55"), 5L, Map("dep" -> "d1"))
+    val expCnt2 = svc.getTimeseries("a_count", "dep", Map("dep" -> None),
+        ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+      .collect().map(r => (r.getString(0), "a_count", r.getTimestamp(1),
+        Some(r.get(2)), None, None))
+    assert(mixedRead() == (expCnt2 ++ expAvg).toSet,
+      "partially-registered multi read diverged from per-fact reads")
     // histogram/distinct partial shapes stay per-fact reads
     svc.defineFact("hist", FactType.Histogram, slice = 10,
       start = Some(0L), end = Some(50L), step = Some(10L))
