@@ -131,6 +131,29 @@ object Dedup {
       .select(col(idCol), col("canonical_id"))
   }
 
+  /** Exact-dup RATE per source — the corpus-health dashboard read
+    * ("which feed is sending us copies"): per `sourceCol`, the doc
+    * count, the distinct-content count (first doc per md5 digest in
+    * `idCol` order), and `dup_e4 = floor(10⁴·(n_docs −
+    * n_canonical)/n_docs)`. One digest window + one aggregation;
+    * bodies collapse to 32-byte digests at the scan, so the shuffle
+    * carries hashes, never text. Also the `graft_dedup_rate_by_source`
+    * SQL view ([[graft.sql.PipelineViews]]).
+    * Output: (sourceCol, `n_docs`, `n_canonical`, `dup_e4`). */
+  def rateBySource(df: DataFrame, textCol: String, idCol: String,
+      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__k", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__k")).orderBy(col(idCol))))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_canonical"))
+      .withColumn("dup_e4",
+        floor(lit(10000.0) * (col("n_docs") - col("n_canonical")) /
+          col("n_docs")).cast(LongType))
+  }
+
   /** Cross-source overlap matrix — the corpus-curation read "how much
     * of source A's content also appears in source B": per unordered
     * source pair, the count of distinct 3-gram shingle hashes both

@@ -477,7 +477,14 @@ object DocumentQueries {
     // standing corpus; a new batch (doc_id % 5 = 4) contributes
     // batch×corpus pairs (the incremental index probe) plus
     // batch-internal pairs, and the label fold must equal the full
-    // recompute's closure — old×old pairs are never regenerated
+    // recompute's closure — old×old pairs are never regenerated.
+    // COMPARISON BASELINE, not the served default: this all-docs form
+    // probes at document cardinality, so its cost is clone-quadratic
+    // (measured 106 s at SF-1 on the x10 clone fixture, vs 5.4 s for
+    // the canonical close) — production serves
+    // dedup_canonical_incremental and keeps this form as the
+    // semantic baseline it is spec-pinned against; the SF-1 soak
+    // measures it on the DE-CLONED fixture (its df-cap linear regime)
     "dedup_clusters_incremental" -> ((s, dir) => {
       val (build, read) = clustersIncrementalPhases(s, dir)
       build(); read()
@@ -797,6 +804,21 @@ object DocumentQueries {
           "q_stream" -> Seq("stream", "batch", "spark")),
         topK = 5)),
 
+    // the indexed BM25 read consumed from pure SQL text (the
+    // graft.sql.PipelineViews notebook surface): install the view over
+    // the registered postings index, then the retrieval is a spark.sql
+    // string — shared oracle with the scan-time and indexed forms
+    "text_bm25_sql" -> ((s, dir) => {
+      graft.sql.PipelineViews.installBm25(s, textIndexDir(s, dir),
+        queries = Seq(
+          "q_hash_join" -> Seq("hash", "join"),
+          "q_window_scan" -> Seq("window", "sort", "scan"),
+          "q_stream" -> Seq("stream", "batch", "spark")),
+        topK = 5)
+      s.sql("SELECT query_id, rk, id AS doc_id, n_terms, score_e6 " +
+        "FROM graft_bm25_topk")
+    }),
+
     // the SAME queries served from the persisted postings index: the
     // corpus is never scanned — query-term md5 buckets prune `part=`
     // directories, df/dl/stats come from the store; shares the
@@ -973,17 +995,16 @@ object DocumentQueries {
         docs(s, dir), "text", "doc_id", "source", maxDf = 1000, k = 256)),
 
     "dedup_rate_by_source" -> ((s, dir) =>
-      docs(s, dir)
-        .withColumn("__k", md5(col("text")))
-        .withColumn("__rn",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__k")).orderBy(col("doc_id"))))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_canonical"))
-        .withColumn("dup_e4",
-          floor(lit(10000.0) * (col("n_docs") - col("n_canonical")) /
-            col("n_docs")).cast("long"))),
+      Dedup.rateBySource(docs(s, dir), "text", "doc_id", "source")),
+
+    // the SAME read consumed from pure SQL text — the notebook/BI
+    // surface: graft.sql.PipelineViews installs the pipeline reads as
+    // session views and the query is a spark.sql string (shared
+    // oracle: the view must be the Scala read, verbatim)
+    "dedup_rate_by_source_sql" -> ((s, dir) => {
+      graft.sql.PipelineViews.installDedupRate(s, docs(s, dir))
+      s.sql("SELECT * FROM graft_dedup_rate_by_source")
+    }),
 
     // deterministic UPSAMPLING (the other half of data mixing): src0
     // runs 2.5 epochs, src1 1.5, the rest 1.0 — whole copies per row
@@ -1914,6 +1935,19 @@ object DocumentQueries {
       |(10,'a','t',1845), (11,'l','u',1831), (12,'i','n',1796)"""
       .stripMargin
 
+  /** Shared by `dedup_rate_by_source` and its SQL-view twin. */
+  private val dedupRateSql: String =
+      """WITH k AS (SELECT doc_id, source, md5(text) AS k FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k
+        |        ORDER BY doc_id) AS rn FROM k)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_canonical,
+        |  CAST(floor(CAST(10000.0 AS DOUBLE) *
+        |    (count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END))
+        |    / count(*)) AS BIGINT) AS dup_e4
+        |FROM r GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "hybrid_search" -> hybridSql,
 
@@ -2794,17 +2828,12 @@ object DocumentQueries {
         |    // len(x) AS jaccard_est_e4
         |FROM pr""".stripMargin,
 
-    "dedup_rate_by_source" ->
-      """WITH k AS (SELECT doc_id, source, md5(text) AS k FROM documents),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY k
-        |        ORDER BY doc_id) AS rn FROM k)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_canonical,
-        |  CAST(floor(CAST(10000.0 AS DOUBLE) *
-        |    (count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END))
-        |    / count(*)) AS BIGINT) AS dup_e4
-        |FROM r GROUP BY 1""".stripMargin,
+    "dedup_rate_by_source" -> dedupRateSql,
+
+    // the SQL-view twin must be the Scala read verbatim
+    "dedup_rate_by_source_sql" -> dedupRateSql,
+
+    "text_bm25_sql" -> bm25Sql,
 
     // whole copies + hash-gated fractional remainder, same md5 hash
     "mix_upsample_profile" ->

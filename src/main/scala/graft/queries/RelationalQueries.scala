@@ -124,6 +124,22 @@ object RelationalQueries {
         Quality.ForeignKey("l_orderkey", ord, "o_orderkey", "orders")))
     }),
 
+    // the SAME release gate consumed from pure SQL text (the
+    // graft.sql.PipelineViews notebook surface) — shared oracle: the
+    // view must be the Scala read, verbatim
+    "quality_report_sql" -> ((s, dir) => {
+      import graft.operators.Quality
+      graft.sql.PipelineViews.installQualityReport(s, read(s, dir, "lineitem"),
+        Seq(
+          Quality.NotNull("l_orderkey"),
+          Quality.Satisfies("quantity_le_49", col("l_quantity") <= 49),
+          Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+          Quality.Unique(Seq("l_orderkey")),
+          Quality.ForeignKey("l_orderkey", read(s, dir, "orders"),
+            "o_orderkey", "orders")))
+      s.sql("SELECT * FROM graft_quality_report")
+    }),
+
     // TPC-H Q1 shape: single-pass grouped scan aggregation
     "q1_pricing_summary" -> ((s, dir) =>
       read(s, dir, "lineitem")
@@ -687,6 +703,43 @@ object RelationalQueries {
       |          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
       |comp AS (SELECT a AS node_id, min(b) AS entity FROM reach GROUP BY 1)""".stripMargin
 
+  /** Shared by `quality_report` and its SQL-view twin: each
+    * constraint recomputed independently; null predicate values
+    * count as violations (unknown does not pass a gate), uniqueness
+    * counts surplus rows per key (null keys participate), the FK
+    * uses NOT EXISTS so reference duplicates cannot multiply
+    * counts. */
+  private val qualityReportSql: String =
+      """WITH v AS (
+        |  SELECT 'not_null(l_orderkey)' AS "check",
+        |    CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END)
+        |      AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'satisfies(quantity_le_49)',
+        |    CAST(count(CASE WHEN NOT coalesce(l_quantity <= 49, false)
+        |      THEN 1 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)',
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |      AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey)',
+        |    CAST(count(*) - count(DISTINCT (l_orderkey)) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'foreign_key(l_orderkey->orders.o_orderkey)',
+        |    CAST(count(CASE WHEN l.l_orderkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM orders o
+        |                      WHERE o.o_orderkey = l.l_orderkey)
+        |      THEN 1 END) AS BIGINT)
+        |  FROM lineitem l)
+        |SELECT "check", violations,
+        |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM v""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "er_part_matches" ->
       s"""WITH $erHeadSql
@@ -886,40 +939,10 @@ object RelationalQueries {
         |SELECT id, CAST(min(hops) AS BIGINT) AS hops
         |FROM walk GROUP BY 1""".stripMargin,
 
-    // each constraint recomputed independently; null predicate values
-    // count as violations (unknown does not pass a gate), uniqueness
-    // counts surplus rows per key (null keys participate), the FK
-    // uses NOT EXISTS so reference duplicates cannot multiply counts
-    "quality_report" ->
-      """WITH v AS (
-        |  SELECT 'not_null(l_orderkey)' AS "check",
-        |    CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END)
-        |      AS BIGINT) AS violations
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'satisfies(quantity_le_49)',
-        |    CAST(count(CASE WHEN NOT coalesce(l_quantity <= 49, false)
-        |      THEN 1 END) AS BIGINT)
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'unique(l_orderkey,l_linenumber)',
-        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
-        |      AS BIGINT)
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'unique(l_orderkey)',
-        |    CAST(count(*) - count(DISTINCT (l_orderkey)) AS BIGINT)
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'foreign_key(l_orderkey->orders.o_orderkey)',
-        |    CAST(count(CASE WHEN l.l_orderkey IS NOT NULL
-        |      AND NOT EXISTS (SELECT 1 FROM orders o
-        |                      WHERE o.o_orderkey = l.l_orderkey)
-        |      THEN 1 END) AS BIGINT)
-        |  FROM lineitem l)
-        |SELECT "check", violations,
-        |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
-        |FROM v""".stripMargin,
+    "quality_report" -> qualityReportSql,
+
+    // the SQL-view twin shares the gate verbatim
+    "quality_report_sql" -> qualityReportSql,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,52 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Quality, TextAnalysis}
+
+/** The pipeline plane's SQL CONSUMPTION surface — session views for
+  * notebook/BI users who speak `spark.sql` text, not Scala.
+  *
+  * `spark.sql.extensions=graft.GraftExtensions` injects the engine's
+  * scalar functions and the rollup-routing rule at session build, but
+  * the pipeline READS (dedup rate, quality gates, BM25 retrieval) are
+  * whole-table operators over session data — they cannot exist before
+  * the data is named. These installers are the one-line bridge: each
+  * registers the operator's DataFrame as a temp view, after which the
+  * read is plain SQL (`SELECT * FROM graft_dedup_rate_by_source`),
+  * composable with the rest of the user's SQL (joins, filters, CTEs)
+  * and optimizer-transparent — a view is its logical plan, so filters
+  * the user writes on top push straight down into the operator's scan.
+  *
+  * Each view is the VERBATIM Scala read (the `*_sql` driver twins
+  * share the Scala forms' DuckDB oracles), so the SQL surface can
+  * never drift from the library surface. */
+object PipelineViews {
+
+  /** [[Dedup.rateBySource]] as the `graft_dedup_rate_by_source` view:
+    * per source, docs / distinct contents / dup_e4. */
+  def installDedupRate(spark: SparkSession, docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      sourceCol: String = "source",
+      name: String = "graft_dedup_rate_by_source"): Unit =
+    Dedup.rateBySource(docs, textCol, idCol, sourceCol)
+      .createOrReplaceTempView(name)
+
+  /** [[Quality.report]] as the `graft_quality_report` view: one row
+    * per declared constraint with its violation count and pass/fail
+    * status — the release gate a SQL dashboard polls. */
+  def installQualityReport(spark: SparkSession, df: DataFrame,
+      constraints: Seq[Quality.Constraint],
+      name: String = "graft_quality_report"): Unit =
+    Quality.report(df, constraints).createOrReplaceTempView(name)
+
+  /** [[TextAnalysis.bm25TopKFromIndex]] as the `graft_bm25_topk` view:
+    * top-k docs per query served from a REGISTERED postings index —
+    * the corpus is never scanned; query-term md5 buckets prune the
+    * store's `part=` directories underneath the view. */
+  def installBm25(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, Seq[String])], topK: Int = 5,
+      name: String = "graft_bm25_topk"): Unit =
+    TextAnalysis.bm25TopKFromIndex(spark, indexDir, queries, topK)
+      .createOrReplaceTempView(name)
+}

@@ -35,5 +35,17 @@ assert(fn.getTimestamp(1) == ts("2023-12-24T00:00"), s"graft_week: $fn")
 assert(fn.getDouble(2) == 11.0, s"graft_dot: $fn")
 val ew = spark.sql("SELECT graft_ewma_e4(array(100L, 200L))").head.getLong(0)
 assert(ew == 1333333L, s"graft_ewma_e4: $ew")
+// pipeline-plane SQL surface (graft.sql.PipelineViews): one install
+// line per read, then consumption is pure SQL text — composable with
+// user SQL and optimizer-transparent (the view IS the operator plan)
+val docs = Seq((0L, "alpha beta", "s0"), (1L, "alpha beta", "s1"), (2L, "gamma delta", "s0")).toDF("doc_id", "text", "source")
+graft.sql.PipelineViews.installDedupRate(spark, docs)
+val dr = spark.sql("SELECT source, n_docs, n_canonical, dup_e4 FROM graft_dedup_rate_by_source ORDER BY source").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+assert(dr == Seq(("s0", 2L, 2L, 0L), ("s1", 1L, 0L, 10000L)), s"dedup rate view: $dr")
+val idxDir = java.nio.file.Files.createTempDirectory("drive-extbm25").toString
+graft.operators.TextAnalysis.buildTextIndex(docs, "text", "doc_id", idxDir, nBuckets = 8)
+graft.sql.PipelineViews.installBm25(spark, idxDir, Seq("q0" -> Seq("alpha")), topK = 2)
+val bm = spark.sql("SELECT query_id, id FROM graft_bm25_topk ORDER BY id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+assert(bm == Seq(("q0", 0L), ("q0", 1L)), s"bm25 view: $bm")
 println("DRIVE-EXT-OK " + rows)
 sys.exit(0)

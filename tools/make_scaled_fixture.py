@@ -9,13 +9,35 @@ document/vector ids). Dimension tables (region, nation) and all
 non-key payload columns are byte-identical per replica; pyarrow
 concat preserves the exact column types of the source fixture.
 
-Usage: python3 tools/make_scaled_fixture.py <src_sf_dir> <out_dir> [factor]
+With --declone, replicas i>=1 of the DOCUMENTS table get deterministic
+token noise (every 4th token, phase-shifted by doc_id and replica,
+replaced by a replica-tagged synthetic token): replicas are then
+neither exact nor near duplicates of their originals (3-gram shingle
+overlap drops far below any pairing threshold), so the near-dup family
+is measured in its df-cap (linear) regime instead of the
+clone-quadratic regime the plain fixture deliberately exercises. The
+noise is a pure function of (replica, doc_id, position) — re-running
+the tool reproduces the fixture byte-for-byte.
+
+Usage: python3 tools/make_scaled_fixture.py <src_sf_dir> <out_dir> [factor] [--declone]
 """
 import sys
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+
+def declone_texts(texts, doc_ids, rep):
+    """Perturb ~25% of tokens, deterministically per (rep, doc, pos)."""
+    out = []
+    for t, d in zip(texts, doc_ids):
+        toks = t.split(" ")
+        for p in range(len(toks)):
+            if (p + d + rep) % 4 == 0:
+                toks[p] = f"z{rep}r{(p + d) % 7}"
+        out.append(" ".join(toks))
+    return out
 
 # per-table id columns to offset, with the table whose key range sizes
 # the offset stride (None = own column's max+1)
@@ -46,8 +68,10 @@ STRIDE_SOURCE = {
 
 
 def main():
-    src, out = sys.argv[1], sys.argv[2]
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    declone = "--declone" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--declone"]
+    src, out = args[0], args[1]
+    factor = int(args[2]) if len(args) > 2 else 10
     import os
     os.makedirs(out, exist_ok=True)
     strides = {}
@@ -75,6 +99,13 @@ def main():
                 typ = r.schema.field(idx).type
                 shifted = pc.cast(pc.add(r.column(c), off), typ)
                 r = r.set_column(idx, r.schema.field(idx), shifted)
+            if declone and table == "documents" and i > 0:
+                tidx = r.schema.get_field_index("text")
+                noisy = declone_texts(
+                    r.column("text").to_pylist(),
+                    t.column("doc_id").to_pylist(), i)
+                r = r.set_column(tidx, r.schema.field(tidx),
+                                 pa.array(noisy, type=r.schema.field(tidx).type))
             reps.append(r)
         scaled = pa.concat_tables(reps)
         pq.write_table(scaled, f"{out}/{table}.parquet")

@@ -1,7 +1,29 @@
 #!/usr/bin/env bash
-# SF-1 soak: build the x10 fixture from sf0.1, run a 22-query subset
-# through the correctness gate (Verify + DuckDB oracle compare) and the
-# bench (2 passes), leaving CORRECTNESS_sf1 / BENCH_sf1 sidecars.
+# SF-1 soak: build the x10 fixtures from sf0.1 and run a wide query
+# subset through the correctness gate (Verify + DuckDB oracle compare)
+# and the bench, leaving CORRECTNESS_sf1* / BENCH_sf1* sidecars.
+#
+# Two fixtures, two regimes:
+#   - PLAIN (x10 replication): deliberately clone-heavy — every doc has
+#     10 exact copies. Pins the canonical dedup forms' clone-immunity
+#     and everything whose cost must not depend on duplication.
+#   - DECLONED (x10 with per-replica token noise): replicas are neither
+#     exact nor near duplicates, so the all-docs near-dup family is
+#     measured in its df-cap (linear) regime — its production regime on
+#     natural corpora. The legacy all-docs forms are the COMPARISON
+#     baseline (canonical forms are the served default); they also
+#     bench once on the plain fixture so the canonical-vs-legacy gap
+#     lives in one artifact.
+#
+# Excluded by design: bpe_merges / bpe_tokenize / text_compression_profile
+# (oracles fixture-pinned to the driver correctness fixture),
+# emb_near_pairs (brute-force kernel, bucketed-only contract),
+# multimodal_image_near_dup (binary payloads clone verbatim in BOTH
+# fixtures — declone perturbs text only — so its pair output is
+# clone-quadratic by construction).
+#
+# Query counts are DERIVED from the lists below and the gate asserts
+# the exact expected PASS count — never trust grep-filtered output.
 #
 # Usage: tools/soak_sf1.sh [out_prefix]   (default sidecars land in CWD)
 set -euo pipefail
@@ -9,19 +31,102 @@ cd "$(dirname "$0")/.."
 PREFIX="${1:-.}"
 mkdir -p "$PREFIX"
 FIX=/tmp/graft_sf1
-# 44 queries spanning every family (bpe_* excluded: their oracles are
-# deliberately fixture-pinned to the driver correctness fixture)
-QUERIES="ts_counter_hour_fill,ts_routed_sql,ts_rollup_hour_fill,ts_asof_batch,ts_retention_serve,ts_grouping_paths,ts_multi_mixed,dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_clusters,dedup_clusters_incremental,dedup_keep_best,dedup_rate_by_source,ann_bruteforce_topk,ann_ivf_kmeans_topk,ann_ivf_persisted,ann_ivf_refit,ann_pq_rerank,text_stats,tfidf_top_terms,text_bm25_topk,tokenize_with_vocab,text_cooccurrence,dedup_clusters_canonical,dedup_canonical_incremental,q1_pricing_summary,q3_shipping_priority,er_part_entities,er_incremental,pack_sequences,span_corruption_examples,multimodal_image_features,multimodal_scene_cuts,event_sessions,event_user_features,decontaminate_overlap,decontaminate_bloom,sample_stratified,budget_selection,stream_sessions,stream_bm25_indexed,events_date_partitioned,basket_frequent_pairs,events_pagerank,series_similarity"
+FIXD=/tmp/graft_sf1_decloned
 
-[ -d "$FIX" ] || python3 tools/make_scaled_fixture.py /root/testdata/sf0.1 "$FIX" 10
+TS="ts_counter_hour_fill,ts_counter_none,ts_slice_15m,ts_sql_surface,\
+ts_avg_day_fill,ts_week_fill,ts_month_fill,ts_offset_day,ts_interp_fill,\
+ts_moving_avg,ts_rate,ts_lenient_ingest,ts_service_end_to_end,\
+ts_routing_hier,ts_grouping_paths,ts_multi_fact,ts_multi_mixed,\
+ts_multi_routed,ts_erasure_serve,ts_retention_serve,ts_asof_batch,\
+ts_rollup_hour_fill,ts_hist,ts_hist_day,ts_hist_pct,ts_hist_cdf,\
+ts_hist_merged,ts_hist_rollup,ts_routed_hist,ts_routed_hist_day,\
+ts_distinct_day,ts_distinct_rollup,ts_distinct_sketch,ts_pct_sketch,\
+ts_routed_avg,ts_routed_day_tier,ts_routed_distinct,\
+ts_routed_distinct_day,ts_routed_unaligned,ts_routed_sql,\
+ts_cusum_routed,q1_routed_mv,series_trend_routed"
+STREAM="ts_stream_maintained_fill,ts_stream_distinct_fill,\
+ts_stream_distinct_sketch,ts_stream_pct_sketch,stream_anomalies,\
+stream_cusum,stream_ewma,stream_holt,stream_funnel,stream_sessions,\
+stream_sessions_capped,stream_user_features,stream_cdc_user_state,\
+stream_scd_click_level,stream_decontaminate,stream_manifest,\
+stream_quality_monitor,stream_next_examples,stream_late_profile,\
+stream_scrub_profile,stream_click_attrib,stream_ann_ivf,\
+stream_bm25_indexed"
+REL="q1_pricing_summary,q3_shipping_priority,q5_local_supplier_volume,\
+q6_forecast_revenue,topk_orders_per_customer,asof_click_purchase,\
+range_click_purchase_1h,event_funnel,event_ewma,event_cusum,\
+event_anomalies,event_next_examples,event_sessions,event_user_features,\
+events_cube,events_pivot,basket_frequent_pairs,basket_triangles,\
+basket_rules,events_pagerank,events_ppr_signup,rolling_wau,\
+session_hourly_active,user_rfm,event_transition_matrix,\
+events_kanon_release,cdc_user_state,scd_click_level,\
+training_asof_features,events_date_partitioned"
+ANN="ann_bruteforce_topk,ann_filtered_topk,ann_int8_topk,\
+ann_ivf_kmeans_topk,ann_ivf_persisted,ann_ivf_probe3,\
+ann_ivf_incremental,ann_ivf_refit,ann_ivfpq_topk,ann_pq_rerank,\
+ann_recall_persisted,emb_lsh_near_pairs,emb_label_outliers,\
+hard_negatives,hybrid_search,decontaminate_semantic"
+TEXT="text_stats,text_fingerprint,text_normalize,text_repetition,\
+text_lm_quality,text_line_langs,rare_token_stats,vocab_top_terms,\
+text_bigram_lm,tfidf_top_terms,text_bm25_topk,text_bm25_indexed,\
+phrase_hits,phrase_hits_indexed,proximity_hits,boilerplate_clean,\
+doc_chunks,length_percentiles,pii_stats,text_simhash,text_cooccurrence,\
+tokenize_with_vocab,source_overlap_matrix,source_overlap_kmv,\
+text_source_profile_cached,corpus_manifest,corpus_diff"
+DEDUP_SAFE="dedup_exact,dedup_rate_by_source,dedup_clusters_canonical,\
+dedup_canonical_incremental,dedup_span_removal,dedup_consensus"
+PIPE="pack_sequences,pack_by_split,pack_profile,sample_stratified,\
+sample_topk_per_source,sample_weighted_topk,sample_shuffle_positions,\
+curriculum_positions,fim_examples,span_corruption_examples,\
+mix_sources_profile,budget_by_lang,budget_selection,quality_report,\
+decontaminate_overlap,decontaminate_bloom,multimodal_image_features,\
+multimodal_scene_cuts,multimodal_audio_features,\
+multimodal_video_features,multimodal_frame_sample,modal_integrity,\
+er_part_entities,er_part_canonical,er_part_matches,\
+er_part_matches_multi,er_incremental,er_block_profile,\
+series_similarity,index_batches,pipeline_scrub_profile"
+QUERIES="$TS,$STREAM,$REL,$ANN,$TEXT,$DEDUP_SAFE,$PIPE"
 
-OUT=/tmp/graft_sf1_verify
-SPARK_GRAFT_ONLY="$QUERIES" sbt -batch "runMain graft.Verify $FIX $OUT" \
-  2>&1 | tail -2
-python3 tools/check_oracle.py "$OUT" "$FIX" \
-  | grep -v "spark result missing" | tee "$PREFIX/CORRECTNESS_sf1.txt"
+# the all-docs near-dup family: df-cap linear regime on the DECLONED
+# fixture; its canonical twins run there too (same labels either way)
+NEARDUP="dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash_pairs,\
+dedup_containment,dedup_clusters,dedup_clusters_star,\
+dedup_clusters_incremental,dedup_keep_best,dedup_cluster_cohesion,\
+dedup_cluster_sizes,dedup_incremental,split_leakage_profile,\
+dedup_clusters_canonical,dedup_canonical_incremental"
+# legacy comparison forms benched (not gated) on the PLAIN fixture so
+# the canonical-vs-legacy clone-immunity gap lives in one artifact
+LEGACY="dedup_ngram_jaccard,dedup_clusters,dedup_clusters_incremental"
 
-SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
+[ -d "$FIX" ] || python3 tools/make_scaled_fixture.py \
+  /root/testdata/sf0.1 "$FIX" 10
+[ -d "$FIXD" ] || python3 tools/make_scaled_fixture.py \
+  /root/testdata/sf0.1 "$FIXD" 10 --declone
+
+count() { awk -F, '{print NF}' <<<"$1"; }
+
+run_gate() { # fixture query-list tag
+  local fixture="$1" qlist="$2" tag="$3"
+  local out="/tmp/graft_soak_verify_$tag"
+  local n; n=$(count "$qlist")
+  echo "== gate $tag: $n queries =="
+  SPARK_GRAFT_ONLY="$qlist" sbt -batch \
+    "runMain graft.Verify $fixture $out" 2>&1 | tail -2
+  python3 tools/check_oracle.py "$out" "$fixture" \
+    | tee "$PREFIX/CORRECTNESS_sf1_$tag.txt"
+  grep -q "== $n pass, 0 fail ==" "$PREFIX/CORRECTNESS_sf1_$tag.txt" || {
+    echo "soak $tag: expected exactly $n passes"; exit 1; }
+}
+
+run_gate "$FIX" "$QUERIES" main
+run_gate "$FIXD" "$NEARDUP" decloned
+
+SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$QUERIES,$LEGACY" \
   SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
   | grep '"metric"' | tail -1 > "$PREFIX/BENCH_sf1.json"
-echo "soak done: $PREFIX/CORRECTNESS_sf1.txt $PREFIX/BENCH_sf1.json"
+SPARK_GRAFT_SF_DIR="$FIXD" SPARK_GRAFT_BENCH_ONLY="$NEARDUP" \
+  SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
+  | grep '"metric"' | tail -1 > "$PREFIX/BENCH_sf1_decloned.json"
+echo "soak done: $(count "$QUERIES")+$(count "$NEARDUP") gated;" \
+  "$PREFIX/CORRECTNESS_sf1_{main,decloned}.txt" \
+  "$PREFIX/BENCH_sf1{,_decloned}.json"
