@@ -3226,8 +3226,8 @@ object DocumentQueries {
          |  FROM aug, hl)
          |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
          |  CAST(len(kept) AS BIGINT) AS n_kept,
-         |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT)
-         |    AS clean_len
+         |  CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+         |    AS BIGINT) AS clean_len
          |FROM clean""".stripMargin,
 
     // the same closed-form rate derivation (integer-floor divisions)
@@ -3462,7 +3462,8 @@ object DocumentQueries {
          |      '${Pii.Ipv4Re}', '<IP>', 'g') AS scrubbed
          |  FROM aug, hl)
          |SELECT source, count(*) AS n_docs,
-         |  CAST(sum(length(scrubbed)) AS BIGINT) AS sum_clean_chars,
+         |  CAST(sum(length(coalesce(scrubbed, ''))) AS BIGINT)
+         |    AS sum_clean_chars,
          |  CAST(sum(n_kept) AS BIGINT) AS sum_kept_lines
          |FROM clean GROUP BY 1""".stripMargin,
 
