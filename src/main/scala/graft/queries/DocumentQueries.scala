@@ -1116,6 +1116,29 @@ object DocumentQueries {
     // of two operators over two tables; a full outer join of two
     // SMALL pair sets (the corpus-sized work happens inside each
     // operator, already bounded).
+    //
+    // the PRODUCTION-regime ensemble: the same both/text_only/emb_only
+    // cross-check, but both pair generators are the LSH-banded forms
+    // (minhash bands for text, sign-LSH buckets for embeddings) — the
+    // serving path at scale, where the exact all-pairs ensemble below
+    // is the audit baseline (54 s vs ~6 s at SF-1: both sides bucket-
+    // bounded, neither ever forms an all-pairs product)
+    "dedup_consensus_lsh" -> ((s, dir) => {
+      import graft.functions.GraftFunctions
+      import graft.operators.Similarity
+      GraftFunctions.register(s)
+      val tp = Dedup.minhashLshPairsKernel(docs(s, dir), "text", "doc_id")
+        .select(col("id_a"), col("id_b"), lit(true).as("t"))
+      val ep = Similarity.lshNearDupPairs(EmbeddingQueries.emb(s, dir),
+          "vec_id", "embedding", EmbeddingQueries.lshPlanes,
+          threshold = 0.4, dotFn = GraftFunctions.dotNative)
+        .select(col("id_a"), col("id_b"), lit(true).as("e"))
+      tp.join(ep, Seq("id_a", "id_b"), "full_outer")
+        .select(when(col("t") && col("e"), "both")
+          .when(col("t"), "text_only").otherwise("emb_only").as("signal"))
+        .groupBy(col("signal")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
     "dedup_consensus" -> ((s, dir) => {
       import graft.functions.GraftFunctions
       import graft.operators.Similarity
@@ -1625,6 +1648,40 @@ object DocumentQueries {
       |      ELSE [array_to_string(toks, ' ')] END) AS shset
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |        FROM documents))""".stripMargin
+
+  /** The minhash-banding candidate CTE chain (16 hashes, 4 bands of 4
+    * rows — shared verbatim by the `dedup_minhash_lsh` oracle and the
+    * LSH-consensus twin): yields `withsets(id_a, id_b, hs_a, hs_b)`,
+    * the banded candidate pairs with their raw shingle-hash sets. */
+  private val minhashLshCte: String = {
+    val sigs = (0 until 16).map { i =>
+      val (a, b) = Dedup.hashCoeffs(i)
+      s"list_min(list_transform(hs_raw, h -> ((h % ${Dedup.HashP}) * $a + $b) % ${Dedup.HashP})) AS mh_$i"
+    }.mkString(",\n    ")
+    val bandKeys = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
+      s"{band: $b, key: md5(${cols.mkString(" || ',' || ")})}"
+    }.mkString(", ")
+    s"""$shingleCte,
+       |hashed AS (SELECT doc_id,
+       |    list_transform(shset,
+       |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs_raw
+       |  FROM sh),
+       |sig AS (SELECT doc_id, hs_raw,
+       |    $sigs
+       |  FROM hashed),
+       |banded0 AS (SELECT doc_id, unnest([$bandKeys]) AS bk FROM sig),
+       |banded AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM banded0),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |withsets AS (
+       |  SELECT c.id_a, c.id_b, sa.hs_raw AS hs_a, sb.hs_raw AS hs_b
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b)""".stripMargin
+  }
 
   private val stopLists: Map[String, String] = TextAnalysis.stopwords.toMap
     .map { case (l, ws) => l -> ws.map(w => s"'$w'").mkString("(", ",", ")") }
@@ -2259,42 +2316,43 @@ object DocumentQueries {
          |SELECT component, doc_id, quality_e4, n_members
          |FROM scored WHERE rk = 1""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val sigs = (0 until 16).map { i =>
-        val (a, b) = Dedup.hashCoeffs(i)
-        s"list_min(list_transform(hs_raw, h -> ((h % ${Dedup.HashP}) * $a + $b) % ${Dedup.HashP})) AS mh_$i"
-      }.mkString(",\n    ")
-      val bandKeys = (0 until 4).map { b =>
-        val cols = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
-        s"{band: $b, key: md5(${cols.mkString(" || ',' || ")})}"
-      }.mkString(", ")
-      s"""WITH $shingleCte,
-         |hashed AS (SELECT doc_id,
-         |    list_transform(shset,
-         |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs_raw
-         |  FROM sh),
-         |sig AS (SELECT doc_id, hs_raw,
-         |    $sigs
-         |  FROM hashed),
-         |banded0 AS (SELECT doc_id, unnest([$bandKeys]) AS bk FROM sig),
-         |banded AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM banded0),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |withsets AS (
-         |  SELECT c.id_a, c.id_b, sa.hs_raw AS hs_a, sb.hs_raw AS hs_b
-         |  FROM cand c
-         |  JOIN sig sa ON sa.doc_id = c.id_a
-         |  JOIN sig sb ON sb.doc_id = c.id_b)
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashLshCte
          |SELECT id_a, id_b,
          |  CAST(len(list_intersect(hs_a, hs_b)) AS BIGINT) AS common,
          |  CAST(len(hs_a) AS BIGINT) AS sz_a,
          |  CAST(len(hs_b) AS BIGINT) AS sz_b
          |FROM withsets
          |WHERE 10000 * len(list_intersect(hs_a, hs_b)) >=
-         |  5000 * (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b)))""".stripMargin
-    },
+         |  5000 * (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b)))""".stripMargin,
+
+    // both LSH pair universes recomputed exactly (minhash bands ≡ the
+    // dedup_minhash_lsh oracle; sign-LSH buckets ≡ the
+    // emb_lsh_near_pairs oracle), full-outer joined into the same
+    // agreement classes as the exact ensemble
+    "dedup_consensus_lsh" ->
+      s"""WITH $minhashLshCte,
+         |tpairs AS (
+         |  SELECT id_a, id_b FROM withsets
+         |  WHERE 10000 * len(list_intersect(hs_a, hs_b)) >=
+         |    5000 * (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b)))),
+         |vb AS (
+         |  SELECT vec_id, v, ${EmbeddingQueries.lshBucketSql} AS bucket
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |        FROM embeddings)),
+         |epairs AS (
+         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM vb a JOIN vb b2
+         |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |  WHERE list_dot_product(a.v, b2.v) >= 0.4),
+         |j AS (
+         |  SELECT CASE
+         |    WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL THEN 'both'
+         |    WHEN t.id_a IS NOT NULL THEN 'text_only'
+         |    ELSE 'emb_only' END AS signal
+         |  FROM tpairs t FULL OUTER JOIN epairs e
+         |    ON t.id_a = e.id_a AND t.id_b = e.id_b)
+         |SELECT signal, count(*) AS n_pairs FROM j GROUP BY 1""".stripMargin,
 
     "text_simhash" -> {
       val votes = (0 until 32).map(j =>

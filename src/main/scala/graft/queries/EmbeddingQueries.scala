@@ -14,7 +14,7 @@ import graft.operators.Similarity
   * float columns themselves never appear in outputs (only ids/ranks). */
 object EmbeddingQueries {
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
   /** IVF centroid index, built once per (session, corpus dir) and
@@ -87,8 +87,18 @@ object EmbeddingQueries {
 
   /** Seeded sign-LSH hyperplanes (8 planes × dim 64), shared verbatim
     * with the DuckDB oracle as SQL literals. */
-  private val lshPlanes: Seq[Array[Double]] =
+  private[queries] val lshPlanes: Seq[Array[Double]] =
     Similarity.randomHyperplanes(nPlanes = 8, dim = 64)
+
+  /** The sign-LSH bucket id as a DuckDB expression over a DOUBLE[]
+    * column `v` — shared by every oracle that mirrors [[lshPlanes]]
+    * (near pairs, recall, the LSH consensus twin). Double.toString is
+    * locale-independent; never printf-format these literals. */
+  private[queries] val lshBucketSql: String =
+    lshPlanes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n      ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-5 for the first 10 vectors (the ANN baseline)
@@ -747,13 +757,7 @@ object EmbeddingQueries {
         |SELECT part, count(*) AS n_vecs FROM assigned GROUP BY 1""".stripMargin,
 
     "emb_lsh_near_pairs" -> {
-      val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
-        // Double.toString is locale-independent ('.' decimal, optional
-        // E-notation — both valid DuckDB literals); never use printf
-        // formatting here, comma-decimal locales would break the SQL
-        val lits = p.map(_.toString).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" +\n      ")
+      val bucketExpr = lshBucketSql
       s"""WITH b AS (
          |  SELECT vec_id, v, $bucketExpr AS bucket
          |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -801,10 +805,7 @@ object EmbeddingQueries {
         |FROM g""".stripMargin,
 
     "emb_lsh_recall" -> {
-      val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
-        val lits = p.map(_.toString).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" +\n      ")
+      val bucketExpr = lshBucketSql
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),
          |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM c),

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Dedup, Quality, TextAnalysis}
+
+/** The SQL consumption surface ([[graft.sql.PipelineViews]]): each
+  * installed view must be the Scala read VERBATIM (the `*_sql` driver
+  * twins additionally share the Scala forms' DuckDB oracles), and the
+  * view must compose with user SQL on top. */
+class PipelineViewsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "alpha beta", "s0"), (1L, "alpha beta", "s1"),
+    (2L, "gamma delta", "s0")).toDF("doc_id", "text", "source")
+
+  test("dedup-rate view == Dedup.rateBySource; user SQL composes on top") {
+    graft.sql.PipelineViews.installDedupRate(spark, docs)
+    val viaSql = spark.sql("SELECT * FROM graft_dedup_rate_by_source")
+      .collect().map(_.toSeq).toSet
+    val viaScala = Dedup.rateBySource(docs, "text", "doc_id", "source")
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    // composable: a filter written in SQL on top of the view
+    val s1 = spark.sql("SELECT n_docs, n_canonical, dup_e4 " +
+        "FROM graft_dedup_rate_by_source WHERE source = 's1'")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s1.toSeq == Seq((1L, 0L, 10000L))) // s1's doc clones s0's
+  }
+
+  test("quality-report view == Quality.report") {
+    val checks = Seq(
+      Quality.NotNull("doc_id"),
+      Quality.Satisfies("text_nonempty", col("text") =!= ""),
+      Quality.Unique(Seq("text"))) // fails: two docs share a text
+    graft.sql.PipelineViews.installQualityReport(spark, docs, checks)
+    val viaSql = spark.sql(
+        "SELECT `check`, violations, status FROM graft_quality_report")
+      .collect().map(_.toSeq).toSet
+    val viaScala = Quality.report(docs, checks)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == viaScala)
+    val uniq = spark.sql("SELECT status FROM graft_quality_report " +
+      "WHERE `check` LIKE 'unique%'").collect().map(_.getString(0))
+    assert(uniq.toSeq == Seq("fail"))
+  }
+
+  test("bm25 view serves from the registered index via SQL text") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_view_bm25").toString
+    TextAnalysis.buildTextIndex(docs, "text", "doc_id", idx, nBuckets = 8)
+    graft.sql.PipelineViews.installBm25(spark, idx,
+      Seq("q0" -> Seq("alpha"), "q1" -> Seq("delta")), topK = 2)
+    val got = spark.sql("SELECT query_id, id FROM graft_bm25_topk")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("q0", 0L), ("q0", 1L), ("q1", 2L)))
+    val viaScala = TextAnalysis.bm25TopKFromIndex(spark, idx,
+        Seq("q0" -> Seq("alpha"), "q1" -> Seq("delta")), topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(got == viaScala)
+  }
+}

@@ -93,7 +93,8 @@ NEARDUP="dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash_pairs,\
 dedup_containment,dedup_clusters,dedup_clusters_star,\
 dedup_clusters_incremental,dedup_keep_best,dedup_cluster_cohesion,\
 dedup_cluster_sizes,dedup_incremental,split_leakage_profile,\
-dedup_clusters_canonical,dedup_canonical_incremental"
+dedup_clusters_canonical,dedup_canonical_incremental,\
+dedup_consensus_lsh"
 # legacy comparison forms benched (not gated) on the PLAIN fixture so
 # the canonical-vs-legacy clone-immunity gap lives in one artifact
 LEGACY="dedup_ngram_jaccard,dedup_clusters,dedup_clusters_incremental"
