@@ -415,6 +415,24 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     svc.materializeRollups(tmp)
     assert(mixedRead() == mixed,
       "rollup-served multi read diverged from compute-on-read")
+    // the STEPLESS rollup-served read (bucket = NULL encodes :all —
+    // the day-tier candidate window): still the per-fact union
+    val multiNone = svc.getTimeseriesMulti(Seq("a_count", "lat"), "dep",
+        Map("dep" -> None),
+        ts("2014-03-21T09:00"), ts("2014-03-21T12:00"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+    val expCntN = svc.getTimeseries("a_count", "dep", Map("dep" -> None),
+        ts("2014-03-21T09:00"), ts("2014-03-21T12:00"))
+      .collect().map(r => (r.getString(0), "a_count",
+        Option(r.get(1)), Option(r.get(2)), None, None))
+    val expAvgN = svc.getTimeseries("lat", "dep", Map("dep" -> None),
+        ts("2014-03-21T09:00"), ts("2014-03-21T12:00"))
+      .collect().map(r => (r.getString(0), "lat",
+        Option(r.get(1)), None, Option(r.get(2)), Option(r.get(3))))
+    assert(multiNone == (expCntN ++ expAvgN).toSet,
+      "stepless rollup-served multi read diverged from per-fact reads")
     // PARTIAL registration: a later ingest for ONE fact invalidates
     // only that fact's rollup — the read becomes the union of a
     // rollup-served tile and a raw-scan tile, still equal to the
