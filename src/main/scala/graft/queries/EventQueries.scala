@@ -538,6 +538,29 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day)
     }),
 
+    // the STREAMING-MAINTAINED dashboard (the production topology:
+    // ingest maintains one partial store per fact, the service read
+    // never sees raw events): a counter tile and an average tile,
+    // each served from a streaming-maintained store registered as an
+    // EXTERNAL rollup, read by ONE tier-routed multi call — the
+    // oracle recomputes both tiles from the raw events the stream
+    // replayed, so cross-batch partial merging is gated end to end
+    "ts_multi_stream" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val cntPath = maintainedRollup(s, dir)
+      val avgPath = streamedRollupFor(s, dir, avgFact, cents)
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineFact("value_avg", FactType.Average, slice = 15)
+      svc.defineDimension("event_type",
+        facts = Set("events_count", "value_avg"))
+      svc.registerRollup("events_count", Seq("event_type"), cntPath)
+      svc.registerRollup("value_avg", Seq("event_type"), avgPath)
+      svc.getTimeseriesMulti(Seq("events_count", "value_avg"),
+        "event_type", Map("event_type" -> None),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
+    }),
+
     // TIME TRAVEL under the driver's gate: three batch-identified
     // ingests land in the attached durable store; the as-of read at
     // batch watermark 1 must hash-match the oracle computed over
@@ -3289,6 +3312,38 @@ object EventQueries {
     // rollup-served ≡ compute-on-read for the mixed dashboard: the
     // tiers must change only the store that is scanned, never a row
     "ts_multi_routed" -> multiMixedSql,
+
+    // both streaming-maintained tiles recomputed from the raw events
+    // the stream replayed (hour grid, null-padded per-type union —
+    // the multiMixedSql shape over the full event stream)
+    "ts_multi_stream" ->
+      s"""WITH base AS (
+         |  SELECT event_type,
+         |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
+         |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
+         |cnt AS (SELECT event_type, bucket, count(*) AS value
+         |  FROM base GROUP BY ALL),
+         |avgp AS (SELECT event_type, bucket,
+         |    count(*) AS counter, sum(cents) AS total
+         |  FROM base GROUP BY ALL),
+         |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+         |  TIMESTAMP '2024-01-06 23:00:00', INTERVAL 1 HOUR)) AS bucket),
+         |cs AS (SELECT DISTINCT event_type FROM cnt),
+         |avs AS (SELECT DISTINCT event_type FROM avgp)
+         |SELECT s.event_type, 'events_count' AS fact, g.bucket,
+         |  coalesce(c.value, 0) AS value,
+         |  CAST(NULL AS BIGINT) AS counter, CAST(NULL AS BIGINT) AS total
+         |FROM cs s CROSS JOIN grid g
+         |LEFT JOIN cnt c USING (event_type, bucket)
+         |UNION ALL
+         |SELECT s.event_type, 'value_avg' AS fact, g.bucket,
+         |  CAST(NULL AS BIGINT) AS value,
+         |  coalesce(a.counter, 0) AS counter, coalesce(a.total, 0) AS total
+         |FROM avs s CROSS JOIN grid g
+         |LEFT JOIN avgp a USING (event_type, bucket)""".stripMargin,
 
     // batches 0-1 only: the as-of watermark excludes batch 2's
     // events exactly as the partition filter does on the Spark side

@@ -51,7 +51,7 @@ stream_sessions_capped,stream_user_features,stream_cdc_user_state,\
 stream_scd_click_level,stream_decontaminate,stream_manifest,\
 stream_quality_monitor,stream_next_examples,stream_late_profile,\
 stream_scrub_profile,stream_click_attrib,stream_ann_ivf,\
-stream_bm25_indexed"
+stream_bm25_indexed,ts_multi_stream"
 REL="q1_pricing_summary,q3_shipping_priority,q5_local_supplier_volume,\
 q6_forecast_revenue,topk_orders_per_customer,asof_click_purchase,\
 range_click_purchase_1h,event_funnel,event_ewma,event_cusum,\
