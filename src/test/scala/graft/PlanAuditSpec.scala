@@ -317,6 +317,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert("FileScan parquet".r.findAllIn(p).size == 2, p.take(3000))
   }
 
+  test("streaming-store multi read: tiles scan maintained partials only") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan("ts_multi_stream")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    // the stream's raw input feeds MAINTENANCE (query construction);
+    // the served read must scan only the maintained partial stores
+    assert(!p.contains("events.parquet"), p.take(3000))
+    assert(p.contains("graft_streamroll"), p.take(3000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("date-partitioned raw events: date bounds prune event_date= dirs") {
     val p = plan("events_date_partitioned")
     // the RAW deployment layout's pruning claim, driven end to end:
