@@ -28,6 +28,10 @@
 # Usage: tools/soak_sf1.sh [out_prefix]   (default sidecars land in CWD)
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# scale fixtures need driver heap beyond the 8g sf0.1 default: the
+# legacy all-docs comparison forms at SF-1 OOM an 8g heap once ~180
+# queries of session state have accumulated (observed round 10)
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}"
 PREFIX="${1:-.}"
 mkdir -p "$PREFIX"
 FIX=/tmp/graft_sf1

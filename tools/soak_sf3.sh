@@ -9,6 +9,8 @@
 # Usage: tools/soak_sf3.sh [out_prefix]
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# x30 needs driver heap beyond the 8g sf0.1 default (see soak_sf1.sh)
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}"
 PREFIX="${1:-.}"
 mkdir -p "$PREFIX"
 FIX=/tmp/graft_sf3
