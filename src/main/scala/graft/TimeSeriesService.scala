@@ -47,6 +47,80 @@ final class TimeSeriesService(
   private var bulk: Option[DataFrame] = None
   private var bulkDepth = 0
   private var storeDir: Option[String] = None
+
+  // ---- single-writer lease on the durable event store -----------------
+  // The on-disk event store is SINGLE-WRITER: every mutation
+  // (spill/batch ingest, compaction, erasure, retention) assumes no
+  // concurrent service instance — or stream job — is rewriting the
+  // same directory. Each operation is individually crash-safe
+  // (deterministic overwrite partitions; fresh-path swaps), but two
+  // writers interleaving, e.g. a batch erase racing a streaming
+  // ingest, can resurrect erased rows or drop a batch. The lease file
+  // (`__writer.lock` at the store root, underscore-prefixed so scans
+  // ignore it) turns that silent corruption into a LOUD error: a
+  // service acquires the lease when it attaches/creates a store and
+  // re-verifies ownership before every mutation. This is a guard rail
+  // against accidental double-writers, not a distributed lock manager
+  // — a malicious/simultaneous-to-the-millisecond acquire needs an
+  // external coordination service, which raw parquet directories
+  // cannot provide. Read-only consumers never need the lease.
+  private val writerId: String = java.util.UUID.randomUUID().toString
+
+  private def leasePath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "__writer.lock")
+
+  private def leaseFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .toSeq.headOption.getOrElse("")
+    finally in.close()
+  }
+
+  private def writeLease(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(
+      s"$writerId\n${java.time.Instant.now()}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Acquire the single-writer lease on `dir` for this service
+    * instance. `takeover = true` seizes a lease left by a dead writer
+    * (crash recovery) — the caller asserts the owner is gone; the
+    * previous owner's next mutation will then fail loudly. */
+  private def acquireLease(dir: String, takeover: Boolean = false): Unit = {
+    val p = leasePath(dir)
+    val fs = leaseFs(p)
+    fs.mkdirs(p.getParent)
+    if (takeover) { writeLease(fs, p, overwrite = true); return }
+    val created =
+      try { writeLease(fs, p, overwrite = false); true }
+      catch { case _: java.io.IOException => false }
+    if (!created) {
+      val owner = readLease(fs, p)
+      if (owner != writerId) throw new IllegalStateException(
+        s"event store at $dir is leased to writer $owner — graft " +
+          "durable stores are SINGLE-WRITER (one service instance or " +
+          "stream per store). Point this service at its own store, or " +
+          "attachEventStore(dir, takeover = true) after confirming the " +
+          "owning writer is dead.")
+    }
+  }
+
+  /** Verify this instance still owns `dir` before mutating it. */
+  private def assertLease(dir: String, op: String): Unit = {
+    val p = leasePath(dir)
+    val fs = leaseFs(p)
+    val owner = if (fs.exists(p)) readLease(fs, p) else "<no lease>"
+    if (owner != writerId) throw new IllegalStateException(
+      s"$op: event store at $dir is no longer leased to this service " +
+        s"(current lease: $owner) — another writer took the store " +
+        "over; this instance must stop mutating it.")
+  }
   /** Where the spilled on-disk event store lives (None before the
     * ingest stream crosses the spill depth) — the deployment handle
     * for storage accounting and retention verification. */
@@ -305,11 +379,19 @@ final class TimeSeriesService(
     * precondition for [[eventsAsOf]] time travel. Without it, batches
     * below the spill depth pool in memory and spill under the shared
     * anonymous `spill` tag: still idempotent (the `seen` set), but
-    * their per-batch identity is not recoverable from storage. */
-  def attachEventStore(dir: String): Unit = {
+    * their per-batch identity is not recoverable from storage.
+    *
+    * SINGLE-WRITER contract: attaching acquires the store's writer
+    * lease (`__writer.lock`). If another live service instance holds
+    * it, this fails loudly instead of silently interleaving writes;
+    * `takeover = true` seizes a dead writer's lease (crash recovery —
+    * the caller asserts the owner is gone), after which the previous
+    * owner's next mutation fails. */
+  def attachEventStore(dir: String, takeover: Boolean = false): Unit = {
     require(buffer.isEmpty && bulk.isEmpty && storeDir.isEmpty,
       "attachEventStore: attach before any event is ingested — " +
         "already-pooled in-memory events would bypass the store")
+    acquireLease(dir, takeover)
     storeDir = Some(dir)
   }
 
@@ -583,6 +665,7 @@ final class TimeSeriesService(
   private def ingestTagged(events: DataFrame, tag: String): Unit = {
     storeDir match {
       case Some(dir) =>
+        assertLease(dir, "ingest")
         // deterministic per-batch partition dir in overwrite mode: a
         // replay of the same tag replaces its own (possibly partial)
         // prior output instead of appending a duplicate. Inside it,
@@ -602,6 +685,7 @@ final class TimeSeriesService(
         if (bulkDepth >= spillDepth) {
           val dir = java.nio.file.Files
             .createTempDirectory("graft-eventstore").toString
+          acquireLease(dir)
           bulk.foreach(b => withEventDate(b).write.mode("overwrite")
             .partitionBy("__event_date")
             .parquet(s"$dir/__batch_id=spill"))
@@ -635,6 +719,8 @@ final class TimeSeriesService(
     * history. */
   def compactEventStore(outDir: String, targetFiles: Int = 8): Unit =
     storeDir.foreach { dir =>
+      assertLease(dir, "compactEventStore")
+      acquireLease(outDir)
       // __event_date survives the rewrite (a partition column of the
       // read is a real column here); coalesce bounds writer tasks, so
       // file count is at most targetFiles × dates-per-task-span —
@@ -686,6 +772,8 @@ final class TimeSeriesService(
     require(buffer.isEmpty && bulk.isEmpty,
       "eraseEvents: flush pending in-memory events first (they would " +
         "bypass the scrub)")
+    assertLease(storeDir.get, "eraseEvents")
+    acquireLease(outDir)
     val erase = coalesce(condition, lit(false))
     val store = spark.read.parquet(storeDir.get).drop("__batch_id")
     val erased = store.where(erase).count()
@@ -743,6 +831,7 @@ final class TimeSeriesService(
     require(buffer.isEmpty && bulk.isEmpty,
       "expireEvents: flush pending in-memory events first (they would " +
         "double-count through the retained partial build)")
+    assertLease(storeDir.get, "expireEvents")
     val utc = java.time.ZoneOffset.UTC
     val horizonDate = horizon.toInstant.atZone(utc).toLocalDate
     val cutoff = Timestamp.from(horizonDate.atStartOfDay(utc).toInstant)

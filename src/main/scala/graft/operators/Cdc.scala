@@ -82,7 +82,16 @@ object Cdc {
     * NULL content is a real value: md5(null) is coalesced to a sentinel
     * digest so a present-with-null-text key still registers as present
     * (never misreported added/removed), and null-on-both-sides compares
-    * equal (`unchanged`) via the null-safe comparison. */
+    * equal (`unchanged`) via the null-safe comparison.
+    * NULL KEYS: within one snapshot NULL keys count toward uniqueness —
+    * `groupBy` puts all NULL keys in one group, so two NULL-keyed rows
+    * on the same side raise `duplicate key ... null` like any other
+    * duplicate. ACROSS sides a NULL key never matches (the full-outer
+    * join uses SQL equality, where NULL ≠ NULL), so a NULL-keyed row
+    * present in both snapshots reports as one `removed` plus one
+    * `added`, never `changed`/`unchanged`. Keyed corpora should not
+    * carry NULL keys; this contract just pins what happens if one
+    * slips through. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       keyCol: String, contentCol: String): DataFrame = {
     def digest(df: DataFrame, side: String): DataFrame =
@@ -93,7 +102,7 @@ object Cdc {
         .select(col(keyCol),
           when(col("__n") === 1, col(side)).otherwise(raise_error(
             concat(lit(s"snapshotDiff: duplicate key in $side snapshot: "),
-              col(keyCol).cast("string")))).as(side))
+              coalesce(col(keyCol).cast("string"), lit("null"))))).as(side))
     digest(oldSnap, "__old").join(digest(newSnap, "__new"),
         Seq(keyCol), "full_outer")
       .select(col(keyCol),

@@ -304,6 +304,20 @@ object Dedup {
     * counts → integer-exact threshold test
     * `10000·common ≥ thresholdE4·(|A|+|B|−common)`.
     *
+    * ==LEGACY / AUDIT SURFACE — not the served default at scale==
+    * Every `jaccardPairs*` form pairs at DOCUMENT cardinality: all
+    * documents enter the shingle index, so exact clones are candidates
+    * AND outputs, and a clone-heavy corpus does clone² work (the ×10
+    * clone SF-1 fixture sends this family to 60–100 s where the
+    * canonical twins stay at 4–5 s). The SERVED forms are
+    * [[clustersCanonical]] / [[clustersCanonicalIncremental]] for the
+    * cluster plane (exact collapse first, near-dup at distinct-content
+    * cardinality — clone-independent by construction) and
+    * [[minhashLshPairsKernel]] for the pair plane (banded candidates).
+    * Keep this family for audits, df-cap-linear (de-cloned) corpora,
+    * and as the exact semantic baseline the served forms are
+    * spec-pinned against.
+    *
     * @param maxDf drop shingles appearing in more than this many docs
     *   (inverted-index hot-key cap; pairs sharing ONLY ubiquitous
     *   shingles are by construction low-signal).
@@ -381,7 +395,8 @@ object Dedup {
     * narrows the accepted id domain to `[0, 2³¹)` (enforced with a
     * fast, clear failure — never a silent wrong pair); pass
     * `packIds = false` for wider id spaces, matching the Jaccard
-    * kernel's contract. */
+    * kernel's contract. Same all-docs LEGACY/AUDIT contract as
+    * [[jaccardPairs]] — clone² on clone-heavy corpora. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int, thresholdE4: Int, maxDf: Long = 1000L,
       packIds: Boolean = true): DataFrame = {
@@ -827,6 +842,14 @@ object Dedup {
         .unionByName(starEdges), "id_a", "id_b")
   }
 
+  /** Min-label-propagation connected components over an explicit edge
+    * list. The kernel itself is cardinality-neutral — its cost is set
+    * by the PAIR GENERATOR upstream: fed an all-docs [[jaccardPairs]]
+    * artifact it inherits that family's clone² behavior (see the
+    * legacy contract there), so the served end-to-end cluster path at
+    * scale is [[clustersCanonical]] (which calls this at
+    * distinct-content cardinality), with [[minhashLshPairsKernel]]
+    * pairs as the banded alternative edge source. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {
@@ -934,7 +957,10 @@ object Dedup {
     * (`except` on the canonical pair set — subsumed by the round's
     * own cost). Returns the same (idCol, component) contract as
     * [[connectedComponents]]: component = min reachable id
-    * (spec-pinned equal on random graphs).
+    * (spec-pinned equal on random graphs). Like that kernel, its cost
+    * is set by the upstream pair generator — see the legacy contract
+    * on [[jaccardPairs]]; the served cluster path is
+    * [[clustersCanonical]].
     */
   def connectedComponentsStar(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,

@@ -82,7 +82,7 @@ object DocumentQueries {
     * corpus dir) and persisted to parquet — the pipeline's deployment
     * shape: pair generation is an ARTIFACT consumed by several
     * downstream steps (cluster collapse, consensus), not recomputed
-    * per consumer. `dedup_ngram_jaccard` itself stays self-contained
+    * per consumer. `legacy_dedup_ngram_jaccard` itself stays self-contained
     * so the generator's full cost remains measured. Same bench-harness
     * memoization caveats as EmbeddingQueries' index dirs (immutable sf
     * dirs; JVM-exit cleanup). */
@@ -362,7 +362,7 @@ object DocumentQueries {
     * [[graft.Bench]] for separate `__build` / `__read` timings. */
   val lifecycleSplits
       : Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
-    Map("dedup_clusters_incremental" -> (clustersIncrementalPhases _),
+    Map("legacy_dedup_clusters_incremental" -> (clustersIncrementalPhases _),
       "dedup_canonical_incremental" -> (canonicalIncPhases _))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -378,14 +378,14 @@ object DocumentQueries {
     // ~2x faster than either join form; on natural corpora (df ~1
     // tails) Dedup.jaccardPairsPrefixKernel additionally prunes the
     // candidate stage — identical output, spec-pinned.
-    "dedup_ngram_jaccard" -> ((s, dir) =>
+    "legacy_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairsPostingKernel(docs(s, dir), "text", "doc_id", k = 3,
         thresholdE4 = 5000)),
 
     // the asymmetric quote/subset detector: pairs whose SMALLER side
     // is >= 70% shingle-contained in the other — catches wholesale
     // quotation that symmetric Jaccard's union term drowns
-    "dedup_containment" -> ((s, dir) =>
+    "legacy_dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(docs(s, dir), "text", "doc_id", k = 3,
         thresholdE4 = 7000)),
 
@@ -398,7 +398,7 @@ object DocumentQueries {
     // recomputes the same pairs and closes them with a recursive CTE,
     // so the iterative min-label propagation must converge to the
     // exact same partition of the corpus.
-    "dedup_clusters" -> ((s, dir) => {
+    "legacy_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.connectedComponents(d.select(col("doc_id")), "doc_id",
         jaccardPairsArtifact(s, dir), "id_a", "id_b")
@@ -433,7 +433,7 @@ object DocumentQueries {
     // pairs are DIRECT edges (completeness near 10⁴ = clique-like
     // near-dups; low = chains glued by transitivity — the threshold
     // is too loose) plus the exact integral similarity mass. Pairs
-    // and labels are the artifacts dedup_clusters already builds.
+    // and labels are the artifacts legacy_dedup_clusters already builds.
     "dedup_cluster_cohesion" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = jaccardPairsArtifact(s, dir)
@@ -485,7 +485,7 @@ object DocumentQueries {
     // dedup_canonical_incremental and keeps this form as the
     // semantic baseline it is spec-pinned against; the SF-1 soak
     // measures it on the DE-CLONED fixture (its df-cap linear regime)
-    "dedup_clusters_incremental" -> ((s, dir) => {
+    "legacy_dedup_clusters_incremental" -> ((s, dir) => {
       val (build, read) = clustersIncrementalPhases(s, dir)
       build(); read()
     }),
@@ -511,7 +511,7 @@ object DocumentQueries {
     // (O(log² n) rounds regardless of component diameter — the
     // adversarial-depth twin of the min-label propagation above);
     // identical components, same recursive-CTE oracle
-    "dedup_clusters_star" -> ((s, dir) => {
+    "legacy_dedup_clusters_star" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.connectedComponentsStar(d.select(col("doc_id")), "doc_id",
         jaccardPairsArtifact(s, dir), "id_a", "id_b")
@@ -1139,7 +1139,7 @@ object DocumentQueries {
         .groupBy(col("signal")).agg(count(lit(1)).as("n_pairs"))
     }),
 
-    "dedup_consensus" -> ((s, dir) => {
+    "legacy_dedup_consensus" -> ((s, dir) => {
       import graft.functions.GraftFunctions
       import graft.operators.Similarity
       GraftFunctions.register(s)
@@ -1729,7 +1729,7 @@ object DocumentQueries {
          |          FROM documents)))""".stripMargin
   }
 
-  /** dedup_ngram_jaccard's full oracle — shared with the cluster
+  /** legacy_dedup_ngram_jaccard's full oracle — shared with the cluster
     * oracle so both close over the identical pair set. */
   /** Full canonical-clustering replay (exact-group collapse ->
     * rep-level pair closure -> members inherit), shared verbatim by
@@ -2080,11 +2080,11 @@ object DocumentQueries {
         |JOIN (SELECT text, min(doc_id) AS canonical_id
         |      FROM documents GROUP BY text) c USING (text)""".stripMargin,
 
-    "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "legacy_dedup_ngram_jaccard" -> jaccardPairsSql,
 
     // jaccardPairsSql's index with the containment threshold and the
     // directed ratios — same shingle hashes, same candidate pairs
-    "dedup_containment" ->
+    "legacy_dedup_containment" ->
       s"""WITH $shingleCte,
          |ex AS (SELECT doc_id,
          |  unnest(list_transform(shset,
@@ -2142,7 +2142,7 @@ object DocumentQueries {
 
     // transitive closure of the SAME pair set via a recursive CTE:
     // component = min doc_id reachable through near-dup edges
-    "dedup_clusters" ->
+    "legacy_dedup_clusters" ->
       s"""WITH RECURSIVE jp AS (
          |$jaccardPairsSql
          |),
@@ -2199,7 +2199,7 @@ object DocumentQueries {
 
     // algorithm-independent result: the star-contraction variant must
     // produce the identical component partition
-    "dedup_clusters_star" ->
+    "legacy_dedup_clusters_star" ->
       s"""WITH RECURSIVE jp AS (
          |$jaccardPairsSql
          |),
@@ -2215,7 +2215,7 @@ object DocumentQueries {
     // df cap, batch×old with the index-side cap, batch×batch with the
     // batch cap) closed together — the incremental label fold must
     // reach this exact partition
-    "dedup_clusters_incremental" ->
+    "legacy_dedup_clusters_incremental" ->
       s"""WITH RECURSIVE $shingleCte,
          |ex AS (SELECT doc_id,
          |  unnest(list_transform(shset,
@@ -3024,9 +3024,9 @@ object DocumentQueries {
         |GROUP BY 1""".stripMargin,
 
     // both pair sets recomputed exactly (jaccard CTE ≡ the
-    // dedup_ngram_jaccard oracle; cosine ≡ the emb_near_pairs oracle),
+    // legacy_dedup_ngram_jaccard oracle; cosine ≡ the emb_near_pairs oracle),
     // then full-outer joined into agreement classes
-    "dedup_consensus" ->
+    "legacy_dedup_consensus" ->
       s"""WITH jpfull AS (
          |$jaccardPairsSql
          |),

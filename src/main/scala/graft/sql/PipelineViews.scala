@@ -40,6 +40,28 @@ object PipelineViews {
       name: String = "graft_quality_report"): Unit =
     Quality.report(df, constraints).createOrReplaceTempView(name)
 
+  /** [[graft.TimeSeriesService.getTimeseries]] — the tier-routed,
+    * zero-filled calendar read (O13–O20) — as the `graft_timeseries`
+    * view: the BI gap-filled series from pure SQL text
+    * (`SELECT event_type, bucket, value FROM graft_timeseries`).
+    *
+    * The view is the read's LOGICAL PLAN, so everything the Scala call
+    * decides survives into SQL untouched: rollup-tier routing (the
+    * plan scans registered partials, never raw events, whenever one
+    * serves), partition-pruned scans, the dense finish-exclusive grid.
+    * User predicates written over the view push down into that plan.
+    * One view per (fact, dim, filters, range, step) read — views are
+    * cheap named plans, not materializations, so a dashboard installs
+    * one per tile exactly as it would hold one DataFrame per tile. */
+  def installTimeseries(spark: SparkSession,
+      svc: graft.TimeSeriesService, factId: String, dimId: String,
+      filters: Map[String, Option[String]],
+      start: java.sql.Timestamp, finish: java.sql.Timestamp,
+      step: graft.model.Step = graft.model.Step.NoStep,
+      offsetHours: Int = 0, name: String = "graft_timeseries"): Unit =
+    svc.getTimeseries(factId, dimId, filters, start, finish, step,
+      offsetHours).createOrReplaceTempView(name)
+
   /** [[TextAnalysis.bm25TopKFromIndex]] as the `graft_bm25_topk` view:
     * top-k docs per query served from a REGISTERED postings index —
     * the corpus is never scanned; query-term md5 buckets prune the

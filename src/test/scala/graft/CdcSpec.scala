@@ -172,4 +172,28 @@ class CdcSpec extends SparkTestBase {
       .select("status").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("unchanged"))
   }
+
+  test("snapshotDiff NULL keys: unique within a side, never match across") {
+    import spark.implicits._
+    val nk: java.lang.Long = null
+    // Two NULL-keyed rows on ONE side = a duplicate (groupBy pools NULLs)
+    val dupNull = Seq((nk, "a"), (nk, "a2")).toDF("id", "text")
+    val one = Seq((java.lang.Long.valueOf(7L), "x")).toDF("id", "text")
+    val e = intercept[Exception] {
+      Cdc.snapshotDiff(dupNull, one, "id", "text").collect()
+    }
+    assert(e.getMessage.contains("duplicate key"), e.getMessage)
+    assert(e.getMessage.contains("null"), e.getMessage)
+    // One NULL-keyed row per side: equality join never matches NULL keys,
+    // so the same NULL key on both sides reports removed + added.
+    val oldS = Seq((nk, "a"), (java.lang.Long.valueOf(1L), "b"))
+      .toDF("id", "text")
+    val newS = Seq((nk, "a"), (java.lang.Long.valueOf(1L), "b"))
+      .toDF("id", "text")
+    val got = Cdc.snapshotDiff(oldS, newS, "id", "text")
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSeq
+    assert(got.filter(_._1.isEmpty).map(_._2).sorted ==
+      Seq("added", "removed"), got.toString)
+    assert(got.filter(_._1.nonEmpty).map(_._2) == Seq("unchanged"))
+  }
 }

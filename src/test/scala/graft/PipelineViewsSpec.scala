@@ -46,6 +46,48 @@ class PipelineViewsSpec extends SparkTestBase {
     assert(uniq.toSeq == Seq("fail"))
   }
 
+  test("timeseries view: the routed gap-filled calendar read from pure " +
+      "SQL text — grid dense and finish-exclusive, plan rollup-served") {
+    import graft.functions.TimeKernel.ts
+    import graft.model.{FactType, Step}
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("clicks", FactType.Counter, slice = 15)
+    svc.defineDimension("event_type", facts = Set("clicks"))
+    svc.ingest(Seq(
+      graft.model.Event("clicks", ts("2014-03-21T10:05"), 1L,
+        Map("event_type" -> "click")),
+      graft.model.Event("clicks", ts("2014-03-21T10:20"), 1L,
+        Map("event_type" -> "click")),
+      graft.model.Event("clicks", ts("2014-03-21T13:40"), 1L,
+        Map("event_type" -> "view"))).toDF())
+    val mvDir = java.nio.file.Files
+      .createTempDirectory("graft_view_ts").toString
+    svc.materializeRollups(mvDir)
+    graft.sql.PipelineViews.installTimeseries(spark, svc, "clicks",
+      "event_type", Map("event_type" -> Some("click")),
+      ts("2014-03-21T08:00"), ts("2014-03-21T12:00"), Step.Hour)
+    val q = spark.sql(
+      "SELECT bucket, value FROM graft_timeseries ORDER BY bucket")
+    // dense grid, start-inclusive / finish-EXCLUSIVE: 08..11, never 12
+    assert(q.collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+      == Seq((ts("2014-03-21T08:00"), 0L), (ts("2014-03-21T09:00"), 0L),
+        (ts("2014-03-21T10:00"), 2L), (ts("2014-03-21T11:00"), 0L)))
+    // the view IS the routed logical plan: it scans the materialized
+    // partials, never the raw events
+    assert(q.queryExecution.executedPlan.toString.contains(mvDir))
+    // identical to the Scala read it names
+    val viaScala = svc.getTimeseries("clicks", "event_type",
+        Map("event_type" -> Some("click")),
+        ts("2014-03-21T08:00"), ts("2014-03-21T12:00"), Step.Hour)
+      .collect().map(_.toSeq).toSet
+    assert(spark.sql("SELECT * FROM graft_timeseries")
+      .collect().map(_.toSeq).toSet == viaScala)
+    // composable: user SQL filters over the view
+    assert(spark.sql(
+        "SELECT count(*) AS n FROM graft_timeseries WHERE value > 0")
+      .head.getLong(0) == 1L)
+  }
+
   test("bm25 view serves from the registered index via SQL text") {
     val idx = java.nio.file.Files
       .createTempDirectory("graft_view_bm25").toString

@@ -708,6 +708,65 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(total() == 46L)
   }
 
+  test("single-writer lease: second attach conflicts, takeover evicts " +
+      "the first writer's mutations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    def mkSvc(): TimeSeriesService = {
+      val svc = new TimeSeriesService(spark)
+      svc.defineFact("signups", FactType.Counter, slice = 10)
+      svc.defineDimension("dependency", facts = Set("signups"))
+      svc
+    }
+    def frame(v: Long) = Seq(graft.model.Event("signups",
+      ts("2014-03-21T09:15"), v, Map("dependency" -> "31"))).toDF()
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-lease").toString + "/store"
+    val a = mkSvc()
+    a.attachEventStore(store)
+    a.ingest(frame(1L), batchId = 0L)
+    // a second live service attaching the same store is the
+    // double-writer accident the lease exists to catch — loud, not
+    // silent interleaving
+    val b = mkSvc()
+    val conflict = intercept[IllegalStateException](
+      b.attachEventStore(store))
+    assert(conflict.getMessage.contains("SINGLE-WRITER"),
+      conflict.getMessage)
+    // crash recovery: takeover seizes the lease; the store's history
+    // is intact and the new writer proceeds
+    b.attachEventStore(store, takeover = true)
+    b.ingest(frame(2L), batchId = 1L)
+    // the evicted first writer's next mutation must fail loudly —
+    // ingest, erasure, and retention all re-verify the lease
+    val evicted = intercept[IllegalStateException](
+      a.ingest(frame(4L), batchId = 2L))
+    assert(evicted.getMessage.contains("no longer leased"),
+      evicted.getMessage)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-lease-erase").toString + "/scrub"
+    assert(intercept[IllegalStateException](
+      a.eraseEvents(lit(true), out)).getMessage.contains("eraseEvents"))
+    assert(intercept[IllegalStateException](
+      a.expireEvents(ts("2014-03-22T00:00"),
+        java.nio.file.Files.createTempDirectory("graft-lease-ret")
+          .toString)).getMessage.contains("expireEvents"))
+    // the store only ever saw each writer's accepted batches: the
+    // takeover owner reads exactly batches 0 (pre-takeover history)
+    // and 1 — batch 2 was refused before any byte was written
+    val got = b.getTimeseries("signups", "dependency",
+      Map("dependency" -> Some("31")),
+      ts("2014-03-21T00:00"), ts("2014-03-22T00:00"))
+      .agg(sum(col("value"))).head.getLong(0)
+    assert(got == 3L)
+    // the lease file is storage-invisible: underscore-prefixed, so
+    // event scans never see it as data
+    assert(!b.getTimeseries("signups", "dependency",
+      Map("dependency" -> None),
+      ts("2014-03-21T00:00"), ts("2014-03-22T00:00"))
+      .columns.contains("__writer"))
+  }
+
   test("catalog round-trip through parquet (O1/O6)") {
     val svc = freshService()
     val dir = java.nio.file.Files.createTempDirectory("graft-catalog").toString

@@ -47,5 +47,19 @@ graft.operators.TextAnalysis.buildTextIndex(docs, "text", "doc_id", idxDir, nBuc
 graft.sql.PipelineViews.installBm25(spark, idxDir, Seq("q0" -> Seq("alpha")), topK = 2)
 val bm = spark.sql("SELECT query_id, id FROM graft_bm25_topk ORDER BY id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 assert(bm == Seq(("q0", 0L), ("q0", 1L)), s"bm25 view: $bm")
+// the zero-filled calendar read (getTimeseries) from pure SQL text:
+// installTimeseries registers the routed read's plan as a view; the
+// hourly grid is dense (finish-exclusive) even where no events landed
+val tsvc = new graft.TimeSeriesService(spark)
+tsvc.defineFact("clicks", graft.model.FactType.Counter, slice = 15)
+tsvc.defineDimension("event_type", facts = Set("clicks"))
+tsvc.ingest(Seq((ts("2024-01-05T10:05"), "click"), (ts("2024-01-05T10:20"), "click"), (ts("2024-01-05T13:40"), "view")).toDF("ts", "event_type").select(lit("clicks").as("fact"), col("ts"), lit(1L).as("value"), org.apache.spark.sql.functions.map(lit("event_type"), col("event_type")).as("categories")))
+graft.sql.PipelineViews.installTimeseries(spark, tsvc, "clicks", "event_type", Map("event_type" -> Some("click")), ts("2024-01-05T08:00"), ts("2024-01-05T12:00"), graft.model.Step.Hour)
+val tsr = spark.sql("SELECT bucket, value FROM graft_timeseries ORDER BY bucket").collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+// grid is start-inclusive, finish-EXCLUSIVE: 08..11, never 12
+assert(tsr == Seq((ts("2024-01-05T08:00"), 0L), (ts("2024-01-05T09:00"), 0L), (ts("2024-01-05T10:00"), 2L), (ts("2024-01-05T11:00"), 0L)), s"timeseries view: ${tsr.mkString(",")}")
+// user SQL composes over the view: a filter written in SQL text
+val tsf = spark.sql("SELECT count(*) AS n FROM graft_timeseries WHERE value > 0").head.getLong(0)
+assert(tsf == 1L, s"timeseries view filter: $tsf")
 println("DRIVE-EXT-OK " + rows)
 sys.exit(0)

@@ -10,10 +10,12 @@
 #   - DECLONED (x10 with per-replica token noise): replicas are neither
 #     exact nor near duplicates, so the all-docs near-dup family is
 #     measured in its df-cap (linear) regime — its production regime on
-#     natural corpora. The legacy all-docs forms are the COMPARISON
-#     baseline (canonical forms are the served default); they also
-#     bench once on the plain fixture so the canonical-vs-legacy gap
-#     lives in one artifact.
+#     natural corpora. The legacy all-docs forms (driver keys legacy_*)
+#     are the COMPARISON baseline (canonical forms are the served
+#     default); they also bench ONCE on the plain fixture into their
+#     own sidecar (BENCH_sf1_legacy.json) so the canonical-vs-legacy
+#     clone-immunity gap stays measured while the headline plain
+#     artifact carries no clone-quadratic audit entry.
 #
 # Excluded by design: bpe_merges / bpe_tokenize / text_compression_profile
 # (oracles fixture-pinned to the driver correctness fixture),
@@ -78,7 +80,7 @@ doc_chunks,length_percentiles,pii_stats,text_simhash,text_cooccurrence,\
 tokenize_with_vocab,source_overlap_matrix,source_overlap_kmv,\
 text_source_profile_cached,corpus_manifest,corpus_diff"
 DEDUP_SAFE="dedup_exact,dedup_rate_by_source,dedup_clusters_canonical,\
-dedup_canonical_incremental,dedup_span_removal,dedup_consensus"
+dedup_canonical_incremental,dedup_span_removal,dedup_consensus_lsh"
 PIPE="pack_sequences,pack_by_split,pack_profile,sample_stratified,\
 sample_topk_per_source,sample_weighted_topk,sample_shuffle_positions,\
 curriculum_positions,fim_examples,span_corruption_examples,\
@@ -91,17 +93,23 @@ er_part_matches_multi,er_incremental,er_block_profile,\
 series_similarity,index_batches,pipeline_scrub_profile"
 QUERIES="$TS,$STREAM,$REL,$ANN,$TEXT,$DEDUP_SAFE,$PIPE"
 
-# the all-docs near-dup family: df-cap linear regime on the DECLONED
-# fixture; its canonical twins run there too (same labels either way)
-NEARDUP="dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash_pairs,\
-dedup_containment,dedup_clusters,dedup_clusters_star,\
-dedup_clusters_incremental,dedup_keep_best,dedup_cluster_cohesion,\
+# the all-docs near-dup family (driver keys legacy_*): df-cap linear
+# regime on the DECLONED fixture — its production regime; the
+# canonical twins run there too (same labels either way). The exact
+# ensemble legacy_dedup_consensus gates here (its clone-fixture slot
+# moved to dedup_consensus_lsh, the served ensemble, above).
+NEARDUP="legacy_dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash_pairs,\
+legacy_dedup_containment,legacy_dedup_clusters,legacy_dedup_clusters_star,\
+legacy_dedup_clusters_incremental,dedup_keep_best,dedup_cluster_cohesion,\
 dedup_cluster_sizes,dedup_incremental,split_leakage_profile,\
 dedup_clusters_canonical,dedup_canonical_incremental,\
-dedup_consensus_lsh"
-# legacy comparison forms benched (not gated) on the PLAIN fixture so
-# the canonical-vs-legacy clone-immunity gap lives in one artifact
-LEGACY="dedup_ngram_jaccard,dedup_clusters,dedup_clusters_incremental"
+dedup_consensus_lsh,legacy_dedup_consensus"
+# legacy comparison forms benched ONCE (not gated) on the PLAIN
+# fixture in their own sidecar (BENCH_sf1_legacy.json) so the
+# canonical-vs-legacy clone-immunity gap stays measured without the
+# clone-quadratic audit forms sitting in the headline artifact
+LEGACY="legacy_dedup_ngram_jaccard,legacy_dedup_clusters,\
+legacy_dedup_clusters_incremental,legacy_dedup_consensus"
 
 [ -d "$FIX" ] || python3 tools/make_scaled_fixture.py \
   /root/testdata/sf0.1 "$FIX" 10
@@ -126,12 +134,16 @@ run_gate() { # fixture query-list tag
 run_gate "$FIX" "$QUERIES" main
 run_gate "$FIXD" "$NEARDUP" decloned
 
-SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$QUERIES,$LEGACY" \
+SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
   SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
   | grep '"metric"' | tail -1 > "$PREFIX/BENCH_sf1.json"
 SPARK_GRAFT_SF_DIR="$FIXD" SPARK_GRAFT_BENCH_ONLY="$NEARDUP" \
   SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
   | grep '"metric"' | tail -1 > "$PREFIX/BENCH_sf1_decloned.json"
+# the clone-quadratic audit baselines, measured once each
+SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$LEGACY" \
+  SPARK_GRAFT_BENCH_PASSES=1 sbt -batch "runMain graft.Bench" 2>&1 \
+  | grep '"metric"' | tail -1 > "$PREFIX/BENCH_sf1_legacy.json"
 echo "soak done: $(count "$QUERIES")+$(count "$NEARDUP") gated;" \
   "$PREFIX/CORRECTNESS_sf1_{main,decloned}.txt" \
-  "$PREFIX/BENCH_sf1{,_decloned}.json"
+  "$PREFIX/BENCH_sf1{,_decloned,_legacy}.json"
