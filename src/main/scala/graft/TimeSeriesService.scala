@@ -47,6 +47,7 @@ final class TimeSeriesService(
   private var bulk: Option[DataFrame] = None
   private var bulkDepth = 0
   private var storeDir: Option[String] = None
+  private var retiredDir: Option[String] = None
 
   // ---- single-writer lease on the durable event store -----------------
   // The on-disk event store is SINGLE-WRITER: every mutation
@@ -729,9 +730,43 @@ final class TimeSeriesService(
         .coalesce(targetFiles)
         .write.mode("overwrite").partitionBy("__event_date")
         .parquet(s"$outDir/__batch_id=compacted")
+      retiredDir = Some(dir)
       storeDir = Some(outDir)
       invalidateRollups(None)
     }
+
+  /** The directory the last store SWAP ([[compactEventStore]] /
+    * [[eraseEvents]]) replaced — still on disk, still holding the
+    * pre-swap rows (for an erasure, the rows the deletion request
+    * targets). None before any swap, or after the dir is retired. */
+  def retiredStoreDir: Option[String] = retiredDir
+
+  /** Finish a store swap: DELETE a retired (swapped-out) store
+    * directory. For a deletion request this step is NOT optional —
+    * until the retired directory is gone, the erased rows still exist
+    * on disk. Guarded three ways, all loud: the LIVE store refuses
+    * (retire only what a swap already replaced), a directory leased to
+    * another writer refuses (not ours to delete), and the path must
+    * look like an event store (contain `__batch_id=` partitions or a
+    * writer lease) so a mistyped path cannot nuke unrelated data. */
+  def retireStoreDir(dir: String): Unit = {
+    require(!storeDir.contains(dir),
+      s"retireStoreDir: $dir is the LIVE event store — only a " +
+        "swapped-out directory (see retiredStoreDir) can be retired")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = leaseFs(p)
+    if (!fs.exists(p)) { if (retiredDir.contains(dir)) retiredDir = None
+      return }
+    val names = fs.listStatus(p).map(_.getPath.getName)
+    require(names.exists(_.startsWith("__batch_id=")) ||
+        names.contains("__writer.lock"),
+      s"retireStoreDir: $dir does not look like a graft event store " +
+        "(no __batch_id= partitions, no writer lease) — refusing to " +
+        "delete")
+    assertLease(dir, "retireStoreDir")
+    fs.delete(p, true)
+    if (retiredDir.contains(dir)) retiredDir = None
+  }
 
   /** Right-to-erasure (the OTHER mandatory production lifecycle op,
     * beside retention): rewrite the on-disk event store WITHOUT the
@@ -780,6 +815,7 @@ final class TimeSeriesService(
     store.where(!erase)
       .write.mode("overwrite").partitionBy("__event_date")
       .parquet(s"$outDir/__batch_id=scrubbed")
+    retiredDir = storeDir
     storeDir = Some(outDir)
     invalidateRollups(None)
     erased

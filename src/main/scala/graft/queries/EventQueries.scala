@@ -491,6 +491,56 @@ object EventQueries {
       s.sql("SELECT event_type, bucket, value FROM graft_timeseries")
     }),
 
+    // the MULTI-FACT dashboard from pure SQL text: ts_multi_mixed's
+    // two-tile read installed as the graft_timeseries_multi view and
+    // consumed with spark.sql — shares ts_multi_mixed's oracle
+    // verbatim (the SQL dashboard is the Scala dashboard)
+    "ts_multi_sql" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
+      svc.defineFact("spend_avg", FactType.Average, slice = 15)
+      svc.defineDimension("user_bucket",
+        facts = Set("clicks_count", "spend_avg"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", lit("clicks_count"))
+            .otherwise(lit("spend_avg")).as("fact"),
+          col("ts"),
+          when(col("event_type") === "click", lit(1L))
+            .otherwise(cents).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories"))
+      svc.ingest(ev)
+      graft.sql.PipelineViews.installTimeseriesMulti(s, svc,
+        Seq("clicks_count", "spend_avg"), "user_bucket",
+        Map("user_bucket" -> None),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day)
+      s.sql("SELECT * FROM graft_timeseries_multi")
+    }),
+
+    // the HISTOGRAM read (O21) from pure SQL text: integral-cents
+    // spend distribution per event type over [0,20000) in 2000-cent
+    // buckets, installed as the graft_histogram view — the
+    // monitoring-dashboard read (and any percentile/CDF SQL a user
+    // derives on top of it)
+    "ts_hist_sql" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("spend_hist", FactType.Histogram, slice = 15,
+        start = Some(0L), end = Some(20000L), step = Some(2000L))
+      svc.defineDimension("event_type", facts = Set("spend_hist"))
+      svc.ingest(eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .select(lit("spend_hist").as("fact"), col("ts"),
+          cents.as("value"),
+          map(lit("event_type"), col("event_type")).as("categories")))
+      graft.sql.PipelineViews.installHistogram(s, svc, "spend_hist",
+        "event_type", Map("event_type" -> None),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"))
+      s.sql("SELECT event_type, hist_bucket, value FROM graft_histogram")
+    }),
+
     // LENIENT ingest under the driver's gate: a feed where every 7th
     // event carries a null value and every 7th+1 an undefined fact id
     // must neither fail the job nor distort history — corrupt rows
@@ -3331,6 +3381,21 @@ object EventQueries {
       gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
       gridStep = "1 HOUR",
       loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
+
+    // the SQL dashboard IS the Scala dashboard: oracle shared verbatim
+    "ts_multi_sql" -> multiMixedSql,
+
+    // integral-cents spend distribution, 2000-cent buckets clamped to
+    // [0, 20000) — the service's histogram kernel over ingested cents
+    "ts_hist_sql" ->
+      s"""SELECT event_type,
+         |  CAST(LEAST(GREATEST(FLOOR(CAST(round(value * 100) AS BIGINT)
+         |    / 2000), 0), 9) AS BIGINT) * 2000 AS hist_bucket,
+         |  count(*) AS value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
+         |  AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'
+         |GROUP BY ALL""".stripMargin,
 
     // exactly the valid subset of the corrupted feed: events whose
     // id % 7 hit the null-value (0) or undefined-fact (1) corruption

@@ -62,6 +62,37 @@ object PipelineViews {
     svc.getTimeseries(factId, dimId, filters, start, finish, step,
       offsetHours).createOrReplaceTempView(name)
 
+  /** [[graft.TimeSeriesService.getTimeseriesMulti]] — the tier-routed
+    * multi-fact dashboard read — as the `graft_timeseries_multi` view:
+    * every dashboard tile from one pure-SQL select. Same
+    * plan-is-the-view transparency as [[installTimeseries]]: facts
+    * with registered rollups keep serving from their partials (the
+    * no-event-scan dashboard) under the SQL text. */
+  def installTimeseriesMulti(spark: SparkSession,
+      svc: graft.TimeSeriesService, factIds: Seq[String], dimId: String,
+      filters: Map[String, Option[String]],
+      start: java.sql.Timestamp, finish: java.sql.Timestamp,
+      step: graft.model.Step = graft.model.Step.NoStep,
+      offsetHours: Int = 0,
+      name: String = "graft_timeseries_multi"): Unit =
+    svc.getTimeseriesMulti(factIds, dimId, filters, start, finish, step,
+      offsetHours).createOrReplaceTempView(name)
+
+  /** [[graft.TimeSeriesService.getHistogram]] (O21) as the
+    * `graft_histogram` view: per-series value-distribution counts —
+    * and, through plain SQL on top, any percentile/CDF-style read the
+    * dashboard derives from them. Rollup-served when the histogram's
+    * tall partials are registered, exactly like the Scala call. */
+  def installHistogram(spark: SparkSession,
+      svc: graft.TimeSeriesService, factId: String, dimId: String,
+      filters: Map[String, Option[String]],
+      start: java.sql.Timestamp, finish: java.sql.Timestamp,
+      step: graft.model.Step = graft.model.Step.NoStep,
+      offsetHours: Int = 0, mergeSeries: Boolean = false,
+      name: String = "graft_histogram"): Unit =
+    svc.getHistogram(factId, dimId, filters, start, finish, step,
+      offsetHours, mergeSeries).createOrReplaceTempView(name)
+
   /** [[TextAnalysis.bm25TopKFromIndex]] as the `graft_bm25_topk` view:
     * top-k docs per query served from a REGISTERED postings index —
     * the corpus is never scanned; query-term md5 buckets prune the

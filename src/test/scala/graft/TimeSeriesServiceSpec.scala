@@ -767,6 +767,60 @@ class TimeSeriesServiceSpec extends SparkTestBase {
       .columns.contains("__writer"))
   }
 
+  test("retireStoreDir finishes the swap: deletes only a retired, " +
+      "self-leased event store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, element_at, sum}
+    def mkSvc(): TimeSeriesService = {
+      val svc = new TimeSeriesService(spark)
+      svc.defineFact("signups", FactType.Counter, slice = 10)
+      svc.defineDimension("dependency", facts = Set("signups"))
+      svc
+    }
+    def frame(dep: String) = Seq(graft.model.Event("signups",
+      ts("2014-03-21T09:15"), 1L, Map("dependency" -> dep))).toDF()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-retire").toString
+    val store = s"$base/store"
+    val svc = mkSvc()
+    svc.attachEventStore(store)
+    svc.ingest(frame("31"), batchId = 0L)
+    svc.ingest(frame("32"), batchId = 1L)
+    assert(svc.retiredStoreDir.isEmpty) // no swap yet
+    val scrubbed = s"$base/scrubbed"
+    assert(svc.eraseEvents(
+      element_at(col("categories"), "dependency") === "32", scrubbed) == 1L)
+    assert(svc.retiredStoreDir.contains(store))
+    // the LIVE store refuses — only swapped-out history is deletable
+    assert(intercept[IllegalArgumentException](
+      svc.retireStoreDir(scrubbed)).getMessage.contains("LIVE"))
+    // a path that is not an event store refuses (mistyped-path guard)
+    val notAStore = s"$base/other"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(notAStore))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(notAStore, "data.txt"), "x".getBytes)
+    assert(intercept[IllegalArgumentException](
+      svc.retireStoreDir(notAStore)).getMessage
+      .contains("does not look like"))
+    // the retired store deletes; the deletion request is now complete
+    svc.retireStoreDir(store)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
+    assert(svc.retiredStoreDir.isEmpty)
+    // reads keep serving from the swapped-in store
+    assert(svc.getTimeseries("signups", "dependency",
+        Map("dependency" -> None),
+        ts("2014-03-21T00:00"), ts("2014-03-22T00:00"))
+      .agg(sum(col("value"))).head.getLong(0) == 1L)
+    // a store leased to ANOTHER writer refuses — not ours to delete
+    val foreign = s"$base/foreign"
+    val other = mkSvc()
+    other.attachEventStore(foreign)
+    other.ingest(frame("31"), batchId = 0L)
+    assert(intercept[IllegalStateException](
+      svc.retireStoreDir(foreign)).getMessage.contains("retireStoreDir"))
+  }
+
   test("catalog round-trip through parquet (O1/O6)") {
     val svc = freshService()
     val dir = java.nio.file.Files.createTempDirectory("graft-catalog").toString

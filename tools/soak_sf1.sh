@@ -49,7 +49,8 @@ ts_hist_merged,ts_hist_rollup,ts_routed_hist,ts_routed_hist_day,\
 ts_distinct_day,ts_distinct_rollup,ts_distinct_sketch,ts_pct_sketch,\
 ts_routed_avg,ts_routed_day_tier,ts_routed_distinct,\
 ts_routed_distinct_day,ts_routed_unaligned,ts_routed_sql,\
-ts_cusum_routed,q1_routed_mv,series_trend_routed"
+ts_cusum_routed,q1_routed_mv,series_trend_routed,\
+ts_fill_sql,ts_multi_sql,ts_hist_sql"
 STREAM="ts_stream_maintained_fill,ts_stream_distinct_fill,\
 ts_stream_distinct_sketch,ts_stream_pct_sketch,stream_anomalies,\
 stream_cusum,stream_ewma,stream_holt,stream_funnel,stream_sessions,\
