@@ -137,14 +137,14 @@ run_gate "$FIXD" "$NEARDUP" decloned
 
 SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
   SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
-  | grep '"metric"' | tail -1 > "$PREFIX/BENCH_sf1.json"
+  | grep '"metric"' | tail -1 | sed 's/^\[info\] //' > "$PREFIX/BENCH_sf1.json"
 SPARK_GRAFT_SF_DIR="$FIXD" SPARK_GRAFT_BENCH_ONLY="$NEARDUP" \
   SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
-  | grep '"metric"' | tail -1 > "$PREFIX/BENCH_sf1_decloned.json"
+  | grep '"metric"' | tail -1 | sed 's/^\[info\] //' > "$PREFIX/BENCH_sf1_decloned.json"
 # the clone-quadratic audit baselines, measured once each
 SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$LEGACY" \
   SPARK_GRAFT_BENCH_PASSES=1 sbt -batch "runMain graft.Bench" 2>&1 \
-  | grep '"metric"' | tail -1 > "$PREFIX/BENCH_sf1_legacy.json"
+  | grep '"metric"' | tail -1 | sed 's/^\[info\] //' > "$PREFIX/BENCH_sf1_legacy.json"
 echo "soak done: $(count "$QUERIES")+$(count "$NEARDUP") gated;" \
   "$PREFIX/CORRECTNESS_sf1_{main,decloned}.txt" \
   "$PREFIX/BENCH_sf1{,_decloned,_legacy}.json"
