@@ -108,18 +108,63 @@ object StreamingIngest {
     * regardless). [[graft.operators.Rollups.compact]] bounds row/file/
     * dir counts offline; `TimeSeriesService.registerRollup` points
     * queries at the maintained path. */
+  /** Per-stream writer lease on a maintained store — the streaming
+    * twin of the event store's single-writer contract
+    * (`TimeSeriesService` lease block): each maintained store must
+    * have exactly ONE maintaining stream. The lease is RESTART-SAFE
+    * by construction: a stream instance claims the store's
+    * `__writer.lock` unconditionally on its FIRST batch (a crash
+    * restart is a new instance — it re-claims the stale lock and
+    * proceeds), then re-verifies ownership on every later batch, so
+    * when TWO live streams maintain one directory the later claimer
+    * wins and the earlier one fails LOUDLY on its next batch instead
+    * of the two silently interleaving `__batch_id=` dirs and batch
+    * markers (same-id overwrites, marker ping-pong — corrupted
+    * history). Underscore-prefixed, so readers never see it as data. */
+  private final class StreamLease {
+    val token: String = java.util.UUID.randomUUID().toString
+    var claimed = false
+  }
+
+  private def leaseCheck(lease: StreamLease, path: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(path, "__writer.lock")
+    if (!lease.claimed) {
+      fs.mkdirs(lock.getParent)
+      val out = fs.create(lock, true)
+      try out.write(lease.token.getBytes("UTF-8")) finally out.close()
+      lease.claimed = true
+    } else {
+      val cur =
+        if (!fs.exists(lock)) "<no lease>"
+        else {
+          val in = fs.open(lock)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+      if (cur != lease.token) throw new IllegalStateException(
+        s"maintained store at $path is now leased to writer $cur — " +
+          "two streams are maintaining the same directory; each " +
+          "maintained store takes exactly ONE maintaining stream " +
+          "(crash restarts re-claim automatically).")
+    }
+  }
+
   /** The idempotence choreography shared by every maintained store:
     * skip batches at or below the persisted high-water marker, write
     * the batch's own deterministic `__batch_id=` directory (a replay
     * OVERWRITES its possibly-partial prior output instead of
     * appending a duplicate), then advance the marker — so a crash
     * between data write and marker write re-runs the batch
-    * harmlessly. */
+    * harmlessly. Holds the per-stream writer lease throughout (see
+    * [[StreamLease]]). */
   private def idempotentBatchWrite(path: String, batchId: Long,
-      hconf: org.apache.hadoop.conf.Configuration)
+      hconf: org.apache.hadoop.conf.Configuration,
+      lease: StreamLease)
       (write: String => Unit): Unit = {
     val marker = new org.apache.hadoop.fs.Path(path, "_graft_last_batch")
     val fs = marker.getFileSystem(hconf)
+    leaseCheck(lease, path, fs)
     val last =
       if (!fs.exists(marker)) -1L
       else {
@@ -136,12 +181,13 @@ object StreamingIngest {
   }
 
   def maintainRollup(stream: DataFrame, fact: FactDef, dims: Seq[String],
-      path: String): DataStreamWriter[Row] =
+      path: String): DataStreamWriter[Row] = {
+    val lease = new StreamLease
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         idempotentBatchWrite(path, batchId,
-            batch.sparkSession.sessionState.newHadoopConf()) { outDir =>
+            batch.sparkSession.sessionState.newHadoopConf(), lease) { outDir =>
           val dimCols = dims.map(d => col("categories").getItem(d).as(d))
           val prepared = batch
             .where(col("fact") === lit(fact.id))
@@ -153,7 +199,7 @@ object StreamingIngest {
             .parquet(outDir)
         }
         ()
-      }
+      }  }
 
   /** STREAMING manifest maintenance — the ingest-side half of the
     * manifest/result-cache loop: per micro-batch, the batch's
@@ -166,17 +212,18 @@ object StreamingIngest {
     * (plain per-batch aggregation), store growth is groups × batches
     * rows, and replays are idempotent via the batch marker. */
   def maintainManifest(stream: DataFrame, textCol: String,
-      groupCol: String, path: String): DataStreamWriter[Row] =
+      groupCol: String, path: String): DataStreamWriter[Row] = {
+    val lease = new StreamLease
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         idempotentBatchWrite(path, batchId,
-            batch.sparkSession.sessionState.newHadoopConf()) { outDir =>
+            batch.sparkSession.sessionState.newHadoopConf(), lease) { outDir =>
           graft.operators.Dedup.contentManifest(batch, textCol, groupCol)
             .write.mode("overwrite").parquet(outDir)
         }
         ()
-      }
+      }  }
 
   /** Collapse a [[maintainManifest]] store to the corpus manifest:
     * counts add, digests add mod 2⁶⁰ — bit-identical to the batch
@@ -207,12 +254,13 @@ object StreamingIngest {
     * sketch-sized. */
   def maintainSketchRollup(stream: DataFrame, factId: String,
       dims: Seq[String], path: String, sliceMinutes: Int = 15,
-      lgK: Int = 12): DataStreamWriter[Row] =
+      lgK: Int = 12): DataStreamWriter[Row] = {
+    val lease = new StreamLease
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         idempotentBatchWrite(path, batchId,
-            batch.sparkSession.sessionState.newHadoopConf()) { outDir =>
+            batch.sparkSession.sessionState.newHadoopConf(), lease) { outDir =>
           val dimCols = dims.map(d => col("categories").getItem(d).as(d))
           val prepared = batch
             .where(col("fact") === lit(factId))
@@ -226,7 +274,7 @@ object StreamingIngest {
             .parquet(outDir)
         }
         ()
-      }
+      }  }
 
   /** The KLL twin of [[maintainSketchRollup]] on the quantile plane:
     * per-micro-batch value-distribution sketch partials
@@ -240,12 +288,13 @@ object StreamingIngest {
     * slice × batch) at any value cardinality. */
   def maintainKllRollup(stream: DataFrame, factId: String,
       dims: Seq[String], path: String, sliceMinutes: Int = 15,
-      k: Int = 200): DataStreamWriter[Row] =
+      k: Int = 200): DataStreamWriter[Row] = {
+    val lease = new StreamLease
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         idempotentBatchWrite(path, batchId,
-            batch.sparkSession.sessionState.newHadoopConf()) { outDir =>
+            batch.sparkSession.sessionState.newHadoopConf(), lease) { outDir =>
           val dimCols = dims.map(d => col("categories").getItem(d).as(d))
           val prepared = batch
             .where(col("fact") === lit(factId))
@@ -258,7 +307,7 @@ object StreamingIngest {
             .parquet(outDir)
         }
         ()
-      }
+      }  }
 
   /** Streaming-maintained BM25 postings index: each micro-batch of
     * documents lands as one `__batch_id=` postings + stats pair via

@@ -1332,4 +1332,53 @@ class StreamingSpec extends SparkTestBase {
     // and the 12:30 event's window excludes everything
     assert(got.contains((5L, 1L, Some(7200L))))
   }
+
+  test("maintained-store lease: a second maintaining stream claims the " +
+      "store; the first fails loudly on its next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val fact = FactDef("signups", FactType.Counter, sliceMinutes = 10)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-mlease").toString + "/roll"
+    def ck() = java.nio.file.Files
+      .createTempDirectory("graft-mlease-ck").toString
+    def ev(min: Int) = Event("signups", ts(f"2014-03-21T10:$min%02d"), 1,
+      Map("dependency" -> "31"))
+    val a = MemoryStream[Event]
+    val qa = StreamingIngest.maintainRollup(a.toDF(), fact,
+      Seq("dependency"), path).option("checkpointLocation", ck()).start()
+    a.addData(ev(1))
+    qa.processAllAvailable() // A claims the store on its first batch
+    // a SECOND stream pointed at the same store: its first batch
+    // re-claims (the restart-safe takeover — a crash restart must be
+    // able to resume unconditionally) ...
+    val b = MemoryStream[Event]
+    val qb = StreamingIngest.maintainRollup(b.toDF(), fact,
+      Seq("dependency"), path).option("checkpointLocation", ck()).start()
+    b.addData(ev(2))
+    qb.processAllAvailable()
+    // ... and the EARLIER stream now fails LOUDLY on its next batch
+    // instead of silently interleaving __batch_id= dirs with B
+    a.addData(ev(3))
+    val e = intercept[Exception] { qa.processAllAvailable() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ONE maintaining stream")),
+      msgs(e).mkString(" | "))
+    try qa.stop() catch { case _: Exception => () }
+    // the surviving maintainer keeps going and the store stays readable
+    b.addData(ev(4))
+    qb.processAllAvailable()
+    qb.stop()
+    val svc = freshService()
+    svc.registerRollup("signups", Seq("dependency"), path)
+    val total = svc.getTimeseries("signups", "dependency",
+        Map("dependency" -> Some("31")),
+        ts("2014-03-21T00:00"), ts("2014-03-22T00:00"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("value"))).head.getLong(0)
+    // B's two batches landed (batch ids 0,1 under B's checkpoint — id 0
+    // overwrote A's; exactly the corruption class the lease now stops)
+    assert(total == 2L, s"served total: $total")
+  }
 }
