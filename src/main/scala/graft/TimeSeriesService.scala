@@ -509,13 +509,6 @@ final class TimeSeriesService(
         s"${factIds.zip(facts.map(f => dim.sliceMinutes.getOrElse(f.sliceMinutes))).mkString(", ")}")
     val counters = factIds.zip(facts).filter(_._2.ftype == FactType.Counter)
     val averages = factIds.zip(facts).filter(_._2.ftype == FactType.Average)
-    // the gap fill uses ONE filler per frame — counter facts with
-    // different fillers would silently fill each other's gaps wrong
-    // (averages always fill with the (0, 0) partial, filler-free)
-    require(counters.map(_._2.filler).distinct.size <= 1,
-      s"getTimeseriesMulti counter facts disagree on the filler: " +
-        s"${counters.map { case (id, f) => (id, f.filler) }.mkString(", ")} — " +
-        "read facts with different fillers per fact")
     val dimCols = grouping.map(d => col("categories").getItem(d).as(d))
     def runGroup(group: Seq[(String, graft.model.FactDef)]): DataFrame = {
       val ids = group.map(_._1)
@@ -523,8 +516,20 @@ final class TimeSeriesService(
         .where(col("fact").isin(ids: _*))
         .select(dimCols ++ Seq(col("fact"), col("ts"), col("value"),
           col("__event_date")): _*)
+      // PER-FACT gap fill: counter facts may carry different fillers
+      // (two tiles, fillers 0 and −1, is a legitimate dashboard), so
+      // when they disagree the fill expression becomes a broadcast-
+      // literal `fact → filler` map lookup on the grid frame — still
+      // ONE shared scan/collapse/fill pipeline, each fact's gaps
+      // filled with its own filler. The homogeneous case keeps the
+      // scalar-literal plan unchanged.
+      val fillers = group.map { case (id, f) => id -> f.filler }.toMap
+      val fillerOverride =
+        if (fillers.values.toSet.size <= 1) None
+        else Some(element_at(typedlit(fillers), col("fact")))
       graft.operators.Timeseries.run(prepared, group.head._2, slices.head,
-        grouping :+ "fact", filters, start, finish, step, offsetHours)
+        grouping :+ "fact", filters, start, finish, step, offsetHours,
+        fillerOverride)
     }
     // Per TYPE group: rollup-registered facts serve from their partials
     // (one pruned rollup scan each, `fact` attached as a literal —

@@ -137,9 +137,18 @@ object Timeseries {
     * Grid points: raw `start` inclusive to `finish` exclusive
     * (`time-range`, query.clj:84-97) — NOT truncated, so a mid-hour start
     * yields grid points that match no collapsed bucket, exactly like the
-    * reference. Series absent from the scan stay absent. */
+    * reference. Series absent from the scan stay absent.
+    *
+    * `fillerOverride`, when given, replaces the fact's scalar `filler`
+    * with a per-ROW expression evaluated on the exploded grid frame —
+    * the multi-fact dashboard read passes a `fact → filler` map lookup
+    * here so counter facts with DIFFERENT fillers share one pipeline
+    * yet each fills its own gaps with its own filler (the expression
+    * sees the grouping columns, `fact` among them). Ignored for
+    * AVERAGE facts (their gap partial is always (0, 0)). */
   def fillRange(collapsed: DataFrame, fact: FactDef, grouping: Seq[String],
-      start: Timestamp, finish: Timestamp, step: Step): DataFrame = {
+      start: Timestamp, finish: Timestamp, step: Step,
+      fillerOverride: Option[Column] = None): DataFrame = {
     if (step == Step.NoStep) return collapsed
     val grid = TimeKernel.timeRange(start, finish, step)
     val dims = grouping.map(col)
@@ -165,8 +174,9 @@ object Timeseries {
           coalesce(lookup.getField("counter"), lit(0L)).as("counter") :+
           coalesce(lookup.getField("total"), lit(0L)).as("total"): _*)
       case _ =>
+        val filler = fillerOverride.getOrElse(lit(fact.filler))
         exploded.select(dims :+ col("bucket") :+
-          coalesce(lookup.getField("value"), lit(fact.filler)).as("value"): _*)
+          coalesce(lookup.getField("value"), filler).as("value"): _*)
     }
     out
   }
@@ -175,11 +185,12 @@ object Timeseries {
   def run(prepared: DataFrame, fact: FactDef, sliceMinutes: Int,
       grouping: Seq[String], filters: Map[String, Option[String]],
       start: Timestamp, finish: Timestamp, step: Step,
-      offsetHours: Int = 0): DataFrame = {
+      offsetHours: Int = 0,
+      fillerOverride: Option[Column] = None): DataFrame = {
     val scanned = scan(prepared, sliceMinutes, grouping, filters, start, finish)
     val coll = collapse(scanned, fact, grouping, step, offsetHours)
     if (fact.ftype == FactType.Histogram) coll
-    else fillRange(coll, fact, grouping, start, finish, step)
+    else fillRange(coll, fact, grouping, start, finish, step, fillerOverride)
   }
 
   /** Trailing moving average over a FILLED series (beyond-reference

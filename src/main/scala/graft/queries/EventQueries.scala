@@ -591,6 +591,35 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day)
     }),
 
+    // PER-FACT FILLERS in the dashboard read: two counter tiles whose
+    // facts declare DIFFERENT fillers (clicks gap→0, purchases
+    // gap→−1 — "no data" distinguished from "zero sales") still share
+    // ONE scan/collapse/fill pipeline; the fill expression becomes a
+    // broadcast-literal fact→filler map lookup, so each fact's gaps
+    // carry its own filler (round-10 verdict item 8 — the old
+    // distinct-filler require rejected this legitimate dashboard)
+    "ts_multi_fillers" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
+      svc.defineFact("purchases_count", FactType.Counter, slice = 15,
+        filler = -1L)
+      svc.defineDimension("user_bucket",
+        facts = Set("clicks_count", "purchases_count"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", lit("clicks_count"))
+            .otherwise(lit("purchases_count")).as("fact"),
+          col("ts"), lit(1L).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories"))
+      svc.ingest(ev)
+      svc.getTimeseriesMulti(Seq("clicks_count", "purchases_count"),
+        "user_bucket", Map("user_bucket" -> None),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
+    }),
+
     // MIXED-TYPE dashboard read: a counter tile (clicks) and an
     // average tile (purchase spend, integral cents) served by ONE
     // multi read — per-type pipelines over disjoint fact partitions,
@@ -3419,6 +3448,23 @@ object EventQueries {
         "CASE event_type WHEN 'click' THEN 'clicks_count' " +
         "ELSE 'purchases_count' END AS fact",
       dimNames = "user_bucket, fact"),
+
+    // per-fact fillers: each fact's gaps carry ITS OWN filler
+    // (clicks→0, purchases→−1) — the coalesce default is a CASE on
+    // the fact id, exactly the map lookup the Scala fill compiles to
+    "ts_multi_fillers" -> fillOracle(
+      where = "event_type IN ('click', 'purchase')",
+      bucketExpr = "date_trunc('hour', ts)",
+      gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
+      gridStep = "1 HOUR",
+      loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00"),
+      dimExprs = "CAST(user_id % 4 AS VARCHAR) AS user_bucket, " +
+        "CASE event_type WHEN 'click' THEN 'clicks_count' " +
+        "ELSE 'purchases_count' END AS fact",
+      dimNames = "user_bucket, fact")
+      .replace("coalesce(c.cnt, 0)",
+        "coalesce(c.cnt, CASE s.fact WHEN 'purchases_count' " +
+          "THEN -1 ELSE 0 END)"),
 
     // the null-padded union of the per-type fills: counter rows carry
     // value (0-filled), average rows carry the (counter, total)

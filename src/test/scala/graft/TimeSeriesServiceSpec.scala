@@ -454,6 +454,42 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(e.getMessage.contains("COUNTER and AVERAGE"))
   }
 
+  test("multi-fact read fills each counter's gaps with ITS OWN filler") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("views", FactType.Counter, slice = 10) // filler 0
+    svc.defineFact("sales", FactType.Counter, slice = 10, filler = -1L)
+    svc.defineDimension("dep", facts = Set("views", "sales"))
+    // views lands in hours 09 and 11, sales only in hour 10 → each
+    // fact has gaps the OTHER fact's buckets cover, so a shared
+    // scalar filler would be visibly wrong in both directions
+    svc.newFact("views", ts("2014-03-21T09:10"), 2L, Map("dep" -> "d0"))
+    svc.newFact("views", ts("2014-03-21T11:20"), 3L, Map("dep" -> "d0"))
+    svc.newFact("sales", ts("2014-03-21T10:30"), 7L, Map("dep" -> "d0"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    val multi = shape(svc.getTimeseriesMulti(Seq("views", "sales"), "dep",
+      Map("dep" -> None),
+      ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour))
+    val perFact = Seq("views", "sales").flatMap { f =>
+      svc.getTimeseries(f, "dep", Map("dep" -> None),
+          ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+        .withColumn("fact", lit(f))
+        .select(col("dep"), col("fact"), col("bucket"), col("value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+          r.getLong(3)))
+    }.toSet
+    assert(multi == perFact,
+      "heterogeneous-filler multi read diverged from per-fact reads")
+    // the gap rows themselves: sales' two empty hours carry −1 (not
+    // 0), views' one empty hour carries 0 (not −1)
+    assert(multi((("d0"), "sales", ts("2014-03-21T09:00"), -1L)))
+    assert(multi((("d0"), "sales", ts("2014-03-21T11:00"), -1L)))
+    assert(multi((("d0"), "views", ts("2014-03-21T10:00"), 0L)))
+  }
+
   test("as-of batch time travel: watermark reads match per-batch prefixes") {
     import spark.implicits._
     val svc = new TimeSeriesService(spark)
