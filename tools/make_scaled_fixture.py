@@ -19,10 +19,23 @@ clone-quadratic regime the plain fixture deliberately exercises. The
 noise is a pure function of (replica, doc_id, position) — re-running
 the tool reproduces the fixture byte-for-byte.
 
-Usage: python3 tools/make_scaled_fixture.py <src_sf_dir> <out_dir> [factor] [--declone]
+With --embed-factor N, the EMBEDDINGS table replicates N times instead
+of `factor` (the other tables keep `factor`): the ANN family needs a
+corpus two orders past the doc count before partition pruning and PQ
+memory wins register (round-10 verdict item 6). Replicas i>=1 get a
+deterministic per-(replica, vec_id, dim) float perturbation, so the
+scaled corpus has DISTINCT geometry (no exact-duplicate vectors — an
+ANN index over 100 copies of every point answers nothing about scale).
+Vectors beyond the documents' id span simply never join on the
+cross-modal path; vector-only queries see the full corpus. The noise
+is a closed form of the ids — re-running reproduces the fixture
+byte-for-byte.
+
+Usage: python3 tools/make_scaled_fixture.py <src_sf_dir> <out_dir> [factor] [--declone] [--embed-factor N]
 """
 import sys
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -38,6 +51,28 @@ def declone_texts(texts, doc_ids, rep):
                 toks[p] = f"z{rep}r{(p + d) % 7}"
         out.append(" ".join(toks))
     return out
+
+
+def perturb_embeddings(table, rep):
+    """Deterministic distinct-geometry noise for embedding replica
+    `rep`: flat float32 add of ((id*31 + rep*17 + dim*13) mod 1009 −
+    504) / 5e4 per coordinate — a closed form of (rep, ORIGINAL vec_id,
+    dim), applied before the id offset. Magnitude ~1% of coordinate
+    scale: neighborhoods stay label-coherent, exact ties disappear."""
+    idx = table.schema.get_field_index("embedding")
+    col = table.column("embedding").combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    dim = offsets[1] - offsets[0]
+    ids = table.column("vec_id").to_numpy(zero_copy_only=False)
+    dim_idx = np.tile(np.arange(dim, dtype=np.int64), len(ids))
+    vid = np.repeat(ids, dim)
+    noise = (((vid * 31 + rep * 17 + dim_idx * 13) % 1009) - 504)
+    flat = flat + (noise / 50000.0).astype(np.float32)
+    arr = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(flat, type=pa.float32()))
+    return table.set_column(
+        idx, table.schema.field(idx), arr.cast(table.schema.field(idx).type))
 
 # per-table id columns to offset, with the table whose key range sizes
 # the offset stride (None = own column's max+1)
@@ -70,6 +105,11 @@ STRIDE_SOURCE = {
 def main():
     declone = "--declone" in sys.argv
     args = [a for a in sys.argv[1:] if a != "--declone"]
+    embed_factor = None
+    if "--embed-factor" in args:
+        i = args.index("--embed-factor")
+        embed_factor = int(args[i + 1])
+        del args[i:i + 2]
     src, out = args[0], args[1]
     factor = int(args[2]) if len(args) > 2 else 10
     import os
@@ -89,9 +129,14 @@ def main():
             pq.write_table(t, f"{out}/{table}.parquet")
             print(f"{table}: dimension table copied ({t.num_rows} rows)")
             continue
+        table_factor = (embed_factor
+                        if table == "embeddings" and embed_factor
+                        else factor)
         reps = []
-        for i in range(factor):
+        for i in range(table_factor):
             r = t
+            if table == "embeddings" and i > 0 and embed_factor:
+                r = perturb_embeddings(r, i)
             for c in cols:
                 st, sc = STRIDE_SOURCE.get(c, (table, c))
                 off = i * stride(st, sc)
