@@ -462,27 +462,35 @@ final class TimeSeriesService(
     * the same range otherwise costs k full scans of the store; here
     * the fact id rides as an extra grouping column through the same
     * scan → collapse → fill pipeline, so the result is EXACTLY the
-    * union of the per-fact reads (spec-pinned). Serves COUNTER and
-    * AVERAGE facts (histogram/distinct partial shapes stay per-fact
-    * reads); each TYPE group runs one pipeline whose store scan reads
-    * only that group's fact partitions (disjoint row sets — the total
-    * IO of one scan of the requested facts). All facts must agree on
-    * the effective slice (the scan's bucket floor is per-slice).
+    * union of the per-fact reads (spec-pinned). Serves ALL FOUR fact
+    * types — one shared pipeline per TYPE group, each scanning only
+    * its group's fact partitions (disjoint row sets — the total IO of
+    * one scan of the requested facts). Per-fact parameters that the
+    * single-fact read folds as scalar literals become broadcast-
+    * literal `fact →` map lookups on the shared frame: the gap FILLER
+    * for counter/distinct facts, and the histogram BUCKETIZATION
+    * (lo/step/n) for histogram facts — two tiles may fill with 0 and
+    * −1, or bucketize [0,20000)/2000 beside [0,500)/50, in one read.
+    * All facts must agree on the effective slice (the scan's bucket
+    * floor is per-slice).
     *
     * TIER-ROUTED like the single-fact read: a fact whose (fact,
     * routed-grouping) rollup is registered serves from the rollup
-    * (pruned partial scan, [[Rollups.run]]) and only the facts
-    * WITHOUT one fall back to the shared raw-event pipeline — the
-    * dashboard is the product's hottest read, and at 100 TB a
-    * fully-registered dashboard must refresh at O(rollup), never
-    * O(events) (PlanAuditSpec pins that an all-registered multi read
-    * compiles to a plan with no event-store scan). Identical results
-    * by re-aggregability, per-fact.
+    * (pruned partial scan, [[Rollups.run]]/[[Rollups.runHistogram]])
+    * and only the facts WITHOUT one fall back to the shared raw-event
+    * pipeline — the dashboard is the product's hottest read, and at
+    * 100 TB a fully-registered dashboard must refresh at O(rollup),
+    * never O(events) (PlanAuditSpec pins that an all-registered multi
+    * read compiles to a plan with no event-store scan). Identical
+    * results by re-aggregability, per-fact.
     *
-    * Output: all-counter → (routed dims…, `fact`, `bucket`, `value`);
-    * all-average → (…, `counter`, `total`); MIXED → (…, `value`,
-    * `counter`, `total`) with the non-applicable columns null per row
-    * — the null-padded union of the per-type schemas. */
+    * Output: all-counter/distinct → (routed dims…, `fact`, `bucket`,
+    * `value`); all-average → (…, `counter`, `total`); all-histogram →
+    * (…, [`bucket`,] `hist_bucket`, `value`); MIXED → the null-padded
+    * union of the per-type schemas (non-applicable columns null per
+    * row, e.g. `hist_bucket` null on counter rows). Histogram rows
+    * never gap-fill (absent (series × bucket) cells stay absent, as in
+    * [[getHistogram]]); counter/distinct rows fill per fact. */
   def getTimeseriesMulti(factIds: Seq[String], dimId: String,
       filters: Map[String, Option[String]],
       start: Timestamp, finish: Timestamp,
@@ -491,11 +499,6 @@ final class TimeSeriesService(
     val facts = factIds.map(id => catalog.fact(id).getOrElse(
       throw new IllegalArgumentException(
         s"Non existent fact $id specified. Please check your schema.")))
-    require(facts.forall(f =>
-        f.ftype == FactType.Counter || f.ftype == FactType.Average),
-      "getTimeseriesMulti serves COUNTER and AVERAGE facts; " +
-        "histogram/distinct dashboards read those facts per fact " +
-        "(partial shapes differ)")
     val dim = catalog.dimension(dimId).getOrElse(
       throw new IllegalArgumentException(
         s"Non existent dimension $dimId specified. Please check your schema"))
@@ -507,8 +510,6 @@ final class TimeSeriesService(
     require(slices.size == 1,
       s"getTimeseriesMulti facts disagree on the effective slice: " +
         s"${factIds.zip(facts.map(f => dim.sliceMinutes.getOrElse(f.sliceMinutes))).mkString(", ")}")
-    val counters = factIds.zip(facts).filter(_._2.ftype == FactType.Counter)
-    val averages = factIds.zip(facts).filter(_._2.ftype == FactType.Average)
     val dimCols = grouping.map(d => col("categories").getItem(d).as(d))
     def runGroup(group: Seq[(String, graft.model.FactDef)]): DataFrame = {
       val ids = group.map(_._1)
@@ -516,20 +517,51 @@ final class TimeSeriesService(
         .where(col("fact").isin(ids: _*))
         .select(dimCols ++ Seq(col("fact"), col("ts"), col("value"),
           col("__event_date")): _*)
-      // PER-FACT gap fill: counter facts may carry different fillers
-      // (two tiles, fillers 0 and −1, is a legitimate dashboard), so
-      // when they disagree the fill expression becomes a broadcast-
-      // literal `fact → filler` map lookup on the grid frame — still
-      // ONE shared scan/collapse/fill pipeline, each fact's gaps
-      // filled with its own filler. The homogeneous case keeps the
-      // scalar-literal plan unchanged.
-      val fillers = group.map { case (id, f) => id -> f.filler }.toMap
-      val fillerOverride =
-        if (fillers.values.toSet.size <= 1) None
-        else Some(element_at(typedlit(fillers), col("fact")))
-      graft.operators.Timeseries.run(prepared, group.head._2, slices.head,
-        grouping :+ "fact", filters, start, finish, step, offsetHours,
-        fillerOverride)
+      if (group.head._2.ftype == FactType.Histogram) {
+        // PER-FACT bucketization: each histogram fact bucketizes by
+        // its own (lo, step, n) — as fact→param map lookups the
+        // shared scan evaluates per row, mirroring
+        // Timeseries.histBucket exactly. Homogeneous params keep the
+        // scalar plan.
+        val histOverride =
+          if (group.size <= 1) None
+          else {
+            val lo = element_at(typedlit(
+              group.map { case (id, f) => id -> f.start.get }.toMap),
+              col("fact"))
+            val st = element_at(typedlit(
+              group.map { case (id, f) => id -> f.step.get }.toMap),
+              col("fact"))
+            val n = element_at(typedlit(
+              group.map { case (id, f) =>
+                id -> f.histogramBuckets.size.toLong }.toMap),
+              col("fact"))
+            val idx = least(greatest(
+              floor((col("value") - lo) / st)
+                .cast(org.apache.spark.sql.types.LongType),
+              lit(0L)), n - lit(1L))
+            Some((idx * st + lo).as("hist_bucket"))
+          }
+        graft.operators.Timeseries.runHistogram(prepared, group.head._2,
+          slices.head, grouping :+ "fact", filters, start, finish, step,
+          offsetHours, histOverride)
+      } else {
+        // PER-FACT gap fill: counter/distinct facts may carry
+        // different fillers (two tiles, fillers 0 and −1, is a
+        // legitimate dashboard), so when they disagree the fill
+        // expression becomes a broadcast-literal `fact → filler` map
+        // lookup on the grid frame — still ONE shared
+        // scan/collapse/fill pipeline, each fact's gaps filled with
+        // its own filler. The homogeneous case keeps the
+        // scalar-literal plan unchanged.
+        val fillers = group.map { case (id, f) => id -> f.filler }.toMap
+        val fillerOverride =
+          if (fillers.values.toSet.size <= 1) None
+          else Some(element_at(typedlit(fillers), col("fact")))
+        graft.operators.Timeseries.run(prepared, group.head._2, slices.head,
+          grouping :+ "fact", filters, start, finish, step, offsetHours,
+          fillerOverride)
+      }
     }
     // Per TYPE group: rollup-registered facts serve from their partials
     // (one pruned rollup scan each, `fact` attached as a literal —
@@ -542,8 +574,12 @@ final class TimeSeriesService(
       }
       val raw = tiered.collect { case (id, f, None) => (id, f) }
       val frames = tiered.collect { case (id, f, Some(merged)) =>
-        val served = graft.operators.Rollups.run(merged, f, slices.head,
-            grouping, filters, start, finish, step, offsetHours)
+        val served = (if (f.ftype == FactType.Histogram)
+            graft.operators.Rollups.runHistogram(merged, f, slices.head,
+              grouping, filters, start, finish, step, offsetHours)
+          else
+            graft.operators.Rollups.run(merged, f, slices.head,
+              grouping, filters, start, finish, step, offsetHours))
           .withColumn("fact", lit(id))
         // canonical column order (dims…, fact, bucket?, measures) —
         // the raw pipeline's shape, where `fact` rides as a grouping
@@ -554,15 +590,19 @@ final class TimeSeriesService(
       } ++ (if (raw.nonEmpty) Seq(runGroup(raw)) else Seq.empty)
       frames.reduce(_.unionByName(_))
     }
-    (counters, averages) match {
-      case (c, Seq()) => runType(c)
-      case (Seq(), a) => runType(a)
-      case (c, a) =>
-        val nul = lit(null).cast(org.apache.spark.sql.types.LongType)
-        runType(c)
-          .withColumn("counter", nul).withColumn("total", nul)
-          .unionByName(runType(a).withColumn("value", nul))
-    }
+    // Null-padded union of the per-type frames (stable type order).
+    // unionByName(allowMissingColumns) IS the padding rule: a column
+    // another type carries and this one lacks (counter/total on
+    // counter rows, value on average rows, hist_bucket and — under
+    // NoStep — bucket on non-histogram rows) arrives as null, typed
+    // from the frame that has it. A single-type dashboard keeps its
+    // exact per-type schema.
+    Seq(FactType.Counter, FactType.Distinct, FactType.Average,
+        FactType.Histogram)
+      .map(t => factIds.zip(facts).filter(_._2.ftype == t))
+      .filter(_.nonEmpty)
+      .map(runType)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** [[getTimeseries]] pinned to the [[eventsAsOf]] watermark. Always

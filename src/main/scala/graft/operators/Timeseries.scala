@@ -108,7 +108,8 @@ object Timeseries {
   }
 
   def collapse(scanned: DataFrame, fact: FactDef, grouping: Seq[String],
-      step: Step, offsetHours: Int): DataFrame = {
+      step: Step, offsetHours: Int,
+      histOverride: Option[Column] = None): DataFrame = {
     val keys = grouping.map(col) :+
       TimeKernel.timeDimension(col("ts"), step, offsetHours).as("bucket")
     fact.ftype match {
@@ -118,7 +119,11 @@ object Timeseries {
         scanned.groupBy(keys: _*)
           .agg(count(lit(1)).as("counter"), sum("value").as("total"))
       case FactType.Histogram =>
-        scanned.groupBy(keys :+ histBucket(fact): _*)
+        // histOverride: the multi-fact dashboard's per-ROW bucket
+        // expression (each fact bucketizes by its own lo/step/n via a
+        // fact→param map lookup); single-fact reads keep the scalar
+        // literals. The override must alias to `hist_bucket`.
+        scanned.groupBy(keys :+ histOverride.getOrElse(histBucket(fact)): _*)
           .agg(count(lit(1)).as("value"))
       case FactType.Distinct =>
         // exact distinct values per (series × bucket) — one hash
@@ -317,9 +322,10 @@ object Timeseries {
   def runHistogram(prepared: DataFrame, fact: FactDef, sliceMinutes: Int,
       grouping: Seq[String], filters: Map[String, Option[String]],
       start: Timestamp, finish: Timestamp, step: Step = Step.NoStep,
-      offsetHours: Int = 0): DataFrame = {
+      offsetHours: Int = 0,
+      histOverride: Option[Column] = None): DataFrame = {
     val scanned = scan(prepared, sliceMinutes, grouping, filters, start, finish)
-    val coll = collapse(scanned, fact, grouping, step, offsetHours)
+    val coll = collapse(scanned, fact, grouping, step, offsetHours, histOverride)
     if (step == Step.NoStep)
       coll.groupBy(grouping.map(col) :+ col("hist_bucket"): _*)
         .agg(sum("value").as("value"))

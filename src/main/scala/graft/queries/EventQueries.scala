@@ -620,6 +620,64 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
     }),
 
+    // HISTOGRAM tile in the dashboard read: a counter tile (clicks)
+    // and a histogram tile (purchase spend distribution, 2000-cent
+    // buckets clamped to [0, 20000)) in ONE multi read — the
+    // null-padded union gains `hist_bucket` (null on counter rows);
+    // histogram cells never gap-fill, exactly like getHistogram
+    "ts_multi_hist" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
+      svc.defineFact("spend_hist", FactType.Histogram, slice = 15,
+        start = Some(0L), end = Some(20000L), step = Some(2000L))
+      svc.defineDimension("user_bucket",
+        facts = Set("clicks_count", "spend_hist"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", lit("clicks_count"))
+            .otherwise(lit("spend_hist")).as("fact"),
+          col("ts"),
+          when(col("event_type") === "click", lit(1L))
+            .otherwise(cents).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories"))
+      svc.ingest(ev)
+      svc.getTimeseriesMulti(Seq("clicks_count", "spend_hist"),
+        "user_bucket", Map("user_bucket" -> None),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day)
+    }),
+
+    // DISTINCT tile in the dashboard read: a counter tile (click
+    // volume) and an exact-distinct tile (unique users) computed from
+    // the SAME click events in ONE multi read — the two type groups
+    // share the output schema (value), so this is the pure union;
+    // distinct gaps fill with the fact's filler like counters
+    "ts_multi_distinct" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
+      svc.defineFact("uniq_users", FactType.Distinct, slice = 15)
+      svc.defineDimension("user_bucket",
+        facts = Set("clicks_count", "uniq_users"))
+      val clicks = eventsRanged(s, dir, "2024-01-05T00:00",
+          "2024-01-07T00:00")
+        .where(col("event_type") === "click")
+      val ev = clicks.select(lit("clicks_count").as("fact"), col("ts"),
+          lit(1L).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories"))
+        .unionByName(clicks.select(lit("uniq_users").as("fact"), col("ts"),
+          col("user_id").cast(LongType).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories")))
+      svc.ingest(ev)
+      svc.getTimeseriesMulti(Seq("clicks_count", "uniq_users"),
+        "user_bucket", Map("user_bucket" -> None),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day)
+    }),
+
     // MIXED-TYPE dashboard read: a counter tile (clicks) and an
     // average tile (purchase spend, integral cents) served by ONE
     // multi read — per-type pipelines over disjoint fact partitions,
@@ -3465,6 +3523,64 @@ object EventQueries {
       .replace("coalesce(c.cnt, 0)",
         "coalesce(c.cnt, CASE s.fact WHEN 'purchases_count' " +
           "THEN -1 ELSE 0 END)"),
+
+    // counter fill (hist_bucket null) ∪ histogram cells (no fill):
+    // the null-padded union the hist-tile dashboard serves
+    "ts_multi_hist" ->
+      s"""WITH base AS (
+         |  SELECT CAST(user_id % 4 AS VARCHAR) AS user_bucket, event_type,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE event_type IN ('click', 'purchase')
+         |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
+         |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
+         |cnt AS (SELECT user_bucket, bucket, count(*) AS value
+         |  FROM base WHERE event_type = 'click' GROUP BY ALL),
+         |hist AS (SELECT user_bucket, bucket,
+         |    CAST(LEAST(GREATEST(FLOOR(cents / 2000), 0), 9) AS BIGINT)
+         |      * 2000 AS hist_bucket,
+         |    count(*) AS value
+         |  FROM base WHERE event_type = 'purchase' GROUP BY ALL),
+         |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+         |  TIMESTAMP '2024-01-06', INTERVAL 1 DAY)) AS bucket),
+         |cs AS (SELECT DISTINCT user_bucket FROM cnt)
+         |SELECT s.user_bucket, 'clicks_count' AS fact, g.bucket,
+         |  coalesce(c.value, 0) AS value, CAST(NULL AS BIGINT) AS hist_bucket
+         |FROM cs s CROSS JOIN grid g
+         |LEFT JOIN cnt c USING (user_bucket, bucket)
+         |UNION ALL
+         |SELECT user_bucket, 'spend_hist' AS fact, bucket, value, hist_bucket
+         |FROM hist""".stripMargin,
+
+    // two fills sharing one schema: click counts ∪ exact distinct
+    // users, each from its own scan of the same click events
+    "ts_multi_distinct" ->
+      s"""WITH base AS (
+         |  SELECT CAST(user_id % 4 AS VARCHAR) AS user_bucket, user_id,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket
+         |  FROM events
+         |  WHERE event_type = 'click'
+         |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
+         |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
+         |cnt AS (SELECT user_bucket, bucket, count(*) AS value
+         |  FROM base GROUP BY ALL),
+         |uniq AS (SELECT user_bucket, bucket,
+         |    count(DISTINCT user_id) AS value
+         |  FROM base GROUP BY ALL),
+         |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+         |  TIMESTAMP '2024-01-06', INTERVAL 1 DAY)) AS bucket),
+         |cs AS (SELECT DISTINCT user_bucket FROM cnt),
+         |us AS (SELECT DISTINCT user_bucket FROM uniq)
+         |SELECT s.user_bucket, 'clicks_count' AS fact, g.bucket,
+         |  coalesce(c.value, 0) AS value
+         |FROM cs s CROSS JOIN grid g
+         |LEFT JOIN cnt c USING (user_bucket, bucket)
+         |UNION ALL
+         |SELECT s.user_bucket, 'uniq_users' AS fact, g.bucket,
+         |  coalesce(u.value, 0) AS value
+         |FROM us s CROSS JOIN grid g
+         |LEFT JOIN uniq u USING (user_bucket, bucket)""".stripMargin,
 
     // the null-padded union of the per-type fills: counter rows carry
     // value (0-filled), average rows carry the (counter, total)

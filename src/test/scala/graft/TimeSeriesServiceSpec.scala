@@ -490,6 +490,73 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(multi((("d0"), "views", ts("2014-03-21T10:00"), 0L)))
   }
 
+  test("multi-fact read serves all four types; per-fact hist bucketization") {
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("cnt", FactType.Counter, slice = 10)
+    svc.defineFact("lat", FactType.Average, slice = 10)
+    svc.defineFact("uniq", FactType.Distinct, slice = 10)
+    // TWO histogram tiles with DIFFERENT bucketizations — the shared
+    // pipeline must bucketize each by its own (lo, step, n)
+    svc.defineFact("h1", FactType.Histogram, slice = 10,
+      start = Some(0L), end = Some(50L), step = Some(10L))
+    svc.defineFact("h2", FactType.Histogram, slice = 10,
+      start = Some(0L), end = Some(500L), step = Some(100L))
+    svc.defineDimension("dep",
+      facts = Set("cnt", "lat", "uniq", "h1", "h2"))
+    for (i <- 0 until 12) {
+      val dep = Map("dep" -> ("d" + (i % 2)))
+      val t = ts(f"2014-03-21T${9 + i % 3}%02d:1${i % 6}")
+      svc.newFact("cnt", t, 1L, dep)
+      svc.newFact("lat", t, 100L + i, dep)
+      svc.newFact("uniq", t, (i % 4).toLong, dep)
+      svc.newFact("h1", t, (i * 7).toLong, dep)   // crosses h1's clamp
+      svc.newFact("h2", t, (i * 55).toLong, dep)  // crosses h2's clamp
+    }
+    val ids = Seq("cnt", "uniq", "lat", "h1", "h2")
+    def read() = svc.getTimeseriesMulti(ids, "dep", Map("dep" -> None),
+        ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)))).toSet
+    val multi = read()
+    // null-padded union of the per-fact single reads, column order
+    // (dep, fact, bucket, value, counter, total, hist_bucket)
+    val expVal = Seq("cnt", "uniq").flatMap { f =>
+      svc.getTimeseries(f, "dep", Map("dep" -> None),
+          ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+        .collect().map(r => (r.getString(0), f, r.getTimestamp(1),
+          Some(r.get(2)), None, None, None))
+    }
+    val expAvg = svc.getTimeseries("lat", "dep", Map("dep" -> None),
+        ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+      .collect().map(r => (r.getString(0), "lat", r.getTimestamp(1),
+        None, Some(r.get(2)), Some(r.get(3)), None))
+    val expHist = Seq("h1", "h2").flatMap { f =>
+      svc.getHistogram(f, "dep", Map("dep" -> None),
+          ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+        .collect().map(r => (r.getString(0), f, r.getTimestamp(1),
+          Some(r.get(3)), None, None, Some(r.get(2))))
+    }
+    assert(multi == (expVal ++ expAvg ++ expHist).toSet,
+      "four-type multi read diverged from per-fact reads")
+    // distinct semantics really distinct: hour 09 sees users 0..3 on
+    // d0/d1 interleaved — the uniq tile must count ids, not rows
+    assert(multi.exists { case (_, "uniq", _, v, _, _, _) =>
+      v.exists(_.asInstanceOf[Long] < 4L) })
+    // per-fact clamps: h1 tops out at bucket 40, h2 at 400
+    val histBuckets = multi.collect {
+      case (_, f, _, _, _, _, Some(hb)) => (f, hb.asInstanceOf[Long]) }
+    assert(histBuckets.filter(_._1 == "h1").map(_._2).max == 40L)
+    assert(histBuckets.filter(_._1 == "h2").map(_._2).max == 400L)
+    // ROLLUP-SERVED: materializing every rollup must not change a row
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_multi4_spec").toString
+    svc.materializeRollups(tmp)
+    assert(read() == multi,
+      "rollup-served four-type multi read diverged from compute-on-read")
+  }
+
   test("as-of batch time travel: watermark reads match per-batch prefixes") {
     import spark.implicits._
     val svc = new TimeSeriesService(spark)
