@@ -317,6 +317,41 @@ class PlanAuditSpec extends SparkTestBase {
     assert("FileScan parquet".r.findAllIn(p).size == 2, p.take(3000))
   }
 
+  test("rollup-served FOUR-TYPE multi read: only partial stores are scanned") {
+    import graft.model.{FactType, Step}
+    import graft.functions.TimeKernel.ts
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("cnt", FactType.Counter, slice = 10)
+    svc.defineFact("lat", FactType.Average, slice = 10)
+    svc.defineFact("uniq", FactType.Distinct, slice = 10)
+    svc.defineFact("h1", FactType.Histogram, slice = 10,
+      start = Some(0L), end = Some(50L), step = Some(10L))
+    svc.defineDimension("dep", facts = Set("cnt", "lat", "uniq", "h1"))
+    for (i <- 0 until 6) {
+      val dep = Map("dep" -> "d0")
+      val t = ts(f"2014-03-21T${9 + i % 2}%02d:1$i")
+      svc.newFact("cnt", t, 1L, dep); svc.newFact("lat", t, 10L + i, dep)
+      svc.newFact("uniq", t, (i % 3).toLong, dep)
+      svc.newFact("h1", t, (i * 9).toLong, dep)
+    }
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_plan_multi4").toString
+    svc.materializeRollups(tmp)
+    val df = svc.getTimeseriesMulti(Seq("cnt", "uniq", "lat", "h1"),
+      "dep", Map("dep" -> None),
+      ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // with every type's rollup registered, even the FOUR-TYPE
+    // dashboard (hist + distinct tiles included) is O(rollup): the
+    // raw in-memory events (a LocalTableScan here) appear NOWHERE —
+    // each tile is one pruned parquet scan of its partial store
+    assert(!p.contains("LocalTableScan"), p.take(3000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size == 4, p.take(4000))
+  }
+
   test("streaming-store multi read: tiles scan maintained partials only") {
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     val p = try plan("ts_multi_stream")

@@ -49,7 +49,7 @@ TS="ts_counter_hour_fill,ts_counter_none,ts_slice_15m,ts_sql_surface,\
 ts_avg_day_fill,ts_week_fill,ts_month_fill,ts_offset_day,ts_interp_fill,\
 ts_moving_avg,ts_rate,ts_lenient_ingest,ts_service_end_to_end,\
 ts_routing_hier,ts_grouping_paths,ts_multi_fact,ts_multi_fillers,\
-ts_multi_mixed,\
+ts_multi_hist,ts_multi_distinct,ts_multi_mixed,\
 ts_multi_routed,ts_erasure_serve,ts_retention_serve,ts_asof_batch,\
 ts_rollup_hour_fill,ts_hist,ts_hist_day,ts_hist_pct,ts_hist_cdf,\
 ts_hist_merged,ts_hist_rollup,ts_routed_hist,ts_routed_hist_day,\

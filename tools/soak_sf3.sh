@@ -17,6 +17,7 @@ FIX=/tmp/graft_sf3
 
 QUERIES="ts_counter_hour_fill,ts_sql_surface,ts_avg_day_fill,\
 ts_interp_fill,ts_service_end_to_end,ts_grouping_paths,ts_multi_mixed,\
+ts_multi_hist,ts_multi_distinct,ts_multi_fillers,\
 ts_multi_routed,ts_rollup_hour_fill,ts_asof_batch,ts_retention_serve,\
 ts_hist,ts_hist_day,ts_distinct_sketch,ts_routed_avg,\
 ts_routed_day_tier,ts_routed_distinct,ts_routed_sql,\
