@@ -520,6 +520,37 @@ object EventQueries {
       s.sql("SELECT * FROM graft_timeseries_multi")
     }),
 
+    // the FOUR-TYPE bridge holds for histogram tiles too: the
+    // counter+histogram dashboard (ts_multi_hist's fixture) consumed
+    // as pure SQL text through the same view — shares ts_multi_hist's
+    // null-padded-union oracle verbatim
+    "ts_multi_hist_sql" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
+      svc.defineFact("spend_hist", FactType.Histogram, slice = 15,
+        start = Some(0L), end = Some(20000L), step = Some(2000L))
+      svc.defineDimension("user_bucket",
+        facts = Set("clicks_count", "spend_hist"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", lit("clicks_count"))
+            .otherwise(lit("spend_hist")).as("fact"),
+          col("ts"),
+          when(col("event_type") === "click", lit(1L))
+            .otherwise(cents).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories"))
+      svc.ingest(ev)
+      graft.sql.PipelineViews.installTimeseriesMulti(s, svc,
+        Seq("clicks_count", "spend_hist"), "user_bucket",
+        Map("user_bucket" -> None),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day,
+        name = "graft_timeseries_multi4")
+      s.sql("SELECT * FROM graft_timeseries_multi4")
+    }),
+
     // the HISTOGRAM read (O21) from pure SQL text: integral-cents
     // spend distribution per event type over [0,20000) in 2000-cent
     // buckets, installed as the graft_histogram view — the
@@ -3148,6 +3179,38 @@ object EventQueries {
        |FROM avs s CROSS JOIN grid g
        |LEFT JOIN avgp a USING (user_bucket, bucket)""".stripMargin
 
+  /** The counter+HISTOGRAM dashboard oracle — counter fill
+    * (hist_bucket null) ∪ un-filled histogram cells. Shared by
+    * `ts_multi_hist` (Scala call) and `ts_multi_hist_sql` (the same
+    * read as pure SQL text through the installed view): the consumption
+    * plane must change nothing. */
+  private val multiHistSql: String =
+    s"""WITH base AS (
+       |  SELECT CAST(user_id % 4 AS VARCHAR) AS user_bucket, event_type,
+       |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE event_type IN ('click', 'purchase')
+       |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
+       |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
+       |cnt AS (SELECT user_bucket, bucket, count(*) AS value
+       |  FROM base WHERE event_type = 'click' GROUP BY ALL),
+       |hist AS (SELECT user_bucket, bucket,
+       |    CAST(LEAST(GREATEST(FLOOR(cents / 2000), 0), 9) AS BIGINT)
+       |      * 2000 AS hist_bucket,
+       |    count(*) AS value
+       |  FROM base WHERE event_type = 'purchase' GROUP BY ALL),
+       |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+       |  TIMESTAMP '2024-01-06', INTERVAL 1 DAY)) AS bucket),
+       |cs AS (SELECT DISTINCT user_bucket FROM cnt)
+       |SELECT s.user_bucket, 'clicks_count' AS fact, g.bucket,
+       |  coalesce(c.value, 0) AS value, CAST(NULL AS BIGINT) AS hist_bucket
+       |FROM cs s CROSS JOIN grid g
+       |LEFT JOIN cnt c USING (user_bucket, bucket)
+       |UNION ALL
+       |SELECT user_bucket, 'spend_hist' AS fact, bucket, value, hist_bucket
+       |FROM hist""".stripMargin
+
   /** Shared by the batch and streaming EWMA queries (ordered drain ≡
     * window frame). */
   private val ewmaSql: String =
@@ -3472,6 +3535,9 @@ object EventQueries {
     // the SQL dashboard IS the Scala dashboard: oracle shared verbatim
     "ts_multi_sql" -> multiMixedSql,
 
+    // the SQL hist-tile dashboard shares the Scala twin's oracle
+    "ts_multi_hist_sql" -> multiHistSql,
+
     // integral-cents spend distribution, 2000-cent buckets clamped to
     // [0, 20000) — the service's histogram kernel over ingested cents
     "ts_hist_sql" ->
@@ -3526,32 +3592,7 @@ object EventQueries {
 
     // counter fill (hist_bucket null) ∪ histogram cells (no fill):
     // the null-padded union the hist-tile dashboard serves
-    "ts_multi_hist" ->
-      s"""WITH base AS (
-         |  SELECT CAST(user_id % 4 AS VARCHAR) AS user_bucket, event_type,
-         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
-         |    CAST(round(value * 100) AS BIGINT) AS cents
-         |  FROM events
-         |  WHERE event_type IN ('click', 'purchase')
-         |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
-         |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
-         |cnt AS (SELECT user_bucket, bucket, count(*) AS value
-         |  FROM base WHERE event_type = 'click' GROUP BY ALL),
-         |hist AS (SELECT user_bucket, bucket,
-         |    CAST(LEAST(GREATEST(FLOOR(cents / 2000), 0), 9) AS BIGINT)
-         |      * 2000 AS hist_bucket,
-         |    count(*) AS value
-         |  FROM base WHERE event_type = 'purchase' GROUP BY ALL),
-         |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
-         |  TIMESTAMP '2024-01-06', INTERVAL 1 DAY)) AS bucket),
-         |cs AS (SELECT DISTINCT user_bucket FROM cnt)
-         |SELECT s.user_bucket, 'clicks_count' AS fact, g.bucket,
-         |  coalesce(c.value, 0) AS value, CAST(NULL AS BIGINT) AS hist_bucket
-         |FROM cs s CROSS JOIN grid g
-         |LEFT JOIN cnt c USING (user_bucket, bucket)
-         |UNION ALL
-         |SELECT user_bucket, 'spend_hist' AS fact, bucket, value, hist_bucket
-         |FROM hist""".stripMargin,
+    "ts_multi_hist" -> multiHistSql,
 
     // two fills sharing one schema: click counts ∪ exact distinct
     // users, each from its own scan of the same click events
