@@ -444,14 +444,17 @@ class TimeSeriesServiceSpec extends SparkTestBase {
         Some(r.get(2)), None, None))
     assert(mixedRead() == (expCnt2 ++ expAvg).toSet,
       "partially-registered multi read diverged from per-fact reads")
-    // histogram/distinct partial shapes stay per-fact reads
+    // histogram tiles ride the same read since round 11 (B85): the
+    // mixed counter+histogram schema appends a null-padded hist_bucket
     svc.defineFact("hist", FactType.Histogram, slice = 10,
       start = Some(0L), end = Some(50L), step = Some(10L))
     svc.updateDimension("dep", "hist")
-    val e = intercept[IllegalArgumentException](svc.getTimeseriesMulti(
+    svc.newFact("hist", ts("2014-03-21T09:30"), 25L, Map("dep" -> "d0"))
+    val withHist = svc.getTimeseriesMulti(
       Seq("a_count", "hist"), "dep", Map("dep" -> None),
-      ts("2014-03-21T09:00"), ts("2014-03-21T12:00")))
-    assert(e.getMessage.contains("COUNTER and AVERAGE"))
+      ts("2014-03-21T09:00"), ts("2014-03-21T12:00"))
+    assert(withHist.columns.contains("hist_bucket"))
+    assert(withHist.where(col("fact") === "hist").count() == 1L)
   }
 
   test("multi-fact read fills each counter's gaps with ITS OWN filler") {
