@@ -773,6 +773,37 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
     }),
 
+    // the FOUR-TYPE streaming dashboard (B85's production topology):
+    // counter, exact-distinct (tall dval partials), average, and
+    // histogram tiles EACH served from a streaming-maintained store
+    // registered as an external rollup, read by one tier-routed multi
+    // call — the oracle recomputes all four tiles from the raw events
+    // the streams replayed, so cross-batch partial merging of every
+    // partial SHAPE is gated end to end in one read
+    "ts_multi_stream4" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val cntPath = maintainedRollup(s, dir)
+      val avgPath = streamedRollupFor(s, dir, avgFact, cents)
+      val uniqPath = maintainedDistinctRollup(s, dir)
+      val histPath = streamedRollupFor(s, dir, histFact, col("value"))
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineFact("uniq_users", FactType.Distinct, slice = 15)
+      svc.defineFact("value_avg", FactType.Average, slice = 15)
+      svc.defineFact("value_hist", FactType.Histogram, slice = 15,
+        start = Some(0L), end = Some(200L), step = Some(20L))
+      svc.defineDimension("event_type", facts = Set("events_count",
+        "uniq_users", "value_avg", "value_hist"))
+      svc.registerRollup("events_count", Seq("event_type"), cntPath)
+      svc.registerRollup("uniq_users", Seq("event_type"), uniqPath)
+      svc.registerRollup("value_avg", Seq("event_type"), avgPath)
+      svc.registerRollup("value_hist", Seq("event_type"), histPath)
+      svc.getTimeseriesMulti(
+        Seq("events_count", "uniq_users", "value_avg", "value_hist"),
+        "event_type", Map("event_type" -> None),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
+    }),
+
     // TIME TRAVEL under the driver's gate: three batch-identified
     // ingests land in the attached durable store; the as-of read at
     // batch watermark 1 must hash-match the oracle computed over
@@ -3664,6 +3695,54 @@ object EventQueries {
          |  coalesce(a.counter, 0) AS counter, coalesce(a.total, 0) AS total
          |FROM avs s CROSS JOIN grid g
          |LEFT JOIN avgp a USING (event_type, bucket)""".stripMargin,
+
+    // all four tiles recomputed from the raw events the streams
+    // replayed — exact distinct from tall dval partials, histogram
+    // from bucketed count partials, beside the counter/average pair;
+    // the null-padded four-type union schema
+    "ts_multi_stream4" ->
+      s"""WITH base AS (
+         |  SELECT event_type, user_id, value AS raw,
+         |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
+         |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
+         |cnt AS (SELECT event_type, bucket, count(*) AS value
+         |  FROM base GROUP BY ALL),
+         |uniq AS (SELECT event_type, bucket,
+         |    count(DISTINCT user_id) AS value
+         |  FROM base GROUP BY ALL),
+         |avgp AS (SELECT event_type, bucket,
+         |    count(*) AS counter, sum(cents) AS total
+         |  FROM base GROUP BY ALL),
+         |hist AS (SELECT event_type, bucket,
+         |    CAST(LEAST(GREATEST(FLOOR(raw / 20), 0), 9) AS BIGINT) * 20
+         |      AS hist_bucket,
+         |    count(*) AS value
+         |  FROM base GROUP BY ALL),
+         |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+         |  TIMESTAMP '2024-01-06 23:00:00', INTERVAL 1 HOUR)) AS bucket),
+         |es AS (SELECT DISTINCT event_type FROM base)
+         |SELECT s.event_type, 'events_count' AS fact, g.bucket,
+         |  coalesce(c.value, 0) AS value, CAST(NULL AS BIGINT) AS counter,
+         |  CAST(NULL AS BIGINT) AS total, CAST(NULL AS BIGINT) AS hist_bucket
+         |FROM es s CROSS JOIN grid g
+         |LEFT JOIN cnt c USING (event_type, bucket)
+         |UNION ALL
+         |SELECT s.event_type, 'uniq_users', g.bucket,
+         |  coalesce(u.value, 0), NULL, NULL, NULL
+         |FROM es s CROSS JOIN grid g
+         |LEFT JOIN uniq u USING (event_type, bucket)
+         |UNION ALL
+         |SELECT s.event_type, 'value_avg', g.bucket, NULL,
+         |  coalesce(a.counter, 0), coalesce(a.total, 0), NULL
+         |FROM es s CROSS JOIN grid g
+         |LEFT JOIN avgp a USING (event_type, bucket)
+         |UNION ALL
+         |SELECT event_type, 'value_hist', bucket, value, NULL, NULL,
+         |  hist_bucket
+         |FROM hist""".stripMargin,
 
     // batches 0-1 only: the as-of watermark excludes batch 2's
     // events exactly as the partition filter does on the Spark side
