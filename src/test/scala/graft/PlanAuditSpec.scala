@@ -363,6 +363,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("four-type streaming dashboard: every tile scans its maintained store") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan("ts_multi_stream4")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    // four partial SHAPES (counter, tall-dval distinct, (counter,total)
+    // average, bucketed histogram), four maintained stores, zero raw
+    // event access in the served read
+    assert(!p.contains("events.parquet"), p.take(3000))
+    assert(p.contains("graft_streamroll"), p.take(3000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size == 4, p.take(4000))
+  }
+
   test("date-partitioned raw events: date bounds prune event_date= dirs") {
     val p = plan("events_date_partitioned")
     // the RAW deployment layout's pruning claim, driven end to end:
