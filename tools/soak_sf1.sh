@@ -3,23 +3,27 @@
 # subset through the correctness gate (Verify + DuckDB oracle compare)
 # and the bench, leaving CORRECTNESS_sf1* / BENCH_sf1* sidecars.
 #
-# Two fixtures, two regimes:
+# Three fixtures, three regimes:
 #   - PLAIN (x10 replication): deliberately clone-heavy — every doc has
 #     10 exact copies. Pins the canonical dedup forms' clone-immunity
 #     and everything whose cost must not depend on duplication.
-#   - DECLONED (x10 with per-replica token noise; embeddings x100 with
-#     per-replica float noise -> 200k distinct vectors): doc replicas
-#     are neither exact nor near duplicates, so the all-docs near-dup
+#   - DECLONED (x10 with per-replica token noise): doc replicas are
+#     neither exact nor near duplicates, so the all-docs near-dup
 #     family PLUS the doc-plane text/overlap/packing/decon families are
 #     measured in their df-cap (linear) regime — the production regime
-#     on natural corpora — and the ANN family gets a corpus two orders
-#     past the doc count, where partition pruning and PQ wins register.
-#     The legacy all-docs forms (driver keys legacy_*) are the
-#     COMPARISON baseline (canonical forms are the served default);
-#     they also bench ONCE on the plain fixture into their own sidecar
-#     (BENCH_sf1_legacy.json) so the canonical-vs-legacy clone-immunity
-#     gap stays measured while the headline plain artifact carries no
-#     clone-quadratic audit entry.
+#     on natural corpora. The legacy all-docs forms (driver keys
+#     legacy_*) are the COMPARISON baseline (canonical forms are the
+#     served default); they also bench ONCE on the plain fixture into
+#     their own sidecar (BENCH_sf1_legacy.json) so the canonical-vs-
+#     legacy clone-immunity gap stays measured while the headline plain
+#     artifact carries no clone-quadratic audit entry.
+#   - ANN200K (the de-cloned fixture with embeddings x100, perturbed —
+#     200k distinct vectors): the ANN SERVING family alone, at a corpus
+#     two orders past the doc count where partition pruning and PQ
+#     memory wins register. Kept OUT of the de-cloned gate because that
+#     gate carries legacy_dedup_consensus, whose embedding vote is the
+#     brute-force all-pairs kernel — quadratic in vectors by documented
+#     contract.
 #
 # Excluded by design: bpe_merges / bpe_tokenize / text_compression_profile
 # (oracles fixture-pinned to the driver correctness fixture),
@@ -41,9 +45,15 @@ export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}"
 PREFIX="${1:-.}"
 mkdir -p "$PREFIX"
 FIX=/tmp/graft_sf1
-# _e100: embeddings ride a x100 perturbed replication (200k distinct
-# vectors) — the ANN family's scale point; docs/events stay x10
-FIXD=/tmp/graft_sf1_decloned_e100
+FIXD=/tmp/graft_sf1_decloned
+# _e100: the de-cloned fixture with embeddings on a x100 perturbed
+# replication (200k distinct vectors) — the ANN SERVING family's scale
+# point, gated separately: the de-cloned gate proper keeps x10
+# embeddings because it carries `legacy_dedup_consensus`, whose
+# embedding vote is the BRUTE-FORCE all-pairs kernel (quadratic in
+# vectors by documented contract — x100 vectors would turn the gate
+# into a multi-hour audit run; observed round 11)
+FIXE=/tmp/graft_sf1_decloned_e100
 
 TS="ts_counter_hour_fill,ts_counter_none,ts_slice_15m,ts_sql_surface,\
 ts_avg_day_fill,ts_week_fill,ts_month_fill,ts_offset_day,ts_interp_fill,\
@@ -118,9 +128,10 @@ dedup_consensus_lsh,legacy_dedup_consensus"
 # clone-quadratic audit forms sitting in the headline artifact
 LEGACY="legacy_dedup_ngram_jaccard,legacy_dedup_clusters,\
 legacy_dedup_clusters_incremental,legacy_dedup_consensus"
-# the 200k-vector ANN point (embeddings ride x100 perturbed replicas
-# in FIXD): the partition-pruned / PQ paths measured against the
-# brute-force baseline at a corpus size where pruning registers
+# the 200k-vector ANN point (FIXE): the partition-pruned / PQ serving
+# paths measured against the brute-force TOP-K baseline (k-bounded,
+# linear — NOT the all-pairs kernel) at a corpus size where pruning
+# registers
 ANND="ann_bruteforce_topk,ann_ivf_persisted,ann_ivfpq_topk,\
 ann_recall_persisted,hybrid_search"
 # the doc-plane families whose shape changes without clones
@@ -133,7 +144,7 @@ vocab_top_terms,rare_token_stats,text_bm25_topk,quality_report,\
 decontaminate_overlap,decontaminate_bloom,corpus_manifest,\
 corpus_diff,dedup_rate_by_source,pack_sequences,sample_stratified,\
 boilerplate_clean,text_lm_quality"
-DECLONED="$NEARDUP,$ANND,$DOCSD"
+DECLONED="$NEARDUP,$DOCSD"
 
 # the docs must carry the shipped query surface before any soak lands
 python3 tools/check_inventory.py
@@ -141,7 +152,9 @@ python3 tools/check_inventory.py
 [ -d "$FIX" ] || python3 tools/make_scaled_fixture.py \
   /root/testdata/sf0.1 "$FIX" 10
 [ -d "$FIXD" ] || python3 tools/make_scaled_fixture.py \
-  /root/testdata/sf0.1 "$FIXD" 10 --declone --embed-factor 100
+  /root/testdata/sf0.1 "$FIXD" 10 --declone
+[ -d "$FIXE" ] || python3 tools/make_scaled_fixture.py \
+  /root/testdata/sf0.1 "$FIXE" 10 --declone --embed-factor 100
 
 count() { awk -F, '{print NF}' <<<"$1"; }
 
@@ -160,6 +173,7 @@ run_gate() { # fixture query-list tag
 
 run_gate "$FIX" "$QUERIES" main
 run_gate "$FIXD" "$DECLONED" decloned
+run_gate "$FIXE" "$ANND" ann200k
 
 SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
   SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
@@ -167,10 +181,13 @@ SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
 SPARK_GRAFT_SF_DIR="$FIXD" SPARK_GRAFT_BENCH_ONLY="$DECLONED" \
   SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
   | grep '"metric"' | tail -1 | sed 's/^\[info\] //' > "$PREFIX/BENCH_sf1_decloned.json"
+SPARK_GRAFT_SF_DIR="$FIXE" SPARK_GRAFT_BENCH_ONLY="$ANND" \
+  SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
+  | grep '"metric"' | tail -1 | sed 's/^\[info\] //' > "$PREFIX/BENCH_sf1_ann200k.json"
 # the clone-quadratic audit baselines, measured once each
 SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$LEGACY" \
   SPARK_GRAFT_BENCH_PASSES=1 sbt -batch "runMain graft.Bench" 2>&1 \
   | grep '"metric"' | tail -1 | sed 's/^\[info\] //' > "$PREFIX/BENCH_sf1_legacy.json"
-echo "soak done: $(count "$QUERIES")+$(count "$DECLONED") gated;" \
-  "$PREFIX/CORRECTNESS_sf1_{main,decloned}.txt" \
-  "$PREFIX/BENCH_sf1{,_decloned,_legacy}.json"
+echo "soak done: $(count "$QUERIES")+$(count "$DECLONED")+$(count "$ANND") gated;" \
+  "$PREFIX/CORRECTNESS_sf1_{main,decloned,ann200k}.txt" \
+  "$PREFIX/BENCH_sf1{,_decloned,_ann200k,_legacy}.json"
