@@ -491,6 +491,16 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(multi((("d0"), "sales", ts("2014-03-21T09:00"), -1L)))
     assert(multi((("d0"), "sales", ts("2014-03-21T11:00"), -1L)))
     assert(multi((("d0"), "views", ts("2014-03-21T10:00"), 0L)))
+    // rollup-SERVED: each tile runs its own Rollups.run pipeline with
+    // its own fact def, so per-fact fillers must survive the tier
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fillers_spec").toString
+    svc.materializeRollups(tmp)
+    val served = shape(svc.getTimeseriesMulti(Seq("views", "sales"), "dep",
+      Map("dep" -> None),
+      ts("2014-03-21T09:00"), ts("2014-03-21T12:00"), Step.Hour))
+    assert(served == multi,
+      "rollup-served heterogeneous-filler read diverged from raw")
   }
 
   test("multi-fact read serves all four types; per-fact hist bucketization") {
