@@ -61,5 +61,28 @@ assert(tsr == Seq((ts("2024-01-05T08:00"), 0L), (ts("2024-01-05T09:00"), 0L), (t
 // user SQL composes over the view: a filter written in SQL text
 val tsf = spark.sql("SELECT count(*) AS n FROM graft_timeseries WHERE value > 0").head.getLong(0)
 assert(tsf == 1L, s"timeseries view filter: $tsf")
+// the FOUR-TYPE dashboard (B85) from pure SQL text: counter, exact-
+// distinct, average, and histogram tiles through ONE installed view —
+// per-type fills, null-padded union schema, hist cells un-filled
+tsvc.defineFact("uniq", graft.model.FactType.Distinct, slice = 15)
+tsvc.defineFact("spend", graft.model.FactType.Average, slice = 15)
+tsvc.defineFact("hist", graft.model.FactType.Histogram, slice = 15, start = Some(0L), end = Some(50L), step = Some(10L))
+tsvc.updateDimension("event_type", "uniq")
+tsvc.updateDimension("event_type", "spend")
+tsvc.updateDimension("event_type", "hist")
+tsvc.ingest(Seq((ts("2024-01-05T10:05"), "click", 7L), (ts("2024-01-05T10:20"), "click", 7L)).toDF("ts", "event_type", "v").select(lit("uniq").as("fact"), col("ts"), col("v").as("value"), org.apache.spark.sql.functions.map(lit("event_type"), col("event_type")).as("categories")))
+tsvc.ingest(Seq((ts("2024-01-05T10:05"), "click", 100L), (ts("2024-01-05T10:20"), "click", 200L)).toDF("ts", "event_type", "v").select(lit("spend").as("fact"), col("ts"), col("v").as("value"), org.apache.spark.sql.functions.map(lit("event_type"), col("event_type")).as("categories")))
+tsvc.ingest(Seq((ts("2024-01-05T10:05"), "click", 5L), (ts("2024-01-05T10:20"), "click", 25L)).toDF("ts", "event_type", "v").select(lit("hist").as("fact"), col("ts"), col("v").as("value"), org.apache.spark.sql.functions.map(lit("event_type"), col("event_type")).as("categories")))
+graft.sql.PipelineViews.installTimeseriesMulti(spark, tsvc, Seq("clicks", "uniq", "spend", "hist"), "event_type", Map("event_type" -> Some("click")), ts("2024-01-05T08:00"), ts("2024-01-05T12:00"), graft.model.Step.Hour, name = "graft_ts_multi4")
+val m4cols = spark.table("graft_ts_multi4").columns.toSeq
+assert(m4cols == Seq("event_type", "fact", "bucket", "value", "counter", "total", "hist_bucket"), s"multi4 schema: $m4cols")
+val m4h = spark.sql("SELECT hist_bucket, value FROM graft_ts_multi4 WHERE fact = 'hist' ORDER BY hist_bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+assert(m4h == Seq((0L, 1L), (20L, 1L)), s"hist tile: $m4h")
+val m4u = spark.sql("SELECT value FROM graft_ts_multi4 WHERE fact = 'uniq' AND bucket = TIMESTAMP '2024-01-05 10:00:00'").head.getLong(0)
+assert(m4u == 1L, s"uniq tile must count ids not rows: $m4u")
+val m4s = spark.sql("SELECT counter, total FROM graft_ts_multi4 WHERE fact = 'spend' AND bucket = TIMESTAMP '2024-01-05 10:00:00'").head
+assert((m4s.getLong(0), m4s.getLong(1)) == ((2L, 300L)), s"spend tile: $m4s")
+val m4n = spark.sql("SELECT count(*) AS n FROM graft_ts_multi4 WHERE fact IN ('clicks', 'uniq') AND hist_bucket IS NULL").head.getLong(0)
+assert(m4n == 8L, s"filled value tiles with null-padded hist_bucket: $m4n")
 println("DRIVE-EXT-OK " + rows)
 sys.exit(0)
