@@ -1016,6 +1016,31 @@ final class TimeSeriesService(
     * service (assumed disjoint from the stream feeding it) — the local
     * events' slice partials are unioned in so the query sees both
     * histories. */
+  /** The DAY-tier eligibility rule, shared by serving
+    * ([[servableRollup]]) and introspection ([[explainRoute]]) so the
+    * explain surface can never drift from what actually serves: the
+    * day tier answers exactly when the read cannot tell tiers apart —
+    * a day-or-coarser collapse (or :all) whose scan window is whole
+    * UTC days (the slice window [floor(start), floor(finish)+slice)
+    * landing on midnights), unshifted. Hour steps, offset reads, and
+    * sub-day windows keep the slice tier — structural exactness,
+    * mirroring the routing rule's tier rules. */
+  private def dayTierEligible(slice: Int, step: Step, offsetHours: Int,
+      start: Timestamp, finish: Timestamp): Boolean =
+    offsetHours == 0 &&
+      (step match {
+        case Step.Day | Step.Week | Step.Month | Step.Year |
+            Step.NoStep => true
+        case _ => false
+      }) && start != null && finish != null && {
+        def midnight(t: java.time.Instant): Boolean =
+          t.getEpochSecond % 86400L == 0
+        val lo = TimeKernel.sliceFloorLocal(start, slice).toInstant
+        val hi = TimeKernel.sliceFloorLocal(finish, slice).toInstant
+          .plusSeconds(slice * 60L)
+        midnight(lo) && midnight(hi)
+      }
+
   private def servableRollup(fact: graft.model.FactDef, slice: Int,
       grouping: Seq[String], step: Step = Step.NoStep,
       offsetHours: Int = 0, start: Timestamp = null,
@@ -1023,26 +1048,8 @@ final class TimeSeriesService(
     rollupStore.get((fact.id, grouping)).map {
       case RollupReg(path, external, dayPath) =>
         val stored = dayPath match {
-          // the DAY tier serves when the read cannot tell tiers apart:
-          // a day-or-coarser collapse (or :all) whose scan window is
-          // whole UTC days (the slice window [floor(start),
-          // floor(finish)+slice) landing on midnights), unshifted.
-          // Hour steps, offset reads, and sub-day windows keep the
-          // slice tier — structural exactness, mirroring the routing
-          // rule's tier rules.
-          case Some(dp) if !external && offsetHours == 0 &&
-              (step match {
-                case Step.Day | Step.Week | Step.Month | Step.Year |
-                    Step.NoStep => true
-                case _ => false
-              }) && start != null && finish != null && {
-                def midnight(t: java.time.Instant): Boolean =
-                  t.getEpochSecond % 86400L == 0
-                val lo = TimeKernel.sliceFloorLocal(start, slice).toInstant
-                val hi = TimeKernel.sliceFloorLocal(finish, slice).toInstant
-                  .plusSeconds(slice * 60L)
-                midnight(lo) && midnight(hi)
-              } =>
+          case Some(dp) if !external &&
+              dayTierEligible(slice, step, offsetHours, start, finish) =>
             Rollups.read(spark, dp)
           case _ => Rollups.read(spark, path)
         }
@@ -1055,6 +1062,66 @@ final class TimeSeriesService(
           stored.unionByName(local, allowMissingColumns = true)
         } else stored
     }
+
+  /** ROUTING INTROSPECTION — the serving-observability read a
+    * dashboard operator needs ("which tile fell back to a raw scan,
+    * and why is the refresh slow"): for each requested fact, the TIER
+    * the exact read above would serve from, decided by the SAME code
+    * paths ([[graft.operators.Timeseries.bestGrouping]] for the
+    * grouping, the shared [[dayTierEligible]] rule for the day tier,
+    * the same registration lookup), without touching a byte of any
+    * store. Tiers:
+    *
+    *  - `rollup-day`   — registered internal rollup, day-tier-eligible
+    *    window: the ~96×-fewer-rows store serves.
+    *  - `rollup-slice` — registered internal rollup, slice tier.
+    *  - `external-rollup` — registered external store (e.g.
+    *    streaming-maintained); `+local-events` appended when pooled
+    *    in-memory/durable events would be unioned in at read time.
+    *  - `raw-scan`     — no registration for (fact, routed grouping):
+    *    the read computes from raw events. At 100 TB this row is the
+    *    one to fix (materialize or register the rollup) before the
+    *    dashboard ships.
+    *
+    * Output: (fact, grouping, tier, registered) — `registered` is the
+    * store path or null, so the row is actionable. Driver-gated with a
+    * constant oracle; a spec pins explain == the plan actually
+    * compiled (no-event-scan ↔ no `raw-scan` row). */
+  def explainRoute(factIds: Seq[String], dimId: String,
+      filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp,
+      step: Step = Step.NoStep, offsetHours: Int = 0): DataFrame = {
+    import spark.implicits._
+    val dim = catalog.dimension(dimId).getOrElse(
+      throw new IllegalArgumentException(
+        s"Non existent dimension $dimId specified. Please check your schema"))
+    val grouping =
+      graft.operators.Timeseries.bestGrouping(dim.groupedBy, dim.id,
+        filters.keySet)
+    val hasLocalEvents =
+      buffer.nonEmpty || bulk.nonEmpty || storeDir.nonEmpty
+    val rows = factIds.map { id =>
+      val fact = catalog.fact(id).getOrElse(
+        throw new IllegalArgumentException(
+          s"Non existent fact $id specified. Please check your schema."))
+      val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
+      rollupStore.get((id, grouping)) match {
+        case None =>
+          (id, grouping.mkString(","), "raw-scan", null: String)
+        case Some(RollupReg(path, external, dayPath)) =>
+          if (external)
+            (id, grouping.mkString(","),
+              if (hasLocalEvents) "external-rollup+local-events"
+              else "external-rollup", path)
+          else if (dayPath.isDefined &&
+              dayTierEligible(slice, step, offsetHours, start, finish))
+            (id, grouping.mkString(","), "rollup-day", dayPath.get)
+          else
+            (id, grouping.mkString(","), "rollup-slice", path)
+      }
+    }
+    rows.toDF("fact", "grouping", "tier", "registered")
+  }
 
   /** `get-histogram` (api.clj:38-41) — unimplemented in every reference
     * backend (postgres.clj:126-128); completed here. Returns one count

@@ -804,6 +804,47 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Hour)
     }),
 
+    // ROUTING INTROSPECTION (serving observability): for each
+    // dashboard fact, the tier the read serves from — decided by the
+    // same bestGrouping + day-eligibility + registration code the
+    // read itself uses, no store bytes touched. One registered
+    // internal rollup under a whole-day window (day tier), one
+    // re-pointed external store with pooled local events (the
+    // streaming topology's merge), one fact defined after the
+    // materialization (the raw-scan row an operator must fix before
+    // the dashboard ships at 100 TB)
+    "ts_route_explain" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
+      svc.defineFact("purchases_count", FactType.Counter, slice = 15)
+      svc.defineDimension("user_bucket",
+        facts = Set("clicks_count", "purchases_count"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", lit("clicks_count"))
+            .otherwise(lit("purchases_count")).as("fact"),
+          col("ts"), lit(1L).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories"))
+      svc.ingest(ev)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_route_explain").toString
+      svc.materializeRollups(tmp)
+      svc.registerRollup("purchases_count", Seq("user_bucket"),
+        s"$tmp/user_bucket_purchases_count")
+      svc.defineFact("late_count", FactType.Counter, slice = 15)
+      svc.updateDimension("user_bucket", "late_count")
+      // day-eligible window: floor(23:45)+15m lands ON midnight, so
+      // the inclusive bucketed scan spans whole UTC days
+      svc.explainRoute(
+          Seq("clicks_count", "purchases_count", "late_count"),
+          "user_bucket", Map("user_bucket" -> None),
+          ts("2024-01-05T00:00"), ts("2024-01-06T23:45"), Step.Day)
+        .select(col("fact"), col("grouping"), col("tier"))
+    }),
+
     // TIME TRAVEL under the driver's gate: three batch-identified
     // ingests land in the attached durable store; the as-of read at
     // batch watermark 1 must hash-match the oracle computed over
@@ -3568,6 +3609,15 @@ object EventQueries {
 
     // the SQL hist-tile dashboard shares the Scala twin's oracle
     "ts_multi_hist_sql" -> multiHistSql,
+
+    // the routing decisions are structural constants of the setup —
+    // no store bytes read, no data-dependent value in the output
+    "ts_route_explain" ->
+      """SELECT * FROM (VALUES
+        |  ('clicks_count', 'user_bucket', 'rollup-day'),
+        |  ('purchases_count', 'user_bucket', 'external-rollup+local-events'),
+        |  ('late_count', 'user_bucket', 'raw-scan'))
+        |  AS t(fact, grouping, tier)""".stripMargin,
 
     // integral-cents spend distribution, 2000-cent buckets clamped to
     // [0, 20000) — the service's histogram kernel over ingested cents

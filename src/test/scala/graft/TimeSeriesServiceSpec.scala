@@ -570,6 +570,54 @@ class TimeSeriesServiceSpec extends SparkTestBase {
       "rollup-served four-type multi read diverged from compute-on-read")
   }
 
+  test("explainRoute mirrors the tier the read actually compiles to") {
+    import org.apache.spark.sql.functions.col
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("a_count", FactType.Counter, slice = 10)
+    svc.defineFact("b_count", FactType.Counter, slice = 10)
+    svc.defineDimension("dep", facts = Set("a_count", "b_count"))
+    for (i <- 0 until 6)
+      svc.newFact(if (i % 2 == 0) "a_count" else "b_count",
+        ts(f"2014-03-21T0$i:10"), 1L, Map("dep" -> "d0"))
+    // day-eligible window: the INCLUSIVE bucketed scan spans
+    // [floor(start), floor(finish)+slice) — midnight to 23:50+10m
+    def tiers(step: Step) = svc.explainRoute(Seq("a_count", "b_count"),
+        "dep", Map("dep" -> None),
+        ts("2014-03-21T00:00"), ts("2014-03-21T23:50"), step)
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    // nothing registered: both raw
+    assert(tiers(Step.Day) ==
+      Map("a_count" -> "raw-scan", "b_count" -> "raw-scan"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_explain_spec").toString
+    svc.materializeRollups(tmp)
+    // whole-day window -> day tier; hour step -> slice tier (the
+    // shared dayTierEligible rule, not a re-implementation)
+    assert(tiers(Step.Day) ==
+      Map("a_count" -> "rollup-day", "b_count" -> "rollup-day"))
+    assert(tiers(Step.Hour) ==
+      Map("a_count" -> "rollup-slice", "b_count" -> "rollup-slice"))
+    // explain == the compiled plan: all-registered -> the multi read
+    // scans no raw events (no LocalTableScan); after an invalidating
+    // write to ONE fact, that fact's explain flips to raw-scan AND
+    // the raw scan reappears in the plan
+    def multiPlan(): String = {
+      val df = svc.getTimeseriesMulti(Seq("a_count", "b_count"), "dep",
+        Map("dep" -> None),
+        ts("2014-03-21T00:00"), ts("2014-03-21T23:50"), Step.Day)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(!multiPlan().contains("LocalTableScan"))
+    svc.newFact("b_count", ts("2014-03-21T07:10"), 1L, Map("dep" -> "d0"))
+    assert(tiers(Step.Day) ==
+      Map("a_count" -> "rollup-day", "b_count" -> "raw-scan"))
+    assert(multiPlan().contains("LocalTableScan"))
+    // external registration reports the local-events merge
+    svc.registerRollup("b_count", Seq("dep"), s"$tmp/dep_b_count")
+    assert(tiers(Step.Day)("b_count") == "external-rollup+local-events")
+  }
+
   test("as-of batch time travel: watermark reads match per-batch prefixes") {
     import spark.implicits._
     val svc = new TimeSeriesService(spark)
