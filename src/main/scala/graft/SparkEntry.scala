@@ -37,5 +37,6 @@ object SparkEntry {
     * the combined `queries` entries (identical: build(); read()). */
   def lifecycleSplits
       : Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
-    EventQueries.lifecycleSplits ++ DocumentQueries.lifecycleSplits
+    EventQueries.lifecycleSplits ++ DocumentQueries.lifecycleSplits ++
+      EmbeddingQueries.lifecycleSplits
 }

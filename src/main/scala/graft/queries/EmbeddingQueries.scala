@@ -100,6 +100,40 @@ object EmbeddingQueries {
       s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" +\n      ")
 
+  /** Two-phase (build, read) form of the persisted-IVF serve for the
+    * BENCH surface, mirroring the dashboard split (B83): `__build`
+    * times the index construction (k-means assignment + Lloyd
+    * refinement + the part=-partitioned store write), `__read` times
+    * ONLY the probe-pruned top-k serve — the number the IVF design
+    * claim (B87's 200k crossover) is actually about. Deliberately
+    * BYPASSES the per-(session, dir) index cache: each pass rebuilds
+    * into a fresh temp dir, so the build number is real work, never a
+    * cache hit. Correctness still gates the combined
+    * `ann_ivf_persisted` entry (identical pipeline). */
+  private def ivfPersistedPhases(s: SparkSession,
+      dir: String): (() => Unit, () => DataFrame) = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(s)
+    val e = emb(s, dir)
+    var built: String = null
+    val build = () => {
+      built = buildKmeans(s, dir)
+      Similarity.writeIvfCorpus(e, s.read.parquet(s"$built/assign"),
+        "vec_id", s"$built/store")
+      ()
+    }
+    val read = () => Similarity.ivfTopKFromStore(s"$built/store",
+      Similarity.readCentroids(s, s"$built/centroids"),
+      e.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nProbe = 3,
+      dotFn = GraftFunctions.dotNative)
+    (build, read)
+  }
+
+  val lifecycleSplits
+      : Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
+    Map("ann_ivf_persisted" -> (ivfPersistedPhases _))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-5 for the first 10 vectors (the ANN baseline)
     "ann_bruteforce_topk" -> ((s, dir) => {
