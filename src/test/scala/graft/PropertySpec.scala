@@ -440,4 +440,46 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("multi-fact law: dashboard read ≡ union of per-fact reads " +
+      "for random events, fillers, and steps") {
+    // the B85 contract as a property, not an example: for ANY event
+    // placement, per-fact FILLER choice (including negative — gaps
+    // must take each fact's own value), and calendar step, the shared
+    // per-type pipeline returns exactly the union of the single-fact
+    // reads
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new Random(seed)
+      val svc = new TimeSeriesService(spark)
+      val fillers = Seq("fa" -> 0L, "fb" -> (-1L - rnd.nextInt(5)))
+      fillers.foreach { case (id, f) =>
+        svc.defineFact(id, FactType.Counter, slice = 15, filler = f) }
+      svc.defineDimension("dim", facts = fillers.map(_._1).toSet)
+      val n = 40 + rnd.nextInt(40)
+      val rows = (0 until n).map { _ =>
+        val day = 1 + rnd.nextInt(3)
+        (fillers(rnd.nextInt(2))._1,
+          ts(f"2024-02-$day%02dT${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d"),
+          1L + rnd.nextInt(5), "d" + rnd.nextInt(3))
+      }
+      svc.ingest(rows.toDF("fact", "ts", "value", "dim")
+        .select(col("fact"), col("ts"), col("value"),
+          map(lit("dim"), col("dim")).as("categories")))
+      val lo = ts("2024-02-01T00:00")
+      val hi = ts("2024-02-04T00:00")
+      for (step <- Seq(Step.NoStep, Step.Hour, Step.Day)) {
+        val multi = svc.getTimeseriesMulti(fillers.map(_._1), "dim",
+            Map("dim" -> None), lo, hi, step)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1),
+            Option(r.get(2)), r.getLong(3))).toSet
+        val perFact = fillers.map(_._1).flatMap { id =>
+          svc.getTimeseries(id, "dim", Map("dim" -> None), lo, hi, step)
+            .collect()
+            .map(r => (r.getString(0), id, Option(r.get(1)), r.getLong(2)))
+        }.toSet
+        assert(multi == perFact, s"seed=$seed step=$step")
+      }
+    }
+  }
 }
