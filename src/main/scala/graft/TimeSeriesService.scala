@@ -29,6 +29,13 @@ import graft.operators.{Rollups, Timeseries}
 object TimeSeriesService {
   def apply(spark: SparkSession): TimeSeriesService =
     new TimeSeriesService(spark)
+
+  /** One [[TimeSeriesService.applyAdvice]] verdict: the measured
+    * events-per-slice compaction ratio (×10⁴) for a (fact, grouping)
+    * rollup target, and the store directory when the target paid and
+    * was materialized + registered (None = stays compute-on-read). */
+  final case class AdvisedRollup(factId: String, grouping: String,
+      compactionE4: Long, path: Option[String])
 }
 
 final class TimeSeriesService(
@@ -323,6 +330,69 @@ final class TimeSeriesService(
     }
   }
 
+  /** Close the advisor → materialize loop: measure every
+    * catalog-implied rollup target with
+    * [[graft.operators.Rollups.adviseRollups]] (ONE grouping-sets pass
+    * per (fact, slice) — not one scan per candidate) and materialize +
+    * register ONLY the groupings whose events-per-slice compaction
+    * ratio clears `minCompactionE4` (default 2× — a rollup that
+    * doesn't at least halve the rows it serves is storage spent to
+    * re-key the event stream, the SCALE.md §8 distinct-partials
+    * failure mode). Paying targets get exactly
+    * [[materializeRollups]]' layout and registration (slice store +
+    * day tier, internal); non-paying targets stay compute-on-read —
+    * their [[explainRoute]] row keeps saying `raw-scan`, now as a
+    * measured verdict instead of an omission. The closing move of the
+    * observability loop: `adviseRollups` said what pays,
+    * `explainRoute` said what's raw — this call applies the advice.
+    *
+    * @return one entry per target: (fact, grouping label, measured
+    *   compaction ×10⁴, Some(store dir) if materialized) */
+  def applyAdvice(baseDir: String,
+      minCompactionE4: Long = 20000L): Seq[TimeSeriesService.AdvisedRollup] = {
+    val targets = for {
+      dim <- catalog.dimensions if !dim.groupOnly
+      factId <- dim.facts.toSeq.sorted
+      fact <- catalog.fact(factId).toSeq
+      path <- dim.groupedBy
+    } yield (fact, dim, path)
+    targets.groupBy { case (fact, dim, _) =>
+      (fact.id, dim.sliceMinutes.getOrElse(fact.sliceMinutes))
+    }.toSeq.sortBy(_._1).flatMap { case ((factId, slice), group) =>
+      val groupings = group.map { case (_, dim, path) => path :+ dim.id }
+      // advise once per distinct dimension SET (two dims can imply
+      // set-equal groupings in different orders; the measured ratio is
+      // order-independent, and adviseRollups rejects set-duplicates)
+      val bySet = groupings.groupBy(_.toSet)
+      val candidates = bySet.values.map(_.head).toSeq
+      val allDims = groupings.flatten.distinct
+      val advice = Rollups.adviseRollups(prepare(factId, allDims),
+          candidates, sliceMinutes = slice)
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      group.map { case (fact, dim, path) =>
+        val grouping = path :+ dim.id
+        val repr = bySet(grouping.toSet).head.mkString(",")
+        // a target with zero scanned events has no advice row — it
+        // compacts nothing, so it does not pay
+        val ratio = advice.getOrElse(repr, 0L)
+        val made = if (ratio >= minCompactionE4) {
+          val out = s"$baseDir/${(path :+ dim.id :+ fact.id).mkString("_")}"
+          Rollups.materialize(prepare(fact.id, grouping), fact, slice,
+            grouping, out)
+          val dayOut = s"${out}__day"
+          Rollups.materializeFactDayTier(Rollups.read(spark, out)
+            .drop("bucket_date"), fact, grouping, dayOut)
+          rollupStore((fact.id, grouping)) =
+            RollupReg(out, external = false, dayPath = Some(dayOut))
+          Some(out)
+        } else None
+        TimeSeriesService.AdvisedRollup(fact.id, grouping.mkString(","),
+          ratio, made)
+      }
+    }
+  }
+
   /** Point queries for (fact, grouping) at an externally-maintained
     * rollup — e.g. one kept fresh by
     * [[graft.streaming.StreamingIngest.maintainRollup]]. The caller
@@ -522,9 +592,13 @@ final class TimeSeriesService(
         // its own (lo, step, n) — as fact→param map lookups the
         // shared scan evaluates per row, mirroring
         // Timeseries.histBucket exactly. Homogeneous params keep the
-        // scalar plan.
+        // scalar-literal plan (same homogeneity gate as the filler
+        // override below): a dashboard of many same-shaped histogram
+        // tiles must not pay map lookups per row for nothing.
+        val histParams = group.map { case (_, f) =>
+          (f.start.get, f.step.get, f.histogramBuckets.size) }
         val histOverride =
-          if (group.size <= 1) None
+          if (histParams.distinct.size <= 1) None
           else {
             val lo = element_at(typedlit(
               group.map { case (id, f) => id -> f.start.get }.toMap),
@@ -603,6 +677,45 @@ final class TimeSeriesService(
       .filter(_.nonEmpty)
       .map(runType)
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The MULTI-DIMENSION dashboard read: [[getTimeseriesMulti]] over
+    * per-fact (fact, dimension) pairs — a real dashboard mixes
+    * dimensions (clicks by event_type beside spend by user_bucket) and
+    * must not pay one service call per dimension. Facts group by
+    * dimension; each dimension group runs the single-dimension multi
+    * read (so facts of one TYPE within one dimension still share one
+    * scan, and every tile stays tier-routed through [[routeTier]]);
+    * the per-dimension frames union by name with a `dim` discriminator
+    * column, null-padding grouping columns the other dimensions carry
+    * (user_bucket is null on event_type rows and vice versa) exactly
+    * like the mixed-type union pads measures. The result is EXACTLY
+    * the union of the per-dimension multi reads (spec-pinned).
+    *
+    * `filters` are routed per dimension: a key no grouping path of a
+    * dimension knows is dropped for THAT dimension's read (it can
+    * neither route nor filter there — the other dimension's tiles must
+    * not lose rows to a foreign key), matching the single read's
+    * ignore-unknown-filter rule. Slice agreement is required per
+    * dimension group, not across groups. */
+  def getTimeseriesMulti(factDims: Seq[(String, String)],
+      filters: Map[String, Option[String]],
+      start: Timestamp, finish: Timestamp,
+      step: Step, offsetHours: Int): DataFrame = {
+    require(factDims.nonEmpty,
+      "getTimeseriesMulti needs at least one (fact, dimension) pair")
+    val byDim = factDims.groupBy(_._2)
+    val dimIds = factDims.map(_._2).distinct
+    dimIds.map { dimId =>
+      val dim = catalog.dimension(dimId).getOrElse(
+        throw new IllegalArgumentException(
+          s"Non existent dimension $dimId specified. Please check your schema"))
+      val known = dim.groupedBy.flatten.toSet + dim.id
+      val dimFilters = filters.filter { case (k, _) => known.contains(k) }
+      getTimeseriesMulti(byDim(dimId).map(_._1), dimId, dimFilters,
+          start, finish, step, offsetHours)
+        .withColumn("dim", lit(dimId))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** [[getTimeseries]] pinned to the [[eventsAsOf]] watermark. Always
@@ -793,8 +906,15 @@ final class TimeSeriesService(
     * (retire only what a swap already replaced), a directory leased to
     * another writer refuses (not ours to delete), and the path must
     * look like an event store (contain `__batch_id=` partitions or a
-    * writer lease) so a mistyped path cannot nuke unrelated data. */
-  def retireStoreDir(dir: String): Unit = {
+    * writer lease) so a mistyped path cannot nuke unrelated data.
+    *
+    * `takeover = true` is the CRASH-RECOVERY arm (the caller asserts
+    * the lease's owner is dead): a writer that died between an
+    * [[eraseEvents]] swap and this call leaves the retired directory
+    * leased to its dead self — the recovered service that attached the
+    * scrubbed store must still be able to close the deletion request.
+    * The live-store and looks-like-a-store guards stay in force. */
+  def retireStoreDir(dir: String, takeover: Boolean = false): Unit = {
     require(!storeDir.contains(dir),
       s"retireStoreDir: $dir is the LIVE event store — only a " +
         "swapped-out directory (see retiredStoreDir) can be retired")
@@ -808,7 +928,7 @@ final class TimeSeriesService(
       s"retireStoreDir: $dir does not look like a graft event store " +
         "(no __batch_id= partitions, no writer lease) — refusing to " +
         "delete")
-    assertLease(dir, "retireStoreDir")
+    if (!takeover) assertLease(dir, "retireStoreDir")
     fs.delete(p, true)
     if (retiredDir.contains(dir)) retiredDir = None
   }
@@ -1041,26 +1161,55 @@ final class TimeSeriesService(
         midnight(lo) && midnight(hi)
       }
 
+  /** Whether this service holds events of its own (pooled in memory or
+    * in the durable store) — the flag that decides if an EXTERNAL
+    * rollup read must union in locally-built partials. */
+  private def hasLocalEvents: Boolean =
+    buffer.nonEmpty || bulk.nonEmpty || storeDir.nonEmpty
+
+  /** THE tier decision for one (fact, routed grouping) read — the
+    * single place [[servableRollup]] (which turns the decision into a
+    * frame) and [[explainRoute]] (which reports it) both consume, so
+    * the explain surface structurally cannot drift from what serves.
+    * Returns (tier, servedPath): tier ∈ `raw-scan` | `rollup-day` |
+    * `rollup-slice` | `external-rollup` | `external-rollup+local-events`;
+    * servedPath is the store directory the non-raw tiers read
+    * (the DAY-tier store for `rollup-day`). */
+  private def routeTier(factId: String, slice: Int, grouping: Seq[String],
+      step: Step, offsetHours: Int, start: Timestamp,
+      finish: Timestamp): (String, Option[String]) =
+    rollupStore.get((factId, grouping)) match {
+      case None => ("raw-scan", None)
+      case Some(RollupReg(path, true, _)) =>
+        (if (hasLocalEvents) "external-rollup+local-events"
+         else "external-rollup", Some(path))
+      case Some(RollupReg(path, false, dayPath)) => dayPath match {
+        case Some(dp)
+            if dayTierEligible(slice, step, offsetHours, start, finish) =>
+          ("rollup-day", Some(dp))
+        case _ => ("rollup-slice", Some(path))
+      }
+    }
+
   private def servableRollup(fact: graft.model.FactDef, slice: Int,
       grouping: Seq[String], step: Step = Step.NoStep,
       offsetHours: Int = 0, start: Timestamp = null,
       finish: Timestamp = null): Option[DataFrame] =
-    rollupStore.get((fact.id, grouping)).map {
-      case RollupReg(path, external, dayPath) =>
-        val stored = dayPath match {
-          case Some(dp) if !external &&
-              dayTierEligible(slice, step, offsetHours, start, finish) =>
-            Rollups.read(spark, dp)
-          case _ => Rollups.read(spark, path)
-        }
-        val hasLocalEvents =
-          buffer.nonEmpty || bulk.nonEmpty || storeDir.nonEmpty
-        if (external && hasLocalEvents) {
+    routeTier(fact.id, slice, grouping, step, offsetHours, start,
+        finish) match {
+      case ("raw-scan", _) => None
+      case ("rollup-day", Some(dp)) => Some(Rollups.read(spark, dp))
+      case ("rollup-slice", Some(p)) => Some(Rollups.read(spark, p))
+      case (tier, Some(p)) => // the two external tiers
+        val stored = Rollups.read(spark, p)
+        if (tier.endsWith("+local-events")) {
           val local = Rollups
             .build(prepare(fact.id, grouping), fact, slice, grouping)
             .withColumn("bucket_date", to_date(col("bucket")))
-          stored.unionByName(local, allowMissingColumns = true)
-        } else stored
+          Some(stored.unionByName(local, allowMissingColumns = true))
+        } else Some(stored)
+      case (tier, None) => throw new IllegalStateException(
+        s"routeTier returned $tier with no store path") // unreachable
     }
 
   /** ROUTING INTROSPECTION — the serving-observability read a
@@ -1092,33 +1241,30 @@ final class TimeSeriesService(
       start: Timestamp, finish: Timestamp,
       step: Step = Step.NoStep, offsetHours: Int = 0): DataFrame = {
     import spark.implicits._
+    require(factIds.nonEmpty, "explainRoute needs at least one fact")
+    val facts = factIds.map(id => catalog.fact(id).getOrElse(
+      throw new IllegalArgumentException(
+        s"Non existent fact $id specified. Please check your schema.")))
     val dim = catalog.dimension(dimId).getOrElse(
       throw new IllegalArgumentException(
         s"Non existent dimension $dimId specified. Please check your schema"))
     val grouping =
       graft.operators.Timeseries.bestGrouping(dim.groupedBy, dim.id,
         filters.keySet)
-    val hasLocalEvents =
-      buffer.nonEmpty || bulk.nonEmpty || storeDir.nonEmpty
-    val rows = factIds.map { id =>
-      val fact = catalog.fact(id).getOrElse(
-        throw new IllegalArgumentException(
-          s"Non existent fact $id specified. Please check your schema."))
+    // the same slice-agreement contract as getTimeseriesMulti: the
+    // explain reports what THE multi read would do, so a fact set the
+    // read rejects must fail here identically, not report tiers for a
+    // dashboard that cannot exist
+    val slices = facts.map(f => dim.sliceMinutes.getOrElse(f.sliceMinutes))
+      .distinct
+    require(slices.size == 1,
+      s"explainRoute facts disagree on the effective slice: " +
+        s"${factIds.zip(facts.map(f => dim.sliceMinutes.getOrElse(f.sliceMinutes))).mkString(", ")}")
+    val rows = factIds.zip(facts).map { case (id, fact) =>
       val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
-      rollupStore.get((id, grouping)) match {
-        case None =>
-          (id, grouping.mkString(","), "raw-scan", null: String)
-        case Some(RollupReg(path, external, dayPath)) =>
-          if (external)
-            (id, grouping.mkString(","),
-              if (hasLocalEvents) "external-rollup+local-events"
-              else "external-rollup", path)
-          else if (dayPath.isDefined &&
-              dayTierEligible(slice, step, offsetHours, start, finish))
-            (id, grouping.mkString(","), "rollup-day", dayPath.get)
-          else
-            (id, grouping.mkString(","), "rollup-slice", path)
-      }
+      val (tier, path) =
+        routeTier(id, slice, grouping, step, offsetHours, start, finish)
+      (id, grouping.mkString(","), tier, path.orNull)
     }
     rows.toDF("fact", "grouping", "tier", "registered")
   }

@@ -130,9 +130,44 @@ object EmbeddingQueries {
     (build, read)
   }
 
+  /** Two-phase form of the IVF-PQ serve: `__build` = k-means index +
+    * PQ codebook training + the (id, pq_codes)-only part=-partitioned
+    * store write; `__read` = the ADC shortlist + exact rerank ONLY —
+    * the PQ SERVING latency, isolated from both the training cost and
+    * the in-plan recall gate the combined `ann_ivfpq_topk` entry
+    * carries (that entry computes the exact brute-force baseline
+    * INSIDE the query by design — it is an evaluation op; this split
+    * is the deployment number). Bypasses the per-(session, dir)
+    * caches like [[ivfPersistedPhases]]: every pass builds fresh. */
+  private def ivfPqPhases(s: SparkSession,
+      dir: String): (() => Unit, () => DataFrame) = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(s)
+    val e = emb(s, dir)
+    val dotN: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column = GraftFunctions.dotNative
+    var built: String = null
+    var cb: Seq[Seq[Seq[Double]]] = null
+    val build = () => {
+      built = buildKmeans(s, dir)
+      cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 16, ks = 16,
+        dotFn = Similarity.l2Score(dotN))
+      Similarity.writeIvfPqCorpus(e, s.read.parquet(s"$built/assign"),
+        "vec_id", "embedding", cb, s"$built/store_pq",
+        Similarity.l2Score(dotN))
+      ()
+    }
+    val read = () => Similarity.ivfPqTopKFromStore(s"$built/store_pq",
+      Similarity.readCentroids(s, s"$built/centroids"),
+      e.where(col("vec_id") < 10), "vec_id", "embedding",
+      cb, k = 5, nProbe = 5, candidates = 100, dotFn = dotN)
+    (build, read)
+  }
+
   val lifecycleSplits
       : Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
-    Map("ann_ivf_persisted" -> (ivfPersistedPhases _))
+    Map("ann_ivf_persisted" -> (ivfPersistedPhases _),
+      "ann_ivfpq_topk" -> (ivfPqPhases _))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-5 for the first 10 vectors (the ANN baseline)

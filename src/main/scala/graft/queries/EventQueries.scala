@@ -386,6 +386,49 @@ object EventQueries {
     (build, read)
   }
 
+  /** The routing-introspection two phases: build = the fixture's store
+    * lifecycle (DDL + ingest + materialize + register + the late
+    * fact), read = [[graft.TimeSeriesService.explainRoute]] itself —
+    * which touches NO store bytes (it is catalog + registration-map
+    * algebra), so its `__read` must sit at milliseconds; the combined
+    * `ts_route_explain` bench number is ~all store materialization. */
+  private def routeExplainPhases(s: SparkSession,
+      dir: String): (() => Unit, () => DataFrame) = {
+    import graft.TimeSeriesService
+    val svc = new TimeSeriesService(s)
+    val build = () => {
+      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
+      svc.defineFact("purchases_count", FactType.Counter, slice = 15)
+      svc.defineDimension("user_bucket",
+        facts = Set("clicks_count", "purchases_count"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", lit("clicks_count"))
+            .otherwise(lit("purchases_count")).as("fact"),
+          col("ts"), lit(1L).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories"))
+      svc.ingest(ev)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_route_explain").toString
+      svc.materializeRollups(tmp)
+      svc.registerRollup("purchases_count", Seq("user_bucket"),
+        s"$tmp/user_bucket_purchases_count")
+      svc.defineFact("late_count", FactType.Counter, slice = 15)
+      svc.updateDimension("user_bucket", "late_count")
+      ()
+    }
+    // day-eligible window: floor(23:45)+15m lands ON midnight, so
+    // the inclusive bucketed scan spans whole UTC days
+    val read = () => svc.explainRoute(
+        Seq("clicks_count", "purchases_count", "late_count"),
+        "user_bucket", Map("user_bucket" -> None),
+        ts("2024-01-05T00:00"), ts("2024-01-06T23:45"), Step.Day)
+      .select(col("fact"), col("grouping"), col("tier"))
+    (build, read)
+  }
+
   /** The lifecycle queries' two-phase forms, consumed by
     * [[graft.Bench]] for separate `__build` / `__read` timings. */
   val lifecycleSplits
@@ -393,7 +436,8 @@ object EventQueries {
     Map("ts_asof_batch" -> (asofBatchPhases _),
       "ts_retention_serve" -> (retentionPhases _),
       "ts_erasure_serve" -> (erasurePhases _),
-      "ts_multi_routed" -> (multiRoutedPhases _))
+      "ts_multi_routed" -> (multiRoutedPhases _),
+      "ts_route_explain" -> (routeExplainPhases _))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O20 full pipeline: hourly collapse + finish-exclusive zero-filled grid
@@ -736,6 +780,37 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day)
     }),
 
+    // the MULTI-DIMENSION dashboard read: a counter tile by event_type
+    // BESIDE an average tile by user_bucket in ONE service call — per
+    // dimension the per-type shared pipeline is unchanged, the frames
+    // union by name with a `dim` discriminator and the other
+    // dimension's grouping column null-padded (a real dashboard mixes
+    // dimensions; one call per dimension was the round-11 gap)
+    "ts_multi_dims" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
+      svc.defineFact("spend_avg", FactType.Average, slice = 15)
+      svc.defineDimension("event_type", facts = Set("clicks_count"))
+      svc.defineDimension("user_bucket", facts = Set("spend_avg"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", lit("clicks_count"))
+            .otherwise(lit("spend_avg")).as("fact"),
+          col("ts"),
+          when(col("event_type") === "click", lit(1L))
+            .otherwise(cents).as("value"),
+          map(lit("event_type"), col("event_type"),
+            lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories"))
+      svc.ingest(ev)
+      svc.getTimeseriesMulti(
+        Seq("clicks_count" -> "event_type", "spend_avg" -> "user_bucket"),
+        Map.empty[String, Option[String]],
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day, 0)
+    }),
+
     // the ROLLUP-SERVED dashboard read: same mixed dashboard as
     // ts_multi_mixed, but both facts' rollups are materialized first —
     // the multi read tier-routes EVERY tile onto its registered
@@ -748,6 +823,68 @@ object EventQueries {
     // the serving latency the B75 claim is actually about.
     "ts_multi_routed" -> ((s, dir) => {
       val (build, read) = multiRoutedPhases(s, dir); build(); read()
+    }),
+
+    // the ADVISOR→MATERIALIZE loop closed under the driver's gate: the
+    // mixed dashboard starts compute-on-read (explainRoute: every tile
+    // raw-scan — pinned in-query), ONE applyAdvice call measures the
+    // candidate groupings (one grouping-sets pass per fact) and
+    // materializes + registers the paying ones, and the SAME explain
+    // now shows rollup tiers — the raw-scan rows an operator had to
+    // fix by hand are fixed by the advice. The read itself then serves
+    // routed and shares ts_multi_mixed's oracle verbatim: advice must
+    // change the tier, never a row.
+    "ts_advised_route" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      // HOURLY slices: at the driver fixture's event density a 15-min
+      // slice store compacts only ~1.08× — the advisor must be able to
+      // say a genuine YES under its default 2× bar, so the dashboard
+      // declares the grain it actually needs (day-step tiles)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 60)
+      svc.defineFact("spend_avg", FactType.Average, slice = 60)
+      svc.defineDimension("user_bucket",
+        facts = Set("clicks_count", "spend_avg"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", lit("clicks_count"))
+            .otherwise(lit("spend_avg")).as("fact"),
+          col("ts"),
+          when(col("event_type") === "click", lit(1L))
+            .otherwise(cents).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 2).cast("string")).as("categories"))
+      svc.ingest(ev)
+      def tiers(): Map[String, String] = svc.explainRoute(
+          Seq("clicks_count", "spend_avg"), "user_bucket",
+          Map("user_bucket" -> None),
+          ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day)
+        .select(col("fact"), col("tier")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val before = tiers()
+      require(before.values.forall(_ == "raw-scan"),
+        s"expected every tile raw-scan before the advice, got $before")
+      // the bar is the operator's knob: the driver fixture's 2-day
+      // window measures ~1.8× per grouping (events are deliberately
+      // sparse at small SF; at ×10 data the same groupings measure
+      // ~18×, clearing any bar) — 1.5× is this dashboard's declared
+      // "worth the storage" line, and the requires pin that BOTH
+      // verdicts were genuine measurements, not bypasses
+      val advised = svc.applyAdvice(java.nio.file.Files
+        .createTempDirectory("graft_advice").toString,
+        minCompactionE4 = 15000L)
+      require(advised.nonEmpty && advised.forall(_.path.isDefined),
+        s"both dashboard groupings must pay at this fixture: $advised")
+      val after = tiers()
+      // rollup-SLICE, not day: finish 07T00:00 floors to a scan upper
+      // bound of 00:15 — not a whole-day window, so the shared
+      // eligibility rule keeps the slice tier (exactness first)
+      require(after.values.forall(_ == "rollup-slice"),
+        s"expected every tile rollup-slice after the advice, got $after")
+      svc.getTimeseriesMulti(Seq("clicks_count", "spend_avg"),
+        "user_bucket", Map("user_bucket" -> None),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day)
     }),
 
     // the STREAMING-MAINTAINED dashboard (the production topology:
@@ -814,35 +951,7 @@ object EventQueries {
     // materialization (the raw-scan row an operator must fix before
     // the dashboard ships at 100 TB)
     "ts_route_explain" -> ((s, dir) => {
-      import graft.TimeSeriesService
-      val svc = new TimeSeriesService(s)
-      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
-      svc.defineFact("purchases_count", FactType.Counter, slice = 15)
-      svc.defineDimension("user_bucket",
-        facts = Set("clicks_count", "purchases_count"))
-      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
-        .where(col("event_type").isin("click", "purchase"))
-        .select(
-          when(col("event_type") === "click", lit("clicks_count"))
-            .otherwise(lit("purchases_count")).as("fact"),
-          col("ts"), lit(1L).as("value"),
-          map(lit("user_bucket"),
-            (col("user_id") % 4).cast("string")).as("categories"))
-      svc.ingest(ev)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_route_explain").toString
-      svc.materializeRollups(tmp)
-      svc.registerRollup("purchases_count", Seq("user_bucket"),
-        s"$tmp/user_bucket_purchases_count")
-      svc.defineFact("late_count", FactType.Counter, slice = 15)
-      svc.updateDimension("user_bucket", "late_count")
-      // day-eligible window: floor(23:45)+15m lands ON midnight, so
-      // the inclusive bucketed scan spans whole UTC days
-      svc.explainRoute(
-          Seq("clicks_count", "purchases_count", "late_count"),
-          "user_bucket", Map("user_bucket" -> None),
-          ts("2024-01-05T00:00"), ts("2024-01-06T23:45"), Step.Day)
-        .select(col("fact"), col("grouping"), col("tier"))
+      val (build, read) = routeExplainPhases(s, dir); build(); read()
     }),
 
     // TIME TRAVEL under the driver's gate: three batch-identified
@@ -3220,16 +3329,19 @@ object EventQueries {
   /** The mixed (counter + average) dashboard oracle — the null-padded
     * union of the per-type fills. Shared by `ts_multi_mixed`
     * (compute-on-read) and `ts_multi_routed` (rollup-served): the tier
-    * must change only the store scanned, never a row. */
-  private val multiMixedSql: String =
+    * must change only the store scanned, never a row. Parameterized by
+    * the user-bucket modulus and the slice (ts_advised_route uses a
+    * sparser series set on hourly slices so the advisor's default 2×
+    * bar is clearable at the driver fixture's density). */
+  private def multiMixedSqlMod(m: Int, slice: Int): String =
     s"""WITH base AS (
-       |  SELECT CAST(user_id % 4 AS VARCHAR) AS user_bucket, event_type,
+       |  SELECT CAST(user_id % $m AS VARCHAR) AS user_bucket, event_type,
        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
        |    CAST(round(value * 100) AS BIGINT) AS cents
        |  FROM events
        |  WHERE event_type IN ('click', 'purchase')
-       |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
-       |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
+       |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00", slice)}'
+       |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00", slice)}'),
        |cnt AS (SELECT user_bucket, bucket, count(*) AS value
        |  FROM base WHERE event_type = 'click' GROUP BY ALL),
        |avgp AS (SELECT user_bucket, bucket,
@@ -3250,6 +3362,8 @@ object EventQueries {
        |  coalesce(a.counter, 0) AS counter, coalesce(a.total, 0) AS total
        |FROM avs s CROSS JOIN grid g
        |LEFT JOIN avgp a USING (user_bucket, bucket)""".stripMargin
+
+  private val multiMixedSql: String = multiMixedSqlMod(4, 15)
 
   /** The counter+HISTOGRAM dashboard oracle — counter fill
     * (hist_bucket null) ∪ un-filled histogram cells. Shared by
@@ -3709,6 +3823,47 @@ object EventQueries {
     // partial ((0,0)-filled); each type's series set comes from ITS
     // OWN scan (absent series stay absent, per type)
     "ts_multi_mixed" -> multiMixedSql,
+
+    // the advisor-materialized dashboard must serve the exact mixed
+    // rows — the advice changes the tier, never a row (2 user buckets
+    // on hourly slices: the density where the default 2× bar passes)
+    "ts_advised_route" -> multiMixedSqlMod(2, 60),
+
+    // the multi-DIMENSION dashboard: clicks by event_type ∪ spend by
+    // user_bucket, `dim` discriminator, foreign grouping columns null
+    "ts_multi_dims" ->
+      s"""WITH base AS (
+         |  SELECT event_type, CAST(user_id % 4 AS VARCHAR) AS user_bucket,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE event_type IN ('click', 'purchase')
+         |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
+         |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
+         |cnt AS (SELECT event_type, bucket, count(*) AS value
+         |  FROM base WHERE event_type = 'click' GROUP BY ALL),
+         |avgp AS (SELECT user_bucket, bucket,
+         |    count(*) AS counter, sum(cents) AS total
+         |  FROM base WHERE event_type = 'purchase' GROUP BY ALL),
+         |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+         |  TIMESTAMP '2024-01-06', INTERVAL 1 DAY)) AS bucket),
+         |cs AS (SELECT DISTINCT event_type FROM cnt),
+         |avs AS (SELECT DISTINCT user_bucket FROM avgp)
+         |SELECT s.event_type, 'clicks_count' AS fact, g.bucket,
+         |  coalesce(c.value, 0) AS value,
+         |  CAST(NULL AS VARCHAR) AS user_bucket,
+         |  CAST(NULL AS BIGINT) AS counter, CAST(NULL AS BIGINT) AS total,
+         |  'event_type' AS dim
+         |FROM cs s CROSS JOIN grid g
+         |LEFT JOIN cnt c USING (event_type, bucket)
+         |UNION ALL
+         |SELECT CAST(NULL AS VARCHAR) AS event_type, 'spend_avg' AS fact,
+         |  g.bucket, CAST(NULL AS BIGINT) AS value,
+         |  s.user_bucket,
+         |  coalesce(a.counter, 0) AS counter, coalesce(a.total, 0) AS total,
+         |  'user_bucket' AS dim
+         |FROM avs s CROSS JOIN grid g
+         |LEFT JOIN avgp a USING (user_bucket, bucket)""".stripMargin,
 
     // rollup-served ≡ compute-on-read for the mixed dashboard: the
     // tiers must change only the store that is scanned, never a row

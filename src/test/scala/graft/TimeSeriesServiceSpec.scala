@@ -994,6 +994,174 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(loaded.dimensions === svc.catalog.dimensions)
   }
 
+  test("crash mid-swap: a death between the swap's write and pointer " +
+      "flip loses nothing — takeover of EITHER side serves exact history") {
+    import spark.implicits._
+    // every store SWAP (compaction, erasure, retention) writes a FRESH
+    // directory, then flips the service's in-memory pointer, then the
+    // caller retires the old directory. A crash between the write and
+    // the flip leaves two complete stores on disk; this pins the
+    // recovery contract: attachEventStore(dir, takeover = true) on the
+    // PRE-swap directory serves the pre-swap history exactly (nothing
+    // was mutated in place), and on the post-swap directory serves the
+    // swap's result exactly (the write phase is atomic-per-partition
+    // overwrite into a fresh path).
+    def freshCatalog(): TimeSeriesService = {
+      val s = new TimeSeriesService(spark, spillDepth = 2)
+      s.defineFact("hits", FactType.Counter, slice = 10)
+      s.defineDimension("dep", facts = Set("hits"))
+      s
+    }
+    def frame(v: Long, dep: String) = Seq(graft.model.Event("hits",
+      ts("2014-03-21T09:15"), v, Map("dep" -> dep))).toDF()
+    def series(s: TimeSeriesService) = pivot(s.getTimeseries("hits", "dep",
+      Map("dep" -> None),
+      ts("2014-03-21T09:00"), ts("2014-03-21T10:00"), Step.NoStep),
+      Seq("dep"))
+    // --- compaction swap ---
+    val a = freshCatalog()
+    val dir1 = java.nio.file.Files
+      .createTempDirectory("graft-crash-swap").toString + "/store"
+    a.attachEventStore(dir1)
+    a.ingest(frame(1L, "x"), batchId = 0L)
+    a.ingest(frame(2L, "y"), batchId = 1L)
+    a.ingest(frame(4L, "x"), batchId = 2L)
+    val preSwap = series(a)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-crash-out").toString + "/compacted"
+    a.compactEventStore(out)
+    // CRASH here: a dies before retiring dir1 (nothing more from a).
+    // Recovery path 1 — the operator resumes on the OLD store:
+    val b = freshCatalog()
+    b.attachEventStore(dir1, takeover = true)
+    assert(series(b) == preSwap, "pre-swap directory must hold exact history")
+    // Recovery path 2 — the operator resumes on the NEW store:
+    val c = freshCatalog()
+    c.attachEventStore(out, takeover = true)
+    assert(series(c) == preSwap, "swapped store must hold exact history")
+    // the recovered writer is live: it can keep ingesting and the
+    // stale pre-crash instance is fenced out by the lease
+    b.ingest(frame(8L, "y"), batchId = 3L)
+    assert(series(b)(Map("dep" -> "y"))(None) == 10L)
+    val fenced = intercept[IllegalStateException] {
+      a.ingest(frame(100L, "x"), batchId = 4L)
+    }
+    assert(fenced.getMessage.contains("no longer leased"))
+    // --- erasure swap: same contract, and the retired dir still holds
+    // the to-be-erased rows until retireStoreDir closes the request ---
+    val d = freshCatalog()
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-crash-erase").toString + "/store"
+    d.attachEventStore(dir2)
+    d.ingest(frame(1L, "x"), batchId = 0L)
+    d.ingest(frame(2L, "victim"), batchId = 1L)
+    val preErase = series(d)
+    val scrubbed = java.nio.file.Files
+      .createTempDirectory("graft-crash-scrub").toString + "/scrubbed"
+    import org.apache.spark.sql.functions.{col, element_at}
+    d.eraseEvents(element_at(col("categories"), "dep") === "victim", scrubbed)
+    // CRASH before retireStoreDir(dir2): the old store still has the
+    // victim rows (the deletion is NOT complete — that is why
+    // retireStoreDir is mandatory), the new store never had them
+    val e = freshCatalog()
+    e.attachEventStore(dir2, takeover = true)
+    assert(series(e) == preErase)
+    val f = freshCatalog()
+    f.attachEventStore(scrubbed, takeover = true)
+    assert(series(f) == preErase - Map("dep" -> "victim"))
+    // the recovered post-swap owner closes the deletion request: the
+    // retired dir is leased to a writer it knows to be gone (here, e —
+    // the operator decided the scrub wins), so retirement is the
+    // takeover arm; without it the erased rows would outlive the crash
+    intercept[IllegalStateException] { f.retireStoreDir(dir2) }
+    f.retireStoreDir(dir2, takeover = true)
+    assert(!new java.io.File(dir2).exists())
+  }
+
+  test("multi-dimension read == union of per-dim multi reads with a " +
+      "dim discriminator; foreign filters drop per dimension") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("clicks", FactType.Counter, slice = 10)
+    svc.defineFact("lat", FactType.Average, slice = 10)
+    svc.defineDimension("page", facts = Set("clicks"))
+    svc.defineDimension("region", facts = Set("lat"))
+    for (i <- 0 until 6)
+      svc.newFact("clicks", ts(f"2014-03-21T${9 + i % 2}%02d:1$i"), 1L,
+        Map("page" -> ("p" + i % 2)))
+    for (i <- 0 until 4)
+      svc.newFact("lat", ts(f"2014-03-21T${9 + i % 2}%02d:2$i"), 50L + i,
+        Map("region" -> ("r" + i % 2)))
+    val md = svc.getTimeseriesMulti(
+      Seq("clicks" -> "page", "lat" -> "region"),
+      Map("page" -> Some("p0")),
+      ts("2014-03-21T09:00"), ts("2014-03-21T11:00"), Step.Hour, 0)
+    assert(md.columns.toSet ==
+      Set("page", "region", "fact", "dim", "bucket", "value", "counter",
+        "total"))
+    val got = md.collect().map(r =>
+      (Option(r.getAs[String]("page")), Option(r.getAs[String]("region")),
+        r.getAs[String]("fact"), r.getAs[String]("dim"),
+        r.getAs[java.sql.Timestamp]("bucket"),
+        Option(r.getAs[Any]("value")), Option(r.getAs[Any]("counter")),
+        Option(r.getAs[Any]("total")))).toSet
+    // the page filter applies to the page read; the region read must
+    // NOT lose rows to a key its dimension does not know
+    val exp =
+      svc.getTimeseriesMulti(Seq("clicks"), "page",
+          Map("page" -> Some("p0")),
+          ts("2014-03-21T09:00"), ts("2014-03-21T11:00"), Step.Hour)
+        .collect().map(r => (Option(r.getString(0)), None: Option[String],
+          r.getString(1), "page", r.getTimestamp(2), Option(r.get(3)),
+          None: Option[Any], None: Option[Any])) ++
+      svc.getTimeseriesMulti(Seq("lat"), "region",
+          Map.empty[String, Option[String]],
+          ts("2014-03-21T09:00"), ts("2014-03-21T11:00"), Step.Hour)
+        .collect().map(r => (None: Option[String], Option(r.getString(0)),
+          r.getString(1), "region", r.getTimestamp(2), None: Option[Any],
+          Option(r.get(3)), Option(r.get(4))))
+    assert(got == exp.toSet)
+  }
+
+  test("applyAdvice materializes only paying groupings and flips " +
+      "explainRoute; rows unchanged") {
+    import org.apache.spark.sql.functions.{col, lit, map, when}
+    import spark.implicits._
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("hits", FactType.Counter, slice = 60)
+    svc.defineDimension("dep", facts = Set("hits"))
+    // 40 events over 2 hours × 2 deps → 4 slice keys, ratio 10× — pays
+    val ev = (0 until 40).map(i => graft.model.Event("hits",
+      ts(f"2014-03-21T${9 + i % 2}%02d:${i % 60}%02d"), 1L,
+      Map("dep" -> ("d" + i % 2)))).toDF()
+    svc.ingest(ev)
+    def read() = svc.getTimeseries("hits", "dep", Map("dep" -> None),
+      ts("2014-03-21T09:00"), ts("2014-03-21T11:00"), Step.Hour)
+    def tier() = svc.explainRoute(Seq("hits"), "dep", Map("dep" -> None),
+        ts("2014-03-21T09:00"), ts("2014-03-21T11:00"), Step.Hour)
+      .select("tier").head.getString(0)
+    val preRows = pivot(read(), Seq("dep"))
+    assert(tier() == "raw-scan")
+    // bar too high: a genuine NO — nothing materializes, still raw
+    val declined = svc.applyAdvice(java.nio.file.Files
+      .createTempDirectory("graft-advice-hi").toString,
+      minCompactionE4 = 1000000L)
+    assert(declined.forall(_.path.isEmpty) && tier() == "raw-scan")
+    assert(declined.forall(_.compactionE4 >= 90000L),
+      s"fixture should measure ~10x: $declined")
+    // default bar: pays, materializes, registers — tier flips, rows don't
+    val applied = svc.applyAdvice(java.nio.file.Files
+      .createTempDirectory("graft-advice").toString)
+    assert(applied.forall(_.path.isDefined))
+    assert(tier() == "rollup-slice")
+    assert(pivot(read(), Seq("dep")) == preRows)
+    // a later ingest invalidates the advised rollup like any internal
+    // one — the loop is re-runnable, never stale
+    svc.ingest(Seq(graft.model.Event("hits", ts("2014-03-21T09:05"), 1L,
+      Map("dep" -> "d0"))).toDF())
+    assert(tier() == "raw-scan")
+  }
+
   test("typed Dataset surface agrees with the nested-map adapter") {
     val svc = freshService()
     val df = svc.getTimeseries("signups", "dependency_user",

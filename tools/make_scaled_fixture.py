@@ -64,6 +64,12 @@ def perturb_embeddings(table, rep):
     flat = col.values.to_numpy(zero_copy_only=False).astype(np.float32)
     offsets = col.offsets.to_numpy(zero_copy_only=False)
     dim = offsets[1] - offsets[0]
+    # the flat-buffer arithmetic below assumes a non-sliced child and
+    # uniform list lengths — a ragged or sliced embedding column would
+    # silently misalign the noise rather than fail, so assert both
+    assert offsets[0] == 0, "sliced embedding buffer (offsets[0] != 0)"
+    assert (np.diff(offsets) == dim).all(), \
+        "ragged embedding column: per-row dims differ"
     ids = table.column("vec_id").to_numpy(zero_copy_only=False)
     dim_idx = np.tile(np.arange(dim, dtype=np.int64), len(ids))
     vid = np.repeat(ids, dim)
