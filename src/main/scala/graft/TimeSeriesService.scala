@@ -1347,6 +1347,30 @@ final class TimeSeriesService(
     }
   }
 
+  /** The WINDOW-FREE slice-partials frame for one routed read — what
+    * the parameterized SQL window function
+    * ([[graft.sql.PipelineViews.installTimeseriesWindow]]) serves
+    * from: the registered rollup when one exists (an external store
+    * unions locally-built partials, exactly like the windowed read),
+    * else partials built from raw events. Always the SLICE tier — a
+    * window-parameterized surface cannot pick the day tier at install
+    * time (eligibility depends on the window), and slice partials are
+    * exact for every window. Returns (fact, effective slice, routed
+    * grouping, partials with `bucket_date`). */
+  private[graft] def routedSlicePartials(factId: String, dimId: String,
+      filters: Map[String, Option[String]])
+      : (FactDef, Int, Seq[String], DataFrame) = {
+    val (fact, dim, grouping) = route(factId, dimId, filters)
+    val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
+    val frame = servableRollup(fact, slice, grouping) match {
+      case Some(merged) => merged
+      case None => Rollups.build(prepare(fact.id, grouping), fact, slice,
+          grouping)
+        .withColumn("bucket_date", to_date(col("bucket")))
+    }
+    (fact, slice, grouping, frame)
+  }
+
   // ---- internals -------------------------------------------------------
 
   private def route(factId: String, dimId: String,

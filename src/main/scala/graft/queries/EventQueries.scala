@@ -535,6 +535,33 @@ object EventQueries {
       s.sql("SELECT event_type, bucket, value FROM graft_timeseries")
     }),
 
+    // the PARAMETERIZED window from pure SQL text: one installed SQL
+    // table function (installTimeseriesWindow), TWO different windows
+    // queried from the same session with no Scala re-install — the
+    // round-11 BI gap (views baked the window at install time). Each
+    // window's rows must match the Scala read's fill oracle exactly;
+    // the union is tagged by window so both gates in one compare.
+    "ts_window_sql" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineDimension("event_type", facts = Set("events_count"))
+      svc.ingest(eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .select(lit("events_count").as("fact"), col("ts"),
+          lit(1L).as("value"),
+          map(lit("event_type"), col("event_type")).as("categories")))
+      graft.sql.PipelineViews.installTimeseriesWindow(s, svc,
+        "events_count", "event_type", Map("event_type" -> Some("click")),
+        Step.Hour)
+      s.sql("""SELECT 1L AS win, * FROM graft_timeseries_window(
+              |  TIMESTAMP '2024-01-05 00:00:00',
+              |  TIMESTAMP '2024-01-06 00:00:00')
+              |UNION ALL
+              |SELECT 2L AS win, * FROM graft_timeseries_window(
+              |  TIMESTAMP '2024-01-06 00:00:00',
+              |  TIMESTAMP '2024-01-07 00:00:00')""".stripMargin)
+    }),
+
     // the MULTI-FACT dashboard from pure SQL text: ts_multi_mixed's
     // two-tile read installed as the graft_timeseries_multi view and
     // consumed with spark.sql — shares ts_multi_mixed's oracle
@@ -3717,6 +3744,23 @@ object EventQueries {
       gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 23:00:00",
       gridStep = "1 HOUR",
       loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-07T00:00")),
+
+    // the parameterized SQL window function: each queried window is
+    // exactly the Scala read's fill for that window, tagged by window
+    "ts_window_sql" ->
+      s"""SELECT 1 AS win, * FROM (${fillOracle(
+        where = "event_type = 'click'",
+        bucketExpr = "date_trunc('hour', ts)",
+        gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-05 23:00:00",
+        gridStep = "1 HOUR",
+        loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-06T00:00"))})
+         |UNION ALL
+         |SELECT 2 AS win, * FROM (${fillOracle(
+        where = "event_type = 'click'",
+        bucketExpr = "date_trunc('hour', ts)",
+        gridStart = "2024-01-06 00:00:00", gridStop = "2024-01-06 23:00:00",
+        gridStep = "1 HOUR",
+        loTs = lo("2024-01-06T00:00"), hiTs = hi("2024-01-07T00:00"))})""".stripMargin,
 
     // the SQL dashboard IS the Scala dashboard: oracle shared verbatim
     "ts_multi_sql" -> multiMixedSql,

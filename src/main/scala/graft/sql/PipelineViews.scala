@@ -78,6 +78,123 @@ object PipelineViews {
     svc.getTimeseriesMulti(factIds, dimId, filters, start, finish, step,
       offsetHours).createOrReplaceTempView(name)
 
+  /** The PARAMETERIZED window read: [[installTimeseries]] bakes
+    * (start, finish, step) into the view at install time — a BI user
+    * can move filters over the view but not the window. This installs
+    * a SQL TABLE FUNCTION instead, so the window moves in pure SQL
+    * text with no Scala re-install:
+    *
+    * {{{
+    *   SELECT * FROM graft_timeseries_window(
+    *     TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-06 00:00:00')
+    * }}}
+    *
+    * The function body IS the routed read's pipeline as SQL text over
+    * a window-free slice-partials view
+    * ([[graft.TimeSeriesService.routedSlicePartials]]): inclusive
+    * slice-bucketed scan bounds (`graft_slice`, the [[SqlSurface]]
+    * mirror of the Scala kernel), calendar collapse (non-ISO week via
+    * `graft_week`), and the start-inclusive finish-EXCLUSIVE dense
+    * grid with the fact's filler — the driver-gated `ts_window_sql`
+    * twin shares the Scala read's fill oracle per window, so this
+    * surface cannot drift. Spark inlines the body at invocation with
+    * the call's literals, so the scan bounds constant-fold and the
+    * partials store prunes its `bucket_date` partitions per call.
+    *
+    * Serving tier: the registered rollup's SLICE partials when one
+    * exists (an external store unions local partials), else partials
+    * from raw events — never the day tier, whose eligibility depends
+    * on the window and cannot be decided at install time.
+    *
+    * Counter / Distinct / Average facts; the step is baked per install
+    * (a grid interval cannot be a runtime parameter of one SQL body —
+    * install one function per step a dashboard needs). Histograms
+    * keep [[installHistogram]] (no grid to parameterize). */
+  def installTimeseriesWindow(spark: SparkSession,
+      svc: graft.TimeSeriesService, factId: String, dimId: String,
+      filters: Map[String, Option[String]],
+      step: graft.model.Step, offsetHours: Int = 0,
+      name: String = "graft_timeseries_window"): Unit = {
+    import graft.model.{FactType, Step}
+    require(step != Step.NoStep,
+      "installTimeseriesWindow needs a calendar step (the windowed " +
+        "grid is the point); use installTimeseries for :all reads")
+    graft.functions.SqlSurface.register(spark)
+    val (fact, slice, grouping, partials) =
+      svc.routedSlicePartials(factId, dimId, filters)
+    val src = s"__graft_win_src_$name"
+    partials.createOrReplaceTempView(src)
+    val dims = grouping.map(d => s"`$d`").mkString(", ")
+    val nonNull = grouping.map(d => s"`$d` IS NOT NULL").mkString(" AND ")
+    val eq = filters.collect {
+      case (k, Some(v)) if grouping.contains(k) =>
+        s" AND `$k` = '${v.replace("'", "''")}'"
+    }.mkString
+    val shifted =
+      if (offsetHours == 0) "bucket"
+      else s"timestamp_seconds(unix_timestamp(bucket) + ${offsetHours * 3600L})"
+    val bucketExpr = step match {
+      case Step.Hour => s"date_trunc('HOUR', $shifted)"
+      case Step.Day => s"date_trunc('DAY', $shifted)"
+      case Step.Week => s"graft_week($shifted)"
+      case Step.Month => s"date_trunc('MONTH', $shifted)"
+      case Step.Year => s"date_trunc('YEAR', $shifted)"
+      case Step.NoStep => throw new IllegalStateException
+    }
+    val gridInterval = step match {
+      case Step.Hour => "INTERVAL 1 HOUR"
+      case Step.Day => "INTERVAL 1 DAY"
+      case Step.Week => "INTERVAL 7 DAY"
+      case Step.Month => "INTERVAL 1 MONTH"
+      case Step.Year => "INTERVAL 1 YEAR"
+      case Step.NoStep => throw new IllegalStateException
+    }
+    val loB = s"graft_slice(win_start, $slice)"
+    val hiB = s"graft_slice(win_finish, $slice) + INTERVAL $slice MINUTE"
+    val (retMeas, aggSel, fillSel) = fact.ftype match {
+      case FactType.Counter => ("value BIGINT",
+        "sum(value) AS value",
+        s"coalesce(s.value, ${fact.filler}L) AS value")
+      case FactType.Distinct => ("value BIGINT",
+        // tall dval partials: exact distinct re-collapses from the
+        // retained values, never from per-slice scalars
+        "count(DISTINCT dval) AS value",
+        s"coalesce(s.value, ${fact.filler}L) AS value")
+      case FactType.Average => ("counter BIGINT, total BIGINT",
+        "sum(counter) AS counter, sum(total) AS total",
+        "coalesce(s.counter, 0L) AS counter, " +
+          "coalesce(s.total, 0L) AS total")
+      case FactType.Histogram => throw new IllegalArgumentException(
+        "installTimeseriesWindow does not cover histogram facts — " +
+          "histograms never gap-fill; use installHistogram")
+    }
+    val dimCols = grouping.map(d => s"`$d` STRING").mkString(", ")
+    val joinOn = grouping.map(d => s"s.`$d` = series.`$d`")
+      .mkString(" AND ")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION $name(
+         |    win_start TIMESTAMP, win_finish TIMESTAMP)
+         |RETURNS TABLE ($dimCols, bucket TIMESTAMP, $retMeas)
+         |RETURN
+         |WITH scanned AS (
+         |  SELECT $dims, $bucketExpr AS bucket, $aggSel
+         |  FROM $src
+         |  WHERE bucket_date BETWEEN to_date($loB)
+         |      AND to_date($hiB - INTERVAL 1 MICROSECOND)
+         |    AND bucket >= $loB AND bucket < $hiB
+         |    AND $nonNull$eq
+         |  GROUP BY ALL),
+         |grid AS (SELECT explode(filter(sequence(win_start,
+         |    greatest(win_start, win_finish), $gridInterval),
+         |    x -> x < win_finish)) AS bucket),
+         |series AS (SELECT DISTINCT $dims FROM scanned)
+         |SELECT ${grouping.map(d => s"series.`$d`").mkString(", ")},
+         |  grid.bucket, $fillSel
+         |FROM series CROSS JOIN grid
+         |LEFT JOIN scanned s
+         |  ON $joinOn AND s.bucket = grid.bucket""".stripMargin)
+  }
+
   /** [[graft.TimeSeriesService.getHistogram]] (O21) as the
     * `graft_histogram` view: per-series value-distribution counts —
     * and, through plain SQL on top, any percentile/CDF-style read the

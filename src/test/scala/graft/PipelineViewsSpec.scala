@@ -88,6 +88,59 @@ class PipelineViewsSpec extends SparkTestBase {
       .head.getLong(0) == 1L)
   }
 
+  test("windowed table function: the window moves in SQL text, each " +
+      "window == the Scala read, rollup-served when registered") {
+    import graft.functions.TimeKernel.ts
+    import graft.model.{FactType, Step}
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("clicks", FactType.Counter, slice = 15, filler = -1L)
+    svc.defineDimension("event_type", facts = Set("clicks"))
+    svc.ingest(Seq(
+      graft.model.Event("clicks", ts("2014-03-21T10:05"), 1L,
+        Map("event_type" -> "click")),
+      graft.model.Event("clicks", ts("2014-03-21T10:20"), 1L,
+        Map("event_type" -> "click")),
+      graft.model.Event("clicks", ts("2014-03-22T13:40"), 3L,
+        Map("event_type" -> "click"))).toDF())
+    val mvDir = java.nio.file.Files
+      .createTempDirectory("graft_view_win").toString
+    svc.materializeRollups(mvDir)
+    graft.sql.PipelineViews.installTimeseriesWindow(spark, svc, "clicks",
+      "event_type", Map("event_type" -> Some("click")), Step.Hour)
+    def viaSql(a: String, b: String) = spark.sql(
+      s"SELECT * FROM graft_timeseries_window(TIMESTAMP '$a', " +
+        s"TIMESTAMP '$b')")
+    def viaScala(a: String, b: String) = svc.getTimeseries("clicks",
+      "event_type", Map("event_type" -> Some("click")),
+      ts(a.replace(" ", "T")), ts(b.replace(" ", "T")), Step.Hour)
+    // two windows from ONE install — the round-11 gap was exactly
+    // this: moving the window required a Scala re-install
+    for ((a, b) <- Seq(
+        ("2014-03-21 08:00:00", "2014-03-21 12:00:00"),
+        ("2014-03-22 12:00:00", "2014-03-22 15:00:00"),
+        // mid-hour start: grid points match no truncated bucket —
+        // all filler, the reference's documented edge
+        ("2014-03-21 09:30:00", "2014-03-21 11:30:00"))) {
+      val sql = viaSql(a, b).collect().map(_.toSeq).toSet
+      val sc = viaScala(a, b).collect().map(_.toSeq).toSet
+      assert(sql == sc, s"window [$a, $b): $sql != $sc")
+    }
+    // the fact's filler is honored (filler = -1, not the default 0):
+    // 08:00 is a gap bucket of a series that IS in the window's scan
+    assert(viaSql("2014-03-21 08:00:00", "2014-03-21 12:00:00")
+      .where("bucket = TIMESTAMP '2014-03-21 08:00:00'")
+      .head.getLong(2) == -1L)
+    // empty window → zero rows, same schema
+    assert(viaSql("2014-03-21 08:00:00", "2014-03-21 08:00:00")
+      .count() == 0L)
+    // the function body serves from the REGISTERED slice partials:
+    // the inlined plan scans the store, and the call's literal window
+    // prunes its bucket_date partitions
+    val plan = viaSql("2014-03-21 08:00:00", "2014-03-21 12:00:00")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(mvDir), "window function must scan the rollup")
+  }
+
   test("bm25 view serves from the registered index via SQL text") {
     val idx = java.nio.file.Files
       .createTempDirectory("graft_view_bm25").toString

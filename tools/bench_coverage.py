@@ -11,12 +11,20 @@ soak's derived PASS counts, coverage is now ASSERTED, not eyeballed:
 The second argument is either a driver CORRECTNESS_r*.json (its keys
 are the gated query names) or a graft.Verify output directory (one
 parquet dir per query). Exit 1 with the missing keys when the bench's
-key set does not cover the query set; `__build`/`__read` phase keys
-are bench-only extras and never required.
+key set does not cover the query set.
+
+Split-pair coverage (round-11 verdict item 6: BENCH_local_r11b
+silently lacked `ann_ivf_persisted__build/__read`) is asserted too:
+for every lifecycleSplits key in the gated set, BOTH `__build` and
+`__read` must be present and non-negative — the inventory of split
+keys comes from the same source extraction check_inventory.py uses.
 """
 import json
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_inventory import extract_keys  # noqa: E402
 
 
 def query_set(path: str) -> set:
@@ -47,9 +55,19 @@ def main() -> int:
         print(f"FAIL: bench {bench_path} recorded errors (-1) for: "
               f"{', '.join(failed)}")
         return 1
-    extras = len(bench_keys - expected)
-    print(f"OK: bench covers all {len(expected)} gated queries "
-          f"(+{extras} bench-only phase/extra keys)")
+    _, splits = extract_keys()
+    pair_keys = {f"{n}__{p}" for n in splits if n in expected
+                 for p in ("build", "read")}
+    bad_pairs = sorted(k for k in pair_keys
+                       if bench["queries"].get(k, -1.0) < 0)
+    if bad_pairs:
+        print(f"FAIL: bench {bench_path} lacks (or errored) split "
+              f"pairs: {', '.join(bad_pairs)}")
+        return 1
+    extras = len(bench_keys - expected) - len(pair_keys)
+    print(f"OK: bench covers all {len(expected)} gated queries, "
+          f"{len(pair_keys)} split-pair keys "
+          f"(+{extras} bench-only extra keys)")
     return 0
 
 

@@ -84,5 +84,17 @@ val m4s = spark.sql("SELECT counter, total FROM graft_ts_multi4 WHERE fact = 'sp
 assert((m4s.getLong(0), m4s.getLong(1)) == ((2L, 300L)), s"spend tile: $m4s")
 val m4n = spark.sql("SELECT count(*) AS n FROM graft_ts_multi4 WHERE fact IN ('clicks', 'uniq') AND hist_bucket IS NULL").head.getLong(0)
 assert(m4n == 8L, s"filled value tiles with null-padded hist_bucket: $m4n")
+// the PARAMETERIZED window (B91): one installed SQL table function,
+// the window moved in pure SQL text — two different windows, each the
+// exact fill for its range, with no Scala re-install between them
+graft.sql.PipelineViews.installTimeseriesWindow(spark, tsvc, "clicks", "event_type", Map("event_type" -> Some("click")), graft.model.Step.Hour)
+val w1 = spark.sql("SELECT bucket, value FROM graft_timeseries_window(TIMESTAMP '2024-01-05 09:00:00', TIMESTAMP '2024-01-05 11:00:00') ORDER BY bucket").collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+assert(w1 == Seq((ts("2024-01-05T09:00"), 0L), (ts("2024-01-05T10:00"), 2L)), s"window 1: $w1")
+val w2 = spark.sql("SELECT bucket, value FROM graft_timeseries_window(TIMESTAMP '2024-01-05 10:00:00', TIMESTAMP '2024-01-05 12:00:00') ORDER BY bucket").collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+assert(w2 == Seq((ts("2024-01-05T10:00"), 2L), (ts("2024-01-05T11:00"), 0L)), s"window 2: $w2")
+// a window with NO scanned series yields zero rows (series absent
+// from the scan stay absent — the fillRange rule, in SQL text too)
+val w3 = spark.sql("SELECT * FROM graft_timeseries_window(TIMESTAMP '2024-01-05 12:00:00', TIMESTAMP '2024-01-05 14:00:00')").count()
+assert(w3 == 0L, s"window 3 must be empty: $w3")
 println("DRIVE-EXT-OK " + rows)
 sys.exit(0)

@@ -116,6 +116,15 @@ def main():
         i = args.index("--embed-factor")
         embed_factor = int(args[i + 1])
         del args[i:i + 2]
+    # --tables a,b,c: scale ONLY the named tables; everything else is
+    # copied verbatim (factor 1). The SF-10 point scales the pipeline
+    # tables (events/documents/embeddings) without materializing a
+    # 60M-row lineitem nobody gates there.
+    only_tables = None
+    if "--tables" in args:
+        i = args.index("--tables")
+        only_tables = set(args[i + 1].split(","))
+        del args[i:i + 2]
     src, out = args[0], args[1]
     factor = int(args[2]) if len(args) > 2 else 10
     import os
@@ -131,9 +140,10 @@ def main():
 
     for table, cols in OFFSETS.items():
         t = pq.read_table(f"{src}/{table}.parquet")
-        if not cols:
+        if not cols or (only_tables is not None
+                        and table not in only_tables):
             pq.write_table(t, f"{out}/{table}.parquet")
-            print(f"{table}: dimension table copied ({t.num_rows} rows)")
+            print(f"{table}: copied verbatim ({t.num_rows} rows)")
             continue
         table_factor = (embed_factor
                         if table == "embeddings" and embed_factor

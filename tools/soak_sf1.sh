@@ -67,7 +67,8 @@ ts_distinct_day,ts_distinct_rollup,ts_distinct_sketch,ts_pct_sketch,\
 ts_routed_avg,ts_routed_day_tier,ts_routed_distinct,\
 ts_routed_distinct_day,ts_routed_unaligned,ts_routed_sql,\
 ts_cusum_routed,q1_routed_mv,series_trend_routed,\
-ts_fill_sql,ts_multi_sql,ts_hist_sql"
+ts_fill_sql,ts_multi_sql,ts_hist_sql,ts_window_sql,ts_advised_route,\
+ts_multi_dims"
 STREAM="ts_stream_maintained_fill,ts_stream_distinct_fill,\
 ts_stream_distinct_sketch,ts_stream_pct_sketch,stream_anomalies,\
 stream_cusum,stream_ewma,stream_holt,stream_funnel,stream_sessions,\
@@ -175,19 +176,28 @@ run_gate "$FIX" "$QUERIES" main
 run_gate "$FIXD" "$DECLONED" decloned
 run_gate "$FIXE" "$ANND" ann200k
 
+# SPARK_GRAFT_BENCH_OUT lands each artifact as CLEAN json (no sbt
+# [info] prefix to strip — round-11 verdict item 8)
 SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
-  SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
-  | grep '"metric"' | tail -1 | sed 's/^\[info\] //' > "$PREFIX/BENCH_sf1.json"
+  SPARK_GRAFT_BENCH_PASSES=2 \
+  SPARK_GRAFT_BENCH_OUT="$PREFIX/BENCH_sf1.json" \
+  sbt -batch "runMain graft.Bench" 2>&1 | tail -1 >/dev/null
 SPARK_GRAFT_SF_DIR="$FIXD" SPARK_GRAFT_BENCH_ONLY="$DECLONED" \
-  SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
-  | grep '"metric"' | tail -1 | sed 's/^\[info\] //' > "$PREFIX/BENCH_sf1_decloned.json"
+  SPARK_GRAFT_BENCH_PASSES=2 \
+  SPARK_GRAFT_BENCH_OUT="$PREFIX/BENCH_sf1_decloned.json" \
+  sbt -batch "runMain graft.Bench" 2>&1 | tail -1 >/dev/null
 SPARK_GRAFT_SF_DIR="$FIXE" SPARK_GRAFT_BENCH_ONLY="$ANND" \
-  SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
-  | grep '"metric"' | tail -1 | sed 's/^\[info\] //' > "$PREFIX/BENCH_sf1_ann200k.json"
+  SPARK_GRAFT_BENCH_PASSES=2 \
+  SPARK_GRAFT_BENCH_OUT="$PREFIX/BENCH_sf1_ann200k.json" \
+  sbt -batch "runMain graft.Bench" 2>&1 | tail -1 >/dev/null
 # the clone-quadratic audit baselines, measured once each
 SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$LEGACY" \
-  SPARK_GRAFT_BENCH_PASSES=1 sbt -batch "runMain graft.Bench" 2>&1 \
-  | grep '"metric"' | tail -1 | sed 's/^\[info\] //' > "$PREFIX/BENCH_sf1_legacy.json"
+  SPARK_GRAFT_BENCH_PASSES=1 \
+  SPARK_GRAFT_BENCH_OUT="$PREFIX/BENCH_sf1_legacy.json" \
+  sbt -batch "runMain graft.Bench" 2>&1 | tail -1 >/dev/null
+for f in BENCH_sf1 BENCH_sf1_decloned BENCH_sf1_ann200k BENCH_sf1_legacy; do
+  python3 -c "import json; json.load(open('$PREFIX/$f.json'))"
+done
 echo "soak done: $(count "$QUERIES")+$(count "$DECLONED")+$(count "$ANND") gated;" \
   "$PREFIX/CORRECTNESS_sf1_{main,decloned,ann200k}.txt" \
   "$PREFIX/BENCH_sf1{,_decloned,_ann200k,_legacy}.json"

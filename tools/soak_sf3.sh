@@ -22,7 +22,8 @@ ts_multi_routed,ts_rollup_hour_fill,ts_asof_batch,ts_retention_serve,\
 ts_hist,ts_hist_day,ts_distinct_sketch,ts_routed_avg,\
 ts_routed_day_tier,ts_routed_distinct,ts_routed_sql,\
 ts_routed_unaligned,ts_routed_hist,q1_routed_mv,series_trend_routed,\
-ts_fill_sql,ts_multi_sql,ts_hist_sql,dedup_consensus_lsh,\
+ts_fill_sql,ts_multi_sql,ts_hist_sql,ts_window_sql,\
+ts_advised_route,ts_multi_dims,dedup_consensus_lsh,\
 dedup_exact,dedup_rate_by_source,dedup_clusters_canonical,\
 dedup_canonical_incremental,q1_pricing_summary,event_sessions,\
 decontaminate_bloom,stream_sessions"
@@ -41,6 +42,8 @@ grep -q "== $N pass, 0 fail ==" "$PREFIX/CORRECTNESS_sf3.txt" || {
   echo "sf3 soak: expected exactly $N passes"; exit 1; }
 
 SPARK_GRAFT_SF_DIR="$FIX" SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
-  SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>&1 \
-  | grep '"metric"' | tail -1 | sed 's/^\[info\] //' > "$PREFIX/BENCH_sf3.json"
+  SPARK_GRAFT_BENCH_PASSES=2 \
+  SPARK_GRAFT_BENCH_OUT="$PREFIX/BENCH_sf3.json" \
+  sbt -batch "runMain graft.Bench" 2>&1 | tail -1 >/dev/null
+python3 -c "import json; json.load(open('$PREFIX/BENCH_sf3.json'))"
 echo "sf3 soak done: $PREFIX/CORRECTNESS_sf3.txt $PREFIX/BENCH_sf3.json"
