@@ -204,54 +204,99 @@ object Graph {
     * the gap widens with density). Each triangle surfaces exactly once
     * (at the edge between its two lowest-ordered corners), then
     * explodes to its 3 corners for the per-node aggregation. The
-    * dedup + degree + adjacency prologue is ONE collect_set
-    * aggregation (sets dedup multi-edges map-side, degree = set size)
-    * instead of the naive distinct-then-count-then-join chain; node
-    * ids keep their input type (numeric ids hash/compare/pack far
-    * cheaper than strings). The prologue's memory bound is the MAX
-    * DEGREE (one full neighbor set per aggregation buffer — ~8 bytes
-    * per neighbor, so a 10⁷-degree hub costs an 80 MB row); only the
-    * oriented forward arrays downstream enjoy the O(√m) cap. On
-    * graphs with hubs beyond executor-buffer scale, fall back to the
-    * flat-row plan (distinct edges + count-based degrees) before the
-    * orientation — same answer, one extra shuffle (SCALE.md §8).
+    * prologue DEDUPS the unordered pairs as SCALAR rows first
+    * (hash-aggregate with map-side partial dedup — cheap fixed-width
+    * state), and only then builds each node's neighbor array from
+    * already-unique pairs: on multi-edge-heavy inputs (a co-purchase
+    * frame emits one pair per co-occurrence) building the sets
+    * directly from the duplicated stream made the array buffers the
+    * hot aggregation state — measured 2× slower at the ×100 fixture
+    * (SCALE.md §15). Node ids keep their input type (numeric ids
+    * hash/compare/pack far cheaper than strings). The FULL-adjacency
+    * build's memory bound is the MAX DEGREE (one full neighbor array
+    * per aggregation buffer — ~8 bytes per neighbor, so a 10⁷-degree
+    * hub costs an 80 MB row); only the oriented forward arrays
+    * downstream enjoy the O(√m) cap. The hub guard is AUTOMATIC now:
+    * degrees are measured first from the deduped scalar pairs (a
+    * fixed-width aggregation that cannot blow up), and when the max
+    * degree exceeds `hubDegreeThreshold` the orientation switches to
+    * the FLAT plan — forward edges from two scalar degree joins, no
+    * full-adjacency array ever built — same answers (spec-pinned),
+    * one extra shuffle (SCALE.md §8). The forward arrays it still
+    * builds are O(√m)-capped, safe at any hub size.
     */
-  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // ONE aggregation yields dedup'd full adjacency AND degree at once:
-    // collect_set dedups multi-edges map-side, so the separate
-    // edge-distinct and degree passes of the naive plan collapse into
-    // this shuffle (the edge frame with duplicates shuffles once, as
-    // (id, nbr) pairs both ways).
-    val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
-      .unionAll(edges.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
-      .where(col("id") =!= col("nbr"))
-    val adjFull = sym.groupBy(col("id"))
-      .agg(collect_set(col("nbr")).as("nbrs"))
-      .select(col("id"), col("nbrs"),
-        size(col("nbrs")).cast("long").as("degree"))
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
+      hubDegreeThreshold: Long = 5000000L): DataFrame = {
+    // normalize to unordered pairs and dedup as SCALAR rows before any
+    // array is built: multi-edges collapse in a fixed-width hash
+    // aggregate (partial map-side), so the adjacency collect below
+    // never feeds duplicates through its array buffers
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .dropDuplicates("a", "b")
       .localCheckpoint(true)
-    // orient lower (degree, id) → higher: explode the full adjacency
-    // back to edges (each undirected edge appears once per direction;
-    // the strict struct inequality keeps exactly the forward copy) and
-    // look up the NEIGHBOR's degree with one join against the node
-    // table — broadcast while it fits, shuffle otherwise (AQE's call)
-    val degT = adjFull.select(col("id").as("nbr"), col("degree").as("dn"))
-    val fwdE = adjFull.select(col("id"), col("degree"),
-        explode(col("nbrs")).as("nbr"))
-      .join(degT, Seq("nbr"))
-      .where(struct(col("degree"), col("id")) <
-        struct(col("dn"), col("nbr")))
-      .select(col("id").as("src"), col("nbr").as("dst"))
+    val sym = und.select(col("a").as("id"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("id"), col("a").as("nbr")))
+    // degrees from SCALAR rows (pairs are already unique): safe at any
+    // hub size, and the basis of the automatic plan choice below
+    val degrees = sym.groupBy(col("id"))
+      .agg(count(lit(1)).as("degree"))
       .localCheckpoint(true)
+    val maxDegree = degrees.agg(max(col("degree"))).head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    // orient lower (degree, id) → higher (bounds oriented out-degree
+    // by O(√m) on any graph — no hub blowup downstream). Bounded
+    // graphs take the fused explode (the full adjacency is built once
+    // below and doubles as the orientation source); hub graphs derive
+    // forward edges from two scalar degree joins instead, so no full
+    // neighbor array is ever buffered.
+    val fwdE =
+      if (maxDegree <= hubDegreeThreshold) {
+        val adjFull = sym.groupBy(col("id"))
+          .agg(collect_set(col("nbr")).as("nbrs"))
+          .select(col("id"), col("nbrs"),
+            size(col("nbrs")).cast("long").as("degree"))
+        val degT = degrees.select(col("id").as("nbr"),
+          col("degree").as("dn"))
+        adjFull.select(col("id"), col("degree"),
+            explode(col("nbrs")).as("nbr"))
+          .join(degT, Seq("nbr"))
+          .where(struct(col("degree"), col("id")) <
+            struct(col("dn"), col("nbr")))
+          .select(col("id").as("src"), col("nbr").as("dst"))
+      } else {
+        und
+          .join(degrees.select(col("id").as("a"), col("degree").as("da")),
+            Seq("a"))
+          .join(degrees.select(col("id").as("b"), col("degree").as("db")),
+            Seq("b"))
+          .select(
+            when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+              struct(col("a").as("src"), col("b").as("dst")))
+              .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+              .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      }
     // forward adjacency, sorted so array_intersect scans cache-tight
     val adj = fwdE.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    // per edge u→v: common forward neighbours close one triangle each;
-    // a dst with NO forward edges is absent from adj — left join +
-    // empty-array default keeps those edges (they just close nothing)
+    // per edge u→v: common forward neighbours close one triangle each.
+    // The (src, dst, srcNbrs) triples come from EXPLODING the forward
+    // adjacency itself — every forward edge is an entry of its
+    // source's array, so re-deriving the edge list from adj attaches
+    // srcNbrs for free and the old fwdE⋈adj(src) shuffle join (45M
+    // array-carrying rows at the ×100 fixture) disappears; ONE join
+    // remains, looking up the destination's array. A dst with NO
+    // forward edges is absent from adj — left join + empty-array
+    // default keeps those edges (they just close nothing).
     val empty = array().cast(adj.schema("nbrs").dataType)
-    val triangles = fwdE
-      .join(adj.withColumnRenamed("nbrs", "srcNbrs"), Seq("src"))
+    val triangles = adj
+      .select(col("src"), col("nbrs").as("srcNbrs"),
+        explode(col("nbrs")).as("dst"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("dstNbrs")),
         Seq("dst"), "left")
       .select(col("src"), col("dst"),
@@ -260,7 +305,7 @@ object Graph {
     val perNode = triangles
       .select(explode(array(col("src"), col("dst"), col("third"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
-    adjFull.select(col("id"), col("degree"))
+    degrees
       .join(perNode, Seq("id"), "left")
       .select(col("id"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),

@@ -234,6 +234,29 @@ class GraphSpec extends SparkTestBase {
     assert(got("z") === ((1L, 0L, None)))
   }
 
+  test("triangleStats hub fallback: the flat plan (threshold forced) " +
+      "answers identically to the fused plan on every random graph") {
+    import spark.implicits._
+    // the automatic degree-threshold switch (SCALE.md §8): beyond the
+    // hub bound the orientation derives from scalar degree joins and
+    // no FULL neighbor array is ever buffered. Same rows, pinned here
+    // by forcing the flat arm with threshold 0 against the fused
+    // default on the same graphs (multi-edges and a hub included).
+    val rnd = new scala.util.Random(0xF1A7L)
+    for (round <- 1 to 3) {
+      val base = (1 to 150).map(_ =>
+        (s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}"))
+      val hub = (0 until 20).map(i => ("h", s"n$i"))
+      val edges = rnd.shuffle(base ++ hub ++ base.take(30)).toDF("src", "dst")
+      val fused = Graph.triangleStats(edges, "src", "dst")
+        .collect().map(_.toSeq).toSet
+      val flat = Graph.triangleStats(edges, "src", "dst",
+          hubDegreeThreshold = 0L)
+        .collect().map(_.toSeq).toSet
+      assert(flat === fused, s"round $round")
+    }
+  }
+
   test("hopDistances: directed BFS matches Floyd-style reference; cap respected") {
     import spark.implicits._
     // a→b→c→d→e chain plus shortcut a→d; f unreachable from a
