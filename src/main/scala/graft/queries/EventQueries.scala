@@ -841,8 +841,10 @@ object EventQueries {
     // the ROLLUP-SERVED dashboard read: same mixed dashboard as
     // ts_multi_mixed, but both facts' rollups are materialized first —
     // the multi read tier-routes EVERY tile onto its registered
-    // partials (here the day tier: midnight bounds, day step) and the
-    // event store is never scanned (PlanAuditSpec pins the plan).
+    // partials (the SLICE tier here: the finish floors to a 00:15
+    // scan bound, not a whole-day window — ts_routed_day_tier covers
+    // the day tier) and the event store is never scanned
+    // (PlanAuditSpec pins the plan).
     // Identical rows by re-aggregability → shares ts_multi_mixed's
     // oracle verbatim. Bench also times the phases separately
     // (ts_multi_routed__build / __read via lifecycleSplits): the
