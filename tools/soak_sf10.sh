@@ -1,16 +1,15 @@
 #!/usr/bin/env bash
-# SF-10 soak (the x100 scale point, round-11 verdict item 5): scale the
-# PIPELINE tables of sf0.1 by x100 — events 10M rows, documents 500k
-# (clone-heavy, the canonical-dedup regime), embeddings 200k distinct
-# perturbed vectors — and gate the families whose 100 TB story IS the
+# SF-10 soak (the x100 scale point, round-11 verdict item 5): scale
+# sf0.1 by x100 — events 10M rows, documents 500k (clone-heavy, the
+# canonical-dedup regime), embeddings 200k distinct perturbed vectors,
+# lineitem 60M rows — and gate the families whose 100 TB story IS the
 # product: the routed/advised/windowed ts serving reads, the canonical
-# dedup close, the IVF/IVF-PQ store, and the BM25 index. TPC-H tables
-# are copied verbatim (nothing gates them here; Bench provenance still
-# records them).
+# dedup close, the IVF/IVF-PQ store, and the BM25 index.
 #
 # basket_triangles is BENCH-only at this scale (verdict item 10: watch
-# the curve): its DuckDB oracle is a 3-way self-join that does not
-# bound like the engine's degree-oriented kernel.
+# the curve over the x100 co-purchase graph): its DuckDB oracle is a
+# 3-way self-join that does not bound like the engine's
+# degree-oriented kernel.
 #
 # Query counts are DERIVED from the lists and the gate asserts the
 # exact expected PASS count — never trust grep-filtered output.
@@ -38,8 +37,7 @@ BENCHQ="$QUERIES,basket_triangles"
 python3 tools/check_inventory.py
 
 [ -d "$FIX" ] || python3 tools/make_scaled_fixture.py \
-  /root/testdata/sf0.1 "$FIX" 100 --embed-factor 100 \
-  --tables events,documents,embeddings
+  /root/testdata/sf0.1 "$FIX" 100 --embed-factor 100
 
 count() { awk -F, '{print NF}' <<<"$1"; }
 
