@@ -643,6 +643,32 @@ object EventQueries {
       s.sql("SELECT event_type, hist_bucket, value FROM graft_histogram")
     }),
 
+    // the histogram read's PARAMETERIZED window: one installed SQL
+    // table function, two different windows (day 1, day 2) queried
+    // from one session — each window's distribution is exactly the
+    // service read's for that range (histograms never gap-fill, so
+    // the window moves only the scan)
+    "ts_hist_window_sql" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("spend_hist", FactType.Histogram, slice = 15,
+        start = Some(0L), end = Some(20000L), step = Some(2000L))
+      svc.defineDimension("event_type", facts = Set("spend_hist"))
+      svc.ingest(eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .select(lit("spend_hist").as("fact"), col("ts"),
+          cents.as("value"),
+          map(lit("event_type"), col("event_type")).as("categories")))
+      graft.sql.PipelineViews.installHistogramWindow(s, svc, "spend_hist",
+        "event_type", Map("event_type" -> None))
+      s.sql("""SELECT 1L AS win, * FROM graft_histogram_window(
+              |  TIMESTAMP '2024-01-05 00:00:00',
+              |  TIMESTAMP '2024-01-06 00:00:00')
+              |UNION ALL
+              |SELECT 2L AS win, * FROM graft_histogram_window(
+              |  TIMESTAMP '2024-01-06 00:00:00',
+              |  TIMESTAMP '2024-01-07 00:00:00')""".stripMargin)
+    }),
+
     // LENIENT ingest under the driver's gate: a feed where every 7th
     // event carries a null value and every 7th+1 an undefined fact id
     // must neither fail the job nor distort history — corrupt rows
@@ -3790,6 +3816,23 @@ object EventQueries {
          |WHERE ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
          |  AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'
          |GROUP BY ALL""".stripMargin,
+
+    // the windowed histogram function: each queried window is the
+    // service's distribution over exactly that inclusive-bucketed scan
+    "ts_hist_window_sql" -> {
+      def win(tag: Int, l: String, h: String) =
+        s"""SELECT $tag AS win, event_type,
+           |  CAST(LEAST(GREATEST(FLOOR(CAST(round(value * 100) AS BIGINT)
+           |    / 2000), 0), 9) AS BIGINT) * 2000 AS hist_bucket,
+           |  count(*) AS value
+           |FROM events
+           |WHERE ts >= TIMESTAMP '${lo(l)}'
+           |  AND ts < TIMESTAMP '${hi(h)}'
+           |GROUP BY ALL""".stripMargin
+      win(1, "2024-01-05T00:00", "2024-01-06T00:00") +
+        "\nUNION ALL\n" +
+        win(2, "2024-01-06T00:00", "2024-01-07T00:00")
+    },
 
     // exactly the valid subset of the corrupted feed: events whose
     // id % 7 hit the null-value (0) or undefined-fact (1) corruption

@@ -109,7 +109,8 @@ object PipelineViews {
     * Counter / Distinct / Average facts; the step is baked per install
     * (a grid interval cannot be a runtime parameter of one SQL body —
     * install one function per step a dashboard needs). Histograms
-    * keep [[installHistogram]] (no grid to parameterize). */
+    * have their own windowed twin, [[installHistogramWindow]]
+    * (no grid: histograms never gap-fill). */
   def installTimeseriesWindow(spark: SparkSession,
       svc: graft.TimeSeriesService, factId: String, dimId: String,
       filters: Map[String, Option[String]],
@@ -193,6 +194,49 @@ object PipelineViews {
          |FROM series CROSS JOIN grid
          |LEFT JOIN scanned s
          |  ON $joinOn AND s.bucket = grid.bucket""".stripMargin)
+  }
+
+  /** The HISTOGRAM twin of [[installTimeseriesWindow]]: the O21
+    * value-distribution read as a SQL table function whose window
+    * moves in pure SQL text. Histograms never gap-fill, so the body is
+    * scan + per-(series × hist_bucket) sum over the window-free
+    * slice-partials view — the TALL (dims…, bucket, hist_bucket,
+    * value) rows [[graft.TimeSeriesService.routedSlicePartials]]
+    * serves, rollup-registered or raw-built. `:all` (NoStep) time-axis
+    * semantics, matching `getHistogram`'s default; calendar-stepped
+    * histogram series keep the Scala surface. */
+  def installHistogramWindow(spark: SparkSession,
+      svc: graft.TimeSeriesService, factId: String, dimId: String,
+      filters: Map[String, Option[String]],
+      name: String = "graft_histogram_window"): Unit = {
+    graft.functions.SqlSurface.register(spark)
+    val (fact, slice, grouping, partials) =
+      svc.routedSlicePartials(factId, dimId, filters)
+    require(fact.ftype == graft.model.FactType.Histogram,
+      s"installHistogramWindow: fact $factId is not a histogram")
+    val src = s"__graft_hwin_src_$name"
+    partials.createOrReplaceTempView(src)
+    val dims = grouping.map(d => s"`$d`").mkString(", ")
+    val nonNull = grouping.map(d => s"`$d` IS NOT NULL").mkString(" AND ")
+    val eq = filters.collect {
+      case (k, Some(v)) if grouping.contains(k) =>
+        s" AND `$k` = '${v.replace("'", "''")}'"
+    }.mkString
+    val loB = s"graft_slice(win_start, $slice)"
+    val hiB = s"graft_slice(win_finish, $slice) + INTERVAL $slice MINUTE"
+    val dimCols = grouping.map(d => s"`$d` STRING").mkString(", ")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION $name(
+         |    win_start TIMESTAMP, win_finish TIMESTAMP)
+         |RETURNS TABLE ($dimCols, hist_bucket BIGINT, value BIGINT)
+         |RETURN
+         |SELECT $dims, hist_bucket, sum(value) AS value
+         |FROM $src
+         |WHERE bucket_date BETWEEN to_date($loB)
+         |    AND to_date($hiB - INTERVAL 1 MICROSECOND)
+         |  AND bucket >= $loB AND bucket < $hiB
+         |  AND $nonNull$eq
+         |GROUP BY ALL""".stripMargin)
   }
 
   /** [[graft.TimeSeriesService.getHistogram]] (O21) as the

@@ -141,6 +141,43 @@ class PipelineViewsSpec extends SparkTestBase {
     assert(plan.contains(mvDir), "window function must scan the rollup")
   }
 
+  test("windowed histogram function: each SQL-text window == the Scala " +
+      "getHistogram for that range") {
+    import graft.functions.TimeKernel.ts
+    import graft.model.{FactType, Step}
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("lat_hist", FactType.Histogram, slice = 15,
+      start = Some(0L), end = Some(100L), step = Some(10L))
+    svc.defineDimension("event_type", facts = Set("lat_hist"))
+    svc.ingest(Seq(
+      graft.model.Event("lat_hist", ts("2014-03-21T10:05"), 12L,
+        Map("event_type" -> "click")),
+      graft.model.Event("lat_hist", ts("2014-03-21T10:20"), 17L,
+        Map("event_type" -> "click")),
+      graft.model.Event("lat_hist", ts("2014-03-22T09:40"), 95L,
+        Map("event_type" -> "click")),
+      graft.model.Event("lat_hist", ts("2014-03-22T09:41"), 300L,
+        Map("event_type" -> "view"))).toDF())
+    graft.sql.PipelineViews.installHistogramWindow(spark, svc, "lat_hist",
+      "event_type", Map("event_type" -> None))
+    def viaSql(a: String, b: String) = spark.sql(
+      s"SELECT * FROM graft_histogram_window(TIMESTAMP '$a', " +
+        s"TIMESTAMP '$b')").collect().map(_.toSeq).toSet
+    def viaScala(a: String, b: String) = svc.getHistogram("lat_hist",
+        "event_type", Map("event_type" -> None),
+        ts(a.replace(" ", "T")), ts(b.replace(" ", "T")))
+      .collect().map(_.toSeq).toSet
+    for ((a, b) <- Seq(
+        ("2014-03-21 00:00:00", "2014-03-22 00:00:00"),
+        ("2014-03-22 00:00:00", "2014-03-23 00:00:00"),
+        ("2014-03-21 00:00:00", "2014-03-23 00:00:00"))) {
+      assert(viaSql(a, b) == viaScala(a, b), s"window [$a, $b)")
+    }
+    // clamp semantics survive into SQL: 300 lands in the top bucket
+    assert(viaSql("2014-03-22 00:00:00", "2014-03-23 00:00:00")
+      .exists(r => r(0) == "view" && r(1) == 90L && r(2) == 1L))
+  }
+
   test("bm25 view serves from the registered index via SQL text") {
     val idx = java.nio.file.Files
       .createTempDirectory("graft_view_bm25").toString

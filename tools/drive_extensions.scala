@@ -96,5 +96,11 @@ assert(w2 == Seq((ts("2024-01-05T10:00"), 2L), (ts("2024-01-05T11:00"), 0L)), s"
 // from the scan stay absent — the fillRange rule, in SQL text too)
 val w3 = spark.sql("SELECT * FROM graft_timeseries_window(TIMESTAMP '2024-01-05 12:00:00', TIMESTAMP '2024-01-05 14:00:00')").count()
 assert(w3 == 0L, s"window 3 must be empty: $w3")
+// the HISTOGRAM windowed twin: the O21 distribution read with the
+// window moved in SQL text (hist events 5 and 25 land in buckets 0/20)
+graft.sql.PipelineViews.installHistogramWindow(spark, tsvc, "hist", "event_type", Map("event_type" -> Some("click")))
+val hw = spark.sql("SELECT hist_bucket, value FROM graft_histogram_window(TIMESTAMP '2024-01-05 10:00:00', TIMESTAMP '2024-01-05 11:00:00') ORDER BY hist_bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+assert(hw == Seq((0L, 1L), (20L, 1L)), s"hist window: $hw")
+assert(spark.sql("SELECT * FROM graft_histogram_window(TIMESTAMP '2024-01-06 00:00:00', TIMESTAMP '2024-01-07 00:00:00')").count() == 0L, "hist window out of range must be empty")
 println("DRIVE-EXT-OK " + rows)
 sys.exit(0)
