@@ -411,10 +411,37 @@ final class TimeSeriesService(
     * EXTERNAL rollups survive: they hold history that is not in this
     * service's events, so the read path merges them with local events
     * instead of dropping them. */
-  private def invalidateRollups(factId: Option[String]): Unit =
+  private def invalidateRollups(factId: Option[String]): Unit = {
     rollupStore.filterInPlace { case ((fid, _), reg) =>
       reg.external || factId.exists(_ != fid)
     }
+    refreshSqlSurfaces()
+  }
+
+  /** RE-INSTALL hooks for SQL surfaces whose serving source is pinned
+    * at install time (the parameterized window table functions,
+    * [[graft.sql.PipelineViews.installTimeseriesWindow]] /
+    * `installHistogramWindow`): a later ingest invalidates the
+    * internal rollup for Scala reads (raw-scan fallback), but an
+    * installed SQL function's body keeps naming the now-stale rollup
+    * view — so every installer registers a refresher under its
+    * function name, and the write path re-runs them after each
+    * invalidation. Re-install is catalog work only (temp-view swap +
+    * CREATE OR REPLACE FUNCTION; no Spark job), so the per-write cost
+    * is bounded; the hook map is keyed by function name, so
+    * re-installing under the same name replaces the hook rather than
+    * stacking it. */
+  private val sqlSurfaceRefreshers =
+    scala.collection.mutable.LinkedHashMap.empty[String, () => Unit]
+
+  private[graft] def registerSqlRefresher(name: String)(f: () => Unit): Unit =
+    sqlSurfaceRefreshers(name) = f
+
+  /** Run every registered SQL-surface refresher (over a snapshot:
+    * each hook re-registers itself under its own name as it
+    * re-installs). */
+  private def refreshSqlSurfaces(): Unit =
+    sqlSurfaceRefreshers.values.toSeq.foreach(_())
 
   // ---- Write path (O11/O12) -------------------------------------------
 
@@ -704,15 +731,67 @@ final class TimeSeriesService(
       step: Step, offsetHours: Int): DataFrame = {
     require(factDims.nonEmpty,
       "getTimeseriesMulti needs at least one (fact, dimension) pair")
-    val byDim = factDims.groupBy(_._2)
-    val dimIds = factDims.map(_._2).distinct
-    dimIds.map { dimId =>
+    getTimeseriesMulti(
+      factDims.map { case (f, d) => (f, d, filters) },
+      start, finish, step, offsetHours)
+  }
+
+  /** The PER-TILE-FILTERED dashboard read — [[getTimeseriesMulti]]
+    * over (fact, dimension, filters) TILES: the pairs overload routes
+    * ONE filter map per call, so two tiles on the SAME dimension could
+    * not filter differently (clicks WHERE type='click' beside an
+    * unfiltered spend total was two service calls again). Here every
+    * tile carries its own filters; tiles group by (dimension, routed
+    * filters), so per-TYPE shared scans SURVIVE exactly where filters
+    * agree (the pairs overload's scan sharing is the
+    * all-filters-equal special case) and tiles that disagree split
+    * into their own groups — each still tier-routed through
+    * [[routeTier]] like any single read. The result is EXACTLY the
+    * union of the per-group multi reads with the `dim` discriminator
+    * (spec-pinned equal to per-tile single calls).
+    *
+    * Filters route per tile by the single read's ignore-unknown rule:
+    * a key no grouping path of the tile's dimension knows is dropped
+    * for THAT tile only. (fact, dimension) pairs must be DISTINCT
+    * across tiles — the output row's identity is (dim, fact, series),
+    * so the same fact twice on one dimension under different filters
+    * would produce indistinguishable rows; give the read two fact
+    * registrations or two calls instead. `dim` is a reserved output
+    * column: a grouping column of that name would be silently
+    * overwritten by the discriminator, so it refuses loudly. */
+  def getTimeseriesMulti(
+      tiles: Seq[(String, String, Map[String, Option[String]])],
+      start: Timestamp, finish: Timestamp,
+      step: Step, offsetHours: Int): DataFrame = {
+    require(tiles.nonEmpty, "getTimeseriesMulti needs at least one tile")
+    val dup = tiles.map(t => (t._1, t._2))
+      .groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    require(dup.isEmpty,
+      s"getTimeseriesMulti: duplicate (fact, dimension) tiles " +
+        s"${dup.mkString(", ")} — the same fact twice on one dimension " +
+        "would produce indistinguishable rows; register the fact " +
+        "under a second id or issue two calls")
+    val routed = tiles.map { case (factId, dimId, tileFilters) =>
       val dim = catalog.dimension(dimId).getOrElse(
         throw new IllegalArgumentException(
           s"Non existent dimension $dimId specified. Please check your schema"))
       val known = dim.groupedBy.flatten.toSet + dim.id
-      val dimFilters = filters.filter { case (k, _) => known.contains(k) }
-      getTimeseriesMulti(byDim(dimId).map(_._1), dimId, dimFilters,
+      require(!known.contains("dim") && dim.id != "dim",
+        s"getTimeseriesMulti: dimension $dimId routes a grouping " +
+          "column named 'dim' — reserved for the multi read's " +
+          "dimension discriminator")
+      (factId, dimId,
+        tileFilters.filter { case (k, _) => known.contains(k) })
+    }
+    // group tiles by (dimension, routed filters): agreeing tiles keep
+    // the shared-scan multi read; disagreeing tiles split — stable
+    // first-appearance order so the union's schema evolution is
+    // deterministic
+    val groups = routed.map { case (_, d, f) => (d, f) }.distinct
+    groups.map { case (dimId, dimFilters) =>
+      val ids = routed.collect {
+        case (f, d, flt) if d == dimId && flt == dimFilters => f }
+      getTimeseriesMulti(ids, dimId, dimFilters,
           start, finish, step, offsetHours)
         .withColumn("dim", lit(dimId))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -913,24 +992,59 @@ final class TimeSeriesService(
     * [[eraseEvents]] swap and this call leaves the retired directory
     * leased to its dead self — the recovered service that attached the
     * scrubbed store must still be able to close the deletion request.
-    * The live-store and looks-like-a-store guards stay in force. */
-  def retireStoreDir(dir: String, takeover: Boolean = false): Unit = {
+    * The live-store and looks-like-a-store guards stay in force, and
+    * the takeover arm is FENCED like [[attachEventStore]]'s: a
+    * directory leased to THIS writer refuses (a live lease of our own
+    * needs no takeover — the normal path already owns it), and when
+    * `expectedOwner` is passed (read it first via [[storeLeaseOwner]]
+    * and confirm that writer is dead) the lease must name exactly that
+    * owner — so a mistyped path to some OTHER writer's live store
+    * fails loudly instead of being irreversibly deleted.
+    *
+    * @return the displaced owner's writer id (the lease the takeover
+    *   broke), None when the directory was ours or unleased */
+  def retireStoreDir(dir: String, takeover: Boolean = false,
+      expectedOwner: Option[String] = None): Option[String] = {
     require(!storeDir.contains(dir),
       s"retireStoreDir: $dir is the LIVE event store — only a " +
         "swapped-out directory (see retiredStoreDir) can be retired")
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = leaseFs(p)
     if (!fs.exists(p)) { if (retiredDir.contains(dir)) retiredDir = None
-      return }
+      return None }
     val names = fs.listStatus(p).map(_.getPath.getName)
     require(names.exists(_.startsWith("__batch_id=")) ||
         names.contains("__writer.lock"),
       s"retireStoreDir: $dir does not look like a graft event store " +
         "(no __batch_id= partitions, no writer lease) — refusing to " +
         "delete")
+    val owner = storeLeaseOwner(dir)
     if (!takeover) assertLease(dir, "retireStoreDir")
+    else {
+      require(!owner.contains(writerId),
+        s"retireStoreDir(takeover): $dir is leased to THIS writer — " +
+          "a live lease of our own needs no takeover; retire via the " +
+          "normal path")
+      expectedOwner.foreach(exp => require(owner.contains(exp),
+        s"retireStoreDir(takeover): $dir is leased to " +
+          s"${owner.getOrElse("<no lease>")}, not the expected dead " +
+          s"owner $exp — refusing to delete"))
+    }
     fs.delete(p, true)
     if (retiredDir.contains(dir)) retiredDir = None
+    owner.filterNot(_ == writerId)
+  }
+
+  /** The writer id holding the single-writer lease on `dir`, None when
+    * the directory carries no lease — the read a recovery runbook does
+    * BEFORE a takeover ([[attachEventStore]] / [[retireStoreDir]]):
+    * identify the owner, confirm that writer is dead, then pass the id
+    * as the takeover's `expectedOwner` so the deletion is fenced to
+    * exactly the corpse it was authorized against. */
+  def storeLeaseOwner(dir: String): Option[String] = {
+    val lp = leasePath(dir)
+    val fs = leaseFs(lp)
+    if (fs.exists(lp)) Some(readLease(fs, lp)) else None
   }
 
   /** Right-to-erasure (the OTHER mandatory production lifecycle op,
@@ -1360,6 +1474,25 @@ final class TimeSeriesService(
   private[graft] def routedSlicePartials(factId: String, dimId: String,
       filters: Map[String, Option[String]])
       : (FactDef, Int, Seq[String], DataFrame) = {
+    val (fact, slice, grouping, frame, _) =
+      routedWindowSources(factId, dimId, filters)
+    (fact, slice, grouping, frame)
+  }
+
+  /** [[routedSlicePartials]] plus the DAY-grain tier when the routed
+    * (fact, grouping) carries one — what the parameterized SQL window
+    * function serves from since the day branch landed: the slice
+    * partials answer EVERY window; the day frame (when present) lets
+    * the SQL body route midnight-aligned windows onto ~96× fewer
+    * rows behind a constant-folding alignment predicate, the same
+    * window-dependent decision [[dayTierEligible]] makes for Scala
+    * reads — made per CALL in SQL because it cannot be made at
+    * install time. External rollups carry no service-built day tier
+    * (their history is not ours to coarsen), so the day frame is
+    * None there, exactly like [[routeTier]]. */
+  private[graft] def routedWindowSources(factId: String, dimId: String,
+      filters: Map[String, Option[String]])
+      : (FactDef, Int, Seq[String], DataFrame, Option[DataFrame]) = {
     val (fact, dim, grouping) = route(factId, dimId, filters)
     val slice = dim.sliceMinutes.getOrElse(fact.sliceMinutes)
     val frame = servableRollup(fact, slice, grouping) match {
@@ -1368,7 +1501,12 @@ final class TimeSeriesService(
           grouping)
         .withColumn("bucket_date", to_date(col("bucket")))
     }
-    (fact, slice, grouping, frame)
+    val dayFrame = rollupStore.get((fact.id, grouping)) match {
+      case Some(RollupReg(_, false, Some(dp))) =>
+        Some(Rollups.read(spark, dp))
+      case _ => None
+    }
+    (fact, slice, grouping, frame, dayFrame)
   }
 
   // ---- internals -------------------------------------------------------

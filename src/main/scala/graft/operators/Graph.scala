@@ -281,9 +281,15 @@ object Graph {
               .as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
       }
-    // forward adjacency, sorted so array_intersect scans cache-tight
+    // forward adjacency, sorted so array_intersect scans cache-tight.
+    // localCheckpoint pins ONE computation: adj feeds BOTH sides of
+    // the triangle self-join below (exploded source side + dst
+    // lookup side), and without the pin the full forward-adjacency
+    // aggregation subtree runs twice whenever exchange reuse doesn't
+    // kick in — the same single-computation contract und/degrees get.
     val adj = fwdE.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint(true)
     // per edge u→v: common forward neighbours close one triangle each.
     // The (src, dst, srcNbrs) triples come from EXPLODING the forward
     // adjacency itself — every forward edge is an entry of its

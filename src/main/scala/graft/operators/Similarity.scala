@@ -278,6 +278,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Deterministic BOUNDED training sample for index builds — the
+    * FAISS-style posture fix for corpus-sized training: codebook /
+    * centroid quality needs a few hundred points per cell, not the
+    * corpus, so Lloyd trains over the `n` rows with the SMALLEST
+    * content-addressed hash (the [[Dedup.seededHash]] md5 machinery,
+    * id tie-break) — a distributed TakeOrdered, so membership is a
+    * pure function of (row ids, seed, n), independent of partitioning,
+    * row order, and cluster size, and the trained index is
+    * REBUILDABLE byte-identically at any corpus layout. Serving never
+    * changes: assignment/encode still covers every row. */
+  private def trainingSample(corpus: DataFrame, idCol: String,
+      n: Int, seed: Int): DataFrame =
+    corpus.orderBy(
+      Dedup.seededHash(col(idCol).cast("string"), seed), col(idCol))
+      .limit(n)
+
   /** PRODUCT QUANTIZATION training (PQ — the FAISS-style memory scale
     * path past int8's 4×): split the `dim` dimensions into `m`
     * contiguous subspaces and k-means each subspace to `ks` centroids
@@ -286,16 +302,35 @@ object Similarity {
     * as `m × ks × (dim/m)` doubles — the ONE bounded driver-side
     * collect of this pipeline (dim × ks doubles total, the same
     * bounded-centroid footprint as the IVF index), broadcast back as
-    * literals at encode/serve time. */
+    * literals at encode/serve time.
+    *
+    * `trainSampleN > 0` bounds the TRAINING input (the 100 TB
+    * posture): Lloyd runs over the deterministic
+    * [[trainingSample]] of that size instead of the whole corpus —
+    * FAISS trains PQ codebooks on a bounded sample by default
+    * (hundreds of points per code suffice; ks=16 × 256 ≈ 4k is a
+    * sound floor), and a corpus-sized train loop was the one build
+    * stage here that grew with the corpus. The codebook becomes a
+    * pure function of (corpus ids+vectors, trainSeed, trainSampleN);
+    * a corpus at most `trainSampleN` rows trains on every row, so
+    * small fixtures are byte-identical to the unsampled build.
+    * Encode/serve recall gates are unchanged — gate recall in-plan
+    * as ever, never assume a sampled codebook ranks identically. */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       ks: Int, dotFn: (Column, Column) => Column = dot,
-      maxIter: Int = 6): Seq[Seq[Seq[Double]]] = {
+      maxIter: Int = 6, trainSampleN: Int = 0,
+      trainSeed: Int = 42): Seq[Seq[Seq[Double]]] = {
     require(m > 0 && ks > 1, "need m >= 1 subspaces and ks >= 2 codes")
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
+    val train =
+      if (trainSampleN > 0)
+        trainingSample(corpus, idCol, trainSampleN, trainSeed)
+          .localCheckpoint(true) // one TakeOrdered, not one per consumer
+      else corpus
     // ALL m subspace k-means runs share ONE Lloyd loop: the per-j
     // independent formulation is m × maxIter sequential Spark jobs
     // (the dominant wall-clock of the whole PQ pipeline at any corpus
@@ -312,12 +347,14 @@ object Similarity {
     // partition-order-dependent tie behavior; neither semantics is
     // meaningful for duplicated ids, so dedupe upstream.
     val v = col(vecCol).cast("array<double>")
-    val sliced = corpus.select(col(idCol).cast("long").as("id"),
+    val sliced = train.select(col(idCol).cast("long").as("id"),
         posexplode(array((0 until m).map(j =>
           slice(v, j * sub + 1, sub)): _*)).as(Seq("j", "sv")))
       .cache()
-    // deterministic seeds: the ks smallest-id vectors, sliced locally
-    val seedRows = corpus
+    // deterministic seeds: the ks smallest-id vectors OF THE TRAINING
+    // FRAME, sliced locally (under sampling the seed set is the
+    // sample's smallest ids — still a pure function of the inputs)
+    val seedRows = train
       .select(col(idCol).cast("long").as("id"), v.as("fv"))
       .orderBy(col("id")).limit(ks)
       .collect().map(_.getSeq[Double](1))
@@ -731,17 +768,35 @@ object Similarity {
     * not an ever-deepening recursive plan (the iterate-a-DataFrame
     * trap).
     *
+    * `trainSampleN > 0` bounds the TRAINING input like [[pqTrain]]'s
+    * knob: Lloyd iterates over the deterministic [[trainingSample]]
+    * instead of the corpus (FAISS caps k-means training points per
+    * centroid the same way), so the index BUILD stops growing with
+    * the corpus; [[assignToCentroids]] / [[writeIvfCorpus]] still
+    * cover every row under the frozen trained centroids — exactly the
+    * [[appendIvfCorpus]] contract, where assignment is centroid-
+    * defined and never retrains. A corpus at most `trainSampleN` rows
+    * trains on every row (small fixtures byte-identical).
+    *
     * @return converged (part, centroid) index for [[ivfTopK]] /
     *   [[assignToCentroids]] / [[writeIvfCorpus]] */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       maxIter: Int = 20, tol: Double = 1e-9,
-      dotFn: (Column, Column) => Column = dot): DataFrame = {
+      dotFn: (Column, Column) => Column = dot,
+      trainSampleN: Int = 0, trainSeed: Int = 42): DataFrame = {
     require(k > 0, "k must be positive")
     require(maxIter >= 1, "maxIter must be >= 1")
     require(tol >= 0.0, "tol must be >= 0")
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cent: Seq[(Long, Seq[Double])] = corpus
+    // the sample is scanned once per Lloyd iteration — pin it so the
+    // TakeOrdered that defines it runs once, not once per iteration
+    val train =
+      if (trainSampleN > 0)
+        trainingSample(corpus, idCol, trainSampleN, trainSeed)
+          .localCheckpoint(true)
+      else corpus
+    var cent: Seq[(Long, Seq[Double])] = train
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .orderBy(col("id")).limit(k)
@@ -752,7 +807,7 @@ object Similarity {
     var moved = Double.MaxValue
     while (iter < maxIter && moved > tol) {
       val prev = cent.toMap
-      val stepped = lloydStep(corpus, cent.toDF("part", "centroid"),
+      val stepped = lloydStep(train, cent.toDF("part", "centroid"),
         idCol, vecCol, dotFn)
         .select(col("part").cast("long"), col("centroid"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap

@@ -847,7 +847,17 @@ object DocumentQueries {
     // exact phrase search (the match primitive BM25's bag-of-words
     // scoring can't express): per (doc, phrase) the count of exact
     // bigram occurrences — row-local gram algebra, no shuffle at all
-    // beyond the scan; overlapping matches count individually
+    // beyond the scan; overlapping matches count individually.
+    //
+    // STEERING CONTRACT (the bm25TopK / legacy_dedup precedent): this
+    // is the SCAN-TIME form — it re-tokenizes the whole corpus per
+    // query set and exists as the correctness/contrast twin. Against
+    // a STANDING corpus, serve phrase queries from the positional
+    // postings index instead ([[graft.operators.TextAnalysis
+    // .phraseHitsFromIndex]], the `phrase_hits_indexed` entry): the
+    // index prunes to the phrase's term buckets (0.6 s class where
+    // this form pays the full corpus scan — 7.8 s at SF-1, and
+    // linearly worse from there). Do not ship THIS form at scale.
     "phrase_hits" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       val grams = zip_with(

@@ -151,7 +151,7 @@ object EmbeddingQueries {
     val build = () => {
       built = buildKmeans(s, dir)
       cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 16, ks = 16,
-        dotFn = Similarity.l2Score(dotN))
+        dotFn = Similarity.l2Score(dotN), trainSampleN = 4096)
       Similarity.writeIvfPqCorpus(e, s.read.parquet(s"$built/assign"),
         "vec_id", "embedding", cb, s"$built/store_pq",
         Similarity.l2Score(dotN))
@@ -420,7 +420,7 @@ object EmbeddingQueries {
       val dotN: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = GraftFunctions.dotNative
       val cb = pqCodebooks.getOrElseUpdate((s, dir),
         Similarity.pqTrain(e, "vec_id", "embedding", m = 16, ks = 16,
-          dotFn = Similarity.l2Score(dotN)))
+          dotFn = Similarity.l2Score(dotN), trainSampleN = 4096))
       val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
         k = 5, dotFn = dotN)
       val pq = Similarity.pqRerankTopK(e, qs, "vec_id", "embedding", cb,
@@ -451,7 +451,7 @@ object EmbeddingQueries {
       val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
       val cb = pqCodebooks.getOrElseUpdate((s, dir),
         Similarity.pqTrain(e, "vec_id", "embedding", m = 16, ks = 16,
-          dotFn = Similarity.l2Score(dotN)))
+          dotFn = Similarity.l2Score(dotN), trainSampleN = 4096))
       val store = s"$built/store_pq"
       if (!new java.io.File(store).exists())
         Similarity.writeIvfPqCorpus(e, s.read.parquet(s"$built/assign"),

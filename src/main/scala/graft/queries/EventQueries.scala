@@ -562,6 +562,42 @@ object EventQueries {
               |  TIMESTAMP '2024-01-07 00:00:00')""".stripMargin)
     }),
 
+    // the windowed SQL table function SERVING THE DAY TIER: with the
+    // rollup (and its day store) materialized, a Day-step install
+    // emits a two-branch body — a literal window whose slice-bucketed
+    // scan bounds land on midnights (finish is slice-INCLUSIVE, so an
+    // aligned window finishes at the day's LAST slice, 23:45)
+    // constant-folds onto the ~96×-smaller day store, any other
+    // window keeps the exact slice branch (window 3's 12:00 finish) —
+    // the SAME per-window rows either way (PlanAuditSpec pins the
+    // branch pruning; this entry gates the rows)
+    "ts_window_day_sql" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineDimension("event_type", facts = Set("events_count"))
+      svc.ingest(eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .select(lit("events_count").as("fact"), col("ts"),
+          lit(1L).as("value"),
+          map(lit("event_type"), col("event_type")).as("categories")))
+      svc.materializeRollups(java.nio.file.Files
+        .createTempDirectory("graft_winday").toString)
+      graft.sql.PipelineViews.installTimeseriesWindow(s, svc,
+        "events_count", "event_type", Map("event_type" -> Some("click")),
+        Step.Day, name = "graft_timeseries_window_day")
+      s.sql("""SELECT 1L AS win, * FROM graft_timeseries_window_day(
+              |  TIMESTAMP '2024-01-05 00:00:00',
+              |  TIMESTAMP '2024-01-05 23:45:00')
+              |UNION ALL
+              |SELECT 2L AS win, * FROM graft_timeseries_window_day(
+              |  TIMESTAMP '2024-01-05 00:00:00',
+              |  TIMESTAMP '2024-01-06 23:45:00')
+              |UNION ALL
+              |SELECT 3L AS win, * FROM graft_timeseries_window_day(
+              |  TIMESTAMP '2024-01-05 00:00:00',
+              |  TIMESTAMP '2024-01-06 12:00:00')""".stripMargin)
+    }),
+
     // the MULTI-FACT dashboard from pure SQL text: ts_multi_mixed's
     // two-tile read installed as the graft_timeseries_multi view and
     // consumed with spark.sql — shares ts_multi_mixed's oracle
@@ -861,6 +897,39 @@ object EventQueries {
       svc.getTimeseriesMulti(
         Seq("clicks_count" -> "event_type", "spend_avg" -> "user_bucket"),
         Map.empty[String, Option[String]],
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day, 0)
+    }),
+
+    // the PER-TILE-FILTERED dashboard: clicks for user bucket 1 only
+    // BESIDE the unfiltered spend average, SAME dimension, ONE call —
+    // the read the pairs overload could not express (one filter map
+    // routed to every tile of a dimension). Tiles group by (dim,
+    // routed filters): agreeing tiles keep the shared per-TYPE scan,
+    // disagreeing tiles split into their own groups; the union
+    // carries the `dim` discriminator like ts_multi_dims
+    "ts_multi_filters" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
+      svc.defineFact("spend_avg", FactType.Average, slice = 15)
+      svc.defineDimension("user_bucket",
+        facts = Set("clicks_count", "spend_avg"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", lit("clicks_count"))
+            .otherwise(lit("spend_avg")).as("fact"),
+          col("ts"),
+          when(col("event_type") === "click", lit(1L))
+            .otherwise(cents).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories"))
+      svc.ingest(ev)
+      svc.getTimeseriesMulti(Seq(
+          ("clicks_count", "user_bucket",
+            Map("user_bucket" -> Option("1"))),
+          ("spend_avg", "user_bucket",
+            Map.empty[String, Option[String]])),
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day, 0)
     }),
 
@@ -3790,6 +3859,31 @@ object EventQueries {
         gridStep = "1 HOUR",
         loTs = lo("2024-01-06T00:00"), hiTs = hi("2024-01-07T00:00"))})""".stripMargin,
 
+    // the day-tier windowed function: each window's rows are the
+    // plain day-grain fill over exactly that inclusive-bucketed scan
+    // — the day/slice branch choice must never show in the rows
+    "ts_window_day_sql" ->
+      s"""SELECT 1 AS win, * FROM (${fillOracle(
+        where = "event_type = 'click'",
+        bucketExpr = "date_trunc('day', ts)",
+        gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-05 00:00:00",
+        gridStep = "1 DAY",
+        loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-05T23:45"))})
+         |UNION ALL
+         |SELECT 2 AS win, * FROM (${fillOracle(
+        where = "event_type = 'click'",
+        bucketExpr = "date_trunc('day', ts)",
+        gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 00:00:00",
+        gridStep = "1 DAY",
+        loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-06T23:45"))})
+         |UNION ALL
+         |SELECT 3 AS win, * FROM (${fillOracle(
+        where = "event_type = 'click'",
+        bucketExpr = "date_trunc('day', ts)",
+        gridStart = "2024-01-05 00:00:00", gridStop = "2024-01-06 00:00:00",
+        gridStep = "1 DAY",
+        loTs = lo("2024-01-05T00:00"), hiTs = hi("2024-01-06T12:00"))})""".stripMargin,
+
     // the SQL dashboard IS the Scala dashboard: oracle shared verbatim
     "ts_multi_sql" -> multiMixedSql,
 
@@ -3949,6 +4043,43 @@ object EventQueries {
          |SELECT CAST(NULL AS VARCHAR) AS event_type, 'spend_avg' AS fact,
          |  g.bucket, CAST(NULL AS BIGINT) AS value,
          |  s.user_bucket,
+         |  coalesce(a.counter, 0) AS counter, coalesce(a.total, 0) AS total,
+         |  'user_bucket' AS dim
+         |FROM avs s CROSS JOIN grid g
+         |LEFT JOIN avgp a USING (user_bucket, bucket)""".stripMargin,
+
+    // per-tile filters on ONE dimension: the clicks tile serves
+    // bucket-1 rows only (its filter prunes both rows and the series
+    // grid), the spend tile stays unfiltered — same null-padded
+    // union shape as ts_multi_dims, one dimension, `dim` constant
+    "ts_multi_filters" ->
+      s"""WITH base AS (
+         |  SELECT event_type, CAST(user_id % 4 AS VARCHAR) AS user_bucket,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE event_type IN ('click', 'purchase')
+         |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
+         |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
+         |cnt AS (SELECT user_bucket, bucket, count(*) AS value
+         |  FROM base WHERE event_type = 'click' AND user_bucket = '1'
+         |  GROUP BY ALL),
+         |avgp AS (SELECT user_bucket, bucket,
+         |    count(*) AS counter, sum(cents) AS total
+         |  FROM base WHERE event_type = 'purchase' GROUP BY ALL),
+         |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+         |  TIMESTAMP '2024-01-06', INTERVAL 1 DAY)) AS bucket),
+         |cs AS (SELECT DISTINCT user_bucket FROM cnt),
+         |avs AS (SELECT DISTINCT user_bucket FROM avgp)
+         |SELECT s.user_bucket, 'clicks_count' AS fact, g.bucket,
+         |  coalesce(c.value, 0) AS value,
+         |  CAST(NULL AS BIGINT) AS counter, CAST(NULL AS BIGINT) AS total,
+         |  'user_bucket' AS dim
+         |FROM cs s CROSS JOIN grid g
+         |LEFT JOIN cnt c USING (user_bucket, bucket)
+         |UNION ALL
+         |SELECT s.user_bucket, 'spend_avg' AS fact,
+         |  g.bucket, CAST(NULL AS BIGINT) AS value,
          |  coalesce(a.counter, 0) AS counter, coalesce(a.total, 0) AS total,
          |  'user_bucket' AS dim
          |FROM avs s CROSS JOIN grid g

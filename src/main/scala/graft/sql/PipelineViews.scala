@@ -103,8 +103,24 @@ object PipelineViews {
     *
     * Serving tier: the registered rollup's SLICE partials when one
     * exists (an external store unions local partials), else partials
-    * from raw events — never the day tier, whose eligibility depends
-    * on the window and cannot be decided at install time.
+    * from raw events — and, when the routed rollup carries a DAY
+    * tier, the body routes per call: a midnight-aligned window at a
+    * day-or-coarser step scans the day store (~96× fewer rows — a
+    * year-long windowed SQL read no longer pays the slice-tier scan
+    * the Scala read routes around), any other window keeps the
+    * slice branch. The tier choice is the SAME [[graft
+    * .TimeSeriesService]] day-eligibility rule, made IN SQL by an
+    * alignment predicate over the call's literal bounds — it
+    * constant-folds at invocation, so the losing branch's scan is
+    * optimized away entirely (PlanAuditSpec pins both plans).
+    *
+    * FRESHNESS: the serving source is re-routed automatically — the
+    * installer registers a re-install hook with the service, so any
+    * later ingest (which invalidates internal rollups for Scala
+    * reads) re-installs this function over the then-current tier
+    * instead of leaving it silently serving the stale rollup
+    * parquet. Dropping the service without dropping the function
+    * leaves the last-installed snapshot, like any baked view.
     *
     * Counter / Distinct / Average facts; the step is baked per install
     * (a grid interval cannot be a runtime parameter of one SQL body —
@@ -121,10 +137,22 @@ object PipelineViews {
       "installTimeseriesWindow needs a calendar step (the windowed " +
         "grid is the point); use installTimeseries for :all reads")
     graft.functions.SqlSurface.register(spark)
-    val (fact, slice, grouping, partials) =
-      svc.routedSlicePartials(factId, dimId, filters)
+    val (fact, slice, grouping, partials, dayPartials) =
+      svc.routedWindowSources(factId, dimId, filters)
     val src = s"__graft_win_src_$name"
     partials.createOrReplaceTempView(src)
+    // day branch: step ≥ day and unshifted, decided per call by the
+    // alignment of the literal window (mirrors dayTierEligible)
+    val daySrc = dayPartials.collect {
+      case day if offsetHours == 0 && (step match {
+          case Step.Day | Step.Week | Step.Month | Step.Year => true
+          case _ => false }) =>
+        val v = s"__graft_win_day_$name"
+        day.createOrReplaceTempView(v)
+        v
+    }
+    svc.registerSqlRefresher(name)(() => installTimeseriesWindow(
+      spark, svc, factId, dimId, filters, step, offsetHours, name))
     val dims = grouping.map(d => s"`$d`").mkString(", ")
     val nonNull = grouping.map(d => s"`$d` IS NOT NULL").mkString(" AND ")
     val eq = filters.collect {
@@ -152,19 +180,20 @@ object PipelineViews {
     }
     val loB = s"graft_slice(win_start, $slice)"
     val hiB = s"graft_slice(win_finish, $slice) + INTERVAL $slice MINUTE"
-    val (retMeas, aggSel, fillSel) = fact.ftype match {
+    val (retMeas, aggSel, fillSel, measCols) = fact.ftype match {
       case FactType.Counter => ("value BIGINT",
         "sum(value) AS value",
-        s"coalesce(s.value, ${fact.filler}L) AS value")
+        s"coalesce(s.value, ${fact.filler}L) AS value", "value")
       case FactType.Distinct => ("value BIGINT",
         // tall dval partials: exact distinct re-collapses from the
-        // retained values, never from per-slice scalars
+        // retained values, never from per-slice scalars (the day
+        // tier retains dval too — coarsening is grain-lossless here)
         "count(DISTINCT dval) AS value",
-        s"coalesce(s.value, ${fact.filler}L) AS value")
+        s"coalesce(s.value, ${fact.filler}L) AS value", "dval")
       case FactType.Average => ("counter BIGINT, total BIGINT",
         "sum(counter) AS counter, sum(total) AS total",
         "coalesce(s.counter, 0L) AS counter, " +
-          "coalesce(s.total, 0L) AS total")
+          "coalesce(s.total, 0L) AS total", "counter, total")
       case FactType.Histogram => throw new IllegalArgumentException(
         "installTimeseriesWindow does not cover histogram facts — " +
           "histograms never gap-fill; use installHistogram")
@@ -172,18 +201,38 @@ object PipelineViews {
     val dimCols = grouping.map(d => s"`$d` STRING").mkString(", ")
     val joinOn = grouping.map(d => s"s.`$d` = series.`$d`")
       .mkString(" AND ")
+    val scanPred =
+      s"""bucket_date BETWEEN to_date($loB)
+         |      AND to_date($hiB - INTERVAL 1 MICROSECOND)
+         |    AND bucket >= $loB AND bucket < $hiB
+         |    AND $nonNull$eq""".stripMargin
+    // the per-call tier decision: both window bounds land on UTC
+    // midnights after slice-bucketing — a pure expression of the
+    // call's literals, so it constant-folds and the losing branch's
+    // scan is removed from the plan entirely
+    val aligned = s"($loB = date_trunc('DAY', $loB) " +
+      s"AND $hiB = date_trunc('DAY', $hiB))"
+    val rows = daySrc match {
+      case Some(day) =>
+        s"""SELECT $dims, bucket, $measCols FROM $src
+           |  WHERE NOT $aligned AND $scanPred
+           |  UNION ALL
+           |  SELECT $dims, bucket, $measCols FROM $day
+           |  WHERE $aligned AND $scanPred""".stripMargin
+      case None =>
+        s"""SELECT $dims, bucket, $measCols FROM $src
+           |  WHERE $scanPred""".stripMargin
+    }
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION $name(
          |    win_start TIMESTAMP, win_finish TIMESTAMP)
          |RETURNS TABLE ($dimCols, bucket TIMESTAMP, $retMeas)
          |RETURN
-         |WITH scanned AS (
+         |WITH rows_in AS (
+         |  $rows),
+         |scanned AS (
          |  SELECT $dims, $bucketExpr AS bucket, $aggSel
-         |  FROM $src
-         |  WHERE bucket_date BETWEEN to_date($loB)
-         |      AND to_date($hiB - INTERVAL 1 MICROSECOND)
-         |    AND bucket >= $loB AND bucket < $hiB
-         |    AND $nonNull$eq
+         |  FROM rows_in
          |  GROUP BY ALL),
          |grid AS (SELECT explode(filter(sequence(win_start,
          |    greatest(win_start, win_finish), $gridInterval),
@@ -210,12 +259,23 @@ object PipelineViews {
       filters: Map[String, Option[String]],
       name: String = "graft_histogram_window"): Unit = {
     graft.functions.SqlSurface.register(spark)
-    val (fact, slice, grouping, partials) =
-      svc.routedSlicePartials(factId, dimId, filters)
+    val (fact, slice, grouping, partials, dayPartials) =
+      svc.routedWindowSources(factId, dimId, filters)
     require(fact.ftype == graft.model.FactType.Histogram,
       s"installHistogramWindow: fact $factId is not a histogram")
     val src = s"__graft_hwin_src_$name"
     partials.createOrReplaceTempView(src)
+    // :all semantics are day-eligible whenever the literal window
+    // aligns (the Scala read's dayTierEligible includes NoStep), so
+    // the day branch needs no step gate here — hist_bucket is a
+    // retained key of the day tier, coarsening is grain-lossless
+    val daySrc = dayPartials.map { day =>
+      val v = s"__graft_hwin_day_$name"
+      day.createOrReplaceTempView(v)
+      v
+    }
+    svc.registerSqlRefresher(name)(() => installHistogramWindow(
+      spark, svc, factId, dimId, filters, name))
     val dims = grouping.map(d => s"`$d`").mkString(", ")
     val nonNull = grouping.map(d => s"`$d` IS NOT NULL").mkString(" AND ")
     val eq = filters.collect {
@@ -225,17 +285,32 @@ object PipelineViews {
     val loB = s"graft_slice(win_start, $slice)"
     val hiB = s"graft_slice(win_finish, $slice) + INTERVAL $slice MINUTE"
     val dimCols = grouping.map(d => s"`$d` STRING").mkString(", ")
+    val scanPred =
+      s"""bucket_date BETWEEN to_date($loB)
+         |    AND to_date($hiB - INTERVAL 1 MICROSECOND)
+         |  AND bucket >= $loB AND bucket < $hiB
+         |  AND $nonNull$eq""".stripMargin
+    val aligned = s"($loB = date_trunc('DAY', $loB) " +
+      s"AND $hiB = date_trunc('DAY', $hiB))"
+    val rows = daySrc match {
+      case Some(day) =>
+        s"""SELECT $dims, hist_bucket, value FROM $src
+           |  WHERE NOT $aligned AND $scanPred
+           |  UNION ALL
+           |  SELECT $dims, hist_bucket, value FROM $day
+           |  WHERE $aligned AND $scanPred""".stripMargin
+      case None =>
+        s"""SELECT $dims, hist_bucket, value FROM $src
+           |  WHERE $scanPred""".stripMargin
+    }
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION $name(
          |    win_start TIMESTAMP, win_finish TIMESTAMP)
          |RETURNS TABLE ($dimCols, hist_bucket BIGINT, value BIGINT)
          |RETURN
          |SELECT $dims, hist_bucket, sum(value) AS value
-         |FROM $src
-         |WHERE bucket_date BETWEEN to_date($loB)
-         |    AND to_date($hiB - INTERVAL 1 MICROSECOND)
-         |  AND bucket >= $loB AND bucket < $hiB
-         |  AND $nonNull$eq
+         |FROM (
+         |  $rows)
          |GROUP BY ALL""".stripMargin)
   }
 

@@ -141,6 +141,144 @@ class PipelineViewsSpec extends SparkTestBase {
     assert(plan.contains(mvDir), "window function must scan the rollup")
   }
 
+  test("windowed function day branch: aligned calls prune to the day " +
+      "store, unaligned keep the slice branch, rows identical; a later " +
+      "ingest re-routes the installed function (no stale rollup)") {
+    import graft.functions.TimeKernel.ts
+    import graft.model.{FactType, Step}
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("clicks", FactType.Counter, slice = 15)
+    svc.defineDimension("event_type", facts = Set("clicks"))
+    svc.ingest(Seq(
+      graft.model.Event("clicks", ts("2014-03-21T10:05"), 1L,
+        Map("event_type" -> "click")),
+      graft.model.Event("clicks", ts("2014-03-21T22:20"), 2L,
+        Map("event_type" -> "click")),
+      graft.model.Event("clicks", ts("2014-03-22T13:40"), 3L,
+        Map("event_type" -> "click"))).toDF())
+    val mvDir = java.nio.file.Files
+      .createTempDirectory("graft_view_winday").toString
+    val slicePath = svc.materializeRollups(mvDir).head
+    val dayPath = s"${slicePath}__day"
+    graft.sql.PipelineViews.installTimeseriesWindow(spark, svc, "clicks",
+      "event_type", Map("event_type" -> Some("click")), Step.Day,
+      name = "graft_tw_day")
+    def q(a: String, b: String) = spark.sql(
+      s"SELECT * FROM graft_tw_day(TIMESTAMP '$a', TIMESTAMP '$b')")
+    def viaScala(a: String, b: String) = svc.getTimeseries("clicks",
+      "event_type", Map("event_type" -> Some("click")),
+      ts(a.replace(" ", "T")), ts(b.replace(" ", "T")), Step.Day)
+    // ALIGNED window (finish = last slice of the day → scan bound is
+    // the next midnight): the constant-folded alignment predicate
+    // must remove the slice branch — the plan scans ONLY the day
+    // store (scan locations read from the optimized plan: the plan
+    // STRING truncates long parquet paths)
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import org.apache.spark.sql.execution.datasources.{
+        HadoopFsRelation, LogicalRelation}
+      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    }
+    val aligned = q("2014-03-21 00:00:00", "2014-03-22 23:45:00")
+    val ap = scans(aligned)
+    assert(ap.exists(_.contains(dayPath)),
+      s"aligned call must scan the day store, scanned: $ap")
+    assert(!ap.exists(p => p.contains(slicePath) && !p.contains(dayPath)),
+      s"aligned call must NOT scan the slice store, scanned: $ap")
+    assert(aligned.collect().map(_.toSeq).toSet ==
+      viaScala("2014-03-21 00:00:00", "2014-03-22 23:45:00")
+        .collect().map(_.toSeq).toSet)
+    // UNALIGNED window (12:00 finish): slice branch serves, day store
+    // pruned out of the plan
+    val unaligned = q("2014-03-21 00:00:00", "2014-03-22 12:00:00")
+    val up = scans(unaligned)
+    assert(!up.exists(_.contains(dayPath)),
+      s"unaligned call must NOT scan the day store, scanned: $up")
+    assert(up.exists(_.contains(slicePath)),
+      s"unaligned call must scan the slice store, scanned: $up")
+    assert(unaligned.collect().map(_.toSeq).toSet ==
+      viaScala("2014-03-21 00:00:00", "2014-03-22 12:00:00")
+        .collect().map(_.toSeq).toSet)
+    // FRESHNESS: a later write invalidates the rollup for Scala reads
+    // — the installed function must re-route with it instead of
+    // silently serving the stale rollup parquet (the installer
+    // registers a re-install hook the write path runs)
+    svc.newFact("clicks", ts("2014-03-21T10:07"), 10L,
+      Map("event_type" -> "click"))
+    val fresh = q("2014-03-21 00:00:00", "2014-03-22 23:45:00")
+    assert(!scans(fresh).exists(_.contains(mvDir)),
+      "post-ingest call must not read the invalidated store")
+    assert(fresh.collect().map(_.toSeq).toSet ==
+      viaScala("2014-03-21 00:00:00", "2014-03-22 23:45:00")
+        .collect().map(_.toSeq).toSet,
+      "the installed function served stale pre-ingest rollups")
+    assert(fresh.where("bucket = TIMESTAMP '2014-03-21 00:00:00'")
+      .head.getLong(2) == 13L, "day 1 must include the new event")
+  }
+
+  test("windowed histogram function day branch: aligned :all windows " +
+      "serve the day store; ingest re-routes") {
+    import graft.functions.TimeKernel.ts
+    import graft.model.FactType
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("lat_hist", FactType.Histogram, slice = 15,
+      start = Some(0L), end = Some(100L), step = Some(10L))
+    svc.defineDimension("event_type", facts = Set("lat_hist"))
+    svc.ingest(Seq(
+      graft.model.Event("lat_hist", ts("2014-03-21T10:05"), 12L,
+        Map("event_type" -> "click")),
+      graft.model.Event("lat_hist", ts("2014-03-22T09:40"), 95L,
+        Map("event_type" -> "click"))).toDF())
+    val mvDir = java.nio.file.Files
+      .createTempDirectory("graft_view_hwinday").toString
+    val slicePath = svc.materializeRollups(mvDir).head
+    val dayPath = s"${slicePath}__day"
+    graft.sql.PipelineViews.installHistogramWindow(spark, svc,
+      "lat_hist", "event_type", Map("event_type" -> None),
+      name = "graft_hw_day")
+    def q(a: String, b: String) = spark.sql(
+      s"SELECT * FROM graft_hw_day(TIMESTAMP '$a', TIMESTAMP '$b')")
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import org.apache.spark.sql.execution.datasources.{
+        HadoopFsRelation, LogicalRelation}
+      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    }
+    val aligned = q("2014-03-21 00:00:00", "2014-03-22 23:45:00")
+    val ap = scans(aligned)
+    assert(ap.exists(_.contains(dayPath)) &&
+      !ap.exists(p => p.contains(slicePath) && !p.contains(dayPath)),
+      s"aligned :all window must serve only the day store, scanned: $ap")
+    assert(aligned.collect().map(_.toSeq).toSet ==
+      svc.getHistogram("lat_hist", "event_type",
+          Map("event_type" -> None), ts("2014-03-21T00:00"),
+          ts("2014-03-22T23:45"))
+        .collect().map(_.toSeq).toSet)
+    val unaligned = q("2014-03-21 00:00:00", "2014-03-22 12:00:00")
+    assert(!scans(unaligned).exists(_.contains(dayPath)),
+      "unaligned window must keep the slice branch")
+    // freshness through the hook, histogram twin
+    svc.newFact("lat_hist", ts("2014-03-21T10:06"), 44L,
+      Map("event_type" -> "click"))
+    val fresh = q("2014-03-21 00:00:00", "2014-03-22 23:45:00")
+    assert(fresh.collect().map(_.toSeq).toSet ==
+      svc.getHistogram("lat_hist", "event_type",
+          Map("event_type" -> None), ts("2014-03-21T00:00"),
+          ts("2014-03-22T23:45"))
+        .collect().map(_.toSeq).toSet,
+      "the installed histogram function served stale rollups")
+  }
+
   test("windowed histogram function: each SQL-text window == the Scala " +
       "getHistogram for that range") {
     import graft.functions.TimeKernel.ts

@@ -143,6 +143,61 @@ class SimilaritySpec extends SparkTestBase {
       key(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 4)))
   }
 
+  test("sample-bounded training: pure function of (corpus, seed, n), " +
+      "layout-independent; n >= corpus degenerates to the full build") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = e.count().toInt
+    val l2 = Similarity.l2Score()
+    // a GENUINE subsample (half the corpus): the codebook must be a
+    // pure function of (corpus content, trainSeed, trainSampleN) —
+    // identical across runs AND across partition layouts, which is
+    // what makes a trained index rebuildable on any cluster
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ks = 8,
+      dotFn = l2, trainSampleN = n / 2)
+    val cbShuffled = Similarity.pqTrain(e.repartition(7), "vec_id",
+      "embedding", m = 8, ks = 8, dotFn = l2, trainSampleN = n / 2)
+    assert(cb == cbShuffled,
+      "sampled codebook depends on partition layout")
+    // a different seed picks a different training set → (almost
+    // surely) a different codebook; pins that the seed is live
+    val cbSeed = Similarity.pqTrain(e, "vec_id", "embedding", m = 8,
+      ks = 8, dotFn = l2, trainSampleN = n / 2, trainSeed = 43)
+    assert(cb != cbSeed, "trainSeed is dead — sample did not change")
+    // sample >= corpus trains on every row: byte-identical to the
+    // unsampled build (the small-fixture compatibility contract)
+    val full = Similarity.pqTrain(e, "vec_id", "embedding", m = 8,
+      ks = 8, dotFn = l2)
+    val capped = Similarity.pqTrain(e, "vec_id", "embedding", m = 8,
+      ks = 8, dotFn = l2, trainSampleN = n * 2)
+    assert(capped == full,
+      "oversized sample must degenerate to the full-corpus build")
+    // serving under a sampled codebook stays the exact search when
+    // the shortlist covers the corpus — sampling moves TRAINING cost,
+    // never the rerank contract
+    val q = e.where(col("vec_id") < 3)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(Similarity.pqRerankTopK(e, q, "vec_id", "embedding", cb,
+        k = 4, candidates = n, encodeDotFn = l2)) ==
+      key(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 4)))
+    // kmeansFit: same knob, same contracts
+    val fitA = Similarity.kmeansFit(e, "vec_id", "embedding", k = 4,
+        maxIter = 10, trainSampleN = n / 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val fitB = Similarity.kmeansFit(e.repartition(5), "vec_id",
+        "embedding", k = 4, maxIter = 10, trainSampleN = n / 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fitA == fitB, "sampled centroids depend on partition layout")
+    val fitFull = Similarity.kmeansFit(e, "vec_id", "embedding", k = 4,
+        maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val fitCap = Similarity.kmeansFit(e, "vec_id", "embedding", k = 4,
+        maxIter = 10, trainSampleN = n * 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fitCap == fitFull,
+      "oversized kmeans sample must degenerate to the full build")
+  }
+
   test("kmeansFit: converges to a Lloyd fixed point, deterministically") {
     // two well-separated 3-d clusters: convergence must land centroids
     // on the cluster means and a FURTHER Lloyd step must not move them

@@ -1072,10 +1072,40 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     // the recovered post-swap owner closes the deletion request: the
     // retired dir is leased to a writer it knows to be gone (here, e —
     // the operator decided the scrub wins), so retirement is the
-    // takeover arm; without it the erased rows would outlive the crash
+    // takeover arm; without it the erased rows would outlive the crash.
+    // The takeover is FENCED: the runbook reads the lease owner first,
+    // a wrong expectedOwner (mistyped path) refuses, and the delete
+    // returns the displaced owner id for the recovery log.
     intercept[IllegalStateException] { f.retireStoreDir(dir2) }
-    f.retireStoreDir(dir2, takeover = true)
+    val deadOwner = f.storeLeaseOwner(dir2)
+    assert(deadOwner.nonEmpty, "the crashed writer's lease must be visible")
+    intercept[IllegalArgumentException] {
+      f.retireStoreDir(dir2, takeover = true,
+        expectedOwner = Some("not-the-dead-owner"))
+    }
+    assert(new java.io.File(dir2).exists(),
+      "a refused takeover must not have deleted anything")
+    val displaced =
+      f.retireStoreDir(dir2, takeover = true, expectedOwner = deadOwner)
+    assert(displaced == deadOwner,
+      "takeover must report the lease it displaced")
     assert(!new java.io.File(dir2).exists())
+    // a lease of OUR OWN refuses the takeover arm outright — a live
+    // writer cannot launder a delete of its own store through the
+    // crash-recovery path (the normal path already owns the lease)
+    val g = freshCatalog()
+    val dir3 = java.nio.file.Files
+      .createTempDirectory("graft-crash-own").toString + "/store"
+    g.attachEventStore(dir3)
+    g.ingest(frame(1L, "x"), batchId = 7L)
+    val out3 = java.nio.file.Files
+      .createTempDirectory("graft-crash-own-out").toString + "/compacted"
+    g.compactEventStore(out3)
+    assert(intercept[IllegalArgumentException] {
+      g.retireStoreDir(dir3, takeover = true)
+    }.getMessage.contains("THIS writer"))
+    assert(g.retireStoreDir(dir3).isEmpty,
+      "the normal path retires our own retired dir, displacing nobody")
   }
 
   test("multi-dimension read == union of per-dim multi reads with a " +
@@ -1121,6 +1151,73 @@ class TimeSeriesServiceSpec extends SparkTestBase {
           r.getString(1), "region", r.getTimestamp(2), None: Option[Any],
           Option(r.get(3)), Option(r.get(4))))
     assert(got == exp.toSet)
+  }
+
+  test("per-tile-filtered multi read == union of per-tile calls; " +
+      "same-dim tiles may filter differently; duplicates refuse") {
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("clicks", FactType.Counter, slice = 10)
+    svc.defineFact("spend", FactType.Counter, slice = 10)
+    svc.defineFact("lat", FactType.Average, slice = 10)
+    svc.defineDimension("page", facts = Set("clicks", "spend"))
+    svc.defineDimension("region", facts = Set("lat"))
+    for (i <- 0 until 6) {
+      svc.newFact("clicks", ts(f"2014-03-21T${9 + i % 2}%02d:1$i"), 1L,
+        Map("page" -> ("p" + i % 2)))
+      svc.newFact("spend", ts(f"2014-03-21T${9 + i % 2}%02d:1$i"),
+        10L + i, Map("page" -> ("p" + i % 2)))
+    }
+    for (i <- 0 until 4)
+      svc.newFact("lat", ts(f"2014-03-21T${9 + i % 2}%02d:2$i"), 50L + i,
+        Map("region" -> ("r" + i % 2)))
+    val lo = ts("2014-03-21T09:00"); val hi = ts("2014-03-21T11:00")
+    // three tiles, two on ONE dimension with DIFFERENT filters — the
+    // read the pairs overload needed two service calls for
+    val md = svc.getTimeseriesMulti(Seq(
+        ("clicks", "page", Map("page" -> Option("p0"))),
+        ("spend", "page", Map.empty[String, Option[String]]),
+        ("lat", "region", Map("page" -> Option("p0")))), // foreign: drops
+      lo, hi, Step.Hour, 0)
+    def shape(df: org.apache.spark.sql.DataFrame, dim: String) =
+      df.collect().map { r =>
+        def opt(c: String) = if (df.columns.contains(c))
+          Option(r.getAs[Any](c)) else None
+        (opt("page"), opt("region"), r.getAs[String]("fact"), dim,
+          r.getAs[java.sql.Timestamp]("bucket"), opt("value"),
+          opt("counter"), opt("total"))
+      }
+    val exp =
+      shape(svc.getTimeseriesMulti(Seq("clicks"), "page",
+        Map("page" -> Option("p0")), lo, hi, Step.Hour), "page") ++
+      shape(svc.getTimeseriesMulti(Seq("spend"), "page",
+        Map.empty[String, Option[String]], lo, hi, Step.Hour), "page") ++
+      shape(svc.getTimeseriesMulti(Seq("lat"), "region",
+        Map.empty[String, Option[String]], lo, hi, Step.Hour), "region")
+    val got = md.collect().map(r =>
+      (Option(r.getAs[Any]("page")), Option(r.getAs[Any]("region")),
+        r.getAs[String]("fact"), r.getAs[String]("dim"),
+        r.getAs[java.sql.Timestamp]("bucket"),
+        Option(r.getAs[Any]("value")), Option(r.getAs[Any]("counter")),
+        Option(r.getAs[Any]("total")))).toSet
+    assert(got == exp.toSet)
+    // all-filters-equal degenerates to the pairs overload exactly
+    // (agreeing tiles regroup into the shared-scan read)
+    val uniform = svc.getTimeseriesMulti(Seq(
+        ("clicks", "page", Map("page" -> Option("p0"))),
+        ("spend", "page", Map("page" -> Option("p0")))),
+      lo, hi, Step.Hour, 0)
+    val pairs = svc.getTimeseriesMulti(
+      Seq("clicks" -> "page", "spend" -> "page"),
+      Map("page" -> Option("p0")), lo, hi, Step.Hour, 0)
+    assert(uniform.collect().toSet == pairs.collect().toSet)
+    // the same fact twice on one dimension is indistinguishable rows —
+    // refuse loudly
+    assert(intercept[IllegalArgumentException] {
+      svc.getTimeseriesMulti(Seq(
+          ("clicks", "page", Map("page" -> Option("p0"))),
+          ("clicks", "page", Map.empty[String, Option[String]])),
+        lo, hi, Step.Hour, 0)
+    }.getMessage.contains("duplicate"))
   }
 
   test("applyAdvice materializes only paying groupings and flips " +

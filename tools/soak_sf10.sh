@@ -24,8 +24,9 @@ FIX=/tmp/graft_sf10
 
 TS10="ts_counter_hour_fill,ts_service_end_to_end,ts_multi_fact,\
 ts_multi_mixed,ts_multi_routed,ts_multi_dims,ts_advised_route,\
-ts_fill_sql,ts_window_sql,ts_route_explain,ts_routed_day_tier,\
-ts_rollup_hour_fill,ts_hist,ts_distinct_day"
+ts_fill_sql,ts_window_sql,ts_window_day_sql,ts_route_explain,\
+ts_routed_day_tier,ts_rollup_hour_fill,ts_hist,ts_distinct_day,\
+ts_multi_filters"
 DEDUP10="dedup_exact,dedup_rate_by_source,dedup_clusters_canonical,\
 dedup_canonical_incremental"
 ANN10="ann_bruteforce_topk,ann_ivf_persisted,ann_ivfpq_topk,\
