@@ -514,6 +514,162 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q2 shape: minimum-cost supplier — the correlated-MIN
+    // subquery over a region-scoped supplier set. The reference Q2
+    // reads partsupp; this schema's part↔supplier relation IS lineitem,
+    // so "cost" is the cheapest line (integral cents) a supplier ever
+    // quoted for the part. Region×nation×supplier composes to a tiny
+    // broadcast; the two aggregates (per-(part,supplier) min, then
+    // per-part min) REUSE one partkey-clustered shuffle — the second
+    // groupBy is a re-aggregation of the first's output, never a second
+    // lineitem pass — and the argmin join is partkey-co-partitioned.
+    // The top-100 is a TakeOrdered on the unique (part, supplier) key,
+    // never a global sort.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val esupp = read(s, dir, "supplier")
+        .join(broadcast(read(s, dir, "nation")
+          .join(broadcast(read(s, dir, "region")
+            .where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val stdParts = read(s, dir, "part")
+        .where(col("p_type") === "STANDARD").select(col("p_partkey"))
+      val pc = read(s, dir, "lineitem")
+        .join(stdParts, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(esupp.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") * 100).cast(LongType))
+          .as("cost_cents"))
+      val mc = pc.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("cost_cents")).as("min_cents"))
+      pc.join(mc, col("l_partkey") === col("mk") &&
+          col("cost_cents") === col("min_cents"))
+        .join(broadcast(esupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("l_suppkey").as("s_suppkey"),
+          col("s_name"), col("n_name"), col("cost_cents"))
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q9 shape: product-type profit — the LIKE-filtered part scan
+    // under the full 5-way star (lineitem⋈part⋈supplier⋈nation⋈orders),
+    // grouped by supplier nation × order year. No supplycost column
+    // exists, so profit = discounted revenue minus the tax amount, each
+    // term rounded e4 PER ROW before the LONG sum (exact, order-free).
+    // The LIKE conjunct can't prune the parquet scan to a range, but it
+    // pre-shrinks the build side before the partkey shuffle; supplier
+    // and nation broadcast.
+    "q9_product_profit" -> ((s, dir) => {
+      val redParts = read(s, dir, "part")
+        .where(col("p_name").like("%red%")).select(col("p_partkey"))
+      val supNation = read(s, dir, "supplier")
+        .join(broadcast(read(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      read(s, dir, "lineitem")
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(read(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(sum(
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast(LongType) -
+          round(col("l_extendedprice") * col("l_tax") * 10000)
+            .cast(LongType)).as("profit_e4"))
+    }),
+
+    // TPC-H Q11 shape: important stock — per-group value share against
+    // a GLOBAL scalar total (the HAVING sum(...) > fraction × Σ
+    // pattern). Scoped to one region's suppliers (broadcast semi); the
+    // per-part values aggregate once and the total re-aggregates THAT
+    // output (1 row, broadcast crossJoin — q15/q22's idiom), so
+    // lineitem is scanned and shuffled exactly once. The share gate is
+    // exact integer arithmetic: value×1000 > total in LONGs (value_e4
+    // sums stay < 2⁶³/1000 through SF-10), so no float threshold ever
+    // enters the hash compare. Fraction 1/1000 ≈ 2× the mean share at
+    // 2000 parts — scale-invariant under fixture cloning because value
+    // and total grow together.
+    "q11_important_parts" -> ((s, dir) => {
+      val rsupp = read(s, dir, "supplier")
+        .join(broadcast(read(s, dir, "nation")
+          .join(broadcast(read(s, dir, "region")
+            .where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = read(s, dir, "lineitem")
+        .join(broadcast(rsupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(revE4).as("value_e4"))
+      val total = v.agg(sum(col("value_e4")).as("total_e4"))
+      v.crossJoin(broadcast(total))
+        .where(col("value_e4") * 1000 > col("total_e4"))
+        .select(col("p_partkey"), col("value_e4"))
+    }),
+
+    // TPC-H Q16 shape: supplier-part relationship counts — COUNT
+    // DISTINCT suppliers per part attribute combo with a NOT-IN
+    // excluded supplier set. The exclusion (negative balance standing
+    // in for Q16's complaint LIKE) is a broadcast ANTI join on the fact
+    // side — row-local, no shuffle — and the attribute filters shrink
+    // part before its partkey join. The distinct count rides Spark's
+    // partial-dedup expand on the single (brand,type,size) shuffle.
+    "q16_supplier_counts" -> ((s, dir) => {
+      val badSupp = read(s, dir, "supplier")
+        .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val parts = read(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      read(s, dir, "lineitem")
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20 shape: excess-threshold suppliers — the nested-IN
+    // pattern (suppliers IN (… partkey IN (LIKE-filtered parts) AND
+    // qty > fraction × correlated SUM)). Without availqty the excess
+    // test becomes "shipped a MAJORITY of the part's 1997 volume":
+    // per-(supplier,part) sums re-aggregate to per-part totals on the
+    // same partkey clustering (one lineitem pass, date-pruned at the
+    // scan), the majority gate is exact integer 2×sq > tq on LONG
+    // quantities, and the region scope is a broadcast semi at the END —
+    // it prunes suppliers, not lineitems, exactly like Q20's outer
+    // nation filter. Output counts dominated parts per supplier, so the
+    // result discriminates rather than just listing the region.
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val rp = read(s, dir, "part")
+        .where(col("p_name").like("red%")).select(col("p_partkey"))
+      val sq = read(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(rp, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast(LongType)).as("supp_qty"))
+      val tq = sq.groupBy(col("l_partkey").as("tk"))
+        .agg(sum(col("supp_qty")).as("part_qty"))
+      val asupp = read(s, dir, "supplier")
+        .join(broadcast(read(s, dir, "nation")
+          .join(broadcast(read(s, dir, "region")
+            .where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      sq.join(tq, col("l_partkey") === col("tk"))
+        .where(col("supp_qty") * 2 > col("part_qty"))
+        .join(broadcast(asupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_dominated"))
+    }),
+
     // numeric-pair CORRELATION profile (the dataset-card association
     // read): Pearson r between quantity, price cents, and discount
     // bps over one single-pass aggregation — every Σx/Σx²/Σxy stays
@@ -1186,6 +1342,97 @@ object RelationalQueries {
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey
         |LIMIT 20""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH esupp AS (
+        |  SELECT s.s_suppkey, s.s_name, n.n_name
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |pc AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    CAST(min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cost_cents
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN esupp e ON l.l_suppkey = e.s_suppkey
+        |  WHERE p.p_type = 'STANDARD'
+        |  GROUP BY 1, 2),
+        |mc AS (
+        |  SELECT l_partkey, min(cost_cents) AS min_cents FROM pc GROUP BY 1)
+        |SELECT pc.l_partkey AS p_partkey, pc.l_suppkey AS s_suppkey,
+        |  e.s_name, e.n_name, pc.cost_cents
+        |FROM pc
+        |JOIN mc ON pc.l_partkey = mc.l_partkey
+        |  AND pc.cost_cents = mc.min_cents
+        |JOIN esupp e ON pc.l_suppkey = e.s_suppkey
+        |ORDER BY p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(
+        |    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+        |    - CAST(round(l.l_extendedprice * l.l_tax * 10000) AS BIGINT))
+        |    AS BIGINT) AS profit_e4
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH rsupp AS (
+        |  SELECT s.s_suppkey FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |v AS (
+        |  SELECT l.l_partkey AS p_partkey,
+        |    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+        |      AS value_e4
+        |  FROM lineitem l JOIN rsupp ON l.l_suppkey = rsupp.s_suppkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4 FROM v)
+        |SELECT v.p_partkey, v.value_e4
+        |FROM v CROSS JOIN t
+        |WHERE v.value_e4 * 1000 > t.total_e4""".stripMargin,
+
+    "q16_supplier_counts" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH rp AS (
+        |  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |sq AS (
+        |  SELECT l.l_suppkey, l.l_partkey,
+        |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+        |  FROM lineitem l JOIN rp ON l.l_partkey = rp.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |tq AS (
+        |  SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty
+        |  FROM sq GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, count(*) AS n_dominated
+        |FROM sq
+        |JOIN tq ON sq.l_partkey = tq.l_partkey
+        |JOIN supplier s ON sq.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA' AND sq.supp_qty * 2 > tq.part_qty
+        |GROUP BY 1, 2""".stripMargin,
 
     // exact HUGEINT moments; one double conversion per factor, IEEE
     // sqrt — identical floors on both engines
