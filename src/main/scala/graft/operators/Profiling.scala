@@ -186,7 +186,11 @@ object Profiling {
       "both drift sides need at least one batch")
     require(batchesA.toSet.intersect(batchesB.toSet).isEmpty,
       "drift sides must not share batches")
-    val posts = spark.read.parquet(s"$path/postings")
+    // erased docs (TextAnalysis.eraseFromTextIndex tombstones) leave
+    // the drift profile too — the monitor must not keep counting a
+    // deletion request's tokens
+    val posts = TextAnalysis.minusTombstonesOf(spark, path,
+      spark.read.parquet(s"$path/postings"))
     def side(ids: Seq[Long]) = posts
       .where(col("__batch_id").cast("long").isin(ids: _*))
       .groupBy(col("token")).agg(sum(col("tf")).as("cnt"))

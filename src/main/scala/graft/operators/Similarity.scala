@@ -515,8 +515,14 @@ object Similarity {
         d(slice(qvd, j * sub + 1, sub), typedlit(c))): _*)): _*)
     val qWithTab = probes.select(col("query_id"),
       col("part").cast("long").as("part"), qtab.as("__qtab"))
-    val codes = spark.read.parquet(storePath)
-      .where(col("part").isin(probedParts: _*))
+    // erased vectors (eraseFromIvfStore tombstones) leave before the
+    // ADC shortlist forms — the rerank fetch joins on the shortlist,
+    // so it can never resurrect them
+    val storeTomb = loadStoreTombstones(spark, storePath)
+    val codes = minusStoreTombstones(
+      spark.read.parquet(storePath)
+        .where(col("part").isin(probedParts: _*)),
+      idCol, storeTomb)
       .select(col(idCol).as("neighbor_id"), col("pq_codes"),
         col("part").cast("long").as("part"))
     val adc = aggregate(
@@ -859,6 +865,79 @@ object Similarity {
       .write.mode("append").partitionBy("part").parquet(path)
   }
 
+  /** RIGHT-TO-ERASURE on a persisted vector store ([[writeIvfCorpus]]
+    * or [[writeIvfPqCorpus]] layout — the ANN plane's twin of
+    * `TextAnalysis.eraseFromTextIndex`, because a deletion request is
+    * not closed while the subject still surfaces as somebody's nearest
+    * neighbor): id-keyed TOMBSTONES land in `path/__tombstones` (the
+    * leading underscore hides the sidecar from the store's own parquet
+    * partition discovery, so `spark.read.parquet(path)` is unchanged),
+    * and both store serves ([[ivfTopKFromStore]],
+    * [[ivfPqTopKFromStore]]) anti-join them out before any ranking.
+    * [[compactIvfStore]] is the physical closer.
+    *
+    * Unlike the text index there is no stats row to keep exact, so
+    * EVERY requested id is tombstoned — including ids not (yet) in the
+    * store: a later [[appendIvfCorpus]] batch redelivering the subject
+    * stays excluded (erasure binds the id forever in this store).
+    * The frozen centroid index is untouched — it is an aggregate model
+    * parameter, the same anonymized-aggregate position the event
+    * plane's erasure documents for retained rollup aggregates; a
+    * corpus rewrite + [[kmeansFit]] refresh is the full-retrain path.
+    *
+    * @return how many requested ids were actually present. */
+  def eraseFromIvfStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, ids: Seq[String]): Long = {
+    require(ids.nonEmpty, "eraseFromIvfStore needs ids")
+    import spark.implicits._
+    val found = spark.read.parquet(path)
+      .where(col(idCol).cast("string").isin(ids: _*))
+      .select(col(idCol).cast("string")).distinct().count()
+    val known = loadStoreTombstones(spark, path)
+      .map(_.select(col("id")).as[String].collect().toSet)
+      .getOrElse(Set.empty[String])
+    val fresh = ids.distinct.filterNot(known)
+    if (fresh.nonEmpty)
+      fresh.toDF("id").coalesce(1)
+        .write.mode("append").parquet(s"$path/__tombstones")
+    found
+  }
+
+  /** The store's tombstone ids, if any erasure ever ran. Stored as
+    * strings; serves compare on a string-cast of the id column. */
+  private[graft] def loadStoreTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/__tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)
+      .dropDuplicates("id"))
+    else None
+  }
+
+  /** Drop tombstoned rows from a store scan — broadcast anti join on
+    * the string-cast id (tombstone side is deletion-request bounded). */
+  private def minusStoreTombstones(rows: DataFrame, idCol: String,
+      tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(rows)(t =>
+      rows.join(broadcast(t.withColumnRenamed("id", "__tomb_id")),
+        col(idCol).cast("string") === col("__tomb_id"), "left_anti"))
+
+  /** Physically close [[eraseFromIvfStore]] requests: rewrite the
+    * store WITHOUT tombstoned rows into a fresh directory (same
+    * crash-safe swap contract as `compactTextIndex` — never in
+    * place), preserving the `part=` serving layout. The output store
+    * carries no tombstones; retire the input once reads re-point,
+    * or the erased vectors still exist on disk. */
+  def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, idCol: String): Unit = {
+    require(inPath != outPath,
+      "compact writes a fresh directory (crash-safe swap), not in place")
+    minusStoreTombstones(spark.read.parquet(inPath), idCol,
+      loadStoreTombstones(spark, inPath))
+      .write.mode("overwrite").partitionBy("part").parquet(outPath)
+  }
+
   /** Centroid DRIFT of a persisted IVF store against its serving
     * index: per part, the L2 distance between the index's centroid and
     * the partition's CURRENT mean vector — the number that says how
@@ -934,8 +1013,11 @@ object Similarity {
     // exactly what buys the partition filter below
     val probedParts = probes.select(col("part").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val c = spark.read.parquet(storePath)
-      .where(col("part").isin(probedParts: _*)) // prunes part= dirs
+    // erased vectors (eraseFromIvfStore tombstones) never rank
+    val c = minusStoreTombstones(
+      spark.read.parquet(storePath)
+        .where(col("part").isin(probedParts: _*)), // prunes part= dirs
+      idCol, loadStoreTombstones(spark, storePath))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col("part").cast("long").as("part"))
     val w = Window.partitionBy(col("query_id"))

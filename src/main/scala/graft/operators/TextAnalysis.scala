@@ -949,9 +949,11 @@ object TextAnalysis {
       s"inconsistent n_buckets across index batches: ${nbs.mkString(",")}")
     val buckets = Seq(term1, term2)
       .map(t => Dedup.md5Hash60(t) % nbs.head).distinct
-    val matched = spark.read.parquet(s"$path/postings")
-      .where(col("part").isin(buckets: _*)) // prunes part= dirs
-      .where(col("token").isin(term1, term2))
+    val matched = minusTombstones(
+      spark.read.parquet(s"$path/postings")
+        .where(col("part").isin(buckets: _*)) // prunes part= dirs
+        .where(col("token").isin(term1, term2)),
+      loadTombstones(spark, path))
       .select(col("id"), col("token"), col("positions"))
     val a = matched.where(col("token") === term1)
       .select(col("id"), col("positions").as("__pa"))
@@ -975,7 +977,8 @@ object TextAnalysis {
     * .tokenDriftFromIndex]]'s drift). Distributed TakeOrdered cut. */
   def topTermsFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, k: Int): DataFrame =
-    spark.read.parquet(s"$path/postings")
+    minusTombstones(spark.read.parquet(s"$path/postings"),
+      loadTombstones(spark, path))
       .groupBy(col("token")).agg(sum(col("tf")).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
@@ -990,7 +993,16 @@ object TextAnalysis {
     * a fresh path and reads re-point — a store being read is never
     * rewritten in place. Doc-id disjointness across batches (the
     * append contract) is what makes this a pure re-layout: no two
-    * batches carry postings for the same (id, token). */
+    * batches carry postings for the same (id, token).
+    *
+    * Compaction is also the PHYSICAL CLOSER of [[eraseFromTextIndex]]
+    * deletion requests: tombstoned postings are dropped from the
+    * rewrite, the collapsed stats row absorbs the subtraction, and the
+    * output store carries NO tombstones — the erased bytes are gone,
+    * not just excluded, and serving from the compacted store is
+    * identical to serving the tombstoned input (spec-pinned). Retire
+    * the input directory once reads re-point, or the erased rows
+    * still exist on disk. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
       inPath: String, outPath: String, targetFiles: Int = 8): Unit = {
     require(inPath != outPath,
@@ -1000,17 +1012,109 @@ object TextAnalysis {
       .map(_.getLong(0))
     require(nbs.length == 1,
       s"inconsistent n_buckets across index batches: ${nbs.mkString(",")}")
-    spark.read.parquet(s"$inPath/postings")
+    val tomb = loadTombstones(spark, inPath)
+    minusTombstones(spark.read.parquet(s"$inPath/postings"), tomb)
       .drop("__batch_id")
       .coalesce(targetFiles)
       .write.mode("overwrite").partitionBy("part")
       .parquet(s"$outPath/postings/__batch_id=0")
-    statsAll
+    val statsBase = statsAll
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    tomb.fold(statsBase) { t =>
+      val sub = t.agg(count(lit(1)).as("__tn"),
+        coalesce(sum(col("dl")), lit(0L)).as("__tdl"))
+      statsBase.crossJoin(broadcast(sub))
+        .select((col("n_docs") - col("__tn")).as("n_docs"),
+          (col("sum_dl") - col("__tdl")).as("sum_dl"))
+    }
       .withColumn("n_buckets", lit(nbs.head))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outPath/stats/__batch_id=0")
   }
+
+  /** RIGHT-TO-ERASURE on the postings store (the retrieval plane's
+    * twin of `TimeSeriesService.eraseEvents` — a deletion request is
+    * not closed while a DERIVED serving store still returns the
+    * subject): writes id-keyed TOMBSTONES to `path/tombstones/` that
+    * every serve from this store excludes immediately
+    * ([[bm25TopKFromIndex]], [[phraseHitsFromIndex]],
+    * [[proximityHitsFromIndex]], [[topTermsFromIndex]],
+    * `Profiling.tokenDriftFromIndex`), with [[compactTextIndex]] as
+    * the physical CLOSER that rewrites the bytes out (the LSM
+    * delete: logical now, physical at the next compaction — until
+    * the compacted store replaces this one, the erased postings
+    * still exist on disk, exactly the `retiredStoreDir` caveat).
+    *
+    * Each tombstone carries the doc's `dl`, recovered here by one
+    * COLUMN-PRUNED postings scan (a doc's postings spread across
+    * every bucket its tokens hash to, so no doc-keyed pruning
+    * exists — the scan reads two columns, never positions, and runs
+    * once per erasure REQUEST, not per query). That is what keeps
+    * served BM25 EXACT over the surviving corpus: df re-aggregates
+    * from the anti-joined pruned read, and the 1-row corpus stats
+    * subtract the tombstones' exact (count, Σdl).
+    *
+    * Only ids present in the store tombstone (their dl is known and
+    * their stats contribution real); erasing an id the store never
+    * indexed is a 0-count no-op — a request against a doc not yet
+    * ingested is upstream's to honor (indexing it later would
+    * re-count it in batch stats while the tombstone subtracted
+    * nothing). Repeat-erasing an id never double-subtracts: already-
+    * tombstoned ids are skipped. REPLAY IMMUNITY falls out of the
+    * sidecar living outside the `__batch_id=` namespace: a replayed
+    * batch overwrites its own postings/stats dirs, the tombstone
+    * survives, and the erased doc stays excluded — a redelivery can
+    * never resurrect erased rows (the B21b contract, spec-pinned).
+    *
+    * @return number of ids actually erased (found and not already
+    *   tombstoned). */
+  def eraseFromTextIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[String]): Long = {
+    require(ids.nonEmpty, "eraseFromTextIndex needs ids")
+    val found = spark.read.parquet(s"$path/postings")
+      .where(col("id").cast("string").isin(ids: _*))
+      .select(col("id"), col("dl"))
+      .dropDuplicates("id")
+    val fresh = loadTombstones(spark, path).fold(found)(t =>
+      found.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti"))
+    // count + write in one pass: the tombstone set is deletion-request
+    // bounded, so the persist is a few rows
+    val rows = fresh.persist()
+    val n = rows.count()
+    if (n > 0)
+      rows.write.mode("append").parquet(s"$path/tombstones")
+    rows.unpersist()
+    n
+  }
+
+  /** The store's tombstone sidecar, if any erasure ever ran — the
+    * (id, dl) rows every serve anti-joins. `dropDuplicates` is
+    * defensive only (the eraser already skips known ids). */
+  private[graft] def loadTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)
+      .dropDuplicates("id"))
+    else None
+  }
+
+  /** Exclude tombstoned docs from a postings read — a broadcast anti
+    * join (the tombstone side is deletion-request bounded), row-local
+    * on the postings side. */
+  private def minusTombstones(postings: DataFrame,
+      tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(postings)(t =>
+      postings.join(broadcast(t.select(col("id"))), Seq("id"),
+        "left_anti"))
+
+  /** [[minusTombstones]] for readers OUTSIDE this object that scan a
+    * store's postings directly (`Profiling.tokenDriftFromIndex`). */
+  private[graft] def minusTombstonesOf(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      postings: DataFrame): DataFrame =
+    minusTombstones(postings, loadTombstones(spark, path))
 
   /** One batch's postings + stats, written idempotently: overwrite of
     * the batch's own `__batch_id=` directories, nothing else touched
@@ -1066,17 +1170,31 @@ object TextAnalysis {
     val nBuckets = nbs.head
     val terms = queries.flatMap(_._2).distinct
     val buckets = terms.map(t => Dedup.md5Hash60(t) % nBuckets).distinct
-    val matched = spark.read.parquet(s"$path/postings")
-      .where(col("part").isin(buckets: _*)) // prunes part= dirs
-      .where(col("token").isin(terms: _*))
+    // erased docs leave BEFORE df aggregates, so df/tf/dl and the
+    // subtracted corpus stats are all exactly the surviving corpus's
+    val tomb = loadTombstones(spark, path)
+    val matched = minusTombstones(
+      spark.read.parquet(s"$path/postings")
+        .where(col("part").isin(buckets: _*)) // prunes part= dirs
+        .where(col("token").isin(terms: _*)),
+      tomb)
     // df recovered exactly from the pruned read (a token's bucket
     // holds ALL its postings); |terms|-bounded aggregation
     val dfTable = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val postings = matched
       .select(col("id"), col("token"), col("tf"), col("dl").as("__dl"))
       .join(dfTable, Seq("token"))
-    val stats = statsAll
+    val statsBase = statsAll
       .agg(sum(col("n_docs")).as("__n"), sum(col("sum_dl")).as("__sumdl"))
+    val stats = tomb.fold(statsBase) { t =>
+      // 1-row × 1-row broadcast cross: the batch stats rows still sum
+      // the erased docs, so subtract the tombstones' exact (n, Σdl)
+      val sub = t.agg(count(lit(1)).as("__tn"),
+        coalesce(sum(col("dl")), lit(0L)).as("__tdl"))
+      statsBase.crossJoin(broadcast(sub))
+        .select((col("__n") - col("__tn")).as("__n"),
+          (col("__sumdl") - col("__tdl")).as("__sumdl"))
+    }
     bm25Score(postings, stats, "id", queries, topK, k1, b)
   }
 
@@ -1106,9 +1224,11 @@ object TextAnalysis {
       s"inconsistent n_buckets across index batches: ${nbs.mkString(",")}")
     val terms = phraseTerms.flatMap(_._2).distinct
     val buckets = terms.map(t => Dedup.md5Hash60(t) % nbs.head).distinct
-    val matched = spark.read.parquet(s"$path/postings")
-      .where(col("part").isin(buckets: _*)) // prunes part= dirs
-      .where(col("token").isin(terms: _*))
+    val matched = minusTombstones(
+      spark.read.parquet(s"$path/postings")
+        .where(col("part").isin(buckets: _*)) // prunes part= dirs
+        .where(col("token").isin(terms: _*)),
+      loadTombstones(spark, path))
       .select(col("id"), col("token"), col("positions"))
     phraseTerms.map { case (ph, ts) =>
       val start = matched.where(col("token") === ts.head)

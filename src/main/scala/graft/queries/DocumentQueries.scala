@@ -106,6 +106,39 @@ object DocumentQueries {
       p.toString
     })
 
+  /** The erasure queries' deletion subjects: the sf0.01 rank-1 BM25
+    * winners of the three standing queries — erasing them provably
+    * REORDERS the served ranking at the gate's scale (a subject that
+    * never ranked would make exclusion unobservable). */
+  private val erasedDocIds = Seq("292", "368", "317")
+
+  /** A dedicated index that has PROCESSED a deletion request
+    * (tombstones live): built like [[textIndexDir]], then
+    * `eraseFromTextIndex(erasedDocIds)`. Its own store — erasure on
+    * the shared fixture would corrupt every other indexed query. */
+  private def erasedTextIndexDir(s: SparkSession, dir: String): String =
+    textIndexDirs.getOrElseUpdate((s, s"$dir#erased"), {
+      val p = java.nio.file.Files.createTempDirectory("graft_bm25erase")
+      deleteOnExit(p)
+      TextAnalysis.buildTextIndex(docs(s, dir), "text", "doc_id",
+        p.toString, nBuckets = 64)
+      TextAnalysis.eraseFromTextIndex(s, p.toString, erasedDocIds)
+      p.toString
+    })
+
+  /** The erased index COMPACTED — the physical closer's output: no
+    * tombstones, erased bytes gone. Must serve identically to the
+    * tombstoned input (shared oracle). */
+  private def erasedClosedTextIndexDir(s: SparkSession,
+      dir: String): String =
+    textIndexDirs.getOrElseUpdate((s, s"$dir#erasedclosed"), {
+      val in = erasedTextIndexDir(s, dir)
+      val p = java.nio.file.Files.createTempDirectory("graft_bm25closed")
+      deleteOnExit(p)
+      TextAnalysis.compactTextIndex(s, in, p.toString)
+      p.toString
+    })
+
   /** Two-batch index whose batches mirror `drift_sources`' split
     * (batch 0 = low-numbered sources, batch 1 = the rest) — lets the
     * index-derived drift query share the corpus-scan oracle. */
@@ -837,6 +870,38 @@ object DocumentQueries {
     // zero streaming state, indistinguishable at query time
     "stream_bm25_indexed" -> ((s, dir) =>
       TextAnalysis.bm25TopKFromIndex(s, streamedTextIndexDir(s, dir),
+        queries = Seq(
+          "q_hash_join" -> Seq("hash", "join"),
+          "q_window_scan" -> Seq("window", "sort", "scan"),
+          "q_stream" -> Seq("stream", "batch", "spark")),
+        topK = 5)
+        .withColumnRenamed("id", "doc_id")),
+
+    // RIGHT-TO-ERASURE on the retrieval plane (the deletion request
+    // is not closed while a derived store still returns the subject —
+    // B21b's contract extended past the event store): the index has
+    // processed an erasure of the three rank-1 docs, and the SAME
+    // standing queries must now serve the surviving corpus's exact
+    // BM25 — tombstones anti-joined before df aggregates, corpus
+    // stats (n, Σdl) subtracted exactly; the oracle recomputes from
+    // raw documents WITHOUT the subjects, so stats-exactness (not
+    // just exclusion) is what hash-gates
+    "text_bm25_erased" -> ((s, dir) =>
+      TextAnalysis.bm25TopKFromIndex(s, erasedTextIndexDir(s, dir),
+        queries = Seq(
+          "q_hash_join" -> Seq("hash", "join"),
+          "q_window_scan" -> Seq("window", "sort", "scan"),
+          "q_stream" -> Seq("stream", "batch", "spark")),
+        topK = 5)
+        .withColumnRenamed("id", "doc_id")),
+
+    // the physical CLOSER: the erased index compacted to a fresh
+    // store — tombstoned postings dropped from the rewrite, stats
+    // row absorbed the subtraction, NO tombstones in the output (the
+    // erased bytes are gone, not just excluded). Serving must be
+    // indistinguishable from the tombstoned input: shared oracle
+    "text_bm25_erase_closed" -> ((s, dir) =>
+      TextAnalysis.bm25TopKFromIndex(s, erasedClosedTextIndexDir(s, dir),
         queries = Seq(
           "q_hash_join" -> Seq("hash", "join"),
           "q_window_scan" -> Seq("window", "sort", "scan"),
@@ -1916,6 +1981,18 @@ object DocumentQueries {
       |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score_e6
       |FROM ranked WHERE rk <= 5""".stripMargin
 
+  /** The erasure oracle: [[bm25Sql]] recomputed over the SURVIVING
+    * corpus — same scorer text, documents CTE-filtered to exclude the
+    * deletion subjects. Derived mechanically so the two oracles can
+    * never drift on the scorer. */
+  private val erasedBm25Sql: String = {
+    val subjects = erasedDocIds.mkString(", ")
+    s"""WITH __docs AS (
+       |  SELECT * FROM documents WHERE doc_id NOT IN ($subjects)),
+       |""".stripMargin +
+      bm25Sql.stripPrefix("WITH ").replace("FROM documents", "FROM __docs")
+  }
+
   /** Hybrid retrieval oracle: the SAME bm25 chain (candidates rk ≤ 20)
     * reranked by embedding cosine against the query's mapped vector —
     * stage-1 lexical recall, stage-2 dense precision. */
@@ -2719,6 +2796,11 @@ object DocumentQueries {
     "text_bm25_indexed" -> bm25Sql,
 
     "stream_bm25_indexed" -> bm25Sql,
+
+    // the surviving-corpus recompute: exclusion AND stats-exactness
+    // gate together; the compacted closer shares it verbatim
+    "text_bm25_erased" -> erasedBm25Sql,
+    "text_bm25_erase_closed" -> erasedBm25Sql,
 
     "phrase_hits" -> phraseSql,
 

@@ -169,6 +169,39 @@ object EmbeddingQueries {
     Map("ann_ivf_persisted" -> (ivfPersistedPhases _),
       "ann_ivfpq_topk" -> (ivfPqPhases _))
 
+  /** The vector plane's deletion subjects: neighbors that RANK in the
+    * un-erased sf0.01 serve — erasing them provably changes the
+    * result (exclusion of a never-ranking id would be unobservable). */
+  private val erasedVecIds = Seq("334", "365", "387")
+
+  /** A dedicated IVF store that has PROCESSED a deletion request:
+    * the shared k-means index artifacts (read-only: assignment +
+    * centroids) serve a FRESH store copy, tombstoned with
+    * [[Similarity.eraseFromIvfStore]] — erasure on the shared store
+    * fixture would corrupt every other persisted-serve query. */
+  private val erasedStores =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def erasedIvfStore(s: SparkSession, dir: String): String =
+    erasedStores.getOrElseUpdate((s, dir), {
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+      val store = s"${tempIndexDir("graft_ivferase")}/store"
+      Similarity.writeIvfCorpus(emb(s, dir),
+        s.read.parquet(s"$built/assign"), "vec_id", store)
+      Similarity.eraseFromIvfStore(s, store, "vec_id", erasedVecIds)
+      store
+    })
+
+  /** The erased store COMPACTED (physical closer: tombstoned vectors
+    * dropped from the rewrite, no tombstones in the output) — must
+    * serve identically to the tombstoned input. */
+  private def erasedClosedIvfStore(s: SparkSession, dir: String): String =
+    erasedStores.getOrElseUpdate((s, s"$dir#closed"), {
+      val in = erasedIvfStore(s, dir)
+      val out = s"${tempIndexDir("graft_ivfclosed")}/store"
+      Similarity.compactIvfStore(s, in, out, "vec_id")
+      out
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-5 for the first 10 vectors (the ANN baseline)
     "ann_bruteforce_topk" -> ((s, dir) => {
@@ -291,6 +324,41 @@ object EmbeddingQueries {
         s.read.parquet(store), stale, "embedding", threshold = 1e-6)
       require(fired, "the stale v0 index must trigger the refit")
       Similarity.ivfTopKFromStore(store, idx, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 3,
+        dotFn = GraftFunctions.dotNative)
+    }),
+
+    // RIGHT-TO-ERASURE on the vector plane (the ANN twin of
+    // text_bm25_erased — a deletion request is not closed while the
+    // subject still surfaces as somebody's nearest neighbor): the
+    // store has processed an erasure of three ids that RANK in the
+    // un-erased serve; tombstones anti-join out before any ranking,
+    // deeper survivors take their places. The frozen centroid index
+    // is untouched (aggregate model parameter — the documented
+    // anonymized-aggregate position), so the oracle keeps the full
+    // assignment and excludes the subjects only as candidates
+    "ann_erased_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+      Similarity.ivfTopKFromStore(erasedIvfStore(s, dir),
+        Similarity.readCentroids(s, s"$built/centroids"),
+        e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 3,
+        dotFn = GraftFunctions.dotNative)
+    }),
+
+    // the physical CLOSER: the erased store compacted to a fresh
+    // part=-preserving directory — tombstoned vectors dropped, no
+    // tombstones in the output. Serving must be indistinguishable
+    // from the tombstoned input: shared oracle
+    "ann_erase_closed" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+      Similarity.ivfTopKFromStore(erasedClosedIvfStore(s, dir),
+        Similarity.readCentroids(s, s"$built/centroids"),
+        e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 3,
         dotFn = GraftFunctions.dotNative)
     }),
@@ -686,8 +754,25 @@ object EmbeddingQueries {
       |  WHERE c.vec_id <> p.query_id)
       |WHERE rank <= 5""".stripMargin
 
+  /** The erasure oracle: [[kmeansIvfOracle]] with the deletion
+    * subjects excluded as CANDIDATES only — assignment and centroids
+    * keep the full corpus (the frozen index is untouched by erasure).
+    * Derived mechanically so the scorers can never drift. */
+  private val erasedIvfOracle: String = {
+    val subjects = erasedVecIds.mkString(", ")
+    val from = "WHERE c.vec_id <> p.query_id)"
+    val to = s"WHERE c.vec_id <> p.query_id AND c.vec_id NOT IN ($subjects))"
+    require(kmeansIvfOracle.contains(from), "oracle surgery anchor moved")
+    kmeansIvfOracle.replace(from, to)
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ann_bruteforce_topk" -> topkOracle,
+
+    // exclusion gates against the full-assignment recompute; the
+    // compacted closer shares it verbatim
+    "ann_erased_topk" -> erasedIvfOracle,
+    "ann_erase_closed" -> erasedIvfOracle,
 
     "emb_near_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
