@@ -349,12 +349,77 @@ final class TimeSeriesService(
     * @return one entry per target: (fact, grouping label, measured
     *   compaction ×10⁴, Some(store dir) if materialized) */
   def applyAdvice(baseDir: String,
-      minCompactionE4: Long = 20000L): Seq[TimeSeriesService.AdvisedRollup] = {
+      minCompactionE4: Long = 20000L): Seq[TimeSeriesService.AdvisedRollup] =
+    applyAdviceTo(baseDir, minCompactionE4, (_, _) => true)
+
+  /** The served-read WORKLOAD LOG: one counter per (fact, routed
+    * grouping, tier), bumped at every real serve's routing decision —
+    * single reads, each tile of a multi read, histograms, percentile
+    * serves. [[explainRoute]] never counts (introspection must not
+    * inflate the workload it reports on). Driver-side and
+    * catalog-bounded: at most |facts|×|groupings|×|tiers| entries, no
+    * Spark job to read it. */
+  private val readCounts =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Long]
+
+  private def recordRead(factId: String, grouping: Seq[String],
+      tier: String): Unit = readCounts.synchronized {
+    val k = (factId, grouping.mkString(","), tier)
+    readCounts(k) = readCounts.getOrElse(k, 0L) + 1L
+  }
+
+  /** The observed workload as a frame: (fact, grouping, tier,
+    * n_reads) — the row a capacity review reads next to
+    * [[explainRoute]]: explain says where a read WOULD route,
+    * this says what actually ran and how often. A `raw-scan` row
+    * with a high count is the materialization candidate
+    * [[applyAdviceFromWorkload]] acts on. */
+  def workloadProfile(): DataFrame = {
+    import spark.implicits._
+    readCounts.readOnlySnapshot().toSeq
+      .map { case ((f, g, t), n) => (f, g, t, n) }
+      .sortBy(r => (r._1, r._2, r._3))
+      .toDF("fact", "grouping", "tier", "n_reads")
+  }
+
+  /** Start a fresh observation window (e.g. after acting on the
+    * advice, so the next review sees post-materialization traffic). */
+  def resetWorkloadLog(): Unit = readCounts.clear()
+
+  /** [[applyAdvice]] restricted to the OBSERVED workload: materialize
+    * only groupings the read log ([[workloadProfile]]) shows being
+    * served from raw scans at least `minReads` times — the advice a
+    * real deployment wants, because the catalog implies every rollup a
+    * dashboard COULD ask for while the log says which ones dashboards
+    * DO ask for (a cold grouping's rollup is storage and refresh work
+    * with no reader; a hot raw-scan grouping is the row to fix).
+    * Targets still face the same measured-compaction bar — a hot read
+    * over an incompressible grouping stays compute-on-read, reported
+    * with its measured ratio. Reads already served from any rollup
+    * tier are never re-materialized by this call.
+    *
+    * @return one entry per HOT raw-scan target (subset of what
+    *   [[applyAdvice]] would return; same semantics per entry). */
+  def applyAdviceFromWorkload(baseDir: String, minReads: Long = 1L,
+      minCompactionE4: Long = 20000L)
+      : Seq[TimeSeriesService.AdvisedRollup] = {
+    require(minReads >= 1L, s"minReads must be >= 1, got $minReads")
+    val hot = readCounts.readOnlySnapshot().collect {
+      case ((fid, g, "raw-scan"), n) if n >= minReads => (fid, g)
+    }.toSet
+    applyAdviceTo(baseDir, minCompactionE4,
+      (fid, grouping) => hot((fid, grouping.mkString(","))))
+  }
+
+  private def applyAdviceTo(baseDir: String, minCompactionE4: Long,
+      keep: (String, Seq[String]) => Boolean)
+      : Seq[TimeSeriesService.AdvisedRollup] = {
     val targets = for {
       dim <- catalog.dimensions if !dim.groupOnly
       factId <- dim.facts.toSeq.sorted
       fact <- catalog.fact(factId).toSeq
       path <- dim.groupedBy
+      if keep(factId, path :+ dim.id)
     } yield (fact, dim, path)
     targets.groupBy { case (fact, dim, _) =>
       (fact.id, dim.sliceMinutes.getOrElse(fact.sliceMinutes))
@@ -1308,9 +1373,14 @@ final class TimeSeriesService(
   private def servableRollup(fact: graft.model.FactDef, slice: Int,
       grouping: Seq[String], step: Step = Step.NoStep,
       offsetHours: Int = 0, start: Timestamp = null,
-      finish: Timestamp = null): Option[DataFrame] =
-    routeTier(fact.id, slice, grouping, step, offsetHours, start,
-        finish) match {
+      finish: Timestamp = null): Option[DataFrame] = {
+    val routed = routeTier(fact.id, slice, grouping, step, offsetHours,
+      start, finish)
+    // every real serve passes here (single reads, each multi tile,
+    // histograms, percentiles); explainRoute consults routeTier
+    // directly, so introspection never inflates the workload
+    recordRead(fact.id, grouping, routed._1)
+    routed match {
       case ("raw-scan", _) => None
       case ("rollup-day", Some(dp)) => Some(Rollups.read(spark, dp))
       case ("rollup-slice", Some(p)) => Some(Rollups.read(spark, p))
@@ -1325,6 +1395,7 @@ final class TimeSeriesService(
       case (tier, None) => throw new IllegalStateException(
         s"routeTier returned $tier with no store path") // unreachable
     }
+  }
 
   /** ROUTING INTROSPECTION — the serving-observability read a
     * dashboard operator needs ("which tile fell back to a raw scan,

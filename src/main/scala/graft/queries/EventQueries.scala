@@ -1011,6 +1011,53 @@ object EventQueries {
         ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day)
     }),
 
+    // the WORKLOAD-OBSERVED advisor loop: the catalog implies every
+    // rollup a dashboard COULD ask for; the read log says which ones
+    // dashboards DO ask for. Two dimensions are declared for the same
+    // fact; only user_bucket is actually read (twice, raw-scan — the
+    // log records at the serving route decision, never at
+    // explainRoute). applyAdviceFromWorkload(minReads = 2)
+    // materializes EXACTLY the hot grouping — the cold event_type
+    // target, which plain applyAdvice would also have built, stays
+    // compute-on-read with zero storage spent (required in-query via
+    // explainRoute). The returned profile then shows the loop's whole
+    // history: 2 raw scans before the advice, the post-advice re-read
+    // on rollup-slice, and the cold dimension's single raw scan.
+    "ts_workload_advice" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 60)
+      svc.defineDimension("user_bucket", facts = Set("clicks_count"))
+      svc.defineDimension("event_type", facts = Set("clicks_count"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(lit("clicks_count").as("fact"), col("ts"),
+          lit(1L).as("value"),
+          map(lit("user_bucket"), (col("user_id") % 2).cast("string"),
+            lit("event_type"), col("event_type")).as("categories"))
+      svc.ingest(ev)
+      val win = (ts("2024-01-05T00:00"), ts("2024-01-07T00:00"))
+      def readHot(): Unit = svc.getTimeseries("clicks_count",
+        "user_bucket", Map("user_bucket" -> None), win._1, win._2,
+        Step.Day)
+      readHot(); readHot()
+      val advised = svc.applyAdviceFromWorkload(java.nio.file.Files
+          .createTempDirectory("graft_wl_advice").toString,
+        minReads = 2L, minCompactionE4 = 15000L)
+      require(advised.map(_.grouping) == Seq("user_bucket") &&
+        advised.forall(_.path.isDefined),
+        s"exactly the hot grouping must materialize, got $advised")
+      val cold = svc.explainRoute(Seq("clicks_count"), "event_type",
+          Map("event_type" -> None), win._1, win._2, Step.Day)
+        .select(col("tier")).head().getString(0)
+      require(cold == "raw-scan",
+        s"the unread dimension must stay compute-on-read, got $cold")
+      readHot() // now rollup-slice — the flip lands in the log
+      svc.getTimeseries("clicks_count", "event_type",
+        Map("event_type" -> None), win._1, win._2, Step.Day)
+      svc.workloadProfile()
+    }),
+
     // the STREAMING-MAINTAINED dashboard (the production topology:
     // ingest maintains one partial store per fact, the service read
     // never sees raw events): a counter tile and an average tile,
@@ -3898,6 +3945,16 @@ object EventQueries {
         |  ('purchases_count', 'user_bucket', 'external-rollup+local-events'),
         |  ('late_count', 'user_bucket', 'raw-scan'))
         |  AS t(fact, grouping, tier)""".stripMargin,
+
+    // the full loop history the read log must show: 2 raw scans drew
+    // the advice, the post-advice re-read routed, the cold dimension
+    // was read once and never materialized
+    "ts_workload_advice" ->
+      """SELECT * FROM (VALUES
+        |  ('clicks_count', 'event_type', 'raw-scan', CAST(1 AS BIGINT)),
+        |  ('clicks_count', 'user_bucket', 'raw-scan', CAST(2 AS BIGINT)),
+        |  ('clicks_count', 'user_bucket', 'rollup-slice', CAST(1 AS BIGINT)))
+        |  AS t(fact, grouping, tier, n_reads)""".stripMargin,
 
     // integral-cents spend distribution, 2000-cent buckets clamped to
     // [0, 20000) — the service's histogram kernel over ingested cents

@@ -1259,6 +1259,55 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(tier() == "raw-scan")
   }
 
+  test("workload log records serves (not explains) and " +
+      "applyAdviceFromWorkload materializes only hot raw-scan targets") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val svc = new TimeSeriesService(spark)
+    svc.defineFact("hits", FactType.Counter, slice = 60)
+    svc.defineDimension("dep", facts = Set("hits"))
+    svc.defineDimension("kind", facts = Set("hits")) // declared, never read
+    val ev = (0 until 40).map(i => graft.model.Event("hits",
+      ts(f"2014-03-21T${9 + i % 2}%02d:${i % 60}%02d"), 1L,
+      Map("dep" -> ("d" + i % 2), "kind" -> ("k" + i % 3)))).toDF()
+    svc.ingest(ev)
+    def read() = svc.getTimeseries("hits", "dep", Map("dep" -> None),
+      ts("2014-03-21T09:00"), ts("2014-03-21T11:00"), Step.Hour)
+    def log() = svc.workloadProfile().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    def tier(dim: String) = svc.explainRoute(Seq("hits"), dim,
+        Map(dim -> None), ts("2014-03-21T09:00"),
+        ts("2014-03-21T11:00"), Step.Hour)
+      .select("tier").head.getString(0)
+    assert(log().isEmpty)
+    // explain is introspection — it must never inflate the workload
+    assert(tier("dep") == "raw-scan" && log().isEmpty)
+    val preRows = pivot(read(), Seq("dep"))
+    read()
+    assert(log() == Set(("hits", "dep", "raw-scan", 2L)))
+    // minReads above the observed count: a genuine NO, nothing built
+    val below = svc.applyAdviceFromWorkload(java.nio.file.Files
+      .createTempDirectory("graft-wl-hi").toString, minReads = 3L)
+    assert(below.isEmpty && tier("dep") == "raw-scan")
+    // at the bar: exactly the hot grouping materializes; the declared
+    // but never-read 'kind' target stays compute-on-read (plain
+    // applyAdvice would have built BOTH — that is the difference)
+    val applied = svc.applyAdviceFromWorkload(java.nio.file.Files
+      .createTempDirectory("graft-wl").toString, minReads = 2L)
+    assert(applied.map(_.grouping) == Seq("dep"))
+    assert(applied.forall(_.path.isDefined))
+    assert(tier("dep") == "rollup-slice" && tier("kind") == "raw-scan")
+    // rows never change; the post-advice serve lands in the log on
+    // its new tier
+    assert(pivot(read(), Seq("dep")) == preRows)
+    assert(log() == Set(("hits", "dep", "raw-scan", 2L),
+      ("hits", "dep", "rollup-slice", 1L)))
+    // a fresh observation window
+    svc.resetWorkloadLog()
+    assert(log().isEmpty)
+  }
+
   test("typed Dataset surface agrees with the nested-map adapter") {
     val svc = freshService()
     val df = svc.getTimeseries("signups", "dependency_user",
