@@ -174,6 +174,28 @@ class ErasureSpec extends SparkTestBase {
     assert(!serve(store).map(_._2).contains(7L))
   }
 
+  test("the IVF-PQ ADC serve excludes erased vectors before the shortlist") {
+    // m=1 subspace of dim 2, ks=2 codes: centers near the two axes, so
+    // codes discriminate and the ADC shortlist is meaningful
+    val codebook = Seq(Seq(Seq(1.0, 0.1), Seq(0.1, 1.0)))
+    val store = s"${tmp("erase_pq")}/store"
+    val assigned = Similarity.assignToCentroids(vecs, index, "vec_id",
+      "embedding")
+    Similarity.writeIvfPqCorpus(vecs, assigned, "vec_id", "embedding",
+      codebook, store)
+    def pq(): Seq[Long] = Similarity.ivfPqTopKFromStore(store, index,
+        vecs.where(col("vec_id") === 0L), "vec_id", "embedding",
+        codebook, k = 3, nProbe = 2, candidates = 4)
+      .select(col("neighbor_id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(pq().contains(1L))
+    Similarity.eraseFromIvfStore(spark, store, "vec_id", Seq("1"))
+    val after = pq()
+    // excluded BEFORE the shortlist forms: a deeper survivor fills k,
+    // and the rerank fetch cannot resurrect the subject
+    assert(!after.contains(1L) && after.size == 3)
+  }
+
   test("compactIvfStore closes: rows gone, layout kept, same serve") {
     val store = buildStore(vecs)
     Similarity.eraseFromIvfStore(spark, store, "vec_id", Seq("1"))

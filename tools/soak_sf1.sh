@@ -69,7 +69,7 @@ ts_routed_distinct_day,ts_routed_unaligned,ts_routed_sql,\
 ts_cusum_routed,q1_routed_mv,series_trend_routed,\
 ts_fill_sql,ts_multi_sql,ts_hist_sql,ts_window_sql,ts_advised_route,\
 ts_hist_window_sql,ts_route_explain,\
-ts_multi_dims,ts_multi_filters,ts_window_day_sql"
+ts_multi_dims,ts_multi_filters,ts_window_day_sql,ts_workload_advice"
 STREAM="ts_stream_maintained_fill,ts_stream_distinct_fill,\
 ts_stream_distinct_sketch,ts_stream_pct_sketch,stream_anomalies,\
 stream_cusum,stream_ewma,stream_holt,stream_funnel,stream_sessions,\
@@ -79,7 +79,9 @@ stream_quality_monitor,stream_next_examples,stream_late_profile,\
 stream_scrub_profile,stream_click_attrib,stream_ann_ivf,\
 stream_bm25_indexed,ts_multi_stream"
 REL="q1_pricing_summary,q3_shipping_priority,q5_local_supplier_volume,\
-q6_forecast_revenue,topk_orders_per_customer,asof_click_purchase,\
+q6_forecast_revenue,q2_min_cost_supplier,q9_product_profit,\
+q11_important_parts,q16_supplier_counts,q20_excess_suppliers,\
+topk_orders_per_customer,asof_click_purchase,\
 range_click_purchase_1h,event_funnel,event_ewma,event_cusum,\
 event_anomalies,event_next_examples,event_sessions,event_user_features,\
 events_cube,events_pivot,basket_frequent_pairs,basket_triangles,\
@@ -90,11 +92,13 @@ training_asof_features,events_date_partitioned"
 ANN="ann_bruteforce_topk,ann_filtered_topk,ann_int8_topk,\
 ann_ivf_kmeans_topk,ann_ivf_persisted,ann_ivf_probe3,\
 ann_ivf_incremental,ann_ivf_refit,ann_ivfpq_topk,ann_pq_rerank,\
-ann_recall_persisted,emb_lsh_near_pairs,emb_label_outliers,\
+ann_recall_persisted,ann_erased_topk,ann_erase_closed,\
+emb_lsh_near_pairs,emb_label_outliers,\
 hard_negatives,hybrid_search,decontaminate_semantic"
 TEXT="text_stats,text_fingerprint,text_normalize,text_repetition,\
 text_lm_quality,text_line_langs,rare_token_stats,vocab_top_terms,\
 text_bigram_lm,tfidf_top_terms,text_bm25_topk,text_bm25_indexed,\
+text_bm25_erased,text_bm25_erase_closed,\
 phrase_hits,phrase_hits_indexed,proximity_hits,boilerplate_clean,\
 doc_chunks,length_percentiles,pii_stats,text_simhash,text_cooccurrence,\
 tokenize_with_vocab,source_overlap_matrix,source_overlap_kmv,\
