@@ -459,6 +459,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("erased BM25 serve: part= pruning survives, tombstones are a " +
+      "broadcast anti join") {
+    val p = plan("text_bm25_erased")
+    // erasure must not cost the index its scale story: the query-term
+    // buckets still reach the postings store as a PARTITION filter
+    assert("PartitionFilters: \\[[^\\]]*part".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    // and the tombstone exclusion is a broadcast anti join (the
+    // deletion-request side is small by construction) — a shuffled
+    // anti join here would re-key the pruned read at corpus scale
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin LeftAnti"), p.take(3000))
+  }
+
+  test("erased IVF serve: probes still prune part= dirs; exclusion is " +
+      "broadcast anti") {
+    val p = plan("ann_erased_topk")
+    assert("PartitionFilters: \\[[^\\]]*part".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("spilled event store: time range prunes whole date partitions") {
     import spark.implicits._
     import graft.functions.TimeKernel.ts
