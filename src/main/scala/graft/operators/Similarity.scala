@@ -1032,6 +1032,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** RECALL-CALIBRATED probe selection (the FAISS-autotune question —
+    * "what nProbe do I need for recall R?" — answered Spark-first):
+    * the ENTIRE probe/recall curve from ONE ground-truth pass, no
+    * per-depth re-execution. The identity that makes it one-pass:
+    * [[ivfTopK]]/[[ivfTopKFromStore]] rank EXACTLY within the probed
+    * subset, so a true top-k neighbor is retrieved at probe depth `p`
+    * IFF its partition's probe rank (the rank of that partition's
+    * centroid in the query's similarity order) is ≤ `p` — any probed
+    * impostor that displaced it would also outrank it globally,
+    * contradicting ground-truth membership. recall@k(p) is therefore
+    * a pure counting aggregation over the |queries|·k ground-truth
+    * rows:
+    *
+    *  1. exact top-k per validation query ([[bruteForceTopK]] — the
+    *     one corpus-sized pass every ground truth costs; calibrate on
+    *     a SAMPLED validation set, the curve is a property of the
+    *     index, not of any one query),
+    *  2. each true neighbor joins its partition's per-query probe
+    *     rank (assignment equi-join + a broadcast |queries|×|index|
+    *     rank table),
+    *  3. every depth 1..maxProbe counts ranks ≤ p from those same
+    *     rows (a bounded maxProbe × |queries|·k fan-out — never
+    *     corpus-sized, never re-scanning).
+    *
+    * Output: (`n_probe`, `hits`, `possible`, `recall_e4`) —
+    * monotonically non-decreasing in `n_probe` by construction;
+    * `recall_e4 = floor(10⁴·hits/possible)` is exact integer
+    * arithmetic, so the curve hash-compares across engines.
+    *
+    * @param assigned (idCol, part) under the SAME frozen index that
+    *   serves ([[assignToCentroids]] output, or the persisted store's
+    *   own columns for a store-backed calibration). */
+  def probeRecallCurve(corpus: DataFrame, assigned: DataFrame,
+      index: DataFrame, valQueries: DataFrame, idCol: String,
+      vecCol: String, k: Int, maxProbe: Int,
+      dotFn: (Column, Column) => Column = dot): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxProbe >= 1, "maxProbe must be >= 1")
+    val d = dotFn
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val truth = bruteForceTopK(corpus, valQueries, idCol, vecCol, k, d)
+      .join(assigned.select(col(idCol).as("neighbor_id"),
+        col("part").cast("long").as("part")), Seq("neighbor_id"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("part"))
+    val pranks = valQueries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(index.select(col("part").cast("long").as("part"),
+        col("centroid"))))
+      .select(col("query_id"), col("part"),
+        d(col("qv"), col("centroid")).as("csim"))
+      .withColumn("prank", row_number().over(probeW))
+      .select(col("query_id"), col("part"), col("prank"))
+    val hitsByRank = truth.join(broadcast(pranks), Seq("query_id", "part"))
+    val depths = (1 to maxProbe).toDF("n_probe")
+    // bounded driver count: the validation set is sampled by contract
+    val nPossible = valQueries.count() * k
+    hitsByRank.crossJoin(broadcast(depths))
+      .groupBy(col("n_probe"))
+      .agg(sum(when(col("prank") <= col("n_probe"), 1L).otherwise(0L))
+        .as("hits"))
+      .select(col("n_probe").cast("long").as("n_probe"), col("hits"),
+        lit(nPossible).as("possible"),
+        floor(lit(10000L) * col("hits") / lit(nPossible)).cast("long")
+          .as("recall_e4"))
+  }
+
+  /** The smallest probe depth whose measured recall clears the
+    * target — [[probeRecallCurve]]'s consumer. `None` when no depth
+    * on the curve reaches the target (serve with the curve's max or
+    * re-partition the index — an unreachable target must be loud,
+    * never a silently-pessimal maxProbe). */
+  def chooseProbe(curve: DataFrame, targetRecallE4: Long): Option[Int] = {
+    val row = curve.where(col("recall_e4") >= targetRecallE4)
+      .agg(min(col("n_probe"))).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0).toInt)
+  }
+
   /** IVF top-k: probe the `nProbe` partitions with the most-similar
     * centroids per query, exact-rank within the probed subset.
     * Output schema matches [[bruteForceTopK]].

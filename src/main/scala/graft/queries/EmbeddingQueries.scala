@@ -328,6 +328,25 @@ object EmbeddingQueries {
         dotFn = GraftFunctions.dotNative)
     }),
 
+    // RECALL-CALIBRATED probe selection (the FAISS-autotune loop,
+    // Spark-first): the WHOLE probe/recall curve from one
+    // ground-truth pass — a true top-k neighbor is retrieved at
+    // depth p iff its partition's probe rank ≤ p (exact-rank within
+    // the probed subset makes containment ⇔ retrieval), so every
+    // depth is a count over the same |q|·k truth rows, never a
+    // re-executed search. The operator answers "what nProbe does
+    // recall R cost?" before a store ships; chooseProbe consumes the
+    // curve (spec-pinned against per-depth re-execution)
+    "ann_probe_recall_curve" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+      Similarity.probeRecallCurve(e, s.read.parquet(s"$built/assign"),
+        Similarity.readCentroids(s, s"$built/centroids"),
+        e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, maxProbe = 10, dotFn = GraftFunctions.dotNative)
+    }),
+
     // RIGHT-TO-ERASURE on the vector plane (the ANN twin of
     // text_bm25_erased — a deletion request is not closed while the
     // subject still surfaces as somebody's nearest neighbor): the
@@ -766,8 +785,60 @@ object EmbeddingQueries {
     kmeansIvfOracle.replace(from, to)
   }
 
+  /** The calibration oracle replays the identity independently:
+    * exact top-5 per query, each true neighbor's partition joined to
+    * its per-query centroid rank, every depth counted from those
+    * rows. Same k-means construction as [[kmeansIvfOracle]]. */
+  private val probeCurveOracle: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |init AS (SELECT CAST(vec_id AS BIGINT) AS part, v AS cv
+      |         FROM c WHERE vec_id < 10),
+      |assigned AS (
+      |  SELECT vec_id, part FROM (
+      |    SELECT c.vec_id, i.part,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_dot_product(c.v, i.cv) DESC, i.part) AS rn
+      |    FROM c CROSS JOIN init i)
+      |  WHERE rn = 1),
+      |u AS (SELECT a.part, unnest(c.v) AS x, generate_subscripts(c.v, 1) AS pos
+      |      FROM c JOIN assigned a USING (vec_id)),
+      |cm AS (SELECT part, pos, avg(x) AS m FROM u GROUP BY part, pos),
+      |cent AS (SELECT part, list(m ORDER BY pos) AS cv FROM cm GROUP BY part),
+      |q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+      |truth AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS rank
+      |    FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |tp AS (SELECT t.query_id, a.part
+      |       FROM truth t JOIN assigned a ON a.vec_id = t.neighbor_id),
+      |pr AS (
+      |  SELECT q.vec_id AS query_id, cent.part,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.v, cent.cv) DESC, cent.part)
+      |      AS prank
+      |  FROM q CROSS JOIN cent),
+      |hits AS (
+      |  SELECT tp.query_id, pr.prank FROM tp
+      |  JOIN pr ON pr.query_id = tp.query_id AND pr.part = tp.part),
+      |d AS (SELECT * FROM generate_series(1, 10) t(n_probe))
+      |SELECT CAST(d.n_probe AS BIGINT) AS n_probe,
+      |  CAST(sum(CASE WHEN h.prank <= d.n_probe THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS hits,
+      |  CAST(50 AS BIGINT) AS possible,
+      |  CAST(floor(10000 *
+      |    sum(CASE WHEN h.prank <= d.n_probe THEN 1 ELSE 0 END) / 50)
+      |    AS BIGINT) AS recall_e4
+      |FROM d CROSS JOIN hits h
+      |GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "ann_bruteforce_topk" -> topkOracle,
+
+    "ann_probe_recall_curve" -> probeCurveOracle,
 
     // exclusion gates against the full-assignment recompute; the
     // compacted closer shares it verbatim

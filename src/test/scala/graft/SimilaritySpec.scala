@@ -283,6 +283,42 @@ class SimilaritySpec extends SparkTestBase {
       rows.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("probeRecallCurve == per-depth re-executed recall, at every depth") {
+    // the one-pass identity (containment ⇔ retrieval under exact
+    // in-subset ranking) checked against the definitionally-correct
+    // form: actually run ivfTopK at each depth and intersect with
+    // the exact top-k
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 6)
+    val index = Similarity.centroids(e, "label", "embedding")
+    val assigned = e.select(col("vec_id"), col("label").cast("long").as("part"))
+    val k = 5
+    val curve = Similarity.probeRecallCurve(e, assigned, index, q,
+        "vec_id", "embedding", k, maxProbe = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (p <- 1 to 10) {
+      val served = Similarity.ivfTopK(e, q, "vec_id", "embedding", "label",
+          k, nProbe = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hits = (served intersect exact).size.toLong
+      assert(curve(p.toLong)._1 == hits,
+        s"depth $p: curve says ${curve(p.toLong)._1}, re-execution says $hits")
+      assert(curve(p.toLong)._2 == 10000L * hits / exact.size)
+    }
+    // monotone by construction; probing ALL 10 label partitions is
+    // brute force, so the curve must END at full recall
+    assert(curve(10L)._2 == 10000L)
+    val curveDf = Similarity.probeRecallCurve(e, assigned, index, q,
+      "vec_id", "embedding", k, maxProbe = 10)
+    // chooseProbe: smallest qualifying depth; unreachable target is loud
+    val minHit = Similarity.chooseProbe(curveDf, targetRecallE4 = 10000L)
+    assert(minHit.isDefined)
+    assert(minHit.get == 1 || curve(minHit.get.toLong - 1L)._2 < 10000L)
+    assert(Similarity.chooseProbe(curveDf, targetRecallE4 = 10001L).isEmpty)
+  }
+
   test("hybridRerank: cosine order within candidates only, carried cols kept") {
     import spark.implicits._
     // candidates for one query: docs 1, 2, 3 (doc 4 deliberately NOT
