@@ -93,6 +93,7 @@ ANN="ann_bruteforce_topk,ann_filtered_topk,ann_int8_topk,\
 ann_ivf_kmeans_topk,ann_ivf_persisted,ann_ivf_probe3,\
 ann_ivf_incremental,ann_ivf_refit,ann_ivfpq_topk,ann_pq_rerank,\
 ann_recall_persisted,ann_erased_topk,ann_erase_closed,\
+ann_probe_recall_curve,\
 emb_lsh_near_pairs,emb_label_outliers,\
 hard_negatives,hybrid_search,decontaminate_semantic"
 TEXT="text_stats,text_fingerprint,text_normalize,text_repetition,\
