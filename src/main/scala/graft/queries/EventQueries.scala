@@ -627,6 +627,39 @@ object EventQueries {
       s.sql("SELECT * FROM graft_timeseries_multi")
     }),
 
+    // the PER-TILE-FILTERED dashboard from pure SQL text:
+    // ts_multi_filters' split-filter read (clicks for bucket 1 beside
+    // the unfiltered spend, SAME dimension) installed through the
+    // tiles view overload and consumed with spark.sql — shares
+    // ts_multi_filters' oracle verbatim
+    "ts_multi_filters_sql" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val svc = new TimeSeriesService(s)
+      svc.defineFact("clicks_count", FactType.Counter, slice = 15)
+      svc.defineFact("spend_avg", FactType.Average, slice = 15)
+      svc.defineDimension("user_bucket",
+        facts = Set("clicks_count", "spend_avg"))
+      val ev = eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(
+          when(col("event_type") === "click", lit("clicks_count"))
+            .otherwise(lit("spend_avg")).as("fact"),
+          col("ts"),
+          when(col("event_type") === "click", lit(1L))
+            .otherwise(cents).as("value"),
+          map(lit("user_bucket"),
+            (col("user_id") % 4).cast("string")).as("categories"))
+      svc.ingest(ev)
+      graft.sql.PipelineViews.installTimeseriesMultiTiles(s, svc, Seq(
+          ("clicks_count", "user_bucket",
+            Map("user_bucket" -> Option("1"))),
+          ("spend_avg", "user_bucket",
+            Map.empty[String, Option[String]])),
+        ts("2024-01-05T00:00"), ts("2024-01-07T00:00"), Step.Day, 0,
+        name = "graft_timeseries_tiles")
+      s.sql("SELECT * FROM graft_timeseries_tiles")
+    }),
+
     // the FOUR-TYPE bridge holds for histogram tiles too: the
     // counter+histogram dashboard (ts_multi_hist's fixture) consumed
     // as pure SQL text through the same view — shares ts_multi_hist's
@@ -3655,6 +3688,39 @@ object EventQueries {
       |  h.l AS level_e4, h.b AS trend_e4
       |FROM h JOIN e ON e.user_id = h.user_id AND e.rn = h.rn""".stripMargin
 
+  private val multiFiltersSql: String =
+    s"""WITH base AS (
+         |  SELECT event_type, CAST(user_id % 4 AS VARCHAR) AS user_bucket,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE event_type IN ('click', 'purchase')
+         |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
+         |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
+         |cnt AS (SELECT user_bucket, bucket, count(*) AS value
+         |  FROM base WHERE event_type = 'click' AND user_bucket = '1'
+         |  GROUP BY ALL),
+         |avgp AS (SELECT user_bucket, bucket,
+         |    count(*) AS counter, sum(cents) AS total
+         |  FROM base WHERE event_type = 'purchase' GROUP BY ALL),
+         |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+         |  TIMESTAMP '2024-01-06', INTERVAL 1 DAY)) AS bucket),
+         |cs AS (SELECT DISTINCT user_bucket FROM cnt),
+         |avs AS (SELECT DISTINCT user_bucket FROM avgp)
+         |SELECT s.user_bucket, 'clicks_count' AS fact, g.bucket,
+         |  coalesce(c.value, 0) AS value,
+         |  CAST(NULL AS BIGINT) AS counter, CAST(NULL AS BIGINT) AS total,
+         |  'user_bucket' AS dim
+         |FROM cs s CROSS JOIN grid g
+         |LEFT JOIN cnt c USING (user_bucket, bucket)
+         |UNION ALL
+         |SELECT s.user_bucket, 'spend_avg' AS fact,
+         |  g.bucket, CAST(NULL AS BIGINT) AS value,
+         |  coalesce(a.counter, 0) AS counter, coalesce(a.total, 0) AS total,
+         |  'user_bucket' AS dim
+         |FROM avs s CROSS JOIN grid g
+         |LEFT JOIN avgp a USING (user_bucket, bucket)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "series_holt" -> holtSql,
     "stream_holt" -> holtStreamSql,
@@ -4109,38 +4175,10 @@ object EventQueries {
     // bucket-1 rows only (its filter prunes both rows and the series
     // grid), the spend tile stays unfiltered — same null-padded
     // union shape as ts_multi_dims, one dimension, `dim` constant
-    "ts_multi_filters" ->
-      s"""WITH base AS (
-         |  SELECT event_type, CAST(user_id % 4 AS VARCHAR) AS user_bucket,
-         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
-         |    CAST(round(value * 100) AS BIGINT) AS cents
-         |  FROM events
-         |  WHERE event_type IN ('click', 'purchase')
-         |    AND ts >= TIMESTAMP '${lo("2024-01-05T00:00")}'
-         |    AND ts < TIMESTAMP '${hi("2024-01-07T00:00")}'),
-         |cnt AS (SELECT user_bucket, bucket, count(*) AS value
-         |  FROM base WHERE event_type = 'click' AND user_bucket = '1'
-         |  GROUP BY ALL),
-         |avgp AS (SELECT user_bucket, bucket,
-         |    count(*) AS counter, sum(cents) AS total
-         |  FROM base WHERE event_type = 'purchase' GROUP BY ALL),
-         |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
-         |  TIMESTAMP '2024-01-06', INTERVAL 1 DAY)) AS bucket),
-         |cs AS (SELECT DISTINCT user_bucket FROM cnt),
-         |avs AS (SELECT DISTINCT user_bucket FROM avgp)
-         |SELECT s.user_bucket, 'clicks_count' AS fact, g.bucket,
-         |  coalesce(c.value, 0) AS value,
-         |  CAST(NULL AS BIGINT) AS counter, CAST(NULL AS BIGINT) AS total,
-         |  'user_bucket' AS dim
-         |FROM cs s CROSS JOIN grid g
-         |LEFT JOIN cnt c USING (user_bucket, bucket)
-         |UNION ALL
-         |SELECT s.user_bucket, 'spend_avg' AS fact,
-         |  g.bucket, CAST(NULL AS BIGINT) AS value,
-         |  coalesce(a.counter, 0) AS counter, coalesce(a.total, 0) AS total,
-         |  'user_bucket' AS dim
-         |FROM avs s CROSS JOIN grid g
-         |LEFT JOIN avgp a USING (user_bucket, bucket)""".stripMargin,
+    "ts_multi_filters" -> multiFiltersSql,
+
+    // the tiles SQL view is the Scala tiles read: shared verbatim
+    "ts_multi_filters_sql" -> multiFiltersSql,
 
     // rollup-served ≡ compute-on-read for the mixed dashboard: the
     // tiers must change only the store that is scanned, never a row

@@ -78,6 +78,21 @@ object PipelineViews {
     svc.getTimeseriesMulti(factIds, dimId, filters, start, finish, step,
       offsetHours).createOrReplaceTempView(name)
 
+  /** The PER-TILE-FILTERED dashboard (the tiles overload of
+    * [[graft.TimeSeriesService.getTimeseriesMulti]]) as the same SQL
+    * view — clicks WHERE type='click' beside an unfiltered spend
+    * total, one view, pure SQL consumption; agreeing tiles keep their
+    * shared per-type scan under the text exactly as in Scala. */
+  def installTimeseriesMultiTiles(spark: SparkSession,
+      svc: graft.TimeSeriesService,
+      tiles: Seq[(String, String, Map[String, Option[String]])],
+      start: java.sql.Timestamp, finish: java.sql.Timestamp,
+      step: graft.model.Step = graft.model.Step.NoStep,
+      offsetHours: Int = 0,
+      name: String = "graft_timeseries_multi"): Unit =
+    svc.getTimeseriesMulti(tiles, start, finish, step, offsetHours)
+      .createOrReplaceTempView(name)
+
   /** The PARAMETERIZED window read: [[installTimeseries]] bakes
     * (start, finish, step) into the view at install time — a BI user
     * can move filters over the view but not the window. This installs

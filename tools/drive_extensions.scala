@@ -84,6 +84,14 @@ val m4s = spark.sql("SELECT counter, total FROM graft_ts_multi4 WHERE fact = 'sp
 assert((m4s.getLong(0), m4s.getLong(1)) == ((2L, 300L)), s"spend tile: $m4s")
 val m4n = spark.sql("SELECT count(*) AS n FROM graft_ts_multi4 WHERE fact IN ('clicks', 'uniq') AND hist_bucket IS NULL").head.getLong(0)
 assert(m4n == 8L, s"filled value tiles with null-padded hist_bucket: $m4n")
+// the PER-TILE-FILTERED dashboard (B94's tiles overload) as the same
+// pure-SQL surface: clicks filtered to 'click' beside the UNFILTERED
+// spend average, one view — the split the pairs overload cannot express
+graft.sql.PipelineViews.installTimeseriesMultiTiles(spark, tsvc, Seq(("clicks", "event_type", Map("event_type" -> Option("click"))), ("spend", "event_type", Map.empty[String, Option[String]])), ts("2024-01-05T08:00"), ts("2024-01-05T12:00"), graft.model.Step.Hour, 0, name = "graft_ts_tiles")
+val tfc = spark.sql("SELECT count(*) FROM graft_ts_tiles WHERE fact = 'clicks' AND event_type <> 'click'").head.getLong(0)
+assert(tfc == 0L, s"filtered tile leaked other series: $tfc")
+val tfs = spark.sql("SELECT counter, total FROM graft_ts_tiles WHERE fact = 'spend' AND bucket = TIMESTAMP '2024-01-05 10:00:00'").head
+assert((tfs.getLong(0), tfs.getLong(1)) == ((2L, 300L)), s"unfiltered spend tile: $tfs")
 // the PARAMETERIZED window (B91): one installed SQL table function,
 // the window moved in pure SQL text — two different windows, each the
 // exact fill for its range, with no Scala re-install between them
