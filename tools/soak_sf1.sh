@@ -69,7 +69,8 @@ ts_routed_distinct_day,ts_routed_unaligned,ts_routed_sql,\
 ts_cusum_routed,q1_routed_mv,series_trend_routed,\
 ts_fill_sql,ts_multi_sql,ts_hist_sql,ts_window_sql,ts_advised_route,\
 ts_hist_window_sql,ts_route_explain,\
-ts_multi_dims,ts_multi_filters,ts_window_day_sql,ts_workload_advice"
+ts_multi_dims,ts_multi_filters,ts_multi_filters_sql,\
+ts_window_day_sql,ts_workload_advice"
 STREAM="ts_stream_maintained_fill,ts_stream_distinct_fill,\
 ts_stream_distinct_sketch,ts_stream_pct_sketch,stream_anomalies,\
 stream_cusum,stream_ewma,stream_holt,stream_funnel,stream_sessions,\
