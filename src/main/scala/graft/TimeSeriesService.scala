@@ -383,8 +383,12 @@ final class TimeSeriesService(
   }
 
   /** Start a fresh observation window (e.g. after acting on the
-    * advice, so the next review sees post-materialization traffic). */
-  def resetWorkloadLog(): Unit = readCounts.clear()
+    * advice, so the next review sees post-materialization traffic).
+    * Under the same lock as [[recordRead]]'s read-modify-write: a
+    * serve racing the reset must land wholly before or wholly after
+    * it, never interleave around the clear. */
+  def resetWorkloadLog(): Unit =
+    readCounts.synchronized { readCounts.clear() }
 
   /** [[applyAdvice]] restricted to the OBSERVED workload: materialize
     * only groupings the read log ([[workloadProfile]]) shows being

@@ -885,22 +885,29 @@ object Similarity {
     * plane's erasure documents for retained rollup aggregates; a
     * corpus rewrite + [[kmeansFit]] refresh is the full-retrain path.
     *
-    * @return how many requested ids were actually present. */
+    * @return how many requested ids were NEWLY erased — physically
+    *   present and not already tombstoned, matching
+    *   `TextAnalysis.eraseFromTextIndex`'s semantics exactly, so a
+    *   repeat-erase of the same id returns 0 on both planes and a
+    *   caller summing returns across stores counts each closure
+    *   once. */
   def eraseFromIvfStore(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, ids: Seq[String]): Long = {
     require(ids.nonEmpty, "eraseFromIvfStore needs ids")
     import spark.implicits._
-    val found = spark.read.parquet(path)
-      .where(col(idCol).cast("string").isin(ids: _*))
-      .select(col(idCol).cast("string")).distinct().count()
     val known = loadStoreTombstones(spark, path)
       .map(_.select(col("id")).as[String].collect().toSet)
       .getOrElse(Set.empty[String])
+    // bounded collect: at most |ids| distinct values survive the filter
+    val present = spark.read.parquet(path)
+      .where(col(idCol).cast("string").isin(ids: _*))
+      .select(col(idCol).cast("string")).distinct()
+      .as[String].collect().toSet
     val fresh = ids.distinct.filterNot(known)
     if (fresh.nonEmpty)
       fresh.toDF("id").coalesce(1)
         .write.mode("append").parquet(s"$path/__tombstones")
-    found
+    (present -- known).size.toLong
   }
 
   /** The store's tombstone ids, if any erasure ever ran. Stored as
@@ -926,16 +933,26 @@ object Similarity {
   /** Physically close [[eraseFromIvfStore]] requests: rewrite the
     * store WITHOUT tombstoned rows into a fresh directory (same
     * crash-safe swap contract as `compactTextIndex` — never in
-    * place), preserving the `part=` serving layout. The output store
-    * carries no tombstones; retire the input once reads re-point,
-    * or the erased vectors still exist on disk. */
+    * place), preserving the `part=` serving layout. The tombstone
+    * SIDECAR is carried forward verbatim: [[eraseFromIvfStore]]'s
+    * contract is that erasure binds the id FOREVER in this store
+    * (including ids tombstoned before they ever landed), and a later
+    * [[appendIvfCorpus]] batch redelivering a subject must stay
+    * excluded from the compacted store too. None of the carried ids
+    * have physical rows in the output (the rewrite just dropped
+    * them), so serving is byte-identical to the tombstoned input —
+    * the sidecar only re-arms against future appends. Retire the
+    * input once reads re-point, or the erased vectors still exist on
+    * disk. */
   def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
       inPath: String, outPath: String, idCol: String): Unit = {
     require(inPath != outPath,
       "compact writes a fresh directory (crash-safe swap), not in place")
-    minusStoreTombstones(spark.read.parquet(inPath), idCol,
-      loadStoreTombstones(spark, inPath))
+    val tomb = loadStoreTombstones(spark, inPath)
+    minusStoreTombstones(spark.read.parquet(inPath), idCol, tomb)
       .write.mode("overwrite").partitionBy("part").parquet(outPath)
+    tomb.foreach(_.select(col("id")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outPath/__tombstones"))
   }
 
   /** Centroid DRIFT of a persisted IVF store against its serving
@@ -1073,9 +1090,12 @@ object Similarity {
     val d = dotFn
     val spark = corpus.sparkSession
     import spark.implicits._
+    // pinned: the ground truth is counted below (possible) AND joined
+    // to probe ranks — one brute-force pass, not one per consumer
     val truth = bruteForceTopK(corpus, valQueries, idCol, vecCol, k, d)
       .join(assigned.select(col(idCol).as("neighbor_id"),
         col("part").cast("long").as("part")), Seq("neighbor_id"))
+      .localCheckpoint(true)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("part"))
     val pranks = valQueries
@@ -1088,8 +1108,15 @@ object Similarity {
       .select(col("query_id"), col("part"), col("prank"))
     val hitsByRank = truth.join(broadcast(pranks), Seq("query_id", "part"))
     val depths = (1 to maxProbe).toDF("n_probe")
-    // bounded driver count: the validation set is sampled by contract
-    val nPossible = valQueries.count() * k
+    // possible = the ACTUAL ground-truth row count (bounded driver
+    // count over the checkpointed truth), not |queries|·k: a query
+    // with fewer than k eligible neighbors (corpus ≤ k, filtered
+    // variants) contributes only what exists, so full retrieval still
+    // reads recall_e4 = 10000 and [[chooseProbe]] can never be
+    // starved by an unreachable denominator
+    val nPossible = truth.count()
+    require(nPossible > 0,
+      "probeRecallCurve: no ground-truth rows (empty corpus or queries)")
     hitsByRank.crossJoin(broadcast(depths))
       .groupBy(col("n_probe"))
       .agg(sum(when(col("prank") <= col("n_probe"), 1L).otherwise(0L))

@@ -1002,7 +1002,24 @@ object TextAnalysis {
     * not just excluded, and serving from the compacted store is
     * identical to serving the tombstoned input (spec-pinned). Retire
     * the input directory once reads re-point, or the erased rows
-    * still exist on disk. */
+    * still exist on disk.
+    *
+    * Compaction is a HISTORY BARRIER: the whole `__batch_id=` past
+    * collapses into batch 0 and the stats subtraction is absorbed, so
+    * replaying a PRE-compaction batch against the compacted store is
+    * out of contract — it would re-add that batch's stats beside the
+    * collapsed row and re-land its postings (erased or not), because
+    * the store no longer carries the batch directory the replay would
+    * have idempotently overwritten, nor the tombstones (already
+    * absorbed — carrying them forward here would double-subtract the
+    * stats every serve). [[eraseFromTextIndex]]'s replay immunity is
+    * therefore scoped to the PRE-compaction store; after compacting,
+    * advance the writer's checkpoint past every compacted batch (the
+    * same re-point step that retires the input directory) before the
+    * stream resumes. The ANN plane differs: `Similarity
+    * .compactIvfStore` carries its sidecar forward because vector
+    * appends are NEW batches, not replays, and that store has no
+    * stats row to double-subtract. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
       inPath: String, outPath: String, targetFiles: Int = 8): Unit = {
     require(inPath != outPath,
@@ -1065,6 +1082,10 @@ object TextAnalysis {
     * batch overwrites its own postings/stats dirs, the tombstone
     * survives, and the erased doc stays excluded — a redelivery can
     * never resurrect erased rows (the B21b contract, spec-pinned).
+    * Scope: replay immunity holds for THIS store's batch layout;
+    * [[compactTextIndex]] collapses that layout (a history barrier —
+    * see its docstring), so advance the writer's checkpoint past
+    * compacted batches when the store is swapped.
     *
     * @return number of ids actually erased (found and not already
     *   tombstoned). */

@@ -1987,6 +1987,11 @@ object DocumentQueries {
     * never drift on the scorer. */
   private val erasedBm25Sql: String = {
     val subjects = erasedDocIds.mkString(", ")
+    // anchor-validated like EmbeddingQueries.erasedIvfOracle: a
+    // bm25Sql refactor that moves either anchor must fail HERE, not
+    // as an opaque gate mismatch downstream
+    require(bm25Sql.startsWith("WITH ") && bm25Sql.contains("FROM documents"),
+      "erasedBm25Sql: oracle surgery anchor moved")
     s"""WITH __docs AS (
        |  SELECT * FROM documents WHERE doc_id NOT IN ($subjects)),
        |""".stripMargin +

@@ -157,6 +157,11 @@ class ErasureSpec extends SparkTestBase {
     assert(before.map(_._2).contains(1L))
     assert(Similarity.eraseFromIvfStore(spark, store, "vec_id",
       Seq("1")) == 1L)
+    // repeat-erase is 0 (found but already tombstoned) — the same
+    // newly-erased semantics as eraseFromTextIndex, so summed returns
+    // count each closure once
+    assert(Similarity.eraseFromIvfStore(spark, store, "vec_id",
+      Seq("1")) == 0L)
     val after = serve(store)
     assert(!after.map(_._2).contains(1L))
     // exclusion-then-rerank, not rank-then-filter: still k survivors
@@ -202,9 +207,29 @@ class ErasureSpec extends SparkTestBase {
     val out = s"${tmp("erase_ivf_closed")}/store"
     Similarity.compactIvfStore(spark, store, out, "vec_id")
     assert(serve(out) == serve(store))
-    assert(!new java.io.File(s"$out/__tombstones").exists())
+    // the sidecar is carried FORWARD (erasure binds ids forever, and
+    // compaction must not dis-arm it against future appends) — but
+    // none of its ids have physical rows in the output
+    assert(new java.io.File(s"$out/__tombstones").exists())
     assert(spark.read.parquet(out).where(col("vec_id") === 1L).count() == 0L)
     // part= serving layout preserved (partition filters still prune)
     assert(new java.io.File(s"$out/part=0").exists())
+  }
+
+  test("compaction keeps forever-binding: redelivery after compact stays " +
+      "excluded") {
+    val store = buildStore(vecs)
+    // subject tombstoned before its batch ever lands, then the store
+    // is compacted — the carried sidecar must still exclude it when a
+    // later append finally delivers the subject
+    assert(Similarity.eraseFromIvfStore(spark, store, "vec_id",
+      Seq("7")) == 0L)
+    val out = s"${tmp("erase_ivf_rearm")}/store"
+    Similarity.compactIvfStore(spark, store, out, "vec_id")
+    val late = Seq((7L, Seq(0.95f, 0.05f), 0)).toDF(
+      "vec_id", "embedding", "label")
+    Similarity.appendIvfCorpus(late, index, "vec_id", "embedding", out)
+    assert(spark.read.parquet(out).where(col("vec_id") === 7L).count() == 1L)
+    assert(!serve(out).map(_._2).contains(7L))
   }
 }

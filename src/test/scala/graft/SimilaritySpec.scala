@@ -319,6 +319,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.chooseProbe(curveDf, targetRecallE4 = 10001L).isEmpty)
   }
 
+  test("probeRecallCurve: possible is the actual ground truth, not |q|·k") {
+    import spark.implicits._
+    // corpus of 4 vectors with k=5: each query has only 3 eligible
+    // neighbors, so possible = 4·3 = 12 — and probing BOTH partitions
+    // retrieves everything, so full recall must read 10000 and
+    // chooseProbe must find it (the |q|·k denominator would cap the
+    // curve at 12/20 forever)
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.1f, 0.9f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val assigned = e.select(col("vec_id"),
+      (col("vec_id") / 2).cast("long").as("part"))
+    val index = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("part", "centroid")
+    val curve = Similarity.probeRecallCurve(e, assigned, index, e,
+        "vec_id", "embedding", k = 5, maxProbe = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(curve(2L) == ((12L, 12L, 10000L)))
+    assert(curve(1L)._2 == 12L && curve(1L)._3 < 10000L)
+    val again = Similarity.probeRecallCurve(e, assigned, index, e,
+      "vec_id", "embedding", k = 5, maxProbe = 2)
+    assert(Similarity.chooseProbe(again, targetRecallE4 = 10000L)
+      .contains(2))
+  }
+
   test("hybridRerank: cosine order within candidates only, carried cols kept") {
     import spark.implicits._
     // candidates for one query: docs 1, 2, 3 (doc 4 deliberately NOT
