@@ -304,31 +304,37 @@ object Similarity {
     * bounded-centroid footprint as the IVF index), broadcast back as
     * literals at encode/serve time.
     *
-    * `trainSampleN > 0` bounds the TRAINING input (the 100 TB
-    * posture): Lloyd runs over the deterministic
-    * [[trainingSample]] of that size instead of the whole corpus —
-    * FAISS trains PQ codebooks on a bounded sample by default
-    * (hundreds of points per code suffice; ks=16 × 256 ≈ 4k is a
-    * sound floor), and a corpus-sized train loop was the one build
-    * stage here that grew with the corpus. The codebook becomes a
-    * pure function of (corpus ids+vectors, trainSeed, trainSampleN);
-    * a corpus at most `trainSampleN` rows trains on every row, so
-    * small fixtures are byte-identical to the unsampled build.
-    * Encode/serve recall gates are unchanged — gate recall in-plan
-    * as ever, never assume a sampled codebook ranks identically. */
+    * `trainSampleN` bounds the TRAINING input (the 100 TB posture):
+    * Lloyd runs over the deterministic [[trainingSample]] of that
+    * size instead of the whole corpus — FAISS trains PQ codebooks on
+    * a bounded sample by default (hundreds of points per code
+    * suffice), and a corpus-sized train loop was the one build stage
+    * here that grew with the corpus. Sampling is the DEFAULT: the
+    * `-1` sentinel resolves to `256·ks` points (the ~FAISS floor of
+    * hundreds of points per code), so a default build stops growing
+    * with the corpus; pass an explicit size to widen, or `0` to
+    * opt OUT into full-corpus training (the pre-round-14 behavior —
+    * an audit/repro knob, never the deployment default). The
+    * codebook is a pure function of (corpus ids+vectors, trainSeed,
+    * resolved sample size); a corpus of at most that many rows
+    * trains on every row, so small fixtures are byte-identical to
+    * the unsampled build. Encode/serve recall gates are unchanged —
+    * gate recall in-plan as ever, never assume a sampled codebook
+    * ranks identically. */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       ks: Int, dotFn: (Column, Column) => Column = dot,
-      maxIter: Int = 6, trainSampleN: Int = 0,
+      maxIter: Int = 6, trainSampleN: Int = -1,
       trainSeed: Int = 42): Seq[Seq[Seq[Double]]] = {
     require(m > 0 && ks > 1, "need m >= 1 subspaces and ks >= 2 codes")
+    val sampleN = if (trainSampleN < 0) 256 * ks else trainSampleN
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
     val train =
-      if (trainSampleN > 0)
-        trainingSample(corpus, idCol, trainSampleN, trainSeed)
+      if (sampleN > 0)
+        trainingSample(corpus, idCol, sampleN, trainSeed)
           .localCheckpoint(true) // one TakeOrdered, not one per consumer
       else corpus
     // ALL m subspace k-means runs share ONE Lloyd loop: the per-j
@@ -774,32 +780,39 @@ object Similarity {
     * not an ever-deepening recursive plan (the iterate-a-DataFrame
     * trap).
     *
-    * `trainSampleN > 0` bounds the TRAINING input like [[pqTrain]]'s
+    * `trainSampleN` bounds the TRAINING input like [[pqTrain]]'s
     * knob: Lloyd iterates over the deterministic [[trainingSample]]
     * instead of the corpus (FAISS caps k-means training points per
     * centroid the same way), so the index BUILD stops growing with
     * the corpus; [[assignToCentroids]] / [[writeIvfCorpus]] still
     * cover every row under the frozen trained centroids — exactly the
     * [[appendIvfCorpus]] contract, where assignment is centroid-
-    * defined and never retrains. A corpus at most `trainSampleN` rows
-    * trains on every row (small fixtures byte-identical).
+    * defined and never retrains. Sampling is the DEFAULT: the `-1`
+    * sentinel resolves to `max(64·k, 10⁴)` points (FAISS's
+    * points-per-centroid cap with a floor that keeps small-k fits
+    * well-conditioned); pass an explicit size to widen, or `0` to
+    * opt OUT into full-corpus training (audit/repro only — at corpus
+    * scale that re-buys the O(corpus × maxIter) build). A corpus of
+    * at most the resolved size trains on every row (small fixtures
+    * byte-identical to the unsampled fit).
     *
     * @return converged (part, centroid) index for [[ivfTopK]] /
     *   [[assignToCentroids]] / [[writeIvfCorpus]] */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       maxIter: Int = 20, tol: Double = 1e-9,
       dotFn: (Column, Column) => Column = dot,
-      trainSampleN: Int = 0, trainSeed: Int = 42): DataFrame = {
+      trainSampleN: Int = -1, trainSeed: Int = 42): DataFrame = {
     require(k > 0, "k must be positive")
     require(maxIter >= 1, "maxIter must be >= 1")
     require(tol >= 0.0, "tol must be >= 0")
+    val sampleN = if (trainSampleN < 0) math.max(64 * k, 10000) else trainSampleN
     val spark = corpus.sparkSession
     import spark.implicits._
     // the sample is scanned once per Lloyd iteration — pin it so the
     // TakeOrdered that defines it runs once, not once per iteration
     val train =
-      if (trainSampleN > 0)
-        trainingSample(corpus, idCol, trainSampleN, trainSeed)
+      if (sampleN > 0)
+        trainingSample(corpus, idCol, sampleN, trainSeed)
           .localCheckpoint(true)
       else corpus
     var cent: Seq[(Long, Seq[Double])] = train

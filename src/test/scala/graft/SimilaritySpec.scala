@@ -198,6 +198,46 @@ class SimilaritySpec extends SparkTestBase {
       "oversized kmeans sample must degenerate to the full build")
   }
 
+  test("bounded training sampling is the DEFAULT; 0 opts out into the " +
+      "full-corpus build") {
+    // 2600 rows > pqTrain's default bound 256·ks = 2048 at ks = 8: a
+    // default build must equal the explicit bounded build (sampling
+    // on by default), and trainSampleN = 0 must reproduce the
+    // full-corpus training it opts back into
+    val e = spark.range(2600).select(col("id").as("vec_id"),
+        array((0 until 8).map(j =>
+          pmod(col("id") * (j + 3), lit(97)).cast("double") / lit(97.0)): _*)
+          .as("embedding"))
+      .localCheckpoint(true)
+    val l2 = Similarity.l2Score()
+    val byDefault = Similarity.pqTrain(e, "vec_id", "embedding", m = 2,
+      ks = 8, dotFn = l2, maxIter = 2)
+    val bounded = Similarity.pqTrain(e, "vec_id", "embedding", m = 2,
+      ks = 8, dotFn = l2, maxIter = 2, trainSampleN = 256 * 8)
+    assert(byDefault == bounded,
+      "the default pqTrain must be the 256·ks bounded sample")
+    val optOut = Similarity.pqTrain(e, "vec_id", "embedding", m = 2,
+      ks = 8, dotFn = l2, maxIter = 2, trainSampleN = 0)
+    assert(byDefault != optOut,
+      "trainSampleN = 0 must opt out into full-corpus training")
+    // kmeansFit: default bound max(64·k, 10⁴) — 12000 rows > 10⁴
+    val big = spark.range(12000).select(col("id").as("vec_id"),
+        array((0 until 4).map(j =>
+          pmod(col("id") * (j + 5), lit(101)).cast("double") / lit(101.0)): _*)
+          .as("embedding"))
+      .localCheckpoint(true)
+    def fit(n: Int) = Similarity.kmeansFit(big, "vec_id", "embedding",
+        k = 3, maxIter = 2, trainSampleN = n)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val fitDefault = Similarity.kmeansFit(big, "vec_id", "embedding",
+        k = 3, maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fitDefault == fit(10000),
+      "the default kmeansFit must be the max(64·k, 10⁴) bounded sample")
+    assert(fitDefault != fit(0),
+      "kmeansFit trainSampleN = 0 must opt out into full-corpus training")
+  }
+
   test("kmeansFit: converges to a Lloyd fixed point, deterministically") {
     // two well-separated 3-d clusters: convergence must land centroids
     // on the cluster means and a FURTHER Lloyd step must not move them
