@@ -429,6 +429,47 @@ object EventQueries {
     (build, read)
   }
 
+  /** The day-tier windowed SQL table function's two phases: build =
+    * DDL + ingest + rollup/day-store materialization + the view
+    * install; read = the three movable windows from pure SQL text
+    * (two day-aligned — served from the ~96×-smaller day store — and
+    * one that keeps the exact slice branch). The combined
+    * `ts_window_day_sql` entry conflates store materialization with
+    * the per-call served read; this split is what lets a serving
+    * regression show against the day tier specifically. */
+  private def windowDaySqlPhases(s: SparkSession,
+      dir: String): (() => Unit, () => DataFrame) = {
+    import graft.TimeSeriesService
+    val svc = new TimeSeriesService(s)
+    val build = () => {
+      svc.defineFact("events_count", FactType.Counter, slice = 15)
+      svc.defineDimension("event_type", facts = Set("events_count"))
+      svc.ingest(eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
+        .select(lit("events_count").as("fact"), col("ts"),
+          lit(1L).as("value"),
+          map(lit("event_type"), col("event_type")).as("categories")))
+      svc.materializeRollups(java.nio.file.Files
+        .createTempDirectory("graft_winday").toString)
+      graft.sql.PipelineViews.installTimeseriesWindow(s, svc,
+        "events_count", "event_type", Map("event_type" -> Some("click")),
+        Step.Day, name = "graft_timeseries_window_day")
+      ()
+    }
+    val read = () =>
+      s.sql("""SELECT 1L AS win, * FROM graft_timeseries_window_day(
+              |  TIMESTAMP '2024-01-05 00:00:00',
+              |  TIMESTAMP '2024-01-05 23:45:00')
+              |UNION ALL
+              |SELECT 2L AS win, * FROM graft_timeseries_window_day(
+              |  TIMESTAMP '2024-01-05 00:00:00',
+              |  TIMESTAMP '2024-01-06 23:45:00')
+              |UNION ALL
+              |SELECT 3L AS win, * FROM graft_timeseries_window_day(
+              |  TIMESTAMP '2024-01-05 00:00:00',
+              |  TIMESTAMP '2024-01-06 12:00:00')""".stripMargin)
+    (build, read)
+  }
+
   /** The lifecycle queries' two-phase forms, consumed by
     * [[graft.Bench]] for separate `__build` / `__read` timings. */
   val lifecycleSplits
@@ -437,7 +478,8 @@ object EventQueries {
       "ts_retention_serve" -> (retentionPhases _),
       "ts_erasure_serve" -> (erasurePhases _),
       "ts_multi_routed" -> (multiRoutedPhases _),
-      "ts_route_explain" -> (routeExplainPhases _))
+      "ts_route_explain" -> (routeExplainPhases _),
+      "ts_window_day_sql" -> (windowDaySqlPhases _))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O20 full pipeline: hourly collapse + finish-exclusive zero-filled grid
@@ -572,30 +614,7 @@ object EventQueries {
     // the SAME per-window rows either way (PlanAuditSpec pins the
     // branch pruning; this entry gates the rows)
     "ts_window_day_sql" -> ((s, dir) => {
-      import graft.TimeSeriesService
-      val svc = new TimeSeriesService(s)
-      svc.defineFact("events_count", FactType.Counter, slice = 15)
-      svc.defineDimension("event_type", facts = Set("events_count"))
-      svc.ingest(eventsRanged(s, dir, "2024-01-05T00:00", "2024-01-07T00:00")
-        .select(lit("events_count").as("fact"), col("ts"),
-          lit(1L).as("value"),
-          map(lit("event_type"), col("event_type")).as("categories")))
-      svc.materializeRollups(java.nio.file.Files
-        .createTempDirectory("graft_winday").toString)
-      graft.sql.PipelineViews.installTimeseriesWindow(s, svc,
-        "events_count", "event_type", Map("event_type" -> Some("click")),
-        Step.Day, name = "graft_timeseries_window_day")
-      s.sql("""SELECT 1L AS win, * FROM graft_timeseries_window_day(
-              |  TIMESTAMP '2024-01-05 00:00:00',
-              |  TIMESTAMP '2024-01-05 23:45:00')
-              |UNION ALL
-              |SELECT 2L AS win, * FROM graft_timeseries_window_day(
-              |  TIMESTAMP '2024-01-05 00:00:00',
-              |  TIMESTAMP '2024-01-06 23:45:00')
-              |UNION ALL
-              |SELECT 3L AS win, * FROM graft_timeseries_window_day(
-              |  TIMESTAMP '2024-01-05 00:00:00',
-              |  TIMESTAMP '2024-01-06 12:00:00')""".stripMargin)
+      val (build, read) = windowDaySqlPhases(s, dir); build(); read()
     }),
 
     // the MULTI-FACT dashboard from pure SQL text: ts_multi_mixed's
