@@ -966,6 +966,13 @@ object Similarity {
       .write.mode("overwrite").partitionBy("part").parquet(outPath)
     tomb.foreach(_.select(col("id")).coalesce(1)
       .write.mode("overwrite").parquet(s"$outPath/__tombstones"))
+    // the calibrated operating point travels too: compaction keeps the
+    // index (and thus the tuned recall/probe trade) unchanged
+    import spark.implicits._
+    loadOperatingPoint(spark, inPath).foreach { case (t, p) =>
+      Seq((t, p)).toDF("target_recall_e4", "n_probe").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outPath/__operating_point")
+    }
   }
 
   /** Centroid DRIFT of a persisted IVF store against its serving
@@ -1024,12 +1031,29 @@ object Similarity {
     * driver envelope as the centroids themselves) and re-issued as a
     * partition filter on the store scan, so unprobed `part=`
     * directories are pruned before any vector is read. Results are
-    * identical to [[ivfTopK]] over the same assignment. */
+    * identical to [[ivfTopK]] over the same assignment.
+    *
+    * `nProbe` defaults (sentinel -1) to the store's STAMPED operating
+    * point ([[stampOperatingPoint]]) — the calibrated depth travels
+    * with the index, so consumers serve at the tuned recall without
+    * re-deriving it. A default serve against an unstamped store is
+    * LOUD (no silent magic depth); pass nProbe explicitly to
+    * override the stamp (audits, per-query recall tiers). The PQ twin
+    * ([[ivfPqTopKFromStore]]) takes its depth explicitly — its
+    * operating point couples (nProbe, candidates) and is calibrated
+    * per deployment. */
   def ivfTopKFromStore(storePath: String, index: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int, dotFn: (Column, Column) => Column = dot): DataFrame = {
+      nProbe: Int = -1, dotFn: (Column, Column) => Column = dot): DataFrame = {
     val d = dotFn
     val spark = queries.sparkSession
+    val probeDepth =
+      if (nProbe > 0) nProbe
+      else loadOperatingPoint(spark, storePath).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"ivfTopKFromStore: no nProbe given and no stamped operating " +
+            s"point at $storePath — run stampOperatingPoint or pass " +
+            s"nProbe explicitly"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("part"))
@@ -1037,7 +1061,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("part"),
         d(col("qv"), col("centroid")).as("csim"))
       .withColumn("prank", row_number().over(probeW))
-      .where(col("prank") <= nProbe)
+      .where(col("prank") <= probeDepth)
       .select(col("query_id"), col("qv"), col("part"))
     // the union of probed parts, to the driver: this small collect is
     // exactly what buys the partition filter below
@@ -1149,6 +1173,45 @@ object Similarity {
     val row = curve.where(col("recall_e4") >= targetRecallE4)
       .agg(min(col("n_probe"))).head()
     if (row.isNullAt(0)) None else Some(row.getLong(0).toInt)
+  }
+
+  /** Persist the calibrated OPERATING POINT with the store (the
+    * FAISS-autotune step that actually ships the tuning): the curve's
+    * [[chooseProbe]] answer for `targetRecallE4` lands as the 1-row
+    * `path/__operating_point` sidecar (underscore-hidden from the
+    * store's own partition discovery, like the tombstones), and
+    * [[ivfTopKFromStore]] serves at it BY DEFAULT — without this,
+    * every consumer re-derives or hard-codes nProbe and the
+    * calibration pass tunes nothing. An unreachable target is LOUD
+    * here (same contract as [[chooseProbe]]'s None): stamping a point
+    * that does not exist would silently pin pessimal recall forever.
+    *
+    * @return the stamped probe depth */
+  def stampOperatingPoint(spark: org.apache.spark.sql.SparkSession,
+      path: String, curve: DataFrame, targetRecallE4: Long): Int = {
+    import spark.implicits._
+    val p = chooseProbe(curve, targetRecallE4).getOrElse(
+      throw new IllegalArgumentException(
+        s"stampOperatingPoint: no probe depth on the curve reaches " +
+          s"recall_e4 >= $targetRecallE4 — re-partition the index or " +
+          s"lower the target"))
+    Seq((targetRecallE4, p)).toDF("target_recall_e4", "n_probe")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/__operating_point")
+    p
+  }
+
+  /** The store's stamped (target recall, probe depth), if calibration
+    * ever ran. */
+  def loadOperatingPoint(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Long, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/__operating_point")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.parquet(p.toString)
+      .select(col("target_recall_e4").cast("long"),
+        col("n_probe").cast("int"))
+      .collect().headOption.map(r => (r.getLong(0), r.getInt(1)))
   }
 
   /** IVF top-k: probe the `nProbe` partitions with the most-similar

@@ -386,6 +386,45 @@ class SimilaritySpec extends SparkTestBase {
       .contains(2))
   }
 
+  test("stamped operating point: chooseProbe's depth travels with the " +
+      "store and is the serve default") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 6)
+    val index = Similarity.centroids(e, "label", "embedding")
+    val assigned = e.select(col("vec_id"),
+      col("label").cast("long").as("part"))
+    val store = java.nio.file.Files
+      .createTempDirectory("stamped_store").toString + "/store"
+    Similarity.writeIvfCorpus(e, assigned, "vec_id", store)
+    // unstamped store + default depth must be LOUD, never a silent
+    // magic number
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromStore(store, index, q, "vec_id", "embedding",
+        k = 5)
+    }
+    val curve = Similarity.probeRecallCurve(e, assigned, index, q,
+      "vec_id", "embedding", k = 5, maxProbe = 10)
+    val target = 9000L
+    val stamped = Similarity.stampOperatingPoint(spark, store, curve,
+      target)
+    // the stamp IS the curve's argmin depth clearing the target
+    assert(Similarity.chooseProbe(curve, target).contains(stamped))
+    assert(Similarity.loadOperatingPoint(spark, store)
+      .contains((target, stamped)))
+    // default serve ≡ explicit serve at the stamped depth
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(Similarity.ivfTopKFromStore(store, index, q, "vec_id",
+        "embedding", k = 5)) ==
+      key(Similarity.ivfTopKFromStore(store, index, q, "vec_id",
+        "embedding", k = 5, nProbe = stamped)))
+    // an unreachable target never stamps a pessimal point silently
+    intercept[IllegalArgumentException] {
+      Similarity.stampOperatingPoint(spark, store, curve, 10001L)
+    }
+  }
+
   test("hybridRerank: cosine order within candidates only, carried cols kept") {
     import spark.implicits._
     // candidates for one query: docs 1, 2, 3 (doc 4 deliberately NOT
