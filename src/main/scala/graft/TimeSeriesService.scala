@@ -361,11 +361,58 @@ final class TimeSeriesService(
     * Spark job to read it. */
   private val readCounts =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), Long]
+  private var workloadLogPath: Option[String] = None
 
   private def recordRead(factId: String, grouping: Seq[String],
       tier: String): Unit = readCounts.synchronized {
     val k = (factId, grouping.mkString(","), tier)
     readCounts(k) = readCounts.getOrElse(k, 0L) + 1L
+  }
+
+  /** DURABLE workload log: fold a persisted read-log (a prior
+    * session's [[checkpointWorkloadLog]] output, parquet `(fact,
+    * grouping, tier, n_reads)`) into the live counters and remember
+    * the path for checkpoints. This is what makes the advisor loop
+    * deployment-real: a driver bounce forgets the in-memory
+    * `TrieMap`, but a service that attaches on start and checkpoints
+    * on a cadence (end of serving window, or beside every
+    * [[applyAdviceFromWorkload]] call — the cadence is the caller's,
+    * like the compaction cadence) advises from ACCUMULATED traffic
+    * across restarts, not one session's memory. A missing/empty path
+    * attaches a zero log (first boot). Attach once per instance —
+    * re-attaching would double-fold the same history. */
+  def attachWorkloadLog(path: String): Unit = {
+    require(workloadLogPath.isEmpty,
+      s"workload log already attached at ${workloadLogPath.get}")
+    workloadLogPath = Some(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      // driver-bounded by construction: the log is catalog-bounded
+      // (|facts|×|groupings|×|tiers| rows), same envelope as the map
+      val prior = spark.read.parquet(path)
+        .select(col("fact").cast("string"), col("grouping").cast("string"),
+          col("tier").cast("string"), col("n_reads").cast("long"))
+        .collect()
+      readCounts.synchronized {
+        prior.foreach { r =>
+          val k = (r.getString(0), r.getString(1), r.getString(2))
+          readCounts(k) = readCounts.getOrElse(k, 0L) + r.getLong(3)
+        }
+      }
+    }
+  }
+
+  /** Persist the CURRENT observed-workload counters to the attached
+    * log path (deterministic full-snapshot overwrite — the same
+    * idempotent store discipline as the maintained rollups: counts
+    * already include everything folded at attach, so checkpoint →
+    * crash → re-attach → checkpoint converges instead of
+    * double-counting). */
+  def checkpointWorkloadLog(): Unit = {
+    val path = workloadLogPath.getOrElse(throw new IllegalStateException(
+      "no workload log attached — call attachWorkloadLog first"))
+    workloadProfile().coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** The observed workload as a frame: (fact, grouping, tier,

@@ -1110,6 +1110,55 @@ object EventQueries {
       svc.workloadProfile()
     }),
 
+    // the PERSISTED advisor loop (the deployment topology: traffic
+    // accumulates across driver bounces): session 1 serves the hot
+    // grouping twice and checkpoints its read log; session 2 is a
+    // FRESH instance that attaches the same log and must materialize
+    // from the PRIOR session's observed reads (it has served nothing
+    // itself — required in-query), then serves once from the rollup
+    // and checkpoints; session 3 attaches and returns the
+    // accumulated two-session history. The in-memory TrieMap dies
+    // with every instance here — only the parquet log carries the
+    // counts forward, which is exactly what the oracle gates.
+    "ts_workload_persisted" -> ((s, dir) => {
+      import graft.TimeSeriesService
+      val logDir = java.nio.file.Files
+        .createTempDirectory("graft_wl_log").toString + "/log"
+      val win = (ts("2024-01-05T00:00"), ts("2024-01-07T00:00"))
+      def freshService(): TimeSeriesService = {
+        val svc = new TimeSeriesService(s)
+        svc.defineFact("clicks_count", FactType.Counter, slice = 60)
+        svc.defineDimension("user_bucket", facts = Set("clicks_count"))
+        svc.ingest(eventsRanged(s, dir, "2024-01-05T00:00",
+            "2024-01-07T00:00")
+          .where(col("event_type").isin("click", "purchase"))
+          .select(lit("clicks_count").as("fact"), col("ts"),
+            lit(1L).as("value"),
+            map(lit("user_bucket"),
+              (col("user_id") % 2).cast("string")).as("categories")))
+        svc.attachWorkloadLog(logDir)
+        svc
+      }
+      def readHot(svc: TimeSeriesService): Unit =
+        svc.getTimeseries("clicks_count", "user_bucket",
+          Map("user_bucket" -> None), win._1, win._2, Step.Day)
+      val svc1 = freshService()
+      readHot(svc1); readHot(svc1)
+      svc1.checkpointWorkloadLog()
+      val svc2 = freshService()
+      val advised = svc2.applyAdviceFromWorkload(java.nio.file.Files
+          .createTempDirectory("graft_wl_persist_mv").toString,
+        minReads = 2L, minCompactionE4 = 15000L)
+      require(advised.map(_.grouping) == Seq("user_bucket") &&
+        advised.forall(_.path.isDefined),
+        s"the prior session's logged reads must drive the " +
+          s"materialization, got $advised")
+      readHot(svc2)
+      svc2.checkpointWorkloadLog()
+      val svc3 = freshService()
+      svc3.workloadProfile()
+    }),
+
     // the STREAMING-MAINTAINED dashboard (the production topology:
     // ingest maintains one partial store per fact, the service read
     // never sees raw events): a counter tile and an average tile,
@@ -4037,6 +4086,16 @@ object EventQueries {
     "ts_workload_advice" ->
       """SELECT * FROM (VALUES
         |  ('clicks_count', 'event_type', 'raw-scan', CAST(1 AS BIGINT)),
+        |  ('clicks_count', 'user_bucket', 'raw-scan', CAST(2 AS BIGINT)),
+        |  ('clicks_count', 'user_bucket', 'rollup-slice', CAST(1 AS BIGINT)))
+        |  AS t(fact, grouping, tier, n_reads)""".stripMargin,
+
+    // the cross-session history only the parquet log can carry: 2 raw
+    // scans from session 1, the post-advice rollup read from session
+    // 2 — session 3's own memory starts empty, so these counts prove
+    // the fold-on-attach path
+    "ts_workload_persisted" ->
+      """SELECT * FROM (VALUES
         |  ('clicks_count', 'user_bucket', 'raw-scan', CAST(2 AS BIGINT)),
         |  ('clicks_count', 'user_bucket', 'rollup-slice', CAST(1 AS BIGINT)))
         |  AS t(fact, grouping, tier, n_reads)""".stripMargin,

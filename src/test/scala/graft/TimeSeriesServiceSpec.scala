@@ -1308,6 +1308,55 @@ class TimeSeriesServiceSpec extends SparkTestBase {
     assert(log().isEmpty)
   }
 
+  test("workload log survives a service bounce: fold-on-attach, " +
+      "checkpoint idempotence, prior-session advice") {
+    import spark.implicits._
+    val logPath = java.nio.file.Files
+      .createTempDirectory("graft-wl-log").toString + "/log"
+    def boot(): TimeSeriesService = {
+      val svc = new TimeSeriesService(spark)
+      svc.defineFact("hits", FactType.Counter, slice = 60)
+      svc.defineDimension("dep", facts = Set("hits"))
+      svc.ingest((0 until 40).map(i => graft.model.Event("hits",
+        ts(f"2014-03-21T${9 + i % 2}%02d:${i % 60}%02d"), 1L,
+        Map("dep" -> ("d" + i % 2)))).toDF())
+      svc.attachWorkloadLog(logPath) // first boot: missing log = zero
+      svc
+    }
+    def read(svc: TimeSeriesService) = svc.getTimeseries("hits", "dep",
+      Map("dep" -> None), ts("2014-03-21T09:00"),
+      ts("2014-03-21T11:00"), Step.Hour)
+    def log(svc: TimeSeriesService) = svc.workloadProfile().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val a = boot()
+    read(a); read(a)
+    a.checkpointWorkloadLog()
+    // checkpoint is a full snapshot: doing it twice converges (a
+    // crash between checkpoint and shutdown cannot double-count)
+    a.checkpointWorkloadLog()
+    // double attach would double-fold history — loud
+    intercept[IllegalArgumentException] { a.attachWorkloadLog(logPath) }
+    // the bounce: a FRESH instance holds the prior session's counts
+    val b = boot()
+    assert(log(b) == Set(("hits", "dep", "raw-scan", 2L)))
+    // and the advisor acts on them without b having served anything
+    val applied = b.applyAdviceFromWorkload(java.nio.file.Files
+      .createTempDirectory("graft-wl-boot").toString, minReads = 2L)
+    assert(applied.map(_.grouping) == Seq("dep"))
+    assert(applied.forall(_.path.isDefined))
+    read(b)
+    b.checkpointWorkloadLog()
+    // third boot: both sessions' traffic, accumulated
+    val c = boot()
+    assert(log(c) == Set(("hits", "dep", "raw-scan", 2L),
+      ("hits", "dep", "rollup-slice", 1L)))
+    // checkpointing without an attached log is loud, not silent
+    intercept[IllegalStateException] {
+      new TimeSeriesService(spark).checkpointWorkloadLog()
+    }
+  }
+
   test("typed Dataset surface agrees with the nested-map adapter") {
     val svc = freshService()
     val df = svc.getTimeseries("signups", "dependency_user",
