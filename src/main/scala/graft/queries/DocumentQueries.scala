@@ -139,6 +139,43 @@ object DocumentQueries {
       p.toString
     })
 
+  /** An index whose deletion request arrived as a STREAM: built like
+    * [[textIndexDir]], then the subjects consumed through
+    * `StreamingIngest.eraseTextIndexStream` — run TWICE from fresh
+    * checkpoints (a full redelivery of every request), so the serving
+    * gate also proves replay idempotence: a second delivery finds the
+    * ids tombstoned and subtracts nothing, or the shared batch-erased
+    * oracle would catch the stats drift. */
+  private def streamErasedTextIndexDir(s: SparkSession,
+      dir: String): String =
+    textIndexDirs.getOrElseUpdate((s, s"$dir#streamerased"), {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bm25streamerase")
+      deleteOnExit(base)
+      val idx = s"$base/index"
+      TextAnalysis.buildTextIndex(docs(s, dir), "text", "doc_id",
+        idx, nBuckets = 64)
+      import s.implicits._
+      val reqDir = s"$base/requests"
+      erasedDocIds.toDF("id").coalesce(1).write.parquet(reqDir)
+      def drain(ckpt: String): Unit = {
+        val stream = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.StringType))))
+          .parquet(reqDir)
+        val q = graft.streaming.StreamingIngest
+          .eraseTextIndexStream(stream, "id", idx)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain(s"$base/ckpt1")
+      drain(s"$base/ckpt2") // the redelivery: must change nothing
+      idx
+    })
+
   /** Two-batch index whose batches mirror `drift_sources`' split
     * (batch 0 = low-numbered sources, batch 1 = the rest) — lets the
     * index-derived drift query share the corpus-scan oracle. */
@@ -888,6 +925,21 @@ object DocumentQueries {
     // just exclusion) is what hash-gates
     "text_bm25_erased" -> ((s, dir) =>
       TextAnalysis.bm25TopKFromIndex(s, erasedTextIndexDir(s, dir),
+        queries = Seq(
+          "q_hash_join" -> Seq("hash", "join"),
+          "q_window_scan" -> Seq("window", "sort", "scan"),
+          "q_stream" -> Seq("stream", "batch", "spark")),
+        topK = 5)
+        .withColumnRenamed("id", "doc_id")),
+
+    // STREAMING erasure of the maintained index: the SAME deletion
+    // subjects arrive as a request stream (eraseTextIndexStream),
+    // drained TWICE from fresh checkpoints — a full redelivery — so
+    // the serve gates both continuous closure and replay idempotence
+    // (a double subtraction of (n, Σdl) would hash-miss the shared
+    // batch-erased oracle)
+    "stream_bm25_erased" -> ((s, dir) =>
+      TextAnalysis.bm25TopKFromIndex(s, streamErasedTextIndexDir(s, dir),
         queries = Seq(
           "q_hash_join" -> Seq("hash", "join"),
           "q_window_scan" -> Seq("window", "sort", "scan"),
@@ -2805,6 +2857,10 @@ object DocumentQueries {
     // the surviving-corpus recompute: exclusion AND stats-exactness
     // gate together; the compacted closer shares it verbatim
     "text_bm25_erased" -> erasedBm25Sql,
+    // streamed erasure serves the surviving corpus exactly — shared
+    // with the batch-erased form (and doubly-drained, so any replay
+    // double-subtraction would hash-miss here)
+    "stream_bm25_erased" -> erasedBm25Sql,
     "text_bm25_erase_closed" -> erasedBm25Sql,
 
     "phrase_hits" -> phraseSql,

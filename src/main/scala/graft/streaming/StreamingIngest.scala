@@ -331,6 +331,37 @@ object StreamingIngest {
         ()
       }
 
+  /** STREAMING ERASURE for the maintained text index — deletion
+    * requests consumed as a stream BESIDE [[maintainTextIndex]]'s
+    * appends, so a right-to-erasure feed closes continuously instead
+    * of waiting for an offline pass: each micro-batch's subject ids
+    * (deletion-request bounded — the one driver-side collect, same
+    * envelope as the batch eraser's id list) fold through
+    * `TextAnalysis.eraseFromTextIndex`, which tombstones each id with
+    * its exact `dl` and skips ids already tombstoned. That skip is
+    * what makes this REPLAY-IDEMPOTENT with zero streaming state
+    * (the `decontaminateStream` discipline): a redelivered or
+    * re-checkpointed request batch finds its ids already tombstoned
+    * and subtracts NOTHING again, so the served (n, Σdl) stats stay
+    * exact under at-least-once delivery. Requests for ids the store
+    * has not indexed are 0-count no-ops per the batch contract —
+    * upstream honors them when (if) the doc lands. An empty batch is
+    * skipped (the batch eraser requires ids). One eraser per store
+    * path, like every maintainer; `compactTextIndex` remains the
+    * physical closer and history barrier. */
+  def eraseTextIndexStream(requests: DataFrame, idCol: String,
+      path: String): DataStreamWriter[Row] =
+    requests.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.select(col(idCol).cast("string"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        if (ids.nonEmpty)
+          graft.operators.TextAnalysis.eraseFromTextIndex(
+            batch.sparkSession, path, ids)
+        ()
+      }
+
   /** Streaming-maintained CDC STATE TABLE — the continuous form of
     * [[graft.operators.Cdc.applyChanges]]'s compaction loop: each
     * micro-batch of keyed changes applies onto the previous COMMITTED

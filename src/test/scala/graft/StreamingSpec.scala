@@ -368,6 +368,60 @@ class StreamingSpec extends SparkTestBase {
     assert(served() == first)
   }
 
+  test("streamed index erasure: mid-stream deletion closes exactly; " +
+      "redelivered requests never double-subtract") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a hash join beats a sort merge join on small builds"),
+      (3L, "the fox likes hash tables"),
+      (4L, "window functions sort within partitions"))
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25se")
+      .toString
+    // appends batch 1 → erase doc 3 MID-STREAM → appends batch 2: the
+    // erasure interleaves with index maintenance on the same store
+    val docSrc = MemoryStream[(Long, String)]
+    val idx = StreamingIngest.maintainTextIndex(
+        docSrc.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        s"$path/idx", nBuckets = 8)
+      .option("checkpointLocation", s"$path/ck_idx").start()
+    docSrc.addData(corpus.take(3): _*)
+    idx.processAllAvailable()
+    def erase(ckpt: String): Unit = {
+      val reqSrc = MemoryStream[String]
+      val er = StreamingIngest.eraseTextIndexStream(
+          reqSrc.toDF().toDF("id"), "id", s"$path/idx")
+        .option("checkpointLocation", s"$path/$ckpt").start()
+      reqSrc.addData("3")
+      er.processAllAvailable()
+      er.stop()
+    }
+    erase("ck_er1")
+    docSrc.addData(corpus.drop(3): _*)
+    idx.processAllAvailable()
+    idx.stop()
+    val qs = Seq("q1" -> Seq("hash", "join"), "q2" -> Seq("fox"))
+    def served() = TextAnalysis
+      .bm25TopKFromIndex(spark, s"$path/idx", qs, topK = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // exact over the SURVIVORS: stats (n, Σdl) subtracted, df
+    // re-aggregated — identical to never having indexed doc 3
+    val scan = TextAnalysis.bm25TopK(
+        corpus.filter(_._1 != 3L).toDF("doc_id", "text"),
+        "text", "doc_id", qs, topK = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val first = served()
+    assert(first == scan, s"served=$first scan=$scan")
+    assert(!first.exists(_._3 == 3L), "erased doc still serves")
+    // full request redelivery (fresh checkpoint): already-tombstoned
+    // id subtracts nothing — replay-idempotent with zero state
+    erase("ck_er2")
+    assert(served() == first)
+  }
+
   test("streaming decontamination: per-batch reports union to the " +
       "batch report; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
