@@ -94,6 +94,20 @@ object RelationalQueries {
       graft.operators.Graph.triangleStats(
         coPurchaseEdges(s, dir), "pa", "pb")),
 
+    // the SERVED ×100-regime form of the triangle read: DOULION edge
+    // sampling (keep p=0.25 of edges by deterministic seeded hash,
+    // exact count on the sample, unbiased 1/p³ scale-up in
+    // decimal-exact integer arithmetic) — the wedge join shrinks ~p²
+    // and the closures ~p³ where exact basket_triangles is inherently
+    // corpus-shaped (280 s isolated at the ×100 fixture). The oracle
+    // replays the SAME md5 membership hash and scale-up, so the
+    // actual sampled path hash-gates, not just its degenerate p=1
+    // form (that degeneracy is GraphSpec-pinned). Exact stays the
+    // audit key.
+    "basket_triangles_approx" -> ((s, dir) =>
+      graft.operators.Graph.approxTriangleCount(
+        coPurchaseEdges(s, dir), "pa", "pb", pE4 = 2500, seed = 7)),
+
     // BFS hop distances (graft.operators.Graph.hopDistances) from one
     // seed part over the same co-purchase graph — the "related
     // products radius" read (hop 1 = bought together, hop 2 = bought
@@ -1075,6 +1089,28 @@ object RelationalQueries {
         |  CASE WHEN d.degree >= 2 THEN (10000 * 2 * coalesce(t.triangles, 0))
         |    // (d.degree * (d.degree - 1)) END AS cc_e4
         |FROM deg d LEFT JOIN tcnt t USING (id)""".stripMargin,
+
+    // the estimator replayed end to end: same seeded-md5 membership
+    // (hex-cast ≡ Spark conv(substring(md5,1,15),16,10)), same plain
+    // 3-way triangle join on the kept edges, same ⌊t·10¹²/2500³⌋
+    // decimal-exact scale-up
+    "basket_triangles_approx" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b,
+        |             l_partkey AS i FROM lineitem),
+        |und AS (SELECT DISTINCT least(a.i, c.i) AS u, greatest(a.i, c.i) AS v
+        |        FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i),
+        |kept AS (SELECT u, v FROM und
+        |  WHERE CAST(('0x'||substr(md5('7:' || u || ':' || v), 1, 15))
+        |          AS BIGINT) % 10000 < 2500),
+        |tri AS (SELECT count(*) AS t FROM kept e1
+        |        JOIN kept e2 ON e2.u = e1.v
+        |        JOIN kept e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM kept) AS BIGINT) AS kept_edges,
+        |  CAST(t AS BIGINT) AS sampled_triangles,
+        |  CAST(floor((CAST(t AS DECIMAL(38,0)) * 1000000000000)
+        |    / 15625000000) AS BIGINT) AS est_triangles
+        |FROM tri""".stripMargin,
 
     // recursive-CTE walk, hop-capped, min hops per node — the
     // iterative frontier expansion must agree with the declarative

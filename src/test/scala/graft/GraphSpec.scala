@@ -234,6 +234,41 @@ class GraphSpec extends SparkTestBase {
     assert(got("z") === ((1L, 0L, None)))
   }
 
+  test("approxTriangleCount: p=1 degenerates to the exact count; " +
+      "sampling is layout-independent with exact scale-up arithmetic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xD041107L)
+    val edges = ((1 to 400).map(_ =>
+      (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}")) ++
+      (0 until 30).map(i => ("h", s"n$i"))).toDF("src", "dst")
+    // exact global count from the per-node stats (each triangle has
+    // exactly 3 corners)
+    val exact = Graph.triangleStats(edges, "src", "dst")
+      .agg(sum(col("triangles"))).head.getLong(0) / 3
+    // p = 1: the sample IS the population — estimate, sample count,
+    // and edge census all exact (the degeneracy contract)
+    val full = Graph.approxTriangleCount(edges, "src", "dst",
+        pE4 = 10000).collect()(0)
+    assert(full.getLong(2) == exact && full.getLong(3) == exact)
+    assert(full.getLong(0) == full.getLong(1))
+    // p < 1: membership is a pure function of (edge values, seed) —
+    // identical across partition layouts; the scale-up is the pinned
+    // integer form ⌊sampled·10¹²/pE4³⌋
+    val s1 = Graph.approxTriangleCount(edges, "src", "dst",
+      pE4 = 4000, seed = 7).collect()(0)
+    val s2 = Graph.approxTriangleCount(edges.repartition(13), "src",
+      "dst", pE4 = 4000, seed = 7).collect()(0)
+    assert(s1.toSeq == s2.toSeq, "sample depends on partition layout")
+    assert(s1.getLong(1) < s1.getLong(0), "p=0.4 kept every edge")
+    assert(s1.getLong(3) ==
+      (BigInt(s1.getLong(2)) * BigInt(1000000000000L) /
+        BigInt(4000L * 4000L * 4000L)).toLong)
+    // a different seed draws a different sample (the seed is live)
+    val s3 = Graph.approxTriangleCount(edges, "src", "dst",
+      pE4 = 4000, seed = 8).collect()(0)
+    assert(s3.getLong(1) != s1.getLong(1) || s3.getLong(2) != s1.getLong(2))
+  }
+
   test("triangleStats hub fallback: the flat plan (threshold forced) " +
       "answers identically to the fused plan on every random graph") {
     import spark.implicits._
