@@ -70,7 +70,7 @@ ts_cusum_routed,q1_routed_mv,series_trend_routed,\
 ts_fill_sql,ts_multi_sql,ts_hist_sql,ts_window_sql,ts_advised_route,\
 ts_hist_window_sql,ts_route_explain,\
 ts_multi_dims,ts_multi_filters,ts_multi_filters_sql,\
-ts_window_day_sql,ts_workload_advice"
+ts_window_day_sql,ts_workload_advice,ts_workload_persisted"
 STREAM="ts_stream_maintained_fill,ts_stream_distinct_fill,\
 ts_stream_distinct_sketch,ts_stream_pct_sketch,stream_anomalies,\
 stream_cusum,stream_ewma,stream_holt,stream_funnel,stream_sessions,\
@@ -78,14 +78,14 @@ stream_sessions_capped,stream_user_features,stream_cdc_user_state,\
 stream_scd_click_level,stream_decontaminate,stream_manifest,\
 stream_quality_monitor,stream_next_examples,stream_late_profile,\
 stream_scrub_profile,stream_click_attrib,stream_ann_ivf,\
-stream_bm25_indexed,ts_multi_stream"
+stream_bm25_indexed,stream_bm25_erased,ts_multi_stream"
 REL="q1_pricing_summary,q3_shipping_priority,q5_local_supplier_volume,\
 q6_forecast_revenue,q2_min_cost_supplier,q9_product_profit,\
 q11_important_parts,q16_supplier_counts,q20_excess_suppliers,\
 topk_orders_per_customer,asof_click_purchase,\
 range_click_purchase_1h,event_funnel,event_ewma,event_cusum,\
 event_anomalies,event_next_examples,event_sessions,event_user_features,\
-events_cube,events_pivot,basket_frequent_pairs,basket_triangles,\
+events_cube,events_pivot,basket_frequent_pairs,basket_triangles,basket_triangles_approx,\
 basket_rules,events_pagerank,events_ppr_signup,rolling_wau,\
 session_hourly_active,user_rfm,event_transition_matrix,\
 events_kanon_release,cdc_user_state,scd_click_level,\

@@ -33,7 +33,7 @@ ANN10="ann_bruteforce_topk,ann_ivf_persisted,ann_ivfpq_topk,\
 ann_recall_persisted,hybrid_search"
 TEXT10="text_bm25_indexed,text_bm25_topk"
 QUERIES="$TS10,$DEDUP10,$ANN10,$TEXT10"
-BENCHQ="$QUERIES,basket_triangles"
+BENCHQ="$QUERIES,basket_triangles,basket_triangles_approx"
 
 python3 tools/check_inventory.py
 
