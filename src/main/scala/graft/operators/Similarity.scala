@@ -490,13 +490,33 @@ object Similarity {
     * rerank fetching only the shortlisted vectors. Approximation
     * comes from both levers (unprobed partitions + code quantization)
     * — gate with the in-plan recall verdict like the other
-    * approximate searches. */
+    * approximate searches.
+    *
+    * `nProbe`/`candidates` default (sentinel -1) to the store's
+    * STAMPED 2-D operating point ([[stampPqOperatingPoint]] — the
+    * measured [[pqOperatingGrid]] answer, since the IVF curve's
+    * one-pass identity cannot price the ADC lever). Either sentinel
+    * against an unstamped store is LOUD; pass both explicitly to
+    * override (the two levers are coupled — overriding one without
+    * the other would serve an operating point nobody measured). */
   def ivfPqTopKFromStore(storePath: String, index: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
-      codebook: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int,
-      candidates: Int,
+      codebook: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int = -1,
+      candidates: Int = -1,
       dotFn: (Column, Column) => Column = dot): DataFrame = {
-    require(candidates >= k, "shortlist must be at least k")
+    require((nProbe > 0) == (candidates > 0),
+      "pass BOTH nProbe and candidates explicitly, or neither " +
+        "(stamped operating point) — the levers are calibrated jointly")
+    val spark0 = queries.sparkSession
+    val (probeDepth, shortlistN) =
+      if (nProbe > 0) (nProbe, candidates)
+      else loadPqOperatingPoint(spark0, storePath)
+        .map(t => (t._2, t._3)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ivfPqTopKFromStore: no (nProbe, candidates) given and no " +
+              s"stamped PQ operating point at $storePath — run " +
+              s"stampPqOperatingPoint or pass both explicitly"))
+    require(shortlistN >= k, "shortlist must be at least k")
     val m = codebook.size
     val sub = codebook.head.head.size
     val spark = queries.sparkSession
@@ -509,10 +529,10 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("part"),
         d(col("qv"), col("centroid")).as("csim"))
       .withColumn("prank", row_number().over(probeW))
-      .where(col("prank") <= nProbe)
+      .where(col("prank") <= probeDepth)
       .select(col("query_id"), col("qv"), col("part"))
-    // bounded driver collect (|q| × nProbe ids) — buys the partition
-    // filter, same contract as ivfTopKFromStore
+    // bounded driver collect (|q| × probeDepth ids) — buys the
+    // partition filter, same contract as ivfTopKFromStore
     val probedParts = probes.select(col("part").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val qvd = col("qv").cast("array<double>")
@@ -541,7 +561,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("asim"))
       .withColumn("srank", row_number().over(sw))
-      .where(col("srank") <= candidates)
+      .where(col("srank") <= shortlistN)
       .select(col("query_id"), col("neighbor_id"))
     val fetch = spark.read.parquet(storePath)
       .where(col("part").isin(probedParts: _*))
@@ -966,12 +986,17 @@ object Similarity {
       .write.mode("overwrite").partitionBy("part").parquet(outPath)
     tomb.foreach(_.select(col("id")).coalesce(1)
       .write.mode("overwrite").parquet(s"$outPath/__tombstones"))
-    // the calibrated operating point travels too: compaction keeps the
-    // index (and thus the tuned recall/probe trade) unchanged
+    // the calibrated operating points travel too: compaction keeps
+    // the index (and thus the tuned recall/probe trade) unchanged
     import spark.implicits._
     loadOperatingPoint(spark, inPath).foreach { case (t, p) =>
       Seq((t, p)).toDF("target_recall_e4", "n_probe").coalesce(1)
         .write.mode("overwrite").parquet(s"$outPath/__operating_point")
+    }
+    loadPqOperatingPoint(spark, inPath).foreach { case (t, p, c) =>
+      Seq((t, p, c)).toDF("target_recall_e4", "n_probe", "candidates")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outPath/__pq_operating_point")
     }
   }
 
@@ -1212,6 +1237,100 @@ object Similarity {
       .select(col("target_recall_e4").cast("long"),
         col("n_probe").cast("int"))
       .collect().headOption.map(r => (r.getLong(0), r.getInt(1)))
+  }
+
+  /** MEASURED recall grid for the IVF-PQ serve — the 2-D calibration
+    * [[probeRecallCurve]] cannot answer: a PQ serve has TWO coupled
+    * levers, probe depth (partitions read) and ADC shortlist size
+    * (rerank fetches), and the one-pass containment identity does NOT
+    * extend to it — ADC ranks by approximate code distances, so a
+    * true neighbor inside a probed partition can still miss the
+    * shortlist. Each grid cell is therefore an HONEST re-execution of
+    * [[ivfPqTopKFromStore]] over the validation queries (bounded:
+    * |probeDepths|·|candidateCounts| partition-pruned, val-set-sized
+    * serves — never corpus-shaped beyond the one exact ground-truth
+    * pass), scored against the exact top-k.
+    *
+    * Output: (`n_probe`, `candidates`, `hits`, `possible`,
+    * `recall_e4`) per cell — integer-exact like the IVF curve;
+    * `possible` is the actual ground-truth row count (a corpus
+    * smaller than k+1 can still read full recall). */
+  def pqOperatingGrid(storePath: String, index: DataFrame,
+      corpus: DataFrame, valQueries: DataFrame, idCol: String,
+      vecCol: String, codebook: Seq[Seq[Seq[Double]]], k: Int,
+      probeDepths: Seq[Int], candidateCounts: Seq[Int],
+      dotFn: (Column, Column) => Column = dot): DataFrame = {
+    require(probeDepths.nonEmpty && candidateCounts.nonEmpty,
+      "pqOperatingGrid needs at least one probe depth and one " +
+        "candidate count")
+    require(candidateCounts.forall(_ >= k),
+      s"every shortlist size must be >= k=$k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val truth = bruteForceTopK(corpus, valQueries, idCol, vecCol, k,
+        dotFn)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // ONE exact pass feeds every cell
+    val nPossible = truth.count()
+    require(nPossible > 0,
+      "pqOperatingGrid: no ground-truth rows (empty corpus or queries)")
+    val cells = for {
+      p <- probeDepths.distinct.sorted
+      c <- candidateCounts.distinct.sorted
+    } yield {
+      val hits = ivfPqTopKFromStore(storePath, index, valQueries,
+          idCol, vecCol, codebook, k, nProbe = p, candidates = c,
+          dotFn = dotFn)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      (p, c, hits, nPossible, 10000L * hits / nPossible)
+    }
+    cells.toDF("n_probe", "candidates", "hits", "possible", "recall_e4")
+      .select(col("n_probe").cast("long"), col("candidates").cast("long"),
+        col("hits"), col("possible"), col("recall_e4"))
+  }
+
+  /** Stamp the CHEAPEST qualifying PQ operating point from a
+    * [[pqOperatingGrid]]: smallest `n_probe` whose grid row clears the
+    * target at ANY shortlist (probed partitions bound the bytes a
+    * serve reads — the IO-dominant lever), then the smallest
+    * `candidates` at that depth (rerank fetches — the secondary,
+    * row-bounded lever). Lands as `path/__pq_operating_point`, the
+    * default for [[ivfPqTopKFromStore]]'s sentinel arguments.
+    * Unreachable target is LOUD, like [[stampOperatingPoint]].
+    *
+    * @return the stamped (nProbe, candidates) */
+  def stampPqOperatingPoint(spark: org.apache.spark.sql.SparkSession,
+      path: String, grid: DataFrame, targetRecallE4: Long): (Int, Int) = {
+    import spark.implicits._
+    val ok = grid.where(col("recall_e4") >= targetRecallE4)
+      .select(col("n_probe").cast("long"), col("candidates").cast("long"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+    require(ok.nonEmpty,
+      s"stampPqOperatingPoint: no grid cell reaches recall_e4 >= " +
+        s"$targetRecallE4 — widen the grid, re-train, or lower the " +
+        s"target")
+    val (p, c) = ok.minBy(identity)
+    Seq((targetRecallE4, p, c))
+      .toDF("target_recall_e4", "n_probe", "candidates")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/__pq_operating_point")
+    (p, c)
+  }
+
+  /** The PQ store's stamped (target recall, probe depth, shortlist),
+    * if calibration ever ran. */
+  def loadPqOperatingPoint(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Long, Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/__pq_operating_point")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.parquet(p.toString)
+      .select(col("target_recall_e4").cast("long"),
+        col("n_probe").cast("int"), col("candidates").cast("int"))
+      .collect().headOption
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
   }
 
   /** IVF top-k: probe the `nProbe` partitions with the most-similar

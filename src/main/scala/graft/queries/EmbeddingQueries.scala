@@ -560,6 +560,63 @@ object EmbeddingQueries {
           (col("__hits") >= 3L).as("recall_ok"))
     }),
 
+    // the 2-D PQ AUTOTUNE shipped with the store: the measured
+    // (nProbe × candidates) recall grid — each cell an honest
+    // re-executed serve, because ADC's approximate ranking breaks the
+    // IVF curve's one-pass containment identity — stamps the cheapest
+    // point clearing recall ≥ 0.6 (smallest probe depth, then
+    // smallest shortlist), required in-query to be a genuinely
+    // partial one (neither lever at its max). The serve then runs on
+    // STAMPED DEFAULTS — no caller-supplied depth anywhere — and the
+    // in-plan verdict is the guarantee the stamp actually makes:
+    // AGGREGATE recall over the validation set ≥ the target (a 1-row
+    // broadcast total, not a per-query floor — per-query bands belong
+    // to ann_ivfpq_topk's hand-picked point). It shares that query's
+    // oracle (exact top-5 + TRUE) because the stamp's measured
+    // guarantee transfers exactly: the validation queries ARE the
+    // serving queries here
+    "ann_pq_stamped" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val qs = e.where(col("vec_id") < 10)
+      val dotN: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = GraftFunctions.dotNative
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+      val cb = pqCodebooks.getOrElseUpdate((s, dir),
+        Similarity.pqTrain(e, "vec_id", "embedding", m = 16, ks = 16,
+          dotFn = Similarity.l2Score(dotN), trainSampleN = 4096))
+      val store = s"$built/store_pq"
+      if (!new java.io.File(store).exists())
+        Similarity.writeIvfPqCorpus(e, s.read.parquet(s"$built/assign"),
+          "vec_id", "embedding", cb, store, Similarity.l2Score(dotN))
+      val index = graft.operators.Similarity.readCentroids(s,
+        s"$built/centroids")
+      val grid = Similarity.pqOperatingGrid(store, index, e, qs,
+        "vec_id", "embedding", cb, k = 5,
+        probeDepths = Seq(3, 5, 10), candidateCounts = Seq(20, 100),
+        dotFn = dotN)
+      val (sp, sc) = Similarity.stampPqOperatingPoint(s, store, grid,
+        targetRecallE4 = 6000L)
+      require(sp < 10 || sc < 100,
+        s"the stamp must be a genuinely partial operating point, " +
+          s"got ($sp, $sc)")
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+        k = 5, dotFn = dotN)
+      val pq = Similarity.ivfPqTopKFromStore(store, index, qs,
+          "vec_id", "embedding", cb, k = 5, dotFn = dotN) // stamped
+        .groupBy(col("query_id"))
+        .agg(collect_set(col("neighbor_id")).as("qn"))
+      val flags = exact.join(pq, Seq("query_id"))
+        .withColumn("__hit",
+          when(array_contains(col("qn"), col("neighbor_id")), 1L)
+            .otherwise(0L))
+      val total = flags.agg(sum(col("__hit")).as("__total"),
+        count(lit(1)).as("__n"))
+      flags.crossJoin(broadcast(total)) // 1-row bounded
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (col("__total") * 10000L >= lit(6000L) * col("__n"))
+            .as("recall_ok"))
+    }),
+
     // INCREMENTAL index maintenance — the daily-ingest ANN shape: the
     // standing corpus is laid out once, a new batch (vec_id % 7 == 3)
     // assigns to the FROZEN centroid index and APPENDS into the same
@@ -963,6 +1020,10 @@ object EmbeddingQueries {
 
     // and for the full IVF-PQ serving read
     "ann_ivfpq_topk" ->
+      s"SELECT *, TRUE AS recall_ok FROM ($topkOracle)",
+
+    // stamped-default serve: same exact-side + in-plan recall shape
+    "ann_pq_stamped" ->
       s"SELECT *, TRUE AS recall_ok FROM ($topkOracle)",
 
     "ann_ivf_kmeans_topk" -> kmeansIvfOracle,

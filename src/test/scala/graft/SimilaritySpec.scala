@@ -425,6 +425,75 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("PQ operating grid: honest per-cell recall, cheapest-first stamp, " +
+      "stamped default serve") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 6)
+    val index = Similarity.centroids(e, "label", "embedding")
+    val assigned = e.select(col("vec_id"),
+      col("label").cast("long").as("part"))
+    val l2 = Similarity.l2Score()
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ks = 8,
+      dotFn = l2)
+    val store = java.nio.file.Files
+      .createTempDirectory("pq_stamped").toString + "/store"
+    Similarity.writeIvfPqCorpus(e, assigned, "vec_id", "embedding", cb,
+      store, l2)
+    // both sentinels against an unstamped store: loud
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKFromStore(store, index, q, "vec_id",
+        "embedding", cb, k = 5)
+    }
+    // overriding one lever without the other: loud (calibrated jointly)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKFromStore(store, index, q, "vec_id",
+        "embedding", cb, k = 5, nProbe = 3)
+    }
+    val n = e.count().toInt
+    val grid = Similarity.pqOperatingGrid(store, index, e, q, "vec_id",
+      "embedding", cb, k = 5, probeDepths = Seq(2, 10),
+      candidateCounts = Seq(5, n))
+    val cells = grid.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // every cell is an honest re-execution: the full-probe full-
+    // shortlist corner IS brute force (recall 10000), and each cell's
+    // hits equal the directly re-served intersection
+    assert(cells((10L, n.toLong))._3 == 10000L)
+    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 5).select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (((p, c), (hits, possible, _)) <- cells) {
+      val served = Similarity.ivfPqTopKFromStore(store, index, q,
+          "vec_id", "embedding", cb, k = 5, nProbe = p.toInt,
+          candidates = c.toInt)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((served intersect truth).size.toLong == hits,
+        s"cell ($p,$c)")
+      assert(possible == truth.size.toLong)
+    }
+    // the stamp: smallest probe clearing the target, then smallest
+    // shortlist at that depth — and the default serve equals the
+    // explicit serve at the stamped point
+    val target = cells.values.map(_._3).min // reachable by construction
+    val (sp, sc) = Similarity.stampPqOperatingPoint(spark, store, grid,
+      target)
+    val qualifying = cells.filter(_._2._3 >= target).keys
+    assert((sp.toLong, sc.toLong) == qualifying.min)
+    assert(Similarity.loadPqOperatingPoint(spark, store)
+      .contains((target, sp, sc)))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(Similarity.ivfPqTopKFromStore(store, index, q, "vec_id",
+        "embedding", cb, k = 5)) ==
+      key(Similarity.ivfPqTopKFromStore(store, index, q, "vec_id",
+        "embedding", cb, k = 5, nProbe = sp, candidates = sc)))
+    // unreachable target never stamps
+    intercept[IllegalArgumentException] {
+      Similarity.stampPqOperatingPoint(spark, store, grid, 10001L)
+    }
+  }
+
   test("hybridRerank: cosine order within candidates only, carried cols kept") {
     import spark.implicits._
     // candidates for one query: docs 1, 2, 3 (doc 4 deliberately NOT
