@@ -363,21 +363,39 @@ object Graph {
     * arithmetic throughout: the scale-up runs in decimal(38,0) so no
     * count can overflow or round engine-dependently.
     *
-    * Output (one row): `n_edges` (distinct undirected), `kept_edges`,
-    * `sampled_triangles` (exact on the sample), `est_triangles`
-    * (= ⌊sampled · 10¹² / pE4³⌋). */
+    * Output (one row): `n_edges` (distinct undirected; `-1` when the
+    * census is skipped), `kept_edges`, `sampled_triangles` (exact on
+    * the sample), `est_triangles` (= ⌊sampled · 10¹² / pE4³⌋).
+    *
+    * `census = false` skips the exact distinct-edge count — the ONE
+    * stage that still scans and shuffles every pair (at the ×100
+    * fixture, 119.6M nearly-all-distinct edges, it is ~⅓ of the
+    * run). The estimator never needs it (DOULION scales by p³ alone;
+    * `kept_edges/p` estimates the census when a magnitude is wanted),
+    * so the pure serving call drops it and pays only the kept
+    * fraction everywhere past the row-local membership filter. */
   def approxTriangleCount(edges: DataFrame, srcCol: String,
       dstCol: String, pE4: Int, seed: Int = 42,
-      hubDegreeThreshold: Long = 5000000L): DataFrame = {
+      hubDegreeThreshold: Long = 5000000L,
+      census: Boolean = true): DataFrame = {
     require(pE4 >= 1 && pE4 <= 10000, s"pE4 in [1,10000], got $pE4")
     val spark = edges.sparkSession
     import spark.implicits._
-    // one normalized pair pass feeds both the census and the sample
-    val und = undirectedPairs(edges, srcCol, dstCol)
-    val nEdges = und.count()
-    val kept = und.where(pmod(Dedup.seededHash(
+    val pairs = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+    // census (opt-in): one map-side-combined distinct-count over the
+    // raw pair stream — counted, never materialized or checkpointed
+    val nEdges =
+      if (census) pairs.dropDuplicates("a", "b").count() else -1L
+    // membership is a pure function of the edge VALUES, so the filter
+    // commutes with dedup — sampling BEFORE the distinct shrinks the
+    // only full-width shuffle to the kept fraction
+    val kept = pairs.where(pmod(Dedup.seededHash(
         concat_ws(":", col("a"), col("b")), seed), lit(10000L)) <
         lit(pE4.toLong))
+      .dropDuplicates("a", "b")
       .localCheckpoint(true)
     val nKept = kept.count()
     val nTri =

@@ -267,6 +267,13 @@ class GraphSpec extends SparkTestBase {
     val s3 = Graph.approxTriangleCount(edges, "src", "dst",
       pE4 = 4000, seed = 8).collect()(0)
     assert(s3.getLong(1) != s1.getLong(1) || s3.getLong(2) != s1.getLong(2))
+    // census opt-out: identical sample and estimate, n_edges = -1 —
+    // the serving call never pays the full-pair distinct count
+    val s4 = Graph.approxTriangleCount(edges, "src", "dst",
+      pE4 = 4000, seed = 7, census = false).collect()(0)
+    assert(s4.getLong(0) == -1L)
+    assert((s4.getLong(1), s4.getLong(2), s4.getLong(3)) ==
+      ((s1.getLong(1), s1.getLong(2), s1.getLong(3))))
   }
 
   test("triangleStats hub fallback: the flat plan (threshold forced) " +
