@@ -93,6 +93,7 @@ training_asof_features,events_date_partitioned"
 ANN="ann_bruteforce_topk,ann_filtered_topk,ann_int8_topk,\
 ann_ivf_kmeans_topk,ann_ivf_persisted,ann_ivf_probe3,\
 ann_ivf_incremental,ann_ivf_refit,ann_ivfpq_topk,ann_pq_rerank,\
+ann_pq_stamped,\
 ann_recall_persisted,ann_erased_topk,ann_erase_closed,\
 ann_probe_recall_curve,\
 emb_lsh_near_pairs,emb_label_outliers,\
@@ -140,7 +141,7 @@ legacy_dedup_clusters_incremental,legacy_dedup_consensus"
 # paths measured against the brute-force TOP-K baseline (k-bounded,
 # linear — NOT the all-pairs kernel) at a corpus size where pruning
 # registers
-ANND="ann_bruteforce_topk,ann_ivf_persisted,ann_ivfpq_topk,\
+ANND="ann_bruteforce_topk,ann_ivf_persisted,ann_ivfpq_topk,ann_pq_stamped,\
 ann_recall_persisted,hybrid_search"
 # the doc-plane families whose shape changes without clones
 # (containment/co-occurrence/repetition/overlap/packing/decon);
