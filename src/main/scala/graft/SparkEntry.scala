@@ -39,4 +39,11 @@ object SparkEntry {
       : Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
     EventQueries.lifecycleSplits ++ DocumentQueries.lifecycleSplits ++
       EmbeddingQueries.lifecycleSplits
+
+  /** Plan-capture probes for [[PlanDump]] (tooling only, never run by
+    * the driver): internal frames of multi-job queries, so optimization
+    * rounds can commit checkable `.explain("formatted")` evidence for
+    * work that a declared query's final plan can't show. */
+  def planProbes: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.planProbes ++ EmbeddingQueries.planProbes
 }

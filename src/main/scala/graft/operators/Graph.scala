@@ -373,7 +373,13 @@ object Graph {
     * run). The estimator never needs it (DOULION scales by p³ alone;
     * `kept_edges/p` estimates the census when a magnitude is wanted),
     * so the pure serving call drops it and pays only the kept
-    * fraction everywhere past the row-local membership filter. */
+    * fraction everywhere past the row-local membership filter. With
+    * `census = true` the distinct pass is unavoidable, so it is paid
+    * ONCE: the deduped edge set is pinned and feeds both the count
+    * and (filter-after-dedup — same set, membership is value-pure)
+    * the kept sample, instead of re-scanning and re-shuffling the raw
+    * pair stream a second time. The pin buys that at one edge-list
+    * copy of executor storage (two longs per distinct edge). */
   def approxTriangleCount(edges: DataFrame, srcCol: String,
       dstCol: String, pE4: Int, seed: Int = 42,
       hubDegreeThreshold: Long = 5000000L,
@@ -385,18 +391,25 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b"))
-    // census (opt-in): one map-side-combined distinct-count over the
-    // raw pair stream — counted, never materialized or checkpointed
-    val nEdges =
-      if (census) pairs.dropDuplicates("a", "b").count() else -1L
     // membership is a pure function of the edge VALUES, so the filter
-    // commutes with dedup — sampling BEFORE the distinct shrinks the
-    // only full-width shuffle to the kept fraction
-    val kept = pairs.where(pmod(Dedup.seededHash(
-        concat_ws(":", col("a"), col("b")), seed), lit(10000L)) <
-        lit(pE4.toLong))
-      .dropDuplicates("a", "b")
-      .localCheckpoint(true)
+    // COMMUTES with dedup. Two consequences, one per census mode:
+    // with census=false, sampling BEFORE the distinct shrinks the
+    // only full-width shuffle to the kept fraction; with census=true,
+    // the census's own distinct pass IS a valid dedup to sample
+    // AFTER — materializing it once feeds both the count and the kept
+    // set, so the raw pair stream (the basket explode) is scanned and
+    // dedup-shuffled ONCE instead of twice.
+    val membership = pmod(Dedup.seededHash(
+      concat_ws(":", col("a"), col("b")), seed), lit(10000L)) <
+      lit(pE4.toLong)
+    val (nEdges, kept) =
+      if (census) {
+        val und = pairs.dropDuplicates("a", "b").localCheckpoint(true)
+        (und.count(), und.where(membership).localCheckpoint(true))
+      } else
+        (-1L,
+          pairs.where(membership).dropDuplicates("a", "b")
+            .localCheckpoint(true))
     val nKept = kept.count()
     val nTri =
       if (nKept == 0L) 0L

@@ -748,7 +748,13 @@ object Similarity {
     * index-BUILD step (and the assignment half of a Lloyd/k-means
     * iteration). The centroid table broadcasts; ties break on the lower
     * part id, so assignment is deterministic. One window shuffle on the
-    * corpus id; at 100 TB the corpus never moves except that shuffle.
+    * corpus id; at 100 TB the corpus never moves except that shuffle —
+    * and Spark's WindowGroupLimit keeps the rank-1 cut MAP-SIDE, so the
+    * exchange carries ~one row per id, not k× (round-14 measured: a
+    * min_by(part, struct(-csim, part)) aggregation form — same result,
+    * spec-pinned — benched 1.6× SLOWER here, the struct-ordered
+    * aggregate being interpreted where the window path is codegen;
+    * keep the window form).
     *
     * @param cent (part, centroid) rows — small (breadth × dim)
     * @return (idCol, part) */
@@ -1243,13 +1249,24 @@ object Similarity {
     * [[probeRecallCurve]] cannot answer: a PQ serve has TWO coupled
     * levers, probe depth (partitions read) and ADC shortlist size
     * (rerank fetches), and the one-pass containment identity does NOT
-    * extend to it — ADC ranks by approximate code distances, so a
-    * true neighbor inside a probed partition can still miss the
-    * shortlist. Each grid cell is therefore an HONEST re-execution of
-    * [[ivfPqTopKFromStore]] over the validation queries (bounded:
-    * |probeDepths|·|candidateCounts| partition-pruned, val-set-sized
-    * serves — never corpus-shaped beyond the one exact ground-truth
-    * pass), scored against the exact top-k.
+    * extend to the SHORTLIST lever — ADC ranks by approximate code
+    * distances, so a true neighbor inside a probed partition can
+    * still miss the shortlist.
+    *
+    * What DOES hold, and what this derivation exploits: a candidate's
+    * ADC score and exact score are pure functions of (query,
+    * candidate) — independent of BOTH levers. So ONE partition-pruned
+    * scan at the deepest probe depth scores the whole candidate pool
+    * (ADC + exact, each with the serve's exact expressions and
+    * deterministic id tie-breaks), and every grid cell (p, c) is then
+    * a cheap filter (centroid rank ≤ p) + rank (ADC top-c) + rank
+    * (exact top-k) over that scored pool — row-for-row identical to
+    * re-executing [[ivfPqTopKFromStore]] at (p, c), which the spec
+    * pins cell by cell. |grid| serve re-executions (each rescanning
+    * the store and re-ranking from scratch) collapse into one scan +
+    * one all-cells job. The pool-wide exact scoring is bounded by the
+    * one ground-truth pass the grid already pays: the pool is the
+    * probed subset of the corpus, the truth pass scores all of it.
     *
     * Output: (`n_probe`, `candidates`, `hits`, `possible`,
     * `recall_e4`) per cell — integer-exact like the IVF curve;
@@ -1274,21 +1291,108 @@ object Similarity {
     val nPossible = truth.count()
     require(nPossible > 0,
       "pqOperatingGrid: no ground-truth rows (empty corpus or queries)")
+    val depths = probeDepths.distinct.sorted
+    val cands = candidateCounts.distinct.sorted
+    val perCell = pqGridCells(storePath, index, valQueries, idCol,
+      vecCol, codebook, k, depths, cands, dotFn)
+    val hitCounts = perCell
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("n_probe"), col("candidates"))
+      .agg(count(lit(1)).as("hits"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     val cells = for {
-      p <- probeDepths.distinct.sorted
-      c <- candidateCounts.distinct.sorted
+      p <- depths
+      c <- cands
     } yield {
-      val hits = ivfPqTopKFromStore(storePath, index, valQueries,
-          idCol, vecCol, codebook, k, nProbe = p, candidates = c,
-          dotFn = dotFn)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .count()
+      val hits = hitCounts.getOrElse((p.toLong, c.toLong), 0L)
       (p, c, hits, nPossible, 10000L * hits / nPossible)
     }
     cells.toDF("n_probe", "candidates", "hits", "possible", "recall_e4")
       .select(col("n_probe").cast("long"), col("candidates").cast("long"),
         col("hits"), col("possible"), col("recall_e4"))
+  }
+
+  /** The grid's one-pass cell derivation ([[pqOperatingGrid]] body —
+    * exposed at package visibility for plan capture): every
+    * (query, candidate) in the DEEPEST probe's partitions is scored
+    * ONCE with the serve's exact ADC and rerank expressions, then each
+    * cell (p, c) is a filter (centroid rank ≤ p) + rank (ADC top-c) +
+    * rank (exact top-k) over that pinned pool, tagged and unioned.
+    * Row-for-row equal to re-executing [[ivfPqTopKFromStore]] per cell
+    * (spec-pinned): the probe window, tombstone exclusion,
+    * self-exclusion, and both (score desc, id) tie-breaks are the
+    * serve's own. */
+  private[graft] def pqGridCells(storePath: String, index: DataFrame,
+      valQueries: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[Seq[Seq[Double]]], k: Int, depths: Seq[Int],
+      cands: Seq[Int],
+      dotFn: (Column, Column) => Column = dot): DataFrame = {
+    val spark = valQueries.sparkSession
+    val pMax = depths.max
+    val d = dotFn
+    val m = codebook.size
+    val sub = codebook.head.head.size
+    // probe ranking at the DEEPEST depth, keeping each candidate
+    // partition's per-query centroid rank — the rank a serve at depth
+    // p admits iff prank <= p (same (csim desc, part) tie-break as
+    // ivfPqTopKFromStore's probe window)
+    val q = valQueries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("part"))
+    val probes = q
+      .join(broadcast(index.select(col("part"), col("centroid"))))
+      .select(col("query_id"), col("qv"), col("part"),
+        d(col("qv"), col("centroid")).as("csim"))
+      .withColumn("prank", row_number().over(probeW))
+      .where(col("prank") <= pMax)
+    // bounded driver collect (|q| × pMax ids) — buys the partition
+    // filter, same contract as the serve
+    val probedParts = probes.select(col("part").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val qvd = col("qv").cast("array<double>")
+    val qtab = array((0 until m).map(j =>
+      array(codebook(j).map(c =>
+        d(slice(qvd, j * sub + 1, sub), typedlit(c))): _*)): _*)
+    val qWithTab = probes.select(col("query_id"), col("qv"),
+      col("part").cast("long").as("part"), col("prank"),
+      qtab.as("__qtab"))
+    val storeTomb = loadStoreTombstones(spark, storePath)
+    val codes = minusStoreTombstones(
+      spark.read.parquet(storePath)
+        .where(col("part").isin(probedParts: _*)),
+      idCol, storeTomb)
+      .select(col(idCol).as("neighbor_id"), col("pq_codes"),
+        col(vecCol).as("cv"), col("part").cast("long").as("part"))
+    val adc = aggregate(
+      zip_with(col("pq_codes"), col("__qtab"),
+        (code, tab) => element_at(tab, code + 1)),
+      lit(0.0), _ + _)
+    // the scored pool: every (query, candidate-in-a-probed-partition)
+    // with the serve's ADC score AND its exact rerank score — both
+    // pure per pair, so every cell ranks over these same values
+    val pool = codes.join(broadcast(qWithTab), Seq("part"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("prank"), col("neighbor_id"),
+        adc.as("asim"), d(col("qv"), col("cv")).as("sim"))
+      .localCheckpoint(true) // ONE scan feeds every cell
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    depths.flatMap { p =>
+      val short = pool.where(col("prank") <= p)
+        .withColumn("srank", row_number().over(sw))
+      cands.map { c =>
+        short.where(col("srank") <= c)
+          .withColumn("rank", row_number().over(rw))
+          .where(col("rank") <= k)
+          .select(lit(p.toLong).as("n_probe"),
+            lit(c.toLong).as("candidates"),
+            col("query_id"), col("neighbor_id"))
+      }
+    }.reduce(_ unionAll _)
   }
 
   /** Stamp the CHEAPEST qualifying PQ operating point from a

@@ -561,9 +561,11 @@ object EmbeddingQueries {
     }),
 
     // the 2-D PQ AUTOTUNE shipped with the store: the measured
-    // (nProbe × candidates) recall grid — each cell an honest
-    // re-executed serve, because ADC's approximate ranking breaks the
-    // IVF curve's one-pass containment identity — stamps the cheapest
+    // (nProbe × candidates) recall grid — every cell derived from ONE
+    // partition-pruned scored pass (ADC and exact scores are pure per
+    // (query, candidate), so each cell is a filter+rank over the same
+    // pool; spec-pinned cell-by-cell equal to a re-executed serve) —
+    // stamps the cheapest
     // point clearing recall ≥ 0.6 (smallest probe depth, then
     // smallest shortlist), required in-query to be a genuinely
     // partial one (neither lever at its max). The serve then runs on
@@ -1160,4 +1162,57 @@ object EmbeddingQueries {
         |      AS INTEGER) AS rank
         |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id)
         |WHERE rank <= 5""".stripMargin)
+
+  /** Plan-capture probes (tooling only — consumed by [[graft.PlanDump]],
+    * never by the driver): internal frames of multi-job queries whose
+    * declared-query explain can't show where the time goes. Shares the
+    * declared queries' memoized store artifacts. */
+  val planProbes: Map[String, (SparkSession, String) => DataFrame] = {
+    def pqSetup(s: SparkSession, dir: String) = {
+      GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val qs = e.where(col("vec_id") < 10)
+      val dotN: (org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+        GraftFunctions.dotNative
+      val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+      val cb = pqCodebooks.getOrElseUpdate((s, dir),
+        Similarity.pqTrain(e, "vec_id", "embedding", m = 16, ks = 16,
+          dotFn = Similarity.l2Score(dotN), trainSampleN = 4096))
+      val store = s"$built/store_pq"
+      if (!new java.io.File(store).exists())
+        Similarity.writeIvfPqCorpus(e, s.read.parquet(s"$built/assign"),
+          "vec_id", "embedding", cb, store, Similarity.l2Score(dotN))
+      val index = Similarity.readCentroids(s, s"$built/centroids")
+      (qs, dotN, cb, store, index)
+    }
+    Map(
+      // the unit the OLD pqOperatingGrid re-executed once per cell —
+      // a full serve at one explicit (nProbe, candidates)
+      "ann_pq_stamped__grid_cell_serve" -> ((s, dir) => {
+        val (qs, dotN, cb, store, index) = pqSetup(s, dir)
+        Similarity.ivfPqTopKFromStore(store, index, qs, "vec_id",
+          "embedding", cb, k = 5, nProbe = 3, candidates = 20,
+          dotFn = dotN)
+      }),
+      // the NEW one-pass derivation: all 6 cells from one scored pool
+      "ann_pq_stamped__grid_cells" -> ((s, dir) => {
+        val (qs, dotN, cb, store, index) = pqSetup(s, dir)
+        Similarity.pqGridCells(store, index, qs, "vec_id", "embedding",
+          cb, k = 5, depths = Seq(3, 5, 10), cands = Seq(20, 100),
+          dotFn = dotN)
+      }),
+      // the corpus-wide centroid assignment inside every IVF/PQ build
+      // (buildKmeans / __build phases): window-argmax before, map-side
+      // min_by aggregation after
+      "ann_ivfpq_topk__assign" -> ((s, dir) => {
+        GraftFunctions.register(s)
+        val e = emb(s, dir)
+        val init = e.where(col("vec_id") < 10)
+          .select(col("vec_id").cast("long").as("part"),
+            col("embedding").cast("array<double>").as("centroid"))
+        Similarity.assignToCentroids(e, init, "vec_id", "embedding",
+          GraftFunctions.dotNative)
+      }))
+  }
 }

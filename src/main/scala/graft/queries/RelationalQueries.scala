@@ -1532,4 +1532,27 @@ object RelationalQueries {
         |  SELECT o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
         |GROUP BY ALL""".stripMargin)
+
+  /** Plan-capture probes (tooling only — consumed by [[graft.PlanDump]],
+    * never by the driver): the census-mode kept-edge frames of
+    * `basket_triangles_approx`, whose work lives in internal count()
+    * actions the declared query's 1-row explain can't show. */
+  val planProbes: Map[String, (SparkSession, String) => DataFrame] = {
+    def pairs(s: SparkSession, dir: String) = coPurchaseEdges(s, dir)
+      .select(least(col("pa"), col("pb")).as("a"),
+        greatest(col("pa"), col("pb")).as("b"))
+      .where(col("a") =!= col("b"))
+    def membership = pmod(graft.operators.Dedup.seededHash(
+      concat_ws(":", col("a"), col("b")), 7), lit(10000L)) < lit(2500L)
+    Map(
+      // OLD census-mode kept set: second full scan + dedup shuffle of
+      // the raw pair stream, beside the census's own distinct pass
+      "basket_triangles_approx__kept_before" -> ((s, dir) =>
+        pairs(s, dir).where(membership).dropDuplicates("a", "b")),
+      // NEW: the census's distinct pass is pinned once and the kept
+      // set is a row-local filter over it (scan shows ExistingRDD)
+      "basket_triangles_approx__kept_after" -> ((s, dir) =>
+        pairs(s, dir).dropDuplicates("a", "b").localCheckpoint(true)
+          .where(membership)))
+  }
 }

@@ -756,4 +756,32 @@ class PlanAuditSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(p.contains("levenshtein"), p.take(2000))
   }
+
+  /** Executed plan of a [[SparkEntry.planProbes]] internal frame. */
+  private def probePlan(name: String): String = {
+    val df = SparkEntry.planProbes(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("PQ operating grid: every cell derives from ONE scored pool — " +
+      "no per-cell store rescan") {
+    // round-14 one-pass grid (Similarity.pqGridCells): the union's cell
+    // branches rank over the checkpointed pool (Scan ExistingRDD);
+    // a parquet scan or a broadcast here would mean a cell re-executed
+    // its own serve again
+    val p = probePlan("ann_pq_stamped__grid_cells")
+    assert(p.contains("Union"), p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    assert(!p.contains("Scan parquet"), p.take(2000))
+    assert(!p.contains("BroadcastExchange"), p.take(2000))
+  }
+
+  test("sampled triangles (census mode): the kept set is a row-local " +
+      "filter over the pinned census, never a second pair-stream pass") {
+    val p = probePlan("basket_triangles_approx__kept_after")
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    assert(!p.contains("Scan parquet"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
 }
