@@ -1189,14 +1189,14 @@ object EmbeddingQueries {
     Map(
       // the unit the OLD pqOperatingGrid re-executed once per cell —
       // a full serve at one explicit (nProbe, candidates)
-      "ann_pq_stamped__grid_cell_serve" -> ((s, dir) => {
+      "ann_pq_stamped__grid_cell_serve" -> ((s: SparkSession, dir: String) => {
         val (qs, dotN, cb, store, index) = pqSetup(s, dir)
         Similarity.ivfPqTopKFromStore(store, index, qs, "vec_id",
           "embedding", cb, k = 5, nProbe = 3, candidates = 20,
           dotFn = dotN)
       }),
       // the NEW one-pass derivation: all 6 cells from one scored pool
-      "ann_pq_stamped__grid_cells" -> ((s, dir) => {
+      "ann_pq_stamped__grid_cells" -> ((s: SparkSession, dir: String) => {
         val (qs, dotN, cb, store, index) = pqSetup(s, dir)
         Similarity.pqGridCells(store, index, qs, "vec_id", "embedding",
           cb, k = 5, depths = Seq(3, 5, 10), cands = Seq(20, 100),
@@ -1205,7 +1205,7 @@ object EmbeddingQueries {
       // the corpus-wide centroid assignment inside every IVF/PQ build
       // (buildKmeans / __build phases): window-argmax before, map-side
       // min_by aggregation after
-      "ann_ivfpq_topk__assign" -> ((s, dir) => {
+      "ann_ivfpq_topk__assign" -> ((s: SparkSession, dir: String) => {
         GraftFunctions.register(s)
         val e = emb(s, dir)
         val init = e.where(col("vec_id") < 10)

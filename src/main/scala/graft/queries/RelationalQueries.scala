@@ -1547,11 +1547,11 @@ object RelationalQueries {
     Map(
       // OLD census-mode kept set: second full scan + dedup shuffle of
       // the raw pair stream, beside the census's own distinct pass
-      "basket_triangles_approx__kept_before" -> ((s, dir) =>
+      "basket_triangles_approx__kept_before" -> ((s: SparkSession, dir: String) =>
         pairs(s, dir).where(membership).dropDuplicates("a", "b")),
       // NEW: the census's distinct pass is pinned once and the kept
       // set is a row-local filter over it (scan shows ExistingRDD)
-      "basket_triangles_approx__kept_after" -> ((s, dir) =>
+      "basket_triangles_approx__kept_after" -> ((s: SparkSession, dir: String) =>
         pairs(s, dir).dropDuplicates("a", "b").localCheckpoint(true)
           .where(membership)))
   }
