@@ -185,11 +185,44 @@ object Bench {
     println(line)
     // stdout under sbt carries an `[info] ` prefix that breaks naive
     // json.load on committed artifacts — SPARK_GRAFT_BENCH_OUT also
-    // lands the line as a CLEAN file, no post-processing needed
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n").getBytes("UTF-8"))
+    // lands the line as a CLEAN file, no post-processing needed. The
+    // full line ALWAYS lands at a stable path (env override or the
+    // tmpdir default) so a stdout-tail consumer can recover every key.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bench_full.json").getPath)
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (line + "\n").getBytes("UTF-8"))
+    // Round-15 measurement-contract fix (r14 VERDICT #2): the driver
+    // keeps only a ~2000-char stdout TAIL, and the full line above is
+    // ~13 KB — its head truncates, so the driver's per-query PERF
+    // compare has parsed NOTHING in 14 rounds (BENCH_r01..r14 all
+    // carry `parsed: null`). Emit ONE MORE, compact JSON line as the
+    // final stdout line: same metric/value/unit/sf/host as the full
+    // line, plus the SLOWEST query keys that fit a tail-safe byte
+    // budget (regressions worth gating live in the heavy keys) and
+    // the path to the full artifact. The full line and its key set
+    // are UNCHANGED — this is an addition, and both lines come from
+    // the same measurement pass.
+    val byCost = (results ++ phaseResults).sortBy { case (_, v) => -v }
+    val budget = 1400 // compact line stays < ~1800 B incl. the
+    // envelope, so it + sbt's `[success]` trailer fit a 2000-char tail
+    def ms3(v: Double): String = { // locale-safe fixed precision
+      val r = math.rint(v * 1000) / 1000
+      if (r == r.toLong) r.toLong + ".0" else r.toString
     }
+    val sb = new StringBuilder
+    var omitted = 0
+    byCost.foreach { case (k, v) =>
+      val ent = "\"" + k + "\":" + ms3(v)
+      if (sb.length + ent.length + 1 <= budget) {
+        if (sb.nonEmpty) sb.append(','); sb.append(ent)
+      } else omitted += 1
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":{$sb},"sf":"$sfDir","n_queries":${byCost.size},""" +
+      s""""queries_omitted":$omitted,"full_json":"$fullPath",""" +
+      s""""host":$host}""")
     spark.stop()
   }
 }
