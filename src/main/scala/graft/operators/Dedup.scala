@@ -762,8 +762,49 @@ object Dedup {
     * Output: one row per input document, (idCol, `component`). */
   def clustersCanonical(df: DataFrame, textCol: String, idCol: String,
       thresholdE4: Int, maxDf: Long = 1000L,
-      shingleK: Int = 3): DataFrame = {
-    val ex = exact(df, textCol, idCol) // (idCol, canonical_id)
+      shingleK: Int = 3): DataFrame =
+    clustersCanonicalWithArtifacts(df, textCol, idCol, thresholdE4,
+      maxDf, shingleK)._1
+
+  /** The corpus-side intermediates [[clustersCanonical]] builds and its
+    * INCREMENTAL twin would otherwise re-derive from the corpus text
+    * on every daily close (r14 VERDICT #1 — the corpus shingle kernel
+    * and exact-dedup aggregation were paid again per read):
+    *
+    *  - `perDocCanon` (idCol, `canonical_id`): every corpus doc's
+    *    content representative — two ids per doc;
+    *  - `contentCanon` (`__k` md5, `canonical_id`): the distinct
+    *    content → representative map — one row per distinct content
+    *    (the md5 and an id), what the batch's content-adoption edges
+    *    join against;
+    *  - `repShingles` (`id`, `hs`): the representatives' shingle-hash
+    *    frame (already eagerly checkpointed by the build), the probe
+    *    index side.
+    *
+    * All three are bounded by corpus cardinality in ids/hashes — never
+    * document text — so a caller that pins them across a build/serve
+    * lifecycle holds ids + 60-bit shingle hashes, the same envelope the
+    * pair kernels already shuffle. */
+  final case class CanonicalCorpusArtifacts(perDocCanon: DataFrame,
+      contentCanon: DataFrame, repShingles: DataFrame)
+
+  /** [[clustersCanonical]] returning its corpus-side artifacts beside
+    * the labels, for reuse by
+    * [[clustersCanonicalIncrementalFromArtifacts]] (the daily-close
+    * serve then never touches the corpus text again). Same labels as
+    * [[clustersCanonical]] — that method IS this one's `._1`. */
+  def clustersCanonicalWithArtifacts(df: DataFrame, textCol: String,
+      idCol: String, thresholdE4: Int, maxDf: Long = 1000L,
+      shingleK: Int = 3): (DataFrame, CanonicalCorpusArtifacts) = {
+    val keyed = df.select(col(idCol), md5(col(textCol)).as("__k"))
+    val contentCanon = keyed.groupBy(col("__k"))
+      .agg(min(col(idCol)).as("canonical_id"))
+    // (idCol, canonical_id) per doc — pinned because it feeds BOTH the
+    // representative semi-join and the final member-inherit join (it
+    // was computed twice before); two ids per doc of executor storage
+    val ex = keyed.join(contentCanon, Seq("__k"))
+      .select(col(idCol), col("canonical_id"))
+      .localCheckpoint(true)
     val reps = df.select(col(idCol), col(textCol))
       .join(ex.where(col(idCol) === col("canonical_id"))
         .select(col(idCol)), Seq(idCol), "left_semi")
@@ -773,8 +814,9 @@ object Dedup {
     val labels = connectedComponents(
       hs.select(col("id").as("canonical_id")), "canonical_id",
       pairs, "id_a", "id_b")
-    ex.join(labels, Seq("canonical_id"))
-      .select(col(idCol), col("component"))
+    (ex.join(labels, Seq("canonical_id"))
+      .select(col(idCol), col("component")),
+      CanonicalCorpusArtifacts(ex, contentCanon, hs))
   }
 
   /** [[clustersCanonical]]'s INCREMENTAL twin — the daily-batch close
@@ -808,33 +850,63 @@ object Dedup {
       idCol: String, corpusDf: DataFrame, corpusLabels: DataFrame,
       thresholdE4: Int, maxDf: Long = 1000L,
       shingleK: Int = 3): DataFrame = {
-    val cCanon = exact(corpusDf, textCol, idCol)
-    val bCanon = exact(newDf, textCol, idCol)
-    def reps(df: DataFrame, canon: DataFrame): DataFrame =
-      df.select(col(idCol), col(textCol))
-        .join(canon.where(col(idCol) === col("canonical_id"))
-          .select(col(idCol)), Seq(idCol), "left_semi")
-    val cReps = reps(corpusDf, cCanon)
-    val bReps = reps(newDf, bCanon)
+    // corpus-side intermediates derived IN-QUERY from the corpus text
+    // (the standalone form); a build/serve lifecycle that already holds
+    // them passes the build's artifacts to the FromArtifacts twin
+    // instead and never re-reads the corpus here
+    val keyed = corpusDf.select(col(idCol), md5(col(textCol)).as("__k"))
+    val contentCanon = keyed.groupBy(col("__k"))
+      .agg(min(col(idCol)).as("canonical_id"))
+    val cCanon = keyed.join(contentCanon, Seq("__k"))
+      .select(col(idCol), col("canonical_id"))
+    val cReps = corpusDf.select(col(idCol), col(textCol))
+      .join(cCanon.where(col(idCol) === col("canonical_id"))
+        .select(col(idCol)), Seq(idCol), "left_semi")
     val cHs = shingleHashKernel(cReps, textCol, idCol, shingleK)
       .localCheckpoint(true)
+    clustersCanonicalIncrementalFromArtifacts(newDf, textCol, idCol,
+      CanonicalCorpusArtifacts(cCanon, contentCanon, cHs),
+      corpusLabels, thresholdE4, maxDf, shingleK)
+  }
+
+  /** [[clustersCanonicalIncremental]] over the BUILD's OWN corpus-side
+    * artifacts ([[clustersCanonicalWithArtifacts]] output) — the served
+    * daily-close shape: the corpus text is never re-scanned (no second
+    * exact-dedup aggregation, no second corpus shingle kernel); the
+    * serve's cost is the batch's own collapse/probe work plus the
+    * incremental label close. Labels are EXACTLY
+    * [[clustersCanonicalIncremental]]'s — that method delegates here
+    * after deriving the same artifacts from the corpus frame
+    * (spec-pinned equal). The caller owns the artifacts' lifecycle
+    * (pin them if the build and serve are separate actions). */
+  def clustersCanonicalIncrementalFromArtifacts(newDf: DataFrame,
+      textCol: String, idCol: String, corpus: CanonicalCorpusArtifacts,
+      corpusLabels: DataFrame, thresholdE4: Int, maxDf: Long = 1000L,
+      shingleK: Int = 3): DataFrame = {
+    val bCanon = exact(newDf, textCol, idCol)
+    val bReps = newDf.select(col(idCol), col(textCol))
+      .join(bCanon.where(col(idCol) === col("canonical_id"))
+        .select(col(idCol)), Seq(idCol), "left_semi")
     val bHs = shingleHashKernel(bReps, textCol, idCol, shingleK)
       .localCheckpoint(true)
+    // content adoption: a batch rep whose md5 matches a corpus content
+    // joins that content's REPRESENTATIVE — the contentCanon map keys
+    // exactly the corpus-rep md5s the old form recomputed from text
     val contentEdges = bReps
       .select(col(idCol).as("id_a"), md5(col(textCol)).as("__k"))
-      .join(cReps.select(col(idCol).as("id_b"),
-        md5(col(textCol)).as("__k")), Seq("__k"))
+      .join(corpus.contentCanon.select(col("canonical_id").as("id_b"),
+        col("__k")), Seq("__k"))
       .select(col("id_a"), col("id_b"))
-    val probeEdges = jaccardPairsAgainstFromShingles(bHs, cHs,
-        thresholdE4, maxDf)
+    val probeEdges = jaccardPairsAgainstFromShingles(bHs,
+        corpus.repShingles, thresholdE4, maxDf)
       .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
     val batchEdges = jaccardPairsPostingKernelFromShingles(bHs,
         thresholdE4, maxDf)
       .select(col("id_a"), col("id_b"))
-    val starEdges = cCanon.unionByName(bCanon)
+    val starEdges = corpus.perDocCanon.unionByName(bCanon)
       .where(col(idCol) =!= col("canonical_id"))
       .select(col(idCol).as("id_a"), col("canonical_id").as("id_b"))
-    val nodes = corpusDf.select(col(idCol))
+    val nodes = corpus.perDocCanon.select(col(idCol))
       .unionByName(newDf.select(col(idCol)))
     connectedComponentsIncremental(nodes, idCol, corpusLabels, idCol,
       "component",
@@ -873,24 +945,32 @@ object Dedup {
           lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
-    var labels = nodes
-      .select(col(idCol).cast(LongType).as("id"), col(idCol).cast(LongType).as("comp"))
-      .localCheckpoint(true)
-    // sum over zero rows is SQL NULL — read through Option so an empty
-    // nodes frame converges to an empty labels frame instead of NPEing
-    def compSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("comp"))).head().get(0))
-        .fold(0L)(_.asInstanceOf[Number].longValue)
-    var prevSum = compSum(labels)
+    // the convergence scalar (monotone label sum) rides the SAME job
+    // that materializes each round's checkpoint: Dataset.observe's
+    // CollectMetrics accumulator is filled while the eager
+    // localCheckpoint computes the rows, so a round costs ONE Spark
+    // job, not checkpoint + a second sum-aggregation pass over the
+    // checkpointed blocks (r14 VERDICT #1 — at sf0.1 the incremental
+    // close runs ~5 CC rounds per serve and the per-round second job
+    // was pure scheduler overhead). Sum over zero rows is SQL NULL —
+    // read through Option so an empty nodes frame converges to an
+    // empty labels frame instead of NPEing.
+    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val pinned = df.observe(obs, sum(col("comp")).as("s"))
+        .localCheckpoint(true)
+      (pinned, Option(obs.get("s")).fold(0L)(_.asInstanceOf[Number].longValue))
+    }
+    var (labels, prevSum) = checkpointWithSum(nodes
+      .select(col(idCol).cast(LongType).as("id"), col(idCol).cast(LongType).as("comp")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp")).union(msgs)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
-      val s = compSum(next)
+      val (next, s) = checkpointWithSum(
+        labels.select(col("id"), col("comp")).union(msgs)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp")))
       releaseCheckpoint(labels)
       labels = next
       converged = s == prevSum

@@ -414,16 +414,25 @@ object DocumentQueries {
       dir: String): (() => Unit, () => DataFrame) = {
     val base = cloneAugmented(s, dir)
     val isBatch = col("doc_id") % 5 === 4
-    var corpus: DataFrame = null
+    var arts: Dedup.CanonicalCorpusArtifacts = null
     var labels: DataFrame = null
     val build = () => {
-      corpus = base.where(!isBatch).localCheckpoint(true)
-      labels = Dedup.clustersCanonical(corpus, "text", "doc_id",
-        thresholdE4 = 5000, maxDf = 1000).localCheckpoint(true)
+      val corpus = base.where(!isBatch).localCheckpoint(true)
+      val (lab, a) = Dedup.clustersCanonicalWithArtifacts(corpus,
+        "text", "doc_id", thresholdE4 = 5000, maxDf = 1000)
+      labels = lab.localCheckpoint(true)
+      // the build's corpus-side artifacts ARE the persisted index a
+      // deployment would serve from — pin them so the daily close
+      // (read phase) never re-scans the corpus text. Bounds: ids +
+      // md5s + 60-bit shingle hashes, never documents (perDocCanon is
+      // already pinned by the build; contentCanon is one (md5, id) row
+      // per distinct content).
+      arts = Dedup.CanonicalCorpusArtifacts(a.perDocCanon,
+        a.contentCanon.localCheckpoint(true), a.repShingles)
       ()
     }
-    val read = () => Dedup.clustersCanonicalIncremental(
-      base.where(isBatch), "text", "doc_id", corpus, labels,
+    val read = () => Dedup.clustersCanonicalIncrementalFromArtifacts(
+      base.where(isBatch), "text", "doc_id", arts, labels,
       thresholdE4 = 5000, maxDf = 1000)
     (build, read)
   }
