@@ -37,8 +37,8 @@ object SparkEntry {
     * the combined `queries` entries (identical: build(); read()). */
   def lifecycleSplits
       : Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
-    EventQueries.lifecycleSplits ++ DocumentQueries.lifecycleSplits ++
-      EmbeddingQueries.lifecycleSplits
+    EventQueries.lifecycleSplits ++ RelationalQueries.lifecycleSplits ++
+      DocumentQueries.lifecycleSplits ++ EmbeddingQueries.lifecycleSplits
 
   /** Plan-capture probes for [[PlanDump]] (tooling only, never run by
     * the driver): internal frames of multi-job queries, so optimization
