@@ -405,7 +405,18 @@ object Graph {
     val (nEdges, kept) =
       if (census) {
         val und = pairs.dropDuplicates("a", "b").localCheckpoint(true)
-        (und.count(), und.where(membership).localCheckpoint(true))
+        val n = und.count()
+        val k = und.where(membership).localCheckpoint(true)
+        // kept is EAGERLY checkpointed above, so the full distinct
+        // edge set (two longs per edge — ~2 GB at the ×100 fixture's
+        // 119.6M edges) is released NOW instead of riding executor
+        // storage for the rest of the session (ADVICE r14)
+        und.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+        (n, k)
       } else
         (-1L,
           pairs.where(membership).dropDuplicates("a", "b")

@@ -1328,6 +1328,13 @@ object Similarity {
       codebook: Seq[Seq[Seq[Double]]], k: Int, depths: Seq[Int],
       cands: Seq[Int],
       dotFn: (Column, Column) => Column = dot): DataFrame = {
+    // fail as loudly as the serve for direct callers: an empty lever
+    // list would surface as an opaque reduce() throw below, and a
+    // shortlist below k silently under-fills cells (ADVICE r14)
+    require(depths.nonEmpty && cands.nonEmpty,
+      "pqGridCells needs at least one probe depth and one shortlist size")
+    require(cands.forall(_ >= k),
+      s"every shortlist size must be >= k=$k, got ${cands.mkString(",")}")
     val spark = valQueries.sparkSession
     val pMax = depths.max
     val d = dotFn

@@ -1203,8 +1203,9 @@ object EmbeddingQueries {
           dotFn = dotN)
       }),
       // the corpus-wide centroid assignment inside every IVF/PQ build
-      // (buildKmeans / __build phases): window-argmax before, map-side
-      // min_by aggregation after
+      // (buildKmeans / __build phases): captures the KEPT window-argmax
+      // plan — a map-side min_by aggregation alternative was benched
+      // 1.6× slower and rejected (assignToCentroids scaladoc)
       "ann_ivfpq_topk__assign" -> ((s: SparkSession, dir: String) => {
         GraftFunctions.register(s)
         val e = emb(s, dir)
