@@ -317,26 +317,176 @@ object Similarity {
     * an audit/repro knob, never the deployment default). The
     * codebook is a pure function of (corpus ids+vectors, trainSeed,
     * resolved sample size); a corpus of at most that many rows
-    * trains on every row, so small fixtures are byte-identical to
-    * the unsampled build. Encode/serve recall gates are unchanged —
+    * trains on every row. Encode/serve recall gates are unchanged —
     * gate recall in-plan as ever, never assume a sampled codebook
-    * ranks identically. */
+    * ranks identically.
+    *
+    * EXECUTION (r14 VERDICT #4): the sampled path (the default) runs
+    * Lloyd ON THE DRIVER over the one collected sample — the
+    * distributed loop was maxIter sequential Spark jobs over ~4 KB/row
+    * data, i.e. scheduler round-trips, not compute (measured ~4.5 s of
+    * a ~7 s sf0.1 PQ build). One bounded job (the TakeOrdered sample
+    * collect, sampleN × dim doubles — the same envelope the codebook
+    * collect already pays) replaces them; the caller's `dotFn` Column
+    * function is compiled ONCE into a driver-side scalar evaluator
+    * (same catalyst expression, same sequential-fold arithmetic), so
+    * assignment scoring is bit-identical to the in-plan form. Centroid
+    * means sum in ascending-id order — deterministic and
+    * layout-independent like before, though the final ulps of a mean
+    * may differ from the distributed partial-aggregation order (the
+    * serve gates recall in-plan, and the oracle never sees the
+    * codebook). `trainSampleN = 0` opts out into the distributed
+    * full-corpus loop unchanged (the audit/repro knob — never collect
+    * an unbounded corpus to the driver). */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       ks: Int, dotFn: (Column, Column) => Column = dot,
       maxIter: Int = 6, trainSampleN: Int = -1,
       trainSeed: Int = 42): Seq[Seq[Seq[Double]]] = {
     require(m > 0 && ks > 1, "need m >= 1 subspaces and ks >= 2 codes")
     val sampleN = if (trainSampleN < 0) 256 * ks else trainSampleN
+    if (sampleN > 0)
+      pqTrainLocal(corpus, idCol, vecCol, m, ks, dotFn, maxIter,
+        sampleN, trainSeed)
+    else
+      pqTrainDistributed(corpus, idCol, vecCol, m, ks, dotFn, maxIter)
+  }
+
+  /** The sampled (default) PQ training path: ONE bounded sample
+    * collect, then the joint Lloyd loop in plain driver-side loops —
+    * semantics exactly [[pqTrainDistributed]]'s (smallest-id seeds of
+    * the training frame, strict-improvement argmax with ties to the
+    * lower part, empty clusters retain their centroid, converged
+    * subspaces freeze, tol/maxIter identical); means sum in
+    * ascending-id order. */
+  private def pqTrainLocal(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, ks: Int,
+      dotFn: (Column, Column) => Column, maxIter: Int,
+      sampleN: Int, trainSeed: Int): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val spark = corpus.sparkSession
+    // the one Spark job of this path: the deterministic bounded sample,
+    // collected in ascending-id order (sum order below)
+    val rows = trainingSample(corpus, idCol, sampleN, trainSeed)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("fv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "corpus is empty")
+    val dim = rows(0)._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val score = scalarScoreEvaluator(spark, dotFn)
+    val n = rows.length
+    // per (row, subspace) subvectors, wrapped once for the evaluator
+    val sv: Array[Array[Array[Double]]] = rows.map { case (_, fv) =>
+      Array.tabulate(m)(j => java.util.Arrays.copyOfRange(fv, j * sub, (j + 1) * sub))
+    }
+    val svData: Array[Array[ArrayData]] =
+      sv.map(_.map(a => ArrayData.toArrayData(a): ArrayData))
+    val seeds = rows.take(ks).map(_._2)
+    val tol = 1e-9
+    val cent: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      seeds.map(fv => java.util.Arrays.copyOfRange(fv, j * sub, (j + 1) * sub)))
+    var active = (0 until m).toSet
+    var iter = 0
+    while (active.nonEmpty && iter < maxIter) {
+      val act = active.toSeq.sorted
+      val still = scala.collection.mutable.Set.empty[Int]
+      act.foreach { j =>
+        val nSeeds = cent(j).length
+        val centData = cent(j).map(a => ArrayData.toArrayData(a): ArrayData)
+        val sums = Array.fill(nSeeds, sub)(0.0)
+        val counts = new Array[Long](nSeeds)
+        var i = 0
+        while (i < n) {
+          var best = Double.NegativeInfinity
+          var bestP = 0
+          var p = 0
+          while (p < nSeeds) {
+            val s = score(svData(i)(j), centData(p))
+            if (s > best) { best = s; bestP = p } // ties keep the lower part
+            p += 1
+          }
+          val v = sv(i)(j)
+          var d = 0
+          while (d < sub) { sums(bestP)(d) += v(d); d += 1 }
+          counts(bestP) += 1
+          i += 1
+        }
+        var moved = 0.0
+        var p = 0
+        while (p < nSeeds) {
+          if (counts(p) > 0) { // empty clusters retain their centroid
+            val nv = Array.tabulate(sub)(d => sums(p)(d) / counts(p))
+            var acc = 0.0
+            var d = 0
+            while (d < sub) {
+              val df = cent(j)(p)(d) - nv(d); acc += df * df; d += 1
+            }
+            val dist = math.sqrt(acc)
+            if (dist > moved) moved = dist
+            cent(j)(p) = nv
+          }
+          p += 1
+        }
+        if (moved > tol) still += j
+      }
+      active = still.toSet
+      iter += 1
+    }
+    (0 until m).map(j => cent(j).toSeq.map(_.toSeq))
+  }
+
+  /** Compile a caller's `(Column, Column) => Column` score function
+    * into a driver-side scalar over two double arrays: the expression
+    * is analyzed against a two-column local relation and bound into a
+    * generated projection, so the arithmetic (and any registered
+    * native function inside it, e.g. `graft_dot`) is the SAME catalyst
+    * code the in-plan form runs — no re-derivation of the score
+    * formula that could drift from the serve. */
+  private def scalarScoreEvaluator(
+      spark: org.apache.spark.sql.SparkSession,
+      fn: (Column, Column) => Column)
+      : (org.apache.spark.sql.catalyst.util.ArrayData,
+         org.apache.spark.sql.catalyst.util.ArrayData) => Double = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, Expression, GenericInternalRow, UnsafeProjection}
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType), nullable = false),
+      StructField("b", ArrayType(DoubleType), nullable = false)))
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val analyzed = empty.select(fn(col("a"), col("b")).cast("double"))
+      .queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+    val bound = BindReferences.bindReference(
+      analyzed.projectList.head: Expression, analyzed.child.output)
+    val proj = UnsafeProjection.create(Seq(bound))
+    val row = new GenericInternalRow(2)
+    (a, b) => {
+      row.update(0, a)
+      row.update(1, b)
+      val out = proj(row)
+      // a null score loses to any non-null one (the window form's
+      // descending NULLS LAST), ties keep the lower part either way
+      if (out.isNullAt(0)) Double.NegativeInfinity else out.getDouble(0)
+    }
+  }
+
+  /** The full-corpus (trainSampleN = 0) PQ training loop — the
+    * distributed joint Lloyd formulation, retained as the audit/repro
+    * opt-out (an unbounded corpus must never be collected). */
+  private def pqTrainDistributed(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, ks: Int,
+      dotFn: (Column, Column) => Column,
+      maxIter: Int): Seq[Seq[Seq[Double]]] = {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
-    val train =
-      if (sampleN > 0)
-        trainingSample(corpus, idCol, sampleN, trainSeed)
-          .localCheckpoint(true) // one TakeOrdered, not one per consumer
-      else corpus
+    val train = corpus
     // ALL m subspace k-means runs share ONE Lloyd loop: the per-j
     // independent formulation is m × maxIter sequential Spark jobs
     // (the dominant wall-clock of the whole PQ pipeline at any corpus
@@ -770,6 +920,52 @@ object Similarity {
       .where(col("__rn") === 1)
       .select(col(idCol), col("part"))
   }
+
+  /** [[assignToCentroids]] CARRYING the full corpus row through the
+    * window — the index-BUILD composition (r14 VERDICT #3): a build
+    * that immediately derives the refined centroids AND lays the
+    * corpus out by partition otherwise joins the corpus back onto the
+    * assignment artifact once per consumer (re-scanning the corpus
+    * each time). Same window, same (csim desc, part) tie-break, so the
+    * (id, part) assignment is IDENTICAL to [[assignToCentroids]]
+    * (spec-pinned); the exchange carries the corpus row once instead
+    * of the joins shuffling/scanning it again downstream. Callers that
+    * only need the (id, part) map should keep the plain form — its
+    * exchange carries ids, not vectors.
+    *
+    * @return every corpus column plus `part` */
+  def assignToCentroidsCarrying(corpus: DataFrame, cent: DataFrame,
+      idCol: String, vecCol: String,
+      dotFn: (Column, Column) => Column = dot): DataFrame = {
+    val d = dotFn
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("part"))
+    corpus
+      .join(broadcast(cent.select(col("part"), col("centroid"))))
+      .withColumn("__csim", d(col(vecCol), col("centroid")))
+      .drop("centroid")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__csim")
+  }
+
+  /** [[writeIvfCorpus]] over an assignment that already CARRIES the
+    * corpus row ([[assignToCentroidsCarrying]] output) — the join-free
+    * build tail: no corpus re-scan, no corpus⋈assignment shuffle.
+    * Identical store contents (same rows, same `part=` layout). */
+  def writeIvfCorpusAssigned(assignedCorpus: DataFrame,
+      path: String): Unit =
+    assignedCorpus.write.mode("overwrite").partitionBy("part").parquet(path)
+
+  /** [[writeIvfPqCorpus]] over a carrying assignment — encode runs
+    * row-local on the already-assigned rows, so the store write is one
+    * pass with ZERO joins. Identical store contents (columns may order
+    * differently in the files; every consumer selects by name). */
+  def writeIvfPqCorpusAssigned(assignedCorpus: DataFrame, vecCol: String,
+      codebook: Seq[Seq[Seq[Double]]], path: String,
+      encodeDotFn: (Column, Column) => Column = l2Score()): Unit =
+    pqEncode(assignedCorpus, vecCol, codebook, encodeDotFn)
+      .write.mode("overwrite").partitionBy("part").parquet(path)
 
   /** One Lloyd (k-means) iteration: assign to the given centroids, then
     * recompute each partition's mean vector. Iterating this to a fixed

@@ -67,21 +67,45 @@ object EmbeddingQueries {
 
   /** Build the k-means IVF index artifacts: seed centroids = vecs
     * 0..9, one assignment pass, one Lloyd centroid refinement;
-    * `assign` + `centroids` parquet under a fresh temp dir. */
-  private def buildKmeans(s: SparkSession, dir: String): String = {
+    * `assign` + `centroids` parquet under a fresh temp dir.
+    * Returns the dir AND the pinned carrying assignment (corpus row +
+    * `part`) so a caller laying out a store can write it join-free
+    * (r14 VERDICT #3: the centroids step and each store write were a
+    * corpus re-scan + corpus⋈assign join each). The CALLER must
+    * [[releasePin]] the frame when its writes are done. */
+  private def buildKmeansPinned(s: SparkSession,
+      dir: String): (String, DataFrame) = {
     import graft.functions.GraftFunctions
     val e = emb(s, dir)
     val base = tempIndexDir("graft_kivf")
     val init = e.where(col("vec_id") < 10)
       .select(col("vec_id").cast("long").as("part"),
         col("embedding").cast("array<double>").as("centroid"))
-    val assigned = Similarity.assignToCentroids(e, init, "vec_id",
-      "embedding", GraftFunctions.dotNative)
-    assigned.write.mode("overwrite").parquet(s"$base/assign")
-    Similarity.centroids(
-        e.join(s.read.parquet(s"$base/assign"), Seq("vec_id")),
-        "part", "embedding")
+    // one corpus pass, pinned (spills to disk past memory); the
+    // (vec_id, part) artifact and the refined centroids both project
+    // from it — the corpus parquet is scanned exactly once per build
+    val assignedV = Similarity.assignToCentroidsCarrying(e, init,
+        "vec_id", "embedding", GraftFunctions.dotNative)
+      .localCheckpoint(true)
+    assignedV.select(col("vec_id"), col("part"))
+      .write.mode("overwrite").parquet(s"$base/assign")
+    Similarity.centroids(assignedV, "part", "embedding")
       .write.mode("overwrite").parquet(s"$base/centroids")
+    (base, assignedV)
+  }
+
+  /** Release a [[buildKmeansPinned]] checkpoint once its consumer has
+    * written the stores it feeds. */
+  private def releasePin(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  private def buildKmeans(s: SparkSession, dir: String): String = {
+    val (base, assignedV) = buildKmeansPinned(s, dir)
+    releasePin(assignedV)
     base
   }
 
@@ -117,9 +141,10 @@ object EmbeddingQueries {
     val e = emb(s, dir)
     var built: String = null
     val build = () => {
-      built = buildKmeans(s, dir)
-      Similarity.writeIvfCorpus(e, s.read.parquet(s"$built/assign"),
-        "vec_id", s"$built/store")
+      val (base, assignedV) = buildKmeansPinned(s, dir)
+      Similarity.writeIvfCorpusAssigned(assignedV, s"$base/store")
+      releasePin(assignedV)
+      built = base
       ()
     }
     val read = () => Similarity.ivfTopKFromStore(s"$built/store",
@@ -149,12 +174,13 @@ object EmbeddingQueries {
     var built: String = null
     var cb: Seq[Seq[Seq[Double]]] = null
     val build = () => {
-      built = buildKmeans(s, dir)
+      val (base, assignedV) = buildKmeansPinned(s, dir)
       cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 16, ks = 16,
         dotFn = Similarity.l2Score(dotN), trainSampleN = 4096)
-      Similarity.writeIvfPqCorpus(e, s.read.parquet(s"$built/assign"),
-        "vec_id", "embedding", cb, s"$built/store_pq",
-        Similarity.l2Score(dotN))
+      Similarity.writeIvfPqCorpusAssigned(assignedV, "embedding", cb,
+        s"$base/store_pq", Similarity.l2Score(dotN))
+      releasePin(assignedV)
+      built = base
       ()
     }
     val read = () => Similarity.ivfPqTopKFromStore(s"$built/store_pq",

@@ -59,6 +59,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("carrying assignment: same (id, part) map as the plain form; " +
+      "carried rows equal the corpus join") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val init = e.where(col("vec_id") < 4)
+      .select(col("vec_id").cast("long").as("part"),
+        col("embedding").cast("array<double>").as("centroid"))
+    val plain = Similarity.assignToCentroids(e, init, "vec_id", "embedding")
+    val carry = Similarity.assignToCentroidsCarrying(e, init, "vec_id",
+      "embedding")
+    // the (id, part) assignment is identical — same window, same
+    // tie-break
+    assert(carry.select(col("vec_id").cast("long"), col("part").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      plain.select(col("vec_id").cast("long"), col("part").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // the carried rows ARE the corpus rows: carrying == corpus ⋈ plain
+    // (the join the carrying form exists to remove), column-for-column
+    val joined = e.join(plain, Seq("vec_id"))
+    val cols = joined.columns.sorted.map(col)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.toIndexedSeq: _*).collect().map(_.toString).sorted
+    assert(key(carry).sameElements(key(joined)),
+      "carrying assignment drifted from the corpus join")
+  }
+
   test("lloydStep: recomputed centroids are the assigned-partition means") {
     val cent = Seq(
       (0L, Seq(1.0, 0.0, 0.0)),
