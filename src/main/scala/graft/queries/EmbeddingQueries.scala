@@ -1240,6 +1240,37 @@ object EmbeddingQueries {
             col("embedding").cast("array<double>").as("centroid"))
         Similarity.assignToCentroids(e, init, "vec_id", "embedding",
           GraftFunctions.dotNative)
+      }),
+      // r15 store-write shapes. BEFORE: the encode frame joined back
+      // onto the assign artifact (a corpus re-scan + a corpus-sized
+      // join per store write); AFTER: encode over the build's pinned
+      // carrying assignment — Scan ExistingRDD, zero joins, zero
+      // parquet scans
+      "ann_ivfpq_topk__store_write_joined" -> ((s: SparkSession, dir: String) => {
+        GraftFunctions.register(s)
+        val e = emb(s, dir)
+        val dotN: (org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+          GraftFunctions.dotNative
+        val built = kmeansIndexes.getOrElseUpdate((s, dir), buildKmeans(s, dir))
+        val cb = pqCodebooks.getOrElseUpdate((s, dir),
+          Similarity.pqTrain(e, "vec_id", "embedding", m = 16, ks = 16,
+            dotFn = Similarity.l2Score(dotN), trainSampleN = 4096))
+        Similarity.pqEncode(e, "embedding", cb, Similarity.l2Score(dotN))
+          .join(s.read.parquet(s"$built/assign"), Seq("vec_id"))
+      }),
+      "ann_ivfpq_topk__store_write" -> ((s: SparkSession, dir: String) => {
+        GraftFunctions.register(s)
+        val e = emb(s, dir)
+        val dotN: (org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+          GraftFunctions.dotNative
+        val cb = pqCodebooks.getOrElseUpdate((s, dir),
+          Similarity.pqTrain(e, "vec_id", "embedding", m = 16, ks = 16,
+            dotFn = Similarity.l2Score(dotN), trainSampleN = 4096))
+        val (_, assignedV) = buildKmeansPinned(s, dir)
+        Similarity.pqEncode(assignedV, "embedding", cb,
+          Similarity.l2Score(dotN))
       }))
   }
 }
