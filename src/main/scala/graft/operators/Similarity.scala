@@ -337,7 +337,10 @@ object Similarity {
     * serve gates recall in-plan, and the oracle never sees the
     * codebook). `trainSampleN = 0` opts out into the distributed
     * full-corpus loop unchanged (the audit/repro knob — never collect
-    * an unbounded corpus to the driver). */
+    * an unbounded corpus to the driver). An EXPLICIT positive
+    * trainSampleN is likewise collected — it is a caller-declared
+    * driver budget (sampleN × dim doubles); use `0` when the training
+    * set must stay distributed. */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       ks: Int, dotFn: (Column, Column) => Column = dot,
       maxIter: Int = 6, trainSampleN: Int = -1,
