@@ -1475,18 +1475,42 @@ object Similarity {
       corpus: DataFrame, valQueries: DataFrame, idCol: String,
       vecCol: String, codebook: Seq[Seq[Seq[Double]]], k: Int,
       probeDepths: Seq[Int], candidateCounts: Seq[Int],
+      dotFn: (Column, Column) => Column = dot): DataFrame =
+    pqOperatingGridFromTruth(storePath, index,
+      bruteForceTopK(corpus, valQueries, idCol, vecCol, k, dotFn)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true), // ONE exact pass feeds every cell
+      valQueries, idCol, vecCol, codebook, k, probeDepths,
+      candidateCounts, dotFn)
+
+  /** [[pqOperatingGrid]] with a CALLER-SUPPLIED ground truth — the
+    * "don't compute twice" seam for callers that already pay the exact
+    * pass for their own output (a calibration query typically emits
+    * the brute-force baseline it calibrates against): `groundTruth`
+    * must be [[bruteForceTopK]] over the SAME (corpus, valQueries, k)
+    * — anything else and the grid's recall is against the wrong answer
+    * key — and should be PINNED (localCheckpoint) by the caller: the
+    * grid consumes it twice (possible-count + hit semi-join), and a
+    * lazy frame would re-pay the exact pass, exactly what this seam
+    * exists to avoid. No re-pin here — the pinned frame is
+    * |valQueries|·k id pairs (~16 B each), and a second eager
+    * checkpoint job would cost more than it saves on an
+    * overhead-dominated calibration. [[pqOperatingGrid]] is exactly
+    * this seam fed with its own pinned pass; grid values are identical
+    * by construction. */
+  def pqOperatingGridFromTruth(storePath: String, index: DataFrame,
+      groundTruth: DataFrame, valQueries: DataFrame, idCol: String,
+      vecCol: String, codebook: Seq[Seq[Seq[Double]]], k: Int,
+      probeDepths: Seq[Int], candidateCounts: Seq[Int],
       dotFn: (Column, Column) => Column = dot): DataFrame = {
     require(probeDepths.nonEmpty && candidateCounts.nonEmpty,
       "pqOperatingGrid needs at least one probe depth and one " +
         "candidate count")
     require(candidateCounts.forall(_ >= k),
       s"every shortlist size must be >= k=$k")
-    val spark = corpus.sparkSession
+    val spark = valQueries.sparkSession
     import spark.implicits._
-    val truth = bruteForceTopK(corpus, valQueries, idCol, vecCol, k,
-        dotFn)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true) // ONE exact pass feeds every cell
+    val truth = groundTruth.select(col("query_id"), col("neighbor_id"))
     val nPossible = truth.count()
     require(nPossible > 0,
       "pqOperatingGrid: no ground-truth rows (empty corpus or queries)")

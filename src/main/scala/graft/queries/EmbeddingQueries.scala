@@ -590,7 +590,10 @@ object EmbeddingQueries {
     // (nProbe × candidates) recall grid — every cell derived from ONE
     // partition-pruned scored pass (ADC and exact scores are pure per
     // (query, candidate), so each cell is a filter+rank over the same
-    // pool; spec-pinned cell-by-cell equal to a re-executed serve) —
+    // pool; spec-pinned cell-by-cell equal to a re-executed serve),
+    // graded against ONE exact pass: the brute-force baseline this
+    // query emits anyway is the grid's ground truth (same corpus,
+    // same queries, same k), so it is computed once and shared —
     // stamps the cheapest
     // point clearing recall ≥ 0.6 (smallest probe depth, then
     // smallest shortlist), required in-query to be a genuinely
@@ -618,8 +621,14 @@ object EmbeddingQueries {
           "vec_id", "embedding", cb, store, Similarity.l2Score(dotN))
       val index = graft.operators.Similarity.readCentroids(s,
         s"$built/centroids")
-      val grid = Similarity.pqOperatingGrid(store, index, e, qs,
-        "vec_id", "embedding", cb, k = 5,
+      // the output's own exact baseline IS the grid's answer key —
+      // same (corpus, queries, k) — so pay the brute-force pass ONCE
+      // and feed both (pinned: |qs|·k = 50 (query, neighbor, rank)
+      // rows, bounded like the serve's probe collect)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+        k = 5, dotFn = dotN).localCheckpoint(true)
+      val grid = Similarity.pqOperatingGridFromTruth(store, index, exact,
+        qs, "vec_id", "embedding", cb, k = 5,
         probeDepths = Seq(3, 5, 10), candidateCounts = Seq(20, 100),
         dotFn = dotN)
       val (sp, sc) = Similarity.stampPqOperatingPoint(s, store, grid,
@@ -627,8 +636,6 @@ object EmbeddingQueries {
       require(sp < 10 || sc < 100,
         s"the stamp must be a genuinely partial operating point, " +
           s"got ($sp, $sc)")
-      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
-        k = 5, dotFn = dotN)
       val pq = Similarity.ivfPqTopKFromStore(store, index, qs,
           "vec_id", "embedding", cb, k = 5, dotFn = dotN) // stamped
         .groupBy(col("query_id"))

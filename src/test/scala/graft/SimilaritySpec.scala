@@ -450,8 +450,8 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
-  test("PQ operating grid: honest per-cell recall, cheapest-first stamp, " +
-      "stamped default serve") {
+  test("PQ operating grid: honest per-cell recall, supplied-truth seam, " +
+      "cheapest-first stamp, stamped default serve") {
     import spark.implicits._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 6)
@@ -481,6 +481,16 @@ class SimilaritySpec extends SparkTestBase {
       candidateCounts = Seq(5, n))
     val cells = grid.collect().map(r => (r.getLong(0), r.getLong(1)) ->
       (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the supplied-truth seam: feeding the caller's own exact pass back
+    // in yields the IDENTICAL grid (the "pay the baseline once"
+    // contract); the carried rank column is ignored by the grid
+    val fromTruth = Similarity.pqOperatingGridFromTruth(store, index,
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+        q, "vec_id", "embedding", cb, k = 5, probeDepths = Seq(2, 10),
+        candidateCounts = Seq(5, n))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(fromTruth == cells)
     // every cell is an honest re-execution: the full-probe full-
     // shortlist corner IS brute force (recall 10000), and each cell's
     // hits equal the directly re-served intersection
